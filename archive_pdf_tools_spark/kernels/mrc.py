@@ -1,0 +1,197 @@
+"""MRC page segmentation: hOCR-guided mask, threshold mask, components.
+
+Re-derives ``internetarchivepdf/mrc.py:188-471`` as pure NumPy:
+
+* ``create_hocr_mask`` (``mrc.py:188-270``): per text line — confidence /
+  empty filters, bbox validity checks, Sauvola (k=0.1) on the line crop and
+  its inverse, ratio decision tree (0.3 / 0.2 thresholds), optional
+  wavelet-sigma comparison, paste the chosen threshold into the page mask.
+  Returns per-line decisions so the caller can observe which lines were
+  accepted (the spans contract).
+* ``create_threshold_mask`` (``mrc.py:300-329``): noise estimate on the
+  centre crop, Gaussian pre-blur when sigma > 1.0 (sigma*0.1), Sauvola
+  k=0.34, OR-combined into the mask.
+* ``create_mrc_components`` (``mrc.py:334-471``): gray conversion, both
+  masks, fast denoise (mincnt=4, n=2 — ``mrc.py:388``), then
+  foreground = optimise(mask, img, n=3) and
+  background = optimise(~mask, img, n=10) (``mrc.py:409-449``).
+
+Warnings mirror the reference's stderr prints / errors set
+(``const.py:35-45``); they are returned as a list so the Spark layer can
+fold them into the per-partition metrics table instead of stderr.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .grayconvert import rgb_to_gray
+from .noise import estimate_noise, gaussian_filter, mean_estimate_sigma
+from .optimise import fast_mask_denoise, optimise_gray2, optimise_rgb2
+from .sauvola import threshold_image
+
+__all__ = ["LineDecision", "create_hocr_mask", "create_threshold_mask",
+           "create_mrc_components", "MrcResult"]
+
+DENOISE_NONE = "none"
+DENOISE_FAST = "fast"
+
+WARN_INVALID_BBOX = "invalid-bbox"
+WARN_BBOX_OUTSIDE_IMAGE = "invalid-bbox-outside-image"
+
+
+@dataclass
+class LineDecision:
+    """Outcome of the hOCR-mask decision tree for one line."""
+    para_idx: int
+    line_idx: int
+    accepted: bool          # a threshold was pasted into the mask
+    used_invert: bool       # the inverted-crop threshold was chosen
+    skipped: str            # '' | 'empty-or-lowconf' | 'degenerate' |
+    #                         'invalid' | 'outside'
+
+
+@dataclass
+class MrcResult:
+    mask: np.ndarray                    # bool (h, w)
+    foreground: np.ndarray              # uint8 (h, w) or (h, w, 3)
+    background: np.ndarray
+    line_decisions: list[LineDecision] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+
+
+def _line_mean_conf(line: dict) -> float:
+    confs = [w["confidence"] for w in line["words"]]
+    return sum(confs) / len(confs) if len(confs) else 0
+
+
+def create_hocr_mask(np_img: np.ndarray, mask_arr: np.ndarray,
+                     hocr_word_data: list, downsample: float | None = None,
+                     dpi: int | None = None,
+                     warnings: list | None = None) -> list[LineDecision]:
+    """Mutates ``mask_arr`` in place (like ``mrc.py:188-270``); returns the
+    per-line decisions."""
+    image_height, image_width = np_img.shape
+    decisions: list[LineDecision] = []
+
+    for p_idx, paragraph in enumerate(hocr_word_data):
+        for l_idx, line in enumerate(paragraph["lines"]):
+            dec = LineDecision(p_idx, l_idx, False, False, "")
+            decisions.append(dec)
+
+            line_text = " ".join(w["text"] for w in line["words"])
+            line_conf = _line_mean_conf(line)
+            if line_text.strip() == "" or line_conf < 20:   # mrc.py:202
+                dec.skipped = "empty-or-lowconf"
+                continue
+
+            coords = line["bbox"]
+            if downsample is not None:
+                coords = [int(x / downsample) for x in coords]
+            else:
+                coords = [int(x) for x in coords]
+            left, top, right, bottom = coords
+
+            if left == right or top == bottom:              # mrc.py:212
+                dec.skipped = "degenerate"
+                continue
+            if left >= right or top >= bottom:              # mrc.py:215
+                dec.skipped = "invalid"
+                if warnings is not None:
+                    warnings.append(WARN_INVALID_BBOX)
+                continue
+            if left < 0 or right > image_width or top < 0 or bottom > image_height:
+                dec.skipped = "outside"                     # mrc.py:219
+                if warnings is not None:
+                    warnings.append(WARN_BBOX_OUTSIDE_IMAGE)
+                continue
+
+            np_lineimg = np_img[top:bottom, left:right]
+            np_lineimg_invert = 255 - np.copy(np_lineimg)
+
+            k = 0.1                                         # mrc.py:229
+            thres = threshold_image(np_lineimg, dpi, k)
+            ones = int(np.count_nonzero(thres))
+            zero = np_lineimg.size - ones
+            ratio = ones / (zero + ones)
+
+            thres_invert = threshold_image(np_lineimg_invert, dpi, k)
+            ones_i = int(np.count_nonzero(thres_invert))
+            zero_i = np_lineimg.size - ones_i
+            inv_ratio = ones_i / (zero_i + ones_i)
+
+            if ratio < 0.3 or inv_ratio < 0.3:              # mrc.py:240
+                th = None
+                used_invert = False
+                if inv_ratio > 0.2 and ratio < 0.2:         # mrc.py:247
+                    th = thres
+                else:
+                    # Expensive path, only when the ratio test is
+                    # inconclusive (mrc.py:250-254).
+                    ratio_sigma = mean_estimate_sigma(thres)
+                    inv_ratio_sigma = mean_estimate_sigma(thres_invert)
+                    if inv_ratio < 0.3 and inv_ratio < ratio and \
+                            (inv_ratio_sigma < ratio_sigma or
+                             (ratio_sigma < 0.1 and inv_ratio_sigma < 0.1)):
+                        th = thres_invert
+                        used_invert = True
+                    elif ratio < 0.2:
+                        th = thres
+                if th is not None:
+                    mask_arr[top:bottom, left:right] = th
+                    dec.accepted = True
+                    dec.used_invert = used_invert
+    return decisions
+
+
+def create_threshold_mask(mask_arr: np.ndarray, imgf: np.ndarray,
+                          dpi: int | None = None) -> float:
+    """OR a Sauvola k=0.34 mask of the (optionally pre-blurred) page into
+    ``mask_arr`` (``mrc.py:300-329``).  Returns the estimated sigma."""
+    sigma_est = estimate_noise(imgf)
+    if sigma_est > 1.0:
+        imgf = gaussian_filter(imgf, sigma=sigma_est * 0.1)
+    thres_arr = threshold_image(imgf.astype(np.uint8), dpi)
+    mask_arr |= thres_arr
+    return sigma_est
+
+
+def create_mrc_components(image: np.ndarray, hocr_word_data: list,
+                          dpi: int | None = None,
+                          downsample: float | None = None,
+                          denoise_mask: str = DENOISE_FAST) -> MrcResult:
+    """Full MRC decomposition of one page raster (``mrc.py:334-471``).
+
+    ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
+    reference's generator protocol (one component alive at a time,
+    ``mrc.py:399-470``) this returns all three — inside a ``mapInPandas``
+    batch the Arrow batch size bounds memory instead.
+    """
+    warnings: list[str] = []
+    is_rgb = image.ndim == 3
+    grayimg = rgb_to_gray(image) if is_rgb else image
+    h, w = grayimg.shape
+
+    mask_arr = np.zeros((h, w), dtype=bool)
+    decisions = create_hocr_mask(grayimg, mask_arr, hocr_word_data,
+                                 downsample=downsample, dpi=dpi,
+                                 warnings=warnings)
+    grayimgf = grayimg.astype(np.float32)
+    create_threshold_mask(mask_arr, grayimgf, dpi=dpi)   # MIX_THRESHOLD=True
+
+    if denoise_mask == DENOISE_FAST:
+        mask_arr = fast_mask_denoise(mask_arr, 4, 2)     # mrc.py:388
+    elif denoise_mask != DENOISE_NONE:
+        raise ValueError("Invalid denoise option: %s" % denoise_mask)
+
+    if is_rgb:
+        fg = optimise_rgb2(mask_arr, image, 3)           # mrc.py:413-415
+        bg = optimise_rgb2(~mask_arr, image, 10)         # mrc.py:447-449
+    else:
+        fg = optimise_gray2(mask_arr, image, 3)
+        bg = optimise_gray2(~mask_arr, image, 10)
+
+    return MrcResult(mask=mask_arr, foreground=fg, background=bg,
+                     line_decisions=decisions, warnings=warnings)

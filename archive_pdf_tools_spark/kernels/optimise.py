@@ -1,0 +1,222 @@
+"""MRC foreground/background "optimisation" (mask-guided pixel radiation).
+
+Re-derives the semantics of the reference's fast incremental FIR+IIR box
+filters ``optimise_gray2`` / ``optimise_rgb2`` (``cython/optimiser.pyx:
+153-273, 280-429``) and of ``fast_mask_denoise`` (``optimiser.pyx:436-472``)
+as row-vectorized NumPy.  The reference's own slow versions
+(``optimiser.pyx:22-76, 83-146``) are the precedent for slow-oracle testing;
+ours are in this module too (``*_slow``).
+
+Semantics (gray; rgb is per-channel identical):
+
+For every pixel (y, x) with ``mask[y, x] == 0`` the new value is::
+
+    FIR  = sum of img over mask pixels in rows [ys, ye) x cols [xs, xe)
+    IIR  = sum of *new_img* over ALL pixels in rows [ys, y) x cols [xs, x)
+    val_count = (#mask pixels in FIR window) + (y-ys)*(x-xs)
+    new = (FIR + IIR) / val_count   # C-truncated integer division
+                                    # (cdivision(True), optimiser.pyx:267)
+    new = 0 when val_count == 0
+
+with ``ys = max(0, y-n), ye = min(h, y+n), xs = max(0, x-n), xe = min(w,
+x+n)`` — note the *half-open* upper bounds: the window is asymmetric,
+covering n rows/cols above/left but n-1 below/right (``optimiser.pyx:
+198-199, 238-239``).  Mask pixels keep their original value.
+
+The IIR term reads already-written output rows, which makes the recursion
+row-sequential; but within a row it only references rows strictly above
+(cols ``[xs, x)`` of *previous* rows — ``optimiser.pyx:213-219, 250-255``),
+so each row is computable as one vectorized step from the rows above.
+Pages are independent => Spark parallelism is across pages, full vector
+math within.
+
+``fast_mask_denoise`` (``optimiser.pyx:436-472``): in-place raster-order
+neighbour count on the *live* mask — a pixel stays set iff the symmetric
+(2n+1)^2 window (minus itself) holds >= mincnt set pixels, where pixels
+above/left have already been denoised.  Border rows/cols (within n of the
+edge) are never touched.  Vectorized per row with a sparse sequential
+fix-up only for pixels whose decision could flip due to same-row clears.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "optimise_gray2", "optimise_rgb2", "optimise_gray_slow",
+    "optimise_rgb_slow", "fast_mask_denoise", "fast_mask_denoise_slow",
+]
+
+
+def _win_sum_1d(row_vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """sum over cols [starts[x], ends[x]) of row_vals, per x (int64)."""
+    c = np.zeros(row_vals.shape[0] + 1, dtype=np.int64)
+    np.cumsum(row_vals, out=c[1:])
+    return c[ends] - c[starts]
+
+
+def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
+    """Shared fast path; img is (h, w) or (h, w, ch) uint8."""
+    mask_b = mask.astype(bool)
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = mask_b.shape
+    chans = 1 if img.ndim == 2 else img.shape[2]
+    img3 = img.reshape(h, w, chans).astype(np.int64)
+    new = img3.copy()  # mask pixels keep original values
+
+    xs_arr = np.maximum(np.arange(w) - n_size, 0)
+    xe_arr = np.minimum(np.arange(w) + n_size, w)
+    fir_width = xe_arr - xs_arr
+    iir_xcount = np.arange(w) - xs_arr  # x - xs
+
+    m64 = mask_b.astype(np.int64)
+    masked_vals = img3 * m64[:, :, None]
+
+    # Running vertical FIR window [ys, ye) column sums, updated incrementally.
+    fir_val_cols = np.zeros((w, chans), dtype=np.int64)
+    fir_cnt_cols = np.zeros(w, dtype=np.int64)
+    ys_prev, ye_prev = 0, 0
+    # Running vertical IIR window [ys, y) column sums over `new`.
+    iir_val_cols = np.zeros((w, chans), dtype=np.int64)
+    iys_prev, iye_prev = 0, 0
+
+    for y in range(h):
+        ys = max(0, y - n_size)
+        ye = min(h, y + n_size)
+        while ys_prev < ys:
+            fir_val_cols -= masked_vals[ys_prev]
+            fir_cnt_cols -= m64[ys_prev]
+            ys_prev += 1
+        while ye_prev < ye:
+            fir_val_cols += masked_vals[ye_prev]
+            fir_cnt_cols += m64[ye_prev]
+            ye_prev += 1
+        while iys_prev < ys:
+            iir_val_cols -= new[iys_prev]
+            iys_prev += 1
+        while iye_prev < y:
+            iir_val_cols += new[iye_prev]
+            iye_prev += 1
+
+        todo = ~mask_b[y]
+        if not todo.any():
+            continue
+
+        fir_cnt = _win_sum_1d(fir_cnt_cols, xs_arr, xe_arr)
+        iir_cnt = (y - ys) * iir_xcount
+        cnt = fir_cnt + iir_cnt
+        vals = np.empty((w, chans), dtype=np.int64)
+        for ch in range(chans):
+            fir_v = _win_sum_1d(fir_val_cols[:, ch], xs_arr, xe_arr)
+            # IIR horizontal window is [xs, x) — ends at x, not xe.
+            iir_v = _win_sum_1d(iir_val_cols[:, ch], xs_arr, np.arange(w))
+            vals[:, ch] = fir_v + iir_v
+        safe = np.maximum(cnt, 1)
+        res = vals // safe[:, None]          # floor == C trunc (non-negative)
+        res[cnt == 0] = 0
+        new[y][todo] = res[todo]
+
+    out = new.astype(np.uint8)
+    return out.reshape(img.shape)
+
+
+def optimise_gray2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
+    """Fast grayscale optimise; semantics of ``optimiser.pyx:153-273``."""
+    assert img.ndim == 2
+    return _optimise2(mask, img, n_size)
+
+
+def optimise_rgb2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
+    """Fast RGB optimise; semantics of ``optimiser.pyx:280-429``."""
+    assert img.ndim == 3
+    return _optimise2(mask, img, n_size)
+
+
+def _optimise_slow(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
+    """Direct port of the reference's slow spec (``optimiser.pyx:22-146``).
+    Test oracle only."""
+    mask_b = mask.astype(bool)
+    h, w = mask_b.shape
+    chans = 1 if img.ndim == 2 else img.shape[2]
+    img3 = np.asarray(img, dtype=np.int64).reshape(h, w, chans)
+    new = img3.copy()
+    for y in range(h):
+        ys, ye = max(0, y - n_size), min(h, y + n_size)
+        for x in range(w):
+            if mask_b[y, x]:
+                continue
+            xs, xe = max(0, x - n_size), min(w, x + n_size)
+            sub_m = mask_b[ys:ye, xs:xe]
+            vals = img3[ys:ye, xs:xe][sub_m].sum(axis=0)
+            cnt = int(sub_m.sum())
+            vals = vals + new[ys:y, xs:x].sum(axis=(0, 1))
+            cnt += (y - ys) * (x - xs)
+            if cnt > 0:
+                new[y, x] = vals // cnt
+            else:
+                new[y, x] = 0
+    return new.astype(np.uint8).reshape(img.shape)
+
+
+def optimise_gray_slow(mask, img, n_size):
+    assert img.ndim == 2
+    return _optimise_slow(mask, img, n_size)
+
+
+def optimise_rgb_slow(mask, img, n_size):
+    assert img.ndim == 3
+    return _optimise_slow(mask, img, n_size)
+
+
+def fast_mask_denoise(mask: np.ndarray, mincnt: int = 4, n_size: int = 2) -> np.ndarray:
+    """Raster-order feedback denoise; semantics of ``optimiser.pyx:436-472``
+    (call site ``mrc.py:386-390`` with mincnt=4, n_size=2).  Returns a new
+    bool array (the reference mutates in place)."""
+    m = mask.astype(np.uint8).copy()
+    h, w = m.shape
+    if h <= 2 * n_size or w <= 2 * n_size:
+        return m.astype(bool)
+    kernel_full = 2 * n_size + 1
+    xs0 = np.arange(n_size, w - n_size) - n_size
+    xe0 = np.arange(n_size, w - n_size) + n_size + 1
+    for y in range(n_size, h - n_size):
+        # Window rows y-n..y+n over the live mask (rows above already
+        # denoised, rows below original — exactly the reference's state).
+        block = m[y - n_size:y + n_size + 1, :]
+        c = np.zeros(w + 1, dtype=np.int64)
+        np.cumsum(block.sum(axis=0, dtype=np.int64), out=c[1:])
+        cnt0 = c[xe0] - c[xs0]              # includes the pixel itself
+        row = m[y]
+        inner = row[n_size:w - n_size].astype(bool)
+        # Decisions that cannot be affected by same-row clears to the left:
+        # clearing reduces cnt by at most 2*n_size (pixels in cols
+        # [x-n, x-1] of this row).  cnt0 - 1 >= mincnt + 2*n_size => keep.
+        ambiguous = inner & (cnt0 - 1 < mincnt + 2 * n_size)
+        if not ambiguous.any():
+            continue
+        amb_idx = np.flatnonzero(ambiguous) + n_size
+        cleared: list[int] = []
+        for x in amb_idx:
+            delta = 0
+            for cx in reversed(cleared):
+                if cx < x - n_size:
+                    break
+                delta += 1
+            cnt = int(cnt0[x - n_size]) - delta
+            if cnt - 1 < mincnt:
+                row[x] = 0
+                cleared.append(x)
+    return m.astype(bool)
+
+
+def fast_mask_denoise_slow(mask: np.ndarray, mincnt: int = 4, n_size: int = 2) -> np.ndarray:
+    """Direct raster-order scalar oracle of ``optimiser.pyx:436-472``."""
+    m = mask.astype(np.uint8).copy()
+    h, w = m.shape
+    for y in range(n_size, h - n_size):
+        for x in range(n_size, w - n_size):
+            if m[y, x]:
+                cnt = int(m[y - n_size:y + n_size + 1,
+                            x - n_size:x + n_size + 1].sum())
+                m[y, x] = 1 if (cnt - 1) >= mincnt else 0
+    return m.astype(bool)
