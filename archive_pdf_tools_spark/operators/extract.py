@@ -1,0 +1,233 @@
+"""The page-content extraction operator.
+
+Dataflow (SURVEY.md §7.1, re-deriving the reference's two-pass ``recode()``
+pipeline ``recode.py:562-796`` as one DataFrame DAG)::
+
+    documents (doc_id, spans)                         -- Iceberg/Parquet scan
+      -> inline(spans)                                -- span/page rows
+      -> salted repartition on xxhash64(doc_id, offset)   [skew: SURVEY §4]
+      -> mapInPandas EXTRACT (NumPy kernels, Arrow batches)
+      -> groupBy(doc_id): array_sort(collect_list(...)) -> re-numbered spans
+
+The kernel body is plain NumPy per span (a span is a whole page — the unit
+of vectorization is the page raster / word array, exactly like the
+reference's per-page kernels).  No per-row Spark-level Python UDFs.
+
+Per-span outputs:
+
+* text input span  -> one output text span per surviving hOCR line
+  (paragraph empty-skip ``pdfrenderer.py:92-103``; invalid codepoints
+  dropped ``pdfrenderer.py:529-544``), placement digest = sha1 of the
+  exact text-op byte stream (pins the baseline math bit-for-bit).
+* media input span -> regenerate raster from ``media_ref`` (corpus
+  contract), full MRC decomposition (``mrc.py:334-471`` semantics), one
+  output text span per line *accepted by the hOCR-mask decision tree*
+  (``mrc.py:240-266``), then one media span whose ref carries content
+  hashes of (mask, fg, bg) — pins Sauvola/denoise/optimise bit-for-bit.
+* bitonal media (the reference's 1-bit passthrough ``recode.py:376-396``)
+  -> single media span with the raster hash, no segmentation.
+
+Every input span additionally emits one ``__page__`` marker row carrying
+its kernel timing, warnings and placement digest; ``reassemble`` drops the
+markers (so documents whose spans produce nothing still appear, with empty
+span arrays) and ``partition_metrics`` aggregates exactly one marker per
+page — mirroring the reference's per-page timing/errors reporting
+(``recode.py:237-262, 494-525``; errors set ``const.py:35-45``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..corpus.rasters import page_spec, render_raster, spec_word_data
+from ..kernels.dpi import page_geometry, pick_font_scaler
+from ..kernels.mrc import create_mrc_components
+from ..kernels.textlayer import render_text_layer
+
+__all__ = ["extract_one", "extract_document_local", "extract_spans",
+           "reassemble", "partition_metrics", "INTERMEDIATE_SCHEMA_DDL",
+           "OUTPUT_SCHEMA_DDL", "PAGE_MARKER"]
+
+PAGE_MARKER = "__page__"
+
+INTERMEDIATE_SCHEMA_DDL = (
+    "doc_id string, in_offset int, sub_idx int, kind string, text string, "
+    "media_ref string, ops_sha string, warnings array<string>, "
+    "elapsed_ms double"
+)
+
+OUTPUT_SCHEMA_DDL = (
+    "doc_id string, spans array<struct<kind:string,text:string,"
+    "media_ref:string,offset:int>>"
+)
+
+
+def _sha12(arr: np.ndarray) -> str:
+    return hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
+
+
+def extract_one(kind: str, text: str, media_ref: str):
+    """Extract one input span -> (list of (kind, text, media_ref),
+    ops_sha, warnings).  Pure function of the inputs."""
+    warnings: list[str] = []
+    out: list[tuple[str, str, str]] = []
+    ops_sha = ""
+
+    if kind == "text":
+        payload = json.loads(text)
+        page = payload["page"]
+        width, height, ppi, warns = page_geometry(
+            page["w"], page["h"], doc_dpi=page.get("dpi"))
+        warnings.extend(warns)
+        scaler = pick_font_scaler(page.get("scan_res"), ppi)
+        word_data = payload["paragraphs"]
+        if scaler != 1:
+            # hocr_page_to_word_data applies the font scaler to font sizes
+            # (consumed at pdfrenderer.py:166); geometry stays in pixels.
+            word_data = [
+                {"lines": [
+                    {**line,
+                     "words": [{**w, "fontsize": w["fontsize"] * scaler}
+                               for w in line["words"]]}
+                    for line in para["lines"]]}
+                for para in word_data]
+        res = render_text_layer(word_data, width, height, ppi,
+                                hocr_ppi=page.get("scan_res"))
+        ops_sha = hashlib.sha1(res.text_ops).hexdigest()[:16]
+        for line_text in res.lines:
+            out.append(("text", line_text, ""))
+        if res.dropped_codepoints:
+            warnings.append("dropped-codepoints")
+
+    elif kind == "media":
+        spec = page_spec(media_ref)
+        raster = render_raster(spec)
+        if spec["bitonal"]:
+            out.append(("media", "", f"{media_ref}#bitonal={_sha12(raster)}"))
+        else:
+            word_data = spec_word_data(spec)
+            mrc = create_mrc_components(raster, word_data, dpi=spec["dpi"])
+            warnings.extend(mrc.warnings)
+            accepted = {(d.para_idx, d.line_idx)
+                        for d in mrc.line_decisions if d.accepted}
+            for p_idx, para in enumerate(word_data):
+                for l_idx, line in enumerate(para["lines"]):
+                    if (p_idx, l_idx) in accepted:
+                        line_text = " ".join(w["text"] for w in line["words"])
+                        out.append(("text", line_text, ""))
+            ref = (f"{media_ref}#mrc={_sha12(mrc.mask)}-"
+                   f"{_sha12(mrc.foreground)}-{_sha12(mrc.background)}")
+            out.append(("media", "", ref))
+    else:
+        warnings.append(f"unknown-kind:{kind}")
+
+    return out, ops_sha, warnings
+
+
+def extract_document_local(doc: dict) -> dict:
+    """Single-process reference runner (test oracle / bench baseline):
+    same kernels, same ordering contract, no Spark."""
+    rows = []
+    for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        subs, _sha, _warns = extract_one(span["kind"], span["text"],
+                                         span["media_ref"])
+        rows.extend(subs)
+    return {"doc_id": doc["doc_id"],
+            "spans": [{"kind": k, "text": t, "media_ref": m, "offset": i}
+                      for i, (k, t, m) in enumerate(rows)]}
+
+
+def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: span rows in, sub-span + page-marker rows out."""
+    cols = ["doc_id", "in_offset", "sub_idx", "kind", "text", "media_ref",
+            "ops_sha", "warnings", "elapsed_ms"]
+    for pdf in batches:
+        recs = []
+        for doc_id, in_offset, kind, text, media_ref in zip(
+                pdf["doc_id"].values, pdf["offset"].values,
+                pdf["kind"].values, pdf["text"].values,
+                pdf["media_ref"].values):
+            t0 = time.perf_counter()
+            subs, ops_sha, warns = extract_one(kind, text, media_ref)
+            elapsed = (time.perf_counter() - t0) * 1000.0
+            in_offset = int(in_offset)
+            recs.append((doc_id, in_offset, -1, PAGE_MARKER, kind, "",
+                         ops_sha, warns, elapsed))
+            for sub_idx, (k, t, m) in enumerate(subs):
+                recs.append((doc_id, in_offset, sub_idx, k, t, m,
+                             "", [], 0.0))
+        yield pd.DataFrame(recs, columns=cols)
+
+
+def extract_spans(documents_df, num_partitions: int | None = None):
+    """documents (doc_id, spans) -> intermediate sub-span rows.
+
+    Explicit skew handling: pages of one huge document are spread across
+    all partitions by hashing (doc_id, offset) — the reference analogue is
+    none (single process); see SURVEY.md §4.
+    """
+    from pyspark.sql import functions as F
+
+    exploded = documents_df.select("doc_id", F.inline("spans"))
+    if num_partitions is None:
+        num_partitions = documents_df.sparkSession.sparkContext.defaultParallelism
+    salted = exploded.repartition(
+        num_partitions, F.pmod(F.xxhash64("doc_id", "offset"),
+                               F.lit(num_partitions)))
+    return salted.mapInPandas(_extract_batches, schema=INTERMEDIATE_SCHEMA_DDL)
+
+
+def reassemble(extracted_df):
+    """Sub-span rows -> (doc_id, spans) with contiguous re-numbered offsets.
+
+    Order is data, never partition order (SURVEY.md §7.4): array_sort on
+    (in_offset, sub_idx) restores reading order after the shuffle, then
+    ``transform`` renumbers — all JVM-side, no Python.  Page markers are
+    folded to NULL inside collect_list (skipped), so empty documents
+    survive with spans = [].
+    """
+    from pyspark.sql import functions as F
+
+    sortable = F.when(
+        F.col("kind") != PAGE_MARKER,
+        F.struct(F.col("in_offset"), F.col("sub_idx"),
+                 F.col("kind"), F.col("text"), F.col("media_ref")))
+    return (extracted_df
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(sortable)).alias("_s"))
+            .select(
+                "doc_id",
+                F.transform(
+                    "_s",
+                    lambda x, i: F.struct(
+                        x["kind"].alias("kind"),
+                        x["text"].alias("text"),
+                        x["media_ref"].alias("media_ref"),
+                        i.cast("int").alias("offset"))).alias("spans")))
+
+
+def partition_metrics(extracted_df):
+    """Per-partition lineage + metrics rows from the page markers."""
+    from pyspark.sql import functions as F
+
+    pages = extracted_df.where(F.col("kind") == PAGE_MARKER)
+    return (pages
+            .select(F.spark_partition_id().alias("partition_id"),
+                    "doc_id", "elapsed_ms", "warnings",
+                    F.col("text").alias("page_kind"))
+            .groupBy("partition_id")
+            .agg(F.countDistinct("doc_id").alias("doc_count"),
+                 F.count("*").alias("page_count"),
+                 F.sum(F.when(F.col("page_kind") == "text", 1).otherwise(0))
+                  .alias("text_pages"),
+                 F.sum(F.when(F.col("page_kind") == "media", 1).otherwise(0))
+                  .alias("media_pages"),
+                 F.sum("elapsed_ms").alias("kernel_ms"),
+                 F.array_distinct(F.flatten(F.collect_list("warnings")))
+                  .alias("warning_kinds")))
