@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction pipeline on a synthetic interleaved
+corpus (the BASELINE.json input_hint table shape, generated executor-side
+— no external data); ``queries``/``oracle_sql`` expose every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline function
+library (dedup / similarity / text analysis), each paired with its DuckDB
+oracle where SQL-expressible.  The implementations live in
+``archive_pdf_tools_spark`` (see that package's module docstrings for
+reference citations).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthetic interleaved docs -> extraction pipeline ->
+    flattened ordered spans.  Driver checks rows>0 and schema stability."""
+    from pyspark.sql import functions as F
+
+    from archive_pdf_tools_spark.plans import run_extraction
+    from archive_pdf_tools_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, n_docs=16, max_spans=12)
+    out, _metrics = run_extraction(docs, with_metrics=False)
+    return out.select("doc_id", F.inline("spans"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from archive_pdf_tools_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from archive_pdf_tools_spark.queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items()
+            if sql is not None}

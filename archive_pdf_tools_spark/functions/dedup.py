@@ -1,0 +1,227 @@
+"""Deduplication over the ``documents`` table.
+
+Five families, all engine-side (no Python in the hot path):
+
+* exact:      md5 fingerprint group-by, keep min doc_id.
+* n-gram Jaccard: word shingles -> stop-shingle filter -> self-join ->
+              |A∩B| / (|A|+|B|-|A∩B|) >= tau.
+* MinHash:    k permutations (a_i*h + b_i mod p) over shingle h56 hashes,
+              banded LSH bucket join -> candidates -> exact-Jaccard verify.
+* SimHash:    64-bit sign-aggregate of token hashes.
+* embedding:  cosine near-dup, label-blocked brute force.
+
+Every computed column is aliased so the DuckDB oracle can emit the same
+names (driver hashes sort columns by name).
+
+Scale notes (10^12-doc design point):
+
+* the shingle self-join is the classic bottleneck — the stop-shingle
+  filter (document frequency cap) bounds bucket sizes exactly like
+  salting bounds key skew; at scale the DF cap becomes a broadcast-able
+  sketch or a first groupBy pass (it is a groupBy here).
+* MinHash bands join on (band, bucket-signature), so candidate volume is
+  controlled by band width, not corpus size; AQE splits skewed buckets.
+* SimHash is a pure map-side aggregate: one shuffle of 64 rows per doc
+  (bit, ±1) or none with the aggregate() formulation used here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from .textstats import fingerprint, h56
+
+__all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
+           "minhash_signatures", "minhash_lsh_pairs", "simhash",
+           "embedding_near_dups", "MERSENNE_P"]
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Groups of byte-identical (normalized) texts with >1 member."""
+    return (documents
+            .select(F.col("doc_id"), fingerprint("text").alias("fp"))
+            .groupBy("fp")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min("doc_id").alias("keep_doc_id"))
+            .where(F.col("n_dups") > 1))
+
+
+def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # window [i, i+n) over token indices — JVM-side transform/slice.
+    # Guard: sequence(0, -1) would DESCEND in Spark, so gate on size >= n.
+    sh = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (documents
+            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        tau: float = 0.8, max_df: int = 100) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard.
+
+    ``max_df`` drops shingles present in more than that many documents
+    (stop-shingles) — the standard scale guard that bounds the self-join
+    fan-out; deterministic, and mirrored in the oracle SQL.
+    """
+    sh = shingles_df(documents, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+              .where(F.col("df") <= max_df))
+    filtered = sh.join(rare.select("shingle"), "shingle")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter") /
+                                (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .where(F.col("jaccard") >= tau)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+MINHASH_P = (1 << 31) - 1
+
+
+def _perm_coeffs(k: int, seed: int = 7):
+    """Carter-Wegman dot-product hash coefficients (a, b, c), each in
+    [1, 2^31-1).  The permutation is
+    ``(a*h_lo + b*h_hi + c) mod (2^31-1)`` over the 28-bit halves of the
+    h56 shingle hash — every intermediate product < 2^59, so the whole
+    computation is int64-safe in both Spark and DuckDB (no HUGEINT / no
+    ANSI overflow)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_P, size=k, dtype=np.int64)
+    b = rng.integers(1, MINHASH_P, size=k, dtype=np.int64)
+    c = rng.integers(1, MINHASH_P, size=k, dtype=np.int64)
+    return a.tolist(), b.tolist(), c.tolist()
+
+
+def minhash_perm_expr(a: int, b: int, c: int) -> str:
+    """SQL expression (valid in Spark SQL and DuckDB modulo the integer
+    division spelling) for one permutation applied to column ``h``."""
+    return (f"(({a} * (h % {1 << 28}) + {b} * (h {{div}} {1 << 28}) + {c}) "
+            f"% {MINHASH_P})")
+
+
+def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
+                       seed: int = 7) -> DataFrame:
+    """(doc_id, sig array<bigint> of length k) MinHash signatures (see
+    ``_perm_coeffs`` for the int64-safe permutation family)."""
+    a, b, c = _perm_coeffs(k, seed)
+    sh = shingles_df(documents, n)
+    sh = sh.withColumn("h", h56(F.col("shingle")))
+    mins = [
+        F.min(F.expr(minhash_perm_expr(a[i], b[i], c[i]).format(div="div")))
+        .alias(f"m{i}")
+        for i in range(k)]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
+                      bands: int = 8, tau: float = 0.5,
+                      seed: int = 7) -> DataFrame:
+    """LSH candidate generation + exact-Jaccard verification.
+
+    band signature = concat of the band's rows; docs sharing any band
+    bucket become candidates; candidates are verified with the exact
+    n-gram Jaccard (no stop-shingle cap here: candidate count is already
+    bounded by the banding).
+    """
+    rows_per_band = k // bands
+    sig = minhash_signatures(documents, n=n, k=k, seed=seed)
+    band_cols = []
+    for bi in range(bands):
+        seg = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.concat_ws("-", *[
+                                      F.element_at(seg, j + 1).cast("string")
+                                      for j in range(rows_per_band)]).alias("bucket")))
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", "bb.band", "bb.bucket"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sh = shingles_df(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    ash = sh.select(F.col("doc_id").alias("doc_a"),
+                    F.col("shingle").alias("s"))
+    bsh = sh.select(F.col("doc_id").alias("doc_b"),
+                    F.col("shingle").alias("s"))
+    inter = (cand.join(ash, "doc_a").join(bsh, ["doc_b", "s"])
+             .groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard",
+                        F.round(F.col("n_inter") /
+                                (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4))
+            .where(F.col("jaccard") >= tau)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from whitespace tokens (h56-hashed;
+    bits 0..55).  Pure explode+aggregate — SQL-portable."""
+    toks = (documents
+            .select("doc_id",
+                    F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                                      r"\s+")).alias("tok")))
+    toks = toks.withColumn("h", h56(F.col("tok")))
+    bits = (toks
+            .select("doc_id", "h",
+                    F.explode(F.sequence(F.lit(0), F.lit(55))).alias("bit"))
+            .withColumn("contrib",
+                        F.expr("CASE WHEN (h div shiftleft(1L, bit)) % 2 = 1 "
+                               "THEN 1 ELSE -1 END")))
+    return (bits.groupBy("doc_id", "bit")
+            .agg(F.sum("contrib").alias("s"))
+            .withColumn("bitval",
+                        F.expr("CASE WHEN s > 0 THEN shiftleft(1L, bit) "
+                               "ELSE 0L END"))
+            .groupBy("doc_id")
+            .agg(F.sum("bitval").alias("simhash")))
+
+
+def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9) -> DataFrame:
+    """Cosine near-duplicate pairs, blocked on label equality (the
+    blocking key stands in for an IVF/centroid assignment at scale)."""
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    e = embeddings.select(F.col("vec_id"), F.col("label"),
+                          F.col("embedding"), norm.alias("nrm"))
+    a = e.alias("a")
+    b = e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (a.join(b, (F.col("a.label") == F.col("b.label")) &
+                   (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+                     .alias("cosine"))
+            .where(F.col("cosine") >= tau))

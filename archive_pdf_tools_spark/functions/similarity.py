@@ -1,0 +1,84 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``brute_force_topk``: exact cosine top-k for a query vector — the
+  correctness baseline; dot/norm via ``zip_with``/``aggregate`` (JVM-side,
+  no Python).
+* ``srp_lsh_topk``: sign-random-projection LSH bucketing (the scale
+  path): H seeded random hyperplanes -> bit signature -> probe the query
+  bucket (+ optional multi-probe by Hamming radius 1) -> exact re-rank
+  inside the bucket.  At the 10^12 design point the signature is the
+  shuffle key (bounded buckets); only bucket members are re-ranked.
+
+Scores are rounded to 4 decimals and tie-broken by vec_id so results are
+deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes"]
+
+
+def _cosine_col(query: list[float]):
+    qn = float(np.sqrt(np.dot(query, query)))
+    qcol = F.array(*[F.lit(float(v)) for v in query])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding"), qcol,
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return F.round(dot / (nrm * F.lit(qn)), 4)
+
+
+def brute_force_topk(embeddings: DataFrame, query: list[float],
+                     k: int = 10) -> DataFrame:
+    """(vec_id, cosine) — exact top-k by cosine, ties by vec_id."""
+    return (embeddings
+            .select("vec_id", _cosine_col(query).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def srp_planes(dim: int, n_planes: int = 12, seed: int = 99) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _signature_col(planes: np.ndarray):
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(float(v)) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), pcol,
+                       lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        sig = sig + F.when(dot > 0,
+                           F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
+    return sig
+
+
+def srp_lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+                 n_planes: int = 12, seed: int = 99,
+                 multiprobe: bool = True) -> DataFrame:
+    """Approximate top-k: rank only vectors whose SRP signature is in the
+    query's bucket (Hamming radius <= 1 when ``multiprobe``)."""
+    dim = len(query)
+    planes = srp_planes(dim, n_planes, seed)
+    qsig = 0
+    qv = np.asarray(query, dtype=np.float64)
+    for i, plane in enumerate(planes):
+        if float(plane @ qv) > 0:
+            qsig |= 1 << i
+    probes = [qsig]
+    if multiprobe:
+        probes += [qsig ^ (1 << i) for i in range(n_planes)]
+    bucketed = embeddings.withColumn("sig", _signature_col(planes))
+    hits = bucketed.where(F.col("sig").isin(probes))
+    return (hits
+            .select("vec_id", _cosine_col(query).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k))

@@ -1,0 +1,73 @@
+"""Text analysis over the ``documents`` table: tokenization, quality
+scoring, language-ID heuristic, fingerprinting.
+
+Every function is a pure JVM-side column expression (whole-stage codegen;
+no Python), and each has a matching ANSI-SQL formulation for the DuckDB
+oracle (see ``__spark_entry__.oracle_sql``).  The shared cross-engine
+64-bit-ish hash is ``h56``: the first 14 hex chars of md5 as a bigint —
+identical in Spark (``conv(..,16,10)``) and DuckDB (``('0x'||..)::bigint``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+__all__ = ["tokens", "token_count", "stopword_ratio", "quality_score",
+           "lang_guess", "fingerprint", "h56", "STOPWORDS"]
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(F.col(col) if isinstance(col, str) else col),
+                   r"\s+")
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_ratio(col) -> Column:
+    toks = tokens(col)
+    stop = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))
+    return F.size(stop) / F.size(toks)
+
+
+def quality_score(text_col, n_chars_col) -> Column:
+    """Length / mean-token-length / stopword components, each clamped to
+    [0, 1]; the score is their mean.  Deliberately simple so the oracle
+    SQL states the identical formula."""
+    ntok = token_count(text_col).cast("double")
+    nch = (F.col(n_chars_col) if isinstance(n_chars_col, str)
+           else n_chars_col).cast("double")
+    len_component = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    mean_tok = nch / F.greatest(ntok, F.lit(1.0))
+    tok_len_component = F.when((mean_tok >= 3) & (mean_tok <= 10), 1.0) \
+        .otherwise(0.5)
+    stop_component = F.least(stopword_ratio(text_col) * 4, F.lit(1.0))
+    return F.round((len_component + tok_len_component + stop_component) / 3, 4)
+
+
+def lang_guess(col) -> Column:
+    """Script-range heuristic language ID (n-gram-free, SQL-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.when(c.rlike("[一-鿿]"), "zh")
+             .when(c.rlike("[぀-ヿ]"), "ja")
+             .when(c.rlike("[Ѐ-ӿ]"), "ru")
+             .when(c.rlike("[֐-׿]"), "he")
+             .when(c.rlike("[؀-ۿ]"), "ar")
+             .otherwise("en"))
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of lowercased, whitespace-collapsed text
+    (cross-engine identical)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def h56(col_or_expr) -> Column:
+    """Cross-engine 56-bit hash (see module docstring)."""
+    c = F.col(col_or_expr) if isinstance(col_or_expr, str) else col_or_expr
+    return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")

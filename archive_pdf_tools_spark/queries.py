@@ -1,0 +1,605 @@
+"""The query registry backing ``__spark_entry__``.
+
+``QUERIES``: name -> (fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+
+Each relational entry re-expresses an operator from SURVEY.md §2 over the
+driver testdata tables, paired with ANSI SQL the DuckDB oracle runs on the
+same parquet; dedup / similarity / text-analysis entries cover the
+training-data-pipeline operations; rows-only entries (oracle None) are the
+genuinely non-SQL ops (full extraction pipeline, page-number series
+parser, LSH ANN, media features), which pytest verifies separately.
+
+Cross-engine care: every computed column is aliased identically on both
+sides; float aggregates are rounded; DuckDB ``regexp_replace`` needs the
+'g' flag where Spark replaces globally by default; the shared 56-bit hash
+is md5-prefix based (``functions.textstats.h56``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions import dedup as D
+from .functions import similarity as S
+from .functions import textstats as T
+from .functions.multimodal import media_features
+from .sources import load_table, synthetic_documents
+from .plans import run_extraction
+
+STOP_SQL = "('the','a','of','and','to','in','is','it')"
+TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
+H56_SQL = "(('0x' || substr(md5({x}), 1, 14))::BIGINT)"
+
+
+# ---------------------------------------------------------------- relational
+
+def q_skip_filter(spark, sf):
+    """F1/W2 — page-skip anti-filter + re-indexing (recode.py:114-124)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (ev.where(F.col("event_type") != "error")
+            .select("user_id", "event_id",
+                    F.row_number().over(w).alias("new_idx")))
+
+
+SQL_SKIP = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER)
+         AS new_idx
+FROM events WHERE event_type <> 'error'
+"""
+
+
+def q_stop_after(spark, sf):
+    """F2/O4 — per-document stop-after limit (recode.py:120-121)."""
+    li = load_table(spark, sf, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (li.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("l_orderkey", "l_linenumber", "rn"))
+
+
+SQL_STOP = """
+SELECT l_orderkey, l_linenumber, rn FROM (
+  SELECT l_orderkey, l_linenumber,
+         CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber)
+              AS INTEGER) AS rn
+  FROM lineitem) t
+WHERE rn <= 3
+"""
+
+
+def q_positional_join(spark, sf):
+    """J1/J2 — positional equi-join by per-sequence index
+    (recode.py:336-339)."""
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select("user_id", F.col("event_id").alias("purchase_id"))
+         .withColumn("pos", F.row_number().over(
+             Window.partitionBy("user_id").orderBy("purchase_id"))))
+    c = (ev.where(F.col("event_type") == "click")
+         .select("user_id", F.col("event_id").alias("click_id"))
+         .withColumn("pos", F.row_number().over(
+             Window.partitionBy("user_id").orderBy("click_id"))))
+    del w
+    return p.join(c, ["user_id", "pos"]).select(
+        "user_id", "pos", "purchase_id", "click_id")
+
+
+SQL_POSJOIN = """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS INTEGER) AS pos
+  FROM events WHERE event_type = 'purchase'),
+c AS (
+  SELECT user_id, event_id AS click_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+              AS INTEGER) AS pos
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.pos, p.purchase_id, c.click_id
+FROM p JOIN c ON p.user_id = c.user_id AND p.pos = c.pos
+"""
+
+
+def q_gaps_islands(spark, sf):
+    """W1 (arabic core) — run-length sessionization via lag/row_number
+    deltas (pagenumbers.py:147-258)."""
+    ev = load_table(spark, sf, "events")
+    w_all = Window.partitionBy("user_id").orderBy("event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("event_id")
+    runs = (ev.select("user_id", "event_type", "event_id")
+            .withColumn("island",
+                        F.row_number().over(w_all) - F.row_number().over(w_typ)))
+    return (runs.groupBy("user_id", "event_type", "island")
+            .agg(F.min("event_id").alias("run_start"),
+                 F.count("*").alias("run_len"))
+            .select("user_id", "event_type", "run_start", "run_len"))
+
+
+SQL_ISLANDS = """
+WITH runs AS (
+  SELECT user_id, event_type, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id)
+           AS island
+  FROM events)
+SELECT user_id, event_type, min(event_id) AS run_start, count(*) AS run_len
+FROM runs GROUP BY user_id, event_type, island
+"""
+
+
+def q_timing_summary(spark, sf):
+    """A1/K4 — stage timing hash-agg (recode.py:237-262)."""
+    ev = load_table(spark, sf, "events")
+    return (ev.groupBy(F.col("event_type").alias("stage"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_ms"),
+                 F.round(F.avg("value"), 4).alias("avg_ms")))
+
+
+SQL_TIMING = """
+SELECT event_type AS stage, count(*) AS n,
+       round(sum(value), 2) AS total_ms, round(avg(value), 4) AS avg_ms
+FROM events GROUP BY event_type
+"""
+
+
+def q_ratio_agg(spark, sf):
+    """A2 — compression-ratio style sum/sum (recode.py:769-789)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                         / F.sum("l_extendedprice"), 6).alias("ratio")))
+
+
+SQL_RATIO = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount)) / sum(l_extendedprice), 6)
+         AS ratio
+FROM lineitem GROUP BY l_returnflag
+"""
+
+_SEG_RANK = ("CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' "
+             "THEN 2 WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4 "
+             "WHEN 'MACHINERY' THEN 5 ELSE 0 END")
+_RANK_SEG = ("CASE r WHEN 1 THEN 'AUTOMOBILE' WHEN 2 THEN 'BUILDING' "
+             "WHEN 3 THEN 'FURNITURE' WHEN 4 THEN 'HOUSEHOLD' "
+             "WHEN 5 THEN 'MACHINERY' ELSE 'NONE' END")
+
+
+def q_format_precedence(spark, sf):
+    """A8 — categorical precedence fold (pdf-metadata-json:223-257)."""
+    cu = load_table(spark, sf, "customer")
+    return (cu.withColumn("rank", F.expr(_SEG_RANK))
+            .groupBy("c_nationkey")
+            .agg(F.max("rank").alias("r"))
+            .select("c_nationkey",
+                    F.expr(_RANK_SEG).alias("recommended_segment")))
+
+
+SQL_PRECEDENCE = f"""
+SELECT c_nationkey, {_RANK_SEG} AS recommended_segment FROM (
+  SELECT c_nationkey, max({_SEG_RANK}) AS r FROM customer GROUP BY c_nationkey) t
+"""
+
+
+def q_hq_flag(spark, sf):
+    """F6 — HQ-page membership flag (recode.py:657-675)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_linenumber").isin(1, 3, 5).alias("hq"))
+
+
+SQL_HQ = """
+SELECT l_orderkey, l_linenumber, l_linenumber IN (1, 3, 5) AS hq
+FROM lineitem
+"""
+
+
+def q_dpi_argmin(spark, sf):
+    """O2/C1 — argmin-by-diff candidate pick with stable ties
+    (recode.py:77-84); encoded min(diff*1000+cand)."""
+    pt = load_table(spark, sf, "part")
+    cands = F.array(*[F.lit(c) for c in (72, 96, 150, 300, 600)])
+    ex = pt.select("p_partkey", "p_size", F.explode(cands).alias("cand"))
+    enc = F.abs(F.col("p_size") * 10 - F.col("cand")) * 1000 + F.col("cand")
+    return (ex.groupBy("p_partkey")
+            .agg((F.min(enc) % 1000).cast("bigint").alias("dpi")))
+
+
+SQL_DPI = """
+SELECT p_partkey, CAST(min(abs(p_size * 10 - cand) * 1000 + cand) % 1000 AS BIGINT) AS dpi
+FROM part, (SELECT unnest([72, 96, 150, 300, 600]) AS cand) c
+GROUP BY p_partkey
+"""
+
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped scan+agg (plan-quality showcase)."""
+    li = load_table(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum(F.col("l_quantity").cast("double")), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("sum_disc"),
+                 F.round(F.avg(F.col("l_quantity").cast("double")), 4).alias("avg_qty"),
+                 F.count("*").alias("n")))
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+       round(avg(CAST(l_quantity AS DOUBLE)), 4) AS avg_qty,
+       count(*) AS n
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_nation_revenue(spark, sf):
+    """Join pipeline with broadcast dims (Q3/Q5-shaped)."""
+    cu = load_table(spark, sf, "customer")
+    od = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    na = load_table(spark, sf, "nation")
+    re = load_table(spark, sf, "region")
+    return (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cu, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy("r_name", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+SQL_NATION_REV = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# ----------------------------------------------------------- text analysis
+
+def q_token_stats(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    ntok = T.token_count("text")
+    return (doc.groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(ntok).alias("total_tokens"),
+                 F.round(F.avg(ntok), 4).alias("avg_tokens")))
+
+
+SQL_TOKENS = f"""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(len({TOKS_SQL})) AS BIGINT) AS total_tokens,
+       round(avg(len({TOKS_SQL})), 4) AS avg_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_scores(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.select("doc_id",
+                      T.quality_score("text", "n_chars").alias("quality"))
+
+
+SQL_QUALITY = f"""
+SELECT doc_id, round((
+    least(len({TOKS_SQL}) / 100.0, 1.0)
+  + CASE WHEN n_chars / greatest(len({TOKS_SQL}), 1.0) BETWEEN 3 AND 10
+         THEN 1.0 ELSE 0.5 END
+  + least(4.0 * len(list_filter({TOKS_SQL}, t -> lower(t) IN {STOP_SQL}))
+          / len({TOKS_SQL}), 1.0)
+) / 3, 4) AS quality
+FROM documents
+"""
+
+
+def q_lang_guess(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return (doc.select(T.lang_guess("text").alias("lang_guess"))
+            .groupBy("lang_guess").agg(F.count("*").alias("n")))
+
+
+SQL_LANG = """
+SELECT CASE
+    WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+    WHEN regexp_matches(text, '[぀-ヿ]') THEN 'ja'
+    WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+    WHEN regexp_matches(text, '[֐-׿]') THEN 'he'
+    WHEN regexp_matches(text, '[؀-ۿ]') THEN 'ar'
+    ELSE 'en' END AS lang_guess,
+  count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def q_fingerprints(spark, sf):
+    doc = load_table(spark, sf, "documents")
+    return doc.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+SQL_FP = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+# ----------------------------------------------------------------- dedup
+
+def q_exact_dups(spark, sf):
+    return D.exact_duplicates(load_table(spark, sf, "documents"))
+
+
+SQL_EXACT_DUPS = r"""
+SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id FROM (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents) t
+GROUP BY fp HAVING count(*) > 1
+"""
+
+_SHINGLES_SQL = r"""
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + {n} - 1], ' ') AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - {n} + 1)) AS i) g
+  ) s
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    return D.ngram_jaccard_pairs(load_table(spark, sf, "documents"),
+                                 n=3, tau=0.2, max_df=100)
+
+
+SQL_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL.format(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+f AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM f a JOIN f b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+"""
+
+
+def q_simhash(spark, sf):
+    return D.simhash(load_table(spark, sf, "documents"))
+
+
+SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT doc_id, {H56_SQL.format(x='tok')} AS h FROM toks),
+bits AS (
+  SELECT doc_id, b.bit,
+         CASE WHEN (h // (1::BIGINT << b.bit)) % 2 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM h, (SELECT unnest(generate_series(0, 55)) AS bit) b),
+s AS (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END)
+            AS BIGINT) AS simhash
+FROM s GROUP BY doc_id
+"""
+
+
+def q_minhash(spark, sf):
+    sig = D.minhash_signatures(load_table(spark, sf, "documents"),
+                               n=3, k=8, seed=7)
+    cols = [F.element_at("sig", i + 1).alias(f"m{i}") for i in range(8)]
+    return sig.select("doc_id", *cols)
+
+
+def _minhash_sql(k=8, n=3, seed=7):
+    a, b, c = D._perm_coeffs(k, seed)
+    mins = [
+        "min(" + D.minhash_perm_expr(a[i], b[i], c[i]).format(div="//")
+        + f") AS m{i}"
+        for i in range(k)]
+    return (f"WITH sh AS ({_SHINGLES_SQL.format(n=n)}), "
+            f"h AS (SELECT doc_id, {H56_SQL.format(x='shingle')} AS h FROM sh) "
+            f"SELECT doc_id, {', '.join(mins)} FROM h GROUP BY doc_id")
+
+
+def q_embedding_dups(spark, sf):
+    return D.embedding_near_dups(load_table(spark, sf, "embeddings"), tau=0.8)
+
+
+SQL_EMB_DUPS = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+"""
+
+
+# ------------------------------------------------------------- similarity
+
+def _query_vec(spark, sf):
+    row = (load_table(spark, sf, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").head())
+    return [float(v) for v in row["embedding"]]
+
+
+def q_ann_bruteforce(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.brute_force_topk(emb, _query_vec(spark, sf), k=20)
+
+
+SQL_ANN = """
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = 0)), 4) AS cosine
+FROM embeddings
+ORDER BY cosine DESC, vec_id
+LIMIT 20
+"""
+
+
+def q_ann_lsh(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.srp_lsh_topk(emb, _query_vec(spark, sf), k=20)
+
+
+# --------------------------------------------------- extraction (rows-only)
+
+def q_extract_flagship(spark, sf):
+    """Full pipeline on the synthetic interleaved corpus, flattened to a
+    stable row shape."""
+    docs = synthetic_documents(spark, n_docs=24, max_spans=16)
+    out, _ = run_extraction(docs, with_metrics=False)
+    return out.select("doc_id", F.inline("spans"))
+
+
+def q_extract_metrics(spark, sf):
+    """Deterministic slice of the lineage/metrics table (global counts)."""
+    docs = synthetic_documents(spark, n_docs=24, max_spans=16)
+    _, metrics = run_extraction(docs)
+    return (metrics.agg(
+        F.sum("page_count").alias("pages"),
+        F.sum("text_pages").alias("text_pages"),
+        F.sum("media_pages").alias("media_pages"),
+        F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list("warning_kinds")))).alias("warning_kinds")))
+
+
+def q_media_features(spark, sf):
+    docs = synthetic_documents(spark, n_docs=16, max_spans=12)
+    return media_features(docs)
+
+
+def q_page_series(spark, sf):
+    """W1 full parser as a grouped-map Pandas UDF over per-customer label
+    sequences synthesized from orders (roman/alpha/arabic mix)."""
+    import pandas as pd
+
+    from .kernels.pagenumbers import TYPE_NAMES, parse_series
+
+    od = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    labels = (od.select("o_custkey", "o_orderkey")
+              .withColumn("pos", F.row_number().over(w))
+              .withColumn("label", F.expr(
+                  "CASE WHEN pos % 11 = 0 THEN NULL "
+                  "WHEN pos < 4 THEN CASE pos WHEN 1 THEN 'i' WHEN 2 "
+                  "THEN 'ii' ELSE 'iii' END "
+                  "ELSE CAST(pos - 3 AS STRING) END")))
+
+    def parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos")
+        series = [None if l is None or (isinstance(l, float) and pd.isna(l))
+                  else str(l) for l in pdf["label"]]
+        runs, _ok = parse_series(series, ignore_invalid=True)
+        cust = int(pdf["o_custkey"].iloc[0])
+        return pd.DataFrame([
+            (cust, r["start"], TYPE_NAMES[r["type"]],
+             len(r["values"]),
+             r["values_numeric"][0] if r["values_numeric"] and
+             r["values_numeric"][0] is not None else -1)
+            for r in runs],
+            columns=["o_custkey", "start", "run_type", "run_len", "first_value"])
+
+    return (labels.groupBy("o_custkey").applyInPandas(
+        parse, schema=("o_custkey bigint, start int, run_type string, "
+                       "run_len int, first_value int")))
+
+
+
+
+SQL_PAGE_SERIES = """
+WITH labels AS (
+  SELECT o_custkey, pos,
+         CASE WHEN pos % 11 = 0 THEN 'Invalid'
+              WHEN pos < 4 THEN 'Roman lower' ELSE 'Arabic' END AS vtype,
+         CASE WHEN pos % 11 = 0 THEN NULL
+              WHEN pos < 4 THEN pos ELSE pos - 3 END AS value
+  FROM (SELECT o_custkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                 AS pos
+        FROM orders) t),
+flagged AS (
+  SELECT o_custkey, pos, vtype, value,
+         CASE WHEN lag(pos) OVER w IS NULL THEN 0
+              WHEN vtype <> lag(vtype) OVER w THEN 1
+              WHEN vtype = 'Invalid' THEN 0
+              WHEN value <> lag(value) OVER w + 1 THEN 1
+              ELSE 0 END AS brk
+  FROM labels
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY pos)),
+runs AS (
+  SELECT *, sum(brk) OVER (PARTITION BY o_custkey ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged)
+SELECT o_custkey,
+       CAST(min(pos) - 1 AS INTEGER) AS start,
+       min(vtype) AS run_type,
+       CAST(count(*) AS INTEGER) AS run_len,
+       CAST(coalesce(arg_min(value, pos), -1) AS INTEGER) AS first_value
+FROM runs GROUP BY o_custkey, run_id
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+QUERIES = {
+    # relational / reference-derived
+    "skip_filter": (q_skip_filter, SQL_SKIP),
+    "stop_after": (q_stop_after, SQL_STOP),
+    "positional_join": (q_positional_join, SQL_POSJOIN),
+    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),
+    "timing_summary": (q_timing_summary, SQL_TIMING),
+    "ratio_agg": (q_ratio_agg, SQL_RATIO),
+    "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
+    "hq_flag": (q_hq_flag, SQL_HQ),
+    "dpi_argmin": (q_dpi_argmin, SQL_DPI),
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REV),
+    # text analysis
+    "token_stats": (q_token_stats, SQL_TOKENS),
+    "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "lang_guess": (q_lang_guess, SQL_LANG),
+    "fingerprints": (q_fingerprints, SQL_FP),
+    # dedup
+    "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "minhash_sigs": (q_minhash, _minhash_sql()),
+    "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
+    # similarity
+    "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
+    "ann_lsh": (q_ann_lsh, None),
+    # extraction pipeline (non-SQL)
+    "extract_flagship": (q_extract_flagship, None),
+    "extract_metrics": (q_extract_metrics, None),
+    "media_features": (q_media_features, None),
+    "page_series": (q_page_series, SQL_PAGE_SERIES),
+}

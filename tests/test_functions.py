@@ -1,0 +1,97 @@
+"""Functional tests for dedup / similarity / multimodal paths that have no
+SQL oracle (plus planted-duplicate sanity for the ones that do)."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.functions.dedup import (
+    exact_duplicates, minhash_lsh_pairs, ngram_jaccard_pairs)
+from archive_pdf_tools_spark.functions.multimodal import (
+    CODECS_AVAILABLE, decode_image, media_features)
+from archive_pdf_tools_spark.functions.similarity import (
+    brute_force_topk, srp_lsh_topk)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight")
+    near = base.replace("tonight", "today")          # 1-word change
+    rows = [(0, base), (1, base), (2, near),
+            (3, "completely different text about spark shuffles and "
+                "partitions in a large cluster setting here"),
+            (4, "another unrelated document mentioning archives scans "
+                "and masks with many particular words inside")]
+    # pad with distinct filler docs
+    rows += [(i, f"filler document number {i} with token{i} token{i+1} "
+                 f"token{i+2} token{i+3} unique content") for i in range(5, 30)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_duplicates_found(docs_with_dups):
+    got = exact_duplicates(docs_with_dups).collect()
+    assert len(got) == 1
+    assert got[0]["n_dups"] == 2
+    assert got[0]["keep_doc_id"] == 0
+
+
+def test_ngram_jaccard_finds_near_dup(docs_with_dups):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs_with_dups, n=3,
+                                          tau=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (3, 4) not in pairs
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             minhash_lsh_pairs(docs_with_dups, n=3, k=32, bands=8,
+                               tau=0.5).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) in pairs
+    assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
+
+
+@pytest.fixture(scope="module")
+def embeddings_df(spark):
+    rng = np.random.default_rng(21)
+    centers = rng.standard_normal((5, 16)) * 3
+    rows = []
+    for i in range(200):
+        label = i % 5
+        v = centers[label] + rng.standard_normal(16) * 0.4
+        rows.append((i, [float(x) for x in v], int(label)))
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int")
+
+
+def test_lsh_topk_recall(embeddings_df):
+    q_row = embeddings_df.where("vec_id = 0").head()
+    query = [float(v) for v in q_row["embedding"]]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(embeddings_df, query, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              srp_lsh_topk(embeddings_df, query, k=10, n_planes=8).collect()]
+    assert exact[0] == 0                       # the query vector itself
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.4, f"recall {recall}"
+
+
+def test_media_features_plumbing(spark):
+    from archive_pdf_tools_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, n_docs=6, max_spans=8)
+    feats = media_features(docs).collect()
+    assert len(feats) > 0
+    for r in feats:
+        assert r["width"] > 0 and r["height"] > 0
+        assert r["mode"] in ("L", "RGB")
+        assert 0.0 <= r["ink_ratio"] <= 1.0
+
+
+def test_decode_stub_gated():
+    assert not CODECS_AVAILABLE
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
