@@ -48,49 +48,62 @@ __all__ = [
 ]
 
 
-def _win_sum_1d(row_vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
-    """sum over cols [starts[x], ends[x]) of row_vals, per x (int64)."""
-    c = np.zeros(row_vals.shape[0] + 1, dtype=np.int64)
-    np.cumsum(row_vals, out=c[1:])
-    return c[ends] - c[starts]
+def _windowed_sum_2d(arr: np.ndarray, r0, r1, c0, c1) -> np.ndarray:
+    """Clamped-window sums for every pixel via a padded 2-D integral image.
+    ``arr`` is (h, w) or (h, w, ch) int64; r0/r1 (inclusive) index rows per
+    output row, c0/c1 (inclusive) index cols per output col."""
+    h, w = arr.shape[:2]
+    S = np.zeros((h + 1, w + 1) + arr.shape[2:], dtype=np.int64)
+    inner = S[1:, 1:]
+    np.cumsum(arr, axis=0, out=inner)
+    np.cumsum(inner, axis=1, out=inner)
+    St = S[r1 + 1]                         # fancy gather -> fresh array
+    St -= S[r0]                            # (h, w+1[, ch])
+    out = St[:, c1 + 1]
+    out -= St[:, c0]                       # (h, w[, ch]); gather then in-place
+    return out
 
 
 def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
-    """Shared fast path; img is (h, w) or (h, w, ch) uint8."""
+    """Shared fast path; img is (h, w) or (h, w, ch) uint8.
+
+    The FIR term has no feedback, so it is computed for the whole page in
+    one integral-image pass; only the IIR quadrant (which reads already-
+    written output rows) iterates per row, fully vectorized along x."""
     mask_b = mask.astype(bool)
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = mask_b.shape
     chans = 1 if img.ndim == 2 else img.shape[2]
     img3 = img.reshape(h, w, chans).astype(np.int64)
     new = img3.copy()  # mask pixels keep original values
+    if h == 0 or w == 0:
+        return new.astype(np.uint8).reshape(img.shape)
 
     xs_arr = np.maximum(np.arange(w) - n_size, 0)
-    xe_arr = np.minimum(np.arange(w) + n_size, w)
-    fir_width = xe_arr - xs_arr
     iir_xcount = np.arange(w) - xs_arr  # x - xs
 
     m64 = mask_b.astype(np.int64)
     masked_vals = img3 * m64[:, :, None]
 
-    # Running vertical FIR window [ys, ye) column sums, updated incrementally.
-    fir_val_cols = np.zeros((w, chans), dtype=np.int64)
-    fir_cnt_cols = np.zeros(w, dtype=np.int64)
-    ys_prev, ye_prev = 0, 0
+    # FIR windows are half-open [y-n, y+n) x [x-n, x+n) clamped
+    # (optimiser.pyx:198-199, 238-239) -> inclusive bounds for the
+    # integral-image gather.
+    ys_idx = np.arange(h)
+    r0 = np.maximum(ys_idx - n_size, 0)
+    r1 = np.minimum(ys_idx + n_size, h) - 1
+    xs_i = np.arange(w)
+    c0 = xs_arr
+    c1 = np.minimum(xs_i + n_size, w) - 1
+    fir_val_full = _windowed_sum_2d(masked_vals, r0, r1, c0, c1)  # (h,w,ch)
+    fir_cnt_full = _windowed_sum_2d(m64, r0, r1, c0, c1)          # (h,w)
+
     # Running vertical IIR window [ys, y) column sums over `new`.
     iir_val_cols = np.zeros((w, chans), dtype=np.int64)
     iys_prev, iye_prev = 0, 0
+    ends = xs_i  # IIR horizontal window is [xs, x) — exclusive end x
 
     for y in range(h):
         ys = max(0, y - n_size)
-        ye = min(h, y + n_size)
-        while ys_prev < ys:
-            fir_val_cols -= masked_vals[ys_prev]
-            fir_cnt_cols -= m64[ys_prev]
-            ys_prev += 1
-        while ye_prev < ye:
-            fir_val_cols += masked_vals[ye_prev]
-            fir_cnt_cols += m64[ye_prev]
-            ye_prev += 1
         while iys_prev < ys:
             iir_val_cols -= new[iys_prev]
             iys_prev += 1
@@ -102,15 +115,13 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
         if not todo.any():
             continue
 
-        fir_cnt = _win_sum_1d(fir_cnt_cols, xs_arr, xe_arr)
-        iir_cnt = (y - ys) * iir_xcount
-        cnt = fir_cnt + iir_cnt
-        vals = np.empty((w, chans), dtype=np.int64)
-        for ch in range(chans):
-            fir_v = _win_sum_1d(fir_val_cols[:, ch], xs_arr, xe_arr)
-            # IIR horizontal window is [xs, x) — ends at x, not xe.
-            iir_v = _win_sum_1d(iir_val_cols[:, ch], xs_arr, np.arange(w))
-            vals[:, ch] = fir_v + iir_v
+        cpad = np.empty((w + 1, chans), dtype=np.int64)
+        cpad[0] = 0
+        np.cumsum(iir_val_cols, axis=0, out=cpad[1:])
+        iir_v = cpad[ends] - cpad[xs_arr]              # (w, chans)
+
+        cnt = fir_cnt_full[y] + (y - ys) * iir_xcount
+        vals = fir_val_full[y] + iir_v
         safe = np.maximum(cnt, 1)
         res = vals // safe[:, None]          # floor == C trunc (non-negative)
         res[cnt == 0] = 0

@@ -64,13 +64,9 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
 
     l, r, o, u = _window_geometry(window_width, window_height)
 
-    px64 = img.astype(np.int64)
-    # Padded 2-D integral images (int64: exact, see module docstring).
-    S = np.zeros((h + 1, w + 1), dtype=np.int64)
-    Q = np.zeros((h + 1, w + 1), dtype=np.int64)
-    np.cumsum(np.cumsum(px64, axis=0), axis=1, out=S[1:, 1:])
-    np.cumsum(np.cumsum(px64 * px64, axis=0), axis=1, out=Q[1:, 1:])
+    from .optimise import _windowed_sum_2d
 
+    px64 = img.astype(np.int64)
     ys = np.arange(h)
     xs = np.arange(w)
     r0 = np.maximum(ys - o + 1, 0)          # first row in window
@@ -78,26 +74,31 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
     c0 = np.maximum(xs - l + 1, 0)          # first col
     c1 = np.minimum(xs + r, w - 1)          # last col
 
-    # Windowed sums via inclusion-exclusion on the padded integrals.
-    sum_ = (S[r1 + 1][:, c1 + 1] - S[r0][:, c1 + 1]
-            - S[r1 + 1][:, c0] + S[r0][:, c0])
-    sq = (Q[r1 + 1][:, c1 + 1] - Q[r0][:, c1 + 1]
-          - Q[r1 + 1][:, c0] + Q[r0][:, c0])
+    # Clamped-window sums via padded integral images (int64: exact).
+    sum_ = _windowed_sum_2d(px64, r0, r1, c0, c1)
+    sq = _windowed_sum_2d(px64 * px64, r0, r1, c0, c1)
     count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :]).astype(np.int64)
 
-    # C-truncated integer division (non-negative => floor).
+    # C-truncated integer division (non-negative => floor).  The float
+    # expressions below match the reference's operand order exactly
+    # (IEEE ops are deterministic); in-place variants only reuse buffers.
     mean_i = sum_ // count
-    var_i = sq // count - mean_i * mean_i
+    np.floor_divide(sq, count, out=sq)
+    sq -= mean_i * mean_i                   # integer variance
 
     mean = mean_i.astype(np.float64)
-    variance = var_i.astype(np.float64)
+    variance = sq.astype(np.float64)
     k2 = k * k / R / R
-    tmp = px64.astype(np.float64) + mean * (k - 1.0)
-    rhs = mean * mean * k2 * variance
+    tmp = mean * (k - 1.0)
+    tmp += px64                             # px + mean*(k-1)
+    rhs = mean * mean
+    rhs *= k2
+    rhs *= variance
+    t2 = tmp * tmp
     if k >= 0:
-        ink = (tmp <= 0) | (tmp * tmp <= rhs)
+        ink = (tmp <= 0) | (t2 <= rhs)
     else:
-        ink = (tmp <= 0) & (tmp * tmp >= rhs)
+        ink = (tmp <= 0) & (t2 >= rhs)
     return ink
 
 

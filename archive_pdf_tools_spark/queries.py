@@ -499,11 +499,16 @@ def q_media_features(spark, sf):
 
 def q_page_series(spark, sf):
     """W1 full parser as a grouped-map Pandas UDF over per-customer label
-    sequences synthesized from orders (roman/alpha/arabic mix)."""
+    sequences synthesized from orders (roman/arabic mix).
+
+    Grouped by a hash *bucket* of customers, not per customer: one Arrow
+    batch per bucket amortizes the grouped-map overhead across thousands
+    of tiny sequences (per-customer grouping was ~30x slower at sf0.1)."""
     import pandas as pd
 
     from .kernels.pagenumbers import TYPE_NAMES, parse_series
 
+    n_buckets = 64
     od = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     labels = (od.select("o_custkey", "o_orderkey")
@@ -512,23 +517,28 @@ def q_page_series(spark, sf):
                   "CASE WHEN pos % 11 = 0 THEN NULL "
                   "WHEN pos < 4 THEN CASE pos WHEN 1 THEN 'i' WHEN 2 "
                   "THEN 'ii' ELSE 'iii' END "
-                  "ELSE CAST(pos - 3 AS STRING) END")))
+                  "ELSE CAST(pos - 3 AS STRING) END"))
+              .withColumn("bucket",
+                          F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets))))
 
     def parse(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("pos")
-        series = [None if l is None or (isinstance(l, float) and pd.isna(l))
-                  else str(l) for l in pdf["label"]]
-        runs, _ok = parse_series(series, ignore_invalid=True)
-        cust = int(pdf["o_custkey"].iloc[0])
-        return pd.DataFrame([
-            (cust, r["start"], TYPE_NAMES[r["type"]],
-             len(r["values"]),
-             r["values_numeric"][0] if r["values_numeric"] and
-             r["values_numeric"][0] is not None else -1)
-            for r in runs],
-            columns=["o_custkey", "start", "run_type", "run_len", "first_value"])
+        out = []
+        for cust, g in pdf.groupby("o_custkey"):
+            g = g.sort_values("pos")
+            series = [None if lbl is None or
+                      (isinstance(lbl, float) and pd.isna(lbl))
+                      else str(lbl) for lbl in g["label"]]
+            runs, _ok = parse_series(series, ignore_invalid=True)
+            out.extend(
+                (int(cust), r["start"], TYPE_NAMES[r["type"]],
+                 len(r["values"]),
+                 r["values_numeric"][0] if r["values_numeric"] and
+                 r["values_numeric"][0] is not None else -1)
+                for r in runs)
+        return pd.DataFrame(out, columns=[
+            "o_custkey", "start", "run_type", "run_len", "first_value"])
 
-    return (labels.groupBy("o_custkey").applyInPandas(
+    return (labels.groupBy("bucket").applyInPandas(
         parse, schema=("o_custkey bigint, start int, run_type string, "
                        "run_len int, first_value int")))
 
@@ -568,6 +578,26 @@ FROM runs GROUP BY o_custkey, run_id
 """
 
 
+def q_scale_estimate(spark, sf):
+    """A9 — max-ratio scale estimate with default + clamp
+    (bin/pdf-metadata-json:192-220: max over per-image size ratios,
+    300/72 default, upper clamp)."""
+    li = load_table(spark, sf, "lineitem")
+    ratio = F.col("l_extendedprice") / F.greatest(F.col("l_quantity"),
+                                                  F.lit(1.0))
+    return (li.groupBy("l_partkey")
+            .agg(F.round(F.least(F.greatest(F.max(ratio), F.lit(300.0 / 72)),
+                                 F.lit(10000.0)), 4).alias("scale")))
+
+
+SQL_SCALE = """
+SELECT l_partkey,
+       round(least(greatest(max(l_extendedprice / greatest(l_quantity, 1.0)),
+                            300.0 / 72), 10000.0), 4) AS scale
+FROM lineitem GROUP BY l_partkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -583,6 +613,7 @@ QUERIES = {
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REV),
+    "scale_estimate": (q_scale_estimate, SQL_SCALE),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Cluster job entry point.
+
+Deployment shape required by the north rule::
+
+    zip -r engine.zip archive_pdf_tools_spark
+    spark-submit --py-files engine.zip job.py \
+        --input  <documents table path (parquet dir / Iceberg table)> \
+        --output <output dir> [--shards 64] [--resume] [--synthetic N]
+
+Runs the extraction pipeline with sharded snapshot checkpointing
+(``operators/checkpoint.py``); re-running after a failure resumes from
+the last committed shard (plus a doc-level anti-join when ``--resume``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents table path (parquet)")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--synthetic", type=int, default=None,
+                    help="generate N synthetic docs instead of --input")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder
+             .appName("archive-pdf-tools-spark-extract")
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+             .getOrCreate())
+
+    from archive_pdf_tools_spark.operators.checkpoint import run_with_checkpoint
+    from archive_pdf_tools_spark.sources import synthetic_documents
+
+    if args.synthetic:
+        docs = synthetic_documents(spark, n_docs=args.synthetic,
+                                   num_partitions=args.partitions)
+    elif args.input:
+        docs = spark.read.parquet(args.input)
+    else:
+        ap.error("one of --input / --synthetic is required")
+
+    manifest = run_with_checkpoint(spark, docs, args.output,
+                                   shards=args.shards,
+                                   num_partitions=args.partitions)
+    print(json.dumps(manifest))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,70 @@
+"""Physical-plan quality gates: broadcast joins stay broadcast, scans
+prune/push down, the shuffle-free formulations really are shuffle-free.
+These lock in the 100-TB-relevant plan properties, not just results."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df):
+    # public API: capture explain output
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_nation_revenue_uses_broadcast_joins(spark):
+    from archive_pdf_tools_spark.queries import q_nation_revenue
+    p = plan_str(q_nation_revenue(spark, SF))
+    assert "BroadcastHashJoin" in p
+
+
+def test_simhash_is_shuffle_free(spark):
+    from archive_pdf_tools_spark.functions.dedup import simhash
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(simhash(docs))
+    assert "Exchange" not in p
+
+
+def test_minhash_signatures_shuffle_free(spark):
+    from archive_pdf_tools_spark.functions.dedup import minhash_signatures
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(minhash_signatures(docs, k=8))
+    assert "Exchange" not in p
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.where(F.col("lang") == "en").select("doc_id", "n_chars")
+    p = plan_str(q)
+    assert "PushedFilters" in p and "EqualTo(lang,en)" in p
+    # column pruning: text column must NOT be read
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_pricing_summary_partial_aggregate(spark):
+    from archive_pdf_tools_spark.queries import q_pricing_summary
+    p = plan_str(q_pricing_summary(spark, SF))
+    # map-side combine before the shuffle
+    assert p.count("HashAggregate") >= 2
+    assert "PushedFilters" in p
+
+
+def test_extraction_single_regroup_shuffle(spark, tmp_path):
+    """The extraction DAG shuffles exactly twice: the explicit salted
+    repartition and the per-doc regroup — nothing else (rasters and
+    payloads never enter an extra shuffle)."""
+    from archive_pdf_tools_spark.operators.extract import (
+        OUTPUT_SCHEMA_DDL, extract_spans, reassemble)
+    docs = spark.createDataFrame(
+        [("d1", [("text", "{}", "", 0)])], schema=OUTPUT_SCHEMA_DDL)
+    out = reassemble(extract_spans(docs, num_partitions=4))
+    p = plan_str(out)
+    import re
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
+    assert n_exchanges == 2, p

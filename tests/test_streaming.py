@@ -1,0 +1,48 @@
+"""Streaming extraction: availableNow micro-batches, exactly-once across
+restarts, batch/stream output parity."""
+
+import os
+
+import pytest
+
+from archive_pdf_tools_spark.operators.extract import (
+    extract_document_local)
+from archive_pdf_tools_spark.sources import synthetic_documents
+from archive_pdf_tools_spark.streaming import stream_extraction
+
+
+def _write_docs(spark, n0, n1, path):
+    df = synthetic_documents(spark, n_docs=n1, max_spans=8)
+    part = df.where(
+        (df.doc_id >= f"doc_{n0:06d}") & (df.doc_id < f"doc_{n1:06d}"))
+    part.write.mode("append").parquet(path)
+
+
+def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    _write_docs(spark, 0, 6, in_dir)
+    q = stream_extraction(spark, in_dir, out_dir, num_partitions=4)
+    q.awaitTermination(120)
+
+    got1 = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert got1.count() == 6
+
+    # Append more input files; restart the stream with the same checkpoint:
+    # only the new files are processed (no duplicates of the first 6).
+    _write_docs(spark, 6, 10, in_dir)
+    q2 = stream_extraction(spark, in_dir, out_dir, num_partitions=4)
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out_dir, "spans"))
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in got.collect()}
+    assert len(rows) == 10
+    assert got.count() == 10  # exactly once
+
+    # Parity with the local single-process runner.
+    from archive_pdf_tools_spark.corpus.generate import make_doc
+    for i in (0, 7):
+        want = extract_document_local(make_doc(i, max_spans=8))
+        assert rows[want["doc_id"]] == want["spans"]
