@@ -48,20 +48,29 @@ __all__ = [
 ]
 
 
-def _windowed_sum_2d(arr: np.ndarray, r0, r1, c0, c1) -> np.ndarray:
+def _windowed_sum_2d(arr: np.ndarray, r0, r1, c0, c1,
+                     dtype=np.int64) -> np.ndarray:
     """Clamped-window sums for every pixel via a padded 2-D integral image.
-    ``arr`` is (h, w) or (h, w, ch) int64; r0/r1 (inclusive) index rows per
-    output row, c0/c1 (inclusive) index cols per output col."""
+    ``arr`` is (h, w) or (h, w, ch) of any unsigned/int dtype; the integral
+    accumulates in ``dtype`` (callers pick the narrowest exact type —
+    integer sums are value-identical in any non-overflowing dtype, and the
+    kernels are memory-bandwidth-bound, so traffic is the cost driver).
+    r0/r1 (inclusive) index rows per output row, c0/c1 per output col."""
     h, w = arr.shape[:2]
-    S = np.zeros((h + 1, w + 1) + arr.shape[2:], dtype=np.int64)
+    S = np.zeros((h + 1, w + 1) + arr.shape[2:], dtype=dtype)
     inner = S[1:, 1:]
-    np.cumsum(arr, axis=0, out=inner)
+    np.cumsum(arr, axis=0, dtype=dtype, out=inner)
     np.cumsum(inner, axis=1, out=inner)
     St = S[r1 + 1]                         # fancy gather -> fresh array
     St -= S[r0]                            # (h, w+1[, ch])
     out = St[:, c1 + 1]
     out -= St[:, c0]                       # (h, w[, ch]); gather then in-place
     return out
+
+
+def _integral_dtype(h: int, w: int, max_val: int):
+    """Narrowest exact dtype for a 2-D integral image of values <= max_val."""
+    return np.int32 if h * w * max_val < 2**31 else np.int64
 
 
 def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
@@ -74,16 +83,20 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = mask_b.shape
     chans = 1 if img.ndim == 2 else img.shape[2]
-    img3 = img.reshape(h, w, chans).astype(np.int64)
-    new = img3.copy()  # mask pixels keep original values
+    img3 = img.reshape(h, w, chans)
+    new = img3.copy()  # uint8; mask pixels keep original values
     if h == 0 or w == 0:
-        return new.astype(np.uint8).reshape(img.shape)
+        return new.reshape(img.shape)
+
+    # Everything integer below is exact in int32 for any page the FIR
+    # integral fits (value bounds: FIR window sums <= 255*(2n)^2, IIR
+    # column prefix sums <= 255*n*w); pick int64 only for huge pages.
+    idt = _integral_dtype(h, w, 255)
 
     xs_arr = np.maximum(np.arange(w) - n_size, 0)
-    iir_xcount = np.arange(w) - xs_arr  # x - xs
+    iir_xcount = (np.arange(w) - xs_arr).astype(np.int32)  # x - xs
 
-    m64 = mask_b.astype(np.int64)
-    masked_vals = img3 * m64[:, :, None]
+    masked_vals = np.where(mask_b[:, :, None], img3, np.uint8(0))
 
     # FIR windows are half-open [y-n, y+n) x [x-n, x+n) clamped
     # (optimiser.pyx:198-199, 238-239) -> inclusive bounds for the
@@ -94,13 +107,17 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     xs_i = np.arange(w)
     c0 = xs_arr
     c1 = np.minimum(xs_i + n_size, w) - 1
-    fir_val_full = _windowed_sum_2d(masked_vals, r0, r1, c0, c1)  # (h,w,ch)
-    fir_cnt_full = _windowed_sum_2d(m64, r0, r1, c0, c1)          # (h,w)
+    fir_val_full = _windowed_sum_2d(masked_vals, r0, r1, c0, c1, idt)
+    fir_cnt_full = _windowed_sum_2d(mask_b.view(np.uint8), r0, r1, c0, c1, idt)
 
     # Running vertical IIR window [ys, y) column sums over `new`.
-    iir_val_cols = np.zeros((w, chans), dtype=np.int64)
+    cdt = np.int32 if 255 * (2 * n_size) * w < 2**31 else np.int64
+    iir_val_cols = np.zeros((w, chans), dtype=cdt)
     iys_prev, iye_prev = 0, 0
-    ends = xs_i  # IIR horizontal window is [xs, x) — exclusive end x
+    P = np.empty((w, chans), dtype=cdt)
+    iir_v = np.zeros((w, chans), dtype=cdt)
+    todo_rows = ~mask_b
+    any_todo = todo_rows.any(axis=1)
 
     for y in range(h):
         ys = max(0, y - n_size)
@@ -111,24 +128,29 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
             iir_val_cols += new[iye_prev]
             iye_prev += 1
 
-        todo = ~mask_b[y]
-        if not todo.any():
+        if not any_todo[y]:
             continue
 
-        cpad = np.empty((w + 1, chans), dtype=np.int64)
-        cpad[0] = 0
-        np.cumsum(iir_val_cols, axis=0, out=cpad[1:])
-        iir_v = cpad[ends] - cpad[xs_arr]              # (w, chans)
+        # IIR horizontal window sum over cols [max(0, x-n), x): expressed
+        # as shifted slices of the prefix sum (no fancy gathers).
+        np.cumsum(iir_val_cols, axis=0, out=P)
+        iir_v[0] = 0
+        if n_size < w:
+            iir_v[1:n_size + 1] = P[0:n_size]
+            np.subtract(P[n_size:w - 1], P[0:w - 1 - n_size],
+                        out=iir_v[n_size + 1:])
+        else:
+            iir_v[1:] = P[0:w - 1]
 
         cnt = fir_cnt_full[y] + (y - ys) * iir_xcount
         vals = fir_val_full[y] + iir_v
         safe = np.maximum(cnt, 1)
         res = vals // safe[:, None]          # floor == C trunc (non-negative)
         res[cnt == 0] = 0
-        new[y][todo] = res[todo]
+        np.copyto(new[y], res.astype(np.uint8),
+                  where=todo_rows[y][:, None])
 
-    out = new.astype(np.uint8)
-    return out.reshape(img.shape)
+    return new.reshape(img.shape)
 
 
 def optimise_gray2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:

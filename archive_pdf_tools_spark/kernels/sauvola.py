@@ -64,9 +64,8 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
 
     l, r, o, u = _window_geometry(window_width, window_height)
 
-    from .optimise import _windowed_sum_2d
+    from .optimise import _integral_dtype, _windowed_sum_2d
 
-    px64 = img.astype(np.int64)
     ys = np.arange(h)
     xs = np.arange(w)
     r0 = np.maximum(ys - o + 1, 0)          # first row in window
@@ -74,23 +73,28 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
     c0 = np.maximum(xs - l + 1, 0)          # first col
     c1 = np.minimum(xs + r, w - 1)          # last col
 
-    # Clamped-window sums via padded integral images (int64: exact).
-    sum_ = _windowed_sum_2d(px64, r0, r1, c0, c1)
-    sq = _windowed_sum_2d(px64 * px64, r0, r1, c0, c1)
-    count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :]).astype(np.int64)
+    # Clamped-window sums via padded integral images.  Integer sums are
+    # value-exact in any non-overflowing dtype; pick the narrowest (the
+    # kernel is memory-bandwidth-bound).
+    px16 = img.astype(np.uint16)
+    sum_ = _windowed_sum_2d(img, r0, r1, c0, c1,
+                            _integral_dtype(h, w, 255))
+    sq = _windowed_sum_2d(px16 * px16, r0, r1, c0, c1,
+                          _integral_dtype(h, w, 255 * 255))
+    count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :])
 
     # C-truncated integer division (non-negative => floor).  The float
     # expressions below match the reference's operand order exactly
     # (IEEE ops are deterministic); in-place variants only reuse buffers.
     mean_i = sum_ // count
-    np.floor_divide(sq, count, out=sq)
-    sq -= mean_i * mean_i                   # integer variance
+    var_i = sq // count
+    var_i -= mean_i * mean_i                # integer variance
 
     mean = mean_i.astype(np.float64)
-    variance = sq.astype(np.float64)
+    variance = var_i.astype(np.float64)
     k2 = k * k / R / R
     tmp = mean * (k - 1.0)
-    tmp += px64                             # px + mean*(k-1)
+    tmp += img                              # px + mean*(k-1)
     rhs = mean * mean
     rhs *= k2
     rhs *= variance
