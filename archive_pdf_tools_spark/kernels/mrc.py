@@ -37,6 +37,7 @@ __all__ = ["LineDecision", "create_hocr_mask", "create_threshold_mask",
 
 DENOISE_NONE = "none"
 DENOISE_FAST = "fast"
+DENOISE_BREGMAN = "bregman"   # optional mode, stubbed (see below)
 
 WARN_INVALID_BBOX = "invalid-bbox"
 WARN_BBOX_OUTSIDE_IMAGE = "invalid-bbox-outside-image"
@@ -183,6 +184,13 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
 
     if denoise_mask == DENOISE_FAST:
         mask_arr = fast_mask_denoise(mask_arr, 4, 2)     # mrc.py:388
+    elif denoise_mask == DENOISE_BREGMAN:
+        # The reference's optional TV-Bregman mode (mrc.py:90-108) needs
+        # skimage; 'fast' is the production default (bin/recode_pdf:156-160).
+        # Deliberate stub per SURVEY §7.4 item 6.
+        raise NotImplementedError(
+            "denoise_mask='bregman' is stubbed (skimage TV-Bregman not "
+            "available); use 'fast' (the reference default)")
     elif denoise_mask != DENOISE_NONE:
         raise ValueError("Invalid denoise option: %s" % denoise_mask)
 

@@ -1,0 +1,60 @@
+"""Page-selection helpers: HQ-page flags and box-mean downsampling.
+
+* ``parse_hq_pages`` — semantics of ``recode.py:657-675``: comma list of
+  1-indexed page numbers, negative values index from the end, values 0
+  pass through as index 0... precisely: ``i > 0`` becomes ``i-1`` (so 0
+  stays 0 == first page, matching the reference); out-of-range entries
+  (by ``abs(i)``) are silently ignored "for automation purposes".
+* ``downsample_box`` — C23 stand-in for the reference's PIL
+  ``thumbnail(LANCZOS)`` (``recode.py:368-371``, ``mrc.py:420-434,
+  454-468``): integer target size ``(w//f, h//f)``; *documented
+  deviation*: box-mean resampling instead of Lanczos (PIL is not on the
+  cluster; the hash contract uses this kernel on both sides).  Returns
+  ``(array, warned)`` where ``warned`` mirrors the
+  too-small-to-downsample runtime warning
+  (``RECODE_RUNTIME_WARNING_TOO_SMALL_TO_DOWNSAMPLE``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["parse_hq_pages", "downsample_box",
+           "WARN_TOO_SMALL_TO_DOWNSAMPLE"]
+
+WARN_TOO_SMALL_TO_DOWNSAMPLE = "too-small-to-downsample"
+
+
+def parse_hq_pages(hq_pages: str | None, page_count: int) -> list[bool]:
+    flags = [False] * page_count
+    if hq_pages is None or hq_pages == "":
+        return flags
+    for tok in hq_pages.split(","):
+        i = int(tok)
+        if i > 0:
+            i = i - 1
+        if abs(i) >= page_count:
+            continue          # silently ignore (recode.py:667-672)
+        flags[i] = True
+    return flags
+
+
+def downsample_box(img: np.ndarray, factor: float):
+    """(h, w[, ch]) uint8 -> box-mean downsample to (h//f, w//f)."""
+    h, w = img.shape[:2]
+    w_t = int(w / factor)
+    h_t = int(h / factor)
+    if w_t <= 0 or h_t <= 0:
+        return img, True      # too small: unchanged + warning (mrc.py:429-431)
+    ch = img.shape[2:]
+    # Integer box edges (area mapping): pixel j of the output averages
+    # source cols [j*w//w_t, (j+1)*w//w_t) — exact integer arithmetic.
+    ys = (np.arange(h_t + 1) * h) // h_t
+    xs = (np.arange(w_t + 1) * w) // w_t
+    acc = np.add.reduceat(np.add.reduceat(
+        img.astype(np.int64), ys[:-1], axis=0), xs[:-1], axis=1)
+    counts = ((ys[1:] - ys[:-1])[:, None] * (xs[1:] - xs[:-1])[None, :])
+    if ch:
+        counts = counts[:, :, None]
+    out = (acc // counts).astype(np.uint8)
+    return out, False

@@ -497,6 +497,29 @@ def q_media_features(spark, sf):
     return media_features(docs)
 
 
+def q_pdf_metadata(spark, sf):
+    """S2/S3 — per-page PDF byte-stream structural parse (pdf-metadata-json
+    analyse(), bin/pdf-metadata-json:260-407) over seeded synthetic PDFs
+    built executor-side.  1->N mapInPandas (UDTF-shaped)."""
+    import pandas as pd
+
+    from .sources.pdf_meta import pdf_metadata
+
+    def gen(batches):
+        from .corpus.pdfgen import synth_pdf
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [f"pdf_{int(i):04d}" for i in pdf["id"].values],
+                "pdf": [synth_pdf(int(i)) for i in pdf["id"].values]})
+
+    base = spark.range(0, 12).repartition(4)
+    docs = base.mapInPandas(gen, schema="doc_id string, pdf binary")
+    meta = pdf_metadata(docs)
+    return meta.select("doc_id", "page_idx", "width", "height", "rotate",
+                       "n_images", "has_text", "recommended_format",
+                       "scale")
+
+
 def q_page_series(spark, sf):
     """W1 full parser as a grouped-map Pandas UDF over per-customer label
     sequences synthesized from orders (roman/arabic mix).
@@ -633,4 +656,5 @@ QUERIES = {
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
+    "pdf_metadata": (q_pdf_metadata, None),
 }

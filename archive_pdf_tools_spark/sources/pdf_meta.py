@@ -1,0 +1,275 @@
+"""PDF byte-stream structural parsing (S2/S3).
+
+Re-derives the observable output of the reference's ``bin/pdf-metadata-json
+analyse()`` (``:260-407``) and its page/image scan (``recode.py:316-332``)
+without PyMuPDF: a small pure-Python PDF reader (xref table + trailer,
+object fetch, /Pages tree walk) feeding per-page metadata:
+
+* page rect (MediaBox), rotation,
+* image XObjects: xref (object id), width/height, bits, colour mode
+  (filter->format map, C21: ``bin/pdf-metadata-json:169-190``),
+* text-layer presence (content stream contains Tj/TJ ops —
+  ``bin/pdf-metadata-json``'s ``page.get_text`` probe),
+* per-doc folds: recommended stack format (A8 precedence RGB > gray >
+  bitonal, ``:223-257``) and scale estimate (A9 max image/bbox ratio with
+  300/72 default and 10000 px clamp, ``:192-220, 354-366``).
+
+Scope: classic cross-reference *tables* and Flate/raw streams — the shape
+our fixture corpus generates (``corpus/pdfgen.py``).  Compressed xref
+streams (PDF 1.5 object streams) are out of scope and raise cleanly.
+
+Spark surface: ``pdf_metadata(df)`` maps ``(doc_id, pdf binary)`` rows to
+per-page metadata rows via ``mapInPandas`` (1->N, UDTF-shaped — SURVEY
+§2.8), keeping the raw bytes out of any shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["parse_pdf", "pdf_metadata", "PDF_META_SCHEMA_DDL"]
+
+_FILTER_FORMAT = {                     # C21 filter->format map
+    b"/JPXDecode": "JPEG2000",
+    b"/DCTDecode": "JPEG",
+    b"/JBIG2Decode": "JBIG2",
+    b"/CCITTFaxDecode": "CCITT",
+    b"/FlateDecode": "FLATE",
+}
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj")
+
+
+class PdfError(ValueError):
+    pass
+
+
+def _find_trailer(data: bytes):
+    tail = data[-2048:]
+    m = list(re.finditer(rb"startxref\s+(\d+)", tail))
+    if not m:
+        raise PdfError("no startxref")
+    return int(m[-1].group(1))
+
+
+def _parse_xref(data: bytes, pos: int) -> dict[int, int]:
+    if not data[pos:pos + 4] == b"xref":
+        raise PdfError("compressed xref streams unsupported")
+    offsets: dict[int, int] = {}
+    cur = pos + 4
+    while True:
+        m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[cur:cur + 64])
+        if not m:
+            break
+        start, count = int(m.group(1)), int(m.group(2))
+        cur += m.end()
+        for i in range(count):
+            entry = data[cur:cur + 20]
+            if entry[17:18] == b"n":
+                offsets[start + i] = int(entry[0:10])
+            cur += 20
+    return offsets
+
+
+def _object_body(data: bytes, offset: int) -> bytes:
+    m = _OBJ_RE.match(data, offset) or _OBJ_RE.search(
+        data, max(0, offset - 32), offset + 64)
+    if m is None:
+        raise PdfError("object header not found at xref offset")
+    start = m.end()
+    end = data.find(b"endobj", start)
+    return data[start:end]
+
+
+def _dict_region(body: bytes) -> bytes:
+    """The top-level << ... >> dictionary of an object body."""
+    start = body.find(b"<<")
+    if start < 0:
+        return b""
+    depth = 0
+    i = start
+    while i < len(body) - 1:
+        pair = body[i:i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _get_int(d: bytes, key: bytes):
+    m = re.search(re.escape(key) + rb"\s+(-?\d+)", d)
+    return int(m.group(1)) if m else None
+
+
+def _get_ref(d: bytes, key: bytes):
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", d)
+    return int(m.group(1)) if m else None
+
+
+def _get_refs_array(d: bytes, key: bytes):
+    m = re.search(re.escape(key) + rb"\s*\[(.*?)\]", d, re.S)
+    if not m:
+        return []
+    return [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+
+
+def _stream_data(body: bytes, d: bytes) -> bytes:
+    s = body.find(b"stream")
+    if s < 0:
+        return b""
+    s += len(b"stream")
+    if body[s:s + 2] == b"\r\n":
+        s += 2
+    elif body[s:s + 1] == b"\n":
+        s += 1
+    e = body.find(b"endstream", s)
+    raw = body[s:e]
+    if b"/FlateDecode" in d:
+        try:
+            return zlib.decompress(raw)
+        except zlib.error:
+            return b""
+    return raw
+
+
+def parse_pdf(data: bytes) -> dict:
+    """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
+    (see module docstring for the field provenance)."""
+    xref = _parse_xref(data, _find_trailer(data))
+    trailer_pos = data.rfind(b"trailer")
+    trailer = _dict_region(data[trailer_pos:])
+    root_id = _get_ref(trailer, b"/Root")
+    if root_id is None or root_id not in xref:
+        raise PdfError("no /Root")
+
+    def obj(oid: int):
+        body = _object_body(data, xref[oid])
+        return body, _dict_region(body)
+
+    _, catalog = obj(root_id)
+    pages_id = _get_ref(catalog, b"/Pages")
+
+    page_ids: list[int] = []
+
+    def walk(node_id: int):
+        body, d = obj(node_id)
+        if b"/Page" in d and b"/Pages" not in d.split(b"/Kids")[0][:64] and \
+                re.search(rb"/Type\s*/Page\b", d):
+            page_ids.append(node_id)
+            return
+        for kid in _get_refs_array(d, b"/Kids"):
+            walk(kid)
+
+    walk(pages_id)
+
+    pages = []
+    mode_rank = 0          # A8 precedence: 3 RGB > 2 gray > 1 bitonal
+    max_scale = None
+    for idx, pid in enumerate(page_ids):
+        body, d = obj(pid)
+        mb = re.search(rb"/MediaBox\s*\[\s*([\d.\- ]+?)\s*\]", d)
+        rect = [float(v) for v in mb.group(1).split()] if mb else [0, 0, 0, 0]
+        rotate = _get_int(d, b"/Rotate") or 0
+
+        images = []
+        res = d.split(b"/Resources", 1)
+        xobj_refs = []
+        if len(res) > 1:
+            xobj_refs = re.findall(rb"/Im\d+\s+(\d+)\s+\d+\s+R", res[1])
+        for xr in xobj_refs:
+            oid = int(xr)
+            _ibody, idict = obj(oid)
+            if not re.search(rb"/Subtype\s*/Image", idict):
+                continue
+            w = _get_int(idict, b"/Width") or 0
+            h = _get_int(idict, b"/Height") or 0
+            bits = _get_int(idict, b"/BitsPerComponent") or 8
+            gray = b"/DeviceGray" in idict
+            fmt = "RAW"
+            for f, name in _FILTER_FORMAT.items():
+                if f in idict:
+                    fmt = name
+                    break
+            mode = ("1" if bits == 1 else ("L" if gray else "RGB"))
+            images.append({"xref": oid, "width": w, "height": h,
+                           "bits": bits, "mode": mode, "format": fmt})
+            mode_rank = max(mode_rank,
+                            {"1": 1, "L": 2, "RGB": 3}[mode])
+            # A9: max per-image pixel/point ratio, clamped so the scaled
+            # page stays under 10000 px (bin/pdf-metadata-json:192-220).
+            page_w = abs(rect[2] - rect[0])
+            page_h = abs(rect[3] - rect[1])
+            if page_w > 0 and page_h > 0 and w > 0 and h > 0:
+                scale = max(w / page_w, h / page_h)
+                if page_w * scale > 10000:
+                    scale = 10000 / page_w
+                max_scale = scale if max_scale is None \
+                    else max(max_scale, scale)
+
+        content_id = _get_ref(d, b"/Contents")
+        has_text = False
+        if content_id is not None and content_id in xref:
+            cbody, cdict = obj(content_id)
+            ops = _stream_data(cbody, cdict)
+            has_text = b"Tj" in ops or b"TJ" in ops
+
+        pages.append({"page_idx": idx, "width": abs(rect[2] - rect[0]),
+                      "height": abs(rect[3] - rect[1]), "rotate": rotate,
+                      "n_images": len(images), "images": images,
+                      "has_text": has_text})
+
+    recommended = {0: "NONE", 1: "BITONAL", 2: "GRAYSCALE",
+                   3: "RGB"}[mode_rank]
+    if max_scale is None:
+        max_scale = 300 / 72          # A9 default
+    return {"n_pages": len(pages), "recommended_format": recommended,
+            "scale": round(max_scale, 6), "pages": pages}
+
+
+PDF_META_SCHEMA_DDL = (
+    "doc_id string, page_idx int, width double, height double, rotate int, "
+    "n_images int, has_text boolean, recommended_format string, "
+    "scale double, images array<struct<xref:int,width:int,height:int,"
+    "bits:int,mode:string,format:string>>, parse_error string"
+)
+
+
+def pdf_metadata(df, pdf_col: str = "pdf", id_col: str = "doc_id"):
+    """(doc_id, pdf binary) -> per-page metadata rows (mapInPandas)."""
+    import pandas as pd
+
+    def _parse(batches):
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, blob in zip(pdf_batch[id_col].values,
+                                    pdf_batch[pdf_col].values):
+                try:
+                    meta = parse_pdf(bytes(blob))
+                except (PdfError, Exception) as exc:  # noqa: BLE001
+                    rows.append((doc_id, -1, 0.0, 0.0, 0, 0, False,
+                                 "NONE", 0.0, [], str(exc)[:200]))
+                    continue
+                for page in meta["pages"]:
+                    rows.append((
+                        doc_id, page["page_idx"], float(page["width"]),
+                        float(page["height"]), page["rotate"],
+                        page["n_images"], page["has_text"],
+                        meta["recommended_format"], meta["scale"],
+                        [(im["xref"], im["width"], im["height"], im["bits"],
+                          im["mode"], im["format"])
+                         for im in page["images"]], None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "page_idx", "width", "height", "rotate",
+                "n_images", "has_text", "recommended_format", "scale",
+                "images", "parse_error"])
+
+    return df.select(id_col, pdf_col).mapInPandas(
+        _parse, schema=PDF_META_SCHEMA_DDL)
