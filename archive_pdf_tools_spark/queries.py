@@ -621,6 +621,47 @@ FROM lineitem GROUP BY l_partkey
 """
 
 
+_LANG_STOPS = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "a"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "y"),
+    "fr": ("le", "la", "les", "est", "un", "une", "et", "dans"),
+}
+
+
+def q_lang_stopwords(spark, sf):
+    """Stopword-vote language ID for Latin-script text (the n-gram-free
+    counterpart of the script-range guess; ties resolve en>de>es>fr)."""
+    doc = load_table(spark, sf, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    cols = {}
+    for lang, stops in _LANG_STOPS.items():
+        cols[lang] = F.size(F.filter(toks, lambda t: t.isin(*stops)))
+    c = doc.select("doc_id", *[cols[lg].alias("c_" + lg)
+                               for lg in _LANG_STOPS])
+    best = F.greatest(*[F.col("c_" + lg) for lg in _LANG_STOPS])
+    pick = F.when(best == 0, "unknown")
+    for lg in _LANG_STOPS:                      # dict order = precedence
+        pick = pick.when(F.col("c_" + lg) == best, lg)
+    return c.select("doc_id", pick.alias("lang_vote"))
+
+
+def _lang_stopwords_sql():
+    toks = TOKS_SQL
+    counts = []
+    for lg, stops in _LANG_STOPS.items():
+        inlist = ", ".join(f"'{w}'" for w in stops)
+        counts.append(
+            f"len(list_filter({toks}, t -> t IN ({inlist}))) AS c_{lg}")
+    langs = list(_LANG_STOPS)
+    best = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'unknown' " + " ".join(
+        f"WHEN c_{lg} = {best} THEN '{lg}'" for lg in langs) + " END"
+    return (f"SELECT doc_id, {case} AS lang_vote FROM ("
+            f"SELECT doc_id, {', '.join(counts)} "
+            f"FROM (SELECT doc_id, lower(text) AS text FROM documents) t) c")
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -641,6 +682,7 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKENS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_guess": (q_lang_guess, SQL_LANG),
+    "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
     "fingerprints": (q_fingerprints, SQL_FP),
     # dedup
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),
