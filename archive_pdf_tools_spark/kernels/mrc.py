@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .grayconvert import rgb_to_gray
+from .grayconvert import rgb_to_gray, special_gray_convert
 from .noise import estimate_noise, gaussian_filter, mean_estimate_sigma
 from .optimise import fast_mask_denoise, optimise_gray2, optimise_rgb2
 from .sauvola import threshold_image
@@ -162,17 +162,28 @@ def create_threshold_mask(mask_arr: np.ndarray, imgf: np.ndarray,
 def create_mrc_components(image: np.ndarray, hocr_word_data: list,
                           dpi: int | None = None,
                           downsample: float | None = None,
-                          denoise_mask: str = DENOISE_FAST) -> MrcResult:
+                          denoise_mask: str = DENOISE_FAST,
+                          gray_mode: str = "itu") -> MrcResult:
     """Full MRC decomposition of one page raster (``mrc.py:334-471``).
 
     ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
     reference's generator protocol (one component alive at a time,
     ``mrc.py:399-470``) this returns all three — inside a ``mapInPandas``
     batch the Arrow batch size bounds memory instead.
+
+    ``gray_mode``: 'itu' (the reference's ``image.convert('L')``,
+    ``mrc.py:361``) or 'special' (the ``--grayscale-pdf`` path,
+    ``recode.py:360-364`` -> ``grayconvert.py:38-66``).
     """
     warnings: list[str] = []
     is_rgb = image.ndim == 3
-    grayimg = rgb_to_gray(image) if is_rgb else image
+    if is_rgb:
+        if gray_mode == "special":
+            grayimg = special_gray_convert(image)
+        else:
+            grayimg = rgb_to_gray(image)
+    else:
+        grayimg = image
     h, w = grayimg.shape
 
     mask_arr = np.zeros((h, w), dtype=bool)

@@ -130,11 +130,19 @@ def extract_one(kind: str, text: str, media_ref: str):
     return out, ops_sha, warnings
 
 
-def extract_document_local(doc: dict) -> dict:
+def extract_document_local(doc: dict, skip_offsets=None,
+                           stop_after: int | None = None) -> dict:
     """Single-process reference runner (test oracle / bench baseline):
     same kernels, same ordering contract, no Spark."""
     rows = []
+    skip = set(skip_offsets or ())
+    kept = 0
     for span in sorted(doc["spans"], key=lambda s: s["offset"]):
+        if span["offset"] in skip:          # recode.py:114-118
+            continue
+        if stop_after is not None and kept >= stop_after:
+            break                            # recode.py:120-121
+        kept += 1
         subs, _sha, _warns = extract_one(span["kind"], span["text"],
                                          span["media_ref"])
         rows.extend(subs)
@@ -165,16 +173,32 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(recs, columns=cols)
 
 
-def extract_spans(documents_df, num_partitions: int | None = None):
+def extract_spans(documents_df, num_partitions: int | None = None,
+                  skip_offsets=None, stop_after: int | None = None):
     """documents (doc_id, spans) -> intermediate sub-span rows.
 
     Explicit skew handling: pages of one huge document are spread across
     all partitions by hashing (doc_id, offset) — the reference analogue is
     none (single process); see SURVEY.md §4.
+
+    ``skip_offsets``: page offsets to drop (the reference's scandata
+    skip-page filter, ``recode.py:114-118`` — an anti-join semantically).
+    ``stop_after``: keep only the first N *surviving* pages per document
+    (``recode.py:120-121``: applied after the skip filter, hence the
+    row_number window over the filtered rows).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     exploded = documents_df.select("doc_id", F.inline("spans"))
+    if skip_offsets:
+        exploded = exploded.where(~F.col("offset").isin(list(skip_offsets)))
+    if stop_after is not None:
+        w = Window.partitionBy("doc_id").orderBy("offset")
+        exploded = (exploded
+                    .withColumn("_rn", F.row_number().over(w))
+                    .where(F.col("_rn") <= stop_after)
+                    .drop("_rn"))
     if num_partitions is None:
         num_partitions = documents_df.sparkSession.sparkContext.defaultParallelism
     salted = exploded.repartition(

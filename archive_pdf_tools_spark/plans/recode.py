@@ -16,9 +16,15 @@ __all__ = ["run_extraction"]
 
 
 def run_extraction(documents_df, num_partitions: int | None = None,
-                   with_metrics: bool = True):
-    """documents (doc_id, spans) -> (output_df, metrics_df | None)."""
-    extracted = extract_spans(documents_df, num_partitions=num_partitions)
+                   with_metrics: bool = True, skip_offsets=None,
+                   stop_after: int | None = None):
+    """documents (doc_id, spans) -> (output_df, metrics_df | None).
+
+    ``skip_offsets``/``stop_after`` mirror the reference's scandata page
+    skipping and --stop-after (``recode.py:114-121``)."""
+    extracted = extract_spans(documents_df, num_partitions=num_partitions,
+                              skip_offsets=skip_offsets,
+                              stop_after=stop_after)
     out = reassemble(extracted)
     metrics = partition_metrics(extracted) if with_metrics else None
     return out, metrics

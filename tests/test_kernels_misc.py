@@ -199,3 +199,31 @@ def test_render_text_layer_fontsize_fallback_and_rtl():
     # fontsize fell back to clipped line height (0 after flatten) -> default 8
     assert b"/f-0-0 8 Tf" in res.text_ops
     assert res.lines == ["rtl"]
+
+
+def test_mrc_gray_mode_special():
+    """--grayscale-pdf path (recode.py:360-364): special gray convert
+    feeds the same MRC pipeline; results differ from ITU-L but remain
+    deterministic."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 60, 3), dtype=np.uint8)
+    a = create_mrc_components(img, [], dpi=None, gray_mode="itu")
+    b = create_mrc_components(img, [], dpi=None, gray_mode="special")
+    b2 = create_mrc_components(img, [], dpi=None, gray_mode="special")
+    np.testing.assert_array_equal(b.mask, b2.mask)
+    assert a.mask.shape == b.mask.shape
+
+
+def test_mrc_bregman_stubbed():
+    import numpy as np
+    import pytest
+
+    from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
+
+    img = np.full((20, 20), 200, dtype=np.uint8)
+    with pytest.raises(NotImplementedError):
+        create_mrc_components(img, [], denoise_mask="bregman")

@@ -65,3 +65,20 @@ def test_metrics_cover_every_page(spark, input_df, corpus):
     assert sum(r["page_count"] for r in m) == total_pages
     assert sum(r["doc_count"] for r in m) >= N_DOCS  # docs may span partitions
     assert all(r["kernel_ms"] >= 0 for r in m)
+
+
+def test_skip_and_stop_after_match_local(spark, input_df, corpus):
+    """F1/F2 pipeline options: skip offsets then stop-after, identical to
+    the local runner's sequential semantics (recode.py:114-121)."""
+    from archive_pdf_tools_spark.plans import run_extraction
+
+    skip = {1, 3}
+    out, _ = run_extraction(input_df, num_partitions=6,
+                            with_metrics=False, skip_offsets=skip,
+                            stop_after=4)
+    got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+           for r in out.collect()}
+    for doc in corpus:
+        want = extract_document_local(doc, skip_offsets=skip, stop_after=4)
+        if want["spans"] or doc["spans"]:
+            assert got[doc["doc_id"]] == want["spans"], doc["doc_id"]
