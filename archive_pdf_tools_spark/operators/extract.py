@@ -236,6 +236,17 @@ def reassemble(extracted_df):
                         i.cast("int").alias("offset"))).alias("spans")))
 
 
+def placements(extracted_df):
+    """Per-page placement digests: sha1 of the exact text-op byte stream
+    the reference would emit for the page (``pdfrenderer.py:61-207``
+    semantics) — a queryable artifact pinning the baseline/affine math."""
+    from pyspark.sql import functions as F
+
+    return (extracted_df
+            .where((F.col("kind") == PAGE_MARKER) & (F.col("ops_sha") != ""))
+            .select("doc_id", "in_offset", "ops_sha"))
+
+
 def partition_metrics(extracted_df):
     """Per-partition lineage + metrics rows from the page markers."""
     from pyspark.sql import functions as F
