@@ -234,6 +234,35 @@ def parse_pdf(data: bytes) -> dict:
             "scale": round(max_scale, 6), "pages": pages}
 
 
+def extract_page_images(data: bytes, page_idx: int):
+    """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
+    image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams only
+    (the fixture corpus shape); codec-filtered streams (JPX/DCT/JBIG2)
+    return metadata-only (the decode is the multimodal stub boundary)."""
+    import numpy as np
+
+    meta = parse_pdf(data)
+    if page_idx >= meta["n_pages"]:
+        raise IndexError(page_idx)
+    xref_map = _parse_xref(data, _find_trailer(data))
+    out = []
+    for im in meta["pages"][page_idx]["images"]:
+        if im["format"] not in ("FLATE", "RAW"):
+            continue
+        body = _object_body(data, xref_map[im["xref"]])
+        d = _dict_region(body)
+        raw = _stream_data(body, d)
+        ch = 1 if im["mode"] in ("L", "1") else 3
+        n = im["width"] * im["height"] * ch
+        if len(raw) < n:
+            continue
+        arr = np.frombuffer(raw[:n], dtype=np.uint8)
+        shape = (im["height"], im["width"]) if ch == 1 else \
+            (im["height"], im["width"], 3)
+        out.append((im["xref"], arr.reshape(shape)))
+    return out
+
+
 PDF_META_SCHEMA_DDL = (
     "doc_id string, page_idx int, width double, height double, rotate int, "
     "n_images int, has_text boolean, recommended_format string, "
