@@ -201,9 +201,11 @@ def extract_spans(documents_df, num_partitions: int | None = None,
                     .drop("_rn"))
     if num_partitions is None:
         num_partitions = documents_df.sparkSession.sparkContext.defaultParallelism
-    salted = exploded.repartition(
-        num_partitions, F.pmod(F.xxhash64("doc_id", "offset"),
-                               F.lit(num_partitions)))
+    # Full-cardinality salt: repartition on the raw 64-bit hash, NOT on
+    # hash % P — a P-valued salt re-hashed into P partitions leaves ~1/e
+    # of them empty (balls-into-bins), silently cutting parallelism.
+    salted = exploded.repartition(num_partitions,
+                                  F.xxhash64("doc_id", "offset"))
     return salted.mapInPandas(_extract_batches, schema=INTERMEDIATE_SCHEMA_DDL)
 
 
