@@ -662,6 +662,24 @@ def _lang_stopwords_sql():
             f"FROM (SELECT doc_id, lower(text) AS text FROM documents) t) c")
 
 
+def q_dedup_keep(spark, sf):
+    """The dedup *materialization*: keep one doc per fingerprint group
+    (min doc_id), i.e. the output a training pipeline actually ships."""
+    doc = load_table(spark, sf, "documents")
+    fp = doc.select("doc_id", T.fingerprint("text").alias("fp"))
+    keep = (fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return keep
+
+
+SQL_DEDUP_KEEP = r"""
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents) t
+GROUP BY fp
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -686,6 +704,7 @@ QUERIES = {
     "fingerprints": (q_fingerprints, SQL_FP),
     # dedup
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),
+    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "minhash_sigs": (q_minhash, _minhash_sql()),
