@@ -30,6 +30,7 @@ import numpy as np
 from .grayconvert import rgb_to_gray, special_gray_convert
 from .noise import estimate_noise, gaussian_filter, mean_estimate_sigma
 from .optimise import fast_mask_denoise, optimise_gray2, optimise_rgb2
+from .pages import WARN_TOO_SMALL_TO_DOWNSAMPLE, downsample_box
 from .sauvola import threshold_image
 
 __all__ = ["LineDecision", "create_hocr_mask", "create_threshold_mask",
@@ -163,7 +164,9 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
                           dpi: int | None = None,
                           downsample: float | None = None,
                           denoise_mask: str = DENOISE_FAST,
-                          gray_mode: str = "itu") -> MrcResult:
+                          gray_mode: str = "itu",
+                          fg_downsample: float | None = None,
+                          bg_downsample: float | None = None) -> MrcResult:
     """Full MRC decomposition of one page raster (``mrc.py:334-471``).
 
     ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
@@ -211,6 +214,17 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
     else:
         fg = optimise_gray2(mask_arr, image, 3)
         bg = optimise_gray2(~mask_arr, image, 10)
+
+    # Optional component downsampling (mrc.py:420-434, 454-468; box-mean
+    # variant, see kernels/pages.py docstring for the LANCZOS deviation).
+    if fg_downsample is not None:
+        fg, warned = downsample_box(fg, fg_downsample)
+        if warned:
+            warnings.append(WARN_TOO_SMALL_TO_DOWNSAMPLE)
+    if bg_downsample is not None:
+        bg, warned = downsample_box(bg, bg_downsample)
+        if warned:
+            warnings.append(WARN_TOO_SMALL_TO_DOWNSAMPLE)
 
     return MrcResult(mask=mask_arr, foreground=fg, background=bg,
                      line_decisions=decisions, warnings=warnings)

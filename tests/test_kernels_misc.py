@@ -227,3 +227,20 @@ def test_mrc_bregman_stubbed():
     img = np.full((20, 20), 200, dtype=np.uint8)
     with pytest.raises(NotImplementedError):
         create_mrc_components(img, [], denoise_mask="bregman")
+
+
+def test_mrc_component_downsample():
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (48, 60), dtype=np.uint8)
+    r = create_mrc_components(img, [], dpi=None, bg_downsample=3,
+                              fg_downsample=2)
+    assert r.background.shape == (16, 20)
+    assert r.foreground.shape == (24, 30)
+    tiny = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    r = create_mrc_components(tiny, [], dpi=None, bg_downsample=8)
+    assert "too-small-to-downsample" in r.warnings
+    assert r.background.shape == (4, 4)   # unchanged
