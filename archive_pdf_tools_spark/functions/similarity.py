@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes"]
+__all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes",
+           "ivf_fit_centroids", "ivf_topk"]
 
 
 def _cosine_col(query: list[float]):
@@ -59,6 +60,75 @@ def _signature_col(planes: np.ndarray):
         sig = sig + F.when(dot > 0,
                            F.lit(1 << i).cast("bigint")).otherwise(F.lit(0))
     return sig
+
+
+def ivf_fit_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                      iters: int = 3, sample: int = 4096,
+                      seed: int = 17) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a bounded deterministic sample.
+
+    Sampling + driver-side Lloyd iterations is the standard coarse-
+    quantizer training shape (the sample bound, not the corpus, sizes the
+    driver work — at 10^12 rows you still train on ~10^4-10^6 samples).
+    Sample selection is deterministic: the ``sample`` smallest vec_ids.
+    Centroids are L2-normalized (cosine k-means)."""
+    from pyspark.sql import functions as F
+
+    rows = (embeddings.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _assign_batches(C: np.ndarray):
+    import pandas as pd
+
+    def assign(batches):
+        for pdf in batches:
+            X = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf["embedding"].values])
+            if len(X):
+                X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                   1e-12)
+                cells = np.argmax(X @ C.T, axis=1).astype(np.int32)
+            else:
+                cells = np.zeros(0, np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "embedding": pdf["embedding"],
+                                "cell": cells})
+    return assign
+
+
+def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+             n_centroids: int = 16, nprobe: int = 2,
+             seed: int = 17) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid (vectorized
+    NumPy matmul in mapInPandas — the cell id is the shuffle/partition
+    key at scale), probe the query's ``nprobe`` nearest cells, exact
+    cosine re-rank inside them."""
+    C = ivf_fit_centroids(embeddings, n_centroids=n_centroids, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe_cells = np.argsort(-(C @ qn))[:nprobe].tolist()
+
+    assigned = embeddings.select("vec_id", "embedding").mapInPandas(
+        _assign_batches(C),
+        schema="vec_id bigint, embedding array<float>, cell int")
+    hits = assigned.where(F.col("cell").isin(probe_cells))
+    return (hits
+            .select("vec_id", _cosine_col(query).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k))
 
 
 def srp_lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,

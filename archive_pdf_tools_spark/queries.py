@@ -465,6 +465,12 @@ LIMIT 20
 """
 
 
+def q_ann_ivf(spark, sf):
+    emb = load_table(spark, sf, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf), k=20, n_centroids=16,
+                      nprobe=3)
+
+
 def q_ann_lsh(spark, sf):
     emb = load_table(spark, sf, "embeddings")
     return S.srp_lsh_topk(emb, _query_vec(spark, sf), k=20)
@@ -712,6 +718,7 @@ QUERIES = {
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "ann_lsh": (q_ann_lsh, None),
+    "ann_ivf": (q_ann_ivf, None),
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
     "extract_metrics": (q_extract_metrics, None),

@@ -95,3 +95,28 @@ def test_decode_stub_gated():
     assert not CODECS_AVAILABLE
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_ivf_topk_recall(embeddings_df):
+    from archive_pdf_tools_spark.functions.similarity import ivf_topk
+
+    q_row = embeddings_df.where("vec_id = 0").head()
+    query = [float(v) for v in q_row["embedding"]]
+    exact = [r["vec_id"] for r in
+             brute_force_topk(embeddings_df, query, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(embeddings_df, query, k=10, n_centroids=8,
+                       nprobe=2).collect()]
+    assert 0 in approx
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.7, f"recall {recall}"
+
+
+def test_ivf_deterministic(embeddings_df):
+    from archive_pdf_tools_spark.functions.similarity import (
+        ivf_fit_centroids)
+    import numpy as np
+
+    c1 = ivf_fit_centroids(embeddings_df, n_centroids=8)
+    c2 = ivf_fit_centroids(embeddings_df, n_centroids=8)
+    np.testing.assert_array_equal(c1, c2)
