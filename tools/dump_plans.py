@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of the flagship pipeline
+and representative queries, for plan review without running Spark."""
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+COMMENT = {
+    "extraction": (
+        "Exactly two Exchanges: the explicit full-cardinality salt and the "
+        "per-doc regroup.  Rasters/payloads cross only the first; the "
+        "second moves extracted span rows.  ObjectHashAggregate handles "
+        "collect_list; array_sort/transform run inside the same stage."),
+    "nation_revenue": (
+        "nation/region stay BroadcastHashJoin (explicit broadcast hints); "
+        "lineitem-orders-customer are shuffle joins sized by AQE; partial "
+        "HashAggregate before the final shuffle."),
+    "pricing_summary": (
+        "Filter pushed to the parquet scan (PushedFilters), two-phase "
+        "HashAggregate, only the six referenced columns read."),
+    "simhash": (
+        "No Exchange at all: tokenize + md5 in whole-stage codegen, "
+        "bit-counting in one Arrow-batched MapInPandas."),
+    "minhash_sigs": (
+        "Same shuffle-free hybrid shape as simhash; the mapInPandas "
+        "boundary also stops CollapseProject from duplicating the "
+        "hash-array expression per permutation."),
+}
+
+
+def main():
+    os.environ.setdefault("PYSPARK_PYTHON", sys.executable)
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from archive_pdf_tools_spark.operators.extract import (
+        OUTPUT_SCHEMA_DDL, extract_spans, reassemble)
+    from archive_pdf_tools_spark.queries import QUERIES
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue().strip()
+
+    sections = []
+    docs = spark.createDataFrame(
+        [("d1", [("text", "{}", "", 0)])], schema=OUTPUT_SCHEMA_DDL)
+    sections.append(("extraction (flagship pipeline)",
+                     COMMENT["extraction"],
+                     plan_of(reassemble(extract_spans(docs,
+                                                      num_partitions=4)))))
+    for name in ("nation_revenue", "pricing_summary", "simhash",
+                 "minhash_sigs"):
+        fn, _sql = QUERIES[name]
+        sections.append((name, COMMENT[name], plan_of(fn(spark, SF))))
+
+    out = ["# PLANS — formatted physical plans (regenerate: "
+           "`python tools/dump_plans.py`)\n"]
+    for title, comment, plan in sections:
+        out.append(f"## {title}\n\n{comment}\n\n```\n{plan}\n```\n")
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
+        fh.write("\n".join(out))
+    print("PLANS.md written")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
