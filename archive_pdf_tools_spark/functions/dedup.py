@@ -125,53 +125,51 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
     """(doc_id, sig array<bigint> of length k) MinHash signatures (see
     ``_perm_coeffs`` for the int64-safe permutation family).
 
-    Shuffle-free hybrid: shingling + md5 hashing run JVM-side once (the
-    ``mapInPandas`` boundary is a plan barrier, so Catalyst's
-    CollapseProject cannot duplicate the hash-array expression into every
-    permutation column — the pure-expression formulation recomputed md5
-    k times and measured ~5x slower); the k permutation minima are one
-    vectorized int64 NumPy pass.  Map-only stage at any scale; the oracle
-    SQL (explode+GROUP BY in DuckDB) checks results, not the plan."""
+    Shuffle-free, single vectorized-UDF stage: tokenize / shingle / md5 /
+    permutation minima all happen inside one ``mapInPandas`` (Catalyst's
+    interpreted higher-order functions made the JVM-expression shingle
+    path ~5x slower than hashlib-in-Arrow-batches; and the UDF boundary
+    stops CollapseProject from duplicating work per permutation column).
+    Tokenization mirrors the oracle exactly: ASCII-whitespace split of
+    trimmed lowercased text (java/RE2 ``\\s`` semantics).  Map-only stage
+    at any scale; the oracle SQL (explode+GROUP BY in DuckDB) checks
+    results, not the plan."""
+    import hashlib
+    import re as _re
+
     import pandas as pd
 
     a, b, c = _perm_coeffs(k, seed)
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    sh = F.when(
-        F.size(toks) >= n,
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))))
-    ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(sh, lambda s: F.conv(
-        F.substring(F.md5(s), 1, 14), 16, 10).cast("bigint"))
-    # Docs with no shingles are absent (matches the explode/GROUP BY oracle).
-    hashed = documents.select("doc_id", hs.alias("hs")).where(F.size("hs") > 0)
-
     av = np.asarray(a, dtype=np.int64)[None, :]
     bv = np.asarray(b, dtype=np.int64)[None, :]
     cv = np.asarray(c, dtype=np.int64)[None, :]
     mask28 = np.int64((1 << 28) - 1)
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")     # java/RE2 \s, not unicode \s
 
     def _sig_batches(batches):
+        md5 = hashlib.md5
         for pdf in batches:
-            arrs = pdf["hs"].values
-            lens = np.fromiter((len(x) for x in arrs), dtype=np.int64,
-                               count=len(arrs))
-            flat = (np.concatenate([np.asarray(x, dtype=np.int64)
-                                    for x in arrs])
-                    if len(arrs) else np.zeros(0, np.int64))
-            vals = (av * (flat[:, None] & mask28)
-                    + bv * (flat[:, None] >> 28) + cv) % MINHASH_P
-            ends = np.cumsum(lens)
-            starts = ends - lens
-            sigs = np.stack([np.minimum.reduceat(vals[:, i], starts)
-                             for i in range(k)], axis=1) \
-                if len(flat) else np.zeros((0, k), np.int64)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                "sig": [row.tolist() for row in sigs]})
+            out_ids, out_sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                if len(toks) < n:
+                    continue          # no shingles -> absent (oracle parity)
+                shingles = {" ".join(toks[i:i + n])
+                            for i in range(len(toks) - n + 1)}
+                hs = np.fromiter(
+                    (int(md5(s.encode("utf-8")).hexdigest()[:14], 16)
+                     for s in shingles),
+                    dtype=np.int64, count=len(shingles))
+                vals = (av * (hs[:, None] & mask28)
+                        + bv * (hs[:, None] >> 28) + cv) % MINHASH_P
+                out_ids.append(doc_id)
+                out_sigs.append(vals.min(axis=0).tolist())
+            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
-    id_type = hashed.schema["doc_id"].dataType.simpleString()
-    return hashed.mapInPandas(
+    src = documents.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(
         _sig_batches, schema=f"doc_id {id_type}, sig array<bigint>")
 
 
@@ -226,34 +224,35 @@ def simhash(documents: DataFrame) -> DataFrame:
     """56-bit SimHash per document from whitespace tokens (h56-hashed;
     bits 0..55).
 
-    Shuffle-free hybrid: tokenization + md5 hashing stay JVM-side
-    (whole-stage codegen), the 56-bit sign-counting runs as vectorized
-    NumPy inside ``mapInPandas`` (Arrow moves only int64 arrays).  The
-    naive explode formulation shuffles 56 rows per token; a pure
-    higher-order-function formulation (aggregate over zip_with arrays)
-    measured ~2x slower than explode — bit math is exactly what the
-    vectorized-UDF escape hatch is for.  The DuckDB oracle uses the
-    explode+GROUP BY formulation; results are identical."""
+    Shuffle-free, single vectorized-UDF stage (same rationale as
+    ``minhash_signatures``: Catalyst's higher-order functions are
+    interpreted, so tokenize/md5/bit-count all run in one Arrow-batched
+    NumPy pass; tokenization mirrors the oracle's java/RE2 ``\\s``).
+    The naive explode formulation shuffles 56 rows per token.  The
+    DuckDB oracle uses the explode+GROUP BY formulation; results are
+    identical."""
+    import hashlib
+    import re as _re
+
     import pandas as pd
 
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    hs = F.transform(toks, lambda t: F.conv(
-        F.substring(F.md5(t), 1, 14), 16, 10).cast("bigint"))
-    hashed = documents.select("doc_id", hs.alias("hs"))
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _sim_batches(batches):
+        md5 = hashlib.md5
         shifts = np.arange(56, dtype=np.int64)
         weights = (np.int64(1) << shifts)
         for pdf in batches:
-            arrs = pdf["hs"].values
-            lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
-                               count=len(arrs))
-            if lens.sum() == 0:
-                yield pd.DataFrame({"doc_id": pdf["doc_id"],
-                                    "simhash": np.zeros(len(arrs), np.int64)})
-                continue
-            flat = np.concatenate([np.asarray(a, dtype=np.int64)
-                                   for a in arrs])
+            texts = pdf["text"].values
+            lens = np.empty(len(texts), dtype=np.int64)
+            chunks = []
+            for i, text in enumerate(texts):
+                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                lens[i] = len(toks)
+                chunks.append(np.fromiter(
+                    (int(md5(t.encode("utf-8")).hexdigest()[:14], 16)
+                     for t in toks), dtype=np.int64, count=len(toks)))
+            flat = np.concatenate(chunks) if chunks else np.zeros(0, np.int64)
             bits = ((flat[:, None] >> shifts) & 1).astype(np.int64) * 2 - 1
             ends = np.cumsum(lens)
             starts = ends - lens
@@ -263,9 +262,10 @@ def simhash(documents: DataFrame) -> DataFrame:
             sim = ((sums > 0) * weights).sum(axis=1)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sim})
 
-    id_type = hashed.schema["doc_id"].dataType.simpleString()
-    return hashed.mapInPandas(_sim_batches,
-                              schema=f"doc_id {id_type}, simhash bigint")
+    src = documents.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(_sim_batches,
+                           schema=f"doc_id {id_type}, simhash bigint")
 
 
 def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9) -> DataFrame:
