@@ -50,18 +50,35 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word-n-gram shingles per doc: (doc_id, shingle)."""
-    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
-    # window [i, i+n) over token indices — JVM-side transform/slice.
-    # Guard: sequence(0, -1) would DESCEND in Spark, so gate on size >= n.
-    sh = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    ).otherwise(F.array().cast("array<string>"))
-    return (documents
-            .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle")))
+    """Distinct word-n-gram shingles per doc: (doc_id, shingle) rows.
+
+    Vectorized-UDF tokenization (java/RE2 ``\\s`` semantics, mirroring
+    the SQL oracles) — Catalyst's transform/slice higher-order functions
+    are interpreted and measured several times slower."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _sh_batches(batches):
+        for pdf in batches:
+            ids, shs = [], []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                if len(toks) < n:
+                    continue
+                for s in {" ".join(toks[i:i + n])
+                          for i in range(len(toks) - n + 1)}:
+                    ids.append(doc_id)
+                    shs.append(s)
+            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+
+    src = documents.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(_sh_batches,
+                           schema=f"doc_id {id_type}, shingle string")
 
 
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
