@@ -22,14 +22,19 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: synthetic interleaved docs -> extraction pipeline ->
-    flattened ordered spans.  Driver checks rows>0 and schema stability."""
+    """Flagship: load /root/testdata/sf0.001 documents parquet, adapt it
+    to the interleaved (doc_id, spans) input shape, run the extraction
+    pipeline, return the flattened ordered spans.  Driver checks rows>0
+    and schema stability."""
     from pyspark.sql import functions as F
 
     from archive_pdf_tools_spark.plans import run_extraction
-    from archive_pdf_tools_spark.sources import synthetic_documents
+    from archive_pdf_tools_spark.sources import load_table
+    from archive_pdf_tools_spark.sources.spans_from_text import (
+        documents_to_spans)
 
-    docs = synthetic_documents(spark, n_docs=16, max_spans=12)
+    raw = load_table(spark, "/root/testdata/sf0.001", "documents").limit(64)
+    docs = documents_to_spans(raw)
     out, _metrics = run_extraction(docs, with_metrics=False)
     return out.select("doc_id", F.inline("spans"))
 

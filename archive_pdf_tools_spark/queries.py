@@ -486,6 +486,16 @@ def q_extract_flagship(spark, sf):
     return out.select("doc_id", F.inline("spans"))
 
 
+def q_extract_testdata(spark, sf):
+    """Flagship pipeline over the driver's own documents parquet, adapted
+    to the interleaved spans shape (sources/spans_from_text)."""
+    from .sources.spans_from_text import documents_to_spans
+
+    raw = load_table(spark, sf, "documents").limit(192)
+    out, _ = run_extraction(documents_to_spans(raw), with_metrics=False)
+    return out.select("doc_id", F.inline("spans"))
+
+
 def q_extract_metrics(spark, sf):
     """Deterministic slice of the lineage/metrics table (global counts)."""
     docs = synthetic_documents(spark, n_docs=24, max_spans=16)
@@ -721,6 +731,7 @@ QUERIES = {
     "ann_ivf": (q_ann_ivf, None),
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
+    "extract_testdata": (q_extract_testdata, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
