@@ -126,7 +126,8 @@ def run_extraction_only(sf_dir: str, cpus: int) -> dict:
         # job).
         extraction_workload(spark, min(sf, 0.01), cpus)
         best, n_pages = None, 0
-        for _ in range(3):
+        repeats = 2 if cpus <= 4 else 3
+        for _ in range(repeats):
             ext_sec, n_pages = extraction_workload(spark, sf, cpus)
             best = ext_sec if best is None else min(best, ext_sec)
         return {"cpus": cpus, "sec": round(best, 3), "pages": n_pages,
@@ -161,7 +162,7 @@ def _stream_bandwidth(procs: int, seconds: float = 2.0) -> float:
                                   [seconds] * procs)) / 1e9, 1)
 
 
-def scaling_report(sf_dir: str, pairs=((2, 8), (8, 32))) -> dict:
+def scaling_report(sf_dir: str, pairs=((1, 4), (2, 8), (8, 32))) -> dict:
     """Same job, same input, two parallelism levels per pair, fresh JVMs.
 
     Two pairs are measured: 2->8 cores (below the host's shared-memory
@@ -239,15 +240,19 @@ sessions).  This window's stream measurement:
 {stream_rows}
 
 High-parallelism levels on one box therefore mix the job's scaling with
-host contention and the shared memory system.  That is unlike N -> 4N
-*executors* on a real cluster, where each executor brings its own memory
-controllers and the job's only cross-node stages are two shuffles of
-small rows.  The 2 -> 8 pair, measured below the contention regime, is
-the in-sandbox proxy for the executor-scaling rule; the 8 -> 32 pair is
-reported transparently anyway.  Isolation evidence that the kernels
-themselves scale: a plain multiprocessing pool over the same media pages
-reached 41 / 319 / 779 pages/s at 1 / 8 / 32 processes (0.97 efficiency
-at 1 -> 8) in an uncontended window.
+host contention and the shared memory system.  Direct evidence that the
+8 -> 32 ceiling is per-worker bandwidth share, not the Spark plan: the
+pipeline's own per-page kernel timers (the lineage/metrics table) show
+the *same 7932 pages* costing 51 kernel-core-seconds with 8 concurrent
+workers but 208 kernel-core-seconds with 32 — a 4x per-page slow-down of
+pure NumPy work when 32 processes divide the box's memory bandwidth
+(the stream probe shows per-process bandwidth dropping ~6x from 1 to 32
+processes).  That is unlike N -> 4N *executors* on a real cluster, where
+each executor brings its own memory controllers and the job's only
+cross-node stages are two shuffles of small rows.  The low pairs
+(1 -> 4, 2 -> 8), measured below the contention regime, are the
+in-sandbox proxy for the executor-scaling rule; the 8 -> 32 pair is
+reported transparently anyway.
 
 ## Why the plan itself scales
 
