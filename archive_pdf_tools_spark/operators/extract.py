@@ -162,7 +162,14 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 pdf["kind"].values, pdf["text"].values,
                 pdf["media_ref"].values):
             t0 = time.perf_counter()
-            subs, ops_sha, warns = extract_one(kind, text, media_ref)
+            try:
+                subs, ops_sha, warns = extract_one(kind, text, media_ref)
+            except Exception as exc:  # noqa: BLE001 — poison-row guard:
+                # a malformed span must not kill a 10^12-doc job; it
+                # becomes an empty page whose marker carries the error
+                # (surfaced via the metrics/lineage table).
+                subs, ops_sha = [], ""
+                warns = [f"extract-error:{type(exc).__name__}"]
             elapsed = (time.perf_counter() - t0) * 1000.0
             in_offset = int(in_offset)
             recs.append((doc_id, in_offset, -1, PAGE_MARKER, kind, "",

@@ -82,3 +82,29 @@ def test_skip_and_stop_after_match_local(spark, input_df, corpus):
         want = extract_document_local(doc, skip_offsets=skip, stop_after=4)
         if want["spans"] or doc["spans"]:
             assert got[doc["doc_id"]] == want["spans"], doc["doc_id"]
+
+
+def test_poison_row_does_not_kill_job(spark):
+    """Malformed payloads become empty pages with an error marker in the
+    metrics table; healthy rows are unaffected."""
+    from pyspark.sql import functions as F
+
+    from archive_pdf_tools_spark.operators.extract import (
+        OUTPUT_SCHEMA_DDL, extract_spans, partition_metrics, reassemble)
+
+    rows = [
+        ("ok", [("text", '{"page": {"w": 800, "h": 1000, "dpi": 300, '
+                 '"scan_res": null}, "paragraphs": []}', "", 0)]),
+        ("poison", [("text", "{not json", "", 0),
+                    ("text", None, "", 1)]),
+    ]
+    df = spark.createDataFrame(rows, schema=OUTPUT_SCHEMA_DDL)
+    extracted = extract_spans(df, num_partitions=2).cache()
+    out = {r["doc_id"]: r["spans"] for r in reassemble(extracted).collect()}
+    assert set(out) == {"ok", "poison"}
+    assert out["poison"] == []            # empty, not crashed
+    warn_kinds = set()
+    for r in partition_metrics(extracted).collect():
+        warn_kinds.update(r["warning_kinds"])
+    assert any(w.startswith("extract-error:") for w in warn_kinds)
+    extracted.unpersist()
