@@ -1,28 +1,32 @@
 """Deduplication over the ``documents`` table.
 
-Five families, all engine-side (no Python in the hot path):
+Five families:
 
-* exact:      md5 fingerprint group-by, keep min doc_id.
+* exact:      md5 fingerprint group-by, keep min doc_id (pure engine).
 * n-gram Jaccard: word shingles -> stop-shingle filter -> self-join ->
               |A∩B| / (|A|+|B|-|A∩B|) >= tau.
-* MinHash:    k permutations (a_i*h + b_i mod p) over shingle h56 hashes,
+* MinHash:    k Carter-Wegman permutations over md5-based shingle hashes,
               banded LSH bucket join -> candidates -> exact-Jaccard verify.
-* SimHash:    64-bit sign-aggregate of token hashes.
-* embedding:  cosine near-dup, label-blocked brute force.
+* SimHash:    56-bit sign-aggregate of token hashes.
+* embedding:  cosine near-dup, label-blocked brute force (pure engine).
 
-Every computed column is aliased so the DuckDB oracle can emit the same
-names (driver hashes sort columns by name).
+Tokenize/shingle/hash stages run as vectorized Arrow-batched UDFs on
+purpose: Catalyst's higher-order functions (transform/filter/aggregate
+lambdas) are *interpreted*, and measured several times slower than
+hashlib+NumPy in ``mapInPandas`` — joins, group-bys and filters stay
+engine-side.  Every computed column is aliased so the DuckDB oracle can
+emit the same names (the driver hashes columns sorted by name).
 
 Scale notes (10^12-doc design point):
 
+* signatures/fingerprints are map-only stages — no shuffle until the
+  candidate join;
 * the shingle self-join is the classic bottleneck — the stop-shingle
   filter (document frequency cap) bounds bucket sizes exactly like
   salting bounds key skew; at scale the DF cap becomes a broadcast-able
-  sketch or a first groupBy pass (it is a groupBy here).
+  sketch or a first groupBy pass (it is a groupBy here);
 * MinHash bands join on (band, bucket-signature), so candidate volume is
   controlled by band width, not corpus size; AQE splits skewed buckets.
-* SimHash is a pure map-side aggregate: one shuffle of 64 rows per doc
-  (bit, ±1) or none with the aggregate() formulation used here.
 """
 
 from __future__ import annotations
@@ -30,13 +34,11 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from .textstats import fingerprint, h56
+from .textstats import fingerprint
 
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "simhash",
-           "embedding_near_dups", "MERSENNE_P"]
-
-MERSENNE_P = (1 << 61) - 1
+           "embedding_near_dups"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
