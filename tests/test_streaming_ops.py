@@ -1,0 +1,97 @@
+"""Watermarked windowed aggregation + stateful run tracking."""
+
+import os
+from datetime import datetime
+
+import pytest
+
+
+def test_windowed_event_stats(spark, tmp_path):
+    from archive_pdf_tools_spark.streaming.windowed import (
+        windowed_event_stats)
+
+    in_dir = str(tmp_path / "ev")
+    rows = [
+        (datetime(2024, 1, 1, 0, 1), "click", 10.0),
+        (datetime(2024, 1, 1, 0, 4), "click", 20.0),
+        (datetime(2024, 1, 1, 0, 12), "click", 30.0),
+        (datetime(2024, 1, 1, 0, 13), "error", 5.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, event_type string, "
+                          "value double").write.parquet(in_dir)
+
+    stream = (spark.readStream
+              .schema("ts timestamp, event_type string, value double")
+              .parquet(in_dir))
+    out_dir = str(tmp_path / "out")
+    q = (windowed_event_stats(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"].minute, r["stage"]): (r["n"], r["total_ms"])
+           for r in spark.read.parquet(out_dir).collect()}
+    # Append mode emits only windows closed by the watermark: the final
+    # event at 00:13 puts the watermark at 23:53 -> no window is closed in
+    # a single batch; a second batch with later data closes the first one.
+    later = [(datetime(2024, 1, 1, 0, 40), "click", 1.0)]
+    spark.createDataFrame(later, "ts timestamp, event_type string, "
+                          "value double").write.mode("append").parquet(in_dir)
+    q = (windowed_event_stats(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["win_start"].minute, r["stage"]): (r["n"], r["total_ms"])
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[(0, "click")] == (2, 30.0)
+    assert got[(10, "click")] == (1, 30.0)
+    assert got[(10, "error")] == (1, 5.0)
+
+
+def test_track_page_runs_across_batches(spark, tmp_path):
+    from archive_pdf_tools_spark.streaming.stateful import track_page_runs
+
+    in_dir = str(tmp_path / "labels")
+    os.makedirs(in_dir)
+    schema = "doc_id string, offset int, label string"
+    # batch 1: arabic run 1..3 then invalid
+    spark.createDataFrame(
+        [("d1", 0, "1"), ("d1", 1, "2"), ("d1", 2, "3"), ("d1", 3, None)],
+        schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path / "runs")
+    cp = str(tmp_path / "cp")
+
+    def run_stream():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (track_page_runs(stream)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run_stream()
+    got1 = [(r["start"], r["run_type"], r["run_len"], r["first_value"])
+            for r in spark.read.parquet(out_dir).collect()]
+    assert got1 == [(0, "Arabic", 3, 1)]      # arabic run closed by invalid
+
+    # batch 2 (new file -> new micro-batch, state carried): invalid
+    # continues, then arabic restarts at 7
+    spark.createDataFrame(
+        [("d1", 4, None), ("d1", 5, "7"), ("d1", 6, "8"), ("d1", 7, "10")],
+        schema).coalesce(1).write.mode("append").parquet(in_dir)
+    run_stream()
+    got2 = sorted((r["start"], r["run_type"], r["run_len"], r["first_value"])
+                  for r in spark.read.parquet(out_dir).collect())
+    # invalid run (offsets 3-4) closed by '7'; arabic 7,8 closed by the
+    # non-consecutive 10; run [10,...] still open in state
+    assert (3, "Invalid", 2, -1) in got2
+    assert (5, "Arabic", 2, 7) in got2
+    assert len(got2) == 3
