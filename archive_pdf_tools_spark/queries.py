@@ -696,6 +696,25 @@ GROUP BY fp
 """
 
 
+def q_top_terms(spark, sf):
+    """Classic token frequency top-k (deterministic ties by term)."""
+    doc = load_table(spark, sf, "documents")
+    toks = F.explode(F.split(F.trim(F.lower(F.col("text"))),
+                             r"\s+")).alias("term")
+    return (doc.select(toks)
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("term"))
+            .limit(50))
+
+
+SQL_TOP_TERMS = r"""
+SELECT term, count(*) AS n FROM (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents) t
+GROUP BY term ORDER BY n DESC, term LIMIT 50
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -714,6 +733,7 @@ QUERIES = {
     "scale_estimate": (q_scale_estimate, SQL_SCALE),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_guess": (q_lang_guess, SQL_LANG),
     "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),

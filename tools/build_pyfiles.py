@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Build engine.zip for ``spark-submit --py-files engine.zip job.py``."""
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main(out="engine.zip"):
+    out_path = os.path.join(ROOT, out)
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(ROOT, "archive_pdf_tools_spark")
+        for dirpath, _dirs, files in os.walk(pkg):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, ROOT))
+    print(out_path)
+
+
+if __name__ == "__main__":
+    main()
