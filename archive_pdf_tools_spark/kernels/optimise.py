@@ -73,6 +73,26 @@ def _integral_dtype(h: int, w: int, max_val: int):
     return np.int32 if h * w * max_val < 2**31 else np.int64
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=256)
+def _optimise_geometry(h: int, w: int, n_size: int):
+    """Memoized clamped FIR window indices + IIR x-counts (page shapes
+    repeat heavily across a corpus)."""
+    xs_arr = np.maximum(np.arange(w) - n_size, 0)
+    iir_xcount = (np.arange(w) - xs_arr).astype(np.int32)
+    ys_idx = np.arange(h)
+    r0 = np.maximum(ys_idx - n_size, 0)
+    r1 = np.minimum(ys_idx + n_size, h) - 1
+    xs_i = np.arange(w)
+    c0 = xs_arr
+    c1 = np.minimum(xs_i + n_size, w) - 1
+    for a in (xs_arr, iir_xcount, r0, r1, c1):
+        a.setflags(write=False)
+    return xs_arr, iir_xcount, r0, r1, c0, c1
+
+
 def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     """Shared fast path; img is (h, w) or (h, w, ch) uint8.
 
@@ -93,20 +113,13 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     # column prefix sums <= 255*n*w); pick int64 only for huge pages.
     idt = _integral_dtype(h, w, 255)
 
-    xs_arr = np.maximum(np.arange(w) - n_size, 0)
-    iir_xcount = (np.arange(w) - xs_arr).astype(np.int32)  # x - xs
-
-    masked_vals = np.where(mask_b[:, :, None], img3, np.uint8(0))
-
     # FIR windows are half-open [y-n, y+n) x [x-n, x+n) clamped
     # (optimiser.pyx:198-199, 238-239) -> inclusive bounds for the
     # integral-image gather.
-    ys_idx = np.arange(h)
-    r0 = np.maximum(ys_idx - n_size, 0)
-    r1 = np.minimum(ys_idx + n_size, h) - 1
+    xs_arr, iir_xcount, r0, r1, c0, c1 = _optimise_geometry(h, w, n_size)
     xs_i = np.arange(w)
-    c0 = xs_arr
-    c1 = np.minimum(xs_i + n_size, w) - 1
+
+    masked_vals = np.where(mask_b[:, :, None], img3, np.uint8(0))
     fir_val_full = _windowed_sum_2d(masked_vals, r0, r1, c0, c1, idt)
     fir_cnt_full = _windowed_sum_2d(mask_b.view(np.uint8), r0, r1, c0, c1, idt)
 

@@ -52,6 +52,24 @@ def _window_geometry(window_width: int, window_height: int):
     return l, r, o, u
 
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=256)
+def _geometry_cached(h: int, w: int, window_width: int, window_height: int):
+    l, r, o, u = _window_geometry(window_width, window_height)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    r0 = np.maximum(ys - o + 1, 0)          # first row in window
+    r1 = np.minimum(ys + u, h - 1)          # last row in window
+    c0 = np.maximum(xs - l + 1, 0)          # first col
+    c1 = np.minimum(xs + r, w - 1)          # last col
+    count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :])
+    for a in (r0, r1, c0, c1, count):
+        a.setflags(write=False)
+    return r0, r1, c0, c1, count
+
+
 def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
                  k: float, R: float) -> np.ndarray:
     """Vectorized Sauvola. Returns bool array, True where "ink" (the
@@ -62,16 +80,12 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
     if h == 0 or w == 0:
         return np.zeros((h, w), dtype=bool)
 
-    l, r, o, u = _window_geometry(window_width, window_height)
-
     from .optimise import _integral_dtype, _windowed_sum_2d
 
-    ys = np.arange(h)
-    xs = np.arange(w)
-    r0 = np.maximum(ys - o + 1, 0)          # first row in window
-    r1 = np.minimum(ys + u, h - 1)          # last row in window
-    c0 = np.maximum(xs - l + 1, 0)          # first col
-    c1 = np.minimum(xs + r, w - 1)          # last col
+    # Page shapes repeat heavily across a corpus — memoize the clamped
+    # window index vectors and the count matrix per (h, w, window).
+    r0, r1, c0, c1, count = _geometry_cached(h, w, window_width,
+                                             window_height)
 
     # Clamped-window sums via padded integral images.  Integer sums are
     # value-exact in any non-overflowing dtype; pick the narrowest (the
@@ -81,7 +95,6 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
                             _integral_dtype(h, w, 255))
     sq = _windowed_sum_2d(px16 * px16, r0, r1, c0, c1,
                           _integral_dtype(h, w, 255 * 255))
-    count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :])
 
     # C-truncated integer division (non-negative => floor).  The float
     # expressions below match the reference's operand order exactly
