@@ -76,7 +76,7 @@ def _integral_dtype(h: int, w: int, max_val: int):
 from functools import lru_cache  # noqa: E402
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=64)
 def _optimise_geometry(h: int, w: int, n_size: int):
     """Memoized clamped FIR window indices + IIR x-counts (page shapes
     repeat heavily across a corpus)."""

@@ -55,8 +55,10 @@ def _window_geometry(window_width: int, window_height: int):
 from functools import lru_cache  # noqa: E402
 
 
-@lru_cache(maxsize=256)
+@lru_cache(maxsize=64)
 def _geometry_cached(h: int, w: int, window_width: int, window_height: int):
+    """Only the O(h)+O(w) index vectors are cached — a cached (h, w)
+    count matrix would pin megabytes per shape per worker."""
     l, r, o, u = _window_geometry(window_width, window_height)
     ys = np.arange(h)
     xs = np.arange(w)
@@ -64,10 +66,9 @@ def _geometry_cached(h: int, w: int, window_width: int, window_height: int):
     r1 = np.minimum(ys + u, h - 1)          # last row in window
     c0 = np.maximum(xs - l + 1, 0)          # first col
     c1 = np.minimum(xs + r, w - 1)          # last col
-    count = ((r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :])
-    for a in (r0, r1, c0, c1, count):
+    for a in (r0, r1, c0, c1):
         a.setflags(write=False)
-    return r0, r1, c0, c1, count
+    return r0, r1, c0, c1
 
 
 def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
@@ -83,9 +84,9 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
     from .optimise import _integral_dtype, _windowed_sum_2d
 
     # Page shapes repeat heavily across a corpus — memoize the clamped
-    # window index vectors and the count matrix per (h, w, window).
-    r0, r1, c0, c1, count = _geometry_cached(h, w, window_width,
-                                             window_height)
+    # window index vectors per (h, w, window).
+    r0, r1, c0, c1 = _geometry_cached(h, w, window_width, window_height)
+    count = (r1 - r0 + 1)[:, None] * (c1 - c0 + 1)[None, :]
 
     # Clamped-window sums via padded integral images.  Integer sums are
     # value-exact in any non-overflowing dtype; pick the narrowest (the
