@@ -123,6 +123,14 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     fir_val_full = _windowed_sum_2d(masked_vals, r0, r1, c0, c1, idt)
     fir_cnt_full = _windowed_sum_2d(mask_b.view(np.uint8), r0, r1, c0, c1, idt)
 
+    # The IIR pixel count (y - ys)*(x - xs) is data-independent: fold the
+    # whole count/zero/divisor matrices once, outside the row loop.
+    iir_ycount = np.minimum(np.arange(h), n_size).astype(np.int32)
+    cnt_full = fir_cnt_full + iir_ycount[:, None] * iir_xcount[None, :]
+    zero_full = cnt_full == 0
+    any_zero_row = zero_full.any(axis=1)
+    np.maximum(cnt_full, 1, out=cnt_full)           # safe divisors in place
+
     # Running vertical IIR window [ys, y) column sums over `new`.
     cdt = np.int32 if 255 * (2 * n_size) * w < 2**31 else np.int64
     iir_val_cols = np.zeros((w, chans), dtype=cdt)
@@ -155,11 +163,10 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
         else:
             iir_v[1:] = P[0:w - 1]
 
-        cnt = fir_cnt_full[y] + (y - ys) * iir_xcount
         vals = fir_val_full[y] + iir_v
-        safe = np.maximum(cnt, 1)
-        res = vals // safe[:, None]          # floor == C trunc (non-negative)
-        res[cnt == 0] = 0
+        res = vals // cnt_full[y][:, None]   # floor == C trunc (non-negative)
+        if any_zero_row[y]:
+            res[zero_full[y]] = 0
         np.copyto(new[y], res.astype(np.uint8),
                   where=todo_rows[y][:, None])
 
