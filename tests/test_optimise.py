@@ -92,3 +92,27 @@ def test_denoise_exact_mincnt_boundary():
     mask[3, 3] = mask[3, 5] = mask[5, 3] = mask[5, 5] = True  # 4 nbrs
     out = fast_mask_denoise(mask, 4, 2)
     assert out[4, 4]
+
+
+@pytest.mark.parametrize("chans", [None, 3])
+def test_optimise_batch_matches_single(chans):
+    from archive_pdf_tools_spark.kernels.optimise import (
+        optimise_gray2_batch, optimise_rgb2_batch)
+
+    rng = _rng(77)
+    B, h, w = 6, 24, 32
+    masks = rng.random((B, h, w)) < 0.2
+    if chans is None:
+        imgs = rng.integers(0, 256, (B, h, w), dtype=np.uint8)
+        for n in (3, 10):
+            got = optimise_gray2_batch(masks, imgs, n)
+            for i in range(B):
+                np.testing.assert_array_equal(
+                    got[i], optimise_gray2(masks[i], imgs[i], n))
+    else:
+        imgs = rng.integers(0, 256, (B, h, w, 3), dtype=np.uint8)
+        for n in (3, 10):
+            got = optimise_rgb2_batch(masks, imgs, n)
+            for i in range(B):
+                np.testing.assert_array_equal(
+                    got[i], optimise_rgb2(masks[i], imgs[i], n))
