@@ -164,11 +164,14 @@ def mrc_mask_phase(image: np.ndarray, hocr_word_data: list,
                    dpi: int | None = None,
                    downsample: float | None = None,
                    denoise_mask: str = DENOISE_FAST,
-                   gray_mode: str = "itu"):
+                   gray_mode: str = "itu",
+                   apply_denoise: bool = True):
     """Mask-building phase of the MRC decomposition (``mrc.py:358-399``):
     gray conversion, hOCR mask, threshold mask, denoise.  Returns
     (mask, line_decisions, warnings).  Split out so the Spark operator
-    can run the fg/bg optimise phase batched across same-shape pages."""
+    can run the fg/bg optimise phase batched across same-shape pages;
+    with ``apply_denoise=False`` the caller runs the (batched) denoise
+    itself."""
     warnings: list[str] = []
     is_rgb = image.ndim == 3
     if is_rgb:
@@ -188,7 +191,8 @@ def mrc_mask_phase(image: np.ndarray, hocr_word_data: list,
     create_threshold_mask(mask_arr, grayimgf, dpi=dpi)   # MIX_THRESHOLD=True
 
     if denoise_mask == DENOISE_FAST:
-        mask_arr = fast_mask_denoise(mask_arr, 4, 2)     # mrc.py:388
+        if apply_denoise:
+            mask_arr = fast_mask_denoise(mask_arr, 4, 2)  # mrc.py:388
     elif denoise_mask == DENOISE_BREGMAN:
         # The reference's optional TV-Bregman mode (mrc.py:90-108) needs
         # skimage; 'fast' is the production default (bin/recode_pdf:156-160).

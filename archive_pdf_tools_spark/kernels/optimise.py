@@ -355,6 +355,46 @@ def fast_mask_denoise(mask: np.ndarray, mincnt: int = 4, n_size: int = 2) -> np.
     return m.astype(bool)
 
 
+def fast_mask_denoise_batch(masks: np.ndarray, mincnt: int = 4,
+                            n_size: int = 2) -> np.ndarray:
+    """Batched ``fast_mask_denoise`` over same-shape masks (B, h, w): the
+    per-row window sums vectorize across the batch; the rare sequential
+    fix-up (same-row feedback) resolves per page.  Per-page results are
+    bit-identical to the single-page kernel (tested)."""
+    m = masks.astype(np.uint8).copy()
+    B, h, w = m.shape
+    if h <= 2 * n_size or w <= 2 * n_size:
+        return m.astype(bool)
+    xs0 = np.arange(n_size, w - n_size) - n_size
+    xe0 = np.arange(n_size, w - n_size) + n_size + 1
+    c = np.empty((B, w + 1), dtype=np.int64)
+    c[:, 0] = 0
+    for y in range(n_size, h - n_size):
+        block = m[:, y - n_size:y + n_size + 1, :]
+        np.cumsum(block.sum(axis=1, dtype=np.int64), axis=1, out=c[:, 1:])
+        cnt0 = c[:, xe0] - c[:, xs0]          # (B, w-2n) incl. self
+        inner = m[:, y, n_size:w - n_size].astype(bool)
+        ambiguous = inner & (cnt0 - 1 < mincnt + 2 * n_size)
+        if not ambiguous.any():
+            continue
+        amb_pages = np.flatnonzero(ambiguous.any(axis=1))
+        for b in amb_pages:
+            row = m[b, y]
+            amb_idx = np.flatnonzero(ambiguous[b]) + n_size
+            cleared: list[int] = []
+            for x in amb_idx:
+                delta = 0
+                for cx in reversed(cleared):
+                    if cx < x - n_size:
+                        break
+                    delta += 1
+                cnt = int(cnt0[b, x - n_size]) - delta
+                if cnt - 1 < mincnt:
+                    row[x] = 0
+                    cleared.append(x)
+    return m.astype(bool)
+
+
 def fast_mask_denoise_slow(mask: np.ndarray, mincnt: int = 4, n_size: int = 2) -> np.ndarray:
     """Direct raster-order scalar oracle of ``optimiser.pyx:436-472``."""
     m = mask.astype(np.uint8).copy()

@@ -48,7 +48,8 @@ import pandas as pd
 from ..corpus.rasters import page_spec, render_raster, spec_word_data
 from ..kernels.dpi import page_geometry, pick_font_scaler
 from ..kernels.mrc import create_mrc_components, mrc_mask_phase
-from ..kernels.optimise import optimise_gray2_batch, optimise_rgb2_batch
+from ..kernels.optimise import (fast_mask_denoise_batch,
+                                optimise_gray2_batch, optimise_rgb2_batch)
 from ..kernels.textlayer import render_text_layer
 
 __all__ = ["extract_one", "extract_document_local", "extract_spans",
@@ -73,16 +74,17 @@ def _sha12(arr: np.ndarray) -> str:
     return hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
 
 
-def _media_phase_a(media_ref: str):
+def _media_phase_a(media_ref: str, apply_denoise: bool = True):
     """Per-page part of the media path: raster, masks, line decisions.
-    Returns None for the bitonal passthrough (handled inline)."""
+    With ``apply_denoise=False`` the mask still needs the (batched)
+    denoise pass before hashing/optimise."""
     spec = page_spec(media_ref)
     raster = render_raster(spec)
     if spec["bitonal"]:
         return {"bitonal": True, "spec": spec, "raster": raster}
     word_data = spec_word_data(spec)
-    mask, decisions, warnings = mrc_mask_phase(raster, word_data,
-                                               dpi=spec["dpi"])
+    mask, decisions, warnings = mrc_mask_phase(
+        raster, word_data, dpi=spec["dpi"], apply_denoise=apply_denoise)
     accepted = {(d.para_idx, d.line_idx) for d in decisions if d.accepted}
     lines = []
     for p_idx, para in enumerate(word_data):
@@ -204,7 +206,7 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             t0 = time.perf_counter()
             try:
                 if kind == "media":
-                    pa = _media_phase_a(media_ref)
+                    pa = _media_phase_a(media_ref, apply_denoise=False)
                     if pa["bitonal"]:
                         results[slot] = (
                             [("media", "",
@@ -228,7 +230,10 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for i in range(0, len(group), chunk):
                 part = group[i:i + chunk]
                 t0 = time.perf_counter()
-                masks = np.stack([pa["mask"] for _s, pa in part])
+                masks = fast_mask_denoise_batch(
+                    np.stack([pa["mask"] for _s, pa in part]), 4, 2)
+                for j, (_s, pa) in enumerate(part):
+                    pa["mask"] = masks[j]     # denoised mask is hashed
                 imgs = np.stack([pa["raster"] for _s, pa in part])
                 if imgs.ndim == 4:
                     fg = optimise_rgb2_batch(masks, imgs, 3)

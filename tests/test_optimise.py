@@ -116,3 +116,16 @@ def test_optimise_batch_matches_single(chans):
             for i in range(B):
                 np.testing.assert_array_equal(
                     got[i], optimise_rgb2(masks[i], imgs[i], n))
+
+
+def test_denoise_batch_matches_single():
+    from archive_pdf_tools_spark.kernels.optimise import (
+        fast_mask_denoise_batch)
+
+    rng = _rng(31)
+    for density in (0.05, 0.3, 0.9):
+        masks = rng.random((5, 20, 24)) < density
+        got = fast_mask_denoise_batch(masks, 4, 2)
+        for i in range(5):
+            np.testing.assert_array_equal(
+                got[i], fast_mask_denoise(masks[i], 4, 2))
