@@ -715,11 +715,33 @@ GROUP BY term ORDER BY n DESC, term LIMIT 50
 """
 
 
+def q_skip_anti_join(spark, sf):
+    """F1 as an explicit anti-join (SURVEY §2.3: the skip-page filter is
+    semantically an anti-join against the scandata skip set): drop events
+    whose (user_id, event_id) appears in a derived skip table."""
+    ev = load_table(spark, sf, "events")
+    skip = (ev.where(F.col("event_type") == "error")
+            .select("user_id", "event_id"))
+    return (ev.join(skip, ["user_id", "event_id"], "left_anti")
+            .select("user_id", "event_id", "event_type"))
+
+
+SQL_SKIP_ANTI = """
+SELECT e.user_id, e.event_id, e.event_type
+FROM events e
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s
+  WHERE s.event_type = 'error'
+    AND s.user_id = e.user_id AND s.event_id = e.event_id)
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
     # relational / reference-derived
     "skip_filter": (q_skip_filter, SQL_SKIP),
+    "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),
     "stop_after": (q_stop_after, SQL_STOP),
     "positional_join": (q_positional_join, SQL_POSJOIN),
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),

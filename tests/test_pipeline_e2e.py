@@ -108,3 +108,18 @@ def test_poison_row_does_not_kill_job(spark):
         warn_kinds.update(r["warning_kinds"])
     assert any(w.startswith("extract-error:") for w in warn_kinds)
     extracted.unpersist()
+
+
+def test_arrow_batch_size_invariance(spark, input_df, golden):
+    """The shape-grouped batched media path must produce identical output
+    regardless of how Arrow slices the batches."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+        out = reassemble(extract_spans(input_df, num_partitions=5))
+        got = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+               for r in out.collect()}
+        for doc_id in golden:
+            assert got[doc_id] == golden[doc_id], doc_id
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
