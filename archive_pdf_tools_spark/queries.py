@@ -736,6 +736,44 @@ WHERE NOT EXISTS (
 """
 
 
+def q_scandata(spark, sf):
+    """S5 — scandata XML parse over deterministic synthetic XMLs built
+    executor-side (skip pages, dpi chain inputs, TOC)."""
+    import pandas as pd
+
+    from .sources.scandata import scandata_df
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                pages = []
+                for p in range(3 + i % 4):
+                    skip = (p + i) % 5 == 0
+                    pages.append(
+                        f'<page leafNum="{p}">'
+                        + ('<addToAccessFormats>false</addToAccessFormats>'
+                           if skip else '')
+                        + (f'<pageNumber>{p}</pageNumber>' if p else '')
+                        + (f'<ppi>{300 + 100 * (p % 2)}</ppi>'
+                           if p % 2 else '')
+                        + ('<pageType title="Chapter" level="1"/>'
+                           if p == 1 else '')
+                        + '</page>')
+                xml = ('<book><bookData><dpi>300</dpi></bookData>'
+                       '<pageData>' + ''.join(pages) + '</pageData></book>')
+                rows.append((f"sd_{i:04d}", xml))
+            yield pd.DataFrame(rows, columns=["doc_id", "scandata_xml"])
+
+    base = spark.range(0, 32).repartition(4)
+    docs = base.mapInPandas(gen, schema="doc_id string, scandata_xml string")
+    out = scandata_df(docs)
+    return out.select("doc_id", "skip_pages", "page_numbers",
+                      "dpi_per_page", "document_dpi",
+                      F.size("toc").alias("n_toc"))
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -778,4 +816,5 @@ QUERIES = {
     "media_features": (q_media_features, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
+    "scandata": (q_scandata, None),
 }
