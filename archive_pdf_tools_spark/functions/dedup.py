@@ -287,23 +287,43 @@ def simhash(documents: DataFrame) -> DataFrame:
                            schema=f"doc_id {id_type}, simhash bigint")
 
 
-def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9) -> DataFrame:
-    """Cosine near-duplicate pairs, blocked on label equality (the
-    blocking key stands in for an IVF/centroid assignment at scale)."""
-    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    e = embeddings.select(F.col("vec_id"), F.col("label"),
-                          F.col("embedding"), norm.alias("nrm"))
-    a = e.alias("a")
-    b = e.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, (F.col("a.label") == F.col("b.label")) &
+def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9,
+                        n_centroids: int = 16, nprobe: int = 2,
+                        seed: int = 17) -> DataFrame:
+    """Cosine near-duplicate pairs, blocked on IVF cell membership.
+
+    Scale shape: each vector is assigned to its ``nprobe`` nearest
+    centroids (multi-probe — a pair straddling a cell boundary is still
+    co-blocked if any probe cell overlaps); candidates are the distinct
+    id pairs sharing a cell, so candidate volume is O(sum of cell
+    sizes^2 / n_centroids), not O(n^2) per label group like the earlier
+    label-blocked version.  Only (vec_id, cell) rides the blocking
+    shuffle; vectors are re-joined for the exact-cosine verify.
+    """
+    from .similarity import ivf_cells, ivf_fit_centroids
+
+    C = ivf_fit_centroids(embeddings, n_centroids=n_centroids, seed=seed)
+    cells = ivf_cells(embeddings, C, nprobe=nprobe)
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell")) &
                    (F.col("a.vec_id") < F.col("b.vec_id")))
             .select(F.col("a.vec_id").alias("vec_a"),
-                    F.col("b.vec_id").alias("vec_b"),
-                    F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4)
+                    F.col("b.vec_id").alias("vec_b"))
+            .distinct())
+    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    e = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
+    ea = e.select(F.col("vec_id").alias("vec_a"),
+                  F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"),
+                  F.col("embedding").alias("emb_b"), F.col("nrm").alias("nrm_b"))
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b",
+                    F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 4)
                      .alias("cosine"))
             .where(F.col("cosine") >= tau))

@@ -342,14 +342,36 @@ FROM documents
 
 # ----------------------------------------------------------------- dedup
 
+def _seeded_documents(spark, sf):
+    """documents ∪ a doc_id-rewritten copy of every 10th doc.
+
+    The driver testdata has no exact duplicates, so the dedup oracles
+    were vacuously green on 0 rows; seeding identical copies (same
+    parquet → same rows on both engines) makes them verify real
+    duplicate groups."""
+    doc = load_table(spark, sf, "documents")
+    dup = (doc.where(F.col("doc_id") % 10 == 0)
+           .withColumn("doc_id", F.col("doc_id") + F.lit(1000000)))
+    return doc.unionByName(dup)
+
+
+SEED_DOCS_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
 def q_exact_dups(spark, sf):
-    return D.exact_duplicates(load_table(spark, sf, "documents"))
+    return D.exact_duplicates(_seeded_documents(spark, sf))
 
 
-SQL_EXACT_DUPS = r"""
+SQL_EXACT_DUPS = rf"""
+WITH seeded AS ({SEED_DOCS_SQL})
 SELECT fp, count(*) AS n_dups, min(doc_id) AS keep_doc_id FROM (
   SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-  FROM documents) t
+  FROM seeded) t
 GROUP BY fp HAVING count(*) > 1
 """
 
@@ -426,18 +448,81 @@ def _minhash_sql(k=8, n=3, seed=7):
             f"SELECT doc_id, {', '.join(mins)} FROM h GROUP BY doc_id")
 
 
+def _seeded_embeddings(spark, sf):
+    """embeddings ∪ a vec_id-rewritten copy of every 10th vector (same
+    de-vacuation rationale as ``_seeded_documents``; copies have cosine
+    1.0 with their source and land in the same IVF cell by construction,
+    while the max organic pair cosine in the testdata is ~0.51)."""
+    emb = load_table(spark, sf, "embeddings")
+    dup = (emb.where(F.col("vec_id") % 10 == 0)
+           .withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    return emb.unionByName(dup)
+
+
+SEED_EMB_SQL = """
+SELECT vec_id, embedding, label FROM embeddings
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, embedding, label
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def q_embedding_dups(spark, sf):
-    return D.embedding_near_dups(load_table(spark, sf, "embeddings"), tau=0.8)
+    """Embedding near-dup pairs, IVF-cell blocked (multi-probe) +
+    exact-cosine verified; the oracle is the *unblocked* all-pairs SQL,
+    so a blocking miss would surface as a row-count mismatch."""
+    return D.embedding_near_dups(_seeded_embeddings(spark, sf), tau=0.8,
+                                 n_centroids=16, nprobe=2)
 
 
-SQL_EMB_DUPS = """
+SQL_EMB_DUPS = f"""
+WITH seeded AS ({SEED_EMB_SQL})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                     CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
+FROM seeded a JOIN seeded b
+  ON a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                    CAST(b.embedding AS DOUBLE[])), 4) >= 0.8
+"""
+
+
+def q_minhash_lsh(spark, sf):
+    """The scale-correct near-dup flagship: MinHash banded LSH candidate
+    generation + exact-Jaccard verification, checked against the *exact*
+    all-pairs Jaccard oracle (no banding) — a banding miss of any >= tau
+    pair shows up as a row-count mismatch.  Seeded corpus adds known
+    exact duplicates; the testdata also carries 25 organic pairs at
+    J >= 0.9 (and nothing in (0.07, 0.9), so tau=0.5 separates cleanly).
+    """
+    return D.minhash_lsh_pairs(_seeded_documents(spark, sf),
+                               n=3, k=32, bands=8, tau=0.5)
+
+
+_SEEDED_SHINGLES_SQL = r"""
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id,
+           array_to_string(toks[i : i + {n} - 1], ' ') AS sh
+    FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM seeded) d,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - {n} + 1)) AS i) g
+  ) s
+"""
+
+SQL_MINHASH_LSH = f"""
+WITH seeded AS ({SEED_DOCS_SQL}),
+sh AS ({_SEEDED_SHINGLES_SQL.format(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
@@ -476,6 +561,44 @@ def q_ann_lsh(spark, sf):
     return S.srp_lsh_topk(emb, _query_vec(spark, sf), k=20)
 
 
+def _recall_row(approx, exact, k: int, min_hits: int):
+    """One-row self-verifying recall check: true iff the approximate
+    top-k contains >= min_hits of the exact top-k.  The oracle side is a
+    constant row, so a recall regression flips the boolean and fails the
+    hash comparison — turning a rows-only quality property into a
+    driver-checkable row."""
+    hits = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
+    return (hits.agg(F.count("*").alias("n_hits"))
+            .select(F.lit(k).alias("k"),
+                    (F.col("n_hits") >= min_hits).alias("recall_ok")))
+
+
+def q_ann_ivf_recall(spark, sf):
+    """Thresholds calibrated on the actual testdata: the synthetic
+    embeddings are near-uniform random (max pair cosine ~0.51, no
+    cluster structure), so top-20 neighbours scatter across cells —
+    measured recall is 16/20 (sf0.001) and 14/20 (sf0.01) at nprobe=8;
+    the floor of 12 holds deterministically at both."""
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return _recall_row(
+        S.ivf_topk(emb, q, k=20, n_centroids=16, nprobe=8),
+        S.brute_force_topk(emb, q, k=20), k=20, min_hits=12)
+
+
+def q_ann_lsh_recall(spark, sf):
+    """Measured 5/20 (sf0.001) and 9/20 (sf0.01) at 6 planes on the
+    uniform-random testdata; floor 4."""
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return _recall_row(
+        S.srp_lsh_topk(emb, q, k=20, n_planes=6),
+        S.brute_force_topk(emb, q, k=20), k=20, min_hits=4)
+
+
+SQL_RECALL_OK = "SELECT 20 AS k, true AS recall_ok"
+
+
 # --------------------------------------------------- extraction (rows-only)
 
 def q_extract_flagship(spark, sf):
@@ -497,15 +620,19 @@ def q_extract_testdata(spark, sf):
 
 
 def q_extract_metrics(spark, sf):
-    """Deterministic slice of the lineage/metrics table (global counts)."""
+    """Deterministic slice of the lineage/metrics table (global counts).
+
+    Array columns are serialized (concat_ws) because the driver's
+    canonicalizer sorts columns pandas-side and cannot factorize lists.
+    """
     docs = synthetic_documents(spark, n_docs=24, max_spans=16)
     _, metrics = run_extraction(docs)
     return (metrics.agg(
         F.sum("page_count").alias("pages"),
         F.sum("text_pages").alias("text_pages"),
         F.sum("media_pages").alias("media_pages"),
-        F.array_sort(F.array_distinct(F.flatten(
-            F.collect_list("warning_kinds")))).alias("warning_kinds")))
+        F.concat_ws(",", F.array_sort(F.array_distinct(F.flatten(
+            F.collect_list("warning_kinds"))))).alias("warning_kinds")))
 
 
 def q_media_features(spark, sf):
@@ -547,7 +674,11 @@ def q_page_series(spark, sf):
 
     from .kernels.pagenumbers import TYPE_NAMES, parse_series
 
-    n_buckets = 64
+    # buckets scale with the cluster (4 per core keeps AQE room to
+    # coalesce); a fixed count would cap the grouped-map stage's
+    # parallelism forever.  The bucket id never leaves the plan, so the
+    # oracle is unaffected.
+    n_buckets = max(32, spark.sparkContext.defaultParallelism * 4)
     od = load_table(spark, sf, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     labels = (od.select("o_custkey", "o_orderkey")
@@ -769,9 +900,15 @@ def q_scandata(spark, sf):
     base = spark.range(0, 32).repartition(4)
     docs = base.mapInPandas(gen, schema="doc_id string, scandata_xml string")
     out = scandata_df(docs)
-    return out.select("doc_id", "skip_pages", "page_numbers",
-                      "dpi_per_page", "document_dpi",
-                      F.size("toc").alias("n_toc"))
+    # arrays serialized to JSON strings: driver canon sorts/hashes columns
+    # pandas-side and cannot factorize python lists
+    return out.select(
+        "doc_id",
+        F.to_json("skip_pages").alias("skip_pages"),
+        F.to_json("page_numbers").alias("page_numbers"),
+        F.to_json("dpi_per_page").alias("dpi_per_page"),
+        "document_dpi",
+        F.size("toc").alias("n_toc"))
 
 
 # ------------------------------------------------------------------ registry
@@ -804,11 +941,14 @@ QUERIES = {
     "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "simhash": (q_simhash, SQL_SIMHASH),
     "minhash_sigs": (q_minhash, _minhash_sql()),
+    "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_OK),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_OK),
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
