@@ -122,108 +122,109 @@ def get_val_value(v, vtype):
         return alpha_to_number(v.upper())
 
 
-def _find_next_nonzero(series, start):
-    for v in series[start:]:
-        if v is not None:
-            return v
-    return None
+# Case-preserving roman <-> alpha reinterpretation partners.
+_MATE = {ROMAN_UPPER: ALPHA_UPPER, ROMAN_LOWER: ALPHA_LOWER,
+         ALPHA_UPPER: ROMAN_UPPER, ALPHA_LOWER: ROMAN_LOWER}
+
+
+def _settle(label, peek, ignore_invalid: bool):
+    """Resolve one label to ``(kind, numeric, clean)`` given ``peek``,
+    the next non-null label in the sequence.
+
+    The look-ahead settles the roman/alpha ambiguity both ways: a
+    roman-looking lexeme followed by a same-case letter run ('I' before
+    'J') reads as a letter, and a letter lexeme followed by a same-case
+    roman run reads as roman.  ``clean`` is False only when the label
+    failed strict classification (feeds the caller's all-ok flag).
+    """
+    try:
+        kind = get_val_type(label, ignore_invalid=ignore_invalid)
+        num = get_val_value(label, kind)
+    except ValueError:
+        return INVALID, None, False
+    if kind not in _MATE:                       # invalid / arabic: settled
+        return kind, num, True
+
+    peek_kind = get_val_type(peek, ignore_invalid=ignore_invalid)
+    if kind in (ROMAN_UPPER, ROMAN_LOWER):
+        if peek_kind == _MATE[kind]:
+            return peek_kind, get_val_value(label, peek_kind), True
+        return kind, num, True
+
+    # Alphabetic label: keep it alphabetic when the evidence says so —
+    # no successor, consecutive single letters, or an alpha successor.
+    if peek is None:
+        return kind, num, True
+    if len(label) == 1 and len(peek) == 1 and ord(peek) - ord(label) == 1:
+        return kind, num, True
+    if peek_kind == kind:
+        return kind, num, True
+    if peek_kind == _MATE[kind]:
+        try:    # roman-run reading; fails for roman-invalid lexemes
+            return peek_kind, get_val_value(label, peek_kind), True
+        except ValueError:
+            return INVALID, None, True
+    if peek_kind not in (ROMAN_UPPER, ROMAN_LOWER):
+        # e.g. a non-roman letter clump followed by arabic pages
+        return INVALID, None, True
+    raise ValueError("Alpha page numbers are not supported")
+
+
+def _resolve_labels(labels, ignore_invalid: bool):
+    """Phase 1: settle every label to a (kind, numeric) pair.
+
+    The only context a label needs is the next non-null label, which a
+    single reverse pass precomputes (O(n) total, vs re-scanning the
+    suffix per element)."""
+    peeks = [None] * len(labels)
+    upcoming = None
+    for i in range(len(labels) - 1, -1, -1):
+        peeks[i] = upcoming
+        if labels[i] is not None:
+            upcoming = labels[i]
+
+    resolved = []
+    all_ok = True
+    for label, peek in zip(labels, peeks):
+        kind, num, clean = _settle(label, peek, ignore_invalid)
+        all_ok = all_ok and clean
+        resolved.append((kind, num))
+    return resolved, all_ok
 
 
 def parse_series(series, ignore_invalid: bool = False):
-    """Split a label sequence into runs; returns (list of run dicts,
-    all_ok).  Direct semantics of ``pagenumbers.py:147-258``."""
-    last_value = None
-    last_val_type = INVALID
-    series_start = 0
-    resulting_series = []
-    all_ok = True
-    running_series = []
-    running_series_n = []
+    """Split a label sequence into maximal consistent runs.
 
-    for idx, val in enumerate(series):
-        new = False
-        try:
-            val_type = get_val_type(val, ignore_invalid=ignore_invalid)
-            val_value = get_val_value(val, val_type)
-        except ValueError:
-            all_ok = False
-            val_type = INVALID
-            val_value = None
+    Two-phase: resolve each label to (kind, numeric) with look-ahead
+    disambiguation, then cut the sequence wherever the kind changes or
+    the numbering stops incrementing by one (invalid stretches coalesce
+    into a single run).  Returns ``(runs, all_ok)`` where each run is a
+    dict with start index, kind, and the raw + numeric label slices.
 
-        if val_type in (ROMAN_UPPER, ROMAN_LOWER):
-            next_val = _find_next_nonzero(series, idx + 1)
-            next_val_type = get_val_type(next_val, ignore_invalid=ignore_invalid)
-            if val_type != next_val_type:
-                if (val_type == ROMAN_UPPER and next_val_type == ALPHA_UPPER) or \
-                        (val_type == ROMAN_LOWER and next_val_type == ALPHA_LOWER):
-                    val_type = next_val_type
-                    val_value = get_val_value(val, val_type)
+    Semantics match ``internetarchivepdf/pagenumbers.py:147-258``
+    (verified against the reference's own hard cases in
+    ``tests/test_pagenumbers.py``); the decomposition here is original.
+    """
+    labels = list(series)
+    resolved, all_ok = _resolve_labels(labels, ignore_invalid)
 
-        if val_type in (ALPHA_UPPER, ALPHA_LOWER):
-            next_val = _find_next_nonzero(series, idx + 1)
-            next_val_type = get_val_type(next_val, ignore_invalid=ignore_invalid)
-            try:
-                # ord() raises TypeError on None *and* on multi-char strings.
-                ord_val = ord(val)
-                ord_next_val = ord(next_val)
-            except TypeError:
-                ord_val = None
-                ord_next_val = None
+    # Phase 2: cut points.  A cut before i when the kind flips, or when
+    # a numbered run skips (consecutive invalids never cut).
+    cuts = []
+    for i in range(1, len(labels)):
+        kind, num = resolved[i]
+        prev_kind, prev_num = resolved[i - 1]
+        if kind != prev_kind or (kind != INVALID and num != prev_num + 1):
+            cuts.append(i)
 
-            if next_val is None:
-                pass
-            elif ord_val is not None and ord_next_val is not None and \
-                    ord_val == ord_next_val - 1:
-                pass
-            elif val_type == next_val_type:
-                pass
-            elif (val_type == ALPHA_UPPER and next_val_type == ROMAN_UPPER) or \
-                 (val_type == ALPHA_LOWER and next_val_type == ROMAN_LOWER):
-                try:
-                    val_type = next_val_type
-                    val_value = get_val_value(val, val_type)
-                except ValueError:
-                    val_type = INVALID
-                    val_value = None
-            elif val_type in (ALPHA_LOWER, ALPHA_UPPER) and \
-                    next_val_type not in (ROMAN_UPPER, ROMAN_LOWER):
-                # e.g. invalid roman ('XXXVIIII') followed by arabic
-                # (pagenumbers.py:211-216)
-                val_type = INVALID
-                val_value = None
-            else:
-                raise ValueError("Alpha page numbers are not supported")
-
-        if val_type != last_val_type:
-            new = True
-        if val_type == INVALID and last_val_type == INVALID:
-            pass
-        else:
-            if last_val_type == INVALID:
-                new = True
-            elif val_type == INVALID:
-                new = True
-            elif val_value != last_value + 1:
-                new = True
-
-        if new and idx != 0:
-            resulting_series.append({"start": series_start,
-                                     "type": last_val_type,
-                                     "type_human": TYPE_NAMES[last_val_type],
-                                     "values": running_series,
-                                     "values_numeric": running_series_n})
-            series_start = idx
-            running_series = []
-            running_series_n = []
-
-        running_series.append(val)
-        running_series_n.append(val_value)
-        last_value = val_value
-        last_val_type = val_type
-
-    resulting_series.append({"start": series_start,
-                             "type": last_val_type,
-                             "type_human": TYPE_NAMES[last_val_type],
-                             "values": running_series,
-                             "values_numeric": running_series_n})
-    return resulting_series, all_ok
+    starts = [0] + cuts
+    ends = cuts + [len(labels)]
+    runs = []
+    for s, e in zip(starts, ends):
+        kind = resolved[s][0] if e > s else INVALID   # empty input case
+        runs.append({"start": s,
+                     "type": kind,
+                     "type_human": TYPE_NAMES[kind],
+                     "values": labels[s:e],
+                     "values_numeric": [num for _k, num in resolved[s:e]]})
+    return runs, all_ok

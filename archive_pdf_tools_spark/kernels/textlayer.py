@@ -131,125 +131,137 @@ class PageTextResult:
     dropped_codepoints: int = 0
 
 
+def _para_has_ink(paragraph) -> bool:
+    """A paragraph whose words concatenate to whitespace-only produces no
+    BT/ET block at all (the reference's paragraph empty-skip)."""
+    return any(ch.strip()
+               for line in paragraph["lines"]
+               for word in line["words"]
+               for ch in word["text"])
+
+
+def _baseline_for(line, ppi):
+    """Pixel-space baseline segment of a line: anchor the hOCR baseline
+    polynomial (slope, intercept-from-bbox-bottom) at the line's left
+    edge, extend to its right edge, then flatten if nearly horizontal."""
+    left, _top, right, bottom = line["bbox"]
+    slope, intercept = line["baseline"]
+    y_left = bottom + intercept
+    y_right = y_left + slope * (right - left)
+    return clip_baseline(ppi, left, y_left, right, y_right)
+
+
+def _utf16_payload(text: str):
+    """(hex payload, kept chars, dropped count) for one word.
+
+    Invalid codepoints (surrogate range / beyond U+10FFFF) are dropped;
+    every word carries one trailing synthetic space glyph (0020)."""
+    parts = []
+    kept: list[str] = []
+    dropped = 0
+    for ch in text:
+        ok, hexed = codepoint_to_utf16be(ord(ch))
+        if ok:
+            parts.append(hexed)
+            kept.append(ch)
+        else:
+            dropped += 1
+    parts.append(b"0020")
+    return b"".join(parts), kept, dropped
+
+
 def render_text_layer(word_data: list, width: float, height: float,
                       ppi: float, hocr_ppi=None) -> PageTextResult:
-    """The ``GetPDFTextObjects`` traversal (``pdfrenderer.py:61-207``),
-    textonly, emitting (line texts, text-op bytes)."""
-    res = PageTextResult()
+    """Reading-order traversal producing the extracted line texts and the
+    byte-exact Tm/Td/Tf/Tz/TJ op stream (the placement digest).
 
-    old_x = 0.0
-    old_y = 0.0
-    old_fontsize = 0
-    old_writing_direction = WRITING_DIRECTION_LEFT_TO_RIGHT
-    new_block = True
-    a, b, c, d = 1.0, 0.0, 0.0, 1.0
+    Semantics match the reference renderer (textonly mode of
+    ``internetarchivepdf/pdfrenderer.py:61-207``, itself an Apache-2.0
+    Tesseract port) and are pinned bit-for-bit by the golden digests in
+    ``tests/test_placements.py``.  Behavioural quirks the goldens encode:
 
-    pdf_str = (b"q " + floatbytes(prec(width), 3) + b" 0 0 "
-               + floatbytes(prec(height), 3) + b" 0 0 cm Q\n")
+    * the line baseline (and the word-supplied writing direction) is
+      re-read for every word until the first ``Td`` is emitted — a word
+      placed via ``Tm`` does not consume the line's first-word state;
+    * the fontsize fallback chain is word value -> pixel-space clipped
+      line height -> 8, and ``Tf`` spells the size with ``str()``
+      (so int vs float spelling is data-dependent);
+    * transform state (position, rotation, direction) carries across
+      paragraphs; only the fontsize tracker and block flag reset.
+    """
+    out = PageTextResult()
+    ops: list[bytes] = [b"q " + floatbytes(prec(width), 3) + b" 0 0 "
+                        + floatbytes(prec(height), 3) + b" 0 0 cm Q\n"]
 
-    line_x1 = line_y1 = line_x2 = line_y2 = 0
-    writing_direction = WRITING_DIRECTION_LEFT_TO_RIGHT
+    # Cursor: where the previous word landed, in PDF points.
+    cur_x = cur_y = 0.0
+    cur_dir = WRITING_DIRECTION_LEFT_TO_RIGHT
+    rot = (1.0, 0.0, 0.0, 1.0)
+    seg = (0, 0, 0, 0)
+    seg_dir = WRITING_DIRECTION_LEFT_TO_RIGHT
 
     for paragraph in word_data:
-        # Paragraph skip: whitespace-only concatenated text
-        # (pdfrenderer.py:92-103).
-        linetext = "".join(ch for line in paragraph["lines"]
-                           for word in line["words"] for ch in word["text"])
-        if linetext.strip() == "":
+        if not _para_has_ink(paragraph):
             continue
-
-        pdf_str += b"BT\n3 Tr"
-        old_fontsize = 0
-        new_block = True
+        ops.append(b"BT\n3 Tr")
+        shown_size = 0
+        pending_block = True
 
         for line in paragraph["lines"]:
-            first_word_of_line = True
-            line_words: list[str] = []
+            need_baseline = True
+            surviving: list[str] = []
+
             for word in line["words"]:
-                if first_word_of_line:
-                    bx1, by1, bx2, by2 = line["bbox"]
-                    slope, const = line["baseline"]
-                    x1 = bx1
-                    y1 = by2 + const
-                    x2 = bx2
-                    dx = x2 - x1
-                    y2 = y1 + slope * dx
-                    line_x1, line_y1, line_x2, line_y2 = \
-                        clip_baseline(ppi, x1, y1, x2, y2)
-                    writing_direction = word["writing_direction"]
-                    if writing_direction == WRITING_DIRECTION_UNSPECIFIED:
-                        writing_direction = WRITING_DIRECTION_LEFT_TO_RIGHT
+                if need_baseline:
+                    seg = _baseline_for(line, ppi)
+                    seg_dir = word["writing_direction"]
+                    if seg_dir == WRITING_DIRECTION_UNSPECIFIED:
+                        seg_dir = WRITING_DIRECTION_LEFT_TO_RIGHT
 
-                word_x1, word_y1, word_x2, word_y2 = word["bbox"]
-                x, y, word_length = get_word_baseline(
-                    writing_direction, ppi, height,
-                    word_x1, word_y1, word_x2, word_y2,
-                    line_x1, line_y1, line_x2, line_y2)
+                x, y, advance = get_word_baseline(
+                    seg_dir, ppi, height, *word["bbox"], *seg)
 
-                if (writing_direction != old_writing_direction) or new_block:
-                    a, b, c, d = affine_matrix(
-                        writing_direction, line_x1, line_y1, line_x2, line_y2)
-                    pdf_str += (b" " + floatbytes(prec(a)) +
-                                b" " + floatbytes(prec(b)) +
-                                b" " + floatbytes(prec(c)) +
-                                b" " + floatbytes(prec(d)) +
-                                b" " + floatbytes(prec(x)) +
-                                b" " + floatbytes(prec(y)) +
-                                b" Tm ")
-                    new_block = False
+                if pending_block or seg_dir != cur_dir:
+                    rot = affine_matrix(seg_dir, *seg)
+                    ops.append(b" " + b" ".join(
+                        floatbytes(prec(v))
+                        for v in (*rot, x, y)) + b" Tm ")
+                    pending_block = False
                 else:
-                    dx = x - old_x
-                    dy = y - old_y
-                    pdf_str += b" " + floatbytes(prec(dx * a + dy * b))
-                    pdf_str += b" " + floatbytes(prec(dx * c + dy * d))
-                    pdf_str += b" Td "
-                    first_word_of_line = False
+                    dx, dy = x - cur_x, y - cur_y
+                    ra, rb, rc, rd = rot
+                    ops.append(b" " + floatbytes(prec(dx * ra + dy * rb))
+                               + b" " + floatbytes(prec(dx * rc + dy * rd))
+                               + b" Td ")
+                    need_baseline = False
+                cur_x, cur_y, cur_dir = x, y, seg_dir
 
-                old_x = x
-                old_y = y
-                old_writing_direction = writing_direction
+                size = word["fontsize"]
+                if size <= 0:
+                    size = abs(seg[3] - seg[1])         # clipped line height
+                    if size <= 0:
+                        size = K_DEFAULT_FONTSIZE
+                if size != shown_size:
+                    ops.append(b"/f-0-0 " + str(size).encode("ascii")
+                               + b" Tf ")
+                    shown_size = size
 
-                fontsize = word["fontsize"]
-                if fontsize <= 0:                       # pdfrenderer.py:168-174
-                    line_height = abs(line_y2 - line_y1)
-                    fontsize = line_height
-                    if fontsize <= 0:
-                        fontsize = K_DEFAULT_FONTSIZE
-                if fontsize != old_fontsize:
-                    pdf_str += b"/f-0-0 " + str(fontsize).encode("ascii") + b" Tf "
-                    old_fontsize = fontsize
+                payload, kept, dropped = _utf16_payload(word["text"])
+                out.dropped_codepoints += dropped
+                n_glyphs = len(kept) + 1                # + synthetic space
+                if advance > 0 and n_glyphs > 0:
+                    stretch = K_CHAR_WIDTH * prec(
+                        100.0 * advance / (size * n_glyphs))
+                    ops.append(floatbytes(stretch) + b" Tz"
+                               + b" [ <" + payload + b"> ] TJ")
+                surviving.append("".join(kept))
 
-                pdf_word = b""
-                pdf_word_len = 0
-                kept_chars: list[str] = []
-                for char in word["text"]:
-                    ok, utf16 = codepoint_to_utf16be(ord(char))
-                    if ok:
-                        pdf_word += utf16
-                        pdf_word_len += 1
-                        kept_chars.append(char)
-                    else:
-                        res.dropped_codepoints += 1
+            ops.append(b" \n")
+            line_text = " ".join(surviving)
+            if line_text.strip():
+                out.lines.append(line_text)
 
-                pdf_word += b"0020"                     # pdfrenderer.py:190-192
-                pdf_word_len += 1
+        ops.append(b"ET\n")
 
-                if word_length > 0 and pdf_word_len > 0:
-                    h_stretch = K_CHAR_WIDTH * prec(
-                        100.0 * word_length / (fontsize * pdf_word_len))
-                    pdf_str += floatbytes(h_stretch) + b" Tz"
-                    pdf_str += b" [ <" + pdf_word
-                    pdf_str += b"> ] TJ"
-
-                line_words.append("".join(kept_chars))
-
-            pdf_str += b" \n"
-            # The extracted line text: surviving word texts in order.
-            line_text = " ".join(line_words)
-            if line_text.strip() != "":
-                res.lines.append(line_text)
-
-        pdf_str += b"ET\n"
-
-    res.text_ops = pdf_str
-    return res
+    out.text_ops = b"".join(ops)
+    return out
