@@ -911,6 +911,64 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+def q_hocr_parse(spark, sf):
+    """S4 — real hOCR markup parsing.  Executor-side: render each
+    document's text as multi-page hOCR (80 words/page fixture layout),
+    stream-parse the markup back (``sources.hocr``), and emit per-page
+    structural counts.  The oracle reconstructs the page geometry
+    arithmetically from the raw text, so a parser miscount (lost page,
+    dropped word, wrong bbox) breaks the match."""
+    import pandas as pd
+
+    from .sources.hocr import hocr_documents
+
+    def gen(batches):
+        from .corpus.hocrgen import synth_hocr
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "hocr": [synth_hocr(t) for t in pdf["text"].values]})
+
+    doc = load_table(spark, sf, "documents").select("doc_id", "text")
+    hdf = doc.mapInPandas(gen, schema="doc_id bigint, hocr string")
+    spans = hocr_documents(hdf)
+    pay = ("struct<page: struct<w: int, h: int>, paragraphs: array<struct<"
+           "lines: array<struct<words: array<struct<text: string>>>>>>>")
+    page = (spans.select("doc_id", F.inline("spans"))
+            .select("doc_id", F.col("offset").alias("page_idx"),
+                    F.from_json("text", pay).alias("p")))
+    lines = F.flatten(F.col("p.paragraphs.lines"))
+    words = F.flatten(lines.getField("words"))
+    return page.select(
+        "doc_id", "page_idx",
+        F.col("p.page.w").alias("page_w"),
+        F.col("p.page.h").alias("page_h"),
+        F.coalesce(F.size(lines), F.lit(0)).cast("int").alias("n_lines"),
+        F.coalesce(F.size(words), F.lit(0)).cast("int").alias("n_words"))
+
+
+SQL_HOCR_PARSE = r"""
+WITH base AS (
+  SELECT doc_id,
+         least(len(regexp_split_to_array(trim(text), '\s+')), 400) AS n
+  FROM documents),
+pages AS (
+  SELECT doc_id, n, unnest(generate_series(0,
+           CAST(greatest(ceil(n / 80.0), 1) AS INTEGER) - 1)) AS page_idx
+  FROM base),
+counts AS (
+  SELECT doc_id, page_idx,
+         least(greatest(n - 80 * page_idx, 0), 80) AS nw
+  FROM pages)
+SELECT doc_id, CAST(page_idx AS INTEGER) AS page_idx,
+       1000 AS page_w,
+       CAST(greatest(20 + 26 * ceil(nw / 8.0), 100) AS INTEGER) AS page_h,
+       CAST(ceil(nw / 8.0) AS INTEGER) AS n_lines,
+       CAST(nw AS INTEGER) AS n_words
+FROM counts
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 QUERIES = {
@@ -957,4 +1015,5 @@ QUERIES = {
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
     "scandata": (q_scandata, None),
+    "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
 }

@@ -1,0 +1,162 @@
+"""hOCR parser (S4): round-trip parity with the JSON payload path,
+streaming iteration, title-property edge cases, and the Spark front
+door feeding the extraction pipeline."""
+
+import json
+
+import pytest
+
+from archive_pdf_tools_spark.corpus.hocrgen import hocr_from_pages, synth_hocr
+from archive_pdf_tools_spark.sources.hocr import (
+    iter_pages, page_dimensions, page_payload, page_scan_res,
+    page_word_data, parse_properties)
+from archive_pdf_tools_spark.sources.spans_from_text import layout_text
+
+PROSE = ("the quick brown fox jumps over the lazy dog and keeps running "
+         "through fields of wheat while the sun sets slowly behind hills ")
+
+
+def test_title_property_parsing():
+    props = parse_properties(
+        'image "x 1.jp2"; bbox 0 0 2560 3264; ppageno 7; scan_res 300 300')
+    assert props["image"] == ["x 1.jp2"]
+    assert props["bbox"] == ["0", "0", "2560", "3264"]
+    assert props["scan_res"] == ["300", "300"]
+    assert parse_properties(None) == {}
+    assert parse_properties("bbox 1 2 3") == {"bbox": ["1", "2", "3"]}
+
+
+def test_payload_roundtrip_exact():
+    """parse(render(payload)) == payload, byte-for-byte JSON."""
+    for words in (1, 7, 8, 9, 50):
+        payload = layout_text(" ".join(PROSE.split()[:words]))
+        markup = hocr_from_pages([payload])
+        pages = list(iter_pages(markup))
+        assert len(pages) == 1
+        assert page_payload(pages[0], 300) == payload
+
+
+def test_multi_page_streaming():
+    markup = synth_hocr(PROSE * 20, words_per_page=80)  # 420 -> cap 400
+    n_words_total = 0
+    dims = []
+    for page in iter_pages(markup):
+        wd = page_word_data(page)
+        n_words_total += sum(len(ln["words"])
+                             for para in wd for ln in para["lines"])
+        dims.append(page_dimensions(page))
+    assert len(dims) == 5                      # 400 words / 80 per page
+    assert n_words_total == 400
+    assert all(w == 1000 for w, _h in dims)
+
+
+def test_scan_res_and_dimensions():
+    payload = json.loads(layout_text("alpha beta"))
+    payload["page"]["scan_res"] = 240
+    markup = hocr_from_pages([json.dumps(payload, sort_keys=True)])
+    page = next(iter_pages(markup))
+    assert page_scan_res(page) == 240
+    assert page_dimensions(page) == (1000, payload["page"]["h"])
+
+
+def test_fontsize_fallback_and_direction():
+    markup = """<?xml version="1.0" encoding="UTF-8"?>
+<html xmlns="http://www.w3.org/1999/xhtml"><body>
+<div class="ocr_page" title="bbox 0 0 800 600">
+ <div class="ocr_carea">
+  <p class="ocr_par" dir="rtl">
+   <span class="ocr_line" title="bbox 10 10 300 40; baseline 0.01 -2; x_size 28">
+     <span class="ocrx_word" title="bbox 10 10 80 40; x_wconf 91">aleph</span>
+     <span class="ocrx_word" title="bbox 90 10 160 40; x_wconf 88; x_fsize 12" dir="ltr">two</span>
+   </span>
+  </p>
+ </div>
+</div></body></html>"""
+    page = next(iter_pages(markup))
+    (para,) = page_word_data(page)
+    (line,) = para["lines"]
+    w0, w1 = line["words"]
+    assert w0["fontsize"] == 28.0           # x_size fallback from the line
+    assert w0["writing_direction"] == 2     # inherited rtl
+    assert w1["fontsize"] == 12.0           # own x_fsize wins
+    assert w1["writing_direction"] == 1     # own dir wins
+    assert line["baseline"] == [0.01, -2.0]
+    assert w0["confidence"] == 91.0
+
+
+def test_orphan_lines_and_skipped_junk():
+    markup = """<html><body>
+<div class="ocr_page" title="bbox 0 0 400 300">
+  <span class="ocr_line" title="bbox 5 5 100 25">
+    <span class="ocrx_word" title="bbox 5 5 50 25">lonely</span></span>
+  <span class="ocr_line" title="nonsense here">
+    <span class="ocrx_word" title="bbox 5 30 50 50">dropped-line</span></span>
+  <span class="ocr_line" title="bbox 5 60 100 80"></span>
+</div></body></html>"""
+    page = next(iter_pages(markup))
+    wd = page_word_data(page)
+    assert len(wd) == 1                     # one synthetic paragraph
+    assert [w["text"] for w in wd[0]["lines"][0]["words"]] == ["lonely"]
+    assert len(wd[0]["lines"]) == 1         # bad-bbox + empty lines dropped
+
+
+def test_nested_markup_inside_words():
+    markup = """<html><body>
+<div class="ocr_page" title="bbox 0 0 400 300">
+ <p class="ocr_par"><span class="ocr_line" title="bbox 1 1 99 21">
+   <span class="ocrx_word" title="bbox 1 1 50 21"><strong>bo</strong>ld</span>
+ </span></p>
+</div></body></html>"""
+    page = next(iter_pages(markup))
+    wd = page_word_data(page)
+    assert wd[0]["lines"][0]["words"][0]["text"] == "bold"
+
+
+@pytest.mark.usefixtures("spark")
+def test_hocr_documents_feed_extraction(spark):
+    """The hOCR front door produces byte-identical extraction output to
+    the JSON-payload path on the same synthetic pages."""
+    import pandas as pd
+
+    from archive_pdf_tools_spark.plans import run_extraction
+    from archive_pdf_tools_spark.sources.corpus_source import (
+        SPANS_JSON_SCHEMA)
+    from archive_pdf_tools_spark.sources.hocr import hocr_documents
+    from pyspark.sql import functions as F
+
+    texts = {f"doc_{i:03d}": " ".join((PROSE * (i + 1)).split()[: 30 * (i + 1)])
+             for i in range(6)}
+
+    hdf = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts),
+                      "hocr": [synth_hocr(t, words_per_page=400)
+                               for t in texts.values()]}))
+    via_hocr = run_extraction(hocr_documents(hdf), with_metrics=False)[0]
+
+    jdf = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": list(texts),
+            "spans_json": [json.dumps(
+                [{"kind": "text", "text": layout_text(t),
+                  "media_ref": "", "offset": 0}]) for t in texts.values()]})
+    ).select("doc_id",
+             F.from_json("spans_json", SPANS_JSON_SCHEMA).alias("spans"))
+    via_json = run_extraction(jdf, with_metrics=False)[0]
+
+    a = {r["doc_id"]: r["spans"] for r in via_hocr.collect()}
+    b = {r["doc_id"]: r["spans"] for r in via_json.collect()}
+    assert a == b and len(a) == 6
+    assert any(len(v) > 0 for v in a.values())
+
+
+def test_malformed_markup_survives(spark):
+    import pandas as pd
+
+    from archive_pdf_tools_spark.sources.hocr import hocr_documents
+
+    hdf = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["ok", "broken"],
+        "hocr": [synth_hocr("fine text here"), "<html><body><div"]}))
+    out = {r["doc_id"]: r["spans"] for r in hocr_documents(hdf).collect()}
+    assert out["ok"] and out["ok"][0]["kind"] == "text"
+    assert out["broken"][0]["kind"] == "hocr_error"
