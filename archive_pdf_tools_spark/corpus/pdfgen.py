@@ -23,13 +23,21 @@ def _flate(data: bytes) -> bytes:
     return zlib.compress(data, 6)
 
 
-def build_pdf(pages: list[dict]) -> bytes:
+def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
     """pages: [{width, height, rotate, images: [{w, h, gray: bool,
-    data: bytes}], text: str | None}] -> PDF bytes."""
-    objects: list[bytes] = []          # 1-indexed object bodies (sans header)
+    data: bytes}], text: str | None}] -> PDF bytes.
 
-    def add(body: bytes) -> int:
+    ``modern=True`` emits the PDF 1.5 file structure: dictionary-only
+    objects (pages tree, page dicts, catalog) packed into a compressed
+    /ObjStm, and a /Type /XRef cross-reference *stream* (W [1 4 2]
+    binary rows) instead of the classic table + trailer.  Same logical
+    document either way — the parser must produce identical metadata."""
+    objects: list[bytes] = []          # 1-indexed object bodies (sans header)
+    has_stream: list[bool] = []
+
+    def add(body: bytes, stream: bool = False) -> int:
         objects.append(body)
+        has_stream.append(stream)
         return len(objects)
 
     page_obj_ids = []
@@ -50,7 +58,7 @@ def build_pdf(pages: list[dict]) -> bytes:
                     + b" /BitsPerComponent 8 /Filter /FlateDecode /Length "
                     + str(len(data)).encode() + b" >>\nstream\n"
                     + data + b"\nendstream")
-            img_ids.append(add(body))
+            img_ids.append(add(body, stream=True))
 
         ops = []
         for i, img in enumerate(page.get("images", [])):
@@ -63,7 +71,7 @@ def build_pdf(pages: list[dict]) -> bytes:
         content = _flate(b"\n".join(ops) if ops else b"")
         content_id = add(b"<< /Filter /FlateDecode /Length "
                          + str(len(content)).encode() + b" >>\nstream\n"
-                         + content + b"\nendstream")
+                         + content + b"\nendstream", stream=True)
         pending_pages.append((page, img_ids, content_id))
 
     pages_tree_id = len(objects) + len(pending_pages) + 1
@@ -87,6 +95,9 @@ def build_pdf(pages: list[dict]) -> bytes:
                      + str(tree_id).encode() + b" 0 R >>")
     del pages_tree_id_placeholder
 
+    if modern:
+        return _emit_modern(objects, has_stream, catalog_id)
+
     out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
     offsets = [0]
     for i, body in enumerate(objects, start=1):
@@ -102,9 +113,68 @@ def build_pdf(pages: list[dict]) -> bytes:
     return bytes(out)
 
 
-def synth_pdf(seed: int) -> bytes:
+def _emit_modern(objects: list[bytes], has_stream: list[bool],
+                 catalog_id: int) -> bytes:
+    """Serialize with an /ObjStm for dictionary objects and a /XRef
+    cross-reference stream (ISO 32000-1 §7.5.7-7.5.8)."""
+    out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
+    objstm_id = len(objects) + 1
+    xref_id = len(objects) + 2
+    entries: dict[int, tuple] = {0: (0, 0, 65535)}
+
+    packed: list[tuple[int, bytes]] = []
+    for oid, (body, streamy) in enumerate(zip(objects, has_stream), start=1):
+        if streamy:
+            entries[oid] = (1, len(out), 0)
+            out += b"%d 0 obj\n" % oid + body + b"\nendobj\n"
+        else:
+            entries[oid] = (2, objstm_id, len(packed))
+            packed.append((oid, body))
+
+    header = b" ".join(b"%d %d" % (oid, off) for oid, off in
+                       zip([o for o, _ in packed],
+                           _running_offsets([b for _, b in packed])))
+    payload = header + b"\n" + b" ".join(b for _, b in packed)
+    zdata = _flate(payload)
+    entries[objstm_id] = (1, len(out), 0)
+    out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (objstm_id, len(packed), len(header) + 1, len(zdata))
+            + zdata + b"\nendstream\nendobj\n")
+
+    xref_pos = len(out)
+    size = xref_id + 1
+    entries[xref_id] = (1, xref_pos, 0)
+    rows = bytearray()
+    for oid in range(size):
+        t, a, b = entries.get(oid, (0, 0, 0))
+        rows += bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+    zrows = _flate(bytes(rows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xref_id, size, catalog_id, len(zrows))
+            + zrows + b"\nendstream\nendobj\n")
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)
+
+
+def _running_offsets(bodies: list[bytes]) -> list[int]:
+    """Byte offset of each packed object inside the /ObjStm payload
+    (bodies joined by single spaces, after the /First header)."""
+    offs, cur = [], 0
+    for body in bodies:
+        offs.append(cur)
+        cur += len(body) + 1                 # + separating space
+    return offs
+
+
+def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
     """Seeded synthetic multi-page PDF with a gray/RGB image mix and an
-    optional text layer per page."""
+    optional text layer per page.  ``modern`` picks the 1.5 file
+    structure (xref stream + /ObjStm); None alternates by seed parity so
+    mixed corpora exercise both forms."""
+    if modern is None:
+        modern = bool(seed % 2)
     rng = np.random.default_rng(seed)
     pages = []
     for _ in range(int(rng.integers(1, 6))):
@@ -124,4 +194,4 @@ def synth_pdf(seed: int) -> bytes:
             "text": ("page text %d" % rng.integers(1000)
                      if rng.random() < 0.7 else None),
         })
-    return build_pdf(pages)
+    return build_pdf(pages, modern=modern)

@@ -38,7 +38,7 @@ from .textstats import fingerprint
 
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "simhash",
-           "embedding_near_dups"]
+           "duplicate_components", "embedding_near_dups"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -285,6 +285,46 @@ def simhash(documents: DataFrame) -> DataFrame:
     id_type = src.schema["doc_id"].dataType.simpleString()
     return src.mapInPandas(_sim_batches,
                            schema=f"doc_id {id_type}, simhash bigint")
+
+
+def duplicate_components(doc_ids: DataFrame, pairs: DataFrame,
+                         max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph: (doc_id,
+    cluster_id) where cluster_id = min doc_id reachable through pairs.
+
+    Hash-min label propagation (the standard distributed CC shape, cf.
+    the "Connected Components in MapReduce" family): every round each
+    vertex takes the min label among itself and its neighbours; rounds
+    needed = component diameter, and near-dup components are shallow
+    (dups of dups of X are near X), so this converges in a handful of
+    rounds even at 10^12 docs.  Each round is one join + groupBy on the
+    undirected edge list; ``localCheckpoint`` cuts the lineage so the
+    plan does not grow per round (at real scale: parquet/Iceberg
+    checkpoints instead).  The per-round convergence count is one
+    bounded driver action, same as every iterative Spark algorithm.
+    """
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    und = edges.union(edges.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst"))).cache()
+    labels = doc_ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(max_iters):
+        nbr = (und.join(labels, und["src"] == labels["doc_id"])
+               .groupBy("dst").agg(F.min("cluster_id").alias("nbr_min")))
+        merged = (labels.join(nbr, labels["doc_id"] == nbr["dst"], "left")
+                  .select(labels["doc_id"],
+                          F.least("cluster_id",
+                                  F.coalesce("nbr_min", "cluster_id"))
+                          .alias("cluster_id")))
+        merged = merged.localCheckpoint(eager=True)
+        changed = (merged.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = merged
+        if changed == 0:
+            break
+    return labels
 
 
 def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9,

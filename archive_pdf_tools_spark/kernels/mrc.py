@@ -194,12 +194,12 @@ def mrc_mask_phase(image: np.ndarray, hocr_word_data: list,
         if apply_denoise:
             mask_arr = fast_mask_denoise(mask_arr, 4, 2)  # mrc.py:388
     elif denoise_mask == DENOISE_BREGMAN:
-        # The reference's optional TV-Bregman mode (mrc.py:90-108) needs
-        # skimage; 'fast' is the production default (bin/recode_pdf:156-160).
-        # Deliberate stub per SURVEY §7.4 item 6.
-        raise NotImplementedError(
-            "denoise_mask='bregman' is stubbed (skimage TV-Bregman not "
-            "available); use 'fast' (the reference default)")
+        # The reference's optional TV mode (mrc.py:90-108); from-scratch
+        # split-Bregman solver (kernels/bregman.py), same float-cast ->
+        # weight=1.0 -> (>0.4) re-binarize contract.
+        if apply_denoise:
+            from .bregman import denoise_mask_bregman
+            mask_arr = denoise_mask_bregman(mask_arr)
     elif denoise_mask != DENOISE_NONE:
         raise ValueError("Invalid denoise option: %s" % denoise_mask)
     return mask_arr, decisions, warnings

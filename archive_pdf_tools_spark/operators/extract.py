@@ -42,6 +42,16 @@ import json
 import time
 from typing import Iterable, Iterator
 
+try:                                    # optional fast path for the per-page
+    import orjson as _fastjson          # payload parse (absent in-sandbox;
+except ImportError:                     # stdlib json is the fallback)
+    _fastjson = None
+
+def _loads(payload: str):
+    if _fastjson is not None:
+        return _fastjson.loads(payload)
+    return json.loads(payload)
+
 import numpy as np
 import pandas as pd
 
@@ -112,7 +122,7 @@ def extract_one(kind: str, text: str, media_ref: str):
     ops_sha = ""
 
     if kind == "text":
-        payload = json.loads(text)
+        payload = _loads(text)
         page = payload["page"]
         width, height, ppi, warns = page_geometry(
             page["w"], page["h"], doc_dpi=page.get("dpi"))

@@ -526,6 +526,40 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def q_dedup_clusters(spark, sf):
+    """Near-dup *cluster* materialization: LSH pairs -> connected
+    components (hash-min propagation) -> (doc_id, cluster_id).  Oracle:
+    DuckDB recursive CTE computing min-reachable-id over the exact
+    >= tau Jaccard pair graph — verifies both the pair generation and
+    the component convergence."""
+    docs = _seeded_documents(spark, sf)
+    pairs = D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, tau=0.5)
+    return D.duplicate_components(docs.select("doc_id"), pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE seeded AS ({SEED_DOCS_SQL}),
+sh AS ({_SEEDED_SHINGLES_SQL.format(n=3)}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM seeded
+  UNION
+  SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def _query_vec(spark, sf):
@@ -1000,6 +1034,7 @@ QUERIES = {
     "simhash": (q_simhash, SQL_SIMHASH),
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),

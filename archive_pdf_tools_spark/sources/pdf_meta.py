@@ -14,9 +14,11 @@ object fetch, /Pages tree walk) feeding per-page metadata:
   bitonal, ``:223-257``) and scale estimate (A9 max image/bbox ratio with
   300/72 default and 10000 px clamp, ``:192-220, 354-366``).
 
-Scope: classic cross-reference *tables* and Flate/raw streams — the shape
-our fixture corpus generates (``corpus/pdfgen.py``).  Compressed xref
-streams (PDF 1.5 object streams) are out of scope and raise cleanly.
+Scope: both cross-reference forms of ISO 32000-1 — classic xref tables
+(§7.5.4) and PDF 1.5 cross-reference streams (§7.5.8) with /Prev chains,
+PNG/TIFF predictors (§7.4.4.4), and /ObjStm object streams (§7.5.7) — so
+both the classic and modern fixture shapes parse to identical output.
+Codec-filtered image payloads (JPX/DCT/JBIG2) stay metadata-only.
 
 Spark surface: ``pdf_metadata(df)`` maps ``(doc_id, pdf binary)`` rows to
 per-page metadata rows via ``mapInPandas`` (1->N, UDTF-shaped — SURVEY
@@ -53,23 +55,175 @@ def _find_trailer(data: bytes):
     return int(m[-1].group(1))
 
 
-def _parse_xref(data: bytes, pos: int) -> dict[int, int]:
-    if not data[pos:pos + 4] == b"xref":
-        raise PdfError("compressed xref streams unsupported")
-    offsets: dict[int, int] = {}
-    cur = pos + 4
-    while True:
-        m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[cur:cur + 64])
-        if not m:
-            break
-        start, count = int(m.group(1)), int(m.group(2))
-        cur += m.end()
-        for i in range(count):
-            entry = data[cur:cur + 20]
-            if entry[17:18] == b"n":
-                offsets[start + i] = int(entry[0:10])
-            cur += 20
-    return offsets
+def _png_unpredict(raw: bytes, predictor: int, row_len: int) -> bytes:
+    """Undo stream predictors (ISO 32000-1 §7.4.4.4).  Predictor 2
+    (TIFF) and 10-15 (PNG None/Sub/Up/Average/Paeth, colors=1 bpc=8 —
+    the xref-stream case) are supported."""
+    if predictor < 2:
+        return raw
+    if predictor == 2:                      # TIFF horizontal differencing
+        out = bytearray(raw)
+        for r in range(0, len(out), row_len):
+            for i in range(r + 1, min(r + row_len, len(out))):
+                out[i] = (out[i] + out[i - 1]) & 0xFF
+        return bytes(out)
+    stride = row_len + 1                    # PNG: one filter byte per row
+    out = bytearray()
+    prev = bytearray(row_len)
+    for r in range(0, len(raw), stride):
+        ftype = raw[r]
+        row = bytearray(raw[r + 1:r + stride])
+        for i in range(len(row)):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            if ftype == 1:
+                row[i] = (row[i] + left) & 0xFF
+            elif ftype == 2:
+                row[i] = (row[i] + up) & 0xFF
+            elif ftype == 3:
+                row[i] = (row[i] + ((left + up) >> 1)) & 0xFF
+            elif ftype == 4:                # Paeth
+                ul = prev[i - 1] if i else 0
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else ul)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+class _Reader:
+    """Cross-reference resolver: walks the startxref chain (classic
+    tables and 1.5 xref streams, /Prev and hybrid /XRefStm links),
+    resolving each object id to a byte offset or an object-stream slot.
+    Newest sections win (incremental-update semantics)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        # oid -> (1, byte offset) | (2, objstm oid, index inside it)
+        self.entries: dict[int, tuple] = {}
+        self.trailers: list[bytes] = []
+        self._objstm_cache: dict[int, dict[int, bytes]] = {}
+        pos = _find_trailer(data)
+        seen: set[int] = set()
+        while pos is not None and 0 <= pos < len(data) and pos not in seen:
+            seen.add(pos)
+            pos = self._load_section(pos)
+
+    # -- section loading ---------------------------------------------
+    def _load_section(self, pos: int):
+        if self.data[pos:pos + 4] == b"xref":
+            return self._load_table(pos)
+        return self._load_xref_stream(pos)
+
+    def _load_table(self, pos: int):
+        data = self.data
+        cur = pos + 4
+        while True:
+            m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[cur:cur + 64])
+            if not m:
+                break
+            start, count = int(m.group(1)), int(m.group(2))
+            cur += m.end()
+            for i in range(count):
+                entry = data[cur:cur + 20]
+                if entry[17:18] == b"n":
+                    self.entries.setdefault(start + i, (1, int(entry[0:10])))
+                cur += 20
+        tpos = data.find(b"trailer", cur)
+        trailer = _dict_region(data[tpos:tpos + 4096]) if tpos >= 0 else b""
+        self.trailers.append(trailer)
+        hybrid = _get_int(trailer, b"/XRefStm")
+        if hybrid is not None:
+            self._load_section(hybrid)
+        return _get_int(trailer, b"/Prev")
+
+    def _load_xref_stream(self, pos: int):
+        body = _object_body(self.data, pos)
+        d = _dict_region(body)
+        if b"/XRef" not in d:
+            raise PdfError("startxref points at neither table nor /XRef")
+        w = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", d)
+        if not w:
+            raise PdfError("xref stream without /W")
+        w1, w2, w3 = (int(w.group(i)) for i in (1, 2, 3))
+        size = _get_int(d, b"/Size") or 0
+        idx = re.search(rb"/Index\s*\[([\d\s]+)\]", d)
+        nums = [int(v) for v in idx.group(1).split()] if idx else [0, size]
+        raw = _stream_data(body, d)
+        pred = re.search(rb"/Predictor\s+(\d+)", d)
+        if pred:
+            raw = _png_unpredict(raw, int(pred.group(1)), w1 + w2 + w3)
+        row = w1 + w2 + w3
+        fields = []
+        for r in range(0, len(raw) - row + 1, row):
+            chunk = raw[r:r + row]
+            t = int.from_bytes(chunk[:w1], "big") if w1 else 1
+            a = int.from_bytes(chunk[w1:w1 + w2], "big")
+            b = int.from_bytes(chunk[w1 + w2:row], "big")
+            fields.append((t, a, b))
+        fi = 0
+        for j in range(0, len(nums) - 1, 2):
+            start, count = nums[j], nums[j + 1]
+            for i in range(count):
+                if fi >= len(fields):
+                    break
+                t, a, b = fields[fi]
+                fi += 1
+                if t == 1:
+                    self.entries.setdefault(start + i, (1, a))
+                elif t == 2:
+                    self.entries.setdefault(start + i, (2, a, b))
+        self.trailers.append(d)
+        return _get_int(d, b"/Prev")
+
+    # -- object access ------------------------------------------------
+    def root_id(self):
+        for t in self.trailers:
+            rid = _get_ref(t, b"/Root")
+            if rid is not None:
+                return rid
+        return None
+
+    def has(self, oid: int) -> bool:
+        return oid in self.entries
+
+    def _objstm(self, stm_oid: int) -> dict[int, bytes]:
+        cached = self._objstm_cache.get(stm_oid)
+        if cached is not None:
+            return cached
+        body = self.body(stm_oid)
+        d = _dict_region(body)
+        payload = _stream_data(body, d)
+        n = _get_int(d, b"/N") or 0
+        first = _get_int(d, b"/First") or 0
+        header = payload[:first].split()
+        slots: dict[int, bytes] = {}
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+                 for i in range(min(n, len(header) // 2))]
+        for i, (objnum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else \
+                len(payload) - first
+            slots[objnum] = payload[first + off:first + end]
+        self._objstm_cache[stm_oid] = slots
+        return slots
+
+    def body(self, oid: int) -> bytes:
+        e = self.entries.get(oid)
+        if e is None:
+            raise PdfError(f"object {oid} not in xref")
+        if e[0] == 1:
+            return _object_body(self.data, e[1])
+        slots = self._objstm(e[1])
+        if oid not in slots:
+            raise PdfError(f"object {oid} missing from /ObjStm {e[1]}")
+        return slots[oid]
+
+    def obj(self, oid: int):
+        body = self.body(oid)
+        return body, _dict_region(body)
 
 
 def _object_body(data: bytes, offset: int) -> bytes:
@@ -143,16 +297,12 @@ def _stream_data(body: bytes, d: bytes) -> bytes:
 def parse_pdf(data: bytes) -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
     (see module docstring for the field provenance)."""
-    xref = _parse_xref(data, _find_trailer(data))
-    trailer_pos = data.rfind(b"trailer")
-    trailer = _dict_region(data[trailer_pos:])
-    root_id = _get_ref(trailer, b"/Root")
-    if root_id is None or root_id not in xref:
+    rd = _Reader(data)
+    root_id = rd.root_id()
+    if root_id is None or not rd.has(root_id):
         raise PdfError("no /Root")
 
-    def obj(oid: int):
-        body = _object_body(data, xref[oid])
-        return body, _dict_region(body)
+    obj = rd.obj
 
     _, catalog = obj(root_id)
     pages_id = _get_ref(catalog, b"/Pages")
@@ -216,7 +366,7 @@ def parse_pdf(data: bytes) -> dict:
 
         content_id = _get_ref(d, b"/Contents")
         has_text = False
-        if content_id is not None and content_id in xref:
+        if content_id is not None and rd.has(content_id):
             cbody, cdict = obj(content_id)
             ops = _stream_data(cbody, cdict)
             has_text = b"Tj" in ops or b"TJ" in ops
@@ -244,13 +394,12 @@ def extract_page_images(data: bytes, page_idx: int):
     meta = parse_pdf(data)
     if page_idx >= meta["n_pages"]:
         raise IndexError(page_idx)
-    xref_map = _parse_xref(data, _find_trailer(data))
+    rd = _Reader(data)
     out = []
     for im in meta["pages"][page_idx]["images"]:
         if im["format"] not in ("FLATE", "RAW"):
             continue
-        body = _object_body(data, xref_map[im["xref"]])
-        d = _dict_region(body)
+        body, d = rd.obj(im["xref"])
         raw = _stream_data(body, d)
         ch = 1 if im["mode"] in ("L", "1") else 3
         n = im["width"] * im["height"] * ch

@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 HEADLINE_QUERIES = [
     "pricing_summary", "nation_revenue", "gaps_islands", "positional_join",
     "token_stats", "simhash", "minhash_sigs", "ngram_jaccard",
-    "ann_bruteforce", "page_series",
+    "minhash_lsh_pairs", "hocr_parse", "ann_bruteforce", "page_series",
 ]
 
 

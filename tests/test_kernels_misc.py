@@ -218,15 +218,54 @@ def test_mrc_gray_mode_special():
     assert a.mask.shape == b.mask.shape
 
 
-def test_mrc_bregman_stubbed():
+def test_mrc_bregman_mode_runs():
     import numpy as np
-    import pytest
 
     from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
 
-    img = np.full((20, 20), 200, dtype=np.uint8)
-    with pytest.raises(NotImplementedError):
-        create_mrc_components(img, [], denoise_mask="bregman")
+    img = np.full((40, 40), 200, dtype=np.uint8)
+    img[10:20, 10:25] = 20                  # an inky block
+    res = create_mrc_components(img, [], denoise_mask="bregman")
+    assert res.mask.dtype == bool and res.mask.shape == img.shape
+
+
+def test_bregman_denoise_properties():
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.bregman import (
+        denoise_mask_bregman, denoise_tv_bregman)
+
+    # structure kept, isolated speckles removed
+    mask = np.zeros((48, 48), dtype=bool)
+    mask[8:28, 10:34] = True                # solid block: survives
+    rng = np.random.default_rng(3)
+    speckles = (rng.integers(0, 48, 12), rng.integers(0, 48, 12))
+    noisy = mask.copy()
+    for y, x in zip(*speckles):
+        if not mask[max(y - 2, 0):y + 3, max(x - 2, 0):x + 3].any():
+            noisy[y, x] = True              # isolated single pixels
+    den = denoise_mask_bregman(noisy)
+    assert den[12:24, 14:30].all()          # block interior intact
+    n_spk = sum(1 for y, x in zip(*speckles)
+                if noisy[y, x] and not mask[y, x])
+    survivors = int((den & ~mask & noisy).sum())
+    assert n_spk >= 5 and survivors < n_spk / 2   # most speckles gone
+
+    # constant input is (nearly) a fixed point
+    const = np.full((16, 16), 0.7)
+    out = denoise_tv_bregman(const, weight=1.0)
+    assert np.allclose(out, 0.7, atol=1e-6)
+
+    # TV + fidelity energy does not increase
+    def energy(u, f, lam):
+        gx = np.diff(u, axis=1)
+        gy = np.diff(u, axis=0)
+        tv = np.sqrt(gx[:-1] ** 2 + gy[:, :-1] ** 2).sum()
+        return tv + lam / 2 * ((u - f) ** 2).sum()
+
+    f = noisy.astype(np.float64)
+    u = denoise_tv_bregman(f, weight=1.0)
+    assert energy(u, f, 2.0) <= energy(f, f, 2.0)
 
 
 def test_mrc_component_downsample():
@@ -244,3 +283,21 @@ def test_mrc_component_downsample():
     r = create_mrc_components(tiny, [], dpi=None, bg_downsample=8)
     assert "too-small-to-downsample" in r.warnings
     assert r.background.shape == (4, 4)   # unchanged
+
+
+def test_bregman_grad_div_adjoint():
+    """<grad u, v> == -<u, div v> — the discrete adjoint identity the
+    solver's optimality condition relies on."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.bregman import _div, _grad
+
+    rng = np.random.default_rng(11)
+    for shape in ((5, 5), (6, 9), (2, 13)):
+        u = rng.standard_normal(shape)
+        vx = rng.standard_normal(shape)
+        vy = rng.standard_normal(shape)
+        gx, gy = _grad(u)
+        lhs = float((gx * vx + gy * vy).sum())
+        rhs = float(-(u * _div(vx, vy)).sum())
+        assert abs(lhs - rhs) < 1e-10
