@@ -120,3 +120,20 @@ def test_ivf_deterministic(embeddings_df):
     c1 = ivf_fit_centroids(embeddings_df, n_centroids=8)
     c2 = ivf_fit_centroids(embeddings_df, n_centroids=8)
     np.testing.assert_array_equal(c1, c2)
+
+
+def test_duplicate_components_known_graph(spark):
+    """Hash-min propagation on a graph with a 2-hop chain (needs >1
+    round), a pair, and isolated vertices."""
+    import pandas as pd
+
+    from archive_pdf_tools_spark.functions.dedup import duplicate_components
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7, 8]}))
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"doc_a": [1, 2, 3, 5],
+                      "doc_b": [2, 3, 4, 6]}))   # chain 1-2-3-4, pair 5-6
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in duplicate_components(docs, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}

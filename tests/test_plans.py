@@ -68,3 +68,26 @@ def test_extraction_single_regroup_shuffle(spark, tmp_path):
     import re
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", p, re.MULTILINE))
     assert n_exchanges == 2, p
+
+
+def test_srp_signature_is_vectorized_not_interpreted(spark):
+    """The SRP signature must come from one mapInPandas matmul, not
+    n_planes interpreted Catalyst aggregate lambdas (measured 5-7x
+    slower in the minhash kernels)."""
+    from archive_pdf_tools_spark.functions.similarity import (
+        srp_lsh_topk)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [0.1] * 64
+    p = plan_str(srp_lsh_topk(emb, q, k=5, n_planes=6))
+    assert "MapInPandas" in p
+
+
+def test_embedding_near_dups_blocks_on_ivf_cells(spark):
+    """IVF-cell blocking: the candidate join keys on the cell id from a
+    vectorized assign stage; the raw embedding column must not ride the
+    blocking join (it is re-joined only for the verify)."""
+    from archive_pdf_tools_spark.functions.dedup import embedding_near_dups
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    p = plan_str(embedding_near_dups(emb, tau=0.9))
+    assert "MapInPandas" in p
+    assert "cell" in p

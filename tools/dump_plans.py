@@ -31,6 +31,18 @@ COMMENT = {
         "Same shuffle-free hybrid shape as simhash; the mapInPandas "
         "boundary also stops CollapseProject from duplicating the "
         "hash-array expression per permutation."),
+    "minhash_lsh_pairs": (
+        "The scale-correct near-dup path: map-only signature stage -> "
+        "explode to (band, bucket) -> self-join keyed on the bucket "
+        "(candidate volume set by band width, not corpus size; AQE "
+        "splits skewed buckets) -> exact-Jaccard verify join.  The "
+        "shingle table is computed once and reused for sizes + verify."),
+    "embedding_dups": (
+        "IVF-cell blocking: a vectorized MapInPandas assigns each "
+        "vector its nprobe nearest centroids; only (vec_id, cell) rides "
+        "the blocking self-join, embeddings re-join for the cosine "
+        "verify — O(sum cell^2), not O(n^2), and no raster-sized rows "
+        "in the wide shuffle."),
 }
 
 
@@ -62,7 +74,7 @@ def main():
                      plan_of(reassemble(extract_spans(docs,
                                                       num_partitions=4)))))
     for name in ("nation_revenue", "pricing_summary", "simhash",
-                 "minhash_sigs"):
+                 "minhash_sigs", "minhash_lsh_pairs", "embedding_dups"):
         fn, _sql = QUERIES[name]
         sections.append((name, COMMENT[name], plan_of(fn(spark, SF))))
 
