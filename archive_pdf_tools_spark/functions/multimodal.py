@@ -23,7 +23,8 @@ from ..kernels.grayconvert import rgb_to_gray
 from ..kernels.sauvola import threshold_image
 
 __all__ = ["CODECS_AVAILABLE", "decode_image", "media_features",
-           "FEATURES_SCHEMA_DDL"]
+           "resize_media", "sample_frames", "FEATURES_SCHEMA_DDL",
+           "RESIZE_SCHEMA_DDL", "FRAMES_SCHEMA_DDL"]
 
 # Real codecs (PIL/ffmpeg/...) are not shipped in this environment.
 CODECS_AVAILABLE = False
@@ -71,3 +72,80 @@ def media_features(documents_df):
             .where(F.col("s.kind") == "media")
             .select(F.col("s.media_ref").alias("media_ref")))
     return refs.mapInPandas(_features_batches, schema=FEATURES_SCHEMA_DDL)
+
+
+RESIZE_SCHEMA_DDL = ("media_ref string, src_w int, src_h int, dst_w int, "
+                     "dst_h int, too_small boolean, content_sha string")
+
+
+def resize_media(documents_df, factor: float = 2.0):
+    """Batch image resize plumbing: decode (synthetic, codec swap
+    point) -> exact integer box-mean downsample (``kernels/pages``) ->
+    content hash of the resized raster.  Rasters stay executor-local;
+    only refs + hashes cross stage boundaries."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ..kernels.pages import downsample_box
+
+    def _resize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for ref in pdf["media_ref"].values:
+                spec = page_spec(ref)
+                raster = render_raster(spec)
+                out, too_small = downsample_box(raster, factor)
+                sha = hashlib.sha1(
+                    np.ascontiguousarray(out).tobytes()).hexdigest()[:12]
+                recs.append((ref, raster.shape[1], raster.shape[0],
+                             out.shape[1], out.shape[0], too_small, sha))
+            yield pd.DataFrame(recs, columns=[
+                "media_ref", "src_w", "src_h", "dst_w", "dst_h",
+                "too_small", "content_sha"])
+
+    refs = (documents_df
+            .select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref")))
+    return refs.mapInPandas(_resize, schema=RESIZE_SCHEMA_DDL)
+
+
+FRAMES_SCHEMA_DDL = ("media_ref string, frame_idx int, ts_ms int, "
+                     "mean_intensity double, is_keyframe boolean")
+
+
+def sample_frames(documents_df, every_n: int = 5, fps: float = 10.0):
+    """Video frame-sampling plumbing: a media payload is treated as a
+    frame sequence (frame count seeded from the ref; the decode is the
+    deterministic fake standing in for an ffmpeg-style codec), and every
+    ``every_n``-th frame is materialized with its timestamp + features.
+    1->N flat map, one Arrow batch per input batch — the real-codec swap
+    changes only the decode call."""
+    from pyspark.sql import functions as F
+
+    from ..corpus.rasters import ref_seed
+
+    def _frames(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for ref in pdf["media_ref"].values:
+                rng = np.random.default_rng(ref_seed(ref) ^ 0xF4A3E)
+                n_frames = int(rng.integers(8, 64))
+                base = render_raster(page_spec(ref))
+                gray = rgb_to_gray(base) if base.ndim == 3 else base
+                g0 = float(gray.mean())
+                for idx in range(0, n_frames, every_n):
+                    # fake per-frame decode: deterministic brightness walk
+                    mean = round(g0 + 3.0 * np.sin(idx / 4.0), 4)
+                    recs.append((ref, idx, int(idx * 1000 / fps),
+                                 mean, idx == 0))
+            yield pd.DataFrame(recs, columns=[
+                "media_ref", "frame_idx", "ts_ms", "mean_intensity",
+                "is_keyframe"])
+
+    refs = (documents_df
+            .select(F.explode("spans").alias("s"))
+            .where(F.col("s.kind") == "media")
+            .select(F.col("s.media_ref").alias("media_ref")))
+    return refs.mapInPandas(_frames, schema=FRAMES_SCHEMA_DDL)

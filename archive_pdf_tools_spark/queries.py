@@ -674,6 +674,25 @@ def q_media_features(spark, sf):
     return media_features(docs)
 
 
+def q_media_resize(spark, sf):
+    """Multimodal resize plumbing: exact integer box-mean downsample of
+    each media raster, emitting dims + content hash (rows-only: the
+    raster math is pinned by kernel pytest goldens)."""
+    from .functions.multimodal import resize_media
+
+    docs = synthetic_documents(spark, n_docs=16, max_spans=12)
+    return resize_media(docs, factor=2.0)
+
+
+def q_frame_sample(spark, sf):
+    """Multimodal frame-sampling plumbing (video-as-frame-sequence,
+    deterministic fake decode): every 5th frame with timestamps."""
+    from .functions.multimodal import sample_frames
+
+    docs = synthetic_documents(spark, n_docs=16, max_spans=12)
+    return sample_frames(docs, every_n=5)
+
+
 def q_pdf_metadata(spark, sf):
     """S2/S3 — per-page PDF byte-stream structural parse (pdf-metadata-json
     analyse(), bin/pdf-metadata-json:260-407) over seeded synthetic PDFs
@@ -945,6 +964,60 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+def q_winnow_fp(spark, sf):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the rolling-hash fingerprint a plagiarism/near-dup
+    pipeline keeps per doc): char k-gram hashes (k=8), min per sliding
+    window (w=4), distinct selected hashes, per-doc digest.  Entirely
+    JVM-side (substring/md5/window-min in whole-stage codegen — no
+    Python), mirrored exactly in the DuckDB oracle."""
+    k, w = 8, 4
+    doc = load_table(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = (doc.select("doc_id", norm.alias("t"))
+            .where(F.length("t") >= k + w - 1))
+    grams = (base.select(
+        "doc_id", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
+        F.col("t"))
+        .select("doc_id", "n", "i",
+                T.h56(F.expr(f"substring(t, i, {k})")).alias("h")))
+    win = (Window.partitionBy("doc_id").orderBy("i")
+           .rowsBetween(Window.currentRow, w - 1))
+    fps = (grams
+           .withColumn("fp", F.min("h").over(win))
+           .where(F.col("i") <= F.col("n") - (k - 1) - (w - 1))
+           .select("doc_id", "fp").distinct())
+    return (fps.groupBy("doc_id")
+            .agg(F.count("*").alias("n_fps"),
+                 F.sum(F.col("fp") % (1 << 30)).alias("fp_sum"),
+                 F.min("fp").alias("fp_min"),
+                 F.max("fp").alias("fp_max")))
+
+
+SQL_WINNOW = r"""
+WITH base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, len(t) AS n, i,
+         ('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 11),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, n, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams) t
+  WHERE i <= n - 7 - 3)
+SELECT doc_id, count(*) AS n_fps,
+       CAST(sum(fp % (1::BIGINT << 30)) AS BIGINT) AS fp_sum,
+       min(fp) AS fp_min, max(fp) AS fp_max
+FROM fps GROUP BY doc_id
+"""
+
+
 def q_hocr_parse(spark, sf):
     """S4 — real hOCR markup parsing.  Executor-side: render each
     document's text as multi-page hOCR (80 words/page fixture layout),
@@ -1027,6 +1100,7 @@ QUERIES = {
     "lang_guess": (q_lang_guess, SQL_LANG),
     "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
     "fingerprints": (q_fingerprints, SQL_FP),
+    "winnow_fp": (q_winnow_fp, SQL_WINNOW),
     # dedup
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
@@ -1047,6 +1121,8 @@ QUERIES = {
     "extract_testdata": (q_extract_testdata, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
+    "media_resize": (q_media_resize, None),
+    "frame_sample": (q_frame_sample, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
     "scandata": (q_scandata, None),

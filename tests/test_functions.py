@@ -137,3 +137,51 @@ def test_duplicate_components_known_graph(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in duplicate_components(docs, pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7, 8: 8}
+
+
+def test_resize_media_matches_kernel(spark):
+    """resize_media rows reproduce downsample_box exactly (dims + hash)."""
+    import hashlib
+
+    import numpy as np
+
+    from archive_pdf_tools_spark.corpus.rasters import (
+        page_spec, render_raster)
+    from archive_pdf_tools_spark.functions.multimodal import resize_media
+    from archive_pdf_tools_spark.kernels.pages import downsample_box
+    from archive_pdf_tools_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, n_docs=8, max_spans=8)
+    rows = resize_media(docs, factor=2.0).collect()
+    assert rows
+    for r in rows[:6]:
+        spec = page_spec(r["media_ref"])
+        raster = render_raster(spec)
+        out, too_small = downsample_box(raster, 2.0)
+        assert (r["src_w"], r["src_h"]) == (raster.shape[1], raster.shape[0])
+        assert (r["dst_w"], r["dst_h"]) == (out.shape[1], out.shape[0])
+        assert r["too_small"] == too_small
+        want = hashlib.sha1(
+            np.ascontiguousarray(out).tobytes()).hexdigest()[:12]
+        assert r["content_sha"] == want
+
+
+def test_sample_frames_deterministic_stride(spark):
+    from archive_pdf_tools_spark.functions.multimodal import sample_frames
+    from archive_pdf_tools_spark.sources import synthetic_documents
+
+    docs = synthetic_documents(spark, n_docs=8, max_spans=8)
+    rows = sample_frames(docs, every_n=5, fps=10.0).collect()
+    assert rows
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    for ref, frames in by_ref.items():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(0, max(idxs) + 1, 5))
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 100
+            assert f["is_keyframe"] == (f["frame_idx"] == 0)
+    # determinism across runs
+    rows2 = sample_frames(docs, every_n=5, fps=10.0).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
