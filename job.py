@@ -23,6 +23,11 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents table path (parquet)")
+    ap.add_argument("--input-format", choices=("spans", "hocr"),
+                    default="spans",
+                    help="'spans' = interleaved (doc_id, spans) table; "
+                         "'hocr' = (doc_id, hocr markup [, dpi]) table, "
+                         "parsed executor-side via sources/hocr.py")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
@@ -46,6 +51,10 @@ def main(argv=None):
                                    num_partitions=args.partitions)
     elif args.input:
         docs = spark.read.parquet(args.input)
+        if args.input_format == "hocr":
+            from archive_pdf_tools_spark.sources.hocr import hocr_documents
+            docs = hocr_documents(
+                docs, dpi_col="dpi" if "dpi" in docs.columns else None)
     else:
         ap.error("one of --input / --synthetic is required")
 
