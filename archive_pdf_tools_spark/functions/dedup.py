@@ -221,7 +221,10 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sh = shingles_df(documents, n)
+    # The shingle table feeds both the size lookup and the two verify
+    # joins; cache it so tokenization runs once (at warehouse scale this
+    # becomes a persisted/Iceberg intermediate instead of a cache).
+    sh = shingles_df(documents, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ash = sh.select(F.col("doc_id").alias("doc_a"),
                     F.col("shingle").alias("s"))

@@ -27,6 +27,29 @@ from .functions.multimodal import media_features
 from .sources import load_table, synthetic_documents
 from .plans import run_extraction
 
+def _spread(df):
+    """Spread a small single-file table scan across the cluster.
+
+    The driver testdata parquet is one file / one row group, so every
+    downstream map stage — including the expensive vectorized-UDF
+    tokenize/hash stages — would otherwise run on ONE core.  A tiny
+    round-robin exchange (hundreds of KB) buys full parallelism for the
+    Python/codegen-heavy work that follows.  At warehouse scale tables
+    arrive in thousands of splits and this is a no-op decision; the
+    underlying functions stay shuffle-free (plan-asserted) so callers
+    with naturally partitioned input pay nothing.
+
+    Applied only to *map-dominated* queries (tokenize/hash/parse): for
+    the join-heavy dedup queries the measured effect is negative — from
+    a 1-partition source AQE plans the candidate joins with tiny
+    coalesced shuffles, and pre-spreading trades that for 3 stages x 32
+    tasks of per-task overhead (measured 3.2s -> 8.4s on ngram_jaccard
+    at sf0.1).
+    """
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 STOP_SQL = "('the','a','of','and','to','in','is','it')"
 TOKS_SQL = r"regexp_split_to_array(trim(text), '\s+')"
 H56_SQL = "(('0x' || substr(md5({x}), 1, 14))::BIGINT)"
@@ -276,7 +299,7 @@ GROUP BY r_name, n_name
 # ----------------------------------------------------------- text analysis
 
 def q_token_stats(spark, sf):
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     ntok = T.token_count("text")
     return (doc.groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
@@ -293,7 +316,7 @@ FROM documents GROUP BY lang
 
 
 def q_quality_scores(spark, sf):
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     return doc.select("doc_id",
                       T.quality_score("text", "n_chars").alias("quality"))
 
@@ -311,7 +334,7 @@ FROM documents
 
 
 def q_lang_guess(spark, sf):
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     return (doc.select(T.lang_guess("text").alias("lang_guess"))
             .groupBy("lang_guess").agg(F.count("*").alias("n")))
 
@@ -330,7 +353,7 @@ FROM documents GROUP BY 1
 
 
 def q_fingerprints(spark, sf):
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     return doc.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
@@ -410,7 +433,7 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
 
 
 def q_simhash(spark, sf):
-    return D.simhash(load_table(spark, sf, "documents"))
+    return D.simhash(_spread(load_table(spark, sf, "documents")))
 
 
 SQL_SIMHASH = f"""
@@ -431,7 +454,7 @@ FROM s GROUP BY doc_id
 
 
 def q_minhash(spark, sf):
-    sig = D.minhash_signatures(load_table(spark, sf, "documents"),
+    sig = D.minhash_signatures(_spread(load_table(spark, sf, "documents")),
                                n=3, k=8, seed=7)
     cols = [F.element_at("sig", i + 1).alias(f"m{i}") for i in range(8)]
     return sig.select("doc_id", *cols)
@@ -832,7 +855,7 @@ _LANG_STOPS = {
 def q_lang_stopwords(spark, sf):
     """Stopword-vote language ID for Latin-script text (the n-gram-free
     counterpart of the script-range guess; ties resolve en>de>es>fr)."""
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
     cols = {}
     for lang, stops in _LANG_STOPS.items():
@@ -865,7 +888,7 @@ def _lang_stopwords_sql():
 def q_dedup_keep(spark, sf):
     """The dedup *materialization*: keep one doc per fingerprint group
     (min doc_id), i.e. the output a training pipeline actually ships."""
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     fp = doc.select("doc_id", T.fingerprint("text").alias("fp"))
     keep = (fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id"))
@@ -882,7 +905,7 @@ GROUP BY fp
 
 def q_top_terms(spark, sf):
     """Classic token frequency top-k (deterministic ties by term)."""
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     toks = F.explode(F.split(F.trim(F.lower(F.col("text"))),
                              r"\s+")).alias("term")
     return (doc.select(toks)
@@ -972,7 +995,7 @@ def q_winnow_fp(spark, sf):
     JVM-side (substring/md5/window-min in whole-stage codegen — no
     Python), mirrored exactly in the DuckDB oracle."""
     k, w = 8, 4
-    doc = load_table(spark, sf, "documents")
+    doc = _spread(load_table(spark, sf, "documents"))
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     base = (doc.select("doc_id", norm.alias("t"))
             .where(F.length("t") >= k + w - 1))
@@ -1036,7 +1059,7 @@ def q_hocr_parse(spark, sf):
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "hocr": [synth_hocr(t) for t in pdf["text"].values]})
 
-    doc = load_table(spark, sf, "documents").select("doc_id", "text")
+    doc = _spread(load_table(spark, sf, "documents").select("doc_id", "text"))
     hdf = doc.mapInPandas(gen, schema="doc_id bigint, hocr string")
     spans = hocr_documents(hdf)
     pay = ("struct<page: struct<w: int, h: int>, paragraphs: array<struct<"
