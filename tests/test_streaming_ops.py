@@ -95,3 +95,43 @@ def test_track_page_runs_across_batches(spark, tmp_path):
     assert (3, "Invalid", 2, -1) in got2
     assert (5, "Arabic", 2, 7) in got2
     assert len(got2) == 3
+
+
+def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
+    """The seen-fingerprint state must persist across micro-batches AND
+    query restarts (checkpointed state store): a duplicate arriving in a
+    later run is dropped, a new doc is admitted."""
+    from archive_pdf_tools_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA_DDL, stream_dedup)
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "kept")
+    cp = str(tmp_path / "cp")
+
+    def run_once():
+        stream = spark.readStream.schema(DOCS_SCHEMA_DDL).parquet(in_dir)
+        q = (stream_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    batch1 = [(1, "alpha beta gamma", "en", "s", 16),
+              (2, "delta epsilon", "en", "s", 13),
+              (3, "Alpha  Beta   GAMMA", "en", "s", 19)]  # dup of 1 (norm)
+    spark.createDataFrame(batch1, DOCS_SCHEMA_DDL).write.parquet(in_dir)
+    run_once()
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    # within one micro-batch the surviving member of a dup group is
+    # partition-order dependent; the guarantee is one-per-fingerprint
+    assert len(kept1) == 2 and 2 in kept1 and (1 in kept1) != (3 in kept1)
+
+    batch2 = [(4, "delta epsilon", "en", "s", 13),      # dup of 2, prior run
+              (5, "zeta eta theta", "en", "s", 14)]     # new
+    spark.createDataFrame(batch2, DOCS_SCHEMA_DDL).write.mode(
+        "append").parquet(in_dir)
+    run_once()
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+    assert kept2 == sorted(kept1 + [5])
