@@ -211,7 +211,8 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
                           denoise_mask: str = DENOISE_FAST,
                           gray_mode: str = "itu",
                           fg_downsample: float | None = None,
-                          bg_downsample: float | None = None) -> MrcResult:
+                          bg_downsample: float | None = None,
+                          downsample_method: str = "box") -> MrcResult:
     """Full MRC decomposition of one page raster (``mrc.py:334-471``).
 
     ``image`` is uint8 (h, w) gray or (h, w, 3) RGB.  Unlike the
@@ -235,14 +236,22 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
         fg = optimise_gray2(mask_arr, image, 3)
         bg = optimise_gray2(~mask_arr, image, 10)
 
-    # Optional component downsampling (mrc.py:420-434, 454-468; box-mean
-    # variant, see kernels/pages.py docstring for the LANCZOS deviation).
+    # Optional component downsampling (mrc.py:420-434, 454-468):
+    # 'lanczos' matches the reference's PIL LANCZOS semantics
+    # (kernels/pages.py::downsample_lanczos); 'box' is the exact-integer
+    # default used by the content-hash goldens.
+    if downsample_method == "lanczos":
+        from .pages import downsample_lanczos as _down
+    elif downsample_method == "box":
+        _down = downsample_box
+    else:
+        raise ValueError("downsample_method must be 'box' or 'lanczos'")
     if fg_downsample is not None:
-        fg, warned = downsample_box(fg, fg_downsample)
+        fg, warned = _down(fg, fg_downsample)
         if warned:
             warnings.append(WARN_TOO_SMALL_TO_DOWNSAMPLE)
     if bg_downsample is not None:
-        bg, warned = downsample_box(bg, bg_downsample)
+        bg, warned = _down(bg, bg_downsample)
         if warned:
             warnings.append(WARN_TOO_SMALL_TO_DOWNSAMPLE)
 
