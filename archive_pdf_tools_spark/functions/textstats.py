@@ -28,6 +28,20 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+# Simplified GPT-2-style pre-tokenizer: contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs.  ASCII-only
+# alternatives keep Java-regex (Spark) and RE2 (DuckDB) agreement:
+# leftmost-first vs leftmost-longest only diverge when a shorter earlier
+# alternative overlaps a longer later one, which these cannot.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \ta-zA-Z0-9]+"
+
+
+def bpe_token_count(col) -> Column:
+    """Number of BPE-ish pre-tokens (whitespace runs yield none)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0))
+
+
 def stopword_ratio(col) -> Column:
     toks = tokens(col)
     stop = F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))

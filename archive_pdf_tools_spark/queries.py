@@ -315,6 +315,28 @@ FROM documents GROUP BY lang
 """
 
 
+def q_bpe_tokens(spark, sf):
+    """Token counting, BPE-ish: per-doc pre-token count (GPT-2-style
+    regex, see ``textstats.BPE_PATTERN``) next to the whitespace count —
+    the pair a training-data pipeline budgets corpora with."""
+    doc = _spread(load_table(spark, sf, "documents"))
+    return doc.select(
+        "doc_id",
+        T.bpe_token_count("text").alias("n_bpe"),
+        T.token_count("text").alias("n_ws"))
+
+
+_BPE_SQL_PAT = T.BPE_PATTERN.replace("'", "''")
+
+SQL_BPE = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_SQL_PAT}', 0)) AS INTEGER)
+         AS n_bpe,
+       CAST(len({TOKS_SQL}) AS INTEGER) AS n_ws
+FROM documents
+"""
+
+
 def q_quality_scores(spark, sf):
     doc = _spread(load_table(spark, sf, "documents"))
     return doc.select("doc_id",
@@ -1118,6 +1140,7 @@ QUERIES = {
     "scale_estimate": (q_scale_estimate, SQL_SCALE),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
+    "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_guess": (q_lang_guess, SQL_LANG),
