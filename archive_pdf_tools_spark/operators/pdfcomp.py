@@ -1,0 +1,95 @@
+"""Entry point 2 parity: recode images inside EXISTING PDFs.
+
+The reference's ``bin/pdfcomp`` chain (``bin/pdfcomp:14-42``) is a
+materialized file pipeline: structural metadata (``pdf-metadata-json``)
+-> hOCR -> per-page image extraction + MRC decomposition + re-encode
+(``bin/compress-pdf-images:26-152``).  Here the same dataflow is one
+Spark stage over a ``(doc_id, pdf binary, hocr string)`` table:
+
+    parse_pdf (xref tables or 1.5 xref/object streams)
+      -> per page: decode raw-Flate image XObjects (S2)
+      -> pair with the page's hOCR word data (ppageno order)
+      -> MRC decomposition (mask/fg/bg kernels)
+      -> emit content hashes + compressed-size estimate per image
+
+The re-encoded bytes are represented by content-addressed component
+hashes plus a Flate size estimate (the JP2/JBIG2 codec boundary —
+consistent with the pipeline-wide media_ref contract, BASELINE.md).
+Word boxes outside the image raster are handled by the mask kernels'
+own bbox-validity filters, mirroring the reference's behaviour when the
+hOCR scan coords disagree with the embedded image.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Iterable, Iterator
+
+import numpy as np
+
+__all__ = ["recode_existing_pdfs", "PDFCOMP_SCHEMA_DDL"]
+
+PDFCOMP_SCHEMA_DDL = (
+    "doc_id string, page_idx int, xref int, src_w int, src_h int, "
+    "accepted_lines int, mask_sha string, fg_sha string, bg_sha string, "
+    "orig_bytes bigint, est_bytes bigint, error string")
+
+
+def _sha12(arr: np.ndarray) -> str:
+    return hashlib.sha1(np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
+
+
+def _est(arr: np.ndarray) -> int:
+    return len(zlib.compress(np.ascontiguousarray(arr).tobytes(), 6))
+
+
+def _recode_one(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
+    from ..kernels.mrc import create_mrc_components
+    from ..sources.hocr import iter_pages, page_word_data
+    from ..sources.pdf_meta import extract_page_images, parse_pdf
+
+    word_data_by_page: dict[int, list] = {}
+    if hocr:
+        for idx, page in enumerate(iter_pages(hocr)):
+            word_data_by_page[idx] = page_word_data(page)
+
+    meta = parse_pdf(pdf)
+    rows = []
+    for page in meta["pages"]:
+        pidx = page["page_idx"]
+        words = word_data_by_page.get(pidx, [])
+        for xref, raster in extract_page_images(pdf, pidx):
+            res = create_mrc_components(raster, words)
+            accepted = sum(1 for d in res.line_decisions if d.accepted)
+            orig = raster.size  # uncompressed pixel bytes in the PDF
+            est = _est(res.mask) + _est(res.foreground) + _est(res.background)
+            rows.append((doc_id, pidx, xref,
+                         raster.shape[1], raster.shape[0], accepted,
+                         _sha12(res.mask), _sha12(res.foreground),
+                         _sha12(res.background), orig, est, None))
+    return rows
+
+
+def recode_existing_pdfs(df, pdf_col: str = "pdf", hocr_col: str = "hocr"):
+    """(doc_id, pdf, hocr) -> one row per recoded image XObject."""
+    import pandas as pd
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "page_idx", "xref", "src_w", "src_h",
+                "accepted_lines", "mask_sha", "fg_sha", "bg_sha",
+                "orig_bytes", "est_bytes", "error"]
+        for pdfb in batches:
+            rows = []
+            for doc_id, blob, hocr in zip(pdfb["doc_id"].values,
+                                          pdfb[pdf_col].values,
+                                          pdfb[hocr_col].values):
+                try:
+                    rows.extend(_recode_one(doc_id, bytes(blob), hocr))
+                except Exception as exc:  # noqa: BLE001 — poison-doc guard
+                    rows.append((doc_id, -1, -1, 0, 0, 0, "", "", "",
+                                 0, 0, f"{type(exc).__name__}"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.select("doc_id", pdf_col, hocr_col).mapInPandas(
+        gen, schema=PDFCOMP_SCHEMA_DDL)

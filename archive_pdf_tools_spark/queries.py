@@ -761,6 +761,67 @@ def q_pdf_metadata(spark, sf):
                        "scale")
 
 
+def q_pdfcomp(spark, sf):
+    """Entry point 2 (bin/pdfcomp) — recode images inside existing PDFs:
+    structural parse (classic + 1.5 forms alternating) -> raw image
+    decode -> hOCR word pairing -> MRC decomposition -> per-image
+    component hashes + size estimate.  Rows-only (the MRC kernels are
+    pinned by pytest goldens; this query proves the composed dataflow)."""
+    import pandas as pd
+
+    from .operators.pdfcomp import recode_existing_pdfs
+
+    def gen(batches):
+        import numpy as np
+
+        from .corpus.hocrgen import hocr_from_pages
+        from .corpus.pdfgen import build_pdf
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                rng = np.random.default_rng(1000 + i)
+                pages, hpages = [], []
+                for p in range(1 + i % 3):
+                    w, h = 64 + 8 * (p % 3), 48 + 8 * (p % 2)
+                    # paper-like page: light background, dark ink inside
+                    # the word boxes (so the hOCR-mask decision tree has
+                    # real text-shaped evidence to accept)
+                    img = np.full((h, w), 235, dtype=np.uint8)
+                    img[4:16, 4:w // 2 - 2] = 30
+                    img[4:16, w // 2 + 2:w - 4] = 25
+                    img = np.clip(img.astype(np.int16)
+                                  + rng.integers(-6, 7, (h, w)),
+                                  0, 255).astype(np.uint8)
+                    pages.append({"width": 612, "height": 792,
+                                  "images": [{"w": w, "h": h, "gray": True,
+                                              "data": img.tobytes()}],
+                                  "text": "hello %d" % p})
+                    lines = [{"bbox": [4, 4, w - 4, 16],
+                              "baseline": [0.0, 0.0],
+                              "words": [
+                                  {"text": "lorem",
+                                   "bbox": [4, 4, w // 2 - 2, 16],
+                                   "confidence": 96.0, "fontsize": 8.0,
+                                   "writing_direction": 0},
+                                  {"text": "ipsum",
+                                   "bbox": [w // 2 + 2, 4, w - 4, 16],
+                                   "confidence": 92.0, "fontsize": 8.0,
+                                   "writing_direction": 0}]}]
+                    hpages.append({"page": {"w": w, "h": h, "dpi": None,
+                                            "scan_res": None},
+                                   "paragraphs": [{"lines": lines}]})
+                blob = build_pdf(pages, modern=bool(i % 2))
+                rows.append((f"pc_{i:03d}", bytearray(blob),
+                             hocr_from_pages(hpages)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf", "hocr"])
+
+    base = spark.range(0, 10).repartition(4)
+    docs = base.mapInPandas(gen,
+                            schema="doc_id string, pdf binary, hocr string")
+    return recode_existing_pdfs(docs)
+
+
 def q_page_series(spark, sf):
     """W1 full parser as a grouped-map Pandas UDF over per-customer label
     sequences synthesized from orders (roman/arabic mix).
@@ -1171,6 +1232,7 @@ QUERIES = {
     "frame_sample": (q_frame_sample, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
+    "pdfcomp": (q_pdfcomp, None),
     "scandata": (q_scandata, None),
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
 }

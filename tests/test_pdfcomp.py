@@ -1,0 +1,93 @@
+"""Entry point 2 (pdfcomp) — composed recode-existing-PDF dataflow."""
+
+import numpy as np
+
+
+def _fixture(doc_id="d0", w=64, h=48, modern=False):
+    from archive_pdf_tools_spark.corpus.hocrgen import hocr_from_pages
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+
+    rng = np.random.default_rng(42)
+    img = np.full((h, w), 235, dtype=np.uint8)
+    img[4:16, 4:w // 2 - 2] = 30
+    img[4:16, w // 2 + 2:w - 4] = 25
+    img = np.clip(img.astype(np.int16) + rng.integers(-6, 7, (h, w)),
+                  0, 255).astype(np.uint8)
+    pdf = build_pdf([{"width": 612, "height": 792,
+                      "images": [{"w": w, "h": h, "gray": True,
+                                  "data": img.tobytes()}],
+                      "text": "t"}], modern=modern)
+    words = [{"text": "lorem", "bbox": [4, 4, w // 2 - 2, 16],
+              "confidence": 96.0, "fontsize": 8.0, "writing_direction": 0},
+             {"text": "ipsum", "bbox": [w // 2 + 2, 4, w - 4, 16],
+              "confidence": 92.0, "fontsize": 8.0, "writing_direction": 0}]
+    hocr = hocr_from_pages([{
+        "page": {"w": w, "h": h, "dpi": None, "scan_res": None},
+        "paragraphs": [{"lines": [{"bbox": [4, 4, w - 4, 16],
+                                   "baseline": [0.0, 0.0],
+                                   "words": words}]}]}])
+    return pdf, hocr, img
+
+
+def test_recode_matches_direct_kernels(spark):
+    """Operator rows == direct parse->decode->MRC invocation."""
+    import hashlib
+
+    import pandas as pd
+
+    from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
+    from archive_pdf_tools_spark.operators.pdfcomp import (
+        recode_existing_pdfs)
+    from archive_pdf_tools_spark.sources.hocr import (
+        iter_pages, page_word_data)
+    from archive_pdf_tools_spark.sources.pdf_meta import extract_page_images
+
+    pdf, hocr, _ = _fixture()
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["d0"], "pdf": [bytearray(pdf)],
+                      "hocr": [hocr]}))
+    (row,) = recode_existing_pdfs(df).collect()
+    assert row["error"] is None and row["accepted_lines"] == 1
+
+    words = page_word_data(next(iter_pages(hocr)))
+    ((xref, raster),) = extract_page_images(pdf, 0)
+    res = create_mrc_components(raster, words)
+    want = hashlib.sha1(
+        np.ascontiguousarray(res.foreground).tobytes()).hexdigest()[:12]
+    assert row["xref"] == xref
+    assert row["fg_sha"] == want
+    assert row["est_bytes"] < row["orig_bytes"]
+
+
+def test_recode_modern_equals_classic(spark):
+    import pandas as pd
+
+    from archive_pdf_tools_spark.operators.pdfcomp import (
+        recode_existing_pdfs)
+
+    pc, hocr, _ = _fixture(modern=False)
+    pm, _, _ = _fixture(modern=True)
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["classic", "modern"],
+        "pdf": [bytearray(pc), bytearray(pm)],
+        "hocr": [hocr, hocr]}))
+    rows = {r["doc_id"]: r for r in recode_existing_pdfs(df).collect()}
+    a, b = rows["classic"], rows["modern"]
+    assert (a["mask_sha"], a["fg_sha"], a["bg_sha"]) == \
+           (b["mask_sha"], b["fg_sha"], b["bg_sha"])
+
+
+def test_recode_poison_doc_survives(spark):
+    import pandas as pd
+
+    from archive_pdf_tools_spark.operators.pdfcomp import (
+        recode_existing_pdfs)
+
+    pdf, hocr, _ = _fixture()
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["ok", "bad"],
+        "pdf": [bytearray(pdf), bytearray(b"junk")],
+        "hocr": [hocr, "<html"]}))
+    rows = {r["doc_id"]: r for r in recode_existing_pdfs(df).collect()}
+    assert rows["ok"]["error"] is None
+    assert rows["bad"]["error"] is not None
