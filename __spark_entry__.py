@@ -3,10 +3,12 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 plus the training-data-pipeline function
-library (dedup / similarity / text analysis), each paired with its DuckDB
-oracle where SQL-expressible.  The implementations live in
-``archive_pdf_tools_spark`` (see that package's module docstrings for
+operator from SURVEY.md §2 (45 queries, 34 DuckDB-oracle-paired) plus the
+training-data-pipeline function library (dedup incl. banded LSH and
+connected-component clustering / ANN similarity with self-verifying
+recall rows / text analysis incl. winnowing + BPE-ish token counts /
+multimodal plumbing / hOCR + PDF front doors).  The implementations live
+in ``archive_pdf_tools_spark`` (see that package's module docstrings for
 reference citations).
 """
 
