@@ -34,7 +34,8 @@ from .pages import WARN_TOO_SMALL_TO_DOWNSAMPLE, downsample_box
 from .sauvola import threshold_image
 
 __all__ = ["LineDecision", "create_hocr_mask", "create_threshold_mask",
-           "mrc_mask_phase", "create_mrc_components", "MrcResult"]
+           "mrc_mask_phase", "create_mrc_components", "merge_components",
+           "MrcResult"]
 
 DENOISE_NONE = "none"
 DENOISE_FAST = "fast"
@@ -257,3 +258,28 @@ def create_mrc_components(image: np.ndarray, hocr_word_data: list,
 
     return MrcResult(mask=mask_arr, foreground=fg, background=bg,
                      line_decisions=decisions, warnings=warnings)
+
+
+def _upsample_nearest(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    ys = (np.arange(h) * img.shape[0]) // h
+    xs = (np.arange(w) * img.shape[1]) // w
+    return img[ys][:, xs]
+
+
+def merge_components(mask: np.ndarray, fg: np.ndarray, bg: np.ndarray):
+    """Recomposite an MRC triple back into a single image — the
+    reference's ``tools/merge:17-39`` debug round-trip, automated: with
+    undownsampled components the optimise kernels preserve pixel values
+    under their own mask, so ``merge(mask, fg, bg) == original``
+    *exactly*; the tests pin that identity (and bounded error once
+    components are downsampled).  Components smaller than the mask are
+    nearest-neighbour upsampled (PIL-resize deviation documented)."""
+    h, w = mask.shape
+    if fg.shape[:2] != (h, w):
+        fg = _upsample_nearest(fg, h, w)
+    if bg.shape[:2] != (h, w):
+        bg = _upsample_nearest(bg, h, w)
+    m = mask.astype(bool)
+    if fg.ndim == 3:
+        m = m[:, :, None]
+    return np.where(m, fg, bg)
