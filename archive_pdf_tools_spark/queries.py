@@ -337,6 +337,68 @@ FROM documents
 """
 
 
+def q_repetition(spark, sf):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    public quality-filter family): per-doc duplicate-token fraction,
+    top-token fraction, and top-2-gram fraction.  Entirely JVM-side
+    (explode + two-level agg); the training pipeline drops docs above
+    thresholds — emitting the raw fractions keeps the query
+    threshold-free and oracle-checkable."""
+    doc = _spread(load_table(spark, sf, "documents"))
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    base = doc.select("doc_id", toks.alias("toks")).where(F.size("toks") > 1)
+    grams2 = F.expr(
+        "transform(sequence(0, size(toks) - 2), "
+        "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))")
+    t = base.select("doc_id", F.explode("toks").alias("tok"))
+    top_tok = (t.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+               .groupBy("doc_id").agg(F.max("c").alias("max_tok"),
+                                      F.sum("c").alias("n_tok")))
+    g = base.select("doc_id", F.explode(grams2).alias("g2"))
+    top_g2 = (g.groupBy("doc_id", "g2").agg(F.count("*").alias("c"))
+              .groupBy("doc_id").agg(F.max("c").alias("max_g2"),
+                                     F.sum("c").alias("n_g2")))
+    stats = base.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.round(1 - F.size(F.array_distinct("toks")) / F.size("toks"), 4)
+         .alias("dup_word_frac"))
+    return (stats.join(top_tok, "doc_id").join(top_g2, "doc_id")
+            .select("doc_id", "n_tokens", "dup_word_frac",
+                    F.round(F.col("max_tok") / F.col("n_tok"), 4)
+                     .alias("top_word_frac"),
+                    F.round(F.col("max_g2") / F.col("n_g2"), 4)
+                     .alias("top2gram_frac")))
+
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents),
+docs AS (SELECT * FROM base WHERE len(toks) > 1),
+t AS (
+  SELECT doc_id, unnest(toks) AS tok FROM docs),
+top_tok AS (
+  SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tok FROM (
+    SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok) x
+  GROUP BY doc_id),
+g AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g2
+  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s),
+top_g2 AS (
+  SELECT doc_id, max(c) AS max_g2, CAST(sum(c) AS BIGINT) AS n_g2 FROM (
+    SELECT doc_id, g2, count(*) AS c FROM g GROUP BY doc_id, g2) x
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       round(1 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4)
+         AS dup_word_frac,
+       round(max_tok / CAST(n_tok AS DOUBLE), 4) AS top_word_frac,
+       round(max_g2 / CAST(n_g2 AS DOUBLE), 4) AS top2gram_frac
+FROM docs d JOIN top_tok USING (doc_id) JOIN top_g2 USING (doc_id)
+"""
+
+
 def q_quality_scores(spark, sf):
     doc = _spread(load_table(spark, sf, "documents"))
     return doc.select("doc_id",
@@ -1202,6 +1264,7 @@ QUERIES = {
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
+    "repetition": (q_repetition, SQL_REPETITION),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_guess": (q_lang_guess, SQL_LANG),
