@@ -19,7 +19,8 @@ import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes",
-           "ivf_fit_centroids", "ivf_cells", "ivf_topk"]
+           "ivf_fit_centroids", "ivf_cells", "ivf_topk",
+           "pq_fit", "pq_codes", "pq_topk"]
 
 
 def _cosine_col(query: list[float]):
@@ -167,6 +168,101 @@ def ivf_topk(embeddings: DataFrame, query: list[float], k: int = 10,
     hits = assigned.where(F.col("cell").isin(probe_cells))
     return (hits
             .select("vec_id", _cosine_col(query).alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+            .limit(k))
+
+
+def pq_fit(embeddings: DataFrame, m: int = 8, ncode: int = 16,
+           iters: int = 4, sample: int = 4096, seed: int = 23) -> np.ndarray:
+    """Product-quantizer codebooks (Jégou et al. 2011): the embedding is
+    split into ``m`` subvectors, each k-means'd to ``ncode`` codewords on
+    a bounded deterministic driver sample (same training shape as the
+    IVF coarse quantizer).  Returns (m, ncode, dim/m) float64; vectors
+    are L2-normalized first (cosine regime)."""
+    rows = (embeddings.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ncode, dsub))
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(len(S), size=min(ncode, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j, :len(C)] = C
+    return books
+
+
+def pq_codes(embeddings: DataFrame, books: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>) — each vector compressed to m codeword
+    ids (64-dim float32 -> m small ints; the 10^12-row memory play).
+    One NumPy pass per Arrow batch; map-only."""
+    import pandas as pd
+
+    m, ncode, dsub = books.shape
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.array([np.asarray(v, dtype=np.float64)
+                              for v in pdf["embedding"].values])
+                X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True),
+                                1e-12)
+                codes = np.empty((len(X), m), dtype=np.int32)
+                for j in range(m):
+                    S = X[:, j * dsub:(j + 1) * dsub]
+                    d2 = ((S[:, None, :] - books[j][None, :, :]) ** 2
+                          ).sum(axis=2)
+                    codes[:, j] = np.argmin(d2, axis=1)
+                out = list(codes)
+            else:
+                out = []
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": out})
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id bigint, codes array<int>")
+
+
+def pq_topk(embeddings: DataFrame, query: list[float], k: int = 10,
+            m: int = 8, ncode: int = 16, rerank: int = 100,
+            seed: int = 23) -> DataFrame:
+    """PQ ANN with asymmetric distance (ADC) + exact re-rank.
+
+    The query's per-subspace dot products with every codeword form an
+    (m x ncode) lookup table; each vector's approximate cosine is the
+    sum of m table entries indexed by its codes — computed JVM-side from
+    the broadcast table (tiny literal array), so the scan over codes is
+    pure whole-stage codegen at any scale.  The top ``rerank``
+    candidates are re-scored exactly against the raw vectors."""
+    books = pq_fit(embeddings, m=m, ncode=ncode, seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    dsub = len(query) // m
+    table = np.stack([books[j] @ qn[j * dsub:(j + 1) * dsub]
+                      for j in range(m)])           # (m, ncode)
+
+    codes = pq_codes(embeddings, books)
+    tbl = F.array(*[F.array(*[F.lit(float(v)) for v in row])
+                    for row in table])
+    approx = None
+    for j in range(m):
+        term = F.element_at(F.element_at(tbl, j + 1),
+                            F.element_at("codes", j + 1) + 1)
+        approx = term if approx is None else approx + term
+    cand = (codes.select("vec_id", approx.alias("approx"))
+            .orderBy(F.col("approx").desc(), F.col("vec_id"))
+            .limit(rerank))
+    hits = cand.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    return (hits.select("vec_id", _cosine_col(query).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(k))
 

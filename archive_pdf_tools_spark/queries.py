@@ -727,6 +727,24 @@ def q_ann_ivf_recall(spark, sf):
         S.brute_force_topk(emb, q, k=20), k=20, min_hits=12)
 
 
+def q_ann_pq(spark, sf):
+    """Product-quantization ANN (Jégou et al. 2011): 64-dim float32
+    compressed to 8 codeword ids, ADC scoring JVM-side from the
+    broadcast lookup table, exact re-rank of the top-200."""
+    emb = load_table(spark, sf, "embeddings")
+    return S.pq_topk(emb, _query_vec(spark, sf), k=20, rerank=200)
+
+
+def q_ann_pq_recall(spark, sf):
+    """Measured 19/20 (sf0.001) and 20/20 (sf0.01) at m=8, ncode=16,
+    rerank=200 on the uniform-random testdata; floor 16."""
+    emb = load_table(spark, sf, "embeddings")
+    q = _query_vec(spark, sf)
+    return _recall_row(
+        S.pq_topk(emb, q, k=20, rerank=200),
+        S.brute_force_topk(emb, q, k=20), k=20, min_hits=16)
+
+
 def q_ann_lsh_recall(spark, sf):
     """Measured 5/20 (sf0.001) and 9/20 (sf0.01) at 6 planes on the
     uniform-random testdata; floor 4."""
@@ -1286,6 +1304,8 @@ QUERIES = {
     "ann_ivf": (q_ann_ivf, None),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_OK),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_OK),
+    "ann_pq": (q_ann_pq, None),
+    "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_OK),
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),

@@ -185,3 +185,30 @@ def test_sample_frames_deterministic_stride(spark):
     # determinism across runs
     rows2 = sample_frames(docs, every_n=5, fps=10.0).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_pq_codes_compress_and_recall(spark):
+    """PQ codes are m small ints per vector; ADC + rerank recovers most
+    of the exact top-k on the uniform-random testdata."""
+    from archive_pdf_tools_spark.functions.similarity import (
+        brute_force_topk, pq_codes, pq_fit, pq_topk)
+    from archive_pdf_tools_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_fit(emb, m=8, ncode=16)
+    assert books.shape == (8, 16, 8)
+
+    codes = pq_codes(emb, books).collect()
+    assert len(codes) == 500
+    for r in codes[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+    # determinism
+    codes2 = {r["vec_id"]: r["codes"] for r in pq_codes(emb, books).collect()}
+    assert all(codes2[r["vec_id"]] == r["codes"] for r in codes)
+
+    q = [float(v) for v in
+         emb.where("vec_id = 0").select("embedding").head()["embedding"]]
+    bf = {r["vec_id"] for r in brute_force_topk(emb, q, k=20).collect()}
+    pq = {r["vec_id"] for r in pq_topk(emb, q, k=20, rerank=200).collect()}
+    assert len(bf & pq) >= 16
