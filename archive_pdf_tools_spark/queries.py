@@ -841,6 +841,60 @@ def q_pdf_metadata(spark, sf):
                        "scale")
 
 
+def q_html_extract(spark, sf):
+    """HTML main-content extraction (boilerplate strip + DOM
+    heuristics): chrome-wrapped fixture pages built from the driver
+    documents, extracted by ``sources/htmlmain.py``, verified against
+    the generator's layout arithmetic — over-extraction (chrome text
+    leaking through) or under-extraction (dropped paragraphs/images)
+    breaks the count/word totals."""
+    import pandas as pd
+
+    from .sources.htmlmain import html_documents
+
+    def gen(batches):
+        from .corpus.htmlgen import synth_html
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "html": [synth_html(int(i), t, with_image=int(i) % 3 == 0)
+                         for i, t in zip(pdf["doc_id"].values,
+                                         pdf["text"].values)]})
+
+    doc = _spread(load_table(spark, sf, "documents").select("doc_id", "text"))
+    hdf = doc.mapInPandas(gen, schema="doc_id bigint, html string")
+    out = html_documents(hdf)
+    spans = F.col("spans")
+    kept_words = F.aggregate(
+        spans, F.lit(0),
+        lambda acc, s: acc + F.when(s["kind"] == F.lit("text"),
+                                    F.size(F.split(s["text"], " ")))
+                            .otherwise(F.lit(0)))
+    return out.select(
+        "doc_id",
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("text")))
+         .alias("n_text"),
+        F.size(F.filter(spans, lambda s: s["kind"] == F.lit("media")))
+         .alias("n_media"),
+        kept_words.alias("kept_words"))
+
+
+SQL_HTML_EXTRACT = r"""
+WITH base AS (
+  SELECT doc_id,
+         least(len(regexp_split_to_array(trim(text), '\s+')), 400) AS nw
+  FROM documents)
+SELECT doc_id,
+       CAST(nw // 40 + CASE WHEN nw % 40 >= 3 THEN 1 ELSE 0 END
+            AS INTEGER) AS n_text,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS n_media,
+       CAST((nw // 40) * 40 + CASE WHEN nw % 40 >= 3 THEN nw % 40 ELSE 0 END
+            AS INTEGER) AS kept_words
+FROM base
+"""
+
+
 def q_pdfcomp(spark, sf):
     """Entry point 2 (bin/pdfcomp) — recode images inside existing PDFs:
     structural parse (classic + 1.5 forms alternating) -> raw image
@@ -1318,4 +1372,5 @@ QUERIES = {
     "pdfcomp": (q_pdfcomp, None),
     "scandata": (q_scandata, None),
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
+    "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
 }

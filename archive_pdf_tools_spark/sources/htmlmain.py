@@ -1,0 +1,152 @@
+"""HTML main-content extraction (boilerplate strip, DOM heuristics).
+
+The north rule's third front door: raw HTML documents -> the interleaved
+``(doc_id, spans)`` contract, with chrome removed.  Heuristics are the
+public readability/boilerpipe family (Arc90 readability; Kohlschütter
+et al., WSDM 2010):
+
+* semantic chrome subtrees are dropped outright: ``script style noscript
+  template nav header footer aside form`` (plus obvious id/class tokens:
+  nav, menu, sidebar, footer, header, ad, banner, comment);
+* remaining *block-level* elements become candidate spans in DOM order;
+* a block survives if its **link density** (chars inside <a> / total
+  chars) is <= ``max_link_density`` and it has at least ``min_words``
+  words — the text-vs-navigation signal boilerpipe built on;
+* ``<img>`` elements inside surviving containers become media spans
+  (``media_ref`` = the src attribute) — text and media interleave in
+  document order, exactly the extraction pipeline's input shape.
+
+Parsing uses the same streaming-safe ElementTree approach as
+``sources/hocr.py``; the whole extractor is one map-only vectorized
+stage (1 -> N spans per document).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import re
+from typing import Iterable, Iterator
+
+__all__ = ["extract_main_spans", "html_documents"]
+
+_DROP_TAGS = frozenset({"script", "style", "noscript", "template", "nav",
+                        "header", "footer", "aside", "form"})
+_DROP_TOKEN_RE = re.compile(
+    r"\b(nav|menu|sidebar|footer|header|advert|ad|banner|comment)\b", re.I)
+_BLOCK_TAGS = frozenset({"p", "div", "article", "section", "main", "li",
+                         "td", "blockquote", "pre", "h1", "h2", "h3", "h4",
+                         "h5", "h6"})
+
+_WS_RE = re.compile(r"\s+")
+
+
+def _localname(tag) -> str:
+    return tag.rsplit("}", 1)[-1].lower() if isinstance(tag, str) else ""
+
+
+def _is_chrome(el) -> bool:
+    if _localname(el.tag) in _DROP_TAGS:
+        return True
+    idcls = f"{el.get('id') or ''} {el.get('class') or ''}"
+    return bool(_DROP_TOKEN_RE.search(idcls))
+
+
+def _prune(el):
+    """Drop chrome subtrees in place (children first, so nested chrome
+    inside kept containers also disappears)."""
+    kept = []
+    for child in list(el):
+        if _is_chrome(child):
+            el.remove(child)
+        else:
+            _prune(child)
+            kept.append(child)
+    return kept
+
+
+def _text_of(el) -> str:
+    return _WS_RE.sub(" ", " ".join(el.itertext())).strip()
+
+
+def _link_chars(el) -> int:
+    n = 0
+    for a in el.iter():
+        if _localname(a.tag) == "a":
+            n += len(_WS_RE.sub(" ", " ".join(a.itertext())).strip())
+    return n
+
+
+def extract_main_spans(markup: bytes | str, min_words: int = 3,
+                       max_link_density: float = 0.5) -> list[dict]:
+    """HTML -> ordered [(kind, text, media_ref, offset)] span dicts."""
+    from xml.etree import ElementTree as ET
+
+    if isinstance(markup, str):
+        markup = markup.encode("utf-8")
+    root = ET.parse(io.BytesIO(markup)).getroot()
+    if _is_chrome(root):
+        return []
+    _prune(root)
+
+    spans: list[dict] = []
+    claimed: set[int] = set()
+
+    def walk(el):
+        name = _localname(el.tag)
+        if name == "img":
+            src = el.get("src") or ""
+            if src:
+                spans.append({"kind": "media", "text": "",
+                              "media_ref": src,
+                              "offset": len(spans)})
+            return
+        # a block whose OWN direct text (not nested blocks') carries the
+        # content: treat as leaf block if no block-level children
+        has_block_child = any(_localname(c.tag) in _BLOCK_TAGS
+                              or _localname(c.tag) == "img" for c in el)
+        if name in _BLOCK_TAGS and not has_block_child:
+            text = _text_of(el)
+            if text and len(text.split()) >= min_words:
+                total = len(text)
+                density = _link_chars(el) / total if total else 1.0
+                if density <= max_link_density:
+                    spans.append({"kind": "text", "text": text,
+                                  "media_ref": "", "offset": len(spans)})
+            return
+        for child in el:
+            walk(child)
+
+    walk(root)
+    del claimed
+    return spans
+
+
+def html_documents(df, html_col: str = "html"):
+    """(doc_id, html) -> interleaved (doc_id, spans); malformed markup
+    yields an ``html_error`` span instead of failing the job."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from .corpus_source import SPANS_JSON_SCHEMA
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, markup in zip(pdf["doc_id"].values,
+                                      pdf[html_col].values):
+                try:
+                    spans = extract_main_spans(markup)
+                except Exception:  # noqa: BLE001 — poison-doc guard
+                    spans = [{"kind": "html_error", "text": "",
+                              "media_ref": "", "offset": 0}]
+                ids.append(doc_id)
+                payloads.append(json.dumps(spans, ensure_ascii=False))
+            yield pd.DataFrame({"doc_id": ids, "spans_json": payloads})
+
+    src = df.select("doc_id", html_col)
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    raw = src.mapInPandas(gen, schema=f"doc_id {id_type}, spans_json string")
+    return raw.select(
+        "doc_id", F.from_json("spans_json", SPANS_JSON_SCHEMA).alias("spans"))
