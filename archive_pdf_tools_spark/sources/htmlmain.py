@@ -122,9 +122,16 @@ def extract_main_spans(markup: bytes | str, min_words: int = 3,
     return spans
 
 
-def html_documents(df, html_col: str = "html"):
+def html_documents(df, html_col: str = "html", payloads: bool = False):
     """(doc_id, html) -> interleaved (doc_id, spans); malformed markup
-    yields an ``html_error`` span instead of failing the job."""
+    yields an ``html_error`` span instead of failing the job.
+
+    ``payloads=True`` additionally lays each text span's plain prose out
+    as the extraction kernel's hOCR-like page payload
+    (``spans_from_text.layout_text``), so the result feeds
+    ``run_extraction`` directly (the job.py ``--input-format html``
+    path); with the default False the spans carry the raw main text
+    (the analysis-table shape the ``html_extract`` query checks)."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -132,18 +139,24 @@ def html_documents(df, html_col: str = "html"):
     from .corpus_source import SPANS_JSON_SCHEMA
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if payloads:
+            from .spans_from_text import layout_text
         for pdf in batches:
-            ids, payloads = [], []
+            ids, out = [], []
             for doc_id, markup in zip(pdf["doc_id"].values,
                                       pdf[html_col].values):
                 try:
                     spans = extract_main_spans(markup)
+                    if payloads:
+                        for s in spans:
+                            if s["kind"] == "text":
+                                s["text"] = layout_text(s["text"])
                 except Exception:  # noqa: BLE001 — poison-doc guard
                     spans = [{"kind": "html_error", "text": "",
                               "media_ref": "", "offset": 0}]
                 ids.append(doc_id)
-                payloads.append(json.dumps(spans, ensure_ascii=False))
-            yield pd.DataFrame({"doc_id": ids, "spans_json": payloads})
+                out.append(json.dumps(spans, ensure_ascii=False))
+            yield pd.DataFrame({"doc_id": ids, "spans_json": out})
 
     src = df.select("doc_id", html_col)
     id_type = src.schema["doc_id"].dataType.simpleString()

@@ -23,11 +23,13 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents table path (parquet)")
-    ap.add_argument("--input-format", choices=("spans", "hocr"),
+    ap.add_argument("--input-format", choices=("spans", "hocr", "html"),
                     default="spans",
                     help="'spans' = interleaved (doc_id, spans) table; "
                          "'hocr' = (doc_id, hocr markup [, dpi]) table, "
-                         "parsed executor-side via sources/hocr.py")
+                         "parsed executor-side via sources/hocr.py; "
+                         "'html' = (doc_id, html) table, main content "
+                         "extracted via sources/htmlmain.py")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
@@ -55,6 +57,10 @@ def main(argv=None):
             from archive_pdf_tools_spark.sources.hocr import hocr_documents
             docs = hocr_documents(
                 docs, dpi_col="dpi" if "dpi" in docs.columns else None)
+        elif args.input_format == "html":
+            from archive_pdf_tools_spark.sources.htmlmain import (
+                html_documents)
+            docs = html_documents(docs, payloads=True)
     else:
         ap.error("one of --input / --synthetic is required")
 
