@@ -29,7 +29,8 @@ sys.path.insert(0, REPO)
 HEADLINE_QUERIES = [
     "pricing_summary", "nation_revenue", "gaps_islands", "positional_join",
     "token_stats", "simhash", "minhash_sigs", "ngram_jaccard",
-    "minhash_lsh_pairs", "hocr_parse", "ann_bruteforce", "page_series",
+    "minhash_lsh_pairs", "hocr_parse", "html_extract", "ann_bruteforce",
+    "page_series",
 ]
 
 

@@ -43,6 +43,10 @@ COMMENT = {
         "the blocking self-join, embeddings re-join for the cosine "
         "verify — O(sum cell^2), not O(n^2), and no raster-sized rows "
         "in the wide shuffle."),
+    "html_extract": (
+        "HTML front door: two map-only vectorized stages (fixture synth, "
+        "boilerplate-strip parse) + the tiny spread exchange; per-doc "
+        "span analytics stay array-level (no explode shuffle)."),
 }
 
 
@@ -74,7 +78,8 @@ def main():
                      plan_of(reassemble(extract_spans(docs,
                                                       num_partitions=4)))))
     for name in ("nation_revenue", "pricing_summary", "simhash",
-                 "minhash_sigs", "minhash_lsh_pairs", "embedding_dups"):
+                 "minhash_sigs", "minhash_lsh_pairs", "embedding_dups",
+                 "html_extract"):
         fn, _sql = QUERIES[name]
         sections.append((name, COMMENT[name], plan_of(fn(spark, SF))))
 
