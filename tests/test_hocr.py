@@ -160,3 +160,69 @@ def test_malformed_markup_survives(spark):
     out = {r["doc_id"]: r["spans"] for r in hocr_documents(hdf).collect()}
     assert out["ok"] and out["ok"][0]["kind"] == "text"
     assert out["broken"][0]["kind"] == "hocr_error"
+
+
+def test_hocr_roundtrip_fuzz():
+    """Property: parse(render(payload)) == payload for randomized page
+    structures — weird word text (XML-escapables, unicode), float
+    baselines, RTL flags, multi-paragraph pages."""
+    import json
+
+    from hypothesis import given, settings, strategies as st
+
+    word_text = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_categories=("Cs", "Cc", "Zs", "Zl", "Zp"),
+        ).filter(lambda c: not c.isspace()),
+        min_size=1, max_size=8)
+
+    def word(x0, y0):
+        return st.fixed_dictionaries({
+            "text": word_text,
+            "bbox": st.just([x0, y0, x0 + 30, y0 + 12]),
+            "confidence": st.floats(0, 100).map(lambda v: round(v, 1)),
+            "fontsize": st.floats(4, 40).map(lambda v: round(v, 2)),
+            "writing_direction": st.sampled_from([0, 1, 2]),
+        })
+
+    def line(y0):
+        return st.builds(
+            lambda ws, slope, const: {
+                "bbox": [5, y0, 400, y0 + 14],
+                "baseline": [round(slope, 4), round(const, 2)],
+                "words": [dict(w, bbox=[5 + 40 * i, y0, 35 + 40 * i,
+                                        y0 + 12])
+                          for i, w in enumerate(ws)],
+            },
+            st.lists(word(5, y0), min_size=1, max_size=4),
+            st.floats(-0.05, 0.05), st.floats(-5, 5))
+
+    page = st.builds(
+        lambda paras: {
+            "page": {"w": 500, "h": 40 + 20 * sum(len(p) for p in paras),
+                     "dpi": None, "scan_res": None},
+            "paragraphs": [
+                {"lines": [dict(ln, bbox=[5, 20 * j, 400, 20 * j + 14])
+                           for j, ln in enumerate(p)]} for p in paras
+                if p],
+        },
+        st.lists(st.lists(line(0), min_size=0, max_size=3),
+                 min_size=1, max_size=3))
+
+    from archive_pdf_tools_spark.corpus.hocrgen import hocr_from_pages
+    from archive_pdf_tools_spark.sources.hocr import iter_pages, page_payload
+
+    @settings(max_examples=60, deadline=None)
+    @given(page)
+    def check(payload):
+        # drop empty paragraphs the same way the builder does
+        payload["paragraphs"] = [p for p in payload["paragraphs"]
+                                 if p["lines"]]
+        blob = json.dumps(payload, ensure_ascii=False, sort_keys=True)
+        markup = hocr_from_pages([blob])
+        pages = list(iter_pages(markup))
+        assert len(pages) == 1
+        assert page_payload(pages[0], None) == blob
+
+    check()
