@@ -16,9 +16,10 @@ et al., WSDM 2010):
   (``media_ref`` = the src attribute) — text and media interleave in
   document order, exactly the extraction pipeline's input shape.
 
-Parsing uses the same streaming-safe ElementTree approach as
-``sources/hocr.py``; the whole extractor is one map-only vectorized
-stage (1 -> N spans per document).
+Each document is parsed as one ElementTree (an HTML page is KBs —
+unlike the 1000-page hOCR books that ``sources/hocr.py`` streams
+page-at-a-time); the whole extractor is one map-only vectorized stage
+(1 -> N spans per document).
 """
 
 from __future__ import annotations
