@@ -91,7 +91,6 @@ def extract_main_spans(markup: bytes | str, min_words: int = 3,
     _prune(root)
 
     spans: list[dict] = []
-    claimed: set[int] = set()
 
     def walk(el):
         name = _localname(el.tag)
@@ -119,7 +118,6 @@ def extract_main_spans(markup: bytes | str, min_words: int = 3,
             walk(child)
 
     walk(root)
-    del claimed
     return spans
 
 
