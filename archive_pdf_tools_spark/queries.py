@@ -702,29 +702,50 @@ def q_ann_lsh(spark, sf):
     return S.srp_lsh_topk(emb, _query_vec(spark, sf), k=20)
 
 
-def _recall_row(approx, exact, k: int, min_hits: int):
-    """One-row self-verifying recall check: true iff the approximate
-    top-k contains >= min_hits of the exact top-k.  The oracle side is a
-    constant row, so a recall regression flips the boolean and fails the
-    hash comparison — turning a rows-only quality property into a
-    driver-checkable row."""
-    hits = approx.select("vec_id").join(exact.select("vec_id"), "vec_id")
-    return (hits.agg(F.count("*").alias("n_hits"))
-            .select(F.lit(k).alias("k"),
-                    (F.col("n_hits") >= min_hits).alias("recall_ok")))
+_RECALL_PROBES = (0, 7, 13)
+
+
+def _probe_vec(spark, sf, vid: int):
+    row = (load_table(spark, sf, "embeddings")
+           .where(F.col("vec_id") == vid).select("embedding").head())
+    return [float(v) for v in row["embedding"]]
+
+
+def _recall_rows(spark, sf, method, k: int, min_hits: int):
+    """Self-verifying recall check, one row per probe vector: true iff
+    the approximate top-k contains >= min_hits of the exact top-k for
+    that query.  The oracle side is a constant table, so a recall
+    regression on ANY probe flips a boolean and fails the hash
+    comparison — turning a rows-only quality property into a
+    driver-checkable row.  Floors are calibrated per method on the
+    actual (uniform-random, clusterless) testdata across all probes and
+    both driver scale factors."""
+    emb = load_table(spark, sf, "embeddings")
+    out = None
+    for vid in _RECALL_PROBES:
+        q = _probe_vec(spark, sf, vid)
+        hits = (method(emb, q, k).select("vec_id")
+                .join(S.brute_force_topk(emb, q, k=k).select("vec_id"),
+                      "vec_id"))
+        row = (hits.agg(F.count("*").alias("n_hits"))
+               .select(F.lit(vid).alias("probe_vec"),
+                       F.lit(k).alias("k"),
+                       (F.col("n_hits") >= min_hits).alias("recall_ok")))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+SQL_RECALL_ROWS = ("SELECT * FROM (VALUES (0, 20, true), (7, 20, true), "
+                   "(13, 20, true)) t(probe_vec, k, recall_ok)")
 
 
 def q_ann_ivf_recall(spark, sf):
-    """Thresholds calibrated on the actual testdata: the synthetic
-    embeddings are near-uniform random (max pair cosine ~0.51, no
-    cluster structure), so top-20 neighbours scatter across cells —
-    measured recall is 16/20 (sf0.001) and 14/20 (sf0.01) at nprobe=8;
-    the floor of 12 holds deterministically at both."""
-    emb = load_table(spark, sf, "embeddings")
-    q = _query_vec(spark, sf)
-    return _recall_row(
-        S.ivf_topk(emb, q, k=20, n_centroids=16, nprobe=8),
-        S.brute_force_topk(emb, q, k=20), k=20, min_hits=12)
+    """Measured 11-17/20 across the three probes at both driver scale
+    factors (nprobe=8 on clusterless uniform-random data); floor 10."""
+    return _recall_rows(
+        spark, sf,
+        lambda emb, q, k: S.ivf_topk(emb, q, k=k, n_centroids=16, nprobe=8),
+        k=20, min_hits=10)
 
 
 def q_ann_pq(spark, sf):
@@ -736,26 +757,22 @@ def q_ann_pq(spark, sf):
 
 
 def q_ann_pq_recall(spark, sf):
-    """Measured 19/20 (sf0.001) and 20/20 (sf0.01) at m=8, ncode=16,
-    rerank=200 on the uniform-random testdata; floor 16."""
-    emb = load_table(spark, sf, "embeddings")
-    q = _query_vec(spark, sf)
-    return _recall_row(
-        S.pq_topk(emb, q, k=20, rerank=200),
-        S.brute_force_topk(emb, q, k=20), k=20, min_hits=16)
+    """Measured 19-20/20 across probes at m=8, ncode=16, rerank=200;
+    floor 17."""
+    return _recall_rows(
+        spark, sf,
+        lambda emb, q, k: S.pq_topk(emb, q, k=k, rerank=200),
+        k=20, min_hits=17)
 
 
 def q_ann_lsh_recall(spark, sf):
-    """Measured 5/20 (sf0.001) and 9/20 (sf0.01) at 6 planes on the
-    uniform-random testdata; floor 4."""
-    emb = load_table(spark, sf, "embeddings")
-    q = _query_vec(spark, sf)
-    return _recall_row(
-        S.srp_lsh_topk(emb, q, k=20, n_planes=6),
-        S.brute_force_topk(emb, q, k=20), k=20, min_hits=4)
-
-
-SQL_RECALL_OK = "SELECT 20 AS k, true AS recall_ok"
+    """Measured 2-9/20 across probes at 6 planes (buckets are sparse on
+    500-row uniform-random data); floor 2 — weak but honest, and still a
+    regression tripwire for the bucketing/signature path."""
+    return _recall_rows(
+        spark, sf,
+        lambda emb, q, k: S.srp_lsh_topk(emb, q, k=k, n_planes=6),
+        k=20, min_hits=2)
 
 
 # --------------------------------------------------- extraction (rows-only)
@@ -1356,10 +1373,10 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
-    "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_OK),
-    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_OK),
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     "ann_pq": (q_ann_pq, None),
-    "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_OK),
+    "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
