@@ -91,3 +91,23 @@ def test_embedding_near_dups_blocks_on_ivf_cells(spark):
     p = plan_str(embedding_near_dups(emb, tau=0.9))
     assert "MapInPandas" in p
     assert "cell" in p
+
+
+def test_partition_count_invariance_new_queries(spark):
+    """Results must not depend on spark.sql.shuffle.partitions — pins
+    determinism of the iterative CC propagation, the LSH candidate
+    joins, and the HTML front door under different physical plans."""
+    from archive_pdf_tools_spark.queries import QUERIES
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for name in ("dedup_clusters", "minhash_lsh_pairs", "html_extract"):
+            fn, _sql = QUERIES[name]
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            a = sorted(map(tuple, fn(spark, SF).collect()))
+            spark.conf.set("spark.sql.shuffle.partitions", "17")
+            b = sorted(map(tuple, fn(spark, SF).collect()))
+            assert a == b, f"{name}: partition-count-dependent result"
+            assert a, f"{name}: empty result"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
