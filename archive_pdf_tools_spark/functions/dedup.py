@@ -38,7 +38,7 @@ from .textstats import fingerprint
 
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "simhash",
-           "duplicate_components", "embedding_near_dups"]
+           "winnow_pairs", "duplicate_components", "embedding_near_dups"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -288,6 +288,58 @@ def simhash(documents: DataFrame) -> DataFrame:
     id_type = src.schema["doc_id"].dataType.simpleString()
     return src.mapInPandas(_sim_batches,
                            schema=f"doc_id {id_type}, simhash bigint")
+
+
+def winnow_pairs(documents: DataFrame, k: int = 8, w: int = 4,
+                 max_df: int = 50, tau: float = 0.5) -> DataFrame:
+    """Substring-level near-dup candidates via shared winnowing
+    fingerprints (Schleimer et al. selection; the cross-doc substring
+    dedup signal of the Lee et al. 2022 training-data dedup family).
+
+    Char k-gram hashes -> window-w minima -> distinct (doc, fp) ->
+    stop-fingerprint cap (document frequency <= max_df, the same
+    self-join bound as stop-shingles) -> pairs sharing fingerprints,
+    scored by containment = shared / min(|A|, |B|).  Entirely JVM-side:
+    substring/md5/window-min in whole-stage codegen, no Python.
+    """
+    from .textstats import h56
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    base = (documents.select("doc_id", norm.alias("t"))
+            .where(F.length("t") >= k + w - 1))
+    grams = (base.select(
+        "doc_id", F.length("t").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
+        F.col("t"))
+        .select("doc_id", "n", "i",
+                h56(F.expr(f"substring(t, i, {k})")).alias("h")))
+    from pyspark.sql.window import Window as W
+    win = (W.partitionBy("doc_id").orderBy("i")
+           .rowsBetween(W.currentRow, w - 1))
+    fps = (grams.withColumn("fp", F.min("h").over(win))
+           .where(F.col("i") <= F.col("n") - (k - 1) - (w - 1))
+           .select("doc_id", "fp").distinct())
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_df).select("fp"))
+    filtered = fps.join(rare, "fp")
+    a = filtered.alias("a")
+    b = filtered.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp")) &
+                     (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_fp").alias("n_b"))
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("containment",
+                        F.round(F.col("shared") /
+                                F.least("n_a", "n_b"), 4))
+            .where(F.col("containment") >= tau)
+            .select("doc_a", "doc_b", "shared", "containment"))
 
 
 def duplicate_components(doc_ids: DataFrame, pairs: DataFrame,

@@ -633,6 +633,48 @@ WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
 """
 
 
+def q_winnow_pairs(spark, sf):
+    """Substring-level near-dup candidates: docs sharing winnowing
+    fingerprints at containment >= 0.5 over the seeded corpus (exact
+    copies score 1.0; the 25 organic near-dup doc pairs also surface)."""
+    return D.winnow_pairs(_seeded_documents(spark, sf),
+                          k=8, w=4, max_df=50, tau=0.5)
+
+
+SQL_WINNOW_PAIRS = rf"""
+WITH seeded AS ({SEED_DOCS_SQL}),
+base AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+  FROM seeded),
+grams AS (
+  SELECT doc_id, len(t) AS n, i,
+         ('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT AS h
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 11),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, n, i,
+           min(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams) t
+  WHERE i <= n - 7 - 3),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+f AS (SELECT fps.doc_id, fps.fp FROM fps JOIN rare USING (fp)),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, shared,
+       round(shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 4)
+         AS containment
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE) >= 0.5
+"""
+
+
 def q_dedup_clusters(spark, sf):
     """Near-dup *cluster* materialization: LSH pairs -> connected
     components (hash-min propagation) -> (doc_id, cluster_id).  Oracle:
@@ -1368,6 +1410,7 @@ QUERIES = {
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
