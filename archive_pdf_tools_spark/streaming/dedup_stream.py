@@ -21,10 +21,91 @@ from __future__ import annotations
 
 from ..functions.textstats import fingerprint
 
-__all__ = ["stream_dedup", "DOCS_SCHEMA_DDL"]
+__all__ = ["stream_dedup", "stream_near_dups", "DOCS_SCHEMA_DDL",
+           "NEAR_DUP_OUTPUT"]
 
 DOCS_SCHEMA_DDL = ("doc_id bigint, text string, lang string, "
                    "source string, n_chars bigint")
+
+
+NEAR_DUP_OUTPUT = ("doc_a string, doc_b string, band int, "
+                   "est_jaccard double")
+_NEAR_DUP_STATE = "members string"
+
+
+def _bucket_matcher(sim_tau: float, max_members: int):
+    import json
+
+    import pandas as pd
+
+    def match(key, pdf_iter, state):
+        if state.exists:
+            members = json.loads(state.get[0])
+        else:
+            members = []                      # [(doc_id, [sig ints])]
+        pairs = []
+        for pdf in pdf_iter:
+            for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
+                doc_id = str(doc_id)
+                sig = [int(v) for v in sig]
+                for other_id, other_sig in members:
+                    if other_id == doc_id:
+                        continue
+                    eq = sum(1 for a, b in zip(sig, other_sig) if a == b)
+                    est = eq / len(sig)
+                    if est >= sim_tau:
+                        a, b = sorted((other_id, doc_id))
+                        pairs.append((a, b, int(key[0]), round(est, 4)))
+                if len(members) < max_members:
+                    members.append((doc_id, sig))
+        state.update((json.dumps(members),))
+        yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "band",
+                                           "est_jaccard"])
+    return match
+
+
+def stream_near_dups(stream_df, n: int = 3, k: int = 32, bands: int = 8,
+                     sim_tau: float = 0.5, seed: int = 7,
+                     max_members: int = 1024):
+    """Incremental NEAR-dup pair detection over a document stream.
+
+    MinHash signatures (stateless vectorized stage) -> explode to
+    (band, bucket) keys -> ``applyInPandasWithState`` keyed per bucket:
+    the state holds the bucket's member signatures, each arriving doc is
+    scored against them by the fraction of equal signature components
+    (the unbiased Jaccard estimator), and pairs >= ``sim_tau`` are
+    emitted the moment the second member arrives — across micro-batches
+    and restarts (state lives in the checkpoint).
+
+    Scale posture: state is per *bucket*, bounded by ``max_members``
+    (banding keeps buckets small exactly as in the batch LSH; the cap is
+    the runaway-bucket guard for adversarial content).  The same pair
+    can fire in several bands — consumers dedup on (doc_a, doc_b), which
+    stays a cheap batch-local distinct.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ..functions.dedup import minhash_signatures
+
+    rows_per_band = k // bands
+    sig = minhash_signatures(stream_df, n=n, k=k, seed=seed)
+    band_cols = []
+    for bi in range(bands):
+        seg = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(
+            F.lit(bi).alias("band"),
+            F.concat_ws("-", *[F.element_at(seg, j + 1).cast("string")
+                               for j in range(rows_per_band)])
+             .alias("bucket")))
+    buckets = (sig.select("doc_id", "sig",
+                          F.explode(F.array(*band_cols)).alias("bb"))
+               .select("doc_id", "sig", "bb.band", "bb.bucket"))
+    return (buckets
+            .groupBy("band", "bucket")
+            .applyInPandasWithState(
+                _bucket_matcher(sim_tau, max_members), NEAR_DUP_OUTPUT,
+                _NEAR_DUP_STATE, "append", GroupStateTimeout.NoTimeout))
 
 
 def stream_dedup(stream_df, ts_col: str | None = None,

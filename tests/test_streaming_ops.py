@@ -135,3 +135,55 @@ def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
     run_once()
     kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
     assert kept2 == sorted(kept1 + [5])
+
+
+def test_stream_near_dups_across_batches(spark, tmp_path):
+    """A near-dup arriving in a LATER micro-batch must pair against the
+    bucket members stored in the checkpointed state."""
+    from archive_pdf_tools_spark.streaming.dedup_stream import (
+        DOCS_SCHEMA_DDL, NEAR_DUP_OUTPUT, stream_near_dups)
+
+    in_dir = str(tmp_path / "docs")
+    out_dir = str(tmp_path / "pairs")
+    cp = str(tmp_path / "cp")
+    base = ("the quick brown fox jumps over the lazy dog and runs through "
+            "wide golden fields while evening light settles on far hills")
+    near = base.replace("golden", "amber")          # one-token change
+    other = ("completely different content about spark shuffles and "
+             "arrow batches flowing between executors under pressure")
+
+    def run_once():
+        stream = spark.readStream.schema(DOCS_SCHEMA_DDL).parquet(in_dir)
+        q = (stream_near_dups(stream, sim_tau=0.5)
+             .writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .outputMode("append")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, other, "en", "s", len(other))],
+        DOCS_SCHEMA_DDL).write.parquet(in_dir)
+    run_once()
+    assert spark.read.schema(NEAR_DUP_OUTPUT).parquet(out_dir).count() == 0
+
+    spark.createDataFrame(
+        [(3, near, "en", "s", len(near))],
+        DOCS_SCHEMA_DDL).write.mode("append").parquet(in_dir)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert pairs == {("1", "3")}
+    assert all(r["est_jaccard"] >= 0.5 for r in rows)
+
+    # exact duplicate of doc 2 arriving in a third batch
+    spark.createDataFrame(
+        [(4, other, "en", "s", len(other))],
+        DOCS_SCHEMA_DDL).write.mode("append").parquet(in_dir)
+    run_once()
+    rows = spark.read.parquet(out_dir).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert ("2", "4") in pairs
+    exact = [r for r in rows if (r["doc_a"], r["doc_b"]) == ("2", "4")]
+    assert all(r["est_jaccard"] == 1.0 for r in exact)
