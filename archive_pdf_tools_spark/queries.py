@@ -337,6 +337,66 @@ FROM documents
 """
 
 
+def q_table_profile(spark, sf):
+    """Column profiler over documents (the data-quality pass a pipeline
+    runs before training): per categorical column — distinct count, top
+    value (deterministic ties), null count; plus numeric stats for
+    n_chars.  One grouping-sets-style pass per column, all JVM."""
+    doc = load_table(spark, sf, "documents")
+    outs = []
+    for col in ("lang", "source"):
+        counts = (doc.groupBy(F.col(col).alias("v"))
+                  .agg(F.count("*").alias("c")))
+        top = (counts.orderBy(F.col("c").desc(), F.col("v")).limit(1)
+               .select(F.lit(col).alias("column"),
+                       F.col("v").alias("top_value"),
+                       F.col("c").alias("top_count")))
+        stats = doc.agg(
+            F.lit(col).alias("column"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+             .alias("n_null"))
+        outs.append(stats.join(top, "column"))
+    prof = outs[0].unionByName(outs[1])
+    nums = doc.agg(
+        F.lit("n_chars").alias("column"),
+        F.countDistinct("n_chars").alias("n_distinct"),
+        F.sum(F.when(F.col("n_chars").isNull(), 1).otherwise(0))
+         .alias("n_null"),
+        F.min("n_chars").cast("string").alias("top_value"),
+        F.max("n_chars").alias("top_count"))   # (min, max) for numerics
+    return prof.unionByName(nums).select(
+        "column", "n_distinct", "n_null", "top_value", "top_count")
+
+
+SQL_TABLE_PROFILE = """
+WITH tops AS (
+  SELECT 'lang' AS column, lang AS top_value, count(*) AS top_count
+  FROM documents GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+), tops2 AS (
+  SELECT 'source' AS column, source AS top_value, count(*) AS top_count
+  FROM documents GROUP BY source ORDER BY count(*) DESC, source LIMIT 1
+)
+SELECT t.column,
+       CASE t.column WHEN 'lang'
+            THEN (SELECT count(DISTINCT lang) FROM documents)
+            ELSE (SELECT count(DISTINCT source) FROM documents) END
+         AS n_distinct,
+       CASE t.column WHEN 'lang'
+            THEN (SELECT count(*) FROM documents WHERE lang IS NULL)
+            ELSE (SELECT count(*) FROM documents WHERE source IS NULL) END
+         AS n_null,
+       t.top_value, t.top_count
+FROM (SELECT * FROM tops UNION ALL SELECT * FROM tops2) t
+UNION ALL
+SELECT 'n_chars',
+       (SELECT count(DISTINCT n_chars) FROM documents),
+       (SELECT count(*) FROM documents WHERE n_chars IS NULL),
+       CAST((SELECT min(n_chars) FROM documents) AS VARCHAR),
+       (SELECT max(n_chars) FROM documents)
+"""
+
+
 def q_repetition(spark, sf):
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
     public quality-filter family): per-doc duplicate-token fraction,
@@ -1396,6 +1456,7 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "repetition": (q_repetition, SQL_REPETITION),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "lang_guess": (q_lang_guess, SQL_LANG),
