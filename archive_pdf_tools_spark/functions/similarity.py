@@ -188,7 +188,9 @@ def pq_fit(embeddings: DataFrame, m: int = 8, ncode: int = 16,
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     rng = np.random.default_rng(seed)
-    books = np.empty((m, ncode, dsub))
+    # zeros, not empty: corpora smaller than ncode leave unused codeword
+    # slots, which must be deterministic (assignment argmins read them)
+    books = np.zeros((m, ncode, dsub))
     for j in range(m):
         S = X[:, j * dsub:(j + 1) * dsub]
         C = S[rng.choice(len(S), size=min(ncode, len(S)), replace=False)]
