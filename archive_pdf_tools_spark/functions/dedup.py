@@ -38,7 +38,8 @@ from .textstats import fingerprint
 
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "minhash_lsh_pairs", "simhash",
-           "winnow_pairs", "duplicate_components", "embedding_near_dups"]
+           "winnow_fingerprints", "winnow_pairs", "duplicate_components",
+           "embedding_near_dups"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -221,10 +222,16 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    # The shingle table feeds both the size lookup and the two verify
-    # joins; cache it so tokenization runs once (at warehouse scale this
-    # becomes a persisted/Iceberg intermediate instead of a cache).
-    sh = shingles_df(documents, n).cache()
+    # Verify is candidate-bounded: only documents that appear in some
+    # candidate pair are re-tokenized (semi-join on the candidate doc
+    # set), so the shingle table cached here is O(candidate docs) — set
+    # by band width — never the full corpus (a full-table cache is a
+    # silent OOM/recompute hazard at warehouse scale).
+    cand_docs = (cand.select(F.col("doc_a").alias("doc_id"))
+                 .union(cand.select(F.col("doc_b").alias("doc_id")))
+                 .distinct())
+    sh = shingles_df(documents.join(cand_docs, "doc_id", "left_semi"),
+                     n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ash = sh.select(F.col("doc_id").alias("doc_a"),
                     F.col("shingle").alias("s"))
@@ -290,35 +297,69 @@ def simhash(documents: DataFrame) -> DataFrame:
                            schema=f"doc_id {id_type}, simhash bigint")
 
 
+def winnow_fingerprints(documents: DataFrame, k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Distinct winnowing fingerprints per doc: (doc_id, fp bigint) rows
+    (Schleimer/Wilkerson/Aiken SIGMOD'03 selection).
+
+    One vectorized map stage, zero shuffle before the fp rows: per doc,
+    normalize -> char k-gram h56 hashes -> rolling window-w minima via a
+    NumPy sliding-window view -> np.unique.  The earlier formulation
+    exploded ONE ROW PER CHARACTER (``F.explode(F.sequence(...))``) and
+    pushed that ~10-20x-amplified row set through a window-function
+    Exchange — at 100 TB of text that shuffle IS the job; here nothing
+    leaves the executor but the distinct (doc_id, fp) rows (~n_chars/w
+    per doc).  Same template as ``minhash_signatures``.
+
+    Normalization/hash mirror the SQL oracle exactly: ASCII-space trim,
+    lower, java-``\\s+`` collapsed to one space, md5-prefix h56 over
+    character k-grams.
+    """
+    import hashlib
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")     # java/RE2 \s, not unicode \s
+
+    def _fp_batches(batches):
+        md5 = hashlib.md5
+        swv = np.lib.stride_tricks.sliding_window_view
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                t = ws.sub(" ", text.strip(" ").lower())
+                n = len(t)
+                if n < k + w - 1:
+                    continue
+                hs = np.fromiter(
+                    (int(md5(t[i:i + k].encode("utf-8")).hexdigest()[:14],
+                         16) for i in range(n - k + 1)),
+                    dtype=np.int64, count=n - k + 1)
+                uniq = np.unique(swv(hs, w).min(axis=1))
+                ids.extend([doc_id] * len(uniq))
+                fps.extend(uniq.tolist())
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    src = documents.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(_fp_batches,
+                           schema=f"doc_id {id_type}, fp bigint")
+
+
 def winnow_pairs(documents: DataFrame, k: int = 8, w: int = 4,
                  max_df: int = 50, tau: float = 0.5) -> DataFrame:
     """Substring-level near-dup candidates via shared winnowing
-    fingerprints (Schleimer et al. selection; the cross-doc substring
-    dedup signal of the Lee et al. 2022 training-data dedup family).
+    fingerprints (the cross-doc substring dedup signal of the Lee et al.
+    2022 training-data dedup family).
 
-    Char k-gram hashes -> window-w minima -> distinct (doc, fp) ->
+    Vectorized map-stage fingerprinting (``winnow_fingerprints``) ->
     stop-fingerprint cap (document frequency <= max_df, the same
     self-join bound as stop-shingles) -> pairs sharing fingerprints,
-    scored by containment = shared / min(|A|, |B|).  Entirely JVM-side:
-    substring/md5/window-min in whole-stage codegen, no Python.
+    scored by containment = shared / min(|A|, |B|).
     """
-    from .textstats import h56
-
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    base = (documents.select("doc_id", norm.alias("t"))
-            .where(F.length("t") >= k + w - 1))
-    grams = (base.select(
-        "doc_id", F.length("t").alias("n"),
-        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
-        F.col("t"))
-        .select("doc_id", "n", "i",
-                h56(F.expr(f"substring(t, i, {k})")).alias("h")))
-    from pyspark.sql.window import Window as W
-    win = (W.partitionBy("doc_id").orderBy("i")
-           .rowsBetween(W.currentRow, w - 1))
-    fps = (grams.withColumn("fp", F.min("h").over(win))
-           .where(F.col("i") <= F.col("n") - (k - 1) - (w - 1))
-           .select("doc_id", "fp").distinct())
+    fps = winnow_fingerprints(documents, k=k, w=w)
     sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
     rare = (fps.groupBy("fp").agg(F.count("*").alias("df"))
             .where(F.col("df") <= max_df).select("fp"))
@@ -363,6 +404,7 @@ def duplicate_components(doc_ids: DataFrame, pairs: DataFrame,
     und = edges.union(edges.select(F.col("dst").alias("src"),
                                    F.col("src").alias("dst"))).cache()
     labels = doc_ids.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    changed = 0
     for _ in range(max_iters):
         nbr = (und.join(labels, und["src"] == labels["doc_id"])
                .groupBy("dst").agg(F.min("cluster_id").alias("nbr_min")))
@@ -379,6 +421,13 @@ def duplicate_components(doc_ids: DataFrame, pairs: DataFrame,
         labels = merged
         if changed == 0:
             break
+    if changed != 0:
+        # Non-convergence must be loud: partially-propagated labels are
+        # silently *wrong* clusters, not approximate ones.
+        raise RuntimeError(
+            f"duplicate_components did not converge in {max_iters} rounds "
+            f"({changed} labels still changing); raise max_iters — rounds "
+            "needed = component diameter")
     return labels
 
 

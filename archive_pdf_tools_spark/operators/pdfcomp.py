@@ -47,19 +47,22 @@ def _est(arr: np.ndarray) -> int:
 def _recode_one(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
     from ..kernels.mrc import create_mrc_components
     from ..sources.hocr import iter_pages, page_word_data
-    from ..sources.pdf_meta import extract_page_images, parse_pdf
+    from ..sources.pdf_meta import _Reader, extract_page_images, parse_pdf
 
     word_data_by_page: dict[int, list] = {}
     if hocr:
         for idx, page in enumerate(iter_pages(hocr)):
             word_data_by_page[idx] = page_word_data(page)
 
+    # One structural parse + one xref resolver per document, shared by
+    # every page (the per-page re-parse was quadratic in page count).
     meta = parse_pdf(pdf)
+    rd = _Reader(pdf)
     rows = []
     for page in meta["pages"]:
         pidx = page["page_idx"]
         words = word_data_by_page.get(pidx, [])
-        for xref, raster in extract_page_images(pdf, pidx):
+        for xref, raster in extract_page_images(pdf, pidx, meta=meta, rd=rd):
             res = create_mrc_components(raster, words)
             accepted = sum(1 for d in res.line_decisions if d.accepted)
             orig = raster.size  # uncompressed pixel bytes in the PDF

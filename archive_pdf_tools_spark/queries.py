@@ -1001,7 +1001,9 @@ def q_html_extract(spark, sf):
 SQL_HTML_EXTRACT = r"""
 WITH base AS (
   SELECT doc_id,
-         least(len(regexp_split_to_array(trim(text), '\s+')), 400) AS nw
+         CASE WHEN regexp_full_match(text, '\s*') THEN 0
+              ELSE least(len(regexp_split_to_array(trim(text), '\s+')), 400)
+         END AS nw
   FROM documents)
 SELECT doc_id,
        CAST(nw // 40 + CASE WHEN nw % 40 >= 3 THEN 1 ELSE 0 END
@@ -1327,26 +1329,14 @@ def q_winnow_fp(spark, sf):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the rolling-hash fingerprint a plagiarism/near-dup
     pipeline keeps per doc): char k-gram hashes (k=8), min per sliding
-    window (w=4), distinct selected hashes, per-doc digest.  Entirely
-    JVM-side (substring/md5/window-min in whole-stage codegen — no
-    Python), mirrored exactly in the DuckDB oracle."""
-    k, w = 8, 4
+    window (w=4), distinct selected hashes, per-doc digest.  One
+    vectorized map stage — no shuffle before the fp rows (see
+    ``functions.dedup.winnow_fingerprints``); the DuckDB oracle mirrors
+    the same selection with substring/md5/window-min SQL."""
+    from .functions.dedup import winnow_fingerprints
+
     doc = _spread(load_table(spark, sf, "documents"))
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    base = (doc.select("doc_id", norm.alias("t"))
-            .where(F.length("t") >= k + w - 1))
-    grams = (base.select(
-        "doc_id", F.length("t").alias("n"),
-        F.explode(F.sequence(F.lit(1), F.length("t") - (k - 1))).alias("i"),
-        F.col("t"))
-        .select("doc_id", "n", "i",
-                T.h56(F.expr(f"substring(t, i, {k})")).alias("h")))
-    win = (Window.partitionBy("doc_id").orderBy("i")
-           .rowsBetween(Window.currentRow, w - 1))
-    fps = (grams
-           .withColumn("fp", F.min("h").over(win))
-           .where(F.col("i") <= F.col("n") - (k - 1) - (w - 1))
-           .select("doc_id", "fp").distinct())
+    fps = winnow_fingerprints(doc, k=8, w=4)
     return (fps.groupBy("doc_id")
             .agg(F.count("*").alias("n_fps"),
                  F.sum(F.col("fp") % (1 << 30)).alias("fp_sum"),
@@ -1416,7 +1406,9 @@ def q_hocr_parse(spark, sf):
 SQL_HOCR_PARSE = r"""
 WITH base AS (
   SELECT doc_id,
-         least(len(regexp_split_to_array(trim(text), '\s+')), 400) AS n
+         CASE WHEN regexp_full_match(text, '\s*') THEN 0
+              ELSE least(len(regexp_split_to_array(trim(text), '\s+')), 400)
+         END AS n
   FROM documents),
 pages AS (
   SELECT doc_id, n, unnest(generate_series(0,

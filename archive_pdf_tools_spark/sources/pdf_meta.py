@@ -131,6 +131,11 @@ class _Reader:
                 entry = data[cur:cur + 20]
                 if entry[17:18] == b"n":
                     self.entries.setdefault(start + i, (1, int(entry[0:10])))
+                else:
+                    # Free entries are tombstones: a newer section freeing
+                    # an object must shadow an older section's in-use
+                    # entry (newest-section-wins), so record type 0 too.
+                    self.entries.setdefault(start + i, (0,))
                 cur += 20
         tpos = data.find(b"trailer", cur)
         trailer = _dict_region(data[tpos:tpos + 4096]) if tpos >= 0 else b""
@@ -176,6 +181,8 @@ class _Reader:
                     self.entries.setdefault(start + i, (1, a))
                 elif t == 2:
                     self.entries.setdefault(start + i, (2, a, b))
+                else:                        # type-0 free = tombstone
+                    self.entries.setdefault(start + i, (0,))
         self.trailers.append(d)
         return _get_int(d, b"/Prev")
 
@@ -188,7 +195,8 @@ class _Reader:
         return None
 
     def has(self, oid: int) -> bool:
-        return oid in self.entries
+        e = self.entries.get(oid)
+        return e is not None and e[0] != 0
 
     def _objstm(self, stm_oid: int) -> dict[int, bytes]:
         cached = self._objstm_cache.get(stm_oid)
@@ -212,7 +220,7 @@ class _Reader:
 
     def body(self, oid: int) -> bytes:
         e = self.entries.get(oid)
-        if e is None:
+        if e is None or e[0] == 0:           # absent or freed (tombstone)
             raise PdfError(f"object {oid} not in xref")
         if e[0] == 1:
             return _object_body(self.data, e[1])
@@ -384,17 +392,23 @@ def parse_pdf(data: bytes) -> dict:
             "scale": round(max_scale, 6), "pages": pages}
 
 
-def extract_page_images(data: bytes, page_idx: int):
+def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
     image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams only
     (the fixture corpus shape); codec-filtered streams (JPX/DCT/JBIG2)
-    return metadata-only (the decode is the multimodal stub boundary)."""
+    return metadata-only (the decode is the multimodal stub boundary).
+
+    ``meta``/``rd``: pass the already-parsed metadata and ``_Reader`` to
+    amortize the structural parse across a document's pages (one parse
+    per PDF, not one per page)."""
     import numpy as np
 
-    meta = parse_pdf(data)
+    if meta is None:
+        meta = parse_pdf(data)
     if page_idx >= meta["n_pages"]:
         raise IndexError(page_idx)
-    rd = _Reader(data)
+    if rd is None:
+        rd = _Reader(data)
     out = []
     for im in meta["pages"][page_idx]["images"]:
         if im["format"] not in ("FLATE", "RAW"):

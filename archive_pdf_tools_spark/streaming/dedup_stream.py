@@ -44,6 +44,7 @@ def _bucket_matcher(sim_tau: float, max_members: int):
         else:
             members = []                      # [(doc_id, [sig ints])]
         pairs = []
+        member_ids = {m[0] for m in members}
         for pdf in pdf_iter:
             for doc_id, sig in zip(pdf["doc_id"], pdf["sig"]):
                 doc_id = str(doc_id)
@@ -56,8 +57,12 @@ def _bucket_matcher(sim_tau: float, max_members: int):
                     if est >= sim_tau:
                         a, b = sorted((other_id, doc_id))
                         pairs.append((a, b, int(key[0]), round(est, 4)))
-                if len(members) < max_members:
+                # A re-delivered doc must not occupy a second member slot
+                # (it would waste max_members capacity AND emit duplicate
+                # self-pairs for every later arrival).
+                if doc_id not in member_ids and len(members) < max_members:
                     members.append((doc_id, sig))
+                    member_ids.add(doc_id)
         state.update((json.dumps(members),))
         yield pd.DataFrame(pairs, columns=["doc_a", "doc_b", "band",
                                            "est_jaccard"])

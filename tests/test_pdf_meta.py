@@ -161,3 +161,30 @@ def test_incremental_update_prev_chain():
     meta_base = parse_pdf(base)
     meta_upd = parse_pdf(bytes(out))
     assert meta_upd == meta_base          # document content unchanged
+
+
+def test_incremental_update_free_entry_tombstones():
+    """An incremental update that FREES an object must shadow the older
+    section's in-use entry (newest-section-wins): the freed object is
+    gone, not resurrected by setdefault from the /Prev section."""
+    import re as _re
+
+    from archive_pdf_tools_spark.sources.pdf_meta import _Reader
+
+    base = synth_pdf(2, modern=False)
+    old_startxref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+    root = int(_re.findall(rb"/Root (\d+) 0 R", base)[-1])
+    size = int(_re.findall(rb"/Size (\d+)", base)[-1])
+    victim = 1                              # first object (an image/content)
+    out = bytearray(base)
+    xref_pos = len(out)
+    out += b"xref\n%d 1\n0000000000 00001 f \n" % victim
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (size, root, old_startxref, xref_pos))
+
+    rd = _Reader(bytes(out))
+    assert not rd.has(victim)               # tombstone shadows the old entry
+    with pytest.raises(Exception):
+        rd.body(victim)
+    assert _Reader(base).has(victim)        # and the base doc still has it

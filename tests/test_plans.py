@@ -111,3 +111,24 @@ def test_partition_count_invariance_new_queries(spark):
             assert a, f"{name}: empty result"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+def test_winnow_fingerprints_shuffle_free(spark):
+    """Fingerprint selection is one vectorized map stage: no Exchange
+    before the (doc_id, fp) rows (the per-character explode + window
+    formulation shuffled ~n_chars rows per doc)."""
+    from archive_pdf_tools_spark.functions.dedup import winnow_fingerprints
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(winnow_fingerprints(docs))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p
+
+
+def test_lsh_verify_is_candidate_bounded(spark):
+    """The exact-Jaccard verify inside minhash_lsh_pairs must tokenize
+    only candidate documents: the shingle scan hangs off a semi-join on
+    the candidate doc set, not a full-corpus cache."""
+    from archive_pdf_tools_spark.functions.dedup import minhash_lsh_pairs
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan_str(minhash_lsh_pairs(docs))
+    assert "LeftSemi" in p, p
