@@ -3,8 +3,11 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 (45 queries, 34 DuckDB-oracle-paired) plus the
-training-data-pipeline function library (dedup incl. banded LSH and
+operator from SURVEY.md §2 (53 queries, 48 DuckDB-oracle-paired —
+including the extraction pipeline itself via span-sequence digests, the
+checkpoint/resume protocol, and the media/PDF fixture queries via pinned
+value-table oracles, see ``archive_pdf_tools_spark/pinned_sql.py``) plus
+the training-data-pipeline function library (dedup incl. banded LSH and
 connected-component clustering / ANN similarity with self-verifying
 recall rows / text analysis incl. winnowing + BPE-ish token counts /
 multimodal plumbing / hOCR + PDF front doors).  The implementations live

@@ -16,11 +16,38 @@ import zlib
 
 import numpy as np
 
-__all__ = ["build_pdf", "synth_pdf"]
+__all__ = ["build_pdf", "synth_pdf", "synth_jpeg"]
 
 
 def _flate(data: bytes) -> bytes:
     return zlib.compress(data, 6)
+
+
+def synth_jpeg(w: int, h: int, gray: bool, seed: int = 0) -> bytes:
+    """Structurally-honest JPEG bytes: SOI, APP0/JFIF, SOF0 frame header
+    carrying the real dimensions + component count (ISO/IEC 10918-1
+    B.2.2), SOS and a little seeded entropy payload, EOI.  The scan data
+    is not a decodable Huffman stream — the fixture exercises the
+    metadata-without-decode path (header parse), which is all the engine
+    does with DCT streams (decode stays behind the codec gate)."""
+    ncomp = 1 if gray else 3
+    out = bytearray(b"\xff\xd8")                       # SOI
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    sof = bytearray()
+    sof += (8).to_bytes(1, "big")                      # precision
+    sof += h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += ncomp.to_bytes(1, "big")
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])                 # id, 1x1 sampling, DQT 0
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    sos = bytes([ncomp]) + b"".join(bytes([c + 1, 0]) for c in range(ncomp)) \
+        + b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    rng = np.random.default_rng(seed ^ (w << 16) ^ h)
+    out += bytes(int(v) & 0x7F for v in rng.integers(0, 128, 24))
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
 
 
 def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
@@ -50,12 +77,20 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
         img_ids = []
         for img in page.get("images", []):
             cs = b"/DeviceGray" if img.get("gray", True) else b"/DeviceRGB"
-            data = _flate(img["data"])
+            if img.get("dct"):
+                # DCT-filtered image: payload is JPEG bytes as-is; the
+                # parser must take dims/components from the SOF header.
+                data = img["data"]
+                filt = b"/DCTDecode"
+            else:
+                data = _flate(img["data"])
+                filt = b"/FlateDecode"
             body = (b"<< /Type /XObject /Subtype /Image /Width "
                     + str(img["w"]).encode() + b" /Height "
                     + str(img["h"]).encode()
                     + b" /ColorSpace " + cs
-                    + b" /BitsPerComponent 8 /Filter /FlateDecode /Length "
+                    + b" /BitsPerComponent 8 /Filter " + filt
+                    + b" /Length "
                     + str(len(data)).encode() + b" >>\nstream\n"
                     + data + b"\nendstream")
             img_ids.append(add(body, stream=True))
@@ -182,6 +217,10 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
         for _ in range(int(rng.integers(0, 3))):
             gray = bool(rng.random() < 0.5)
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            if rng.random() < 0.3:        # DCT-filtered (JPEG) image
+                images.append({"w": w, "h": h, "gray": gray, "dct": True,
+                               "data": synth_jpeg(w, h, gray, seed=seed)})
+                continue
             n = w * h * (1 if gray else 3)
             images.append({"w": w, "h": h, "gray": gray,
                            "data": rng.integers(0, 256, n,

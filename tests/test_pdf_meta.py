@@ -188,3 +188,37 @@ def test_incremental_update_free_entry_tombstones():
     with pytest.raises(Exception):
         rd.body(victim)
     assert _Reader(base).has(victim)        # and the base doc still has it
+
+
+def test_dct_image_metadata_from_sof_header():
+    """JPEG (/DCTDecode) image streams: dims + mode come from the SOF
+    frame header (metadata-without-decode), including when the XObject
+    dict disagrees with the codec data."""
+    from archive_pdf_tools_spark.corpus.pdfgen import synth_jpeg
+    from archive_pdf_tools_spark.sources.pdf_meta import _jpeg_sof
+
+    assert _jpeg_sof(synth_jpeg(33, 21, gray=True)) == (33, 21, 1)
+    assert _jpeg_sof(synth_jpeg(40, 50, gray=False)) == (40, 50, 3)
+    assert _jpeg_sof(b"not a jpeg") is None
+
+    blob = build_pdf([{"width": 612, "height": 792, "images": [
+        {"w": 33, "h": 21, "gray": True, "dct": True,
+         "data": synth_jpeg(33, 21, gray=True)}], "text": None}])
+    im = parse_pdf(blob)["pages"][0]["images"][0]
+    assert (im["width"], im["height"], im["mode"], im["format"]) == \
+        (33, 21, "L", "JPEG")
+
+    # dict says 99x99 RGB; SOF says 33x21 gray -> SOF wins
+    lying = build_pdf([{"width": 612, "height": 792, "images": [
+        {"w": 99, "h": 99, "gray": False, "dct": True,
+         "data": synth_jpeg(33, 21, gray=True)}], "text": None}])
+    im = parse_pdf(lying)["pages"][0]["images"][0]
+    assert (im["width"], im["height"], im["mode"]) == (33, 21, "L")
+
+
+def test_synth_pdf_mixes_in_dct_images():
+    fmts = set()
+    for seed in range(16):
+        for page in parse_pdf(synth_pdf(seed))["pages"]:
+            fmts.update(im["format"] for im in page["images"])
+    assert "JPEG" in fmts and "FLATE" in fmts
