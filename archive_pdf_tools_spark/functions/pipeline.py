@@ -1,0 +1,91 @@
+"""Corpus-assembly operators a training-data pipeline needs beyond
+per-document analysis: benchmark decontamination, deterministic
+stratified sampling, and sequence packing.
+
+All three are engine-side (whole-stage codegen column expressions or the
+existing vectorized shingle stage); each has an exact ANSI-SQL mirror for
+the DuckDB oracle.  Scale shapes:
+
+* decontamination — the benchmark side is small by construction (eval
+  sets are KBs-MBs), so it broadcasts and the corpus scan never
+  shuffles;
+* sampling — one md5 per row, no shuffle, seed-stable (auditable mix);
+* packing — window partitioned by (lang, shard): bounded partitions,
+  never a global ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from .textstats import h56, token_count
+
+__all__ = ["decontaminate", "stratified_sample", "pack_sequences"]
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  n: int = 5) -> DataFrame:
+    """(doc_id, bench_id, n_overlap): training documents sharing word
+    n-grams with benchmark texts — the train/test decontamination filter
+    of the GPT-3/PaLM data-card family (drop or flag a training doc that
+    contains eval-set n-grams).
+
+    ``benchmark`` is (bench_id, text).  Its shingle set is broadcast:
+    eval suites are tiny next to a 100-TB corpus, so the corpus-side
+    shingle stream joins map-side against the broadcast hash table and
+    nothing but matches ever reaches a shuffle (plan-asserted)."""
+    from .dedup import shingles_df
+
+    doc_sh = shingles_df(documents, n)
+    bench_sh = (shingles_df(
+        benchmark.select(F.col("bench_id").alias("doc_id"), "text"), n)
+        .select(F.col("doc_id").alias("bench_id"), "shingle"))
+    return (doc_sh.join(F.broadcast(bench_sh), "shingle")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count("*").alias("n_overlap")))
+
+
+def stratified_sample(documents: DataFrame, rates: dict[str, float],
+                      default_rate: float = 0.25, salt: str = "s1",
+                      denom: int = 10000) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a document iff
+    ``h56(doc_id || salt) % denom < rate[lang] * denom``.
+
+    Unlike ``rand()``/``sampleBy``, the decision is a pure function of
+    (doc_id, salt): re-running the job, changing partitioning, or
+    replaying a shard yields the SAME corpus mix — reproducibility and
+    auditability a 10^12-doc training-mix job needs.  One md5 per row in
+    whole-stage codegen; no shuffle; changing ``salt`` draws an
+    independent sample."""
+    mapping = F.create_map(*[F.lit(x) for kv in rates.items() for x in kv])
+    thr = F.coalesce(mapping[F.col("lang")],
+                     F.lit(float(default_rate))) * denom
+    bucket = h56(F.concat(F.col("doc_id").cast("string"),
+                          F.lit(salt))) % denom
+    return documents.where(bucket < thr)
+
+
+def pack_sequences(documents: DataFrame, max_tokens: int = 1024,
+                   shards: int = 8) -> DataFrame:
+    """GPT-style sequence-packing layout: documents are concatenated in
+    deterministic (lang, shard, doc_id) order and sliced into fixed
+    ``max_tokens`` windows; each document gets the window index and
+    token offset where it starts.
+
+    Packing boundaries are arbitrary, so the corpus is packed per
+    (lang, shard) independently: the window function's partition key is
+    bounded (langs x shards of roughly equal hash-assigned size), never
+    one global ordering — well-defined AND skew-free at 10^12 docs,
+    where a single global cumsum would serialize the job."""
+    shard = (h56(F.col("doc_id").cast("string")) % shards).cast("int")
+    base = documents.select(
+        "doc_id", "lang", shard.alias("shard"),
+        token_count("text").cast("int").alias("n_tok"))
+    w = (Window.partitionBy("lang", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "lang", "shard", "n_tok",
+        F.floor(start / max_tokens).cast("int").alias("seq_idx"),
+        (start % max_tokens).cast("int").alias("tok_offset"))

@@ -1391,6 +1391,96 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+# ------------------------------------------------- corpus-assembly pipeline
+
+def q_decontaminate(spark, sf):
+    """Train/test decontamination: word-5-gram overlap of every document
+    against a small 'benchmark' table (every 100th doc plays the eval
+    set), benchmark side broadcast (plan-asserted)."""
+    from .functions.pipeline import decontaminate
+
+    doc = load_table(spark, sf, "documents")
+    bench = (doc.where(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return decontaminate(_spread(doc), bench, n=5)
+
+
+SQL_DECONTAMINATE = r"""
+WITH doc_sh AS (
+  SELECT DISTINCT doc_id, sh AS shingle FROM (
+    SELECT doc_id, array_to_string(toks[i : i + 4], ' ') AS sh
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+          FROM documents) d,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) g
+  ) s),
+bench_sh AS (
+  SELECT doc_id AS bench_id, shingle FROM doc_sh WHERE doc_id % 100 = 0)
+SELECT d.doc_id, b.bench_id, count(*) AS n_overlap
+FROM doc_sh d JOIN bench_sh b USING (shingle)
+GROUP BY d.doc_id, b.bench_id
+"""
+
+
+def q_corpus_sample(spark, sf):
+    """Deterministic stratified corpus mix: per-language hash-bucket
+    sampling (en 0.5, zh 0.1, default 0.25), counted per stratum.  The
+    keep decision is a pure function of (doc_id, salt) — reproducible
+    across runs/engines/partitionings, mirrored bit-for-bit in SQL."""
+    from .functions.pipeline import stratified_sample
+
+    doc = load_table(spark, sf, "documents")
+    kept = stratified_sample(doc, {"en": 0.5, "zh": 0.1},
+                             default_rate=0.25, salt="s1")
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+SQL_CORPUS_SAMPLE = """
+WITH b AS (
+  SELECT lang,
+         (('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 14))::BIGINT)
+           % 10000 AS bucket
+  FROM documents)
+SELECT lang, count(*) AS n_kept
+FROM b
+WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.1
+                ELSE 0.25 END) * 10000
+GROUP BY lang
+"""
+
+
+def q_token_pack(spark, sf):
+    """Sequence packing layout: concatenate documents in deterministic
+    (lang, shard, doc_id) order, slice fixed 1024-token windows, emit
+    each document's window index + token offset.  Window partitions are
+    (lang, hash shard) — bounded, never a global ordering."""
+    from .functions.pipeline import pack_sequences
+
+    return pack_sequences(load_table(spark, sf, "documents"),
+                          max_tokens=1024, shards=8)
+
+
+SQL_TOKEN_PACK = r"""
+WITH base AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(doc_id::VARCHAR), 1, 14))::BIGINT) % 8
+           AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, shard, n_tok,
+         coalesce(sum(n_tok) OVER (
+             PARTITION BY lang, shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+  FROM base)
+SELECT doc_id, lang, CAST(shard AS INTEGER) AS shard,
+       CAST(n_tok AS INTEGER) AS n_tok,
+       CAST(start // 1024 AS INTEGER) AS seq_idx,
+       CAST(start % 1024 AS INTEGER) AS tok_offset
+FROM c
+"""
+
+
 SQL_SCANDATA = r"""
 WITH docs AS (SELECT unnest(generate_series(0, 31)) AS i),
 pages AS (
@@ -1555,6 +1645,10 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
+    # corpus assembly
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
+    "token_pack": (q_token_pack, SQL_TOKEN_PACK),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "ann_lsh": (q_ann_lsh, None),

@@ -101,7 +101,8 @@ def test_partition_count_invariance_new_queries(spark):
 
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
-        for name in ("dedup_clusters", "minhash_lsh_pairs", "html_extract"):
+        for name in ("dedup_clusters", "minhash_lsh_pairs", "html_extract",
+                     "extract_digest"):
             fn, _sql = QUERIES[name]
             spark.conf.set("spark.sql.shuffle.partitions", "3")
             a = sorted(map(tuple, fn(spark, SF).collect()))
@@ -132,3 +133,42 @@ def test_lsh_verify_is_candidate_bounded(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     p = plan_str(minhash_lsh_pairs(docs))
     assert "LeftSemi" in p, p
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle side must broadcast: the corpus-side scan
+    joins map-side and never shuffles its shingle stream."""
+    from pyspark.sql import functions as F
+
+    from archive_pdf_tools_spark.functions.pipeline import decontaminate
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = (docs.where(F.col("doc_id") % 100 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    p = plan_str(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_stratified_sample_is_shuffle_free_and_deterministic(spark):
+    from archive_pdf_tools_spark.functions.pipeline import stratified_sample
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = stratified_sample(docs, {"en": 0.5, "zh": 0.1})
+    assert "Exchange" not in plan_str(kept)
+    a = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert a == b and 0 < len(a) < docs.count()
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets live in [0, max_tokens); seq_idx is non-decreasing in
+    doc_id order within each (lang, shard) stream."""
+    from archive_pdf_tools_spark.functions.pipeline import pack_sequences
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    rows = pack_sequences(docs, max_tokens=1024, shards=8).collect()
+    assert rows
+    assert all(0 <= r["tok_offset"] < 1024 for r in rows)
+    by_group = {}
+    for r in sorted(rows, key=lambda r: (r["lang"], r["shard"], r["doc_id"])):
+        k = (r["lang"], r["shard"])
+        prev = by_group.get(k, 0)
+        assert r["seq_idx"] >= prev
+        by_group[k] = r["seq_idx"]
