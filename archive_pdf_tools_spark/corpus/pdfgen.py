@@ -16,7 +16,27 @@ import zlib
 
 import numpy as np
 
-__all__ = ["build_pdf", "synth_pdf", "synth_jpeg"]
+__all__ = ["build_pdf", "synth_pdf", "synth_jpeg", "synth_jp2"]
+
+
+def synth_jp2(w: int, h: int, gray: bool) -> bytes:
+    """Structurally-honest JP2 bytes: signature box, ftyp box, and a
+    jp2h superbox whose ihdr carries the real dims + component count
+    (ISO/IEC 15444-1 §I.5).  No codestream — the engine only reads the
+    headers (decode stays behind the codec gate)."""
+    nc = 1 if gray else 3
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    sig = box(b"jP  ", b"\x0d\x0a\x87\x0a")
+    ftyp = box(b"ftyp", b"jp2 " + (0).to_bytes(4, "big") + b"jp2 ")
+    ihdr = box(b"ihdr", h.to_bytes(4, "big") + w.to_bytes(4, "big")
+               + nc.to_bytes(2, "big") + bytes([7, 7, 0, 0]))
+    colr = box(b"colr", bytes([1, 0, 0])
+               + (17 if gray else 16).to_bytes(4, "big"))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h
 
 
 def _flate(data: bytes) -> bytes:
@@ -82,6 +102,11 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                 # parser must take dims/components from the SOF header.
                 data = img["data"]
                 filt = b"/DCTDecode"
+            elif img.get("jpx"):
+                # JPX-filtered image: payload is JP2 bytes; the parser
+                # must take dims/components from the ihdr box.
+                data = img["data"]
+                filt = b"/JPXDecode"
             else:
                 data = _flate(img["data"])
                 filt = b"/FlateDecode"
@@ -217,9 +242,14 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
         for _ in range(int(rng.integers(0, 3))):
             gray = bool(rng.random() < 0.5)
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
-            if rng.random() < 0.3:        # DCT-filtered (JPEG) image
+            u = rng.random()
+            if u < 0.2:                   # DCT-filtered (JPEG) image
                 images.append({"w": w, "h": h, "gray": gray, "dct": True,
                                "data": synth_jpeg(w, h, gray, seed=seed)})
+                continue
+            if u < 0.35:                  # JPX-filtered (JPEG 2000) image
+                images.append({"w": w, "h": h, "gray": gray, "jpx": True,
+                               "data": synth_jp2(w, h, gray)})
                 continue
             n = w * h * (1 if gray else 3)
             images.append({"w": w, "h": h, "gray": gray,

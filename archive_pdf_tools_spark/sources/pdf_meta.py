@@ -333,6 +333,45 @@ def _jpeg_sof(raw: bytes):
     return None
 
 
+_JP2_SIG = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"
+
+
+def _jp2_dims(raw: bytes):
+    """(width, height, n_components) from a JPEG 2000 payload, or None.
+
+    Handles both shapes a PDF /JPXDecode stream may carry: the JP2 file
+    format (signature box -> jp2h superbox -> ihdr, ISO/IEC 15444-1
+    §I.5) and a raw codestream (SOC marker -> SIZ segment, §A.5.1).
+    Header-only — decode stays behind the multimodal codec gate."""
+    if raw.startswith(_JP2_SIG):
+        i, n = 0, len(raw)
+        while i + 8 <= n:
+            blen = int.from_bytes(raw[i:i + 4], "big")
+            btype = raw[i + 4:i + 8]
+            if btype == b"jp2h":
+                i += 8                      # descend into the superbox
+                continue
+            if btype == b"ihdr" and i + 18 <= n:
+                h = int.from_bytes(raw[i + 8:i + 12], "big")
+                w = int.from_bytes(raw[i + 12:i + 16], "big")
+                nc = int.from_bytes(raw[i + 16:i + 18], "big")
+                return w, h, nc
+            if blen < 8:                    # 0 = to-EOF; 1 = XLBox (rare)
+                break
+            i += blen
+        return None
+    if raw[:2] == b"\xff\x4f":              # SOC: raw codestream
+        j = raw.find(b"\xff\x51")           # SIZ
+        if j >= 0 and j + 40 <= len(raw):
+            xsiz = int.from_bytes(raw[j + 6:j + 10], "big")
+            ysiz = int.from_bytes(raw[j + 10:j + 14], "big")
+            xo = int.from_bytes(raw[j + 14:j + 18], "big")
+            yo = int.from_bytes(raw[j + 18:j + 22], "big")
+            nc = int.from_bytes(raw[j + 38:j + 40], "big")
+            return xsiz - xo, ysiz - yo, nc
+    return None
+
+
 def parse_pdf(data: bytes) -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
     (see module docstring for the field provenance)."""
@@ -388,14 +427,16 @@ def parse_pdf(data: bytes) -> dict:
                     fmt = name
                     break
             mode = ("1" if bits == 1 else ("L" if gray else "RGB"))
-            if fmt == "JPEG":
-                # DCT streams: the SOF frame header is the authority for
-                # dims + component count (fills missing /Width//Height,
-                # corrects a dict that disagrees with the codec data).
-                sof = _jpeg_sof(_stream_data(_ibody, idict))
-                if sof is not None:
-                    w, h = sof[0], sof[1]
-                    mode = "L" if sof[2] == 1 else "RGB"
+            if fmt in ("JPEG", "JPEG2000"):
+                # Codec streams: the codec's own frame header (JPEG SOF /
+                # JP2 ihdr / J2K SIZ) is the authority for dims +
+                # component count (fills missing /Width//Height, corrects
+                # a dict that disagrees with the codec data).
+                raw = _stream_data(_ibody, idict)
+                hdr = _jpeg_sof(raw) if fmt == "JPEG" else _jp2_dims(raw)
+                if hdr is not None:
+                    w, h = hdr[0], hdr[1]
+                    mode = "L" if hdr[2] == 1 else "RGB"
             images.append({"xref": oid, "width": w, "height": h,
                            "bits": bits, "mode": mode, "format": fmt})
             mode_rank = max(mode_rank,

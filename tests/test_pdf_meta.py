@@ -222,3 +222,39 @@ def test_synth_pdf_mixes_in_dct_images():
         for page in parse_pdf(synth_pdf(seed))["pages"]:
             fmts.update(im["format"] for im in page["images"])
     assert "JPEG" in fmts and "FLATE" in fmts
+
+
+def test_jpx_image_metadata_from_jp2_header():
+    """JPEG 2000 (/JPXDecode) image streams: dims + mode come from the
+    JP2 ihdr box (or a raw codestream's SIZ segment) — header-only, no
+    decode."""
+    from archive_pdf_tools_spark.corpus.pdfgen import synth_jp2
+    from archive_pdf_tools_spark.sources.pdf_meta import _jp2_dims
+
+    assert _jp2_dims(synth_jp2(33, 21, gray=True)) == (33, 21, 1)
+    assert _jp2_dims(synth_jp2(40, 50, gray=False)) == (40, 50, 3)
+    assert _jp2_dims(b"not jp2") is None
+
+    # raw J2K codestream: SOC + SIZ with offsets
+    siz = (b"\xff\x4f" + b"\xff\x51" + (38).to_bytes(2, "big")
+           + (0).to_bytes(2, "big")
+           + (45).to_bytes(4, "big") + (35).to_bytes(4, "big")   # Xsiz Ysiz
+           + (5).to_bytes(4, "big") + (5).to_bytes(4, "big")     # XOsiz YOsiz
+           + bytes(16)                                           # tile grid
+           + (3).to_bytes(2, "big"))                             # Csiz
+    assert _jp2_dims(siz) == (40, 30, 3)
+
+    lying = build_pdf([{"width": 612, "height": 792, "images": [
+        {"w": 99, "h": 99, "gray": False, "jpx": True,
+         "data": synth_jp2(33, 21, gray=True)}], "text": None}])
+    im = parse_pdf(lying)["pages"][0]["images"][0]
+    assert (im["width"], im["height"], im["mode"], im["format"]) == \
+        (33, 21, "L", "JPEG2000")
+
+
+def test_synth_pdf_mixes_in_jpx_images():
+    fmts = set()
+    for seed in range(24):
+        for page in parse_pdf(synth_pdf(seed))["pages"]:
+            fmts.update(im["format"] for im in page["images"])
+    assert {"JPEG", "JPEG2000", "FLATE"} <= fmts
