@@ -28,7 +28,8 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["recode_existing_pdfs", "PDFCOMP_SCHEMA_DDL"]
+__all__ = ["recode_existing_pdfs", "pdfs_to_spans",
+           "run_pdf_checkpoint", "PDFCOMP_SCHEMA_DDL"]
 
 PDFCOMP_SCHEMA_DDL = (
     "doc_id string, page_idx int, xref int, src_w int, src_h int, "
@@ -72,6 +73,129 @@ def _recode_one(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
                          _sha12(res.mask), _sha12(res.foreground),
                          _sha12(res.background), orig, est, None))
     return rows
+
+
+def _doc_spans(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
+    """One PDF document -> ordered (kind, text, media_ref) output spans.
+
+    Per page, in page order: the embedded text layer (literal strings the
+    content stream shows — the reference's page.get_text equivalent),
+    then per image XObject the hOCR-accepted MRC text lines and one
+    media span whose ref carries the content hashes of (mask, fg, bg) —
+    the same content-addressed media contract the flagship pipeline
+    emits (BASELINE.md codec boundary)."""
+    from ..kernels.mrc import create_mrc_components
+    from ..sources.hocr import iter_pages, page_word_data
+    from ..sources.pdf_meta import (_Reader, extract_page_images,
+                                    extract_text_strings, parse_pdf,
+                                    _stream_data, _get_ref)
+
+    word_data_by_page: dict[int, list] = {}
+    if hocr:
+        for idx, page in enumerate(iter_pages(hocr)):
+            word_data_by_page[idx] = page_word_data(page)
+
+    meta = parse_pdf(pdf)
+    rd = _Reader(pdf)
+    spans: list[tuple] = []
+    for page in meta["pages"]:
+        pidx = page["page_idx"]
+        if page["has_text"]:
+            content_id = _get_ref(rd.obj(page["oid"])[1], b"/Contents")
+            body, d = rd.obj(content_id)
+            for s in extract_text_strings(_stream_data(body, d)):
+                if s.strip():
+                    spans.append(("text", s, ""))
+        words = word_data_by_page.get(pidx, [])
+        for xref, raster in extract_page_images(pdf, pidx, meta=meta, rd=rd):
+            res = create_mrc_components(raster, words)
+            for dec in res.line_decisions:
+                if dec.accepted:
+                    line = words[dec.para_idx]["lines"][dec.line_idx]
+                    spans.append(("text",
+                                  " ".join(w["text"] for w in line["words"]),
+                                  ""))
+            ref = (f"pdf://{doc_id}/p{pidx}/x{xref}"
+                   f"#mrc={_sha12(res.mask)}-{_sha12(res.foreground)}-"
+                   f"{_sha12(res.background)}")
+            spans.append(("media", "", ref))
+    return spans
+
+
+def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
+    """(doc_id, pdf binary [, hocr]) -> (doc_id, spans) in the engine's
+    output span contract — the PDF front door: a reference pdfcomp user
+    points spark-submit at a table of PDFs and gets the recoded span
+    table, shard-checkpointed like every other front door."""
+    import pandas as pd
+
+    from ..operators.extract import OUTPUT_SCHEMA_DDL
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdfb in batches:
+            ids, spans_col = [], []
+            hocrs = (pdfb[hocr_col].values
+                     if hocr_col and hocr_col in pdfb.columns
+                     else [None] * len(pdfb))
+            for doc_id, blob, hocr in zip(pdfb["doc_id"].values,
+                                          pdfb[pdf_col].values, hocrs):
+                try:
+                    rows = _doc_spans(doc_id, bytes(blob), hocr)
+                except Exception:  # noqa: BLE001 — poison-doc guard
+                    rows = []
+                ids.append(doc_id)
+                spans_col.append([
+                    {"kind": k, "text": t, "media_ref": m, "offset": i}
+                    for i, (k, t, m) in enumerate(rows)])
+            yield pd.DataFrame({"doc_id": ids, "spans": spans_col})
+
+    cols = ["doc_id", pdf_col] + (
+        [hocr_col] if hocr_col and hocr_col in df.columns else [])
+    return df.select(*cols).mapInPandas(gen, schema=OUTPUT_SCHEMA_DDL)
+
+
+def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
+                       stop_after_shards: int | None = None) -> dict:
+    """Sharded snapshot commits for the PDF front door (same manifest
+    protocol as operators/checkpoint.py; the conversion IS the
+    extraction here, so shards write its output directly, plus a small
+    per-shard metrics table)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .checkpoint import _write_manifest, read_manifest
+
+    manifest = read_manifest(out_dir)
+    if manifest["shards"] not in (None, shards):
+        raise ValueError(
+            f"existing checkpoint used shards={manifest['shards']}, "
+            f"requested {shards}")
+    manifest["shards"] = shards
+    committed = set(manifest["committed_shards"])
+    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(shards))
+    done = 0
+    for k in range(shards):
+        if k in committed:
+            continue
+        if stop_after_shards is not None and done >= stop_after_shards:
+            break
+        out = pdfs_to_spans(pdf_df.where(shard_col == k)).persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "spans", f"shard={k}"))
+            (out.select(F.count("*").alias("doc_count"),
+                        F.sum(F.size("spans")).alias("span_count"))
+             .withColumn("shard", F.lit(k))
+             .write.mode("overwrite").parquet(
+                 os.path.join(out_dir, "metrics", f"shard={k}")))
+        finally:
+            out.unpersist()
+        committed.add(k)
+        manifest["committed_shards"] = sorted(committed)
+        _write_manifest(out_dir, manifest)
+        done += 1
+    return manifest
 
 
 def recode_existing_pdfs(df, pdf_col: str = "pdf", hocr_col: str = "hocr"):

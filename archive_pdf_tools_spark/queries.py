@@ -1391,6 +1391,28 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+def q_pdf_spans(spark, sf):
+    """PDF front door end-to-end: (doc_id, pdf binary) -> the engine's
+    output span table (content-stream text layer + MRC-recoded images
+    with content-addressed refs), flattened.  Pinned oracle: a dropped
+    page, missed Tj string, or drifted MRC hash breaks the match."""
+    import pandas as pd
+
+    from .operators.pdfcomp import pdfs_to_spans
+
+    def gen(batches):
+        from .corpus.pdfgen import synth_pdf
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [f"pdf_{int(i):04d}" for i in pdf["id"].values],
+                "pdf": [synth_pdf(int(i)) for i in pdf["id"].values]})
+
+    base = spark.range(0, 8).repartition(4)
+    docs = base.mapInPandas(gen, schema="doc_id string, pdf binary")
+    return pdfs_to_spans(docs, hocr_col=None).select(
+        "doc_id", F.inline("spans"))
+
+
 # ------------------------------------------------- corpus-assembly pipeline
 
 def q_decontaminate(spark, sf):
@@ -1669,6 +1691,7 @@ QUERIES = {
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
     "pdfcomp": (q_pdfcomp, None),
+    "pdf_spans": (q_pdf_spans, None),
     "scandata": (q_scandata, SQL_SCANDATA),
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),

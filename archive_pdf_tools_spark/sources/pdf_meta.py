@@ -333,6 +333,71 @@ def _jpeg_sof(raw: bytes):
     return None
 
 
+_ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
+            b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
+
+
+def extract_text_strings(ops: bytes) -> list[str]:
+    """Literal strings shown by Tj / TJ / ' / " operators in a content
+    stream, in stream order (ISO 32000-1 §7.3.4.2 string syntax: nested
+    balanced parens, backslash escapes incl. \\ddd octal; §9.4.3 show
+    operators).  This is the text layer a text-only PDF carries — the
+    reference reads it via page.get_text (bin/pdf-metadata-json)."""
+    out: list[str] = []
+    i, n = 0, len(ops)
+    while i < n:
+        j = ops.find(b"(", i)
+        if j < 0:
+            break
+        k = j + 1
+        depth = 1
+        buf = bytearray()
+        while k < n and depth:
+            c = ops[k:k + 1]
+            if c == b"\\":
+                nxt = ops[k + 1:k + 2]
+                if nxt in _ESCAPES:
+                    buf += _ESCAPES[nxt]
+                    k += 2
+                elif nxt.isdigit():
+                    oct_digits = ops[k + 1:k + 4]
+                    m = re.match(rb"[0-7]{1,3}", oct_digits)
+                    buf.append(int(m.group(0), 8) & 0xFF)
+                    k += 1 + len(m.group(0))
+                else:
+                    k += 2                      # line continuation et al.
+            elif c == b"(":
+                depth += 1
+                buf += c
+                k += 1
+            elif c == b")":
+                depth -= 1
+                if depth:
+                    buf += c
+                k += 1
+            else:
+                buf += c
+                k += 1
+        # shown only if followed by a show operator (Tj, TJ via array, ', ")
+        tail = ops[k:k + 16].lstrip()
+        if tail.startswith((b"Tj", b"'", b'"')) or _in_tj_array(ops, j, k):
+            out.append(buf.decode("latin-1"))
+        i = k
+    return out
+
+
+def _in_tj_array(ops: bytes, start: int, end: int) -> bool:
+    """True when the string at [start, end) sits inside a [...] TJ array."""
+    lb = ops.rfind(b"[", 0, start)
+    if lb < 0:
+        return False
+    rb = ops.find(b"]", end)
+    if rb < 0:
+        return False
+    return ops[rb:rb + 4].rstrip().endswith(b"TJ") or \
+        ops[rb + 1:rb + 8].lstrip().startswith(b"TJ")
+
+
 _JP2_SIG = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"
 
 
@@ -459,7 +524,8 @@ def parse_pdf(data: bytes) -> dict:
             ops = _stream_data(cbody, cdict)
             has_text = b"Tj" in ops or b"TJ" in ops
 
-        pages.append({"page_idx": idx, "width": abs(rect[2] - rect[0]),
+        pages.append({"page_idx": idx, "oid": pid,
+                      "width": abs(rect[2] - rect[0]),
                       "height": abs(rect[3] - rect[1]), "rotate": rotate,
                       "n_images": len(images), "images": images,
                       "has_text": has_text})

@@ -23,13 +23,17 @@ import sys
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents table path (parquet)")
-    ap.add_argument("--input-format", choices=("spans", "hocr", "html"),
+    ap.add_argument("--input-format", choices=("spans", "hocr", "html",
+                                               "pdf"),
                     default="spans",
                     help="'spans' = interleaved (doc_id, spans) table; "
                          "'hocr' = (doc_id, hocr markup [, dpi]) table, "
                          "parsed executor-side via sources/hocr.py; "
                          "'html' = (doc_id, html) table, main content "
-                         "extracted via sources/htmlmain.py")
+                         "extracted via sources/htmlmain.py; "
+                         "'pdf' = (doc_id, pdf binary [, hocr]) table, "
+                         "recoded to spans via operators/pdfcomp.py "
+                         "(the bin/pdfcomp entry point as a cluster job)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
@@ -53,6 +57,16 @@ def main(argv=None):
                                    num_partitions=args.partitions)
     elif args.input:
         docs = spark.read.parquet(args.input)
+        if args.input_format == "pdf":
+            # The conversion IS the extraction for PDFs (content-stream
+            # text + MRC-recoded images): shard-committed directly.
+            from archive_pdf_tools_spark.operators.pdfcomp import (
+                run_pdf_checkpoint)
+            manifest = run_pdf_checkpoint(spark, docs, args.output,
+                                          shards=args.shards)
+            print(json.dumps(manifest))
+            spark.stop()
+            return
         if args.input_format == "hocr":
             from archive_pdf_tools_spark.sources.hocr import hocr_documents
             docs = hocr_documents(

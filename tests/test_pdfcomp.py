@@ -91,3 +91,65 @@ def test_recode_poison_doc_survives(spark):
     rows = {r["doc_id"]: r for r in recode_existing_pdfs(df).collect()}
     assert rows["ok"]["error"] is None
     assert rows["bad"]["error"] is not None
+
+
+def test_extract_text_strings_escapes_and_tj():
+    from archive_pdf_tools_spark.sources.pdf_meta import extract_text_strings
+
+    ops = (b"BT (hello) Tj ET BT (a\\(b\\)c) Tj ET "
+           b"BT [ (wor) -20 (ld) ] TJ ET "
+           b"BT (oct\\101l) Tj ET (ignored, no show op)")
+    assert extract_text_strings(ops) == ["hello", "a(b)c", "wor", "ld",
+                                         "octAl"]
+
+
+def test_pdfs_to_spans_text_and_media(spark):
+    """PDF front door: content-stream text becomes text spans in page
+    order; raw/Flate images become content-addressed media spans."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.operators.pdfcomp import pdfs_to_spans
+
+    img = {"w": 16, "h": 12, "gray": True,
+           "data": np.full(192, 200, dtype=np.uint8).tobytes()}
+    blob = build_pdf([
+        {"width": 612, "height": 792, "images": [], "text": "first page"},
+        {"width": 612, "height": 792, "images": [img], "text": "second"},
+    ])
+    df = spark.createDataFrame([("d0", bytearray(blob))],
+                               "doc_id string, pdf binary")
+    rows = pdfs_to_spans(df, hocr_col=None).collect()
+    assert len(rows) == 1
+    spans = [s.asDict() for s in rows[0]["spans"]]
+    texts = [s["text"] for s in spans if s["kind"] == "text"]
+    assert texts == ["first page", "second"]
+    media = [s for s in spans if s["kind"] == "media"]
+    assert len(media) == 1
+    assert media[0]["media_ref"].startswith("pdf://d0/p1/x")
+    assert "#mrc=" in media[0]["media_ref"]
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+def test_run_pdf_checkpoint_resume(spark, tmp_path):
+    import pandas as pd
+
+    from archive_pdf_tools_spark.corpus.pdfgen import synth_pdf
+    from archive_pdf_tools_spark.operators.pdfcomp import run_pdf_checkpoint
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": [f"p{int(i):03d}" for i in pdf["id"].values],
+                "pdf": [synth_pdf(int(i)) for i in pdf["id"].values]})
+
+    docs = spark.range(0, 10).repartition(2).mapInPandas(
+        gen, schema="doc_id string, pdf binary")
+    out = str(tmp_path / "pdfcp")
+    m = run_pdf_checkpoint(spark, docs, out, shards=4, stop_after_shards=2)
+    assert len(m["committed_shards"]) == 2
+    m = run_pdf_checkpoint(spark, docs, out, shards=4)
+    assert m["committed_shards"] == [0, 1, 2, 3]
+    spans = spark.read.parquet(f"{out}/spans")
+    assert spans.count() == 10
+    assert spans.select("doc_id").distinct().count() == 10
