@@ -1391,6 +1391,49 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+def q_stream_extract(spark, sf):
+    """Driver-visible Structured Streaming evidence: ingest 6 docs as a
+    parquet stream (availableNow), extract exactly-once, append 4 more
+    files, RESTART the stream on the same checkpoint, and emit per-doc
+    span counts + order-sensitive digests.  Duplicated or lost docs
+    across the restart, or any stream/batch divergence, breaks the
+    pinned oracle (the digests equal the batch pipeline's for the same
+    seeded docs)."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from .streaming import stream_extraction
+
+    base = _os.path.join(tempfile.gettempdir(),
+                         f"spark_graft_stream_{_os.getpid()}")
+    in_dir, out_dir = _os.path.join(base, "in"), _os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    try:
+        docs = synthetic_documents(spark, n_docs=10, max_spans=8)
+        docs.where(F.col("doc_id") < "doc_000006") \
+            .write.mode("append").parquet(in_dir)
+        stream_extraction(spark, in_dir, out_dir,
+                          num_partitions=4).awaitTermination(300)
+        docs.where(F.col("doc_id") >= "doc_000006") \
+            .write.mode("append").parquet(in_dir)
+        stream_extraction(spark, in_dir, out_dir,
+                          num_partitions=4).awaitTermination(300)
+        out = spark.read.parquet(_os.path.join(out_dir, "spans"))
+        seq = F.concat_ws(
+            "\x1f",
+            F.transform("spans", lambda s: F.concat_ws(
+                "\x1e", s["kind"], s["text"], s["media_ref"],
+                s["offset"].cast("string"))))
+        rows = sorted(map(tuple, out.select(
+            "doc_id", F.size("spans").alias("n_spans"),
+            F.md5(seq).alias("span_digest")).collect()))
+        return spark.createDataFrame(
+            rows, "doc_id string, n_spans int, span_digest string")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def q_pdf_spans(spark, sf):
     """PDF front door end-to-end: (doc_id, pdf binary) -> the engine's
     output span table (content-stream text layer + MRC-recoded images
@@ -1692,6 +1735,7 @@ QUERIES = {
     "pdf_metadata": (q_pdf_metadata, None),
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
+    "stream_extract": (q_stream_extract, None),
     "scandata": (q_scandata, SQL_SCANDATA),
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
