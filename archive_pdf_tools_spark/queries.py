@@ -1391,6 +1391,58 @@ def q_scandata(spark, sf):
         F.size("toc").alias("n_toc"))
 
 
+def q_extract_text_oracle(spark, sf):
+    """Extraction over the driver's REAL documents table, verified by an
+    independent arithmetic oracle (not a pin): lay each text out as
+    fixed-metric pages (``spans_from_text``: 8 words/line, 400-word
+    cap), run the full pipeline, and emit per-doc line counts, word
+    totals and the first/last rendered line.  The oracle re-derives all
+    of it from ``documents.text`` with SQL array arithmetic — a dropped
+    line, reordered span, or altered rendered text over real data
+    breaks the match."""
+    from .sources.spans_from_text import documents_to_spans
+
+    # doc_id % 3 == 0 docs get an interleaved media span whose accepted
+    # mask lines also emit text (raster vocab) — excluded so the oracle
+    # arithmetic covers exactly the laid-out prose.
+    raw = (load_table(spark, sf, "documents")
+           .where((F.col("doc_id") < 192) & (F.col("doc_id") % 3 != 0)))
+    out, _ = run_extraction(documents_to_spans(raw), with_metrics=False)
+    txt = (out.select("doc_id", F.inline("spans"))
+           .where(F.col("kind") == "text"))
+    return (txt.groupBy("doc_id")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum(F.size(F.split("text", " "))).alias("n_words"),
+                 F.min_by("text", "offset").alias("first_line"),
+                 F.max_by("text", "offset").alias("last_line"))
+            .withColumn("doc_id",
+                        F.regexp_extract("doc_id", r"(\d+)$", 1)
+                         .cast("bigint")))
+
+
+SQL_EXTRACT_TEXT = r"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN regexp_full_match(text, '\s*') THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+')[1:400] END
+           AS toks
+  FROM documents WHERE doc_id < 192 AND doc_id % 3 <> 0),
+lines AS (
+  SELECT doc_id, i,
+         array_to_string(toks[i : i + 7], ' ') AS line_text,
+         least(len(toks) - i + 1, 8) AS nw
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(toks), 8)) AS i) g
+  WHERE len(toks) > 0)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(nw) AS BIGINT) AS n_words,
+       arg_min(line_text, i) AS first_line,
+       arg_max(line_text, i) AS last_line
+FROM lines GROUP BY doc_id
+"""
+
+
 def q_stream_extract(spark, sf):
     """Driver-visible Structured Streaming evidence: ingest 6 docs as a
     parquet stream (availableNow), extract exactly-once, append 4 more
@@ -1726,6 +1778,7 @@ QUERIES = {
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
     "extract_digest": (q_extract_digest, None),
+    "extract_text_oracle": (q_extract_text_oracle, SQL_EXTRACT_TEXT),
     "extract_resume": (q_extract_resume, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
