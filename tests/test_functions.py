@@ -212,3 +212,43 @@ def test_pq_codes_compress_and_recall(spark):
     bf = {r["vec_id"] for r in brute_force_topk(emb, q, k=20).collect()}
     pq = {r["vec_id"] for r in pq_topk(emb, q, k=20, rerank=200).collect()}
     assert len(bf & pq) >= 16
+
+
+def test_winnow_fingerprints_matches_windowed_reference(spark):
+    """Cross-implementation equivalence on adversarial strings: the
+    vectorized NumPy kernel must select exactly the fingerprints of the
+    definitional explode+window formulation (k-gram h56 hashes, window-w
+    minima, distinct) — including repeated text, short strings below the
+    k+w-1 bound, mixed unicode and runs of whitespace."""
+    import hashlib
+
+    from archive_pdf_tools_spark.functions.dedup import winnow_fingerprints
+
+    texts = [
+        "abcdefghijklmno",
+        "aaaaaaaaaaaaaaaaaaaaaa",
+        "ab " * 30,
+        "short",                       # below k+w-1: no fingerprints
+        "   padded   with   spaces   and\ttabs\nnewlines   ",
+        "naïve Grüße 文書 mixed unicode words repeated 文書 naïve",
+        ("the quick brown fox jumps over the lazy dog " * 4).strip(),
+    ]
+    k, w = 8, 4
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id bigint, text string")
+    got = {(r["doc_id"], r["fp"])
+           for r in winnow_fingerprints(df, k=k, w=w).collect()}
+
+    import re
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    want = set()
+    for doc_id, text in enumerate(texts):
+        t = ws.sub(" ", text.strip(" ").lower())
+        if len(t) < k + w - 1:
+            continue
+        hs = [int(hashlib.md5(t[i:i + k].encode("utf-8"))
+                  .hexdigest()[:14], 16) for i in range(len(t) - k + 1)]
+        for j in range(len(hs) - w + 1):
+            want.add((doc_id, min(hs[j:j + w])))
+    assert got == want
+    assert not any(d == 3 for d, _ in got)     # 'short' yields nothing
