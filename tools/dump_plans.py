@@ -36,7 +36,24 @@ COMMENT = {
         "explode to (band, bucket) -> self-join keyed on the bucket "
         "(candidate volume set by band width, not corpus size; AQE "
         "splits skewed buckets) -> exact-Jaccard verify join.  The "
-        "shingle table is computed once and reused for sizes + verify."),
+        "verify shingle scan is candidate-bounded: a LeftSemi join on "
+        "the candidate doc set precedes tokenization, so the cached "
+        "working set is O(candidate docs), never the corpus."),
+    "winnow_fp": (
+        "Winnowing selection is ONE MapInPandas stage: k-gram hashes + "
+        "rolling window minima inside the Arrow batch, no Exchange "
+        "before the distinct (doc_id, fp) rows (the explode-per-"
+        "character + window formulation shuffled a 10-20x-amplified "
+        "row set); the only shuffle is the final per-doc aggregate."),
+    "decontaminate": (
+        "Benchmark decontamination: the eval-set shingle table "
+        "broadcasts (BroadcastHashJoin), so the corpus-side shingle "
+        "stream joins map-side and the corpus scan never shuffles; the "
+        "only Exchange is the per-(doc, bench) overlap count."),
+    "token_pack": (
+        "Sequence packing: one window cumsum partitioned by (lang, "
+        "hash shard) — bounded partitions, never a global ordering; "
+        "a single Exchange on the partition key."),
     "embedding_dups": (
         "IVF-cell blocking: a vectorized MapInPandas assigns each "
         "vector its nprobe nearest centroids; only (vec_id, cell) rides "
@@ -78,7 +95,8 @@ def main():
                      plan_of(reassemble(extract_spans(docs,
                                                       num_partitions=4)))))
     for name in ("nation_revenue", "pricing_summary", "simhash",
-                 "minhash_sigs", "minhash_lsh_pairs", "embedding_dups",
+                 "minhash_sigs", "minhash_lsh_pairs", "winnow_fp",
+                 "decontaminate", "token_pack", "embedding_dups",
                  "html_extract"):
         fn, _sql = QUERIES[name]
         sections.append((name, COMMENT[name], plan_of(fn(spark, SF))))
