@@ -769,6 +769,49 @@ SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def q_near_dedup_keep(spark, sf):
+    """End-to-end near-dup REMOVAL — what a training pipeline actually
+    ships: LSH pairs -> connected components -> keep the min doc_id per
+    cluster -> per-language surviving counts.  One query ties the whole
+    chain (signatures, banding, verify, clustering, keep policy)
+    together against the recursive-CTE oracle."""
+    docs = _seeded_documents(spark, sf)
+    pairs = D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, tau=0.5)
+    labels = D.duplicate_components(docs.select("doc_id"), pairs)
+    kept = (docs.join(labels, "doc_id")
+            .where(F.col("doc_id") == F.col("cluster_id")))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum("n_chars").alias("kept_chars")))
+
+
+SQL_NEAR_DEDUP_KEEP = f"""
+WITH RECURSIVE seeded AS ({{seed}}),
+sh AS ({{shingles}}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(v, r) AS (
+  SELECT doc_id, doc_id FROM seeded
+  UNION
+  SELECT reach.v, und.b FROM reach JOIN und ON und.a = reach.r),
+labels AS (SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v)
+SELECT lang, count(*) AS n_kept, sum(n_chars) AS kept_chars
+FROM seeded JOIN labels USING (doc_id)
+WHERE doc_id = cluster_id
+GROUP BY lang
+"""
+
+
 # ------------------------------------------------------------- similarity
 
 def _query_vec(spark, sf):
@@ -1760,6 +1803,8 @@ QUERIES = {
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP.format(
+        seed=SEED_DOCS_SQL, shingles=_SEEDED_SHINGLES_SQL.format(n=3))),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
     # corpus assembly
