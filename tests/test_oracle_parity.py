@@ -63,3 +63,27 @@ def test_query_matches_duckdb_oracle(spark, name, fn, sql):
     mism = [i for i, (g, w) in enumerate(zip(got, want)) if g != w]
     assert not mism, (f"{name}: {len(mism)} mismatched rows; first: "
                       f"{got[mism[0]]} != {want[mism[0]]}")
+
+
+def test_pinned_sql_registry_consistency():
+    """Every query the pin tool maintains has a pinned oracle wired into
+    the registry, and every pinned oracle belongs to a registered query
+    (a rename or forgotten regeneration shows up here, not in the
+    driver's run)."""
+    import importlib.util
+    import os
+
+    from archive_pdf_tools_spark.pinned_sql import PINNED_SQL
+    from archive_pdf_tools_spark.queries import QUERIES
+
+    spec = importlib.util.spec_from_file_location(
+        "pin_oracles", os.path.join(os.path.dirname(__file__), "..",
+                                    "tools", "pin_oracles.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    assert set(PINNED_SQL) == set(mod.PIN)
+    for name, sql in PINNED_SQL.items():
+        assert name in QUERIES
+        assert QUERIES[name][1] == sql        # registry wired to the pin
+        assert "VALUES" in sql
