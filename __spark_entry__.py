@@ -3,7 +3,7 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 (60 queries, 55 DuckDB-oracle-paired —
+operator from SURVEY.md §2 (61 queries, 56 DuckDB-oracle-paired —
 including the extraction pipeline itself via span-sequence digests, the
 checkpoint/resume protocol, and the media/PDF fixture queries via pinned
 value-table oracles, see ``archive_pdf_tools_spark/pinned_sql.py``) plus

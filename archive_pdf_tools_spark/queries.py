@@ -477,6 +477,43 @@ FROM documents
 """
 
 
+def q_quality_keep(spark, sf):
+    """End-to-end quality filtering — the ship-it step for the
+    Gopher-family rules: keep a doc iff dup_word_frac <= 0.3,
+    top_word_frac <= 0.2, top2gram_frac <= 0.4, n_tokens >= 5 and
+    composite quality >= 0.5; emit per-language kept counts + the exact
+    integer sum of kept quality (x1e4 — float-order-independent, so the
+    cross-engine compare is exact)."""
+    doc = _spread(load_table(spark, sf, "documents"))
+    rep = q_repetition(spark, sf)
+    qual = doc.select("doc_id", "lang",
+                      T.quality_score("text", "n_chars").alias("quality"))
+    kept = (rep.join(qual, "doc_id")
+            .where((F.col("dup_word_frac") <= 0.3) &
+                   (F.col("top_word_frac") <= 0.2) &
+                   (F.col("top2gram_frac") <= 0.4) &
+                   (F.col("n_tokens") >= 5) &
+                   (F.col("quality") >= 0.5)))
+    return (kept.groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.round(F.col("quality") * 10000).cast("bigint"))
+                  .alias("quality_sum_x1e4")))
+
+
+SQL_QUALITY_KEEP = f"""
+WITH rep AS ({{rep}}),
+qual AS ({{qual}})
+SELECT lang, count(*) AS n_kept,
+       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) AS BIGINT)
+         AS quality_sum_x1e4
+FROM rep JOIN qual USING (doc_id)
+JOIN documents USING (doc_id)
+WHERE dup_word_frac <= 0.3 AND top_word_frac <= 0.2
+  AND top2gram_frac <= 0.4 AND n_tokens >= 5 AND quality >= 0.5
+GROUP BY lang
+"""
+
+
 def q_lang_guess(spark, sf):
     doc = _spread(load_table(spark, sf, "documents"))
     return (doc.select(T.lang_guess("text").alias("lang_guess"))
@@ -1791,6 +1828,8 @@ QUERIES = {
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
+    "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
+        rep=SQL_REPETITION, qual=SQL_QUALITY)),
     "lang_guess": (q_lang_guess, SQL_LANG),
     "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
     "fingerprints": (q_fingerprints, SQL_FP),
