@@ -1,6 +1,6 @@
 """Deduplication over the ``documents`` table.
 
-Five families:
+Six families:
 
 * exact:      md5 fingerprint group-by, keep min doc_id (pure engine).
 * n-gram Jaccard: word shingles -> stop-shingle filter -> self-join ->
@@ -8,7 +8,9 @@ Five families:
 * MinHash:    k Carter-Wegman permutations over md5-based shingle hashes,
               banded LSH bucket join -> candidates -> exact-Jaccard verify.
 * SimHash:    56-bit sign-aggregate of token hashes.
-* embedding:  cosine near-dup, label-blocked brute force (pure engine).
+* winnowing:  char k-gram rolling-min fingerprints (one vectorized map
+              stage) -> DF-capped pair join (substring-level near-dups).
+* embedding:  cosine near-dup, IVF-cell-blocked (pure engine verify).
 
 Tokenize/shingle/hash stages run as vectorized Arrow-batched UDFs on
 purpose: Catalyst's higher-order functions (transform/filter/aggregate
