@@ -71,6 +71,8 @@ def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
+                if not isinstance(text, str):   # NULL text -> no rows,
+                    continue                    # mirroring SQL semantics
                 toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
                 if len(toks) < n:
                     continue
@@ -78,7 +80,9 @@ def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
                           for i in range(len(toks) - n + 1)}:
                     ids.append(doc_id)
                     shs.append(s)
-            yield pd.DataFrame({"doc_id": ids, "shingle": shs})
+            if ids:     # an all-skipped batch must yield nothing: an
+                        # empty untyped frame cannot cast to the schema
+                yield pd.DataFrame({"doc_id": ids, "shingle": shs})
 
     src = documents.select("doc_id", "text")
     id_type = src.schema["doc_id"].dataType.simpleString()
@@ -174,6 +178,8 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
+                if not isinstance(text, str):   # NULL -> absent (SQL parity)
+                    continue
                 toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
                 if len(toks) < n:
                     continue          # no shingles -> absent (oracle parity)
@@ -187,7 +193,8 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
                         + bv * (hs[:, None] >> 28) + cv) % MINHASH_P
                 out_ids.append(doc_id)
                 out_sigs.append(vals.min(axis=0).tolist())
-            yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
+            if out_ids:
+                yield pd.DataFrame({"doc_id": out_ids, "sig": out_sigs})
 
     src = documents.select("doc_id", "text")
     id_type = src.schema["doc_id"].dataType.simpleString()
@@ -218,12 +225,18 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
                .select("doc_id", "bb.band", "bb.bucket"))
     a = buckets.alias("a")
     b = buckets.alias("b")
+    # cand is cached: it feeds BOTH the semi-join that bounds the verify
+    # tokenization and the final intersect join — without the cache the
+    # signature + banding + bucket self-join lineage (the expensive
+    # stages) would execute twice.  The cached rows are only the
+    # distinct candidate id pairs (bounded by band width), not shingles.
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
                    (F.col("a.bucket") == F.col("b.bucket")) &
                    (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+            .distinct()
+            .cache())
     # Verify is candidate-bounded: only documents that appear in some
     # candidate pair are re-tokenized (semi-join on the candidate doc
     # set), so the shingle table cached here is O(candidate docs) — set
@@ -275,6 +288,8 @@ def simhash(documents: DataFrame) -> DataFrame:
         weights = (np.int64(1) << shifts)
         for pdf in batches:
             texts = pdf["text"].values
+            keep = [isinstance(t, str) for t in texts]
+            texts = [t for t, k in zip(texts, keep) if k]  # NULL -> absent
             lens = np.empty(len(texts), dtype=np.int64)
             chunks = []
             for i, text in enumerate(texts):
@@ -291,7 +306,9 @@ def simhash(documents: DataFrame) -> DataFrame:
                               np.cumsum(bits, axis=0)])
             sums = csum[ends] - csum[starts]
             sim = ((sums > 0) * weights).sum(axis=1)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": sim})
+            if texts:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"].values[keep],
+                                    "simhash": sim})
 
     src = documents.select("doc_id", "text")
     id_type = src.schema["doc_id"].dataType.simpleString()
@@ -331,6 +348,8 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8,
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
+                if not isinstance(text, str):   # NULL -> absent (SQL parity)
+                    continue
                 t = ws.sub(" ", text.strip(" ").lower())
                 n = len(t)
                 if n < k + w - 1:
@@ -342,7 +361,8 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8,
                 uniq = np.unique(swv(hs, w).min(axis=1))
                 ids.extend([doc_id] * len(uniq))
                 fps.extend(uniq.tolist())
-            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "fp": fps})
 
     src = documents.select("doc_id", "text")
     id_type = src.schema["doc_id"].dataType.simpleString()

@@ -30,7 +30,8 @@ import tempfile
 
 from .extract import extract_spans, partition_metrics, reassemble
 
-__all__ = ["run_with_checkpoint", "read_manifest", "resume_filter"]
+__all__ = ["run_sharded", "run_with_checkpoint", "read_manifest",
+           "resume_filter"]
 
 
 def _manifest_path(out_dir: str) -> str:
@@ -53,14 +54,19 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
-def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
-                        num_partitions: int | None = None,
-                        stop_after_shards: int | None = None) -> dict:
-    """Run extraction shard-by-shard with snapshot commits; returns the
-    manifest.  Safe to call again after a crash — committed shards are
-    skipped.  ``stop_after_shards``: stop after committing that many
-    shards THIS run (a deterministic stand-in for a mid-job kill, used
-    by the resume fixtures)."""
+def run_sharded(documents_df, out_dir: str, shards: int,
+                write_shard, stop_after_shards: int | None = None) -> dict:
+    """The shared shard-commit protocol: deterministic doc->shard
+    assignment (``pmod(xxhash64(doc_id), shards)``), one ``write_shard``
+    callback per uncommitted shard, atomic manifest rewrite after each —
+    a crash mid-shard leaves at most one uncommitted directory, which is
+    overwritten on resume.  ``write_shard(shard_df, k)`` owns what a
+    shard means (extraction, PDF recode, ...); the crash-safety-critical
+    commit bookkeeping lives in exactly one place.
+
+    ``stop_after_shards``: stop after committing that many shards THIS
+    run (a deterministic stand-in for a mid-job kill, used by the
+    resume fixtures)."""
     from pyspark.sql import functions as F
 
     manifest = read_manifest(out_dir)
@@ -78,7 +84,23 @@ def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
             continue
         if stop_after_shards is not None and done_this_run >= stop_after_shards:
             break
-        shard_df = documents_df.where(shard_col == k)
+        write_shard(documents_df.where(shard_col == k), k)
+        committed.add(k)
+        manifest["committed_shards"] = sorted(committed)
+        _write_manifest(out_dir, manifest)
+        done_this_run += 1
+    return manifest
+
+
+def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
+                        num_partitions: int | None = None,
+                        stop_after_shards: int | None = None) -> dict:
+    """Run extraction shard-by-shard with snapshot commits; returns the
+    manifest.  Safe to call again after a crash — committed shards are
+    skipped."""
+    from pyspark.sql import functions as F
+
+    def write_shard(shard_df, k: int):
         extracted = extract_spans(shard_df, num_partitions=num_partitions)
         extracted.persist()
         try:
@@ -89,11 +111,9 @@ def run_with_checkpoint(spark, documents_df, out_dir: str, shards: int = 16,
                 os.path.join(out_dir, "metrics", f"shard={k}"))
         finally:
             extracted.unpersist()
-        manifest["committed_shards"] = sorted(committed | {k})
-        committed.add(k)
-        _write_manifest(out_dir, manifest)
-        done_this_run += 1
-    return manifest
+
+    return run_sharded(documents_df, out_dir, shards, write_shard,
+                       stop_after_shards=stop_after_shards)
 
 
 def resume_filter(documents_df, output_spans_df):

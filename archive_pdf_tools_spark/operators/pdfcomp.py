@@ -156,31 +156,20 @@ def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
 
 def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
                        stop_after_shards: int | None = None) -> dict:
-    """Sharded snapshot commits for the PDF front door (same manifest
-    protocol as operators/checkpoint.py; the conversion IS the
-    extraction here, so shards write its output directly, plus a small
-    per-shard metrics table)."""
+    """Sharded snapshot commits for the PDF front door: the conversion
+    IS the extraction here, so each shard writes ``pdfs_to_spans``
+    output directly plus a small metrics row.  The commit protocol
+    itself (shard assignment, manifest, resume, kill simulation) is the
+    shared ``checkpoint.run_sharded`` — one crash-safety implementation
+    for every front door."""
     import os
 
     from pyspark.sql import functions as F
 
-    from .checkpoint import _write_manifest, read_manifest
+    from .checkpoint import run_sharded
 
-    manifest = read_manifest(out_dir)
-    if manifest["shards"] not in (None, shards):
-        raise ValueError(
-            f"existing checkpoint used shards={manifest['shards']}, "
-            f"requested {shards}")
-    manifest["shards"] = shards
-    committed = set(manifest["committed_shards"])
-    shard_col = F.pmod(F.xxhash64("doc_id"), F.lit(shards))
-    done = 0
-    for k in range(shards):
-        if k in committed:
-            continue
-        if stop_after_shards is not None and done >= stop_after_shards:
-            break
-        out = pdfs_to_spans(pdf_df.where(shard_col == k)).persist()
+    def write_shard(shard_df, k: int):
+        out = pdfs_to_spans(shard_df).persist()
         try:
             out.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "spans", f"shard={k}"))
@@ -191,11 +180,9 @@ def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
                  os.path.join(out_dir, "metrics", f"shard={k}")))
         finally:
             out.unpersist()
-        committed.add(k)
-        manifest["committed_shards"] = sorted(committed)
-        _write_manifest(out_dir, manifest)
-        done += 1
-    return manifest
+
+    return run_sharded(pdf_df, out_dir, shards, write_shard,
+                       stop_after_shards=stop_after_shards)
 
 
 def recode_existing_pdfs(df, pdf_col: str = "pdf", hocr_col: str = "hocr"):

@@ -777,7 +777,16 @@ def q_dedup_clusters(spark, sf):
     components (hash-min propagation) -> (doc_id, cluster_id).  Oracle:
     DuckDB recursive CTE computing min-reachable-id over the exact
     >= tau Jaccard pair graph — verifies both the pair generation and
-    the component convergence."""
+    the component convergence.
+
+    The exact-pair oracle deliberately asserts 100% LSH recall; that is
+    a guaranteed property of THIS fixture, not an assumption: every
+    qualifying pair is either a seeded exact copy (J=1.0, all bands
+    collide by construction) or one of the corpus's organic J >= 0.9
+    pairs, and nothing lies in (0.07, 0.9) — see ``q_minhash_lsh``.
+    With the fixed seed the band collisions are deterministic.  If the
+    fixture or banding parameters ever change, re-establish the
+    separation gap (or switch the oracle to mirror the banding)."""
     docs = _seeded_documents(spark, sf)
     pairs = D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, tau=0.5)
     return D.duplicate_components(docs.select("doc_id"), pairs)
@@ -811,7 +820,9 @@ def q_near_dedup_keep(spark, sf):
     ships: LSH pairs -> connected components -> keep the min doc_id per
     cluster -> per-language surviving counts.  One query ties the whole
     chain (signatures, banding, verify, clustering, keep policy)
-    together against the recursive-CTE oracle."""
+    together against the recursive-CTE oracle.  The exact-pair oracle's
+    100%-recall assertion is fixture-guaranteed (see
+    ``q_dedup_clusters``)."""
     docs = _seeded_documents(spark, sf)
     pairs = D.minhash_lsh_pairs(docs, n=3, k=32, bands=8, tau=0.5)
     labels = D.duplicate_components(docs.select("doc_id"), pairs)

@@ -120,6 +120,18 @@ class _Reader:
 
     def _load_table(self, pos: int):
         data = self.data
+        # The trailer is read FIRST: in a hybrid-reference file the
+        # /XRefStm stream's entries take precedence over this table's
+        # own rows (ISO 32000-1 §7.5.8.4 — the table marks objstm-
+        # resident objects free for pre-1.5 readers), so the stream
+        # section must load before the table's free tombstones are
+        # recorded.  The fixed-format table rows cannot contain the
+        # keyword, so find() from pos is safe.
+        tpos = data.find(b"trailer", pos)
+        trailer = _dict_region(data[tpos:tpos + 4096]) if tpos >= 0 else b""
+        hybrid = _get_int(trailer, b"/XRefStm")
+        if hybrid is not None:
+            self._load_section(hybrid)
         cur = pos + 4
         while True:
             m = re.match(rb"\s*(\d+)\s+(\d+)\s*", data[cur:cur + 64])
@@ -133,16 +145,11 @@ class _Reader:
                     self.entries.setdefault(start + i, (1, int(entry[0:10])))
                 else:
                     # Free entries are tombstones: a newer section freeing
-                    # an object must shadow an older section's in-use
+                    # an object must shadow an OLDER section's in-use
                     # entry (newest-section-wins), so record type 0 too.
                     self.entries.setdefault(start + i, (0,))
                 cur += 20
-        tpos = data.find(b"trailer", cur)
-        trailer = _dict_region(data[tpos:tpos + 4096]) if tpos >= 0 else b""
         self.trailers.append(trailer)
-        hybrid = _get_int(trailer, b"/XRefStm")
-        if hybrid is not None:
-            self._load_section(hybrid)
         return _get_int(trailer, b"/Prev")
 
     def _load_xref_stream(self, pos: int):
@@ -336,66 +343,125 @@ def _jpeg_sof(raw: bytes):
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
 
+_PDF_WS = b" \t\r\n\x0c\x00"
+_PDF_DELIM = b"()<>[]{}/%"
+_NUM_RE = re.compile(rb"^[+-]?(\d+\.?\d*|\.\d+)$")
 
-def extract_text_strings(ops: bytes) -> list[str]:
-    """Literal strings shown by Tj / TJ / ' / " operators in a content
-    stream, in stream order (ISO 32000-1 §7.3.4.2 string syntax: nested
-    balanced parens, backslash escapes incl. \\ddd octal; §9.4.3 show
-    operators).  This is the text layer a text-only PDF carries — the
-    reference reads it via page.get_text (bin/pdf-metadata-json)."""
-    out: list[str] = []
-    i, n = 0, len(ops)
-    while i < n:
-        j = ops.find(b"(", i)
-        if j < 0:
-            break
-        k = j + 1
-        depth = 1
-        buf = bytearray()
-        while k < n and depth:
-            c = ops[k:k + 1]
-            if c == b"\\":
-                nxt = ops[k + 1:k + 2]
-                if nxt in _ESCAPES:
-                    buf += _ESCAPES[nxt]
-                    k += 2
-                elif nxt.isdigit():
-                    oct_digits = ops[k + 1:k + 4]
-                    m = re.match(rb"[0-7]{1,3}", oct_digits)
+
+def _parse_literal_string(ops: bytes, i: int):
+    """Parse a ``(...)`` literal at ``ops[i]`` (ISO 32000-1 §7.3.4.2:
+    nested balanced parens, backslash escapes, \\ddd octal with 1-3
+    digits, line continuations; an unrecognized escape just drops the
+    backslash).  Returns (bytes, index past the closing paren)."""
+    k = i + 1
+    n = len(ops)
+    depth = 1
+    buf = bytearray()
+    while k < n and depth:
+        c = ops[k:k + 1]
+        if c == b"\\":
+            nxt = ops[k + 1:k + 2]
+            if nxt in _ESCAPES:
+                buf += _ESCAPES[nxt]
+                k += 2
+            else:
+                m = re.match(rb"[0-7]{1,3}", ops[k + 1:k + 4])
+                if m:
                     buf.append(int(m.group(0), 8) & 0xFF)
                     k += 1 + len(m.group(0))
-                else:
-                    k += 2                      # line continuation et al.
-            elif c == b"(":
-                depth += 1
+                elif nxt in (b"\r", b"\n"):     # line continuation
+                    k += 2
+                    if nxt == b"\r" and ops[k:k + 1] == b"\n":
+                        k += 1
+                else:                           # \8, \9, \x: drop backslash
+                    k += 1
+        elif c == b"(":
+            depth += 1
+            buf += c
+            k += 1
+        elif c == b")":
+            depth -= 1
+            if depth:
                 buf += c
-                k += 1
-            elif c == b")":
-                depth -= 1
-                if depth:
-                    buf += c
-                k += 1
-            else:
-                buf += c
-                k += 1
-        # shown only if followed by a show operator (Tj, TJ via array, ', ")
-        tail = ops[k:k + 16].lstrip()
-        if tail.startswith((b"Tj", b"'", b'"')) or _in_tj_array(ops, j, k):
-            out.append(buf.decode("latin-1"))
-        i = k
-    return out
+            k += 1
+        else:
+            buf += c
+            k += 1
+    return bytes(buf), k
 
 
-def _in_tj_array(ops: bytes, start: int, end: int) -> bool:
-    """True when the string at [start, end) sits inside a [...] TJ array."""
-    lb = ops.rfind(b"[", 0, start)
-    if lb < 0:
-        return False
-    rb = ops.find(b"]", end)
-    if rb < 0:
-        return False
-    return ops[rb:rb + 4].rstrip().endswith(b"TJ") or \
-        ops[rb + 1:rb + 8].lstrip().startswith(b"TJ")
+def extract_text_strings(ops: bytes) -> list[str]:
+    """Strings shown by Tj / TJ / ' / " operators in a content stream,
+    in stream order (ISO 32000-1 §9.4.3) — the text layer a text-only
+    PDF carries; the reference reads it via page.get_text
+    (bin/pdf-metadata-json).
+
+    Sequential token scan, not a regex heuristic: string operands are
+    collected (inside or outside a ``[...]`` array) and emitted only
+    when the next operator is actually a show operator — a string
+    consumed by Td/Tf/etc., or one sitting between two TJ arrays, is
+    never shown."""
+    out: list[str] = []
+    i, n = 0, len(ops)
+    operands: list[bytes] = []          # string operands since last operator
+    array_strings: list[bytes] = []
+    in_array = False
+    while i < n:
+        c = ops[i:i + 1]
+        if c in _PDF_WS:
+            i += 1
+        elif c == b"%":                  # comment to end of line
+            j = ops.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        elif c == b"(":
+            s, i = _parse_literal_string(ops, i)
+            (array_strings if in_array else operands).append(s)
+        elif c == b"<" and ops[i + 1:i + 2] == b"<":
+            i += 2                       # dict open: not an operand we track
+            operands = []
+        elif c == b"<":                  # hex string (§7.3.4.3)
+            j = ops.find(b">", i)
+            j = n if j < 0 else j
+            hexed = bytes(ch for ch in ops[i + 1:j]
+                          if ch not in _PDF_WS)
+            if len(hexed) % 2:
+                hexed += b"0"
+            try:
+                s = bytes.fromhex(hexed.decode("ascii"))
+            except (ValueError, UnicodeDecodeError):
+                s = b""
+            (array_strings if in_array else operands).append(s)
+            i = j + 1
+        elif c == b"[":
+            in_array = True
+            array_strings = []
+            i += 1
+        elif c == b"]":
+            in_array = False
+            i += 1
+        elif c == b"/":                  # name: operand, keep strings pending
+            i += 1
+            while i < n and ops[i:i + 1] not in _PDF_WS + _PDF_DELIM:
+                i += 1
+        else:                            # number or operator token
+            j = i
+            while j < n and ops[j:j + 1] not in _PDF_WS + _PDF_DELIM:
+                j += 1
+            tok = ops[i:j]
+            i = j if j > i else i + 1
+            if _NUM_RE.match(tok):
+                continue                 # numeric operand: strings stay live
+            if tok in (b"Tj", b"'", b'"'):
+                if operands:
+                    out.append(operands[-1])
+                operands = []
+            elif tok == b"TJ":
+                out.extend(array_strings)
+                array_strings = []
+                operands = []
+            else:                        # any other operator consumes them
+                operands = []
+    return [s.decode("latin-1") for s in out]
 
 
 _JP2_SIG = b"\x00\x00\x00\x0cjP  \x0d\x0a\x87\x0a"

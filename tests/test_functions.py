@@ -252,3 +252,24 @@ def test_winnow_fingerprints_matches_windowed_reference(spark):
             want.add((doc_id, min(hs[j:j + w])))
     assert got == want
     assert not any(d == 3 for d, _ in got)     # 'short' yields nothing
+
+
+def test_dedup_kernels_skip_null_text(spark):
+    """NULL text rows vanish (SQL null semantics) instead of crashing
+    the Arrow batch — the JVM formulations they replaced dropped nulls
+    via expression null propagation."""
+    from archive_pdf_tools_spark.functions.dedup import (
+        minhash_signatures, shingles_df, simhash, winnow_fingerprints)
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, None),
+         (3, "another normal document with enough words to shingle")],
+        "doc_id bigint, text string")
+    assert {r["doc_id"] for r in shingles_df(df).select("doc_id")
+            .distinct().collect()} == {1, 3}
+    assert {r["doc_id"] for r in minhash_signatures(df, k=4)
+            .collect()} == {1, 3}
+    assert {r["doc_id"] for r in simhash(df).collect()} == {1, 3}
+    assert {r["doc_id"] for r in winnow_fingerprints(df).select("doc_id")
+            .distinct().collect()} == {1, 3}

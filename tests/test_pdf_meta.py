@@ -258,3 +258,59 @@ def test_synth_pdf_mixes_in_jpx_images():
         for page in parse_pdf(synth_pdf(seed))["pages"]:
             fmts.update(im["format"] for im in page["images"])
     assert {"JPEG", "JPEG2000", "FLATE"} <= fmts
+
+
+def test_hybrid_xrefstm_overrides_classic_free_entries():
+    """ISO 32000-1 §7.5.8.4 hybrid-reference file: the classic table
+    marks an objstm-resident object FREE (for pre-1.5 readers) while the
+    /XRefStm stream supplies its real type-2 entry — the stream entry
+    must win, not the table's tombstone."""
+    import zlib
+
+    from archive_pdf_tools_spark.sources.pdf_meta import _Reader
+
+    base = synth_pdf(4, modern=False)
+    import re as _re
+    old_startxref = int(_re.findall(rb"startxref\s+(\d+)", base)[-1])
+    root = int(_re.findall(rb"/Root (\d+) 0 R", base)[-1])
+    size = int(_re.findall(rb"/Size (\d+)", base)[-1])
+
+    objstm_oid, hidden_oid, xstm_oid = size, size + 1, size + 2
+    out = bytearray(base)
+
+    hidden_body = b"<< /Type /Fluff >>"
+    header = b"%d 0" % hidden_oid
+    payload = header + b"\n" + hidden_body
+    z = zlib.compress(payload)
+    objstm_pos = len(out)
+    out += (b"%d 0 obj\n<< /Type /ObjStm /N 1 /First %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (objstm_oid, len(header) + 1, len(z))
+            + z + b"\nendstream\nendobj\n")
+
+    # xref stream: type-1 rows for objstm + itself, type-2 for hidden
+    xstm_pos = len(out)
+    rows = bytearray()
+    rows += bytes([1]) + objstm_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([2]) + objstm_oid.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    rows += bytes([1]) + xstm_pos.to_bytes(4, "big") + (0).to_bytes(2, "big")
+    zr = zlib.compress(bytes(rows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+            b"/Index [%d 3] /Root %d 0 R /Filter /FlateDecode "
+            b"/Length %d >>\nstream\n"
+            % (xstm_oid, size + 3, objstm_oid, root, len(zr))
+            + zr + b"\nendstream\nendobj\n")
+
+    # classic incremental table: hidden object marked FREE (§7.5.8.4),
+    # trailer points at the stream via /XRefStm
+    xref_pos = len(out)
+    out += b"xref\n%d 1\n0000000000 00001 f \n" % hidden_oid
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Prev %d /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (size + 3, root, old_startxref, xstm_pos, xref_pos))
+
+    rd = _Reader(bytes(out))
+    assert rd.has(hidden_oid), "XRefStm entry must beat the classic free row"
+    assert b"/Fluff" in rd.body(hidden_oid)
+    # and the document still parses identically
+    assert parse_pdf(bytes(out)) == parse_pdf(base)

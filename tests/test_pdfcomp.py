@@ -153,3 +153,25 @@ def test_run_pdf_checkpoint_resume(spark, tmp_path):
     spans = spark.read.parquet(f"{out}/spans")
     assert spans.count() == 10
     assert spans.select("doc_id").distinct().count() == 10
+
+
+def test_extract_text_strings_review_cases():
+    """Cases from review: invalid octal escapes must not crash (spec:
+    drop the backslash), strings between two TJ arrays are NOT shown,
+    hex strings and line continuations are handled."""
+    from archive_pdf_tools_spark.sources.pdf_meta import extract_text_strings
+
+    # \8 and \9 are not octal: backslash dropped, char kept
+    assert extract_text_strings(b"(bad\\8esc) Tj") == ["bad8esc"]
+    assert extract_text_strings(b"(x\\9) Tj") == ["x9"]
+    # a string consumed by Td between two TJ arrays is never shown
+    ops = b"[ (a) ] TJ (x) 5 0 Td [ (b) ] TJ"
+    assert extract_text_strings(ops) == ["a", "b"]
+    # hex strings shown by Tj; whitespace inside hex; odd length pads 0
+    assert extract_text_strings(b"<4869 2 1> Tj") == ["Hi!"]
+    # line continuation inside a literal
+    assert extract_text_strings(b"(ab\\\ncd) Tj") == ["abcd"]
+    # ' and " show the last string operand
+    assert extract_text_strings(b"(q) ' 1 2 (w) \"") == ["q", "w"]
+    # strings consumed by non-show operators are dropped
+    assert extract_text_strings(b"(name) Tf (shown) Tj") == ["shown"]
