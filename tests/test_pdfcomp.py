@@ -175,3 +175,28 @@ def test_extract_text_strings_review_cases():
     assert extract_text_strings(b"(q) ' 1 2 (w) \"") == ["q", "w"]
     # strings consumed by non-show operators are dropped
     assert extract_text_strings(b"(name) Tf (shown) Tj") == ["shown"]
+
+
+def test_extract_text_strings_never_raises_on_garbage():
+    """Crash-safety fuzz: the tokenizer and codec header parsers must
+    tolerate arbitrary bytes (content streams in the wild are hostile;
+    a parser exception would vaporize the whole document through the
+    poison-doc guard)."""
+    import random
+
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        _jp2_dims, _jpeg_sof, extract_text_strings)
+
+    rng = random.Random(7)
+    for _ in range(400):
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 160)))
+        extract_text_strings(blob)
+        _jp2_dims(blob)
+        _jpeg_sof(blob)
+    parts = [b"(", b")", b"\\", b"[", b"]", b"TJ", b"Tj", b"'", b'"', b"<",
+             b">", b"<<", b">>", b"/Name", b"12", b"-3.5", b"Td", b"%c\n",
+             b" ", b"\x00", b"(nested(paren))", b"\\8", b"\\101", b"\\\n"]
+    for _ in range(400):
+        blob = b" ".join(rng.choice(parts)
+                         for _ in range(rng.randrange(0, 40)))
+        extract_text_strings(blob)
