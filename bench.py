@@ -297,6 +297,21 @@ in-sandbox analogue of N -> 4N executors each receiving its share of a
 |---|---|---|---|---|
 {weak_rows}
 
+## Input linearity at fixed cores (10x corpus)
+
+Measured 2026-08-16 in a probed clean window (8.1 / 42.3 GB/s), same
+local[32] plan, input scaled 10x: wall grows 5.1x for 9.7x the pages —
+per-page throughput RISES with corpus size (1639 -> 3145 pages/s)
+because the bench-sized corpus under-fills the 128 partitions and fixed
+costs dominate.  The direction matters for the 100-TB claim: the job
+gets MORE efficient as the input grows.  (Reproduce:
+`python bench.py --extract-only 32 <sf_dir> 600` vs `... 6000`.)
+
+| docs | pages | wall sec | pages/sec |
+|---|---|---|---|
+| 600 | 7932 | 4.84 | 1639 |
+| 6000 | 76973 | 24.48 | 3145 |
+
 ## Single-box caveat (why the pairs differ)
 
 The sandbox host is a shared/burstable VM: identical deterministic runs
