@@ -39,9 +39,9 @@ from pyspark.sql import DataFrame, functions as F
 from .textstats import fingerprint
 
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
-           "minhash_signatures", "minhash_lsh_pairs", "simhash",
-           "winnow_fingerprints", "winnow_pairs", "duplicate_components",
-           "embedding_near_dups"]
+           "minhash_signatures", "band_buckets", "minhash_lsh_pairs",
+           "simhash", "winnow_fingerprints", "winnow_pairs",
+           "duplicate_components", "embedding_near_dups"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -202,6 +202,29 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
         _sig_batches, schema=f"doc_id {id_type}, sig array<bigint>")
 
 
+def band_buckets(sig_df: DataFrame, k: int, bands: int,
+                 extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Explode (doc_id, sig) signature rows to (doc_id[, extra], band,
+    bucket) LSH keys: band signature = '-'-joined band rows.  The ONE
+    banding implementation — batch candidate generation and the
+    streaming stateful matcher must bucket identically or checkpointed
+    stream state silently diverges from batch results."""
+    if bands > k or k % bands:
+        raise ValueError(f"bands={bands} must divide k={k} (rows_per_band"
+                         " = 0 would place every doc in one bucket)")
+    rows_per_band = k // bands
+    band_cols = []
+    for bi in range(bands):
+        seg = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(bi).alias("band"),
+                                  F.concat_ws("-", *[
+                                      F.element_at(seg, j + 1).cast("string")
+                                      for j in range(rows_per_band)]).alias("bucket")))
+    return (sig_df.select("doc_id", *extra_cols,
+                          F.explode(F.array(*band_cols)).alias("bb"))
+            .select("doc_id", *extra_cols, "bb.band", "bb.bucket"))
+
+
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
                       bands: int = 8, tau: float = 0.5,
                       seed: int = 7) -> DataFrame:
@@ -212,17 +235,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
     n-gram Jaccard (no stop-shingle cap here: candidate count is already
     bounded by the banding).
     """
-    rows_per_band = k // bands
     sig = minhash_signatures(documents, n=n, k=k, seed=seed)
-    band_cols = []
-    for bi in range(bands):
-        seg = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(bi).alias("band"),
-                                  F.concat_ws("-", *[
-                                      F.element_at(seg, j + 1).cast("string")
-                                      for j in range(rows_per_band)]).alias("bucket")))
-    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", "bb.band", "bb.bucket"))
+    buckets = band_buckets(sig, k, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     # cand is cached: it feeds BOTH the semi-join that bounds the verify
@@ -477,8 +491,12 @@ def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9,
             .select(F.col("a.vec_id").alias("vec_a"),
                     F.col("b.vec_id").alias("vec_b"))
             .distinct())
-    norm = F.sqrt(F.aggregate("embedding", F.lit(0.0),
-                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    # greatest() clamp: a zero-norm (failed/padded) embedding would abort
+    # the whole query under Spark 4's default ANSI DIVIDE_BY_ZERO.
+    norm = F.greatest(
+        F.sqrt(F.aggregate("embedding", F.lit(0.0),
+                           lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+        F.lit(1e-12))
     e = embeddings.select("vec_id", "embedding", norm.alias("nrm"))
     ea = e.select(F.col("vec_id").alias("vec_a"),
                   F.col("embedding").alias("emb_a"), F.col("nrm").alias("nrm_a"))

@@ -24,7 +24,7 @@ __all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes",
 
 
 def _cosine_col(query: list[float]):
-    qn = float(np.sqrt(np.dot(query, query)))
+    qn = float(np.sqrt(np.dot(query, query))) or 1e-12
     qcol = F.array(*[F.lit(float(v)) for v in query])
     dot = F.aggregate(
         F.zip_with(F.col("embedding"), qcol,
@@ -33,6 +33,10 @@ def _cosine_col(query: list[float]):
     nrm = F.sqrt(F.aggregate(
         "embedding", F.lit(0.0),
         lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    # Zero-norm guard: Spark 4 runs ANSI mode by default, where a single
+    # all-zero embedding row (failed/padded embedding) would abort the
+    # whole query with DIVIDE_BY_ZERO; clamping yields cosine 0 instead.
+    nrm = F.greatest(nrm, F.lit(1e-12))
     return F.round(dot / (nrm * F.lit(qn)), 4)
 
 

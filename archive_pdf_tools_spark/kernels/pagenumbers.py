@@ -145,7 +145,10 @@ def _settle(label, peek, ignore_invalid: bool):
     if kind not in _MATE:                       # invalid / arabic: settled
         return kind, num, True
 
-    peek_kind = get_val_type(peek, ignore_invalid=ignore_invalid)
+    # The peek is context, not the label under judgement: classify it
+    # tolerantly — an unparseable NEIGHBOUR must not crash this label's
+    # settlement (it reads as INVALID context instead).
+    peek_kind = get_val_type(peek, ignore_invalid=True)
     if kind in (ROMAN_UPPER, ROMAN_LOWER):
         if peek_kind == _MATE[kind]:
             return peek_kind, get_val_value(label, peek_kind), True
@@ -167,6 +170,9 @@ def _settle(label, peek, ignore_invalid: bool):
     if peek_kind not in (ROMAN_UPPER, ROMAN_LOWER):
         # e.g. a non-roman letter clump followed by arabic pages
         return INVALID, None, True
+    # Reference parity: this raise fires even under ignore_invalid
+    # (pagenumbers.py:107-110 raises regardless) — parity-tested, so the
+    # per-document poison guard lives at the Spark boundary instead.
     raise ValueError("Alpha page numbers are not supported")
 
 
@@ -221,10 +227,11 @@ def parse_series(series, ignore_invalid: bool = False):
     ends = cuts + [len(labels)]
     runs = []
     for s, e in zip(starts, ends):
-        kind = resolved[s][0] if e > s else INVALID   # empty input case
+        if e <= s:          # empty input: no runs, not a phantom one
+            continue
         runs.append({"start": s,
-                     "type": kind,
-                     "type_human": TYPE_NAMES[kind],
+                     "type": resolved[s][0],
+                     "type_human": TYPE_NAMES[resolved[s][0]],
                      "values": labels[s:e],
                      "values_numeric": [num for _k, num in resolved[s:e]]})
     return runs, all_ok

@@ -1269,7 +1269,15 @@ def q_page_series(spark, sf):
             series = [None if lbl is None or
                       (isinstance(lbl, float) and pd.isna(lbl))
                       else str(lbl) for lbl in g["label"]]
-            runs, _ok = parse_series(series, ignore_invalid=True)
+            try:
+                runs, _ok = parse_series(series, ignore_invalid=True)
+            except ValueError:
+                # Poison-doc guard: the reference raises on some label
+                # shapes even in tolerant mode (parity-preserved in the
+                # kernel); one odd book must not kill a 10^12-doc stage —
+                # it degrades to a single Invalid run over its labels.
+                runs = [{"start": 0, "type": 0,
+                         "values": series, "values_numeric": []}]
             out.extend(
                 (int(cust), r["start"], TYPE_NAMES[r["type"]],
                  len(r["values"]),

@@ -49,7 +49,23 @@ def parse_properties(title: str | None) -> dict:
     props: dict[str, list[str]] = {}
     if not title:
         return props
-    for field in title.split(";"):
+    # Split on ';' only OUTSIDE double quotes — a quoted value may itself
+    # contain semicolons (image "a;b.jp2"), which a naive split would
+    # tear apart and even inject bogus property names.
+    fields: list[str] = []
+    buf: list[str] = []
+    in_quotes = False
+    for ch in title:
+        if ch == '"':
+            in_quotes = not in_quotes
+            buf.append(ch)
+        elif ch == ";" and not in_quotes:
+            fields.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    fields.append("".join(buf))
+    for field in fields:
         field = field.strip()
         if not field:
             continue

@@ -24,7 +24,6 @@ page-at-a-time); the whole extractor is one map-only vectorized stage
 
 from __future__ import annotations
 
-import io
 import json
 import re
 from typing import Iterable, Iterator
@@ -40,6 +39,62 @@ _BLOCK_TAGS = frozenset({"p", "div", "article", "section", "main", "li",
                          "h5", "h6"})
 
 _WS_RE = re.compile(r"\s+")
+
+_VOID_TAGS = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
+                        "input", "link", "meta", "param", "source", "track",
+                        "wbr"})
+
+
+def _parse_html(markup: str):
+    """HTML-tolerant tree builder on stdlib ``html.parser``: unclosed
+    void tags (<br>, <img>, <meta>), named entities (&nbsp;) and stray
+    end tags — ubiquitous in real crawl pages — parse fine, unlike the
+    strict XML parser this replaces (which turned virtually every real
+    page into an html_error span with zero extracted content)."""
+    from html.parser import HTMLParser
+    from xml.etree import ElementTree as ET
+
+    class _Builder(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.root = ET.Element("html")
+            self.stack = [self.root]
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _VOID_TAGS:
+                self.handle_startendtag(tag, attrs)
+                return
+            el = ET.SubElement(self.stack[-1], tag,
+                               {k: (v or "") for k, v in attrs})
+            self.stack.append(el)
+
+        def handle_startendtag(self, tag, attrs):
+            ET.SubElement(self.stack[-1], tag,
+                          {k: (v or "") for k, v in attrs})
+
+        def handle_endtag(self, tag):
+            for i in range(len(self.stack) - 1, 0, -1):
+                if self.stack[i].tag == tag:
+                    del self.stack[i:]
+                    return
+            # stray end tag: ignored
+
+        def handle_data(self, data):
+            parent = self.stack[-1]
+            if len(parent):
+                last = parent[-1]
+                last.tail = (last.tail or "") + data
+            else:
+                parent.text = (parent.text or "") + data
+
+    b = _Builder()
+    b.feed(markup)
+    b.close()
+    root = b.root
+    # a well-formed page nests its own <html> inside the synthetic root
+    if len(root) == 1 and _localname(root[0].tag) == "html":
+        return root[0]
+    return root
 
 
 def _localname(tag) -> str:
@@ -81,30 +136,36 @@ def _link_chars(el) -> int:
 def extract_main_spans(markup: bytes | str, min_words: int = 3,
                        max_link_density: float = 0.5) -> list[dict]:
     """HTML -> ordered [(kind, text, media_ref, offset)] span dicts."""
-    from xml.etree import ElementTree as ET
-
-    if isinstance(markup, str):
-        markup = markup.encode("utf-8")
-    root = ET.parse(io.BytesIO(markup)).getroot()
+    if isinstance(markup, bytes):
+        markup = markup.decode("utf-8", "replace")
+    root = _parse_html(markup)
     if _is_chrome(root):
         return []
     _prune(root)
 
     spans: list[dict] = []
 
+    def emit_imgs(el):
+        for im in el.iter():
+            if _localname(im.tag) == "img":
+                src = im.get("src") or ""
+                if src:
+                    spans.append({"kind": "media", "text": "",
+                                  "media_ref": src,
+                                  "offset": len(spans)})
+
     def walk(el):
         name = _localname(el.tag)
         if name == "img":
-            src = el.get("src") or ""
-            if src:
-                spans.append({"kind": "media", "text": "",
-                              "media_ref": src,
-                              "offset": len(spans)})
+            emit_imgs(el)
             return
         # a block whose OWN direct text (not nested blocks') carries the
-        # content: treat as leaf block if no block-level children
-        has_block_child = any(_localname(c.tag) in _BLOCK_TAGS
-                              or _localname(c.tag) == "img" for c in el)
+        # content: a leaf block has no block-level element children.
+        # Inline <img> children do NOT disqualify it — the paragraph's
+        # text is emitted AND its figures become media spans (dropping
+        # the text of every paragraph with an inline figure was the old
+        # behavior's silent content loss).
+        has_block_child = any(_localname(c.tag) in _BLOCK_TAGS for c in el)
         if name in _BLOCK_TAGS and not has_block_child:
             text = _text_of(el)
             if text and len(text.split()) >= min_words:
@@ -113,6 +174,7 @@ def extract_main_spans(markup: bytes | str, min_words: int = 3,
                 if density <= max_link_density:
                     spans.append({"kind": "text", "text": text,
                                   "media_ref": "", "offset": len(spans)})
+            emit_imgs(el)
             return
         for child in el:
             walk(child)

@@ -88,24 +88,14 @@ def stream_near_dups(stream_df, n: int = 3, k: int = 32, bands: int = 8,
     can fire in several bands — consumers dedup on (doc_a, doc_b), which
     stays a cheap batch-local distinct.
     """
-    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from ..functions.dedup import minhash_signatures
+    from ..functions.dedup import band_buckets, minhash_signatures
 
-    rows_per_band = k // bands
     sig = minhash_signatures(stream_df, n=n, k=k, seed=seed)
-    band_cols = []
-    for bi in range(bands):
-        seg = F.slice(F.col("sig"), bi * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(
-            F.lit(bi).alias("band"),
-            F.concat_ws("-", *[F.element_at(seg, j + 1).cast("string")
-                               for j in range(rows_per_band)])
-             .alias("bucket")))
-    buckets = (sig.select("doc_id", "sig",
-                          F.explode(F.array(*band_cols)).alias("bb"))
-               .select("doc_id", "sig", "bb.band", "bb.bucket"))
+    # Same banding as the batch path (shared helper): checkpointed
+    # stream state must bucket identically to batch LSH.
+    buckets = band_buckets(sig, k, bands, extra_cols=("sig",))
     return (buckets
             .groupBy("band", "bucket")
             .applyInPandasWithState(

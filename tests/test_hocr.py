@@ -226,3 +226,16 @@ def test_hocr_roundtrip_fuzz():
         assert page_payload(pages[0], None) == blob
 
     check()
+
+
+def test_parse_properties_quoted_semicolon():
+    from archive_pdf_tools_spark.sources.hocr import parse_properties
+
+    props = parse_properties('image "a;b.jp2"; bbox 0 0 10 10')
+    assert props["image"] == ["a;b.jp2"]
+    assert props["bbox"] == ["0", "0", "10", "10"]
+    # a hostile filename must not inject a bogus property
+    props = parse_properties('image "x;bbox 1 2 3 4.jp2"; ppageno 2')
+    assert props["image"] == ["x;bbox 1 2 3 4.jp2"]
+    assert props["ppageno"] == ["2"]
+    assert props.get("bbox") is None

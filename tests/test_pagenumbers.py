@@ -123,3 +123,17 @@ def _int_to_roman(n):
             out.append(s)
             n -= v
     return ''.join(out)
+
+
+def test_parse_series_review_cases():
+    """Review regressions: tolerant mode never raises, an invalid peek
+    neighbour cannot crash settlement, and empty input yields no runs."""
+    from archive_pdf_tools_spark.kernels.pagenumbers import parse_series
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):      # reference parity: still raises
+        parse_series(["a", "VII"], ignore_invalid=True)
+    runs, ok = parse_series(["I", "?"], ignore_invalid=False)
+    assert runs                           # invalid peek tolerated as context
+    runs, ok = parse_series([])
+    assert runs == [] and ok              # no phantom zero-length run
