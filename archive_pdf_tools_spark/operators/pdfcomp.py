@@ -141,8 +141,12 @@ def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
                                           pdfb[pdf_col].values, hocrs):
                 try:
                     rows = _doc_spans(doc_id, bytes(blob), hocr)
-                except Exception:  # noqa: BLE001 — poison-doc guard
-                    rows = []
+                except Exception as exc:  # noqa: BLE001 — poison-doc guard
+                    # same observable-failure contract as the HTML front
+                    # door's html_error span: the failing document stays
+                    # in the output, marked, never silently emptied
+                    rows = [("pdf_error",
+                             f"{type(exc).__name__}: {exc}"[:200], "")]
                 ids.append(doc_id)
                 spans_col.append([
                     {"kind": k, "text": t, "media_ref": m, "offset": i}

@@ -326,6 +326,9 @@ def _jpeg_sof(raw: bytes):
             i += 1
             continue
         marker = raw[i + 1]
+        if marker == 0xFF:                 # fill byte (§B.1.1.2), re-sync
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2                         # standalone markers, no length
             continue

@@ -201,6 +201,26 @@ def test_dct_image_metadata_from_sof_header():
     assert _jpeg_sof(synth_jpeg(40, 50, gray=False)) == (40, 50, 3)
     assert _jpeg_sof(b"not a jpeg") is None
 
+    # 0xFF fill bytes before a marker are legal (ISO 10918-1 B.1.1.2):
+    # pad every marker in a valid stream and the SOF walk must re-sync
+    clean = synth_jpeg(33, 21, gray=True)
+    padded = clean[:2]
+    i = 2
+    while i < len(clean):
+        if clean[i] == 0xFF and i + 1 < len(clean) and clean[i + 1] != 0x00:
+            padded += b"\xff\xff\xff"      # three fill bytes, then marker
+            padded += clean[i:i + 2]
+            seg_len = int.from_bytes(clean[i + 2:i + 4], "big")
+            if clean[i + 1] == 0xDA:       # SOS: stop padding, copy rest
+                padded += clean[i + 2:]
+                break
+            padded += clean[i + 2:i + 2 + seg_len]
+            i += 2 + seg_len
+        else:
+            padded += clean[i:i + 1]
+            i += 1
+    assert _jpeg_sof(bytes(padded)) == (33, 21, 1)
+
     blob = build_pdf([{"width": 612, "height": 792, "images": [
         {"w": 33, "h": 21, "gray": True, "dct": True,
          "data": synth_jpeg(33, 21, gray=True)}], "text": None}])

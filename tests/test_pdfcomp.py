@@ -131,6 +131,28 @@ def test_pdfs_to_spans_text_and_media(spark):
     assert [s["offset"] for s in spans] == list(range(len(spans)))
 
 
+def test_pdfs_to_spans_poison_doc_emits_error_span(spark):
+    """A document whose PDF bytes crash the parser must stay observable:
+    one pdf_error span naming the exception, never a silently-empty
+    span list (same failure contract as the HTML front door)."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.operators.pdfcomp import pdfs_to_spans
+
+    good = build_pdf([{"width": 612, "height": 792, "images": [],
+                       "text": "fine"}])
+    # valid header, truncated xref -> parse_pdf raises
+    poison = good[:40]
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)), ("bad", bytearray(poison))],
+        "doc_id string, pdf binary")
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in pdfs_to_spans(df, hocr_col=None).collect()}
+    assert [s["text"] for s in rows["ok"] if s["kind"] == "text"] == ["fine"]
+    assert len(rows["bad"]) == 1
+    err = rows["bad"][0]
+    assert err["kind"] == "pdf_error" and err["text"]
+
+
 def test_run_pdf_checkpoint_resume(spark, tmp_path):
     import pandas as pd
 

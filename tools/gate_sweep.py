@@ -29,13 +29,15 @@ def canon(df):
     out = pd.DataFrame()
     for c in df.columns:
         col = df[c]
-        if col.dtype == object:
-            out[c] = col.astype(str)
+        kind = getattr(col.dtype, "kind", None)
+        if kind == "f":
+            # genuinely-float columns: round to absorb cross-engine noise
+            out[c] = col.round(6).astype(str)
         else:
-            try:
-                out[c] = col.astype("float64").round(6).astype(str)
-            except (TypeError, ValueError):
-                out[c] = col.astype(str)
+            # integers (incl. 56-bit fingerprints that exceed float64's
+            # 53-bit mantissa), bools, objects: exact string compare, the
+            # same sensitivity as the driver's type-aware value hash
+            out[c] = col.astype(str)
     out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
     return out
 
