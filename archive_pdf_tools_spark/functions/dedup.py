@@ -330,25 +330,53 @@ def simhash(documents: DataFrame) -> DataFrame:
                            schema=f"doc_id {id_type}, simhash bigint")
 
 
+# Polynomial-hash base for winnowing k-gram fingerprints (mod 2**56).
+# Mirrored by the DuckDB winnow oracles via winnow_gram_hash_sql().
+WINNOW_BASE = 1000003
+
+
+def winnow_gram_hash_sql(k: int = 8, t: str = "t", i: str = "i") -> str:
+    """The SQL expression computing the SAME k-gram polynomial hash as
+    ``winnow_fingerprints`` for the gram starting at 1-based character
+    position ``i`` of column ``t``: sum_j unicode(t[i+j]) *
+    (BASE^(k-1-j) mod 2**56), all in HUGEINT (products < 2**77, sum
+    < 2**80), reduced mod 2**56 and cast BIGINT.  Multiplication
+    respects the modulus, so pre-reduced power constants are exact."""
+    m = 1 << 56
+    terms = " + ".join(
+        f"CAST(unicode(substr({t}, {i}+{j}, 1)) AS HUGEINT) * "
+        f"{pow(WINNOW_BASE, k - 1 - j, m)}::HUGEINT"
+        for j in range(k))
+    return f"CAST(({terms}) % {m}::HUGEINT AS BIGINT)"
+
+
 def winnow_fingerprints(documents: DataFrame, k: int = 8,
                         w: int = 4) -> DataFrame:
     """Distinct winnowing fingerprints per doc: (doc_id, fp bigint) rows
     (Schleimer/Wilkerson/Aiken SIGMOD'03 selection).
 
     One vectorized map stage, zero shuffle before the fp rows: per doc,
-    normalize -> char k-gram h56 hashes -> rolling window-w minima via a
-    NumPy sliding-window view -> np.unique.  The earlier formulation
-    exploded ONE ROW PER CHARACTER (``F.explode(F.sequence(...))``) and
-    pushed that ~10-20x-amplified row set through a window-function
-    Exchange — at 100 TB of text that shuffle IS the job; here nothing
-    leaves the executor but the distinct (doc_id, fp) rows (~n_chars/w
-    per doc).  Same template as ``minhash_signatures``.
+    normalize -> char k-gram polynomial hashes -> rolling window-w
+    minima via a NumPy sliding-window view -> np.unique.  The earlier
+    formulation exploded ONE ROW PER CHARACTER (``F.explode(
+    F.sequence(...))``) and pushed that ~10-20x-amplified row set
+    through a window-function Exchange — at 100 TB of text that shuffle
+    IS the job; here nothing leaves the executor but the distinct
+    (doc_id, fp) rows (~n_chars/w per doc).  Same template as
+    ``minhash_signatures``.
 
-    Normalization/hash mirror the SQL oracle exactly: ASCII-space trim,
-    lower, java-``\\s+`` collapsed to one space, md5-prefix h56 over
-    character k-grams.
+    Hash: degree-(k-1) polynomial over codepoints, base ``WINNOW_BASE``,
+    mod 2**56 — k vectorized uint64 Horner steps per document instead of
+    one interpreter-level md5 call per character position (the previous
+    kernel's CPU profile was row-at-a-time Python in disguise).  uint64
+    wraparound is exact here: powers-of-two moduli nest, so mod-2**64
+    intermediates masked to 56 bits at the end equal true mod-2**56
+    arithmetic.  56 bits keeps every fp exactly representable in a
+    BIGINT/int64 and in DuckDB HUGEINT mirror math (see SQL_WINNOW).
+
+    Normalization mirrors the SQL oracle exactly: ASCII-space trim,
+    lower, java-``\\s+`` collapsed to one space.
     """
-    import hashlib
     import re as _re
 
     import pandas as pd
@@ -356,8 +384,9 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8,
     ws = _re.compile(r"[ \t\n\x0b\f\r]+")     # java/RE2 \s, not unicode \s
 
     def _fp_batches(batches):
-        md5 = hashlib.md5
         swv = np.lib.stride_tricks.sliding_window_view
+        base = np.uint64(WINNOW_BASE)
+        mask56 = np.uint64((1 << 56) - 1)
         for pdf in batches:
             ids, fps = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
@@ -368,10 +397,12 @@ def winnow_fingerprints(documents: DataFrame, k: int = 8,
                 n = len(t)
                 if n < k + w - 1:
                     continue
-                hs = np.fromiter(
-                    (int(md5(t[i:i + k].encode("utf-8")).hexdigest()[:14],
-                         16) for i in range(n - k + 1)),
-                    dtype=np.int64, count=n - k + 1)
+                cps = np.frombuffer(t.encode("utf-32-le"),
+                                    dtype=np.uint32).astype(np.uint64)
+                hs = np.zeros(n - k + 1, dtype=np.uint64)
+                for j in range(k):              # k Horner steps, vectorized
+                    hs = hs * base + cps[j:n - k + 1 + j]
+                hs = (hs & mask56).astype(np.int64)
                 uniq = np.unique(swv(hs, w).min(axis=1))
                 ids.extend([doc_id] * len(uniq))
                 fps.extend(uniq.tolist())

@@ -745,7 +745,7 @@ base AS (
   FROM seeded),
 grams AS (
   SELECT doc_id, len(t) AS n, i,
-         ('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT AS h
+         {D.winnow_gram_hash_sql(k=8)} AS h
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
   WHERE len(t) >= 11),
 fps AS (
@@ -1740,13 +1740,13 @@ def q_winnow_fp(spark, sf):
                  F.max("fp").alias("fp_max")))
 
 
-SQL_WINNOW = r"""
+SQL_WINNOW = rf"""
 WITH base AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
   FROM documents),
 grams AS (
   SELECT doc_id, len(t) AS n, i,
-         ('0x' || substr(md5(substr(t, i, 8)), 1, 14))::BIGINT AS h
+         {D.winnow_gram_hash_sql(k=8)} AS h
   FROM base, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
   WHERE len(t) >= 11),
 fps AS (

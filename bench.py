@@ -124,6 +124,9 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "timing_policy": "best-of-3 per query (burstable host; min = "
+                             "least-contended sample of a deterministic job)",
+            "repeats_per_query": 3,
             "sf": sf,
             "pages": n_pages,
             "pages_per_sec": round(n_pages / ext_sec, 1),

@@ -216,13 +216,14 @@ def test_pq_codes_compress_and_recall(spark):
 
 def test_winnow_fingerprints_matches_windowed_reference(spark):
     """Cross-implementation equivalence on adversarial strings: the
-    vectorized NumPy kernel must select exactly the fingerprints of the
-    definitional explode+window formulation (k-gram h56 hashes, window-w
-    minima, distinct) — including repeated text, short strings below the
-    k+w-1 bound, mixed unicode and runs of whitespace."""
-    import hashlib
-
-    from archive_pdf_tools_spark.functions.dedup import winnow_fingerprints
+    vectorized uint64-Horner NumPy kernel must select exactly the
+    fingerprints of a scalar big-int reference (k-gram polynomial hash
+    mod 2**56, window-w minima, distinct) — including repeated text,
+    short strings below the k+w-1 bound, mixed unicode and runs of
+    whitespace.  Python big-int `% 2**56` has no wraparound, so this
+    also proves the kernel's mod-2**64-then-mask-56 shortcut exact."""
+    from archive_pdf_tools_spark.functions.dedup import (
+        WINNOW_BASE, winnow_fingerprints)
 
     texts = [
         "abcdefghijklmno",
@@ -246,8 +247,13 @@ def test_winnow_fingerprints_matches_windowed_reference(spark):
         t = ws.sub(" ", text.strip(" ").lower())
         if len(t) < k + w - 1:
             continue
-        hs = [int(hashlib.md5(t[i:i + k].encode("utf-8"))
-                  .hexdigest()[:14], 16) for i in range(len(t) - k + 1)]
+        def poly(gram):
+            h = 0
+            for ch in gram:
+                h = (h * WINNOW_BASE + ord(ch)) % (1 << 56)
+            return h
+
+        hs = [poly(t[i:i + k]) for i in range(len(t) - k + 1)]
         for j in range(len(hs) - w + 1):
             want.add((doc_id, min(hs[j:j + w])))
     assert got == want
