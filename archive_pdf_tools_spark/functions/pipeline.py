@@ -67,7 +67,8 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float],
 
 
 def pack_sequences(documents: DataFrame, max_tokens: int = 1024,
-                   shards: int = 8) -> DataFrame:
+                   shards: int | None = None,
+                   docs_per_shard: int = 100_000) -> DataFrame:
     """GPT-style sequence-packing layout: documents are concatenated in
     deterministic (lang, shard, doc_id) order and sliced into fixed
     ``max_tokens`` windows; each document gets the window index and
@@ -77,7 +78,18 @@ def pack_sequences(documents: DataFrame, max_tokens: int = 1024,
     (lang, shard) independently: the window function's partition key is
     bounded (langs x shards of roughly equal hash-assigned size), never
     one global ordering — well-defined AND skew-free at 10^12 docs,
-    where a single global cumsum would serialize the job."""
+    where a single global cumsum would serialize the job.
+
+    Sizing: each (lang, shard) group is one window sort, so the shard
+    count must grow with the corpus — a fixed default turns every group
+    into a monster sort at 10^12 docs.  When ``shards`` is None it is
+    derived as ceil(n_docs / docs_per_shard) (min 1): one extra
+    column-pruned count scan, trivially cheap next to the pack itself,
+    and deterministic for a given input, so the layout stays replayable.
+    Callers pinning ``shards`` explicitly own that sizing rule."""
+    if shards is None:
+        n_docs = documents.count()
+        shards = max(1, -(-n_docs // docs_per_shard))
     shard = (h56(F.col("doc_id").cast("string")) % shards).cast("int")
     base = documents.select(
         "doc_id", "lang", shard.alias("shard"),

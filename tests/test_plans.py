@@ -172,3 +172,34 @@ def test_pack_sequences_invariants(spark):
         prev = by_group.get(k, 0)
         assert r["seq_idx"] >= prev
         by_group[k] = r["seq_idx"]
+
+
+def test_pack_sequences_derives_shards_from_input_size(spark):
+    """With shards=None the shard count scales with the corpus (ceil of
+    n_docs / docs_per_shard) instead of a fixed default that would make
+    every (lang, shard) window group a monster sort at 10^12 docs; the
+    derived layout stays deterministic and keeps the window invariants
+    at both input sizes."""
+    from archive_pdf_tools_spark.functions.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    small = docs.limit(40)
+    for src, dps, want_shards in ((small, 10, 4), (docs, 100, None)):
+        out = pack_sequences(src, max_tokens=256, shards=None,
+                             docs_per_shard=dps)
+        rows = out.collect()
+        n_docs = src.count()
+        n_shards = len({r["shard"] for r in rows})
+        expect = -(-n_docs // dps)
+        if want_shards is not None:
+            assert expect == want_shards
+        # every assigned shard id is in range; most slots populated
+        assert all(0 <= r["shard"] < expect for r in rows)
+        assert n_shards >= min(expect, 2)
+        assert all(0 <= r["tok_offset"] < 256 for r in rows)
+        # deterministic: same input -> identical layout
+        again = {(r["doc_id"], r["seq_idx"], r["tok_offset"])
+                 for r in pack_sequences(src, max_tokens=256, shards=None,
+                                         docs_per_shard=dps).collect()}
+        assert again == {(r["doc_id"], r["seq_idx"], r["tok_offset"])
+                         for r in rows}
