@@ -70,6 +70,26 @@ def synth_jpeg(w: int, h: int, gray: bool, seed: int = 0) -> bytes:
     return bytes(out)
 
 
+def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
+                    quality: int = 92) -> bytes:
+    """A DECODABLE baseline JPEG (round 4): seeded paper-like content
+    (smooth low-frequency field + mild noise) encoded by the engine's
+    own baseline encoder, so /DCTDecode fixture streams now flow through
+    the full decode -> MRC path instead of metadata-only.  Content is
+    seeded from (seed, w, h) only — no draws from any shared RNG stream,
+    so adding/removing these images never shifts sibling fixtures."""
+    from ..kernels.jpegcodec import encode_baseline
+
+    rng = np.random.default_rng((seed * 7919) ^ (w << 16) ^ h)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 180 + 40 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)
+    img = np.clip(base + rng.integers(-12, 13, (h, w)),
+                  0, 255).astype(np.uint8)
+    if not gray:
+        img = np.stack([img, np.roll(img, 3, axis=1), 255 - img], axis=-1)
+    return encode_baseline(img, quality=quality)
+
+
 def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
     """pages: [{width, height, rotate, images: [{w, h, gray: bool,
     data: bytes}], text: str | None}] -> PDF bytes.
@@ -243,9 +263,12 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
             gray = bool(rng.random() < 0.5)
             w, h = int(rng.integers(8, 64)), int(rng.integers(8, 64))
             u = rng.random()
-            if u < 0.2:                   # DCT-filtered (JPEG) image
+            if u < 0.2:                   # DCT-filtered (JPEG) image,
+                # real + decodable since round 4: exercises the baseline
+                # decoder -> MRC path in every synth_pdf consumer
                 images.append({"w": w, "h": h, "gray": gray, "dct": True,
-                               "data": synth_jpeg(w, h, gray, seed=seed)})
+                               "data": synth_jpeg_real(w, h, gray,
+                                                       seed=seed)})
                 continue
             if u < 0.35:                  # JPX-filtered (JPEG 2000) image
                 images.append({"w": w, "h": h, "gray": gray, "jpx": True,

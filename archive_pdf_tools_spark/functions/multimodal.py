@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
 
-The container has no image/audio codec libraries, so the *decode* step is
-stubbed (``CODECS_AVAILABLE`` gate / deterministic fake) while the Spark
-plumbing — schema, Arrow batch shape, ``mapInPandas`` signature,
-partition-size control — is real and tested.  On a real cluster you swap
-``_fake_decode`` for the codec call; nothing else changes.
+The container has no image/audio codec libraries, so the *library* decode
+step is stubbed (``CODECS_AVAILABLE`` gate / deterministic fake) while
+the Spark plumbing — schema, Arrow batch shape, ``mapInPandas``
+signature, partition-size control — is real and tested.  On a real
+cluster you swap ``_fake_decode`` for the codec call; nothing else
+changes.  Since round 4 one codec family IS real: baseline-sequential
+JPEG decodes from scratch (``kernels.jpegcodec``), which is what the PDF
+path uses for /DCTDecode streams; this gate now covers only the
+remaining families (JPX/JBIG2/video/audio).
 
 ``media_features``: (media_ref) -> decode -> per-image features
 (w, h, mode, mean/std intensity, edge density via the Sauvola ink ratio).
@@ -35,12 +39,17 @@ FEATURES_SCHEMA_DDL = ("media_ref string, width int, height int, "
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an encoded image payload.  Gated: raises until codecs are
-    available; the pipeline path uses the deterministic synthetic decode
-    (``corpus.rasters``) instead."""
+    """Decode an encoded image payload.  Baseline JPEG decodes natively
+    (``kernels.jpegcodec``, round 4); other formats stay gated until
+    codec libraries are available — the pipeline path uses the
+    deterministic synthetic decode (``corpus.rasters``) instead."""
+    if payload[:2] == b"\xff\xd8":
+        from ..kernels.jpegcodec import decode_baseline
+
+        return decode_baseline(payload)
     if not CODECS_AVAILABLE:
         raise NotImplementedError(
-            "image codecs are not available in this environment; "
+            "non-JPEG image codecs are not available in this environment; "
             "media_ref-seeded synthetic decode is used instead")
     raise AssertionError("unreachable")
 

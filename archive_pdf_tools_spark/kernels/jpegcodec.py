@@ -1,0 +1,664 @@
+"""Baseline-sequential JPEG codec (ISO/IEC 10918-1 / ITU T.81), pure NumPy.
+
+Round 4 closes the last S2 content gap: the reference decodes /DCTDecode
+page images through Pillow's codec layer (``internetarchivepdf/recode.py:
+337-358``); this engine previously parsed only the SOF header
+(metadata-without-decode).  ``decode_baseline`` is a from-scratch decoder
+for the baseline DCT process (SOF0): DQT/DHT/SOF0/SOS/DRI marker walk,
+Huffman entropy decode with a 16-bit-peek lookup table, then one
+vectorized dequantize + 8x8 IDCT (einsum over all blocks of a component
+at once), nearest-neighbour chroma upsample and JFIF YCbCr -> RGB.
+
+``encode_baseline`` is the matching encoder (used for fixtures and
+round-trip proofs): Annex K quantization tables scaled by the classic
+IJG quality formula, Annex K Huffman tables, optional 4:2:0/4:2:2 luma
+sampling and restart intervals, byte stuffing per B.1.1.5.
+
+Scale shape: entropy decode is inherently sequential *per image* but
+images are independent rows — the engine calls this inside mapInPandas,
+so 1000 executors decode 32000 streams concurrently and nothing about
+the plan changes.  Everything after the Huffman walk is vectorized
+NumPy over the whole image's blocks.
+
+Progressive (SOF2), arithmetic-coded, 12-bit and lossless processes are
+out of scope and raise ``JpegError`` — callers fall back to the
+metadata-only path (SOF header parse), the same graceful degradation the
+engine always had.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["JpegError", "decode_baseline", "encode_baseline"]
+
+
+class JpegError(ValueError):
+    """Malformed, truncated, or unsupported-process JPEG data."""
+
+
+# ---------------------------------------------------------------- tables
+
+def _zigzag() -> np.ndarray:
+    """The 64-entry zigzag scan order (T.81 Figure 5) as flat 8x8 indices,
+    generated rather than transcribed (diagonals alternate direction)."""
+    order = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (reversed(rng) if s % 2 == 0 else rng):
+            order.append(r * 8 + (s - r))
+    return np.array(order, dtype=np.int64)
+
+
+ZIGZAG = _zigzag()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K.1 / K.2 example quantization tables (row-major 8x8).
+QTBL_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+QTBL_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS[1..16], HUFFVAL).
+HUFF_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                list(range(12)))
+HUFF_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                  list(range(12)))
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A: forward F = A B A^T, inverse
+    B = A^T F A (T.81 A.3.3 up to the orthonormal scaling)."""
+    x = np.arange(8)
+    a = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2
+    a[0, :] = 1 / (2 * np.sqrt(2))
+    return a
+
+
+DCT_A = _dct_matrix()
+
+
+def _scaled_qtbl(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 1..100 -> per-entry scaled table in 1..255."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _canonical_codes(bits, huffval):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)} per T.81 Annex C."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_lookup(bits, huffval):
+    """Fast decoder table: peek 16 bits -> (symbol, code length) arrays.
+    Every 16-bit word prefixed by a code maps to that code's symbol."""
+    sym = np.full(1 << 16, -1, dtype=np.int16)
+    ln = np.zeros(1 << 16, dtype=np.int8)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = lo + (1 << (16 - length))
+            sym[lo:hi] = huffval[k]
+            ln[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, ln
+
+
+# ---------------------------------------------------------------- decode
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("data", "n", "pos", "buf", "cnt", "overrun")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+        self.overrun = 0
+
+    def _fill(self):
+        while self.cnt <= 24:
+            if self.pos < self.n:
+                self.buf = ((self.buf << 8) | self.data[self.pos]) & 0xFFFFFFFFFF
+                self.pos += 1
+            else:
+                self.buf = (self.buf << 8) & 0xFFFFFFFFFF   # zero padding
+                self.overrun += 8
+            self.cnt += 8
+
+    def peek16(self) -> int:
+        if self.cnt < 16:
+            self._fill()
+        return (self.buf >> (self.cnt - 16)) & 0xFFFF
+
+    def skip(self, n: int):
+        if self.cnt < n:
+            self._fill()
+        self.cnt -= n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.cnt < n:
+            self._fill()
+        self.cnt -= n
+        return (self.buf >> self.cnt) & ((1 << n) - 1)
+
+
+def _extend(v: int, t: int) -> int:
+    """RECEIVE/EXTEND (T.81 F.2.2.1): map t raw bits to a signed value."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _u16(d: bytes, i: int) -> int:
+    if i + 2 > len(d):
+        raise JpegError("truncated segment")
+    return (d[i] << 8) | d[i + 1]
+
+
+def _split_scan(data: bytes, start: int):
+    """Entropy-coded data from ``start``: returns (segments, end_index)
+    where segments are destuffed byte strings split at RSTn markers and
+    end_index points at the terminating non-RST marker's 0xFF."""
+    segs = []
+    cur = bytearray()
+    i = start
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        if i + 1 >= n:
+            break
+        m = data[i + 1]
+        if m == 0x00:                       # stuffed 0xFF
+            cur.append(0xFF)
+            i += 2
+        elif m == 0xFF:                     # fill byte
+            i += 1
+        elif 0xD0 <= m <= 0xD7:             # restart marker
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:                               # real marker: scan over
+            segs.append(bytes(cur))
+            return segs, i
+        continue
+    segs.append(bytes(cur))
+    return segs, n
+
+
+def decode_baseline(data: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes -> uint8 array, shape (h, w)
+    for 1-component streams or (h, w, 3) (JFIF YCbCr -> RGB) for 3."""
+    if len(data) < 4 or data[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG (no SOI)")
+    qtbl = {}
+    hufftab = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise JpegError(f"expected marker at {i}")
+        while i < n and data[i] == 0xFF:
+            i += 1                           # fill bytes before the marker
+        if i >= n:
+            raise JpegError("truncated at marker")
+        m = data[i]
+        i += 1
+        if m == 0xD9:                        # EOI
+            raise JpegError("EOI before scan")
+        if m == 0x01 or 0xD0 <= m <= 0xD7:
+            continue                         # standalone
+        if i + 2 > n:
+            raise JpegError("truncated segment length")
+        seg_len = _u16(data, i)
+        if seg_len < 2 or i + seg_len > n:
+            raise JpegError("bad segment length")
+        seg = data[i + 2:i + seg_len]
+        if m == 0xDB:                        # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise JpegError("16-bit quant tables unsupported")
+                if j + 65 > len(seg):
+                    raise JpegError("truncated DQT")
+                tab = np.frombuffer(seg[j + 1:j + 65],
+                                    dtype=np.uint8).astype(np.int64)
+                qtbl[tq] = tab[UNZIGZAG]     # store in natural order
+                j += 65
+        elif m == 0xC4:                      # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                if j + 17 > len(seg):
+                    raise JpegError("truncated DHT")
+                bits = list(seg[j + 1:j + 17])
+                nv = sum(bits)
+                if j + 17 + nv > len(seg):
+                    raise JpegError("truncated DHT values")
+                huffval = list(seg[j + 17:j + 17 + nv])
+                hufftab[(tc, th)] = _decode_lookup(bits, huffval)
+                j += 17 + nv
+        elif m == 0xC0:                      # SOF0 baseline
+            if seg[0] != 8:
+                raise JpegError("only 8-bit precision supported")
+            h, w = _u16(seg, 1), _u16(seg, 3)
+            nc = seg[5]
+            if h == 0 or w == 0 or nc not in (1, 3):
+                raise JpegError("unsupported frame geometry")
+            comps = []
+            for c in range(nc):
+                cid = seg[6 + 3 * c]
+                hv = seg[7 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": seg[8 + 3 * c]})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegError("non-baseline JPEG process unsupported")
+        elif m == 0xDD:                      # DRI
+            restart_interval = _u16(seg, 0)
+        elif m == 0xDA:                      # SOS: decode the scan
+            if frame is None:
+                raise JpegError("SOS before SOF")
+            return _decode_scan(data, i + seg_len, seg, frame, qtbl,
+                                hufftab, restart_interval)
+        i += seg_len
+    raise JpegError("no scan in stream")
+
+
+def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
+                 restart_interval):
+    ns = sos[0]
+    comps = frame["comps"]
+    if ns != len(comps):
+        raise JpegError("partial scans unsupported (baseline only)")
+    sel = {}
+    for c in range(ns):
+        cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
+        sel[cs] = (tdta >> 4, tdta & 0x0F)
+    for comp in comps:
+        if comp["id"] not in sel:
+            raise JpegError("scan/frame component mismatch")
+        comp["td"], comp["ta"] = sel[comp["id"]]
+        if comp["tq"] not in qtbl:
+            raise JpegError("missing quant table")
+        if (0, comp["td"]) not in hufftab or (1, comp["ta"]) not in hufftab:
+            raise JpegError("missing Huffman table")
+        if not (1 <= comp["h"] <= 4 and 1 <= comp["v"] <= 4):
+            raise JpegError("bad sampling factors")
+
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+
+    segments, _end = _split_scan(data, scan_start)
+    if restart_interval:
+        expect = -(-n_mcus // restart_interval)
+        if len(segments) < expect:
+            raise JpegError("missing restart segments")
+    elif not segments or not segments[0]:
+        raise JpegError("empty scan data")
+
+    # Per component: quantized coefficient store, one 64-vector per block.
+    for comp in comps:
+        comp["bw"] = mcus_x * comp["h"]      # blocks per row
+        comp["bh"] = mcus_y * comp["v"]
+        comp["coef"] = np.zeros((comp["bh"] * comp["bw"], 64),
+                                dtype=np.int32)
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    pred = {c["id"]: 0 for c in comps}
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise JpegError("truncated restart segment")
+            br = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for comp in comps:
+            dc_sym, dc_len = hufftab[(0, comp["td"])]
+            ac_sym, ac_len = hufftab[(1, comp["ta"])]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    blk = np.zeros(64, dtype=np.int32)
+                    t = _read_code(br, dc_sym, dc_len)
+                    if t > 11:
+                        raise JpegError("bad DC category")
+                    diff = _extend(br.read(t), t)
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _read_code(br, ac_sym, ac_len)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:      # ZRL
+                                k += 16
+                                continue
+                            break            # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegError("AC index overflow")
+                        blk[k] = _extend(br.read(s), s)
+                        k += 1
+                    row = my * comp["v"] + by
+                    col = mx * comp["h"] + bx
+                    comp["coef"][row * comp["bw"] + col] = blk
+        if br.overrun > 64:
+            raise JpegError("entropy data exhausted")
+
+    # Vectorized dequantize + IDCT per component, then assemble planes.
+    planes = []
+    for comp in comps:
+        q = qtbl[comp["tq"]]
+        coefs = comp["coef"].astype(np.float64)[:, UNZIGZAG]  # zz -> natural
+        coefs *= q[None, :]
+        blocks = coefs.reshape(-1, 8, 8)
+        pix = np.einsum("ur,nrc,cv->nuv", DCT_A.T, blocks, DCT_A)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        bh, bw = comp["bh"], comp["bw"]
+        plane = (pix.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        # upsample to full resolution by replication, crop to (h, w)
+        ry, rx = vmax // comp["v"], hmax // comp["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return planes[0]
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _read_code(br: _BitReader, sym: np.ndarray, ln: np.ndarray) -> int:
+    peek = br.peek16()
+    s = int(sym[peek])
+    if s < 0:
+        raise JpegError("invalid Huffman code")
+    br.skip(int(ln[peek]))
+    return s
+
+
+# ---------------------------------------------------------------- encode
+
+class _BitWriter:
+    __slots__ = ("out", "buf", "cnt")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.cnt = 0
+
+    def write(self, code: int, length: int):
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.cnt += length
+        while self.cnt >= 8:
+            b = (self.buf >> (self.cnt - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)        # byte stuffing (B.1.1.5)
+            self.cnt -= 8
+        self.buf &= (1 << self.cnt) - 1
+
+    def flush(self):
+        if self.cnt:
+            pad = 8 - self.cnt
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (F.1.2.3)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_coef(v: int, t: int) -> int:
+    """Signed value -> t raw magnitude bits (inverse of EXTEND)."""
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def encode_baseline(img: np.ndarray, quality: int = 90,
+                    subsample: tuple[int, int] = (1, 1),
+                    restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG bytes.
+
+    ``subsample`` = luma sampling factors (h, v): (1,1) is 4:4:4,
+    (2,1) 4:2:2, (2,2) 4:2:0 (chroma box-averaged).  ``restart_interval``
+    inserts RSTn markers every that many MCUs (DRI segment)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    gray = img.ndim == 2
+    if not gray and img.shape[2] != 3:
+        raise ValueError("expected 3 channels for color")
+    sh, sv = subsample
+    if gray:
+        sh = sv = 1
+    if sh not in (1, 2) or sv not in (1, 2):
+        raise ValueError("subsample factors must be 1 or 2")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    qt_l = _scaled_qtbl(QTBL_LUMA, quality)
+    qt_c = _scaled_qtbl(QTBL_CHROMA, quality)
+
+    if gray:
+        planes = [img.astype(np.float64)]
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0, "td": 0, "ta": 0}]
+        qts = [qt_l]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sh > 1 or sv > 1:
+            ph = -(-h // sv) * sv
+            pw = -(-w // sh) * sh
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = cb.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            cr = cr.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+        comps = [{"id": 1, "h": sh, "v": sv, "tq": 0, "td": 0, "ta": 0},
+                 {"id": 2, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1},
+                 {"id": 3, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1}]
+        qts = [qt_l, qt_c, qt_c]
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    # Quantized blocks per component (vectorized DCT over all blocks).
+    for comp, plane, qt in zip(comps, planes, qts):
+        bw = mcus_x * comp["h"]
+        bh = mcus_y * comp["v"]
+        ph, pw = bh * 8, bw * 8
+        pl = np.pad(plane, ((0, ph - plane.shape[0]),
+                            (0, pw - plane.shape[1])), mode="edge") - 128.0
+        blocks = (pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                  .reshape(-1, 8, 8))
+        coef = np.einsum("ur,nrc,cv->nuv", DCT_A, blocks, DCT_A.T)
+        qcoef = np.round(coef.reshape(-1, 64) / qt[None, :]).astype(np.int32)
+        comp["bw"], comp["bh"] = bw, bh
+        comp["q"] = qcoef[:, ZIGZAG]         # store zigzag-ordered
+
+    # Header segments.
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+    enc = {}
+    for tc, th, (bits, huffval) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+        enc[(tc, th)] = _canonical_codes(bits, huffval)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], (c["td"] << 4) | c["ta"]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    # Entropy-coded data.
+    bw_ = _BitWriter()
+    pred = {c["id"]: 0 for c in comps}
+    rst = 0
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            bw_.flush()
+            out += bw_.out
+            bw_ = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(mcu, mcus_x)
+        for comp in comps:
+            dc = enc[(0, comp["td"])]
+            ac = enc[(1, comp["ta"])]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    row = my * comp["v"] + by
+                    col = mx * comp["h"] + bx
+                    blk = comp["q"][row * comp["bw"] + col]
+                    diff = int(blk[0]) - pred[comp["id"]]
+                    pred[comp["id"]] = int(blk[0])
+                    t = _category(diff)
+                    code, ln_ = dc[t]
+                    bw_.write(code, ln_)
+                    if t:
+                        bw_.write(_encode_coef(diff, t), t)
+                    run = 0
+                    nz = np.nonzero(blk[1:])[0]
+                    last = nz[-1] + 1 if len(nz) else 0
+                    for k in range(1, last + 1):
+                        v = int(blk[k])
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln_ = ac[0xF0]
+                            bw_.write(code, ln_)
+                            run -= 16
+                        t = _category(v)
+                        code, ln_ = ac[(run << 4) | t]
+                        bw_.write(code, ln_)
+                        bw_.write(_encode_coef(v, t), t)
+                        run = 0
+                    if last < 63:
+                        code, ln_ = ac[0x00]  # EOB
+                        bw_.write(code, ln_)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1205,9 +1205,21 @@ def q_pdfcomp(spark, sf):
                     img = np.clip(img.astype(np.int16)
                                   + rng.integers(-6, 7, (h, w)),
                                   0, 255).astype(np.uint8)
+                    if p == 2:
+                        # third page carries a REAL baseline JPEG
+                        # (/DCTDecode): the recode path must decode it
+                        # (kernels.jpegcodec) and run the same MRC
+                        # decomposition — round 4's S2 closure, pinned
+                        # by this query's value oracle
+                        from .kernels.jpegcodec import encode_baseline
+                        im_spec = {"w": w, "h": h, "gray": True,
+                                   "dct": True,
+                                   "data": encode_baseline(img, 96)}
+                    else:
+                        im_spec = {"w": w, "h": h, "gray": True,
+                                   "data": img.tobytes()}
                     pages.append({"width": 612, "height": 792,
-                                  "images": [{"w": w, "h": h, "gray": True,
-                                              "data": img.tobytes()}],
+                                  "images": [im_spec],
                                   "text": "hello %d" % p})
                     lines = [{"bbox": [4, 4, w - 4, 16],
                               "baseline": [0.0, 0.0],

@@ -609,14 +609,20 @@ def parse_pdf(data: bytes) -> dict:
 
 def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
-    image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams only
-    (the fixture corpus shape); codec-filtered streams (JPX/DCT/JBIG2)
-    return metadata-only (the decode is the multimodal stub boundary).
+    image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams decode
+    directly; /DCTDecode streams decode through the from-scratch
+    baseline-sequential JPEG decoder (``kernels.jpegcodec``, round 4 —
+    the reference uses Pillow's codec layer, ``recode.py:337-358``);
+    non-baseline JPEG and the remaining codec families (JPX/JBIG2) stay
+    metadata-only (the documented multimodal gate), skipped without
+    failing the page.
 
     ``meta``/``rd``: pass the already-parsed metadata and ``_Reader`` to
     amortize the structural parse across a document's pages (one parse
     per PDF, not one per page)."""
     import numpy as np
+
+    from ..kernels.jpegcodec import JpegError, decode_baseline
 
     if meta is None:
         meta = parse_pdf(data)
@@ -626,10 +632,17 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
         rd = _Reader(data)
     out = []
     for im in meta["pages"][page_idx]["images"]:
-        if im["format"] not in ("FLATE", "RAW"):
+        if im["format"] not in ("FLATE", "RAW", "JPEG"):
             continue
         body, d = rd.obj(im["xref"])
         raw = _stream_data(body, d)
+        if im["format"] == "JPEG":
+            try:
+                arr = decode_baseline(raw)
+            except JpegError:
+                continue            # non-baseline/undecodable: metadata-only
+            out.append((im["xref"], arr))
+            continue
         ch = 1 if im["mode"] in ("L", "1") else 3
         n = im["width"] * im["height"] * ch
         if len(raw) < n:

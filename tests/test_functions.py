@@ -95,6 +95,12 @@ def test_decode_stub_gated():
     assert not CODECS_AVAILABLE
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+    # baseline JPEG is NOT gated since round 4: decodes natively
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_baseline
+    img = np.full((9, 9), 30, dtype=np.uint8)
+    assert decode_image(encode_baseline(img, 100)).shape == (9, 9)
 
 
 def test_ivf_topk_recall(embeddings_df):

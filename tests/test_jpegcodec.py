@@ -1,0 +1,181 @@
+"""Baseline JPEG codec (kernels/jpegcodec.py): roundtrip bounds, exact
+invariants, table pins, crash-safety fuzz, and the DCT page flowing
+through the full PDF -> MRC extraction path (the round-3 S2 gap)."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels.jpegcodec import (
+    HUFF_AC_LUMA, HUFF_DC_LUMA, ZIGZAG, JpegError, _canonical_codes,
+    decode_baseline, encode_baseline)
+
+
+def test_zigzag_is_the_published_order():
+    # ISO/IEC 10918-1 Figure 5 (spot-pin head and tail; the generator
+    # covers the middle by construction).
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_annex_k_huffman_codes_are_canonical():
+    dc = _canonical_codes(*HUFF_DC_LUMA)
+    # T.81 Table K.3: category 0 -> '00' (2 bits), 1 -> '010', 11 -> 9x'1'+'0'
+    assert dc[0] == (0b00, 2)
+    assert dc[1] == (0b010, 3)
+    assert dc[11] == (0b111111110, 9)
+    ac = _canonical_codes(*HUFF_AC_LUMA)
+    assert ac[0x00] == (0b1010, 4)          # EOB (Table K.5)
+    assert ac[0x01] == (0b00, 2)
+    assert ac[0xF0] == (0b11111111001, 11)  # ZRL
+
+
+def test_constant_gray_roundtrip_exact_at_q100():
+    for v in (0, 1, 127, 200, 255):
+        img = np.full((17, 23), v, dtype=np.uint8)
+        assert np.array_equal(decode_baseline(encode_baseline(img, 100)), img)
+
+
+def test_gray_roundtrip_bounds():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (41, 57), dtype=np.uint8)
+    dec = decode_baseline(encode_baseline(img, quality=95))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert err.mean() < 5 and err.max() < 48
+
+
+def test_rgb_roundtrip_bounds_444():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    dec = decode_baseline(encode_baseline(img, quality=90))
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert dec.shape == img.shape
+    assert err.mean() < 10 and err.max() < 96   # chroma error on noise
+
+
+def test_smooth_rgb_420_and_422():
+    y, x = np.mgrid[0:37, 0:52]
+    img = np.stack([(x + y) % 256, x * 3 % 256, y * 5 % 256],
+                   axis=-1).astype(np.uint8)
+    for sub in ((2, 2), (2, 1)):
+        dec = decode_baseline(encode_baseline(img, quality=92,
+                                              subsample=sub))
+        err = np.abs(dec.astype(int) - img.astype(int))
+        assert dec.shape == img.shape
+        assert err.mean() < 6 and err.max() < 64, sub
+
+
+def test_restart_markers_do_not_change_reconstruction():
+    """DRI only repackages the entropy stream (DC predictions reset at
+    RSTn); the quantized coefficients are identical, so the decoded
+    pixels must be bit-for-bit equal with and without restarts."""
+    y, x = np.mgrid[0:37, 0:52]
+    img = np.stack([(x + y) % 256, x * 3 % 256, y * 5 % 256],
+                   axis=-1).astype(np.uint8)
+    plain = decode_baseline(encode_baseline(img, 92, subsample=(2, 2)))
+    for ri in (1, 3, 7):
+        rst = decode_baseline(encode_baseline(img, 92, subsample=(2, 2),
+                                              restart_interval=ri))
+        assert np.array_equal(plain, rst), ri
+
+
+def test_edge_geometries():
+    rng = np.random.default_rng(5)
+    for shape in ((1, 1), (8, 8), (9, 17), (8, 9, 3), (1, 300)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = decode_baseline(encode_baseline(img, quality=93))
+        assert dec.shape == img.shape
+
+
+def test_fill_bytes_before_markers_tolerated():
+    img = np.full((9, 9), 77, dtype=np.uint8)
+    data = encode_baseline(img, 100)
+    # inject a fill 0xFF before the SOF0 marker
+    i = data.find(b"\xff\xc0")
+    padded = data[:i] + b"\xff" + data[i:]
+    assert np.array_equal(decode_baseline(padded), img)
+
+
+def test_undecodable_and_unsupported_raise_jpeg_error():
+    from archive_pdf_tools_spark.corpus.pdfgen import synth_jpeg
+
+    with pytest.raises(JpegError):
+        decode_baseline(b"not a jpeg")
+    with pytest.raises(JpegError):
+        decode_baseline(synth_jpeg(33, 21, gray=True))   # no DQT/DHT
+    # progressive marker (SOF2) must be rejected, not mis-decoded
+    img = np.full((9, 9), 10, dtype=np.uint8)
+    data = bytearray(encode_baseline(img, 90))
+    data[data.find(b"\xff\xc0") + 1] = 0xC2
+    with pytest.raises(JpegError):
+        decode_baseline(bytes(data))
+
+
+def test_fuzz_truncation_and_corruption_never_hang():
+    """Every truncation point and a seeded set of single-byte
+    corruptions either decodes to a well-formed uint8 array or raises
+    JpegError — no other exception type, no unbounded work."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+    data = encode_baseline(img, quality=85, restart_interval=2)
+    for cut in range(0, len(data), 7):
+        try:
+            out = decode_baseline(data[:cut])
+            assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+        except JpegError:
+            pass
+    for _ in range(200):
+        pos = int(rng.integers(0, len(data)))
+        val = int(rng.integers(0, 256))
+        mut = data[:pos] + bytes([val]) + data[pos + 1:]
+        try:
+            out = decode_baseline(mut)
+            assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+        except JpegError:
+            pass
+
+
+def test_dct_page_flows_through_full_mrc_extraction(spark):
+    """End-to-end S2 closure: a PDF page whose image is a real baseline
+    JPEG (/DCTDecode) produces a decoded raster via extract_page_images
+    and an MRC media span through the PDF front door — not the
+    metadata-only skip of rounds 2-3."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.operators.pdfcomp import pdfs_to_spans
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (40, 32), dtype=np.uint8)
+    jpg = encode_baseline(px, quality=95)
+    blob = build_pdf([{"width": 612, "height": 792, "text": "dct page",
+                       "images": [{"w": 32, "h": 40, "gray": True,
+                                   "dct": True, "data": jpg}]}])
+
+    im = parse_pdf(blob)["pages"][0]["images"][0]
+    assert (im["width"], im["height"], im["format"]) == (32, 40, "JPEG")
+
+    rasters = extract_page_images(blob, 0)
+    assert len(rasters) == 1
+    _xref, arr = rasters[0]
+    assert arr.shape == (40, 32) and arr.dtype == np.uint8
+    err = np.abs(arr.astype(int) - px.astype(int))
+    assert err.mean() < 5                     # decoded pixels, not metadata
+
+    df = spark.createDataFrame([("d", bytearray(blob))],
+                               "doc_id string, pdf binary")
+    spans = [s.asDict() for r in pdfs_to_spans(df, hocr_col=None).collect()
+             for s in r["spans"]]
+    kinds = [s["kind"] for s in spans]
+    assert "media" in kinds and "pdf_error" not in kinds
+    media = next(s for s in spans if s["kind"] == "media")
+    assert "#mrc=" in media["media_ref"]
+
+    # a non-decodable (fake) DCT stream still degrades gracefully
+    from archive_pdf_tools_spark.corpus.pdfgen import synth_jpeg
+    blob2 = build_pdf([{"width": 612, "height": 792, "text": "meta only",
+                        "images": [{"w": 33, "h": 21, "gray": True,
+                                    "dct": True,
+                                    "data": synth_jpeg(33, 21, True)}]}])
+    assert extract_page_images(blob2, 0) == []
