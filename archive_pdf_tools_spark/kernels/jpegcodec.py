@@ -269,9 +269,29 @@ def _split_scan(data: bytes, start: int):
     return segs, n
 
 
-def decode_baseline(data: bytes) -> np.ndarray:
+def decode_baseline(data: bytes,
+                    max_pixels: int = 64_000_000) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes -> uint8 array, shape (h, w)
-    for 1-component streams or (h, w, 3) (JFIF YCbCr -> RGB) for 3."""
+    for 1-component streams or (h, w, 3) (JFIF YCbCr -> RGB) for 3.
+
+    Contract: malformed, truncated, adversarial, or unsupported-process
+    input raises ``JpegError`` — never any other exception type — so
+    callers' metadata-only fallbacks (``extract_page_images``) stay
+    scoped to the one bad image instead of poisoning the document.
+    ``max_pixels`` caps the SOF-declared w*h before any buffer is
+    allocated (decompression-bomb guard, same role as Pillow's
+    MAX_IMAGE_PIXELS): a few-hundred-byte stream may not demand
+    gigabytes."""
+    try:
+        return _decode_baseline(data, max_pixels)
+    except (JpegError, MemoryError):
+        raise
+    except Exception as exc:  # noqa: BLE001 — contract: JpegError only
+        raise JpegError(
+            f"malformed JPEG ({type(exc).__name__}: {exc})") from exc
+
+
+def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     qtbl = {}
@@ -325,12 +345,18 @@ def decode_baseline(data: bytes) -> np.ndarray:
                 hufftab[(tc, th)] = _decode_lookup(bits, huffval)
                 j += 17 + nv
         elif m == 0xC0:                      # SOF0 baseline
+            if len(seg) < 6:
+                raise JpegError("truncated SOF")
             if seg[0] != 8:
                 raise JpegError("only 8-bit precision supported")
             h, w = _u16(seg, 1), _u16(seg, 3)
             nc = seg[5]
             if h == 0 or w == 0 or nc not in (1, 3):
                 raise JpegError("unsupported frame geometry")
+            if w * h > max_pixels:
+                raise JpegError(f"image {w}x{h} exceeds max_pixels bound")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("truncated SOF components")
             comps = []
             for c in range(nc):
                 cid = seg[6 + 3 * c]
@@ -354,10 +380,14 @@ def decode_baseline(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
                  restart_interval):
+    if len(sos) < 1:
+        raise JpegError("truncated SOS")
     ns = sos[0]
     comps = frame["comps"]
     if ns != len(comps):
         raise JpegError("partial scans unsupported (baseline only)")
+    if len(sos) < 1 + 2 * ns + 3:
+        raise JpegError("truncated SOS parameters")
     sel = {}
     for c in range(ns):
         cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
@@ -376,6 +406,12 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for comp in comps:
+        # replication upsample requires integer ratios (the layouts real
+        # encoders emit: 4:4:4 / 4:2:2 / 4:2:0 / 4:1:1); anything else
+        # would assemble mismatched plane shapes
+        if hmax % comp["h"] or vmax % comp["v"]:
+            raise JpegError("non-divisible sampling factors unsupported")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
@@ -417,6 +453,12 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
                         raise JpegError("bad DC category")
                     diff = _extend(br.read(t), t)
                     pred[comp["id"]] += diff
+                    # legal 8-bit baseline DC magnitudes are < 2**11 *
+                    # any quant scale; far outside that means a corrupt
+                    # stream driving the accumulator toward int32
+                    # overflow — fail as JpegError, not OverflowError
+                    if not -(1 << 20) < pred[comp["id"]] < (1 << 20):
+                        raise JpegError("DC accumulator out of range")
                     blk[0] = pred[comp["id"]]
                     k = 1
                     while k < 64:

@@ -112,6 +112,47 @@ def test_undecodable_and_unsupported_raise_jpeg_error():
         decode_baseline(bytes(data))
 
 
+def test_malformed_streams_raise_jpeg_error_never_other_types():
+    """The decoder's exception contract: every malformed/adversarial
+    stream raises JpegError specifically (extract_page_images' fallback
+    catches only that), covering the round-4 review findings."""
+    img = np.full((9, 9), 50, dtype=np.uint8)
+    data = encode_baseline(img, 90)
+
+    # 1. SOF segment truncated via a lying length field -> used to be
+    #    a bare IndexError
+    i = data.find(b"\xff\xc0")
+    cut_sof = data[:i + 2] + b"\x00\x02" + data[i + 4 + 15:]
+    with pytest.raises(JpegError):
+        decode_baseline(cut_sof)
+
+    # 2. SOS parameter block truncated
+    j = data.find(b"\xff\xda")
+    cut_sos = data[:j + 2] + b"\x00\x02" + data[j + 10:]
+    with pytest.raises(JpegError):
+        decode_baseline(cut_sos)
+
+    # 3. decompression bomb: SOF declares 65535x65535 -> rejected before
+    #    any coefficient buffer is allocated
+    bomb = bytearray(data)
+    k = bomb.find(b"\xff\xc0") + 5
+    bomb[k:k + 4] = b"\xff\xff\xff\xff"
+    with pytest.raises(JpegError, match="max_pixels"):
+        decode_baseline(bytes(bomb))
+
+    # 4. non-divisible sampling factors (Y 3x1 vs Cb/Cr 2x1) pass the
+    #    1..4 range check but cannot replication-upsample
+    rgb = np.zeros((9, 9, 3), dtype=np.uint8)
+    d3 = bytearray(encode_baseline(rgb, 90))
+    i = d3.find(b"\xff\xc0")
+    # layout: marker(2) len(2) precision(1) h(2) w(2) nc(1) then
+    # id,hv,tq triplets -> first hv byte at i+11
+    d3[i + 11] = 0x31               # Y h=3,v=1
+    d3[i + 14] = 0x21               # Cb h=2,v=1
+    with pytest.raises(JpegError, match="non-divisible"):
+        decode_baseline(bytes(d3))
+
+
 def test_fuzz_truncation_and_corruption_never_hang():
     """Every truncation point and a seeded set of single-byte
     corruptions either decodes to a well-formed uint8 array or raises
