@@ -21,7 +21,8 @@ from pyspark.sql.window import Window
 
 from .textstats import h56, token_count
 
-__all__ = ["decontaminate", "stratified_sample", "pack_sequences"]
+__all__ = ["decontaminate", "stratified_sample", "pack_sequences",
+           "scrub_pii", "PII_PATTERNS"]
 
 
 def decontaminate(documents: DataFrame, benchmark: DataFrame,
@@ -64,6 +65,39 @@ def stratified_sample(documents: DataFrame, rates: dict[str, float],
     bucket = h56(F.concat(F.col("doc_id").cast("string"),
                           F.lit(salt))) % denom
     return documents.where(bucket < thr)
+
+
+# PII classes and their match patterns, shared verbatim by the DuckDB
+# oracle (queries.SQL_PII_SCRUB keeps literal copies — the oracle match
+# catches drift).  Common RE2/Java dialect only: no lookaround.
+# Replacement order matters and is fixed: emails first (their domains
+# must not be re-matched as hosts), then IPs, then phones.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ip", r"(\d{1,3}\.){3}\d{1,3}"),
+    ("phone", r"\+\d{7,15}"),
+)
+
+
+def scrub_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII redaction: replace emails, IPv4 literals and
+    international phone numbers with typed placeholders (``<email>`` …)
+    and count the matches per class.
+
+    Pure JVM column expressions — ``regexp_count`` + a fixed-order
+    ``regexp_replace`` chain inside whole-stage codegen: one linear scan
+    over the corpus, zero shuffle, no Python in the hot path; exactly the
+    shape a 100-TB redaction pass needs.  Counts are taken on the
+    ORIGINAL text (before any placeholder insertion) so classes never
+    shadow each other."""
+    c = F.col(text_col)
+    out = documents
+    for name, pat in PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(c, F.lit(pat)))
+    scrubbed = c
+    for name, pat in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name}>")
+    return out.withColumn("scrubbed", scrubbed)
 
 
 def pack_sequences(documents: DataFrame, max_tokens: int = 1024,

@@ -1677,6 +1677,76 @@ GROUP BY lang
 """
 
 
+def q_pii_scrub(spark, sf):
+    """Training-data PII redaction over the documents table: every 7th
+    document gets deterministic seeded PII appended (email + IPv4 +
+    phone, pure functions of doc_id), then ``scrub_pii`` counts and
+    redacts.  Verified per language on (counts, redacted-char delta,
+    56-bit content hash of every scrubbed text) — a missed match, an
+    over-match, or a placeholder drift all break the hash sum.  Organic
+    matches in the corpus (if any) count identically in both engines."""
+    from .functions.pipeline import scrub_pii
+    from .functions.textstats import h56
+
+    doc = load_table(spark, sf, "documents")
+    seeded = doc.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact u"),
+                F.col("doc_id").cast("string"), F.lit("@example.com ip 10.0."),
+                (F.col("doc_id") % 256).cast("string"), F.lit(".7 tel +1415555"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            )).otherwise(F.col("text")))
+    scr = scrub_pii(seeded)
+    return (scr.groupBy("lang").agg(
+        F.sum("n_email").cast("bigint").alias("emails"),
+        F.sum("n_ip").cast("bigint").alias("ips"),
+        F.sum("n_phone").cast("bigint").alias("phones"),
+        F.sum(F.length("text") - F.length("scrubbed"))
+         .cast("bigint").alias("chars_delta"),
+        F.sum(h56(F.col("scrubbed")) % (1 << 30))
+         .cast("bigint").alias("content_sum")))
+
+
+# Patterns are literal copies of pipeline.PII_PATTERNS (single-quoted
+# DuckDB strings pass backslashes through verbatim); the value-hash
+# oracle catches any drift between the two.
+SQL_PII_SCRUB = r"""
+WITH seeded AS (
+  SELECT lang,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact u' || doc_id::VARCHAR || '@example.com ip 10.0.'
+                || (doc_id % 256)::VARCHAR || '.7 tel +1415555'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         ELSE text END AS text
+  FROM documents),
+scrubbed AS (
+  SELECT lang, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '(\d{1,3}\.){3}\d{1,3}')) AS n_ip,
+         len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<email>', 'g'),
+             '(\d{1,3}\.){3}\d{1,3}', '<ip>', 'g'),
+           '\+\d{7,15}', '<phone>', 'g') AS s
+  FROM seeded)
+SELECT lang,
+       CAST(sum(n_email) AS BIGINT) AS emails,
+       CAST(sum(n_ip) AS BIGINT) AS ips,
+       CAST(sum(n_phone) AS BIGINT) AS phones,
+       CAST(sum(len(text) - len(s)) AS BIGINT) AS chars_delta,
+       CAST(sum(('0x' || substr(md5(s), 1, 14))::BIGINT % (1 << 30))
+            AS BIGINT) AS content_sum
+FROM scrubbed GROUP BY lang
+"""
+
+
 def q_token_pack(spark, sf):
     """Sequence packing layout: concatenate documents in deterministic
     (lang, shard, doc_id) order, slice fixed 1024-token windows, emit
@@ -1850,7 +1920,6 @@ QUERIES = {
     "skip_filter": (q_skip_filter, SQL_SKIP),
     "stop_after": (q_stop_after, SQL_STOP),
     "positional_join": (q_positional_join, SQL_POSJOIN),
-    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),
     "timing_summary": (q_timing_summary, SQL_TIMING),
     "ratio_agg": (q_ratio_agg, SQL_RATIO),
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
@@ -1883,6 +1952,7 @@ QUERIES = {
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "corpus_sample": (q_corpus_sample, SQL_CORPUS_SAMPLE),
     "token_pack": (q_token_pack, SQL_TOKEN_PACK),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),
@@ -1907,6 +1977,7 @@ QUERIES = {
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
     # oracle-paired but redundant with an in-window green row:
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),   # = skip_filter
+    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),  # = skip_filter+page_series
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),          # = dedup_keep's groups
     "lang_guess": (q_lang_guess, SQL_LANG),                # = lang_stopwords agg
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),  # generic profile

@@ -158,6 +158,29 @@ def test_stratified_sample_is_shuffle_free_and_deterministic(spark):
     assert a == b and 0 < len(a) < docs.count()
 
 
+def test_scrub_pii_values_and_plan(spark):
+    """Known strings redact to the exact placeholder text with correct
+    per-class counts; the scrub itself is whole-stage-codegen column
+    work with no Exchange (the 100-TB shape: one linear scan)."""
+    from archive_pdf_tools_spark.functions.pipeline import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail a.b+c@ex-1.org then 192.168.0.1 and +4915712345678 ok"),
+         (1, "no pii here, just words and 12.5 percent"),
+         (2, "two mails x@y.io z@q.dev")],
+        "doc_id bigint, text string")
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[0]["scrubbed"] == "mail <email> then <ip> and <phone> ok"
+    assert (rows[0]["n_email"], rows[0]["n_ip"], rows[0]["n_phone"]) == \
+        (1, 1, 1)
+    assert rows[1]["scrubbed"] == rows[1]["text"]
+    assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == \
+        (0, 0, 0)
+    assert rows[2]["n_email"] == 2
+    assert rows[2]["scrubbed"] == "two mails <email> <email>"
+    assert "Exchange" not in plan_str(scrub_pii(df))
+
+
 def test_pack_sequences_invariants(spark):
     """Offsets live in [0, max_tokens); seq_idx is non-decreasing in
     doc_id order within each (lang, shard) stream."""
