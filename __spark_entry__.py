@@ -3,7 +3,9 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 (61 queries, 56 DuckDB-oracle-paired —
+operator from SURVEY.md §2 (62 queries, 57 DuckDB-oracle-paired —
+the first 50 registry entries are all oracle-paired and uniquely
+informative; the tail is double-covered/raw rows —
 including the extraction pipeline itself via span-sequence digests, the
 checkpoint/resume protocol, and the media/PDF fixture queries via pinned
 value-table oracles, see ``archive_pdf_tools_spark/pinned_sql.py``) plus
