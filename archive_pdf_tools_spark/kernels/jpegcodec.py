@@ -138,6 +138,17 @@ def _dct_matrix() -> np.ndarray:
 DCT_A = _dct_matrix()
 
 
+def _blocks_mul(blocks: np.ndarray, left: np.ndarray,
+                right: np.ndarray) -> np.ndarray:
+    """Per-block ``left @ B @ right`` over (n, 8, 8) via two large GEMMs
+    (reshape to (n*8, 8) and multiply once) instead of n tiny matmuls or
+    a generic einsum — the IDCT/DCT stage at one pass per image."""
+    n = blocks.shape[0]
+    c = blocks.reshape(n * 8, 8) @ right
+    c = c.reshape(n, 8, 8).transpose(0, 2, 1).reshape(n * 8, 8) @ left.T
+    return c.reshape(n, 8, 8).transpose(0, 2, 1)
+
+
 def _scaled_qtbl(base: np.ndarray, quality: int) -> np.ndarray:
     """IJG quality scaling: 1..100 -> per-entry scaled table in 1..255."""
     quality = min(100, max(1, int(quality)))
@@ -180,55 +191,6 @@ def _decode_lookup(bits, huffval):
 
 # ---------------------------------------------------------------- decode
 
-class _BitReader:
-    """MSB-first bit reader over a destuffed entropy-coded segment."""
-
-    __slots__ = ("data", "n", "pos", "buf", "cnt", "overrun")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.n = len(data)
-        self.pos = 0
-        self.buf = 0
-        self.cnt = 0
-        self.overrun = 0
-
-    def _fill(self):
-        while self.cnt <= 24:
-            if self.pos < self.n:
-                self.buf = ((self.buf << 8) | self.data[self.pos]) & 0xFFFFFFFFFF
-                self.pos += 1
-            else:
-                self.buf = (self.buf << 8) & 0xFFFFFFFFFF   # zero padding
-                self.overrun += 8
-            self.cnt += 8
-
-    def peek16(self) -> int:
-        if self.cnt < 16:
-            self._fill()
-        return (self.buf >> (self.cnt - 16)) & 0xFFFF
-
-    def skip(self, n: int):
-        if self.cnt < n:
-            self._fill()
-        self.cnt -= n
-
-    def read(self, n: int) -> int:
-        if n == 0:
-            return 0
-        if self.cnt < n:
-            self._fill()
-        self.cnt -= n
-        return (self.buf >> self.cnt) & ((1 << n) - 1)
-
-
-def _extend(v: int, t: int) -> int:
-    """RECEIVE/EXTEND (T.81 F.2.2.1): map t raw bits to a signed value."""
-    if t == 0:
-        return 0
-    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
-
-
 def _u16(d: bytes, i: int) -> int:
     if i + 2 > len(d):
         raise JpegError("truncated segment")
@@ -238,35 +200,46 @@ def _u16(d: bytes, i: int) -> int:
 def _split_scan(data: bytes, start: int):
     """Entropy-coded data from ``start``: returns (segments, end_index)
     where segments are destuffed byte strings split at RSTn markers and
-    end_index points at the terminating non-RST marker's 0xFF."""
-    segs = []
-    cur = bytearray()
-    i = start
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    end_index points at the terminating non-RST marker's 0xFF.
+
+    Vectorized over the 0xFF positions only (entropy bytes are mostly
+    not 0xFF): boundaries come from one NumPy scan, stuffed 0xFF00 pairs
+    collapse with ``bytes.replace`` per chunk."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ffs = np.nonzero(arr[start:] == 0xFF)[0] + start
+    bounds = []                             # (marker_pos, marker_byte)
+    end = len(data)
+    skip_next = -1
+    for i in ffs.tolist():
+        if i < skip_next or i + 1 >= len(data):
             continue
-        if i + 1 >= n:
-            break
         m = data[i + 1]
-        if m == 0x00:                       # stuffed 0xFF
-            cur.append(0xFF)
-            i += 2
-        elif m == 0xFF:                     # fill byte
-            i += 1
-        elif 0xD0 <= m <= 0xD7:             # restart marker
-            segs.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:                               # real marker: scan over
-            segs.append(bytes(cur))
-            return segs, i
-        continue
-    segs.append(bytes(cur))
-    return segs, n
+        if m == 0x00:
+            skip_next = i + 2               # stuffed pair, stays in data
+        elif m == 0xFF:
+            continue                        # fill byte: next ff handles it
+        elif 0xD0 <= m <= 0xD7:
+            bounds.append(i)
+            skip_next = i + 2
+        else:
+            end = i
+            break
+    def destuff(raw: bytes) -> bytes:
+        # trailing raw 0xFF bytes are fill padding before the marker
+        # (a data-carrying 0xFF is always followed by 0x00, so it can
+        # never be the slice's last byte); strip, then collapse pairs
+        raw = raw.rstrip(b"\xff") if raw.endswith(b"\xff") else raw
+        return raw.replace(b"\xff\x00", b"\xff")
+
+    segs = []
+    prev = start
+    for b in bounds:
+        if b >= end:
+            break
+        segs.append(destuff(data[prev:b]))
+        prev = b + 2
+    segs.append(destuff(data[prev:end]))
+    return segs, end
 
 
 def decode_baseline(data: bytes,
@@ -431,53 +404,117 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         comp["coef"] = np.zeros((comp["bh"] * comp["bw"], 64),
                                 dtype=np.int32)
 
+    # The Huffman walk is the only inherently-sequential stage, so its
+    # inner loop is hand-flattened Python: the bit reader lives in local
+    # ints (no method calls), lookup tables are plain lists (no numpy
+    # scalar boxing), and coefficients scatter straight into the flat
+    # per-component int32 store.  Everything downstream is vectorized.
+    tabs = {}
+    for key, (sym, ln) in hufftab.items():
+        tabs[key] = (sym.tolist(), ln.tolist())
+    # per-block decode plan: (comp, dc_sym, dc_len, ac_sym, ac_len)
+    plan = []
+    for comp in comps:
+        dsym, dlen = tabs[(0, comp["td"])]
+        asym, alen = tabs[(1, comp["ta"])]
+        comp["flat"] = comp["coef"].reshape(-1)
+        plan.append((comp, dsym, dlen, asym, alen))
+
     seg_idx = 0
-    br = _BitReader(segments[0])
+    seg = segments[0]
+    seglen = len(seg)
+    pos = buf = cnt = pad = 0
     pred = {c["id"]: 0 for c in comps}
     for mcu in range(n_mcus):
         if restart_interval and mcu and mcu % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise JpegError("truncated restart segment")
-            br = _BitReader(segments[seg_idx])
+            seg = segments[seg_idx]
+            seglen = len(seg)
+            pos = buf = cnt = pad = 0
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(mcu, mcus_x)
-        for comp in comps:
-            dc_sym, dc_len = hufftab[(0, comp["td"])]
-            ac_sym, ac_len = hufftab[(1, comp["ta"])]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    blk = np.zeros(64, dtype=np.int32)
-                    t = _read_code(br, dc_sym, dc_len)
-                    if t > 11:
-                        raise JpegError("bad DC category")
-                    diff = _extend(br.read(t), t)
-                    pred[comp["id"]] += diff
-                    # legal 8-bit baseline DC magnitudes are < 2**11 *
-                    # any quant scale; far outside that means a corrupt
-                    # stream driving the accumulator toward int32
-                    # overflow — fail as JpegError, not OverflowError
-                    if not -(1 << 20) < pred[comp["id"]] < (1 << 20):
-                        raise JpegError("DC accumulator out of range")
-                    blk[0] = pred[comp["id"]]
+        for comp, dsym, dlen, asym, alen in plan:
+            cv, chh, cbw = comp["v"], comp["h"], comp["bw"]
+            flat = comp["flat"]
+            cid = comp["id"]
+            p = pred[cid]
+            for by in range(cv):
+                for bx in range(chh):
+                    base = ((my * cv + by) * cbw + mx * chh + bx) * 64
+                    # --- DC ---
+                    if cnt < 16:
+                        while cnt <= 24:
+                            buf = (buf << 8) | (seg[pos] if pos < seglen
+                                                else 0)
+                            pad += pos >= seglen
+                            pos += 1
+                            cnt += 8
+                        buf &= 0xFFFFFFFFFF
+                    peek = (buf >> (cnt - 16)) & 0xFFFF
+                    t = dsym[peek]
+                    if t < 0 or t > 11:
+                        raise JpegError("bad DC code")
+                    cnt -= dlen[peek]
+                    if t:
+                        if cnt < t:
+                            while cnt <= 24:
+                                buf = (buf << 8) | (seg[pos] if pos < seglen
+                                                    else 0)
+                                pad += pos >= seglen
+                                pos += 1
+                                cnt += 8
+                            buf &= 0xFFFFFFFFFF
+                        cnt -= t
+                        v = (buf >> cnt) & ((1 << t) - 1)
+                        p += v if v >> (t - 1) else v - (1 << t) + 1
+                        # legal 8-bit baseline DC magnitudes are far
+                        # below 2**20; outside = corrupt stream heading
+                        # for int32 overflow — JpegError, not Overflow
+                        if not -(1 << 20) < p < (1 << 20):
+                            raise JpegError("DC accumulator out of range")
+                    flat[base] = p
+                    # --- AC ---
                     k = 1
                     while k < 64:
-                        rs = _read_code(br, ac_sym, ac_len)
-                        r, s = rs >> 4, rs & 0x0F
+                        if cnt < 16:
+                            while cnt <= 24:
+                                buf = (buf << 8) | (seg[pos] if pos < seglen
+                                                    else 0)
+                                pad += pos >= seglen
+                                pos += 1
+                                cnt += 8
+                            buf &= 0xFFFFFFFFFF
+                        peek = (buf >> (cnt - 16)) & 0xFFFF
+                        rs = asym[peek]
+                        if rs < 0:
+                            raise JpegError("invalid Huffman code")
+                        cnt -= alen[peek]
+                        s = rs & 0x0F
                         if s == 0:
-                            if r == 15:      # ZRL
+                            if rs == 0xF0:   # ZRL
                                 k += 16
                                 continue
                             break            # EOB
-                        k += r
+                        k += rs >> 4
                         if k > 63:
                             raise JpegError("AC index overflow")
-                        blk[k] = _extend(br.read(s), s)
+                        if cnt < s:
+                            while cnt <= 24:
+                                buf = (buf << 8) | (seg[pos] if pos < seglen
+                                                    else 0)
+                                pad += pos >= seglen
+                                pos += 1
+                                cnt += 8
+                            buf &= 0xFFFFFFFFFF
+                        cnt -= s
+                        v = (buf >> cnt) & ((1 << s) - 1)
+                        flat[base + k] = (v if v >> (s - 1)
+                                          else v - (1 << s) + 1)
                         k += 1
-                    row = my * comp["v"] + by
-                    col = mx * comp["h"] + bx
-                    comp["coef"][row * comp["bw"] + col] = blk
-        if br.overrun > 64:
+            pred[cid] = p
+        if pad > 8:
             raise JpegError("entropy data exhausted")
 
     # Vectorized dequantize + IDCT per component, then assemble planes.
@@ -487,8 +524,11 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         coefs = comp["coef"].astype(np.float64)[:, UNZIGZAG]  # zz -> natural
         coefs *= q[None, :]
         blocks = coefs.reshape(-1, 8, 8)
-        pix = np.einsum("ur,nrc,cv->nuv", DCT_A.T, blocks, DCT_A)
-        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        pix = np.ascontiguousarray(_blocks_mul(blocks, DCT_A.T, DCT_A))
+        np.round(pix, out=pix)
+        pix += 128
+        np.clip(pix, 0, 255, out=pix)
+        pix = pix.astype(np.uint8)
         bh, bw = comp["bh"], comp["bw"]
         plane = (pix.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
@@ -507,15 +547,6 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-
-
-def _read_code(br: _BitReader, sym: np.ndarray, ln: np.ndarray) -> int:
-    peek = br.peek16()
-    s = int(sym[peek])
-    if s < 0:
-        raise JpegError("invalid Huffman code")
-    br.skip(int(ln[peek]))
-    return s
 
 
 # ---------------------------------------------------------------- encode
@@ -616,9 +647,9 @@ def encode_baseline(img: np.ndarray, quality: int = 90,
         ph, pw = bh * 8, bw * 8
         pl = np.pad(plane, ((0, ph - plane.shape[0]),
                             (0, pw - plane.shape[1])), mode="edge") - 128.0
-        blocks = (pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-                  .reshape(-1, 8, 8))
-        coef = np.einsum("ur,nrc,cv->nuv", DCT_A, blocks, DCT_A.T)
+        blocks = np.ascontiguousarray(
+            pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)).reshape(-1, 8, 8)
+        coef = _blocks_mul(blocks, DCT_A, DCT_A.T)
         qcoef = np.round(coef.reshape(-1, 64) / qt[None, :]).astype(np.int32)
         comp["bw"], comp["bh"] = bw, bh
         comp["q"] = qcoef[:, ZIGZAG]         # store zigzag-ordered
