@@ -30,7 +30,7 @@ HEADLINE_QUERIES = [
     "pricing_summary", "nation_revenue", "gaps_islands", "positional_join",
     "token_stats", "simhash", "minhash_sigs", "ngram_jaccard",
     "minhash_lsh_pairs", "hocr_parse", "html_extract", "ann_bruteforce",
-    "page_series", "decontaminate", "token_pack", "pdf_spans",
+    "page_series", "decontaminate", "token_pack", "pdf_spans", "pii_scrub",
 ]
 
 
