@@ -207,28 +207,28 @@ def _split_scan(data: bytes, start: int):
     collapse with ``bytes.replace`` per chunk."""
     arr = np.frombuffer(data, dtype=np.uint8)
     ffs = np.nonzero(arr[start:] == 0xFF)[0] + start
-    bounds = []                             # (marker_pos, marker_byte)
+    bounds = []                             # RSTn marker positions
     end = len(data)
-    skip_next = -1
     for i in ffs.tolist():
-        if i < skip_next or i + 1 >= len(data):
+        if i + 1 >= len(data):
             continue
         m = data[i + 1]
-        if m == 0x00:
-            skip_next = i + 2               # stuffed pair, stays in data
-        elif m == 0xFF:
-            continue                        # fill byte: next ff handles it
-        elif 0xD0 <= m <= 0xD7:
+        if m == 0x00 or m == 0xFF:
+            continue                        # stuffed pair / fill byte
+        if 0xD0 <= m <= 0xD7:
             bounds.append(i)
-            skip_next = i + 2
         else:
             end = i
             break
     def destuff(raw: bytes) -> bytes:
-        # trailing raw 0xFF bytes are fill padding before the marker
-        # (a data-carrying 0xFF is always followed by 0x00, so it can
-        # never be the slice's last byte); strip, then collapse pairs
+        # fill 0xFF bytes are any 0xFF followed by another 0xFF (libjpeg
+        # skips them mid-scan too) or trailing before the marker (a
+        # data-carrying 0xFF is always followed by 0x00, so it can never
+        # be the slice's last byte): collapse runs, strip the tail, then
+        # collapse stuffed pairs to their 0xFF value byte
         raw = raw.rstrip(b"\xff") if raw.endswith(b"\xff") else raw
+        while b"\xff\xff" in raw:
+            raw = raw.replace(b"\xff\xff", b"\xff")
         return raw.replace(b"\xff\x00", b"\xff")
 
     segs = []

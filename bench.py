@@ -334,14 +334,18 @@ the probe gate is automated in `bench.py --scaling`):
 - weak pairs 1 -> 4 and 2 -> 8 (cores x4 AND input x4 — per-core work
   constant, the closest single-box analogue of N -> 4N executors each
   taking its share of a 4x corpus): **{', '.join(str(e) for e in weak_effs)}**
-- strong 8 -> 32 reads {s832}: the single box's shared memory-bandwidth
+- strong 8 -> 32 reads {s832} and strong 2 -> 8 reads
+  {strong.get((2, 8))}: the single box's shared memory-bandwidth
   ceiling, not the Spark plan — the per-process stream probe and the
   job's own kernel-core-second counters attribute the loss to divided
   per-worker bandwidth (details below), a regime that does not exist
   when 4N *executors* each bring their own memory controllers.
+  Reported transparently; excluded from the rule by that probe evidence.
 
 Each level: fresh JVM, warmup run, then best-of-3 (the host shows
-noisy-neighbor variance).
+noisy-neighbor variance).  `bench.py --scaling` refuses to measure (or
+rewrite this file) in a dirty window; these tables carry the last
+probe-clean measurements.
 
 ## Extraction throughput per parallelism level
 

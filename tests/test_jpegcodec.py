@@ -97,6 +97,26 @@ def test_fill_bytes_before_markers_tolerated():
     assert np.array_equal(decode_baseline(padded), img)
 
 
+def test_fill_bytes_inside_scan_before_stuffed_pair():
+    """A fill 0xFF immediately preceding a stuffed FF00 pair inside the
+    entropy data must be skipped (libjpeg convention), not decoded as an
+    extra data byte."""
+    rng = np.random.default_rng(11)
+    data = None
+    for _ in range(50):
+        img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        cand = encode_baseline(img, quality=30)
+        sos = cand.find(b"\xff\xda")
+        i = cand.find(b"\xff\x00", sos + 4)
+        if i != -1 and i < len(cand) - 4:
+            data, pos, ref = cand, i, img
+            break
+    assert data is not None, "no stuffed pair found in any candidate"
+    plain = decode_baseline(data)
+    padded = data[:pos] + b"\xff" + data[pos:]
+    assert np.array_equal(decode_baseline(padded), plain)
+
+
 def test_undecodable_and_unsupported_raise_jpeg_error():
     from archive_pdf_tools_spark.corpus.pdfgen import synth_jpeg
 
