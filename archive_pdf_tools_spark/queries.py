@@ -1677,6 +1677,62 @@ GROUP BY lang
 """
 
 
+def q_jpeg_decode(spark, sf):
+    """Driver-visible TRUE-arithmetic oracle for the baseline JPEG
+    codec: 32 seeded images of constant 8x8 tiles (tile value a pure
+    function of (img_id, tx, ty)) are encoded at quality 100 — all-ones
+    quant tables make DC-only constant blocks decode BIT-EXACTLY — then
+    decoded, and per-image pixel aggregates are compared against the
+    closed-form tile arithmetic in SQL.  Restart intervals alternate to
+    exercise the DRI path.  Any entropy/zigzag/dequant/IDCT/assembly bug
+    breaks the match."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.jpegcodec import decode_baseline, encode_baseline
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w, h = 8 * (4 + i % 5), 8 * (3 + i % 4)
+                img = np.zeros((h, w), dtype=np.uint8)
+                for ty in range(h // 8):
+                    for tx in range(w // 8):
+                        img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] = \
+                            (37 * i + 11 * tx + 23 * ty) % 256
+                dec = decode_baseline(encode_baseline(
+                    img, quality=100, restart_interval=i % 3))
+                rows.append((i, dec.shape[1], dec.shape[0],
+                             int(dec.astype(np.int64).sum()),
+                             int(dec.min()), int(dec.max())))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "pix_sum", "pix_min",
+                "pix_max"])
+
+    base = spark.range(0, 32).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "pix_sum bigint, pix_min int, pix_max int")
+
+
+SQL_JPEG_DECODE = r"""
+WITH imgs AS (SELECT unnest(generate_series(0, 31)) AS i),
+dims AS (SELECT i, 8 * (4 + i % 5) AS w, 8 * (3 + i % 4) AS h FROM imgs),
+tiles AS (
+  SELECT d.i, d.w, d.h, (37 * d.i + 11 * tx.x + 23 * ty.y) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS x) tx,
+       LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS y) ty)
+SELECT i AS img_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
+       CAST(min(v) AS INTEGER) AS pix_min,
+       CAST(max(v) AS INTEGER) AS pix_max
+FROM tiles GROUP BY i, w, h
+"""
+
+
 def q_pii_scrub(spark, sf):
     """Training-data PII redaction over the documents table: every 7th
     document gets deterministic seeded PII appended (email + IPv4 +
@@ -1925,7 +1981,6 @@ QUERIES = {
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
     "hq_flag": (q_hq_flag, SQL_HQ),
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
-    "scale_estimate": (q_scale_estimate, SQL_SCALE),
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
@@ -1968,6 +2023,7 @@ QUERIES = {
     "frame_sample": (q_frame_sample, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -1978,6 +2034,7 @@ QUERIES = {
     # oracle-paired but redundant with an in-window green row:
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),   # = skip_filter
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),  # = skip_filter+page_series
+    "scale_estimate": (q_scale_estimate, SQL_SCALE),  # = pdf_metadata.scale
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),          # = dedup_keep's groups
     "lang_guess": (q_lang_guess, SQL_LANG),                # = lang_stopwords agg
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),  # generic profile
