@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["brute_force_topk", "srp_lsh_topk", "srp_planes",
            "ivf_fit_centroids", "ivf_cells", "ivf_topk",
-           "pq_fit", "pq_codes", "pq_topk"]
+           "pq_fit", "pq_codes", "pq_topk", "kmeans_clusters"]
 
 
 def _cosine_col(query: list[float]):
@@ -296,3 +296,60 @@ def srp_lsh_topk(embeddings: DataFrame, query: list[float], k: int = 10,
             .select("vec_id", _cosine_col(query).alias("cosine"))
             .orderBy(F.col("cosine").desc(), F.col("vec_id"))
             .limit(k))
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 4,
+                    seed: int = 17):
+    """Distributed spherical k-means over the FULL corpus (the corpus-
+    clustering step of a data-mixing pipeline, cf. the clustered-
+    sampling family): centroids broadcast into a vectorized assignment
+    kernel; the mean update is a distributed posexplode ->
+    groupBy(cell, pos) sum — partial aggregation combines map-side, so
+    each iteration shuffles only ~k*dim partial rows per partition
+    regardless of corpus size, and the driver materializes just the
+    k x dim centroid matrix.  Init reuses the bounded-sample trainer
+    (``ivf_fit_centroids``), so driver memory never scales with the
+    corpus either.
+
+    Returns ``(assigned_df, centroids, objectives)``: the per-vector
+    (vec_id, cell) assignment under the FINAL centroids, the final
+    k x dim L2-normalized centroid matrix, and the per-iteration
+    spherical objective (mean within-cluster cosine) — monotonically
+    non-decreasing by Lloyd's argument, which ``kmeans_quality`` turns
+    into a driver-checkable floor."""
+    C = ivf_fit_centroids(embeddings, n_centroids=k, iters=2, seed=seed)
+    src = embeddings.select("vec_id", "embedding")
+    objectives = []
+    for _ in range(iters):
+        assigned = src.mapInPandas(
+            _assign_batches(C),
+            schema="vec_id bigint, embedding array<float>, cell int")
+        norm = F.sqrt(F.aggregate(
+            F.zip_with("embedding", "embedding", lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x))
+        stats = (assigned
+                 .select("cell", F.posexplode(
+                     F.transform("embedding",
+                                 lambda v: v / F.greatest(norm, F.lit(1e-12))))
+                     .alias("pos", "val"))
+                 .groupBy("cell", "pos")
+                 .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+                 .collect())
+        sums = np.zeros_like(C)
+        counts = np.zeros(k, dtype=np.int64)
+        for r in stats:
+            sums[r["cell"], r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        # spherical objective: sum_j ||sum of unit members_j|| / n_total,
+        # reached exactly when each centroid is the normalized mean
+        n_total = int(counts.sum()) or 1
+        objectives.append(
+            float(np.linalg.norm(sums, axis=1).sum()) / n_total)
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = sums[nz]
+        C /= np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    final = src.mapInPandas(
+        _assign_batches(C),
+        schema="vec_id bigint, embedding array<float>, cell int")
+    return final.select("vec_id", "cell"), C, objectives

@@ -1677,6 +1677,40 @@ GROUP BY lang
 """
 
 
+def q_kmeans_quality(spark, sf):
+    """Distributed spherical k-means over the embeddings corpus
+    (data-mixing clustering), verified the same way as the ANN recall
+    rows: the engine computes properties that must hold for a correct
+    Lloyd's run — every vector assigned, cluster ids in range with at
+    least 2 populated, the spherical objective monotonically
+    non-decreasing across iterations — and the oracle states them as
+    exact constants.  A broken update/assignment flips a boolean."""
+    from .functions.similarity import kmeans_clusters
+
+    emb = load_table(spark, sf, "embeddings")
+    assigned, C, objs = kmeans_clusters(emb, k=8, iters=4, seed=17)
+    agg = assigned.agg(
+        F.count("*").alias("n_assigned"),
+        F.countDistinct("cell").alias("n_cells"),
+        F.min("cell").alias("min_cell"),
+        F.max("cell").alias("max_cell")).head()
+    monotone = all(b >= a - 1e-12 for a, b in zip(objs, objs[1:]))
+    row = [(8, int(agg["n_assigned"]),
+            bool(2 <= agg["n_cells"] <= 8
+                 and agg["min_cell"] >= 0 and agg["max_cell"] < 8),
+            bool(monotone))]
+    return spark.createDataFrame(
+        row, "k int, n_assigned bigint, cells_ok boolean, "
+             "objective_monotone boolean")
+
+
+SQL_KMEANS = """
+SELECT CAST(8 AS INTEGER) AS k, count(*) AS n_assigned,
+       true AS cells_ok, true AS objective_monotone
+FROM embeddings
+"""
+
+
 def q_jpeg_decode(spark, sf):
     """Driver-visible TRUE-arithmetic oracle for the baseline JPEG
     codec: 32 seeded images of constant 8x8 tiles (tile value a pure
@@ -1984,7 +2018,6 @@ QUERIES = {
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
-    "repetition": (q_repetition, SQL_REPETITION),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
@@ -2010,6 +2043,7 @@ QUERIES = {
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
+    "kmeans_quality": (q_kmeans_quality, SQL_KMEANS),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),
@@ -2035,6 +2069,7 @@ QUERIES = {
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),   # = skip_filter
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),  # = skip_filter+page_series
     "scale_estimate": (q_scale_estimate, SQL_SCALE),  # = pdf_metadata.scale
+    "repetition": (q_repetition, SQL_REPETITION),  # embedded in quality_keep
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),          # = dedup_keep's groups
     "lang_guess": (q_lang_guess, SQL_LANG),                # = lang_stopwords agg
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),  # generic profile

@@ -285,3 +285,35 @@ def test_dedup_kernels_skip_null_text(spark):
     assert {r["doc_id"] for r in simhash(df).collect()} == {1, 3}
     assert {r["doc_id"] for r in winnow_fingerprints(df).select("doc_id")
             .distinct().collect()} == {1, 3}
+
+
+def test_kmeans_clusters_separable_and_monotone(spark):
+    """Distributed spherical k-means: on three well-separated direction
+    bundles it recovers exactly the bundle partition, the objective is
+    monotone non-decreasing, and reruns are deterministic."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.functions.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(2)
+    dirs = np.eye(3)
+    rows = []
+    for vid in range(90):
+        base = dirs[vid % 3]
+        v = base * 10 + rng.normal(0, 0.2, 3)
+        rows.append((vid, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    assigned, C, objs = kmeans_clusters(emb, k=3, iters=4, seed=5)
+    got = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    assert len(got) == 90
+    # every bundle lands in exactly one cluster, bundles in distinct ones
+    bundles = [{got[v] for v in range(b, 90, 3)} for b in range(3)]
+    assert all(len(b) == 1 for b in bundles)
+    assert len(set().union(*bundles)) == 3
+    assert all(b >= a - 1e-12 for a, b in zip(objs, objs[1:]))
+    assert C.shape == (3, 3)
+
+    again, _, objs2 = kmeans_clusters(emb, k=3, iters=4, seed=5)
+    assert {r["vec_id"]: r["cell"] for r in again.collect()} == got
+    assert objs2 == objs
