@@ -345,7 +345,10 @@ the probe gate is automated in `bench.py --scaling`):
 Each level: fresh JVM, warmup run, then best-of-3 (the host shows
 noisy-neighbor variance).  `bench.py --scaling` refuses to measure (or
 rewrite this file) in a dirty window; these tables carry the last
-probe-clean measurements.
+probe-clean measurements.  The probe gates the window's START, not its
+whole multi-minute duration, so an efficiency reading above 1.0 means
+the LOW level itself hit a throttled stretch — read such values as
+">= parity", not superlinearity.
 
 ## Extraction throughput per parallelism level
 
