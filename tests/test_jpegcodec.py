@@ -240,3 +240,40 @@ def test_dct_page_flows_through_full_mrc_extraction(spark):
                                     "dct": True,
                                     "data": synth_jpeg(33, 21, True)}]}])
     assert extract_page_images(blob2, 0) == []
+
+
+def test_property_roundtrip_bounds_and_determinism():
+    """Hypothesis sweep: arbitrary small images, qualities, subsampling
+    and restart intervals round-trip within a quantization-scaled error
+    bound, deterministically, with gray shape preserved."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 40), h=st.integers(1, 40),
+        gray=st.booleans(),
+        quality=st.integers(35, 100),
+        sub=st.sampled_from([(1, 1), (2, 1), (2, 2)]),
+        rst=st.integers(0, 4),
+        seed=st.integers(0, 10**6))
+    def check(w, h, gray, quality, sub, rst, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if gray else (h, w, 3)
+        # smooth-ish content so the error bound is quality-driven, not
+        # dominated by chroma noise
+        base = rng.integers(0, 256)
+        img = np.clip(base + rng.integers(-40, 41, shape).cumsum(axis=0)
+                      % 97 - 48, 0, 255).astype(np.uint8)
+        data = encode_baseline(img, quality=quality, subsample=sub,
+                               restart_interval=rst)
+        dec = decode_baseline(data)
+        assert dec.shape == img.shape and dec.dtype == np.uint8
+        assert np.array_equal(decode_baseline(data), dec)  # deterministic
+        err = np.abs(dec.astype(int) - img.astype(int))
+        # generous but real bound: worst quant step at q35 is ~2x the
+        # Annex K table; chroma subsampling doubles the chroma error
+        assert err.mean() < 40
+        if quality >= 90 and sub == (1, 1):
+            assert err.mean() < 12
+
+    check()

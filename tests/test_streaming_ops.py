@@ -187,3 +187,38 @@ def test_stream_near_dups_across_batches(spark, tmp_path):
     assert ("2", "4") in pairs
     exact = [r for r in rows if (r["doc_a"], r["doc_b"]) == ("2", "4")]
     assert all(r["est_jaccard"] == 1.0 for r in exact)
+
+
+def test_scrub_pii_works_on_streams(spark, tmp_path):
+    """scrub_pii is stateless column work, so the identical operator
+    composes into Structured Streaming unchanged — the streamed output
+    must equal the batch output row for row."""
+    from archive_pdf_tools_spark.functions.pipeline import scrub_pii
+
+    in_dir = str(tmp_path / "docs")
+    rows = [(0, "mail a@b.io and 10.0.0.1"),
+            (1, "call +4930123456 now"),
+            (2, "clean text only")]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(in_dir)
+
+    batch = {r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_ip"],
+                           r["n_phone"])
+             for r in scrub_pii(spark.read.parquet(in_dir)).collect()}
+
+    stream = (spark.readStream.schema("doc_id bigint, text string")
+              .parquet(in_dir))
+    out_dir = str(tmp_path / "out")
+    q = (scrub_pii(stream)
+         .writeStream.format("parquet")
+         .option("path", out_dir)
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    streamed = {r["doc_id"]: (r["scrubbed"], r["n_email"], r["n_ip"],
+                              r["n_phone"])
+                for r in spark.read.parquet(out_dir).collect()}
+    assert streamed == batch
+    assert streamed[0][0] == "mail <email> and <ip>"
+    assert streamed[1][0] == "call <phone> now"
