@@ -1677,6 +1677,55 @@ GROUP BY lang
 """
 
 
+def q_pdf_poison(spark, sf):
+    """The observable-failure contract, driver-checkable: a batch of 6
+    PDFs where doc 5 is truncated garbage.  The 5 good text-only docs
+    each produce exactly one text span with known text; the poison doc
+    produces exactly one pdf_error span and never an empty span list —
+    and never poisons its batch neighbours.  Pure-arithmetic oracle."""
+    import pandas as pd
+
+    def gen(batches):
+        from .corpus.pdfgen import build_pdf
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                blob = build_pdf([{"width": 612, "height": 792,
+                                   "images": [], "text": f"page {i}"}])
+                if i == 5:
+                    blob = blob[:40]        # valid header, truncated xref
+                rows.append((f"px_{i}", bytearray(blob)))
+            yield pd.DataFrame(rows, columns=["doc_id", "pdf"])
+
+    from .operators.pdfcomp import pdfs_to_spans
+
+    docs = spark.range(0, 6).repartition(2).mapInPandas(
+        gen, schema="doc_id string, pdf binary")
+    out = pdfs_to_spans(docs, hocr_col=None)
+    s = F.col("s")
+    return out.select(
+        "doc_id",
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text")))
+         .alias("n_text"),
+        F.size(F.filter("spans", lambda s: s["kind"] == F.lit("pdf_error")))
+         .alias("n_error"),
+        F.size("spans").alias("n_spans"),
+        F.array_join(F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            lambda s: s["text"]), "|").alias("texts"))
+
+
+SQL_PDF_POISON = """
+SELECT 'px_' || i::VARCHAR AS doc_id,
+       CAST(CASE WHEN i = 5 THEN 0 ELSE 1 END AS INTEGER) AS n_text,
+       CAST(CASE WHEN i = 5 THEN 1 ELSE 0 END AS INTEGER) AS n_error,
+       CAST(1 AS INTEGER) AS n_spans,
+       CASE WHEN i = 5 THEN '' ELSE 'page ' || i::VARCHAR END AS texts
+FROM (SELECT unnest(generate_series(0, 5)) AS i)
+"""
+
+
 def q_kmeans_quality(spark, sf):
     """Distributed spherical k-means over the embeddings corpus
     (data-mixing clustering), verified the same way as the ANN recall
@@ -2065,6 +2114,8 @@ QUERIES = {
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
+    # contract queries past the window (gate-swept locally every round):
+    "pdf_poison": (q_pdf_poison, SQL_PDF_POISON),
     # oracle-paired but redundant with an in-window green row:
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),   # = skip_filter
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),  # = skip_filter+page_series
