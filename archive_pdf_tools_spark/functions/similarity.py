@@ -318,18 +318,22 @@ def kmeans_clusters(embeddings: DataFrame, k: int = 8, iters: int = 4,
     non-decreasing by Lloyd's argument, which ``kmeans_quality`` turns
     into a driver-checkable floor."""
     C = ivf_fit_centroids(embeddings, n_centroids=k, iters=2, seed=seed)
+    k = C.shape[0]       # a tiny corpus yields fewer than k centroids
     src = embeddings.select("vec_id", "embedding")
     objectives = []
     for _ in range(iters):
         assigned = src.mapInPandas(
             _assign_batches(C),
             schema="vec_id bigint, embedding array<float>, cell int")
+        # float64 throughout (same reason _cosine_col casts): float32
+        # squares lose ~1e-7 precision and can overflow to inf
+        emb64 = F.col("embedding").cast("array<double>")
         norm = F.sqrt(F.aggregate(
-            F.zip_with("embedding", "embedding", lambda a, b: a * b),
+            F.zip_with(emb64, emb64, lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x))
         stats = (assigned
                  .select("cell", F.posexplode(
-                     F.transform("embedding",
+                     F.transform(emb64,
                                  lambda v: v / F.greatest(norm, F.lit(1e-12))))
                      .alias("pos", "val"))
                  .groupBy("cell", "pos")

@@ -1703,7 +1703,6 @@ def q_pdf_poison(spark, sf):
     docs = spark.range(0, 6).repartition(2).mapInPandas(
         gen, schema="doc_id string, pdf binary")
     out = pdfs_to_spans(docs, hocr_col=None)
-    s = F.col("s")
     return out.select(
         "doc_id",
         F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text")))
@@ -2051,9 +2050,10 @@ FROM counts
 # that window.  The overflow tail holds (a) the 5 deliberately oracle-less
 # raw queries, each value-verified by a paired in-window row
 # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship/extract_testdata by
-# extract_digest / extract_text_oracle), and (b) 6 oracle-paired rows whose
-# semantics duplicate an in-window green row (noted inline).  All 61 still
-# run under tools/gate_sweep.py locally regardless of the driver cap.
+# extract_digest / extract_text_oracle), (b) oracle-paired rows whose
+# semantics duplicate an in-window green row (noted inline), and (c)
+# contract queries.  EVERY row — window and tail — runs under
+# tools/gate_sweep.py locally regardless of the driver cap.
 QUERIES = {
     # relational / reference-derived
     "skip_filter": (q_skip_filter, SQL_SKIP),

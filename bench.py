@@ -286,7 +286,19 @@ def scaling_report(sf_dir: str, pairs=((1, 4), (2, 8), (8, 32)),
         if procs not in report["stream_gbps"]:
             report["stream_gbps"][procs] = _stream_bandwidth(procs)
     report["weak"] = weak_scaling_report(sf_dir)
-    _write_baseline_md(sf_dir, report)
+    # the opening probe only gates the window's START; a mid-window
+    # throttle can still inflate efficiencies (a slow LOW level reads as
+    # superlinear scaling), so re-probe after the measurements and only
+    # rewrite BASELINE.md when the window stayed clean end-to-end
+    closing = probe_window()
+    report["window_closing"] = closing
+    if closing["clean"] or force:
+        _write_baseline_md(sf_dir, report)
+    else:
+        report["skipped_write"] = (
+            "window turned dirty during measurement; BASELINE.md left "
+            "untouched (report JSON still carries the data; --force "
+            "overrides)")
     return report
 
 
@@ -318,6 +330,11 @@ def _write_baseline_md(sf_dir: str, r: dict) -> None:
     ruled = [e for e in [s14] + weak_effs if e is not None]
     verdict = "PASS" if ruled and all(e >= 0.8 for e in ruled) else "FAIL"
     win = r.get("window", {})
+    sg = {int(k): v for k, v in r.get("stream_gbps", {}).items()}
+    if 1 in sg and 32 in sg and sg[32]:
+        pp_drop = round(sg[1] / (sg[32] / 32), 1)
+    else:
+        pp_drop = "several"
     md = f"""# BENCH/BASELINE — measured scaling + throughput
 
 ## North-rule verdict (the one story to quote)
@@ -372,9 +389,10 @@ in-sandbox analogue of N -> 4N executors each receiving its share of a
 |---|---|---|---|---|
 {weak_rows}
 
-## Input linearity at fixed cores (10x corpus)
+## Input linearity at fixed cores (10x corpus) — pinned historical run
 
-Measured 2026-08-16 in a probed clean window (8.1 / 42.3 GB/s), same
+Pinned one-off measurement with its own provenance (NOT re-measured by
+--scaling runs): 2026-08-16 in a probed clean window (8.1 / 42.3 GB/s), same
 local[32] plan, input scaled 10x: wall grows 5.1x for 9.7x the pages —
 per-page throughput RISES with corpus size (1639 -> 3145 pages/s)
 because the bench-sized corpus under-fills the 128 partitions and fixed
@@ -407,8 +425,10 @@ pipeline's own per-page kernel timers (the lineage/metrics table) show
 the *same 7932 pages* costing 51 kernel-core-seconds with 8 concurrent
 workers but 208 kernel-core-seconds with 32 — a 4x per-page slow-down of
 pure NumPy work when 32 processes divide the box's memory bandwidth
-(the stream probe shows per-process bandwidth dropping ~6x from 1 to 32
-processes).  That is unlike N -> 4N *executors* on a real cluster, where
+(this window's stream probe shows per-process bandwidth dropping
+~{pp_drop}x from 1 to 32 processes; single rows measured mid-run can
+themselves be throttled — the gate clears the window's start, not every
+sample).  That is unlike N -> 4N *executors* on a real cluster, where
 each executor brings its own memory controllers and the job's only
 cross-node stages are two shuffles of small rows.  The low pairs
 (1 -> 4, 2 -> 8), measured below the contention regime, are the

@@ -317,3 +317,18 @@ def test_kmeans_clusters_separable_and_monotone(spark):
     again, _, objs2 = kmeans_clusters(emb, k=3, iters=4, seed=5)
     assert {r["vec_id"]: r["cell"] for r in again.collect()} == got
     assert objs2 == objs
+
+
+def test_kmeans_corpus_smaller_than_k(spark):
+    """Fewer vectors than requested clusters degrades to a valid
+    clustering over min(k, n) centroids instead of crashing (review
+    regression: boolean-index shape mismatch in the update step)."""
+    from archive_pdf_tools_spark.functions.similarity import kmeans_clusters
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.7, 0.7])],
+        "vec_id bigint, embedding array<float>")
+    assigned, C, objs = kmeans_clusters(emb, k=8, iters=3, seed=1)
+    assert assigned.count() == 3
+    assert C.shape == (3, 2)
+    assert all(b >= a - 1e-12 for a, b in zip(objs, objs[1:]))
