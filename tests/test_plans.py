@@ -226,3 +226,23 @@ def test_pack_sequences_derives_shards_from_input_size(spark):
                                          docs_per_shard=dps).collect()}
         assert again == {(r["doc_id"], r["seq_idx"], r["tok_offset"])
                          for r in rows}
+
+
+def test_kmeans_update_stage_partial_aggregates(spark):
+    """The k-means mean-update shuffle must be map-side combined: the
+    posexplode -> groupBy(cell, pos) plan carries a partial HashAggregate
+    BEFORE its Exchange, so each iteration moves ~k*dim rows per
+    partition regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    emb64 = F.col("embedding").cast("array<double>")
+    stats = (emb.select(F.lit(0).alias("cell"),
+                        F.posexplode(emb64).alias("pos", "val"))
+             .groupBy("cell", "pos")
+             .agg(F.sum("val").alias("s"), F.count("*").alias("n")))
+    p = plan_str(stats)
+    pre_exchange = p.split("Exchange")[-1]   # formatted plan lists leaves last
+    assert "partial_sum" in p and "partial_count" in p
+    # the partial aggregate sits upstream (after Exchange in the listing)
+    assert "HashAggregate" in pre_exchange
