@@ -97,9 +97,18 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     ``max_df`` drops shingles present in more than that many documents
     (stop-shingles) — the standard scale guard that bounds the self-join
     fan-out; deterministic, and mirrored in the oracle SQL.
+
+    Scale contract: this exact self-join is the ground-truth VERIFIER
+    behind the blocked paths (``minhash_lsh_pairs`` / ``winnow``), not
+    the 10^12-doc front door.  Accordingly only the per-doc size
+    aggregate (O(n_docs) rows, reused by both join sides) is cached; the
+    raw (doc_id, shingle) relation — the size of the tokenized corpus —
+    is deliberately NOT cached, so a direct call on a large corpus costs
+    bounded recompute (the identical shingle-shuffle subtrees reuse one
+    exchange), never a corpus-sized cache pin.
     """
-    sh = shingles_df(documents, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sh = shingles_df(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh")).cache()
     rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
               .where(F.col("df") <= max_df))
     filtered = sh.join(rare.select("shingle"), "shingle")

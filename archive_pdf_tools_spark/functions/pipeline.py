@@ -120,7 +120,14 @@ def pack_sequences(documents: DataFrame, max_tokens: int = 1024,
     derived as ceil(n_docs / docs_per_shard) (min 1): one extra
     column-pruned count scan, trivially cheap next to the pack itself,
     and deterministic for a given input, so the layout stays replayable.
-    Callers pinning ``shards`` explicitly own that sizing rule."""
+    Callers pinning ``shards`` explicitly own that sizing rule.
+
+    .. note:: the ``shards=None`` default therefore runs an EAGER
+       ``documents.count()`` job at plan-construction time, and raises
+       on a streaming DataFrame (count is unsupported there) — batch
+       layout is this function's contract (no streaming caller exists;
+       ``streaming/`` packs nothing).  Pass ``shards`` explicitly to
+       keep plan construction lazy or to pack a static microbatch."""
     if shards is None:
         n_docs = documents.count()
         shards = max(1, -(-n_docs // docs_per_shard))

@@ -87,16 +87,32 @@ def ivf_fit_centroids(embeddings: DataFrame, n_centroids: int = 16,
     Sampling + driver-side Lloyd iterations is the standard coarse-
     quantizer training shape (the sample bound, not the corpus, sizes the
     driver work — at 10^12 rows you still train on ~10^4-10^6 samples).
-    Sample selection is deterministic: the ``sample`` smallest vec_ids.
-    Centroids are L2-normalized (cosine k-means)."""
+    Sample selection is deterministic AND unbiased: rows are ranked by
+    ``xxhash64(vec_id)`` (ties by vec_id), i.e. a seeded uniform draw —
+    the ``sample`` *smallest ids* would train the quantizer on whatever
+    corpus slice ingest order put first (oldest shard, one source) and
+    silently skew recall at scale."""
     from pyspark.sql import functions as F
 
-    rows = (embeddings.orderBy("vec_id").limit(sample)
-            .select("embedding").collect())
+    rows = (embeddings
+            .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(sample).select("embedding").collect())
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
-    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    # Farthest-first init (deterministic k-means++ flavour): a uniform
+    # draw can seed two centroids inside one cluster and none in another,
+    # and Lloyd then converges to that local optimum; greedily taking the
+    # point least covered by the chosen seeds is O(sample*k) and makes
+    # well-separated clusters recovered regardless of sample order.
+    k_eff = min(n_centroids, len(X))
+    chosen = [int(rng.integers(len(X)))]
+    covered = X @ X[chosen[0]]
+    while len(chosen) < k_eff:
+        nxt = int(np.argmin(covered))
+        chosen.append(nxt)
+        covered = np.maximum(covered, X @ X[nxt])
+    C = X[chosen].copy()
     for _ in range(iters):
         assign = np.argmax(X @ C.T, axis=1)
         for j in range(len(C)):
@@ -181,10 +197,15 @@ def pq_fit(embeddings: DataFrame, m: int = 8, ncode: int = 16,
     """Product-quantizer codebooks (Jégou et al. 2011): the embedding is
     split into ``m`` subvectors, each k-means'd to ``ncode`` codewords on
     a bounded deterministic driver sample (same training shape as the
-    IVF coarse quantizer).  Returns (m, ncode, dim/m) float64; vectors
-    are L2-normalized first (cosine regime)."""
-    rows = (embeddings.orderBy("vec_id").limit(sample)
-            .select("embedding").collect())
+    IVF coarse quantizer; same unbiased ``xxhash64(vec_id)`` ranking —
+    see ``ivf_fit_centroids`` for why id-order would bias the books).
+    Returns (m, ncode, dim/m) float64; vectors are L2-normalized first
+    (cosine regime)."""
+    from pyspark.sql import functions as F
+
+    rows = (embeddings
+            .orderBy(F.xxhash64(F.col("vec_id")), F.col("vec_id"))
+            .limit(sample).select("embedding").collect())
     X = np.array([r["embedding"] for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     dim = X.shape[1]

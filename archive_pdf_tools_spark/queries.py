@@ -1727,34 +1727,46 @@ FROM (SELECT unnest(generate_series(0, 5)) AS i)
 
 def q_kmeans_quality(spark, sf):
     """Distributed spherical k-means over the embeddings corpus
-    (data-mixing clustering), verified the same way as the ANN recall
-    rows: the engine computes properties that must hold for a correct
-    Lloyd's run — every vector assigned, cluster ids in range with at
-    least 2 populated, the spherical objective monotonically
-    non-decreasing across iterations — and the oracle states them as
-    exact constants.  A broken update/assignment flips a boolean."""
+    (data-mixing clustering).  Verified two ways: (a) invariants a
+    correct Lloyd's run must satisfy — every vector assigned (oracle
+    derives ``n_assigned`` from an independent ``count(*)`` over the
+    embeddings view), cluster ids in range with at least 2 populated,
+    the spherical objective monotonically non-decreasing — and (b)
+    PINNED numeric outcomes of the seeded run: the final objective
+    (6 dp) and the exact per-cell membership counts, so a
+    wrong-but-monotone update can no longer pass (tools/pin_oracles.py
+    replays them as VALUES).  Monotonicity uses a relative tolerance:
+    the per-iteration objective is a distributed float64 sum whose
+    accumulation order Spark does not fix, so exact Lloyd monotonicity
+    can flip on ~ulp deltas near convergence."""
     from .functions.similarity import kmeans_clusters
 
     emb = load_table(spark, sf, "embeddings")
     assigned, C, objs = kmeans_clusters(emb, k=8, iters=4, seed=17)
-    agg = assigned.agg(
-        F.count("*").alias("n_assigned"),
-        F.countDistinct("cell").alias("n_cells"),
-        F.min("cell").alias("min_cell"),
-        F.max("cell").alias("max_cell")).head()
-    monotone = all(b >= a - 1e-12 for a, b in zip(objs, objs[1:]))
-    row = [(8, int(agg["n_assigned"]),
-            bool(2 <= agg["n_cells"] <= 8
-                 and agg["min_cell"] >= 0 and agg["max_cell"] < 8),
-            bool(monotone))]
+    cells = (assigned.groupBy("cell").agg(F.count("*").alias("n"))
+             .orderBy("cell").collect())
+    n_assigned = int(sum(r["n"] for r in cells))
+    cells_ok = bool(2 <= len(cells) <= 8 and cells[0]["cell"] >= 0
+                    and cells[-1]["cell"] < 8)
+    monotone = all(b >= a - 1e-9 * max(1.0, abs(a))
+                   for a, b in zip(objs, objs[1:]))
+    row = [(8, n_assigned, cells_ok, bool(monotone),
+            float(round(objs[-1], 6)),
+            ",".join(f"{r['cell']}:{r['n']}" for r in cells))]
     return spark.createDataFrame(
         row, "k int, n_assigned bigint, cells_ok boolean, "
-             "objective_monotone boolean")
+             "objective_monotone boolean, obj_final double, "
+             "cell_counts string")
 
 
+# Bootstrap-only fallback: the registry loop below swaps in the pinned
+# VALUES oracle (obj_final / cell_counts pinned, n_assigned derived from
+# an independent count(*) subquery — see tools/pin_oracles.py DERIVED).
 SQL_KMEANS = """
 SELECT CAST(8 AS INTEGER) AS k, count(*) AS n_assigned,
-       true AS cells_ok, true AS objective_monotone
+       true AS cells_ok, true AS objective_monotone,
+       CAST(NULL AS DOUBLE) AS obj_final,
+       CAST(NULL AS VARCHAR) AS cell_counts
 FROM embeddings
 """
 

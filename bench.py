@@ -339,7 +339,13 @@ def _write_baseline_md(sf_dir: str, r: dict) -> None:
 
 ## North-rule verdict (the one story to quote)
 
-**{verdict}** — rule: throughput scaling efficiency >= 0.8 from N to 4N
+**{verdict} on the ruled pairs (strong 1 -> 4 = {s14}; weak 1 -> 4 and
+2 -> 8 = {', '.join(str(e) for e in weak_effs)}). Strong 2 -> 8 =
+{strong.get((2, 8))} and strong 8 -> 32 = {s832} are excluded from the
+rule on the per-pair bandwidth-probe evidence detailed below — quote
+them alongside the PASS, not instead of it.**
+
+Rule: throughput scaling efficiency >= 0.8 from N to 4N
 executors, evidenced by the identical extraction job (same seeded
 synthetic interleaved corpus, same salted-partition plan) at two
 parallelism levels.  Measured in a probe-verified clean window (opening

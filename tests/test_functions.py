@@ -118,6 +118,32 @@ def test_ivf_topk_recall(embeddings_df):
     assert recall >= 0.7, f"recall {recall}"
 
 
+def test_ivf_training_sample_unbiased_under_id_correlation(spark):
+    """vec_id-correlated corpus (clusters laid out in contiguous id
+    ranges, the ingest-order shape): training on a sample SMALLER than
+    one cluster must still see every cluster.  The pre-r5 ``sample
+    smallest vec_ids`` rule trains entirely inside cluster 0 here and
+    leaves later clusters without a nearby centroid; the hash-ranked
+    draw keeps coverage."""
+    from archive_pdf_tools_spark.functions.similarity import (
+        ivf_fit_centroids)
+
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((6, 16)) * 4
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(600):
+        label = i // 100                    # ids 0-99 cluster 0, etc.
+        v = centers[label] * 3 + rng.standard_normal(16) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    C = ivf_fit_centroids(emb, n_centroids=12, sample=90, seed=17)
+    # every true cluster center must have a trained centroid nearby
+    for label, c in enumerate(centers):
+        best = float(np.max(C @ c))
+        assert best >= 0.8, f"cluster {label} unseen by training ({best:.2f})"
+
+
 def test_ivf_deterministic(embeddings_df):
     from archive_pdf_tools_spark.functions.similarity import (
         ivf_fit_centroids)

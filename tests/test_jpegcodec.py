@@ -277,3 +277,61 @@ def test_property_roundtrip_bounds_and_determinism():
             assert err.mean() < 12
 
     check()
+
+
+def test_transforms_match_the_t81_definition_sums():
+    """Pin IDCT and FDCT against the direct O(N^4) T.81 A.3.3 sums.
+
+    Round-trip tests cannot see a MATCHED transform bug (an encoder and
+    decoder that agree on the same wrong basis still round-trip); the
+    spec formula is the independent oracle.  Tolerance is far inside
+    0.5 LSB of the pixel domain."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import DCT_A, _blocks_mul
+
+    def c(u):
+        return 1.0 / np.sqrt(2.0) if u == 0 else 1.0
+
+    def idct_ref(S):
+        out = np.zeros((8, 8))
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        acc += (c(u) * c(v) * S[v, u]
+                                * np.cos((2 * x + 1) * u * np.pi / 16)
+                                * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[y, x] = acc / 4.0
+        return out
+
+    def fdct_ref(s):
+        out = np.zeros((8, 8))
+        for v in range(8):
+            for u in range(8):
+                acc = 0.0
+                for y in range(8):
+                    for x in range(8):
+                        acc += (s[y, x]
+                                * np.cos((2 * x + 1) * u * np.pi / 16)
+                                * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[v, u] = c(u) * c(v) * acc / 4.0
+        return out
+
+    rng = np.random.default_rng(42)
+    # random coefficient blocks spanning the legal baseline range, plus
+    # the degenerate corners (all-zero, lone DC, lone highest AC)
+    coefs = list(rng.integers(-1024, 1024, size=(6, 8, 8)).astype(float))
+    coefs.append(np.zeros((8, 8)))
+    dc_only = np.zeros((8, 8)); dc_only[0, 0] = 1016.0
+    hi_ac = np.zeros((8, 8)); hi_ac[7, 7] = -1024.0
+    coefs += [dc_only, hi_ac]
+    blocks = np.stack(coefs)
+
+    idct = _blocks_mul(blocks, DCT_A.T, DCT_A)     # decoder's inverse
+    for i, S in enumerate(blocks):
+        assert np.allclose(idct[i], idct_ref(S), atol=1e-8), f"IDCT blk {i}"
+
+    pix = rng.integers(-128, 128, size=(6, 8, 8)).astype(float)
+    fdct = _blocks_mul(pix, DCT_A, DCT_A.T)        # encoder's forward
+    for i, s in enumerate(pix):
+        assert np.allclose(fdct[i], fdct_ref(s), atol=1e-8), f"FDCT blk {i}"
