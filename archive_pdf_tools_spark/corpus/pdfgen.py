@@ -16,7 +16,8 @@ import zlib
 
 import numpy as np
 
-__all__ = ["build_pdf", "synth_pdf", "synth_jpeg", "synth_jp2"]
+__all__ = ["build_pdf", "synth_pdf", "synth_jpeg", "synth_jp2",
+           "synth_jpeg_real", "synth_jp2_real"]
 
 
 def synth_jp2(w: int, h: int, gray: bool) -> bytes:
@@ -37,6 +38,27 @@ def synth_jp2(w: int, h: int, gray: bool) -> bytes:
                + (17 if gray else 16).to_bytes(4, "big"))
     jp2h = box(b"jp2h", ihdr + colr)
     return sig + ftyp + jp2h
+
+
+def synth_jp2_real(w: int, h: int, gray: bool, seed: int = 0) -> bytes:
+    """A DECODABLE lossless JP2 (round 5): seeded paper-like content
+    encoded by the engine's own reversible JPEG2000 encoder
+    (``kernels.jp2codec``), so /JPXDecode fixture streams flow through
+    the full decode -> MRC path — the reference's PRIMARY codec
+    (``internetarchivepdf/jpeg2000.py``) — instead of metadata-only.
+    Content is seeded from (seed, w, h) only, like ``synth_jpeg_real``:
+    no draws from any shared RNG stream, so adding these images never
+    shifts sibling fixtures."""
+    from ..kernels.jp2codec import encode_jp2
+
+    rng = np.random.default_rng((seed * 6007) ^ (w << 16) ^ h)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 200 - 50 * np.sin(xx / 9.0) - 35 * np.cos(yy / 6.0)
+    img = np.clip(base + rng.integers(-10, 11, (h, w)),
+                  0, 255).astype(np.uint8)
+    if not gray:
+        img = np.stack([img, np.roll(img, 2, axis=0), 255 - img], axis=-1)
+    return encode_jp2(img, levels=2)
 
 
 def _flate(data: bytes) -> bytes:
@@ -270,9 +292,12 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                                "data": synth_jpeg_real(w, h, gray,
                                                        seed=seed)})
                 continue
-            if u < 0.35:                  # JPX-filtered (JPEG 2000) image
+            if u < 0.35:                  # JPX-filtered (JPEG 2000) image,
+                # real + losslessly decodable since round 5: exercises
+                # the reversible JP2 decoder -> MRC path
                 images.append({"w": w, "h": h, "gray": gray, "jpx": True,
-                               "data": synth_jp2(w, h, gray)})
+                               "data": synth_jp2_real(w, h, gray,
+                                                      seed=seed)})
                 continue
             n = w * h * (1 if gray else 3)
             images.append({"w": w, "h": h, "gray": gray,

@@ -5,10 +5,12 @@ step is stubbed (``CODECS_AVAILABLE`` gate / deterministic fake) while
 the Spark plumbing — schema, Arrow batch shape, ``mapInPandas``
 signature, partition-size control — is real and tested.  On a real
 cluster you swap ``_fake_decode`` for the codec call; nothing else
-changes.  Since round 4 one codec family IS real: baseline-sequential
-JPEG decodes from scratch (``kernels.jpegcodec``), which is what the PDF
-path uses for /DCTDecode streams; this gate now covers only the
-remaining families (JPX/JBIG2/video/audio).
+changes.  Two codec families ARE real from-scratch implementations:
+baseline-sequential JPEG (``kernels.jpegcodec``, round 4, the PDF
+/DCTDecode path) and reversible JPEG2000 (``kernels.jp2codec``, round
+5, the PDF /JPXDecode path — the reference's primary codec); this gate
+now covers only the remaining families (JBIG2/video/audio and the
+non-reversible JP2 profiles).
 
 ``media_features``: (media_ref) -> decode -> per-image features
 (w, h, mode, mean/std intensity, edge density via the Sauvola ink ratio).
@@ -40,17 +42,25 @@ FEATURES_SCHEMA_DDL = ("media_ref string, width int, height int, "
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload.  Baseline JPEG decodes natively
-    (``kernels.jpegcodec``, round 4); other formats stay gated until
-    codec libraries are available — the pipeline path uses the
+    (``kernels.jpegcodec``, round 4) and reversible JPEG2000 — JP2 file
+    or raw J2K codestream — decodes natively (``kernels.jp2codec``,
+    round 5); the remaining formats (JBIG2/PNG/video/audio) stay gated
+    until codec libraries are available — the pipeline path uses the
     deterministic synthetic decode (``corpus.rasters``) instead."""
     if payload[:2] == b"\xff\xd8":
         from ..kernels.jpegcodec import decode_baseline
 
         return decode_baseline(payload)
+    if (payload[:8] == b"\x00\x00\x00\x0CjP  "
+            or payload[:2] == b"\xff\x4f"):
+        from ..kernels.jp2codec import decode_jp2
+
+        return decode_jp2(payload)
     if not CODECS_AVAILABLE:
         raise NotImplementedError(
-            "non-JPEG image codecs are not available in this environment; "
-            "media_ref-seeded synthetic decode is used instead")
+            "non-JPEG/JP2 image codecs are not available in this "
+            "environment; media_ref-seeded synthetic decode is used "
+            "instead")
     raise AssertionError("unreachable")
 
 

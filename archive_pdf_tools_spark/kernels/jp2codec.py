@@ -1,0 +1,1477 @@
+"""Reversible JPEG2000 codec (ISO/IEC 15444-1 / ITU-T T.800), pure NumPy.
+
+Round 5 closes the reference's PRIMARY codec gap: archive scans are
+predominantly JPEG2000, and the reference decodes them through external
+codecs (``internetarchivepdf/jpeg2000.py:87-148`` picks
+kakadu/grok/openjpeg/Pillow; ``recode.py:337-358`` special-cases JP2 page
+images).  This engine previously parsed only the JP2 ihdr / J2K SIZ
+headers (metadata-without-decode).  ``decode_jp2`` is a from-scratch
+decoder for the REVERSIBLE path of the spec — the lossless profile
+archive masters actually use:
+
+* JP2 container box walk (signature/ftyp/jp2h/jp2c) or raw J2K;
+* codestream markers SIZ/COD/QCD/DRI-less single tile (SOT/SOD/EOC);
+* Tier-2: packet headers with inclusion + zero-bitplane tag trees
+  (B.10.2), pass-count codes (Table B.4), Lblock length signalling,
+  0xFF bit-stuffed header bit IO, all five progression orders over the
+  default single precinct, multi-layer pass accumulation;
+* Tier-1: EBCOT code-block decoding (Annex D) — MQ arithmetic decoder
+  (Annex C software conventions), significance-propagation / magnitude-
+  refinement / cleanup passes with the spec's ZC/SC/MR/RUN/UNIFORM
+  context model;
+* inverse reversible 5/3 integer wavelet (Annex F lifting, symmetric
+  extension), inverse RCT (G.2), DC level un-shift.
+
+``encode_jp2`` is the matching single-tile lossless encoder (fixtures +
+round-trip proofs; LRCP, one quality layer, default precincts, 64x64
+code-blocks).  Because the path is reversible end-to-end, decode(encode
+(img)) == img BIT-EXACTLY for any uint8 image — which makes the oracle
+for the driver query pure closed-form arithmetic (no Q100 constant-tile
+trick needed as with the lossy JPEG codec).
+
+Parity scope (honest): the decoder is verified self-consistent
+(lossless round-trip over random and structured images), against the
+spec's lifting/context equations, and by structural pins of the public
+constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
+No third-party JPEG2000 codec exists in this container to cross-check
+foreign codestreams bit-for-bit; unsupported profile features
+(irreversible 9/7, quantization, precinct partitions, multiple tiles,
+COC/QCC overrides, >1 codeword segment) raise ``Jp2Error`` and callers
+fall back to the metadata-only path — the same graceful degradation the
+JPEG codec established in round 4.
+
+Scale shape: identical to the JPEG codec — per-image work inside
+``mapInPandas``; 1000 executors decode 32000 streams concurrently and
+the plan does not change.  The MQ/T1 walk is inherently sequential per
+code-block and runs as hand-flattened Python (documented constant
+factor; the swap point for a native codec is the same one-line call
+site as for JPEG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["Jp2Error", "decode_jp2", "encode_jp2"]
+
+
+class Jp2Error(ValueError):
+    """Malformed, truncated, or unsupported-profile JPEG2000 data."""
+
+
+# ------------------------------------------------------------------ MQ coder
+# Annex C probability state machine: (Qe, NMPS, NLPS, SWITCH).
+MQ_TABLE = [
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0),
+    (0x0AC1, 4, 12, 0), (0x0521, 5, 29, 0), (0x0221, 38, 33, 0),
+    (0x5601, 7, 6, 1), (0x5401, 8, 14, 0), (0x4801, 9, 14, 0),
+    (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1),
+    (0x5401, 16, 14, 0), (0x5101, 17, 15, 0), (0x4801, 18, 16, 0),
+    (0x3801, 19, 17, 0), (0x3401, 20, 18, 0), (0x3001, 21, 19, 0),
+    (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0),
+    (0x1401, 28, 25, 0), (0x1201, 29, 26, 0), (0x1101, 30, 27, 0),
+    (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0), (0x08A1, 33, 30, 0),
+    (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0),
+    (0x0085, 40, 37, 0), (0x0049, 41, 38, 0), (0x0025, 42, 39, 0),
+    (0x0015, 43, 40, 0), (0x0009, 44, 41, 0), (0x0005, 45, 42, 0),
+    (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+]
+_QE = [t[0] for t in MQ_TABLE]
+_NMPS = [t[1] for t in MQ_TABLE]
+_NLPS = [t[2] for t in MQ_TABLE]
+_SWITCH = [t[3] for t in MQ_TABLE]
+
+N_CTX = 19          # 0-8 ZC, 9-13 SC, 14-16 MR, 17 RUN, 18 UNIFORM
+CTX_RUN = 17
+CTX_UNI = 18
+
+
+def _init_ctx():
+    """Initial (state, MPS) per context — Table D.7."""
+    st = [0] * N_CTX
+    st[0] = 4           # ZC context 0
+    st[CTX_RUN] = 3
+    st[CTX_UNI] = 46
+    return st, [0] * N_CTX
+
+
+def _mq_encode_fns(states=None, mps=None):
+    """Annex C encoder as closures (software conventions, carry into
+    emitted bytes); returns (encode, flush).
+
+    ``out[0]`` is the spec's B scratch byte (BP initialised to start-1):
+    it is dropped from the codeword unless a carry propagated into it,
+    in which case it IS the first codeword byte."""
+    qe_t, nmps_t, nlps_t, sw_t = _QE, _NMPS, _NLPS, _SWITCH
+    if states is None:
+        states, mps = _init_ctx()
+    a = 0x8000
+    c = 0
+    ct = 12
+    out = bytearray(b"\x00")
+
+    def _byteout():
+        nonlocal c, ct
+        if out[-1] == 0xFF:
+            # after 0xFF only 7 data bits follow, and a pending carry
+            # (bit 27) lands in the stuffed MSB — stuffed bytes legally
+            # range up to 0x8F, which is exactly the decoder's
+            # marker-vs-data threshold; masking it off drops the carry
+            out.append((c >> 20) & 0xFF)
+            c &= 0xFFFFF
+            ct = 7
+        else:
+            if c & 0x8000000:               # carry into the emitted byte
+                out[-1] += 1
+                c &= 0x7FFFFFF
+                if out[-1] == 0xFF:
+                    out.append((c >> 20) & 0xFF)
+                    c &= 0xFFFFF
+                    ct = 7
+                    return
+            out.append((c >> 19) & 0xFF)
+            c &= 0x7FFFF
+            ct = 8
+
+    def encode(ctx: int, d: int):
+        nonlocal a, c, ct
+        i = states[ctx]
+        qe = qe_t[i]
+        if d == mps[ctx]:
+            a -= qe
+            if a & 0x8000:
+                c += qe
+                return
+            if a < qe:
+                a = qe
+            else:
+                c += qe
+            states[ctx] = nmps_t[i]
+        else:
+            a -= qe
+            if a < qe:
+                c += qe
+            else:
+                a = qe
+            if sw_t[i]:
+                mps[ctx] = 1 - mps[ctx]
+            states[ctx] = nlps_t[i]
+        # RENORME
+        while True:
+            a = (a << 1) & 0xFFFF
+            c <<= 1
+            ct -= 1
+            if ct == 0:
+                _byteout()
+            if a & 0x8000:
+                return
+
+    def flush() -> bytes:
+        nonlocal c
+        # SETBITS
+        tempc = c + a
+        c |= 0xFFFF
+        if c >= tempc:
+            c -= 0x8000
+        c <<= ct
+        _byteout()
+        c <<= ct
+        _byteout()
+        if out[-1] == 0xFF:                 # dangling 0xFF is dropped
+            del out[-1]
+        return bytes(out[1:]) if out[0] == 0 else bytes(out)
+
+    return encode, flush
+
+
+class _MQEncoder:
+    """Thin object wrapper over ``_mq_encode_fns`` (tests + call sites)."""
+
+    __slots__ = ("encode", "flush")
+
+    def __init__(self):
+        self.encode, self.flush = _mq_encode_fns()
+
+
+def _mq_decode_fn(data: bytes):
+    """Annex C decoder as a closure (nonlocal state beats attribute
+    lookups in the per-decision hot path); past end-of-segment, BYTEIN
+    feeds 0xFF (the marker-like path keeps CT=8), per C.3.4."""
+    qe_t, nmps_t, nlps_t, sw_t = _QE, _NMPS, _NLPS, _SWITCH
+    states, mps = _init_ctx()
+    n = len(data)
+    bp = 0
+    c = (data[0] if n else 0xFF) << 16
+    # first BYTEIN
+    b = data[0] if n else 0xFF
+    if b == 0xFF:
+        b1 = data[1] if n > 1 else 0xFF
+        if b1 > 0x8F:
+            c += 0xFF00
+            ct = 8
+        else:
+            bp = 1
+            c += b1 << 9
+            ct = 7
+    else:
+        bp = 1
+        c += (data[1] if n > 1 else 0xFF) << 8
+        ct = 8
+    c <<= 7
+    ct -= 7
+    a = 0x8000
+
+    def decode(ctx: int) -> int:
+        nonlocal a, c, ct, bp
+        i = states[ctx]
+        qe = qe_t[i]
+        a -= qe
+        if (c >> 16) < qe:
+            # lower sub-interval
+            if a < qe:                      # MPS exchange
+                d = mps[ctx]
+                states[ctx] = nmps_t[i]
+            else:
+                d = 1 - mps[ctx]
+                if sw_t[i]:
+                    mps[ctx] = d
+                states[ctx] = nlps_t[i]
+            a = qe
+        else:
+            c -= qe << 16
+            if a & 0x8000:
+                return mps[ctx]
+            if a < qe:
+                d = 1 - mps[ctx]
+                if sw_t[i]:
+                    mps[ctx] = d
+                states[ctx] = nlps_t[i]
+            else:
+                d = mps[ctx]
+                states[ctx] = nmps_t[i]
+        # RENORMD (BYTEIN inlined)
+        while True:
+            if ct == 0:
+                b = data[bp] if bp < n else 0xFF
+                if b == 0xFF:
+                    b1 = data[bp + 1] if bp + 1 < n else 0xFF
+                    if b1 > 0x8F:
+                        c += 0xFF00
+                        ct = 8
+                    else:
+                        bp += 1
+                        c += b1 << 9
+                        ct = 7
+                else:
+                    bp += 1
+                    c += (data[bp] if bp < n else 0xFF) << 8
+                    ct = 8
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                return d
+
+    return decode
+
+
+class _MQDecoder:
+    """Thin object wrapper over ``_mq_decode_fn`` (tests + call sites)."""
+
+    __slots__ = ("decode",)
+
+    def __init__(self, data: bytes):
+        self.decode = _mq_decode_fn(data)
+
+
+# ----------------------------------------------------- packet-header bit IO
+
+class _BioWriter:
+    """Packet-header bit IO with the 0xFF stuffing rule (B.10.1): a byte
+    following 0xFF carries only 7 bits."""
+
+    __slots__ = ("bytes", "buf", "ct")
+
+    def __init__(self):
+        self.bytes = bytearray()
+        self.buf = 0
+        self.ct = 8
+
+    def write(self, bit: int):
+        self.buf = (self.buf << 1) | (bit & 1)
+        self.ct -= 1
+        if self.ct == 0:
+            self.bytes.append(self.buf)
+            self.ct = 7 if self.buf == 0xFF else 8
+            self.buf = 0
+
+    def write_bits(self, v: int, n: int):
+        for k in range(n - 1, -1, -1):
+            self.write((v >> k) & 1)
+
+    def flush(self) -> bytes:
+        while self.ct not in (8, 7) or self.buf:
+            self.write(0)
+        if self.ct == 7:        # pending stuffed state must materialise
+            self.write(0)
+            while self.buf or self.ct != 8:
+                self.write(0)
+        if self.bytes and self.bytes[-1] == 0xFF:
+            self.bytes.append(0)
+        return bytes(self.bytes)
+
+
+class _BioReader:
+    __slots__ = ("data", "pos", "buf", "ct", "prev")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.ct = 0
+        self.prev = 0
+
+    def read(self) -> int:
+        if self.ct == 0:
+            if self.pos >= len(self.data):
+                raise Jp2Error("truncated packet header")
+            self.prev = self.buf
+            self.buf = self.data[self.pos]
+            self.pos += 1
+            self.ct = 7 if self.prev == 0xFF else 8
+            if self.ct == 7 and self.buf & 0x80:
+                raise Jp2Error("invalid stuffing in packet header")
+        self.ct -= 1
+        return (self.buf >> self.ct) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+    def align(self) -> int:
+        """Consume to a byte boundary (incl. a pending stuffed byte);
+        returns the next byte offset into ``data``."""
+        self.ct = 0
+        if self.buf == 0xFF:
+            if self.pos < len(self.data):
+                self.pos += 1               # the stuffed 0x00
+        self.buf = 0
+        return self.pos
+
+
+# ------------------------------------------------------------------ tag tree
+
+class _TagTree:
+    """B.10.2 quad-tree code for per-code-block integers."""
+
+    def __init__(self, w: int, h: int):
+        dims = []
+        while True:
+            dims.append((w, h))
+            if w <= 1 and h <= 1:
+                break
+            w = (w + 1) // 2
+            h = (h + 1) // 2
+        self.dims = dims
+        self.value = [[0] * (dw * dh) for dw, dh in dims]
+        self.low = [[0] * (dw * dh) for dw, dh in dims]
+        self.known = [[False] * (dw * dh) for dw, dh in dims]
+        for lv in self.value[1:]:
+            for i in range(len(lv)):
+                lv[i] = 0
+        self._dec_init = False
+
+    def set(self, x: int, y: int, v: int):
+        self.value[0][y * self.dims[0][0] + x] = v
+
+    def finalize(self):
+        """Propagate min() up the tree (encoder side)."""
+        for lev in range(1, len(self.dims)):
+            pw, ph = self.dims[lev]
+            cw, chh = self.dims[lev - 1]
+            for py in range(ph):
+                for px in range(pw):
+                    best = None
+                    for dy in (0, 1):
+                        for dx in (0, 1):
+                            cx, cy = 2 * px + dx, 2 * py + dy
+                            if cx < cw and cy < chh:
+                                v = self.value[lev - 1][cy * cw + cx]
+                                best = v if best is None else min(best, v)
+                    self.value[lev][py * pw + px] = best or 0 \
+                        if best is not None else 0
+
+    def _path(self, x: int, y: int):
+        path = []
+        for lev in range(len(self.dims) - 1, -1, -1):
+            sx, sy = x >> lev, y >> lev
+            path.append((lev, sy * self.dims[lev][0] + sx))
+        return path
+
+    def encode(self, bio: _BioWriter, x: int, y: int, threshold: int):
+        low = 0
+        for lev, idx in self._path(x, y):
+            if low > self.low[lev][idx]:
+                self.low[lev][idx] = low
+            else:
+                low = self.low[lev][idx]
+            v = self.value[lev][idx]
+            while low < threshold:
+                if low >= v:
+                    if not self.known[lev][idx]:
+                        bio.write(1)
+                        self.known[lev][idx] = True
+                    break
+                bio.write(0)
+                low += 1
+            self.low[lev][idx] = low
+
+    def decode(self, bio: _BioReader, x: int, y: int,
+               threshold: int) -> bool:
+        """True iff leaf value < threshold (consuming bits as needed)."""
+        if not self._dec_init:
+            for lv in self.value:
+                for i in range(len(lv)):
+                    lv[i] = 1 << 30         # "not yet known"
+            self._dec_init = True
+        low = 0
+        v = 0
+        for lev, idx in self._path(x, y):
+            if low > self.low[lev][idx]:
+                self.low[lev][idx] = low
+            else:
+                low = self.low[lev][idx]
+            v = self.value[lev][idx]
+            while low < threshold and low < v:
+                if bio.read():
+                    self.value[lev][idx] = v = low
+                else:
+                    low += 1
+            self.low[lev][idx] = low
+        return v < threshold
+
+    def decode_value(self, bio: _BioReader, x: int, y: int) -> int:
+        t = 1
+        while not self.decode(bio, x, y, t):
+            t += 1
+            if t > 64:
+                raise Jp2Error("runaway tag-tree value")
+        return t - 1
+
+
+# ------------------------------------------------------- Tier-1 context LUTs
+
+def _zc_luts():
+    """Zero-coding context tables (Table D.1) indexed by (h, v, d)."""
+    lut_ll = {}
+    lut_hh = {}
+    for h in range(3):
+        for v in range(3):
+            for d in range(5):
+                if h == 2:
+                    c = 8
+                elif h == 1:
+                    c = 7 if v >= 1 else (6 if d >= 1 else 5)
+                else:
+                    if v == 2:
+                        c = 4
+                    elif v == 1:
+                        c = 3
+                    else:
+                        c = 2 if d >= 2 else (1 if d == 1 else 0)
+                lut_ll[(h, v, d)] = c
+                if d >= 3:
+                    ch = 8
+                elif d == 2:
+                    ch = 7 if h + v >= 1 else 6
+                elif d == 1:
+                    ch = 5 if h + v >= 2 else (4 if h + v == 1 else 3)
+                else:
+                    ch = 2 if h + v >= 2 else (1 if h + v == 1 else 0)
+                lut_hh[(h, v, d)] = ch
+    return lut_ll, lut_hh
+
+
+_ZC_LL, _ZC_HH = _zc_luts()
+
+# Sign-coding contexts (Table D.3): (Hc, Vc) -> (context, xor-bit).
+_SC = {(1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+       (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+       (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1)}
+
+_BAND_CLASS = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
+
+# Flag-word layout per (padded) coefficient position — the classic
+# EBCOT speed structure: becoming significant updates the 8 neighbours'
+# words once, so every later coding decision is a single table lookup
+# instead of an 8-neighbour scan.
+_F_W, _F_E, _F_N, _F_S = 1, 2, 4, 8
+_F_NW, _F_NE, _F_SW, _F_SE = 16, 32, 64, 128
+_F_SIG, _F_VISIT, _F_REF = 256, 512, 1024
+_F_WNEG, _F_ENEG, _F_NNEG, _F_SNEG = 2048, 4096, 8192, 16384
+_NB_MASK = 0xFF
+
+
+def _build_zc_tabs():
+    """Per band class, ZC context for each 8-bit neighbour-sig mask."""
+    tabs = []
+    for cls in range(3):
+        t = []
+        for m in range(256):
+            hs = ((m & _F_E) > 0) + ((m & _F_W) > 0)
+            vs = ((m & _F_N) > 0) + ((m & _F_S) > 0)
+            ds = bin(m & 0xF0).count("1")
+            if cls == 1:                     # HL: swap h/v
+                hs, vs = vs, hs
+            t.append((_ZC_HH if cls == 2 else _ZC_LL)[(hs, vs, ds)])
+        tabs.append(t)
+    return tabs
+
+
+def _build_sc_tab():
+    """(ctx, xor) for each packed sign key: bits 0-3 = W,E,N,S sig;
+    bits 4-7 = W,E,N,S negative."""
+    t = []
+    for m in range(256):
+        def contrib(sig, negb):
+            return 0 if not sig else (-1 if negb else 1)
+        hc = contrib(m & 1, m & 16) + contrib(m & 2, m & 32)
+        vc = contrib(m & 4, m & 64) + contrib(m & 8, m & 128)
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        t.append(_SC[(hc, vc)])
+    return t
+
+
+_ZC_TABS = _build_zc_tabs()
+_SC_TAB = _build_sc_tab()
+
+
+def _set_sig(f, i, stride, negv):
+    """Mark padded position ``i`` significant with sign ``negv`` and
+    push the fact into all 8 neighbours' flag words."""
+    f[i] |= _F_SIG
+    if negv:
+        f[i - 1] |= _F_E | _F_ENEG
+        f[i + 1] |= _F_W | _F_WNEG
+        f[i - stride] |= _F_S | _F_SNEG
+        f[i + stride] |= _F_N | _F_NNEG
+    else:
+        f[i - 1] |= _F_E
+        f[i + 1] |= _F_W
+        f[i - stride] |= _F_S
+        f[i + stride] |= _F_N
+    f[i - stride - 1] |= _F_SE
+    f[i - stride + 1] |= _F_SW
+    f[i + stride - 1] |= _F_NE
+    f[i + stride + 1] |= _F_NW
+
+
+def t1_encode(coefs: np.ndarray, band: str):
+    """Encode one code-block of signed int coefficients.
+
+    Returns (data, npasses, numbps); numbps == 0 means the block is
+    entirely zero (caller marks it not-included)."""
+    h, w = coefs.shape
+    mags = np.abs(np.asarray(coefs, dtype=np.int64))
+    numbps = int(mags.max()).bit_length()
+    if numbps == 0:
+        return b"", 0, 0
+    zc = _ZC_TABS[_BAND_CLASS[band]]
+    sc = _SC_TAB
+    stride = w + 2
+    f = [0] * (stride * (h + 2))
+    fm = mags.reshape(-1).tolist()
+    fs = (np.asarray(coefs) < 0).astype(np.int8).reshape(-1).tolist()
+    mq = _MQEncoder()
+    enc = mq.encode
+
+    def spp(p):
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * stride + x + 1
+                j = y0 * w + x
+                for _ in range(rows):
+                    fl = f[i]
+                    if not (fl & _F_SIG) and (fl & _NB_MASK):
+                        bit = (fm[j] >> p) & 1
+                        enc(zc[fl & _NB_MASK], bit)
+                        f[i] = fl | _F_VISIT
+                        if bit:
+                            s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                            enc(s[0], fs[j] ^ s[1])
+                            _set_sig(f, i, stride, fs[j])
+                    i += stride
+                    j += w
+
+    def mrp(p):
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * stride + x + 1
+                j = y0 * w + x
+                for _ in range(rows):
+                    fl = f[i]
+                    if (fl & _F_SIG) and not (fl & _F_VISIT):
+                        ctx = 16 if fl & _F_REF else \
+                            (15 if fl & _NB_MASK else 14)
+                        enc(ctx, (fm[j] >> p) & 1)
+                        f[i] = fl | _F_REF
+                    i += stride
+                    j += w
+
+    def cup(p):
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i0 = (y0 + 1) * stride + x + 1
+                j0 = y0 * w + x
+                kstart = 0
+                if rows == 4 and not ((f[i0] | f[i0 + stride]
+                                       | f[i0 + 2 * stride]
+                                       | f[i0 + 3 * stride])
+                                      & (_NB_MASK | _F_SIG | _F_VISIT)):
+                    first = -1
+                    for k in range(4):
+                        if (fm[j0 + k * w] >> p) & 1:
+                            first = k
+                            break
+                    if first < 0:
+                        enc(CTX_RUN, 0)
+                        continue
+                    enc(CTX_RUN, 1)
+                    enc(CTX_UNI, (first >> 1) & 1)
+                    enc(CTX_UNI, first & 1)
+                    i = i0 + first * stride
+                    j = j0 + first * w
+                    fl = f[i]
+                    s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                    enc(s[0], fs[j] ^ s[1])
+                    _set_sig(f, i, stride, fs[j])
+                    kstart = first + 1
+                for k in range(kstart, rows):
+                    i = i0 + k * stride
+                    fl = f[i]
+                    if fl & _F_VISIT:
+                        f[i] = fl & ~_F_VISIT
+                        continue
+                    if fl & _F_SIG:
+                        continue
+                    j = j0 + k * w
+                    bit = (fm[j] >> p) & 1
+                    enc(zc[fl & _NB_MASK], bit)
+                    if bit:
+                        s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                        enc(s[0], fs[j] ^ s[1])
+                        _set_sig(f, i, stride, fs[j])
+
+    cup(numbps - 1)
+    for p in range(numbps - 2, -1, -1):
+        spp(p)
+        mrp(p)
+        cup(p)
+    npasses = 3 * numbps - 2
+    return mq.flush(), npasses, numbps
+
+
+def t1_decode(data: bytes, npasses: int, numbps: int, w: int, h: int,
+              band: str) -> np.ndarray:
+    """Decode one code-block back to signed int32 coefficients."""
+    zc = _ZC_TABS[_BAND_CLASS[band]]
+    sc = _SC_TAB
+    stride = w + 2
+    f = [0] * (stride * (h + 2))
+    mag = [0] * (w * h)
+    neg = [0] * (w * h)
+    mq = _MQDecoder(data)
+    dec = mq.decode
+
+    def spp(p):
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * stride + x + 1
+                j = y0 * w + x
+                for _ in range(rows):
+                    fl = f[i]
+                    if not (fl & _F_SIG) and (fl & _NB_MASK):
+                        f[i] = fl | _F_VISIT
+                        if dec(zc[fl & _NB_MASK]):
+                            s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                            sg = dec(s[0]) ^ s[1]
+                            _set_sig(f, i, stride, sg)
+                            mag[j] |= bit
+                            neg[j] = sg
+                    i += stride
+                    j += w
+
+    def mrp(p):
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i = (y0 + 1) * stride + x + 1
+                j = y0 * w + x
+                for _ in range(rows):
+                    fl = f[i]
+                    if (fl & _F_SIG) and not (fl & _F_VISIT):
+                        ctx = 16 if fl & _F_REF else \
+                            (15 if fl & _NB_MASK else 14)
+                        if dec(ctx):
+                            mag[j] |= bit
+                        f[i] = fl | _F_REF
+                    i += stride
+                    j += w
+
+    def cup(p):
+        bit = 1 << p
+        for y0 in range(0, h, 4):
+            rows = min(4, h - y0)
+            for x in range(w):
+                i0 = (y0 + 1) * stride + x + 1
+                j0 = y0 * w + x
+                kstart = 0
+                if rows == 4 and not ((f[i0] | f[i0 + stride]
+                                       | f[i0 + 2 * stride]
+                                       | f[i0 + 3 * stride])
+                                      & (_NB_MASK | _F_SIG | _F_VISIT)):
+                    if not dec(CTX_RUN):
+                        continue
+                    first = (dec(CTX_UNI) << 1) | dec(CTX_UNI)
+                    i = i0 + first * stride
+                    j = j0 + first * w
+                    fl = f[i]
+                    s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                    sg = dec(s[0]) ^ s[1]
+                    _set_sig(f, i, stride, sg)
+                    mag[j] |= bit
+                    neg[j] = sg
+                    kstart = first + 1
+                for k in range(kstart, rows):
+                    i = i0 + k * stride
+                    fl = f[i]
+                    if fl & _F_VISIT:
+                        f[i] = fl & ~_F_VISIT
+                        continue
+                    if fl & _F_SIG:
+                        continue
+                    if dec(zc[fl & _NB_MASK]):
+                        j = j0 + k * w
+                        s = sc[(fl & 0xF) | ((fl >> 7) & 0xF0)]
+                        sg = dec(s[0]) ^ s[1]
+                        _set_sig(f, i, stride, sg)
+                        mag[j] |= bit
+                        neg[j] = sg
+
+    left = npasses
+    p = numbps - 1
+    if left > 0:
+        cup(p)
+        left -= 1
+    while left > 0 and p > 0:
+        p -= 1
+        spp(p)
+        left -= 1
+        if left > 0:
+            mrp(p)
+            left -= 1
+        if left > 0:
+            cup(p)
+            left -= 1
+    out = np.array(mag, dtype=np.int32).reshape(h, w)
+    signs = np.array(neg, dtype=np.int32).reshape(h, w)
+    return np.where(signs == 1, -out, out)
+
+
+# --------------------------------------------------------------- 5/3 wavelet
+
+def _fwd53_axis0(a: np.ndarray):
+    """One reversible 5/3 lifting split along axis 0 (Annex F equations,
+    symmetric extension): returns (low, high) int arrays.
+
+    With nd = floor(n/2) details and ns = ceil(n/2) smooths:
+      d[i] = x[2i+1] - floor((x[2i] + x[2i+2]) / 2)   (x[n] -> x[n-2])
+      s[i] = x[2i]   + floor((d[i-1] + d[i] + 2) / 4) (d[-1] -> d[0],
+                                                       d[nd] -> d[nd-1])
+    """
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.int64).copy(), a[0:0].astype(np.int64)
+    ev = a[0::2].astype(np.int64)
+    od = a[1::2].astype(np.int64)
+    nd, ns = len(od), len(ev)
+    right = np.concatenate([ev[1:], ev[-1:]])[:nd]
+    d = od - ((ev[:nd] + right) >> 1)
+    dl = np.concatenate([d[:1], d])[:ns]
+    dr = np.concatenate([d, d[-1:]])[:ns]
+    s = ev + ((dl + dr + 2) >> 2)
+    return s, d
+
+
+def _inv53_axis0(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.astype(np.int64).copy()
+    s = s.astype(np.int64)
+    d = d.astype(np.int64)
+    nd, ns = len(d), len(s)
+    dl = np.concatenate([d[:1], d])[:ns]
+    dr = np.concatenate([d, d[-1:]])[:ns]
+    ev = s - ((dl + dr + 2) >> 2)
+    right = np.concatenate([ev[1:], ev[-1:]])[:nd]
+    od = d + ((ev[:nd] + right) >> 1)
+    out = np.empty((n,) + s.shape[1:], dtype=np.int64)
+    out[0::2] = ev
+    out[1::2] = od
+    return out
+
+
+def dwt53_forward(a: np.ndarray, levels: int) -> np.ndarray:
+    """Multi-level forward reversible 5/3 DWT, Mallat (in-place) layout.
+    Per level: vertical split then horizontal (the inverse mirrors)."""
+    a = a.astype(np.int64).copy()
+    h, w = a.shape
+    ch, cw = h, w
+    for _ in range(levels):
+        if ch == 1 and cw == 1:
+            break
+        sub = a[:ch, :cw]
+        lo, hi = _fwd53_axis0(sub)
+        sub[:] = np.concatenate([lo, hi], axis=0)
+        loT, hiT = _fwd53_axis0(np.ascontiguousarray(sub.T))
+        sub[:] = np.concatenate([loT, hiT], axis=0).T
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    return a
+
+
+def dwt53_inverse(a: np.ndarray, levels: int) -> np.ndarray:
+    a = a.astype(np.int64).copy()
+    h, w = a.shape
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = dims[-1]
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    for ch, cw in reversed(dims):
+        if ch == 1 and cw == 1:
+            continue
+        sub = a[:ch, :cw]
+        sw = (cw + 1) // 2
+        rec = _inv53_axis0(np.ascontiguousarray(sub[:, :sw].T),
+                           np.ascontiguousarray(sub[:, sw:].T), cw).T
+        sh = (ch + 1) // 2
+        sub[:] = _inv53_axis0(rec[:sh], rec[sh:], ch)
+    return a
+
+
+# ------------------------------------------------------------ band geometry
+
+def _band_dims(w: int, h: int, lev: int, xo: int, yo: int):
+    bw = max(0, -(-(w - xo * (1 << (lev - 1))) // (1 << lev)))
+    bh = max(0, -(-(h - yo * (1 << (lev - 1))) // (1 << lev)))
+    return bw, bh
+
+
+def _bands_for(w: int, h: int, levels: int):
+    """Band list in codestream order: (name, lev, bw, bh, gain).
+    Resolution 0 = LL_N; resolution r>=1 = HL,LH,HH at lev N-r+1."""
+    out = [[("LL", levels, *_band_dims(w, h, levels, 0, 0), 0)]]
+    for r in range(1, levels + 1):
+        lev = levels - r + 1
+        out.append([
+            ("HL", lev, *_band_dims(w, h, lev, 1, 0), 1),
+            ("LH", lev, *_band_dims(w, h, lev, 0, 1), 1),
+            ("HH", lev, *_band_dims(w, h, lev, 1, 1), 2)])
+    return out
+
+
+def _band_slice(a: np.ndarray, name: str, lev: int, w: int, h: int):
+    """View of band (name, lev) inside the Mallat-layout array."""
+    llw, llh = _band_dims(w, h, lev, 0, 0)      # LL at this level
+    prev_w = -(-w // (1 << (lev - 1)))
+    prev_h = -(-h // (1 << (lev - 1)))
+    if name == "LL":
+        return a[:llh, :llw]
+    if name == "HL":
+        return a[:llh, llw:prev_w]
+    if name == "LH":
+        return a[llh:prev_h, :llw]
+    return a[llh:prev_h, llw:prev_w]
+
+
+# --------------------------------------------------------------- codestream
+
+_SOC, _SIZ, _COD, _QCD, _SOT, _SOD, _EOC = (0xFF4F, 0xFF51, 0xFF52,
+                                            0xFF5C, 0xFF90, 0xFF93, 0xFFD9)
+_PROGRESSIONS = {0: "LRCP", 1: "RLCP", 2: "RPCL", 3: "PCRL", 4: "CPRL"}
+
+
+def _u16b(d, i):
+    if i + 2 > len(d):
+        raise Jp2Error("truncated")
+    return (d[i] << 8) | d[i + 1]
+
+
+def _u32b(d, i):
+    if i + 4 > len(d):
+        raise Jp2Error("truncated")
+    return int.from_bytes(d[i:i + 4], "big")
+
+
+def _floor_log2(n: int) -> int:
+    return n.bit_length() - 1
+
+
+class _CodestreamParams:
+    pass
+
+
+def _parse_headers(d: bytes, i: int,
+                   max_pixels: int) -> tuple["_CodestreamParams", int]:
+    """Parse main-header marker segments up to (and including) SOT."""
+    p = _CodestreamParams()
+    p.dri = 0
+    seen_siz = seen_cod = seen_qcd = False
+    while True:
+        m = _u16b(d, i)
+        i += 2
+        if m == _SOT:
+            if not (seen_siz and seen_cod and seen_qcd):
+                raise Jp2Error("missing SIZ/COD/QCD before tile")
+            break
+        if m == _EOC:
+            raise Jp2Error("no tile in codestream")
+        ln = _u16b(d, i)
+        seg = d[i + 2:i + ln]
+        if i + ln > len(d):
+            raise Jp2Error("truncated marker segment")
+        if m == _SIZ:
+            if _u16b(seg, 0) != 0 and _u16b(seg, 0) not in (1, 2):
+                raise Jp2Error("unknown Rsiz capabilities")
+            p.w = _u32b(seg, 2)
+            p.h = _u32b(seg, 6)
+            # bomb guard FIRST: reject on declared size before any other
+            # validation or allocation (a few-hundred-byte stream may
+            # not demand gigabytes), same role as Pillow's
+            # MAX_IMAGE_PIXELS and jpegcodec's identical bound
+            if p.w * p.h > max_pixels:
+                raise Jp2Error(
+                    f"image {p.w}x{p.h} exceeds max_pixels bound")
+            xo, yo = _u32b(seg, 10), _u32b(seg, 14)
+            tw, th = _u32b(seg, 18), _u32b(seg, 22)
+            txo, tyo = _u32b(seg, 26), _u32b(seg, 30)
+            if xo or yo or txo or tyo:
+                raise Jp2Error("image/tile offsets unsupported")
+            if tw < p.w or th < p.h:
+                raise Jp2Error("multiple tiles unsupported")
+            p.ncomp = _u16b(seg, 34)
+            if p.ncomp not in (1, 3):
+                raise Jp2Error(f"{p.ncomp}-component images unsupported")
+            p.depths = []
+            for c in range(p.ncomp):
+                ssiz = seg[36 + 3 * c]
+                if ssiz & 0x80:
+                    raise Jp2Error("signed components unsupported")
+                p.depths.append((ssiz & 0x7F) + 1)
+                if seg[37 + 3 * c] != 1 or seg[38 + 3 * c] != 1:
+                    raise Jp2Error("subsampled components unsupported")
+            if any(b != 8 for b in p.depths):
+                raise Jp2Error("only 8-bit components supported")
+            seen_siz = True
+        elif m == _COD:
+            scod = seg[0]
+            if scod & 0x01:
+                raise Jp2Error("user-defined precincts unsupported")
+            if scod & 0x06:
+                raise Jp2Error("SOP/EPH markers unsupported")
+            prog = seg[1]
+            if prog not in _PROGRESSIONS:
+                raise Jp2Error("unknown progression order")
+            p.progression = _PROGRESSIONS[prog]
+            p.nlayers = _u16b(seg, 2)
+            if p.nlayers < 1:
+                raise Jp2Error("zero layers")
+            p.mct = seg[4]
+            p.levels = seg[5]
+            if p.levels > 10:
+                raise Jp2Error("too many decomposition levels")
+            p.xcb = (seg[6] & 0x0F) + 2
+            p.ycb = (seg[7] & 0x0F) + 2
+            if p.xcb + p.ycb > 12:
+                raise Jp2Error("illegal code-block size")
+            if seg[8] != 0:
+                raise Jp2Error("code-block style flags unsupported")
+            if seg[9] != 1:
+                raise Jp2Error("irreversible (9/7) transform unsupported")
+            seen_cod = True
+        elif m == _QCD:
+            sq = seg[0]
+            if sq & 0x1F:
+                raise Jp2Error("quantization unsupported (reversible only)")
+            p.guard = sq >> 5
+            p.exps = [b >> 3 for b in seg[1:]]
+            seen_qcd = True
+        elif m in (0xFF53, 0xFF5D):          # COC / QCC
+            raise Jp2Error("per-component coding overrides unsupported")
+        elif m == 0xFF64 or (0xFF30 <= m <= 0xFF3F):
+            pass                             # COM / reserved: skip
+        i += ln
+    return p, i - 2                          # position of SOT marker
+
+
+def _iter_packets(p):
+    """Packet iteration (layer, res, comp) honouring the progression
+    order; single precinct per resolution makes position degenerate."""
+    L = range(p.nlayers)
+    R = range(p.levels + 1)
+    C = range(p.ncomp)
+    order = p.progression
+    if order == "LRCP":
+        return [(l, r, c) for l in L for r in R for c in C]
+    if order == "RLCP":
+        return [(l, r, c) for r in R for l in L for c in C]
+    if order == "RPCL":
+        return [(l, r, c) for r in R for l in L for c in C]  # P degenerate
+    if order == "PCRL":
+        return [(l, r, c) for c in C for r in R for l in L]
+    return [(l, r, c) for c in C for r in R for l in L]      # CPRL
+
+
+class _BlockState:
+    __slots__ = ("included", "numbps", "lblock", "npasses", "data")
+
+    def __init__(self):
+        self.included = False
+        self.numbps = 0
+        self.lblock = 3
+        self.npasses = 0
+        self.data = bytearray()
+
+
+def decode_j2k(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+    """Decode a raw JPEG2000 codestream (SOC..EOC) -> uint8 array."""
+    try:
+        return _decode_j2k(data, max_pixels)
+    except (Jp2Error, MemoryError):
+        raise
+    except Exception as exc:  # noqa: BLE001 — contract: Jp2Error only
+        raise Jp2Error(
+            f"malformed JPEG2000 ({type(exc).__name__}: {exc})") from exc
+
+
+def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
+    if len(data) < 4 or _u16b(data, 0) != _SOC:
+        raise Jp2Error("not a JPEG2000 codestream (no SOC)")
+    p, i = _parse_headers(data, 2, max_pixels)
+    if p.w == 0 or p.h == 0:
+        raise Jp2Error("empty image")
+    nsub = 3 * p.levels + 1
+    if len(p.exps) < nsub:
+        raise Jp2Error("QCD exponent count mismatch")
+
+    # ---- tile: SOT .. SOD .. data
+    if _u16b(data, i) != _SOT:
+        raise Jp2Error("expected SOT")
+    lsot = _u16b(data, i + 2)
+    psot = _u32b(data, i + 6)
+    tpsot, tnsot = data[i + 10], data[i + 11]
+    if tpsot != 0 or (tnsot not in (0, 1)):
+        raise Jp2Error("tile parts unsupported")
+    tile_end = i + psot if psot else len(data)
+    j = i + 2 + lsot
+    if _u16b(data, j) != _SOD:
+        raise Jp2Error("expected SOD")
+    j += 2
+
+    bands = _bands_for(p.w, p.h, p.levels)
+    cbw, cbh = 1 << p.xcb, 1 << p.ycb
+    # state per (comp, res, band_idx): grid of _BlockState
+    state = {}
+    grids = {}
+    for c in range(p.ncomp):
+        for r, blist in enumerate(bands):
+            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                nx = -(-bw // cbw) if bw else 0
+                ny = -(-bh // cbh) if bh else 0
+                grids[(c, r, bi)] = (nx, ny)
+                state[(c, r, bi)] = [_BlockState()
+                                     for _ in range(nx * ny)]
+
+    # per-packet tag trees persist across layers
+    trees = {}
+    for key, (nx, ny) in grids.items():
+        if nx and ny:
+            trees[key] = (_TagTree(nx, ny), _TagTree(nx, ny))
+
+    pos = j
+    for (layer, r, c) in _iter_packets(p):
+        if pos >= tile_end:
+            raise Jp2Error("truncated tile data")
+        bio = _BioReader(data[:tile_end], pos)
+        nonempty = bio.read()
+        body_plan = []
+        if nonempty:
+            for bi, (name, lev, bw, bh, gain) in enumerate(bands[r]):
+                nx, ny = grids[(c, r, bi)]
+                if not (nx and ny):
+                    continue
+                incl_t, imsb_t = trees[(c, r, bi)]
+                blocks = state[(c, r, bi)]
+                for by in range(ny):
+                    for bx in range(nx):
+                        blk = blocks[by * nx + bx]
+                        if not blk.included:
+                            inc = incl_t.decode(bio, bx, by, layer + 1)
+                        else:
+                            inc = bio.read()
+                        if not inc:
+                            continue
+                        if not blk.included:
+                            imsbs = imsb_t.decode_value(bio, bx, by)
+                            sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+                            mb = p.exps[sidx] + p.guard - 1
+                            blk.numbps = mb - imsbs
+                            if blk.numbps < 0:
+                                raise Jp2Error("negative bit-plane count")
+                            blk.included = True
+                        npasses = _read_npasses(bio)
+                        while bio.read():
+                            blk.lblock += 1
+                        nbits = blk.lblock + _floor_log2(npasses)
+                        nbytes = bio.read_bits(nbits)
+                        blk.npasses += npasses
+                        body_plan.append((blk, nbytes))
+        pos = bio.align()
+        for blk, nbytes in body_plan:
+            if pos + nbytes > tile_end:
+                raise Jp2Error("truncated packet body")
+            blk.data += data[pos:pos + nbytes]
+            pos += nbytes
+
+    # ---- Tier-1 decode all blocks, assemble Mallat arrays
+    comps = []
+    for c in range(p.ncomp):
+        arr = np.zeros((p.h, p.w), dtype=np.int64)
+        for r, blist in enumerate(bands):
+            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                if not (bw and bh):
+                    continue
+                nx, ny = grids[(c, r, bi)]
+                band_arr = np.zeros((bh, bw), dtype=np.int32)
+                blocks = state[(c, r, bi)]
+                for by in range(ny):
+                    for bx in range(nx):
+                        blk = blocks[by * nx + bx]
+                        if not blk.included or blk.npasses == 0:
+                            continue
+                        x0, y0 = bx * cbw, by * cbh
+                        w_ = min(cbw, bw - x0)
+                        h_ = min(cbh, bh - y0)
+                        band_arr[y0:y0 + h_, x0:x0 + w_] = t1_decode(
+                            bytes(blk.data), blk.npasses, blk.numbps,
+                            w_, h_, name)
+                _band_slice(arr, name, lev, p.w, p.h)[:] = band_arr
+        comps.append(dwt53_inverse(arr, p.levels))
+
+    # ---- inverse RCT + DC unshift
+    if p.ncomp == 3 and p.mct == 1:
+        y_, u, v = comps
+        g = y_ - ((u + v) >> 2)
+        r_ = v + g
+        b = u + g
+        comps = [r_, g, b]
+    elif p.mct == 1 and p.ncomp != 3:
+        raise Jp2Error("MCT on non-3-component image")
+    out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
+    if p.ncomp == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
+
+
+def _read_npasses(bio: _BioReader) -> int:
+    """Pass-count code, Table B.4."""
+    if not bio.read():
+        return 1
+    if not bio.read():
+        return 2
+    v = bio.read_bits(2)
+    if v < 3:
+        return 3 + v
+    v = bio.read_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + bio.read_bits(7)
+
+
+def _write_npasses(bio: _BioWriter, n: int):
+    if n == 1:
+        bio.write(0)
+    elif n == 2:
+        bio.write(1)
+        bio.write(0)
+    elif 3 <= n <= 5:
+        bio.write_bits(0b11, 2)
+        bio.write_bits(n - 3, 2)
+    elif 6 <= n <= 36:
+        bio.write_bits(0b1111, 4)
+        bio.write_bits(n - 6, 5)
+    elif 37 <= n <= 164:
+        bio.write_bits(0b111111111, 9)
+        bio.write_bits(n - 37, 7)
+    else:
+        raise Jp2Error("too many coding passes")
+
+
+# ------------------------------------------------------------------ encoder
+
+def encode_j2k(img: np.ndarray, levels: int = 2,
+               block_exp: tuple[int, int] = (6, 6)) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> lossless single-tile J2K codestream
+    (5/3 reversible, RCT for colour, LRCP, 1 layer, 64x64 blocks)."""
+    img = np.asarray(img)
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    gray = img.ndim == 2
+    if not gray and img.shape[2] != 3:
+        raise ValueError("expected 3 channels for colour")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    levels = max(1, min(int(levels), 6))
+    xcb, ycb = block_exp
+    if not (2 <= xcb <= 10 and 2 <= ycb <= 10 and xcb + ycb <= 12):
+        raise ValueError("illegal code-block size")
+    cbw, cbh = 1 << xcb, 1 << ycb
+
+    # DC shift + RCT
+    if gray:
+        comps = [img.astype(np.int64) - 128]
+        depths = [8]
+        mct = 0
+    else:
+        r = img[..., 0].astype(np.int64) - 128
+        g = img[..., 1].astype(np.int64) - 128
+        b = img[..., 2].astype(np.int64) - 128
+        y_ = (r + 2 * g + b) >> 2
+        u = b - g
+        v = r - g
+        comps = [y_, u, v]
+        depths = [8, 9, 9]
+        mct = 1
+
+    guard = 2
+    bands = _bands_for(w, h, levels)
+
+    # ---- per-component transform + T1
+    # packets[r][c] = list of (blk_data, npasses, numbps or None if empty)
+    packet_blocks = {(r, c): [] for r in range(levels + 1)
+                     for c in range(len(comps))}
+    exps_per_comp = []
+    for c, plane in enumerate(comps):
+        mallat = dwt53_forward(plane, levels)
+        exps = []
+        for r, blist in enumerate(bands):
+            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                exps.append(depths[c] + gain)
+        exps_per_comp.append(exps)
+        for r, blist in enumerate(bands):
+            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                if not (bw and bh):
+                    packet_blocks[(r, c)].append((bi, []))
+                    continue
+                band_arr = np.asarray(
+                    _band_slice(mallat, name, lev, w, h))
+                sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+                mb = exps_per_comp[c][sidx] + guard - 1
+                blocks = []
+                ny = -(-bh // cbh)
+                nx = -(-bw // cbw)
+                for by in range(ny):
+                    for bx in range(nx):
+                        x0, y0 = bx * cbw, by * cbh
+                        sub = band_arr[y0:min(y0 + cbh, bh),
+                                       x0:min(x0 + cbw, bw)]
+                        data, npasses, numbps = t1_encode(
+                            sub.astype(np.int64), name)
+                        if numbps > mb:
+                            raise Jp2Error(
+                                "coefficient overflow vs guard bits")
+                        blocks.append((data, npasses, numbps, mb))
+                packet_blocks[(r, c)].append((bi, blocks))
+
+    # QCD exponents: components must share QCD (no QCC emitted), so use
+    # the max depth (chroma 9-bit under RCT) — Mb is an upper bound and
+    # per-block zero-bitplane signalling absorbs the slack.
+    qcd_exps = [max(e) for e in zip(*exps_per_comp)] \
+        if len(comps) > 1 else exps_per_comp[0]
+
+    # but Mb used in T1 signalling above must MATCH what the decoder
+    # derives from QCD; re-check against the shared table
+    for (r, c), entries in packet_blocks.items():
+        for bi, blocks in entries:
+            sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+            mb = qcd_exps[sidx] + guard - 1
+            for k, (data, npasses, numbps, _mb) in enumerate(blocks):
+                blocks[k] = (data, npasses, numbps, mb)
+
+    # ---- packets (LRCP, single layer)
+    body = bytearray()
+    for r in range(levels + 1):
+        for c in range(len(comps)):
+            bio = _BioWriter()
+            entries = packet_blocks[(r, c)]
+            any_data = any(
+                numbps > 0
+                for _bi, blocks in entries
+                for (_d, _np_, numbps, _mb) in blocks)
+            segs = []
+            if not any_data:
+                bio.write(0)
+            else:
+                bio.write(1)
+                for bi, blocks in entries:
+                    if not blocks:
+                        continue
+                    nx, ny = 0, 0
+                    # grid dims recomputed from block count layout
+                    name, lev, bw, bh, gain = bands[r][bi]
+                    nx = -(-bw // cbw)
+                    ny = -(-bh // cbh)
+                    incl_t = _TagTree(nx, ny)
+                    imsb_t = _TagTree(nx, ny)
+                    for by in range(ny):
+                        for bx in range(nx):
+                            data, npasses, numbps, mb = \
+                                blocks[by * nx + bx]
+                            incl_t.set(bx, by, 0 if numbps else 1)
+                            imsb_t.set(bx, by,
+                                       (mb - numbps) if numbps else 0)
+                    incl_t.finalize()
+                    imsb_t.finalize()
+                    for by in range(ny):
+                        for bx in range(nx):
+                            data, npasses, numbps, mb = \
+                                blocks[by * nx + bx]
+                            incl_t.encode(bio, bx, by, 1)
+                            if not numbps:
+                                continue
+                            imsb_t.encode(bio, bx, by, 64)
+                            _write_npasses(bio, npasses)
+                            lblock = 3
+                            nbits_needed = (len(data).bit_length()
+                                            if data else 1)
+                            want = _floor_log2(npasses)
+                            while lblock + want < nbits_needed:
+                                bio.write(1)
+                                lblock += 1
+                            bio.write(0)
+                            bio.write_bits(len(data), lblock + want)
+                            segs.append(data)
+            body += bio.flush()
+            for s in segs:
+                body += s
+
+    # ---- marker segments
+    out = bytearray()
+    out += _SOC.to_bytes(2, "big")
+    ncomp = len(comps)
+    siz = bytearray()
+    siz += (0).to_bytes(2, "big")            # Rsiz
+    siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")
+    siz += bytes(8)                          # XOsiz/YOsiz
+    siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")   # tile = image
+    siz += bytes(8)                          # XTOsiz/YTOsiz
+    siz += ncomp.to_bytes(2, "big")
+    for _ in range(ncomp):
+        siz += bytes([7, 1, 1])              # 8-bit unsigned, no subsample
+    out += _SIZ.to_bytes(2, "big") + (len(siz) + 2).to_bytes(2, "big") + siz
+    cod = bytes([0,                           # Scod: defaults
+                 0]) + (1).to_bytes(2, "big") \
+        + bytes([mct, levels, xcb - 2, ycb - 2, 0, 1])
+    out += _COD.to_bytes(2, "big") + (len(cod) + 2).to_bytes(2, "big") + cod
+    qcd = bytes([guard << 5]) + bytes([e << 3 for e in qcd_exps])
+    out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
+    psot = 12 + 2 + len(body)
+    sot = (10).to_bytes(2, "big")            # Lsot
+    out += _SOT.to_bytes(2, "big") + sot + (0).to_bytes(2, "big") \
+        + psot.to_bytes(4, "big") + bytes([0, 1])
+    out += _SOD.to_bytes(2, "big") + body
+    out += _EOC.to_bytes(2, "big")
+    return bytes(out)
+
+
+# ------------------------------------------------------------- JP2 container
+
+_JP2_SIG = b"\x00\x00\x00\x0CjP  \r\n\x87\n"
+
+
+def encode_jp2(img: np.ndarray, levels: int = 2,
+               block_exp: tuple[int, int] = (6, 6),
+               raw_codestream: bool = False) -> bytes:
+    """Lossless JP2 file (or raw J2K codestream) from a uint8 image."""
+    cs = encode_j2k(img, levels=levels, block_exp=block_exp)
+    if raw_codestream:
+        return cs
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    nc = 1 if img.ndim == 2 else 3
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (len(payload) + 8).to_bytes(4, "big") + btype + payload
+
+    ftyp = box(b"ftyp", b"jp2 " + bytes(4) + b"jp2 ")
+    ihdr = box(b"ihdr", h.to_bytes(4, "big") + w.to_bytes(4, "big")
+               + nc.to_bytes(2, "big") + bytes([7, 7, 0, 0]))
+    colr = box(b"colr", bytes([1, 0, 0])
+               + (16 if nc == 3 else 17).to_bytes(4, "big"))
+    jp2h = box(b"jp2h", ihdr + colr)
+    jp2c = box(b"jp2c", cs)
+    return _JP2_SIG + ftyp + jp2h + jp2c
+
+
+def decode_jp2(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+    """Decode JP2 file bytes OR a raw J2K codestream -> uint8 array,
+    (h, w) grayscale or (h, w, 3) RGB.
+
+    Contract mirrors ``jpegcodec.decode_baseline``: malformed,
+    truncated, adversarial, or unsupported-profile input raises
+    ``Jp2Error`` and nothing else, so callers' metadata-only fallbacks
+    stay scoped to the one bad image."""
+    try:
+        if len(data) >= 4 and _u16b(data, 0) == _SOC:
+            return decode_j2k(data, max_pixels)
+        if not data.startswith(_JP2_SIG[:8]):
+            raise Jp2Error("not a JP2 file or J2K codestream")
+        i = 0
+        n = len(data)
+        while i + 8 <= n:
+            blen = _u32b(data, i)
+            btype = data[i + 4:i + 8]
+            if blen == 1:
+                if i + 16 > n:
+                    raise Jp2Error("truncated XL box")
+                payload_start = i + 16
+                blen = int.from_bytes(data[i + 8:i + 16], "big")
+            else:
+                payload_start = i + 8
+            if blen == 0:
+                end = n
+            else:
+                end = i + blen
+            if end > n or end <= i:
+                raise Jp2Error("bad box length")
+            if btype == b"jp2c":
+                return decode_j2k(data[payload_start:end], max_pixels)
+            i = end
+        raise Jp2Error("no jp2c codestream box")
+    except (Jp2Error, MemoryError):
+        raise
+    except Exception as exc:  # noqa: BLE001
+        raise Jp2Error(
+            f"malformed JP2 ({type(exc).__name__}: {exc})") from exc

@@ -611,17 +611,20 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
     image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams decode
     directly; /DCTDecode streams decode through the from-scratch
-    baseline-sequential JPEG decoder (``kernels.jpegcodec``, round 4 —
-    the reference uses Pillow's codec layer, ``recode.py:337-358``);
-    non-baseline JPEG and the remaining codec families (JPX/JBIG2) stay
-    metadata-only (the documented multimodal gate), skipped without
-    failing the page.
+    baseline-sequential JPEG decoder (``kernels.jpegcodec``, round 4);
+    /JPXDecode streams decode through the from-scratch reversible
+    JPEG2000 decoder (``kernels.jp2codec``, round 5 — the reference's
+    PRIMARY codec, ``internetarchivepdf/jpeg2000.py:87-148`` /
+    ``recode.py:337-358``); non-baseline JPEG, irreversible JP2 profiles
+    and the remaining codec families (JBIG2) stay metadata-only (the
+    documented multimodal gate), skipped without failing the page.
 
     ``meta``/``rd``: pass the already-parsed metadata and ``_Reader`` to
     amortize the structural parse across a document's pages (one parse
     per PDF, not one per page)."""
     import numpy as np
 
+    from ..kernels.jp2codec import Jp2Error, decode_jp2
     from ..kernels.jpegcodec import JpegError, decode_baseline
 
     if meta is None:
@@ -632,7 +635,7 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
         rd = _Reader(data)
     out = []
     for im in meta["pages"][page_idx]["images"]:
-        if im["format"] not in ("FLATE", "RAW", "JPEG"):
+        if im["format"] not in ("FLATE", "RAW", "JPEG", "JPEG2000"):
             continue
         body, d = rd.obj(im["xref"])
         raw = _stream_data(body, d)
@@ -641,6 +644,13 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
                 arr = decode_baseline(raw)
             except JpegError:
                 continue            # non-baseline/undecodable: metadata-only
+            out.append((im["xref"], arr))
+            continue
+        if im["format"] == "JPEG2000":
+            try:
+                arr = decode_jp2(raw)
+            except Jp2Error:
+                continue            # unsupported profile: metadata-only
             out.append((im["xref"], arr))
             continue
         ch = 1 if im["mode"] in ("L", "1") else 3
