@@ -94,13 +94,19 @@ def synth_jpeg(w: int, h: int, gray: bool, seed: int = 0) -> bytes:
 
 def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
                     quality: int = 92) -> bytes:
-    """A DECODABLE baseline JPEG (round 4): seeded paper-like content
-    (smooth low-frequency field + mild noise) encoded by the engine's
-    own baseline encoder, so /DCTDecode fixture streams now flow through
-    the full decode -> MRC path instead of metadata-only.  Content is
-    seeded from (seed, w, h) only — no draws from any shared RNG stream,
-    so adding/removing these images never shifts sibling fixtures."""
-    from ..kernels.jpegcodec import encode_baseline
+    """A DECODABLE JPEG (round 4): seeded paper-like content (smooth
+    low-frequency field + mild noise) encoded by the engine's own
+    encoder, so /DCTDecode fixture streams now flow through the full
+    decode -> MRC path instead of metadata-only.  Content is seeded
+    from (seed, w, h) only — no draws from any shared RNG stream, so
+    adding/removing these images never shifts sibling fixtures.
+
+    Round 5: images where ``(w + h) % 3 == 0`` are emitted PROGRESSIVE
+    (SOF2) instead of baseline — a pure function of (w, h), and the
+    decoded pixels are bit-identical either way (shared quantized
+    coefficients), so downstream pinned MRC hashes do not move while
+    the fixture corpus exercises the progressive decode path."""
+    from ..kernels.jpegcodec import encode_baseline, encode_progressive
 
     rng = np.random.default_rng((seed * 7919) ^ (w << 16) ^ h)
     yy, xx = np.mgrid[0:h, 0:w]
@@ -109,7 +115,8 @@ def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
                   0, 255).astype(np.uint8)
     if not gray:
         img = np.stack([img, np.roll(img, 3, axis=1), 255 - img], axis=-1)
-    return encode_baseline(img, quality=quality)
+    enc = encode_progressive if (w + h) % 3 == 0 else encode_baseline
+    return enc(img, quality=quality)
 
 
 def build_pdf(pages: list[dict], modern: bool = False) -> bytes:

@@ -14,13 +14,24 @@ round-trip proofs): Annex K quantization tables scaled by the classic
 IJG quality formula, Annex K Huffman tables, optional 4:2:0/4:2:2 luma
 sampling and restart intervals, byte stuffing per B.1.1.5.
 
+Round 5 adds the progressive DCT process (SOF2): spectral-selection +
+successive-approximation scans accumulate into the same per-component
+coefficient stores (T.81 G.1.2 — DC first/refine, AC first with EOBn
+runs, AC refinement with correction bits, per-scan restart handling),
+and the pixels materialise once at EOI through the shared
+dequantize/IDCT tail.  SOF1 (extended sequential, 8-bit) decodes
+through the identical baseline path.  ``encode_progressive`` emits the
+classic simple-progression script over the SAME quantized coefficients
+as ``encode_baseline``, so progressive and baseline files of one image
+decode bit-identically — the parity oracle the tests pin.
+
 Scale shape: entropy decode is inherently sequential *per image* but
 images are independent rows — the engine calls this inside mapInPandas,
 so 1000 executors decode 32000 streams concurrently and nothing about
 the plan changes.  Everything after the Huffman walk is vectorized
 NumPy over the whole image's blocks.
 
-Progressive (SOF2), arithmetic-coded, 12-bit and lossless processes are
+Arithmetic-coded, 12-bit, lossless and hierarchical processes remain
 out of scope and raise ``JpegError`` — callers fall back to the
 metadata-only path (SOF header parse), the same graceful degradation the
 engine always had.
@@ -30,7 +41,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["JpegError", "decode_baseline", "encode_baseline"]
+__all__ = ["JpegError", "decode_baseline", "encode_baseline",
+           "encode_progressive"]
 
 
 class JpegError(ValueError):
@@ -271,6 +283,7 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
     hufftab = {}
     frame = None
     restart_interval = 0
+    scans_done = 0
     i = 2
     n = len(data)
     while i < n:
@@ -283,6 +296,8 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
         m = data[i]
         i += 1
         if m == 0xD9:                        # EOI
+            if frame is not None and frame.get("progressive") and scans_done:
+                return _assemble(frame, qtbl)
             raise JpegError("EOI before scan")
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue                         # standalone
@@ -317,7 +332,9 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
                 huffval = list(seg[j + 17:j + 17 + nv])
                 hufftab[(tc, th)] = _decode_lookup(bits, huffval)
                 j += 17 + nv
-        elif m == 0xC0:                      # SOF0 baseline
+        elif m in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended-sequential (identical 8-bit
+            # Huffman decoding) / SOF2 progressive (round 5)
             if len(seg) < 6:
                 raise JpegError("truncated SOF")
             if seg[0] != 8:
@@ -336,18 +353,29 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
                 hv = seg[7 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": seg[8 + 3 * c]})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegError("non-baseline JPEG process unsupported")
+            raise JpegError(
+                "arithmetic/lossless/hierarchical JPEG unsupported")
         elif m == 0xDD:                      # DRI
             restart_interval = _u16(seg, 0)
-        elif m == 0xDA:                      # SOS: decode the scan
+        elif m == 0xDA:                      # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            return _decode_scan(data, i + seg_len, seg, frame, qtbl,
-                                hufftab, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(data, i + seg_len, seg, frame, qtbl,
+                                    hufftab, restart_interval)
+            # progressive: accumulate coefficients scan by scan; pixels
+            # materialise once at EOI
+            i = _decode_scan_prog(data, i + seg_len, seg, frame, qtbl,
+                                  hufftab, restart_interval)
+            scans_done += 1
+            continue
         i += seg_len
+    if frame is not None and frame.get("progressive") and scans_done:
+        return _assemble(frame, qtbl)        # truncated but decodable
     raise JpegError("no scan in stream")
 
 
@@ -419,6 +447,13 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         asym, alen = tabs[(1, comp["ta"])]
         comp["flat"] = comp["coef"].reshape(-1)
         plan.append((comp, dsym, dlen, asym, alen))
+
+    if restart_interval and n_mcus > restart_interval * (_VEC_MIN_LANES - 1):
+        # enough independent restart segments: vectorized lane decode
+        expect = -(-n_mcus // restart_interval)
+        _decode_entropy_dri_vec(segments[:expect], comps, hufftab,
+                                restart_interval, n_mcus, mcus_x)
+        return _assemble(frame, qtbl)
 
     seg_idx = 0
     seg = segments[0]
@@ -517,9 +552,156 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         if pad > 8:
             raise JpegError("entropy data exhausted")
 
-    # Vectorized dequantize + IDCT per component, then assemble planes.
+    return _assemble(frame, qtbl)
+
+
+# Below this lane count the per-step NumPy dispatch overhead of the
+# vectorized decoder exceeds the scalar walk's per-decision cost.
+_VEC_MIN_LANES = 16
+
+
+def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
+    """Restart-segment-parallel baseline entropy decode (round 5).
+
+    DRI makes segments fully independent — the byte stream, the bit
+    phase and the DC predictors all reset at every RSTn — so the
+    Huffman walk (the one inherently sequential stage) can run every
+    segment as a LANE of a vectorized state machine: each step
+    refills / peeks / table-looks-up / consumes bits for ALL active
+    lanes with a handful of NumPy gathers instead of one Python
+    iteration per decision per lane.  Lanes proceed in lockstep per
+    (MCU-within-segment, component, block); divergent AC runs are
+    handled by shrinking the active-lane set.  Output is bit-identical
+    to the scalar walk (pinned by the restart-invariance test, the
+    scalar-equality test and the driver's ``jpeg_decode`` arithmetic
+    oracle); streams with few or no restart segments keep the scalar
+    path."""
+    L = len(segments)
+    lane_first = np.arange(L, dtype=np.int64) * ri
+    lane_mcus = np.minimum(ri, n_mcus - lane_first)
+    lens = np.array([len(s) for s in segments], dtype=np.int64)
+    cat = np.frombuffer(b"".join(segments) + b"\x00",
+                        dtype=np.uint8).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    pos = offs[:L].copy()
+    end = offs[:L] + lens
+    buf = np.zeros(L, dtype=np.int64)
+    cnt = np.zeros(L, dtype=np.int64)
+    cap = len(cat) - 1
+    one = np.int64(1)
+
+    def refill16(ids):
+        sub = ids[cnt[ids] < 16]
+        while sub.size:
+            b = np.where(pos[sub] < end[sub], cat[np.minimum(pos[sub], cap)],
+                         0)
+            buf[sub] = ((buf[sub] << 8) | b) & 0xFFFFFFFFFF
+            pos[sub] += 1
+            cnt[sub] += 8
+            sub = sub[cnt[sub] <= 24]
+
+    def refill_var(ids, need):
+        sub = ids[cnt[ids] < need]
+        while sub.size:
+            b = np.where(pos[sub] < end[sub], cat[np.minimum(pos[sub], cap)],
+                         0)
+            buf[sub] = ((buf[sub] << 8) | b) & 0xFFFFFFFFFF
+            pos[sub] += 1
+            cnt[sub] += 8
+            sub = sub[cnt[sub] <= 24]
+
+    preds = {c["id"]: np.zeros(L, dtype=np.int64) for c in comps}
+    plan = []
+    for comp in comps:
+        dsym, dlen = hufftab[(0, comp["td"])]
+        asym, alen = hufftab[(1, comp["ta"])]
+        plan.append((comp, dsym.astype(np.int64), dlen.astype(np.int64),
+                     asym.astype(np.int64), alen.astype(np.int64)))
+
+    all_ids = np.arange(L, dtype=np.int64)
+    for m in range(int(lane_mcus.max())):
+        ids0 = all_ids[lane_mcus > m]
+        mcu_abs = lane_first[ids0] + m
+        my = mcu_abs // mcus_x
+        mx = mcu_abs % mcus_x
+        for comp, dsym, dlen, asym, alen in plan:
+            cv, chh, cbw = comp["v"], comp["h"], comp["bw"]
+            flat = comp["flat"]
+            pred = preds[comp["id"]]
+            for by in range(cv):
+                for bx in range(chh):
+                    bases = ((my * cv + by) * cbw + mx * chh + bx) * 64
+                    # --- DC ---
+                    refill16(ids0)
+                    peek = (buf[ids0] >> (cnt[ids0] - 16)) & 0xFFFF
+                    t = dsym[peek]
+                    if (t < 0).any() or (t > 11).any():
+                        raise JpegError("bad DC code")
+                    cnt[ids0] -= dlen[peek]
+                    nzm = t > 0
+                    if nzm.any():
+                        idn = ids0[nzm]
+                        tv = t[nzm]
+                        refill_var(idn, tv)
+                        cnt[idn] -= tv
+                        v = (buf[idn] >> cnt[idn]) & ((one << tv) - 1)
+                        pred[idn] += np.where(v >> (tv - 1) != 0,
+                                              v, v - (one << tv) + 1)
+                        if np.abs(pred[idn]).max() >= (1 << 20):
+                            raise JpegError("DC accumulator out of range")
+                    flat[bases] = pred[ids0]
+                    # --- AC ---
+                    lanes = ids0
+                    kk = np.ones(lanes.size, dtype=np.int64)
+                    lbases = bases
+                    while lanes.size:
+                        refill16(lanes)
+                        peek = (buf[lanes] >> (cnt[lanes] - 16)) & 0xFFFF
+                        rs = asym[peek]
+                        if (rs < 0).any():
+                            raise JpegError("invalid Huffman code")
+                        cnt[lanes] -= alen[peek]
+                        s = rs & 0x0F
+                        r = rs >> 4
+                        val_m = s > 0
+                        if val_m.any():
+                            kk = kk + np.where(val_m, r, 0)
+                            if (kk[val_m] > 63).any():
+                                raise JpegError("AC index overflow")
+                            idn = lanes[val_m]
+                            sv = s[val_m]
+                            refill_var(idn, sv)
+                            cnt[idn] -= sv
+                            v = (buf[idn] >> cnt[idn]) & ((one << sv) - 1)
+                            flat[lbases[val_m] + kk[val_m]] = np.where(
+                                v >> (sv - 1) != 0, v, v - (one << sv) + 1)
+                            kk = kk + np.where(val_m, 1, 0)
+                        zrl = (s == 0) & (r == 15)
+                        if zrl.any():
+                            kk = kk + np.where(zrl, 16, 0)
+                        keep = (val_m | zrl) & (kk < 64)
+                        if not keep.all():
+                            lanes = lanes[keep]
+                            kk = kk[keep]
+                            lbases = lbases[keep]
+        if np.any(pos[ids0] - end[ids0] > 8):
+            raise JpegError("entropy data exhausted")
+
+
+def _assemble(frame, qtbl) -> np.ndarray:
+    """Vectorized dequantize + IDCT per component, plane assembly,
+    chroma upsample and colour conversion — shared by the baseline and
+    progressive paths (the coefficient stores are identical)."""
+    comps = frame["comps"]
+    w, h = frame["w"], frame["h"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = []
     for comp in comps:
+        if "coef" not in comp:
+            raise JpegError("component never scanned")
+        if comp["tq"] not in qtbl:
+            raise JpegError("missing quant table")
         q = qtbl[comp["tq"]]
         coefs = comp["coef"].astype(np.float64)[:, UNZIGZAG]  # zz -> natural
         coefs *= q[None, :]
@@ -547,6 +729,281 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- progressive
+
+class _BitReader:
+    """Per-segment MSB-first bit reader for progressive scans (the
+    destuffed segment bytes from ``_split_scan``); past end-of-data it
+    feeds 0 bits and counts the overrun so truncation raises."""
+
+    __slots__ = ("seg", "n", "pos", "buf", "cnt", "pad")
+
+    def __init__(self, seg: bytes):
+        self.seg = seg
+        self.n = len(seg)
+        self.pos = 0
+        self.buf = 0
+        self.cnt = 0
+        self.pad = 0
+
+    def _fill(self):
+        while self.cnt <= 24:
+            if self.pos < self.n:
+                b = self.seg[self.pos]
+            else:
+                b = 0
+                self.pad += 1
+            self.buf = ((self.buf << 8) | b) & 0xFFFFFFFFFF
+            self.pos += 1
+            self.cnt += 8
+
+    def bits(self, k: int) -> int:
+        if self.cnt < k:
+            self._fill()
+        if self.pad > 4:
+            raise JpegError("entropy data exhausted in scan")
+        self.cnt -= k
+        return (self.buf >> self.cnt) & ((1 << k) - 1)
+
+    def huff(self, sym, ln) -> int:
+        if self.cnt < 16:
+            self._fill()
+        if self.pad > 4:
+            raise JpegError("entropy data exhausted in scan")
+        peek = (self.buf >> (self.cnt - 16)) & 0xFFFF
+        s = sym[peek]
+        if s < 0:
+            raise JpegError("invalid Huffman code")
+        self.cnt -= ln[peek]
+        return s
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >> (t - 1) else v - (1 << t) + 1
+
+
+def _prog_alloc(frame):
+    """Allocate the per-component coefficient stores (same MCU-padded
+    zigzag layout as the baseline path) and scan geometry."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for comp in comps:
+        if not (1 <= comp["h"] <= 4 and 1 <= comp["v"] <= 4) \
+                or hmax % comp["h"] or vmax % comp["v"]:
+            raise JpegError("bad sampling factors")
+    w, h = frame["w"], frame["h"]
+    frame["mcus_x"] = -(-w // (8 * hmax))
+    frame["mcus_y"] = -(-h // (8 * vmax))
+    for comp in comps:
+        comp["bw"] = frame["mcus_x"] * comp["h"]
+        comp["bh"] = frame["mcus_y"] * comp["v"]
+        comp["coef"] = np.zeros((comp["bh"] * comp["bw"], 64),
+                                dtype=np.int32)
+        comp["flat"] = comp["coef"].reshape(-1)
+        # non-interleaved block grid: the component's OWN sample dims
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        comp["bw_ni"] = -(-cw // 8)
+        comp["bh_ni"] = -(-ch // 8)
+
+
+def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
+                      restart_interval) -> int:
+    """Decode ONE progressive scan (T.81 G.1.2) into the accumulating
+    coefficient stores; returns the offset just past the scan's entropy
+    data.  Supports spectral selection + successive approximation, DC
+    scans interleaved over all frame components or any single-component
+    scan, EOBn runs, and restart markers (DC predictors + EOB run reset
+    per segment)."""
+    comps = frame["comps"]
+    if "mcus_x" not in frame:
+        _prog_alloc(frame)
+    ns = sos[0] if sos else 0
+    if len(sos) < 1 + 2 * ns + 3:
+        raise JpegError("truncated SOS parameters")
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ah_al = sos[3 + 2 * ns]
+    ah, al = ah_al >> 4, ah_al & 0x0F
+    by_id = {c["id"]: c for c in comps}
+    scan_comps = []
+    tabs = {}
+    for c in range(ns):
+        cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
+        if cs not in by_id:
+            raise JpegError("scan/frame component mismatch")
+        comp = by_id[cs]
+        scan_comps.append(comp)
+        if ss == 0 and ah == 0:              # DC first needs a DC table
+            key = (0, tdta >> 4)
+            if key not in hufftab:
+                raise JpegError("missing Huffman table")
+            s_, l_ = hufftab[key]
+            tabs[cs] = (s_.tolist(), l_.tolist())
+        elif ss > 0:                         # AC scans need an AC table
+            key = (1, tdta & 0x0F)
+            if key not in hufftab:
+                raise JpegError("missing Huffman table")
+            s_, l_ = hufftab[key]
+            tabs[cs] = (s_.tolist(), l_.tolist())
+    if ss == 0:
+        if se != 0:
+            raise JpegError("DC scan with nonzero Se")
+        if ah and ah != al + 1:
+            raise JpegError("bad successive approximation")
+    else:
+        if ns != 1 or not (ss <= se <= 63):
+            raise JpegError("AC scan must be single-component")
+    if ss == 0 and ns not in (1, len(comps)):
+        raise JpegError("partial DC interleave unsupported")
+
+    segments, end = _split_scan(data, scan_start)
+
+    # unit of restart counting: MCUs for interleaved, blocks otherwise
+    interleaved = ss == 0 and ns == len(comps) and ns > 1
+    if interleaved:
+        n_units = frame["mcus_x"] * frame["mcus_y"]
+    else:
+        comp = scan_comps[0]
+        n_units = (comp["bw_ni"] * comp["bh_ni"] if ss > 0 or ns == 1
+                   else frame["mcus_x"] * frame["mcus_y"])
+
+    seg_idx = 0
+    br = _BitReader(segments[0])
+    pred = {c["id"]: 0 for c in scan_comps}
+    eobrun = 0
+
+    def next_segment():
+        nonlocal br, pred, eobrun, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise JpegError("truncated restart segment")
+        br = _BitReader(segments[seg_idx])
+        pred = {c["id"]: 0 for c in scan_comps}
+        eobrun = 0
+
+    if ss == 0:
+        # ---- DC scan (first or refinement) --------------------------
+        mcus_x = frame["mcus_x"]
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                next_segment()
+            for comp in scan_comps:
+                cid = comp["id"]
+                flat, cbw = comp["flat"], comp["bw"]
+                if interleaved:
+                    my, mx = divmod(unit, mcus_x)
+                    blocks = [((my * comp["v"] + by) * cbw
+                               + mx * comp["h"] + bx) * 64
+                              for by in range(comp["v"])
+                              for bx in range(comp["h"])]
+                else:
+                    by, bx = divmod(unit, comp["bw_ni"])
+                    blocks = [(by * cbw + bx) * 64]
+                for base in blocks:
+                    if ah == 0:
+                        dsym, dlen = tabs[cid]
+                        t = br.huff(dsym, dlen)
+                        if t > 11:
+                            raise JpegError("bad DC code")
+                        diff = _extend(br.bits(t), t) if t else 0
+                        pred[cid] += diff
+                        if not -(1 << 20) < pred[cid] < (1 << 20):
+                            raise JpegError("DC accumulator out of range")
+                        flat[base] = pred[cid] << al
+                    else:                     # refinement: one raw bit
+                        if br.bits(1):
+                            flat[base] |= 1 << al
+    else:
+        # ---- AC scan (single component) -----------------------------
+        comp = scan_comps[0]
+        flat, cbw = comp["flat"], comp["bw"]
+        asym, alen = tabs[comp["id"]]
+        p1 = 1 << al
+        m1 = -1 << al
+        for unit in range(n_units):
+            if restart_interval and unit and unit % restart_interval == 0:
+                next_segment()
+            by, bx = divmod(unit, comp["bw_ni"])
+            base = (by * cbw + bx) * 64
+            if ah == 0:
+                # ---- AC first scan (G.1.2.2) ----
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = br.huff(asym, alen)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            raise JpegError("AC index overflow")
+                        flat[base + k] = _extend(br.bits(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        k += 16               # ZRL
+            else:
+                # ---- AC refinement scan (G.1.2.3) ----
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = br.huff(asym, alen)
+                        r, s = rs >> 4, rs & 0x0F
+                        newval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r)
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            # r == 15 (ZRL): skip 16 zero-HISTORY
+                            # positions, reading correction bits on the
+                            # nonzero-history ones passed over
+                        else:
+                            if s != 1:
+                                raise JpegError(
+                                    "invalid refinement magnitude")
+                            newval = p1 if br.bits(1) else m1
+                        # advance: corrections on nonzero-history slots;
+                        # the (r+1)-th zero-history slot is the target
+                        hit = False
+                        while k <= se:
+                            idx = base + k
+                            cur = flat[idx]
+                            if cur:
+                                if br.bits(1) and not (cur & p1):
+                                    flat[idx] = cur + (p1 if cur >= 0
+                                                       else m1)
+                            else:
+                                r -= 1
+                                if r < 0:
+                                    hit = True
+                                    if newval:
+                                        flat[idx] = newval
+                                    k += 1
+                                    break
+                            k += 1
+                        if not hit and newval:
+                            raise JpegError("AC index overflow")
+                if eobrun:
+                    # correction bits for the rest of the band
+                    while k <= se:
+                        idx = base + k
+                        cur = flat[idx]
+                        if cur:
+                            if br.bits(1) and not (cur & p1):
+                                flat[idx] = cur + (p1 if cur >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+    return end
 
 
 # ---------------------------------------------------------------- encode
@@ -585,14 +1042,12 @@ def _encode_coef(v: int, t: int) -> int:
     return v if v >= 0 else v + (1 << t) - 1
 
 
-def encode_baseline(img: np.ndarray, quality: int = 90,
-                    subsample: tuple[int, int] = (1, 1),
-                    restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG bytes.
-
-    ``subsample`` = luma sampling factors (h, v): (1,1) is 4:4:4,
-    (2,1) 4:2:2, (2,2) 4:2:0 (chroma box-averaged).  ``restart_interval``
-    inserts RSTn markers every that many MCUs (DRI segment)."""
+def _prepare_components(img: np.ndarray, quality: int,
+                        subsample: tuple[int, int]):
+    """Shared encoder front half: validate, colour-convert, subsample,
+    forward-DCT and quantize.  Returns (gray, h, w, comps, qt_l, qt_c,
+    mcus_x, mcus_y); each comp carries zigzag-ordered quantized blocks
+    in ``q``."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h, w) or (h, w, 3)")
@@ -653,6 +1108,19 @@ def encode_baseline(img: np.ndarray, quality: int = 90,
         qcoef = np.round(coef.reshape(-1, 64) / qt[None, :]).astype(np.int32)
         comp["bw"], comp["bh"] = bw, bh
         comp["q"] = qcoef[:, ZIGZAG]         # store zigzag-ordered
+    return gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y
+
+
+def encode_baseline(img: np.ndarray, quality: int = 90,
+                    subsample: tuple[int, int] = (1, 1),
+                    restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG bytes.
+
+    ``subsample`` = luma sampling factors (h, v): (1,1) is 4:4:4,
+    (2,1) 4:2:2, (2,2) 4:2:0 (chroma box-averaged).  ``restart_interval``
+    inserts RSTn markers every that many MCUs (DRI segment)."""
+    gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
+        img, quality, subsample)
 
     # Header segments.
     out = bytearray(b"\xff\xd8")
@@ -733,5 +1201,234 @@ def encode_baseline(img: np.ndarray, quality: int = 90,
                         bw_.write(code, ln_)
     bw_.flush()
     out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------- progressive encode
+
+# AC Huffman table for progressive scans: the Annex K tables lack the
+# EOBn symbols (0x10..0xE0), so fixtures use one flat 8-bit table that
+# carries every (run<<4)|size symbol an 8-bit progressive scan can emit
+# (16 runs x sizes 0..10 = 176 symbols at code length 8; 2^8 = 256
+# leaves the all-ones code unused as T.81 C.2 requires).  Wasteful on
+# rate, fully valid on syntax — these are correctness fixtures.
+PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
+PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
+
+
+class _ScanWriter:
+    """Entropy emission for one progressive scan: byte-stuffed bit
+    writer + restart-marker flushes."""
+
+    __slots__ = ("out", "bw", "rst")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.bw = _BitWriter()
+        self.rst = 0
+
+    def code(self, enc, sym):
+        c, ln = enc[sym]
+        self.bw.write(c, ln)
+
+    def bits(self, v, n):
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self):
+        self.bw.flush()
+        self.out += self.bw.out
+        self.bw = _BitWriter()
+        self.out += bytes([0xFF, 0xD0 + (self.rst & 7)])
+        self.rst += 1
+
+    def done(self) -> bytes:
+        self.bw.flush()
+        self.out += self.bw.out
+        return bytes(self.out)
+
+
+def encode_progressive(img: np.ndarray, quality: int = 90,
+                       subsample: tuple[int, int] = (1, 1),
+                       restart_interval: int = 0) -> bytes:
+    """uint8 image -> progressive (SOF2) JPEG bytes.
+
+    Emits the classic simple-progression script — DC first at Al=1, AC
+    spectral-selection bands at Al=2, an AC refinement to Al=1, the DC
+    refinement bit, and the final AC refinement to Al=0 — so a decoder
+    must exercise every progressive mechanism (spectral selection,
+    successive approximation, EOBn runs, refinement correction bits).
+    The quantized coefficients are IDENTICAL to ``encode_baseline``'s at
+    the same quality (shared ``_prepare_components``), so the decoded
+    pixels of the progressive and baseline files match bit-for-bit —
+    which is the oracle the tests and the driver query pin."""
+    gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
+        img, quality, subsample)
+
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, (PROG_AC_BITS, PROG_AC_VALS))]
+    if not gray:
+        tables.append((0, 1, HUFF_DC_CHROMA))
+    enc = {}
+    for tc, th, (bits_, vals) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits_) + bytes(vals)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+        enc[(tc, th)] = _canonical_codes(bits_, vals)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    ac = enc[(1, 0)]
+
+    def sos_header(scomps, ss, se, ah, al, ac_scan):
+        hdr = bytes([len(scomps)])
+        for c in scomps:
+            td = 0 if ac_scan else c["td"]
+            ta = 0                           # all AC scans share table 0
+            hdr += bytes([c["id"], (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + (len(hdr) + 2).to_bytes(2, "big") + hdr
+
+    def mcu_blocks(comp, unit):
+        my, mx = divmod(unit, mcus_x)
+        for by in range(comp["v"]):
+            for bx in range(comp["h"]):
+                yield (my * comp["v"] + by) * comp["bw"] \
+                    + mx * comp["h"] + bx
+
+    def dc_scan(ah, al):
+        sw = _ScanWriter()
+        pred = {c["id"]: 0 for c in comps}
+        for unit in range(mcus_x * mcus_y):
+            if restart_interval and unit and unit % restart_interval == 0:
+                sw.restart()
+                pred = {c["id"]: 0 for c in comps}
+            for comp in comps:
+                dc = enc[(0, comp["td"])]
+                for blk in mcu_blocks(comp, unit):
+                    v = int(comp["q"][blk][0]) >> al
+                    if ah == 0:
+                        diff = v - pred[comp["id"]]
+                        pred[comp["id"]] = v
+                        t = _category(diff)
+                        sw.code(dc, t)
+                        if t:
+                            sw.bits(_encode_coef(diff, t), t)
+                    else:
+                        sw.bits(v & 1, 1)
+        return sos_header(comps, 0, 0, ah, al, False) + sw.done()
+
+    def ac_first(comp, ss, se, al):
+        sw = _ScanWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                sw.code(ac, nb << 4)
+                sw.bits(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        nb_x, nb_y = comp["bw_ni"], comp["bh_ni"]
+        for unit in range(nb_x * nb_y):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush_eob()
+                sw.restart()
+            by, bx = divmod(unit, nb_x)
+            blk = comp["q"][by * comp["bw"] + bx]
+            r = 0
+            any_sym = False
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                v = (t >> al) if t >= 0 else -((-t) >> al)
+                if v == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    sw.code(ac, 0xF0)
+                    r -= 16
+                t_ = _category(v)
+                sw.code(ac, (r << 4) | t_)
+                sw.bits(_encode_coef(v, t_), t_)
+                r = 0
+                any_sym = True
+            if r > 0 or not any_sym:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return sos_header([comp], ss, se, 0, al, True) + sw.done()
+
+    def ac_refine(comp, ss, se, ah, al):
+        sw = _ScanWriter()
+        p_mask = 1 << al
+        nb_x, nb_y = comp["bw_ni"], comp["bh_ni"]
+        for unit in range(nb_x * nb_y):
+            if restart_interval and unit and unit % restart_interval == 0:
+                sw.restart()
+            by, bx = divmod(unit, nb_x)
+            blk = comp["q"][by * comp["bw"] + bx]
+            r = 0
+            br_bits = []
+            for k in range(ss, se + 1):
+                t = int(blk[k])
+                mag = (-t if t < 0 else t) >> al
+                if mag == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    sw.code(ac, 0xF0)
+                    r -= 16
+                    for b in br_bits:
+                        sw.bits(b, 1)
+                    br_bits = []
+                if mag > 1:                  # nonzero history: correction
+                    br_bits.append(mag & 1)
+                    continue
+                sw.code(ac, (r << 4) | 1)
+                sw.bits(1 if t > 0 else 0, 1)
+                for b in br_bits:
+                    sw.bits(b, 1)
+                br_bits = []
+                r = 0
+            if r > 0 or br_bits:
+                # immediate-flush EOB policy: one EOB0 per ended block,
+                # followed by the pending correction bits (valid stream;
+                # decoders with eobrun>1 support are exercised by the
+                # ac_first scans' accumulated runs)
+                sw.code(ac, 0x00)
+                for b in br_bits:
+                    sw.bits(b, 1)
+        return sos_header([comp], ss, se, ah, al, True) + sw.done()
+
+    # non-interleaved block grids per component
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for comp in comps:
+        cw = -(-w * comp["h"] // hmax)
+        chh = -(-h * comp["v"] // vmax)
+        comp["bw_ni"] = -(-cw // 8)
+        comp["bh_ni"] = -(-chh // 8)
+
+    out += dc_scan(0, 1)
+    for comp in comps:
+        out += ac_first(comp, 1, 5, 2)
+        out += ac_first(comp, 6, 63, 2)
+    for comp in comps:
+        out += ac_refine(comp, 1, 63, 2, 1)
+    out += dc_scan(1, 0)
+    for comp in comps:
+        out += ac_refine(comp, 1, 63, 1, 0)
     out += b"\xff\xd9"
     return bytes(out)

@@ -1788,14 +1788,18 @@ def q_jpeg_decode(spark, sf):
     quant tables make DC-only constant blocks decode BIT-EXACTLY — then
     decoded, and per-image pixel aggregates are compared against the
     closed-form tile arithmetic in SQL.  Restart intervals alternate to
-    exercise the DRI path.  Any entropy/zigzag/dequant/IDCT/assembly bug
-    breaks the match."""
+    exercise the DRI path, and every 4th image goes through the
+    PROGRESSIVE (SOF2) encoder instead — same quantized coefficients,
+    so the same closed-form oracle pins the spectral-selection /
+    successive-approximation decode path (round 5).  Any entropy/
+    zigzag/dequant/IDCT/assembly bug breaks the match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
-        from .kernels.jpegcodec import decode_baseline, encode_baseline
+        from .kernels.jpegcodec import (decode_baseline, encode_baseline,
+                                        encode_progressive)
         for pdf in batches:
             rows = []
             for i in pdf["id"].values:
@@ -1806,7 +1810,8 @@ def q_jpeg_decode(spark, sf):
                     for tx in range(w // 8):
                         img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] = \
                             (37 * i + 11 * tx + 23 * ty) % 256
-                dec = decode_baseline(encode_baseline(
+                enc = encode_progressive if i % 4 == 3 else encode_baseline
+                dec = decode_baseline(enc(
                     img, quality=100, restart_interval=i % 3))
                 rows.append((i, dec.shape[1], dec.shape[0],
                              int(dec.astype(np.int64).sum()),

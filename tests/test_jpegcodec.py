@@ -335,3 +335,73 @@ def test_transforms_match_the_t81_definition_sums():
     fdct = _blocks_mul(pix, DCT_A, DCT_A.T)        # encoder's forward
     for i, s in enumerate(pix):
         assert np.allclose(fdct[i], fdct_ref(s), atol=1e-8), f"FDCT blk {i}"
+
+
+def test_progressive_decodes_bit_identical_to_baseline():
+    """SOF2 parity oracle: encode_progressive shares encode_baseline's
+    quantized coefficients, so the decoded pixels must match the
+    baseline file's decode BIT-FOR-BIT across gray/RGB, subsampling,
+    quality and restart intervals — any defect in spectral selection,
+    successive approximation, EOBn runs or refinement bits breaks it."""
+    rng = np.random.default_rng(8)
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_progressive
+
+    for trial in range(10):
+        gray = trial % 2 == 0
+        h = int(rng.integers(8, 70))
+        w = int(rng.integers(8, 70))
+        shape = (h, w) if gray else (h, w, 3)
+        sub = (1, 1) if gray else [(1, 1), (2, 2), (2, 1)][trial % 3]
+        q = [92, 75, 50][trial % 3]
+        rst = [0, 0, 3][trial % 3]
+        img = np.clip(180 + rng.integers(-60, 61, shape).cumsum(axis=0)
+                      % 120 - 60, 0, 255).astype(np.uint8)
+        b = encode_baseline(img, quality=q, subsample=sub,
+                            restart_interval=rst)
+        p = encode_progressive(img, quality=q, subsample=sub,
+                               restart_interval=rst)
+        assert np.array_equal(decode_baseline(b), decode_baseline(p)), \
+            (trial, gray, h, w, sub, q, rst)
+
+
+def test_sof1_extended_sequential_decodes():
+    """SOF1 is bit-identical baseline decoding at 8 bits: patching the
+    SOF marker must not change the output."""
+    img = np.arange(64 * 48, dtype=np.uint8).reshape(48, 64) % 251
+    data = bytearray(encode_baseline(img, 90))
+    i = bytes(data).find(b"\xff\xc0")
+    ref = decode_baseline(bytes(data))
+    data[i + 1] = 0xC1
+    assert np.array_equal(decode_baseline(bytes(data)), ref)
+
+
+def test_unsupported_processes_still_raise():
+    img = np.full((16, 16), 50, np.uint8)
+    data = bytearray(encode_baseline(img, 90))
+    i = bytes(data).find(b"\xff\xc0")
+    for marker in (0xC3, 0xC7, 0xC9, 0xCA, 0xCB):   # lossless/arithmetic
+        d = bytearray(data)
+        d[i + 1] = marker
+        with pytest.raises(JpegError):
+            decode_baseline(bytes(d))
+
+
+def test_progressive_fuzz_truncation_and_corruption():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_progressive
+
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (24, 32)).astype(np.uint8)
+    data = bytearray(encode_progressive(img, 80))
+    for i in range(2, len(data), 13):
+        try:
+            decode_baseline(bytes(data[:i]))
+        except JpegError:
+            pass
+    for _ in range(150):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_baseline(bytes(d))
+        except JpegError:
+            pass
