@@ -22,12 +22,20 @@ archive masters actually use:
 * inverse reversible 5/3 integer wavelet (Annex F lifting, symmetric
   extension), inverse RCT (G.2), DC level un-shift.
 
-``encode_jp2`` is the matching single-tile lossless encoder (fixtures +
+``encode_jp2`` is the matching single-tile encoder (fixtures +
 round-trip proofs; LRCP, one quality layer, default precincts, 64x64
-code-blocks).  Because the path is reversible end-to-end, decode(encode
-(img)) == img BIT-EXACTLY for any uint8 image — which makes the oracle
-for the driver query pure closed-form arithmetic (no Q100 constant-tile
-trick needed as with the lossy JPEG codec).
+code-blocks).  Because the reversible path is lossless end-to-end,
+decode(encode(img)) == img BIT-EXACTLY for any uint8 image — which
+makes the oracle for the driver query pure closed-form arithmetic (no
+Q100 constant-tile trick needed as with the lossy JPEG codec).
+
+Round-5 addition: the IRREVERSIBLE profile — float CDF 9/7 lifting, ICT
+colour transform, dead-zone scalar quantization with midpoint
+reconstruction, QCD styles 1 (scalar derived) and 2 (scalar expounded)
+— the lossy path most real-world archive JP2s actually use.  Encoder
+flag ``irreversible=True`` with a pixel-scale ``step``; verified by
+tolerance/constant-image oracles and the pinned ``jp2_lossy`` driver
+query.
 
 Parity scope (honest): the decoder is verified self-consistent
 (lossless round-trip over random and structured images), against the
@@ -35,7 +43,7 @@ spec's lifting/context equations, and by structural pins of the public
 constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
 No third-party JPEG2000 codec exists in this container to cross-check
 foreign codestreams bit-for-bit; unsupported profile features
-(irreversible 9/7, quantization, precinct partitions, multiple tiles,
+(precinct partitions, multiple tiles, tile parts,
 COC/QCC overrides, >1 codeword segment) raise ``Jp2Error`` and callers
 fall back to the metadata-only path — the same graceful degradation the
 JPEG codec established in round 4.
@@ -870,6 +878,125 @@ def dwt53_inverse(a: np.ndarray, levels: int) -> np.ndarray:
     return a
 
 
+# --------------------------------------------------------------- 9/7 wavelet
+# Irreversible CDF 9/7 lifting constants (T.800 F.4.8.1 / Table F.4).
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _sym_l(v: np.ndarray, n: int) -> np.ndarray:
+    """[v[0], v[0..n-2]] (left symmetric neighbour per index)."""
+    return np.concatenate([v[:1], v])[:n]
+
+
+def _sym_r(v: np.ndarray, n: int) -> np.ndarray:
+    """[v[0..n-1] extended with v[-1]] (right symmetric neighbour)."""
+    return np.concatenate([v, v[-1:]])[:n]
+
+
+def _shift_r(v: np.ndarray, n: int) -> np.ndarray:
+    """v[i+1] with symmetric right extension (v[len] -> v[len-1]) —
+    NEVER slice first and extend after (v[1:][-1:] of a 2-sample signal
+    is empty and silently drops the extension)."""
+    return np.concatenate([v[1:], v[-1:]])[:n]
+
+
+def _fwd97_axis0(a: np.ndarray):
+    """One irreversible 9/7 lifting split along axis 0 (float64,
+    symmetric extension); low band normalised to unit DC gain (a
+    constant signal yields the same constant in the low band and ~0
+    details)."""
+    n = a.shape[0]
+    if n == 1:
+        return a.astype(np.float64).copy(), a[0:0].astype(np.float64)
+    ev = a[0::2].astype(np.float64)
+    od = a[1::2].astype(np.float64)
+    nd, ns = len(od), len(ev)
+    d = od + _A97 * (ev[:nd] + _shift_r(ev, nd))
+    s = ev + _B97 * (_sym_l(d, ns) + _sym_r(d, ns))
+    d = d + _G97 * (s[:nd] + _shift_r(s, nd))
+    s = s + _D97 * (_sym_l(d, ns) + _sym_r(d, ns))
+    return s / _K97, d * _K97
+
+
+def _inv97_axis0(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
+    if n == 1:
+        return s.astype(np.float64).copy()
+    s = s.astype(np.float64) * _K97
+    d = d.astype(np.float64) / _K97
+    nd, ns = len(d), len(s)
+    s = s - _D97 * (_sym_l(d, ns) + _sym_r(d, ns))
+    d = d - _G97 * (s[:nd] + _shift_r(s, nd))
+    s = s - _B97 * (_sym_l(d, ns) + _sym_r(d, ns))
+    od = d - _A97 * (s[:nd] + _shift_r(s, nd))
+    out = np.empty((n,) + s.shape[1:], dtype=np.float64)
+    out[0::2] = s
+    out[1::2] = od
+    return out
+
+
+def dwt97_forward(a: np.ndarray, levels: int) -> np.ndarray:
+    a = a.astype(np.float64).copy()
+    h, w = a.shape
+    ch, cw = h, w
+    for _ in range(levels):
+        if ch == 1 and cw == 1:
+            break
+        sub = a[:ch, :cw]
+        lo, hi = _fwd97_axis0(sub)
+        sub[:] = np.concatenate([lo, hi], axis=0)
+        loT, hiT = _fwd97_axis0(np.ascontiguousarray(sub.T))
+        sub[:] = np.concatenate([loT, hiT], axis=0).T
+        ch = (ch + 1) // 2
+        cw = (cw + 1) // 2
+    return a
+
+
+def dwt97_inverse(a: np.ndarray, levels: int) -> np.ndarray:
+    a = a.astype(np.float64).copy()
+    h, w = a.shape
+    dims = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = dims[-1]
+        dims.append(((ph + 1) // 2, (pw + 1) // 2))
+    for ch, cw in reversed(dims):
+        if ch == 1 and cw == 1:
+            continue
+        sub = a[:ch, :cw]
+        sw = (cw + 1) // 2
+        rec = _inv97_axis0(np.ascontiguousarray(sub[:, :sw].T),
+                           np.ascontiguousarray(sub[:, sw:].T), cw).T
+        sh = (ch + 1) // 2
+        sub[:] = _inv97_axis0(rec[:sh], rec[sh:], ch)
+    return a
+
+
+def _quant_step(rb: int, eps: int, mu: int) -> float:
+    """Scalar quantizer step Δb = 2^(Rb-εb) · (1 + μb/2^11) (E.1.1)."""
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
+def _step_to_eps_mu(rb: int, step: float):
+    """Inverse of ``_quant_step``: representable (εb, μb) closest to the
+    requested step; the ACTUAL step used is recomputed from the pair so
+    encoder and decoder agree bit-for-bit."""
+    import math
+
+    if step <= 0:
+        raise ValueError("step must be positive")
+    e = rb - math.floor(math.log2(step))
+    m = step / (2.0 ** (rb - e)) - 1.0
+    mu = int(round(m * 2048.0))
+    if mu >= 2048:
+        mu = 0
+        e -= 1
+    e = max(0, min(31, e))
+    return e, max(0, min(2047, mu))
+
+
 # ------------------------------------------------------------ band geometry
 
 def _band_dims(w: int, h: int, lev: int, xo: int, yo: int):
@@ -1007,15 +1134,24 @@ def _parse_headers(d: bytes, i: int,
                 raise Jp2Error("illegal code-block size")
             if seg[8] != 0:
                 raise Jp2Error("code-block style flags unsupported")
-            if seg[9] != 1:
-                raise Jp2Error("irreversible (9/7) transform unsupported")
+            if seg[9] not in (0, 1):
+                raise Jp2Error("unknown wavelet transform")
+            p.irreversible = seg[9] == 0
             seen_cod = True
         elif m == _QCD:
             sq = seg[0]
-            if sq & 0x1F:
-                raise Jp2Error("quantization unsupported (reversible only)")
+            p.qstyle = sq & 0x1F
             p.guard = sq >> 5
-            p.exps = [b >> 3 for b in seg[1:]]
+            if p.qstyle == 0:                # no quantization (reversible)
+                p.qpairs = [(b >> 3, 0) for b in seg[1:]]
+            elif p.qstyle in (1, 2):         # scalar derived / expounded
+                body = seg[1:]
+                if len(body) % 2:
+                    raise Jp2Error("truncated QCD")
+                p.qpairs = [(_u16b(body, k) >> 11, _u16b(body, k) & 0x7FF)
+                            for k in range(0, len(body), 2)]
+            else:
+                raise Jp2Error("unknown quantization style")
             seen_qcd = True
         elif m in (0xFF53, 0xFF5D):          # COC / QCC
             raise Jp2Error("per-component coding overrides unsupported")
@@ -1072,8 +1208,32 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
     if p.w == 0 or p.h == 0:
         raise Jp2Error("empty image")
     nsub = 3 * p.levels + 1
-    if len(p.exps) < nsub:
+    if p.irreversible and p.qstyle == 0:
+        raise Jp2Error("9/7 transform requires a quantization style")
+    if not p.irreversible and p.qstyle != 0:
+        raise Jp2Error("quantization on the reversible transform")
+    if p.qstyle == 1:
+        if not p.qpairs:
+            raise Jp2Error("QCD exponent count mismatch")
+        # scalar DERIVED (E.1.1): one (ε0, μ0); band at decomposition
+        # level n_b gets ε_b = ε0 - N_L + n_b, μ_b = μ0 (LL keeps ε0)
+        e0, mu0 = p.qpairs[0]
+        pairs = [(e0, mu0)]
+        for r in range(1, p.levels + 1):
+            lev = p.levels - r + 1
+            for _ in range(3):
+                pairs.append((e0 - p.levels + lev, mu0))
+        p.qpairs = pairs
+    if len(p.qpairs) < nsub:
         raise Jp2Error("QCD exponent count mismatch")
+
+    def band_mb_delta(sidx: int, gain: int):
+        eps, mu = p.qpairs[sidx]
+        mb = eps + p.guard - 1
+        if not p.irreversible:
+            return mb, None
+        # all components share QCD (no QCC) and 8-bit depth here
+        return mb, _quant_step(8 + gain, eps, mu)
 
     # ---- tile: SOT .. SOD .. data
     if _u16b(data, i) != _SOT:
@@ -1135,7 +1295,7 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
                         if not blk.included:
                             imsbs = imsb_t.decode_value(bio, bx, by)
                             sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
-                            mb = p.exps[sidx] + p.guard - 1
+                            mb, _d = band_mb_delta(sidx, gain)
                             blk.numbps = mb - imsbs
                             if blk.numbps < 0:
                                 raise Jp2Error("negative bit-plane count")
@@ -1157,11 +1317,14 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
     # ---- Tier-1 decode all blocks, assemble Mallat arrays
     comps = []
     for c in range(p.ncomp):
-        arr = np.zeros((p.h, p.w), dtype=np.int64)
+        arr = np.zeros((p.h, p.w),
+                       dtype=np.float64 if p.irreversible else np.int64)
         for r, blist in enumerate(bands):
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                 if not (bw and bh):
                     continue
+                sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+                _mb, delta = band_mb_delta(sidx, gain)
                 nx, ny = grids[(c, r, bi)]
                 band_arr = np.zeros((bh, bw), dtype=np.int32)
                 blocks = state[(c, r, bi)]
@@ -1176,19 +1339,42 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
                         band_arr[y0:y0 + h_, x0:x0 + w_] = t1_decode(
                             bytes(blk.data), blk.npasses, blk.numbps,
                             w_, h_, name)
-                _band_slice(arr, name, lev, p.w, p.h)[:] = band_arr
-        comps.append(dwt53_inverse(arr, p.levels))
+                dst = _band_slice(arr, name, lev, p.w, p.h)
+                if delta is None:
+                    dst[:] = band_arr
+                else:
+                    # inverse scalar quantization with the standard
+                    # midpoint reconstruction: a dead-zone index q
+                    # covers [q*d, (q+1)*d) — reconstructing at the
+                    # cell centre halves the worst-case error
+                    f = band_arr.astype(np.float64)
+                    dst[:] = np.where(
+                        f == 0, 0.0, (f + np.sign(f) * 0.5) * delta)
+        if p.irreversible:
+            comps.append(dwt97_inverse(arr, p.levels))
+        else:
+            comps.append(dwt53_inverse(arr, p.levels))
 
-    # ---- inverse RCT + DC unshift
+    # ---- inverse component transform + DC unshift
     if p.ncomp == 3 and p.mct == 1:
-        y_, u, v = comps
-        g = y_ - ((u + v) >> 2)
-        r_ = v + g
-        b = u + g
+        if p.irreversible:                   # ICT (G.3)
+            y_, cb, cr = comps
+            r_ = y_ + 1.402 * cr
+            g = y_ - 0.344136 * cb - 0.714136 * cr
+            b = y_ + 1.772 * cb
+        else:                                # RCT (G.2)
+            y_, u, v = comps
+            g = y_ - ((u + v) >> 2)
+            r_ = v + g
+            b = u + g
         comps = [r_, g, b]
     elif p.mct == 1 and p.ncomp != 3:
         raise Jp2Error("MCT on non-3-component image")
-    out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
+    if p.irreversible:
+        out = [np.clip(np.round(cp) + 128, 0, 255).astype(np.uint8)
+               for cp in comps]
+    else:
+        out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
     if p.ncomp == 1:
         return out[0]
     return np.stack(out, axis=-1)
@@ -1231,9 +1417,18 @@ def _write_npasses(bio: _BioWriter, n: int):
 # ------------------------------------------------------------------ encoder
 
 def encode_j2k(img: np.ndarray, levels: int = 2,
-               block_exp: tuple[int, int] = (6, 6)) -> bytes:
-    """uint8 (h, w) or (h, w, 3) -> lossless single-tile J2K codestream
-    (5/3 reversible, RCT for colour, LRCP, 1 layer, 64x64 blocks)."""
+               block_exp: tuple[int, int] = (6, 6),
+               irreversible: bool = False, step: float = 0.5,
+               derived_quant: bool = False) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> single-tile J2K codestream (LRCP,
+    1 layer, 64x64 blocks).  Default: LOSSLESS (5/3 reversible + RCT).
+    ``irreversible=True``: the lossy 9/7 path — ICT for colour, float
+    CDF 9/7 lifting, dead-zone scalar quantization with step ``step``
+    (pixel-scale; smaller = higher fidelity), QCD style 2 (expounded
+    (eps, mu) per subband); ``derived_quant=True`` signals QCD style 1
+    instead — one (eps0, mu0) pair from which the decoder derives every
+    band's exponent as eps0 - N_L + n_b (E.1.1), exercising the other
+    quantization style real encoders emit."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h, w) or (h, w, 3)")
@@ -1249,11 +1444,24 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         raise ValueError("illegal code-block size")
     cbw, cbh = 1 << xcb, 1 << ycb
 
-    # DC shift + RCT
+    # DC shift + component transform (RCT for reversible, ICT for 9/7)
     if gray:
-        comps = [img.astype(np.int64) - 128]
+        if irreversible:
+            comps = [img.astype(np.float64) - 128.0]
+        else:
+            comps = [img.astype(np.int64) - 128]
         depths = [8]
         mct = 0
+    elif irreversible:
+        r = img[..., 0].astype(np.float64) - 128.0
+        g = img[..., 1].astype(np.float64) - 128.0
+        b = img[..., 2].astype(np.float64) - 128.0
+        y_ = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y_, cb, cr]
+        depths = [8, 8, 8]
+        mct = 1
     else:
         r = img[..., 0].astype(np.int64) - 128
         g = img[..., 1].astype(np.int64) - 128
@@ -1268,18 +1476,37 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     guard = 2
     bands = _bands_for(w, h, levels)
 
+    # Per-band quantization spec, shared by every component (no QCC):
+    # (eps, mu, delta, mb).  Reversible: no quantization, eps = max
+    # component depth + gain (chroma is 9-bit under RCT; Mb is an upper
+    # bound and zero-bitplane signalling absorbs the slack).
+    # Irreversible: (eps, mu) represent the requested step (the ACTUAL
+    # step is recomputed from the pair so decode matches bit-for-bit);
+    # Rb - eps is gain-independent, so all bands share one step value.
+    qspec = []
+    for r, blist in enumerate(bands):
+        for name, lev, bw, bh, gain in blist:
+            if irreversible and derived_quant:
+                if not qspec:                # LL band fixes (eps0, mu0)
+                    e0, mu0 = _step_to_eps_mu(8, step)
+                eps, mu = e0 - levels + lev, mu0
+                if eps < 1:
+                    raise Jp2Error("step too coarse for derived quant")
+                delta = _quant_step(8 + gain, eps, mu)
+            elif irreversible:
+                rb = 8 + gain
+                eps, mu = _step_to_eps_mu(rb, step)
+                delta = _quant_step(rb, eps, mu)
+            else:
+                eps, mu, delta = max(depths) + gain, 0, None
+            qspec.append((eps, mu, delta, eps + guard - 1))
+
     # ---- per-component transform + T1
-    # packets[r][c] = list of (blk_data, npasses, numbps or None if empty)
     packet_blocks = {(r, c): [] for r in range(levels + 1)
                      for c in range(len(comps))}
-    exps_per_comp = []
     for c, plane in enumerate(comps):
-        mallat = dwt53_forward(plane, levels)
-        exps = []
-        for r, blist in enumerate(bands):
-            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
-                exps.append(depths[c] + gain)
-        exps_per_comp.append(exps)
+        mallat = (dwt97_forward if irreversible
+                  else dwt53_forward)(plane, levels)
         for r, blist in enumerate(bands):
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                 if not (bw and bh):
@@ -1288,7 +1515,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 band_arr = np.asarray(
                     _band_slice(mallat, name, lev, w, h))
                 sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
-                mb = exps_per_comp[c][sidx] + guard - 1
+                _e, _m, delta, mb = qspec[sidx]
+                if delta is not None:        # dead-zone scalar quantizer
+                    mags = np.floor(np.abs(band_arr) / delta)
+                    band_arr = (np.sign(band_arr) * mags).astype(np.int64)
                 blocks = []
                 ny = -(-bh // cbh)
                 nx = -(-bw // cbw)
@@ -1304,21 +1534,6 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                                 "coefficient overflow vs guard bits")
                         blocks.append((data, npasses, numbps, mb))
                 packet_blocks[(r, c)].append((bi, blocks))
-
-    # QCD exponents: components must share QCD (no QCC emitted), so use
-    # the max depth (chroma 9-bit under RCT) — Mb is an upper bound and
-    # per-block zero-bitplane signalling absorbs the slack.
-    qcd_exps = [max(e) for e in zip(*exps_per_comp)] \
-        if len(comps) > 1 else exps_per_comp[0]
-
-    # but Mb used in T1 signalling above must MATCH what the decoder
-    # derives from QCD; re-check against the shared table
-    for (r, c), entries in packet_blocks.items():
-        for bi, blocks in entries:
-            sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
-            mb = qcd_exps[sidx] + guard - 1
-            for k, (data, npasses, numbps, _mb) in enumerate(blocks):
-                blocks[k] = (data, npasses, numbps, mb)
 
     # ---- packets (LRCP, single layer)
     body = bytearray()
@@ -1393,9 +1608,20 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     out += _SIZ.to_bytes(2, "big") + (len(siz) + 2).to_bytes(2, "big") + siz
     cod = bytes([0,                           # Scod: defaults
                  0]) + (1).to_bytes(2, "big") \
-        + bytes([mct, levels, xcb - 2, ycb - 2, 0, 1])
+        + bytes([mct, levels, xcb - 2, ycb - 2, 0,
+                 0 if irreversible else 1])
     out += _COD.to_bytes(2, "big") + (len(cod) + 2).to_bytes(2, "big") + cod
-    qcd = bytes([guard << 5]) + bytes([e << 3 for e in qcd_exps])
+    if irreversible and derived_quant:       # scalar derived (style 1)
+        e0_, m0_, _d0, _mb0 = qspec[0]
+        qcd = bytes([(guard << 5) | 1]) + ((e0_ << 11) | m0_).to_bytes(
+            2, "big")
+    elif irreversible:                       # scalar expounded (style 2)
+        qcd = bytes([(guard << 5) | 2]) + b"".join(
+            ((e << 11) | m).to_bytes(2, "big")
+            for e, m, _d, _mb in qspec)
+    else:                                    # no quantization (style 0)
+        qcd = bytes([guard << 5]) + bytes(
+            [e << 3 for e, _m, _d, _mb in qspec])
     out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
     psot = 12 + 2 + len(body)
     sot = (10).to_bytes(2, "big")            # Lsot
@@ -1413,9 +1639,15 @@ _JP2_SIG = b"\x00\x00\x00\x0CjP  \r\n\x87\n"
 
 def encode_jp2(img: np.ndarray, levels: int = 2,
                block_exp: tuple[int, int] = (6, 6),
-               raw_codestream: bool = False) -> bytes:
-    """Lossless JP2 file (or raw J2K codestream) from a uint8 image."""
-    cs = encode_j2k(img, levels=levels, block_exp=block_exp)
+               raw_codestream: bool = False,
+               irreversible: bool = False, step: float = 0.5,
+               derived_quant: bool = False) -> bytes:
+    """JP2 file (or raw J2K codestream) from a uint8 image — lossless
+    5/3 by default, lossy 9/7 with ``irreversible=True`` (see
+    ``encode_j2k``)."""
+    cs = encode_j2k(img, levels=levels, block_exp=block_exp,
+                    irreversible=irreversible, step=step,
+                    derived_quant=derived_quant)
     if raw_codestream:
         return cs
     img = np.asarray(img)

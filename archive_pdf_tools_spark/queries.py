@@ -1918,6 +1918,55 @@ FROM pix GROUP BY i, w, h, nch
 """
 
 
+def q_jp2_lossy(spark, sf):
+    """Irreversible JPEG2000 decode (9/7 float lifting + ICT + dead-zone
+    scalar quantization, both QCD styles): 12 seeded smooth images
+    encode at alternating steps / styles / levels and decode; the row
+    reports decoded aggregates plus max/mean |err| vs the original.
+    Oracle = pinned value table (tools/pin_oracles.py): the pin freezes
+    the entire lossy chain — float 9/7, dequantization, ICT, rounding —
+    while the pytest tolerance/constant-image oracles establish the
+    bounds are right, not merely stable (same division of labour as the
+    other fixture pins)."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.jp2codec import decode_jp2, encode_jp2
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w = 16 + (i * 11) % 37
+                h = 16 + (i * 7) % 29
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = (110 + 50 * np.sin(xx / (3.0 + i % 5))
+                        + 35 * np.cos(yy / (4.0 + i % 3)))
+                img = np.clip(base, 0, 255).astype(np.uint8)
+                if i % 3 == 2:
+                    img = np.stack([img, 255 - img, np.roll(img, 3, 1)],
+                                   axis=-1)
+                step = [0.25, 0.5, 1.0][i % 3]
+                data = encode_jp2(img, levels=1 + i % 3, irreversible=True,
+                                  step=step,
+                                  derived_quant=bool(i % 4 == 1))
+                dec = decode_jp2(data)
+                err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
+                rows.append((i, dec.shape[1], dec.shape[0],
+                             int(dec.astype(np.int64).sum()),
+                             int(err.max()),
+                             round(float(err.mean()), 4)))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "pix_sum", "max_err",
+                "mean_err"])
+
+    base = spark.range(0, 12).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "pix_sum bigint, max_err int, mean_err double")
+
+
 def q_pii_scrub(spark, sf):
     """Training-data PII redaction over the documents table: every 7th
     document gets deterministic seeded PII appended (email + IPv4 +
@@ -2185,7 +2234,6 @@ QUERIES = {
         rep=SQL_REPETITION, qual=SQL_QUALITY)),
     "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
     "fingerprints": (q_fingerprints, SQL_FP),
-    "winnow_fp": (q_winnow_fp, SQL_WINNOW),
     # dedup
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
@@ -2219,6 +2267,7 @@ QUERIES = {
     "pdf_metadata": (q_pdf_metadata, None),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jp2_decode": (q_jp2_decode, SQL_JP2_DECODE),    # new (r5)
+    "jp2_lossy": (q_jp2_lossy, None),                # new (r5, pinned)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -2247,7 +2296,11 @@ QUERIES = {
     # - table_profile / pricing_summary / nation_revenue: generic
     #   relational aggregates over TPC-H tables, demo rows; every SQL
     #   construct they use appears in in-window relational rows.
+    # - winnow_fp (rotated out r5): winnow_pairs joins on these exact
+    #   fingerprint hashes and verifies against the HUGEINT-mirrored
+    #   oracle — a fingerprint defect changes its in-window pair set.
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),
+    "winnow_fp": (q_winnow_fp, SQL_WINNOW),
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "scale_estimate": (q_scale_estimate, SQL_SCALE),

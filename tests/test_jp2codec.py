@@ -324,3 +324,100 @@ def test_undecodable_jpx_falls_back_to_metadata_only():
     im = meta["pages"][0]["images"][0]
     assert (im["format"], im["width"], im["height"]) == ("JPEG2000", 20, 10)
     assert extract_page_images(pdf, 0) == []
+
+
+# --------------------------------------------------------- irreversible 9/7
+
+def test_97_lifting_perfect_reconstruction_in_float():
+    from archive_pdf_tools_spark.kernels.jp2codec import (dwt97_forward,
+                                                          dwt97_inverse)
+
+    rng = np.random.default_rng(31)
+    for shape in [(1, 1), (5, 1), (13, 17), (64, 64), (33, 47)]:
+        a = rng.uniform(-300, 300, shape)
+        for lev in (1, 2, 3):
+            rec = dwt97_inverse(dwt97_forward(a, lev), lev)
+            assert np.allclose(rec, a, atol=1e-9), (shape, lev)
+
+
+def test_97_constant_image_decodes_exact_up_to_the_cell_width():
+    """The low band is DC-normalised and details vanish on constants,
+    so a constant image's only loss is the LL quantization cell: exact
+    for steps <= 1 (midpoint reconstruction lands within rounding), and
+    bounded by ~step/2 beyond that."""
+    for shape in [(32, 48), (33, 47), (24, 24, 3)]:
+        img = np.full(shape, 137, np.uint8)
+        for step in (0.25, 0.5, 1.0):
+            for derived in (False, True):
+                d = decode_jp2(encode_jp2(img, levels=2, irreversible=True,
+                                          step=step, derived_quant=derived))
+                assert np.array_equal(d, img), (shape, step, derived)
+        d = decode_jp2(encode_jp2(img, levels=2, irreversible=True,
+                                  step=4.0))
+        assert np.abs(d.astype(int) - 137).max() <= 2
+
+
+def test_97_error_tracks_quantizer_step():
+    yy, xx = np.mgrid[0:64, 0:80]
+    img = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)).astype(np.uint8)
+    prev = -1.0
+    for step, bound in [(0.25, 2), (0.5, 3), (2.0, 9)]:
+        d = decode_jp2(encode_jp2(img, levels=3, irreversible=True,
+                                  step=step))
+        err = np.abs(d.astype(int) - img.astype(int))
+        assert err.max() <= bound, (step, err.max())
+        assert err.mean() >= prev - 0.05     # finer step never much worse
+        prev = err.mean()
+
+
+def test_97_rgb_ict_roundtrip_close():
+    yy, xx = np.mgrid[0:48, 0:64]
+    g = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)).astype(np.uint8)
+    img = np.stack([g, np.roll(g, 5, 1), 255 - g], -1)
+    d = decode_jp2(encode_jp2(img, irreversible=True, step=0.5))
+    assert d.shape == img.shape
+    assert np.abs(d.astype(int) - img.astype(int)).max() <= 4
+
+
+def test_97_derived_and_expounded_styles_both_decode():
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)).astype(np.uint8)
+    for lev in (1, 2, 3):
+        for derived in (False, True):
+            d = decode_jp2(encode_jp2(img, levels=lev, irreversible=True,
+                                      step=0.5, derived_quant=derived))
+            assert np.abs(d.astype(int) - img.astype(int)).max() <= 6
+
+
+def test_transform_quantization_mismatch_raises():
+    """Reversible transform with a quantization style (or 9/7 without
+    one) is an inconsistent codestream -> Jp2Error."""
+    img = np.full((16, 16), 9, np.uint8)
+    lossless = bytearray(encode_jp2(img, raw_codestream=True))
+    qcd = bytes(lossless).find(b"\xff\x5c")
+    patched = bytearray(lossless)
+    patched[qcd + 4] |= 2                    # claim style 2 on 5/3
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(patched))
+    lossy = bytearray(encode_jp2(img, raw_codestream=True,
+                                 irreversible=True))
+    qcd = bytes(lossy).find(b"\xff\x5c")
+    patched = bytearray(lossy)
+    patched[qcd + 4] &= 0xE0                 # claim style 0 on 9/7
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(patched))
+
+
+def test_97_fuzz_raises_jp2_error_only():
+    rng = np.random.default_rng(44)
+    yy, xx = np.mgrid[0:24, 0:32]
+    img = (100 + 40 * np.sin(xx / 5)).astype(np.uint8) + 0 * yy.astype(np.uint8)
+    data = bytearray(encode_jp2(img, irreversible=True, step=0.5))
+    for _ in range(150):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jp2(bytes(d))
+        except Jp2Error:
+            pass
