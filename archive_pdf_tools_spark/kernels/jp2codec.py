@@ -861,6 +861,8 @@ def dwt53_forward(a: np.ndarray, levels: int) -> np.ndarray:
 
 def dwt53_inverse(a: np.ndarray, levels: int) -> np.ndarray:
     a = a.astype(np.int64).copy()
+    if levels <= 0:
+        return a
     h, w = a.shape
     dims = [(h, w)]
     for _ in range(levels - 1):
@@ -957,6 +959,8 @@ def dwt97_forward(a: np.ndarray, levels: int) -> np.ndarray:
 
 def dwt97_inverse(a: np.ndarray, levels: int) -> np.ndarray:
     a = a.astype(np.float64).copy()
+    if levels <= 0:
+        return a
     h, w = a.shape
     dims = [(h, w)]
     for _ in range(levels - 1):
@@ -1190,10 +1194,20 @@ class _BlockState:
         self.data = bytearray()
 
 
-def decode_j2k(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
-    """Decode a raw JPEG2000 codestream (SOC..EOC) -> uint8 array."""
+def decode_j2k(data: bytes, max_pixels: int = 64_000_000,
+               reduce_levels: int = 0) -> np.ndarray:
+    """Decode a raw JPEG2000 codestream (SOC..EOC) -> uint8 array.
+
+    ``reduce_levels=k`` decodes at 1/2^k resolution by reconstructing
+    only down to the level-k LL band — the multi-resolution decode the
+    reference drives as kakadu ``-reduce`` / openjpeg ``-r``
+    (``internetarchivepdf/jpeg2000.py:87-128``), and the cheap-derivative
+    path an archive pipeline uses for thumbnails.  Tier-1 decoding of
+    the dropped resolutions is skipped entirely (packet headers are
+    still parsed to walk the stream), so cost scales with the OUTPUT
+    pixel count, not the source's."""
     try:
-        return _decode_j2k(data, max_pixels)
+        return _decode_j2k(data, max_pixels, reduce_levels)
     except (Jp2Error, MemoryError):
         raise
     except Exception as exc:  # noqa: BLE001 — contract: Jp2Error only
@@ -1201,10 +1215,13 @@ def decode_j2k(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             f"malformed JPEG2000 ({type(exc).__name__}: {exc})") from exc
 
 
-def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
+def _decode_j2k(data: bytes, max_pixels: int,
+                reduce_levels: int = 0) -> np.ndarray:
     if len(data) < 4 or _u16b(data, 0) != _SOC:
         raise Jp2Error("not a JPEG2000 codestream (no SOC)")
     p, i = _parse_headers(data, 2, max_pixels)
+    reduce_levels = max(0, min(int(reduce_levels), p.levels))
+    r_max = p.levels - reduce_levels         # highest resolution decoded
     if p.w == 0 or p.h == 0:
         raise Jp2Error("empty image")
     nsub = 3 * p.levels + 1
@@ -1315,11 +1332,18 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
             pos += nbytes
 
     # ---- Tier-1 decode all blocks, assemble Mallat arrays
+    # (reduced decode: the kept bands of the (w, h) pyramid at levels
+    # > reduce_levels are exactly the full pyramid of the reduced dims —
+    # the anchor-0 band-dims recurrence nests)
+    red_w = -(-p.w // (1 << reduce_levels))
+    red_h = -(-p.h // (1 << reduce_levels))
     comps = []
     for c in range(p.ncomp):
-        arr = np.zeros((p.h, p.w),
+        arr = np.zeros((red_h, red_w),
                        dtype=np.float64 if p.irreversible else np.int64)
         for r, blist in enumerate(bands):
+            if r > r_max:
+                continue                     # dropped resolution
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                 if not (bw and bh):
                     continue
@@ -1339,7 +1363,11 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
                         band_arr[y0:y0 + h_, x0:x0 + w_] = t1_decode(
                             bytes(blk.data), blk.npasses, blk.numbps,
                             w_, h_, name)
-                dst = _band_slice(arr, name, lev, p.w, p.h)
+                if lev - reduce_levels <= 0:
+                    dst = arr                # full reduction: LL IS the image
+                else:
+                    dst = _band_slice(arr, name, lev - reduce_levels,
+                                      red_w, red_h)
                 if delta is None:
                     dst[:] = band_arr
                 else:
@@ -1351,9 +1379,9 @@ def _decode_j2k(data: bytes, max_pixels: int) -> np.ndarray:
                     dst[:] = np.where(
                         f == 0, 0.0, (f + np.sign(f) * 0.5) * delta)
         if p.irreversible:
-            comps.append(dwt97_inverse(arr, p.levels))
+            comps.append(dwt97_inverse(arr, p.levels - reduce_levels))
         else:
-            comps.append(dwt53_inverse(arr, p.levels))
+            comps.append(dwt53_inverse(arr, p.levels - reduce_levels))
 
     # ---- inverse component transform + DC unshift
     if p.ncomp == 3 and p.mct == 1:
@@ -1667,9 +1695,11 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
     return _JP2_SIG + ftyp + jp2h + jp2c
 
 
-def decode_jp2(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+def decode_jp2(data: bytes, max_pixels: int = 64_000_000,
+               reduce_levels: int = 0) -> np.ndarray:
     """Decode JP2 file bytes OR a raw J2K codestream -> uint8 array,
-    (h, w) grayscale or (h, w, 3) RGB.
+    (h, w) grayscale or (h, w, 3) RGB.  ``reduce_levels`` decodes at
+    1/2^k resolution (see ``decode_j2k``).
 
     Contract mirrors ``jpegcodec.decode_baseline``: malformed,
     truncated, adversarial, or unsupported-profile input raises
@@ -1677,7 +1707,7 @@ def decode_jp2(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
     stay scoped to the one bad image."""
     try:
         if len(data) >= 4 and _u16b(data, 0) == _SOC:
-            return decode_j2k(data, max_pixels)
+            return decode_j2k(data, max_pixels, reduce_levels)
         if not data.startswith(_JP2_SIG[:8]):
             raise Jp2Error("not a JP2 file or J2K codestream")
         i = 0
@@ -1699,7 +1729,8 @@ def decode_jp2(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             if end > n or end <= i:
                 raise Jp2Error("bad box length")
             if btype == b"jp2c":
-                return decode_j2k(data[payload_start:end], max_pixels)
+                return decode_j2k(data[payload_start:end], max_pixels,
+                                  reduce_levels)
             i = end
         raise Jp2Error("no jp2c codestream box")
     except (Jp2Error, MemoryError):

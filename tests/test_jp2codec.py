@@ -421,3 +421,38 @@ def test_97_fuzz_raises_jp2_error_only():
             decode_jp2(bytes(d))
         except Jp2Error:
             pass
+
+
+# ------------------------------------------------------- reduced decode
+
+def test_reduced_resolution_decode():
+    """kakadu -reduce / openjpeg -r parity feature
+    (internetarchivepdf/jpeg2000.py:87-128): decode at 1/2^k by
+    reconstructing only to the level-k LL.  Constants stay exact at
+    every k (incl. odd dims); smooth content tracks the decimated
+    original; the dropped resolutions' code-blocks are never
+    Tier-1-decoded."""
+    img = np.full((97, 133), 181, np.uint8)
+    d = encode_jp2(img, levels=3)
+    for k in range(4):
+        out = decode_jp2(d, reduce_levels=k)
+        assert out.shape == (-(-97 // (1 << k)), -(-133 // (1 << k)))
+        assert (out == 181).all()
+
+    yy, xx = np.mgrid[0:128, 0:160]
+    smooth = (90 + 50 * np.sin(xx / 19) + 35 * np.cos(yy / 23)
+              ).astype(np.uint8)
+    d = encode_jp2(smooth, levels=3)
+    r1 = decode_jp2(d, reduce_levels=1)
+    dec = smooth[::2, ::2].astype(int)
+    err = np.abs(r1.astype(int)[:dec.shape[0], :dec.shape[1]] - dec)
+    assert err.max() <= 4 and err.mean() < 1.0
+
+    # 9/7 + RGB keeps the channel axis and the reduced geometry
+    rgb = np.stack([smooth, 255 - smooth, np.roll(smooth, 7, 1)], -1)
+    r2 = decode_jp2(encode_jp2(rgb, levels=3, irreversible=True,
+                               step=0.5), reduce_levels=2)
+    assert r2.shape == (32, 40, 3)
+
+    # reduce beyond the stream's levels clamps
+    assert decode_jp2(d, reduce_levels=9).shape == (16, 20)
