@@ -389,9 +389,6 @@ class _TagTree:
         self.value = [[0] * (dw * dh) for dw, dh in dims]
         self.low = [[0] * (dw * dh) for dw, dh in dims]
         self.known = [[False] * (dw * dh) for dw, dh in dims]
-        for lv in self.value[1:]:
-            for i in range(len(lv)):
-                lv[i] = 0
         self._dec_init = False
 
     def set(self, x: int, y: int, v: int):
@@ -1067,7 +1064,6 @@ def _parse_headers(d: bytes, i: int,
                    max_pixels: int) -> tuple["_CodestreamParams", int]:
     """Parse main-header marker segments up to (and including) SOT."""
     p = _CodestreamParams()
-    p.dri = 0
     seen_siz = seen_cod = seen_qcd = False
     while True:
         m = _u16b(d, i)
@@ -1078,6 +1074,8 @@ def _parse_headers(d: bytes, i: int,
             break
         if m == _EOC:
             raise Jp2Error("no tile in codestream")
+        if 0xFF30 <= m <= 0xFF3F:
+            continue                         # reserved SEGMENT-LESS markers
         ln = _u16b(d, i)
         seg = d[i + 2:i + ln]
         if i + ln > len(d):
@@ -1129,6 +1127,8 @@ def _parse_headers(d: bytes, i: int,
             if p.nlayers < 1:
                 raise Jp2Error("zero layers")
             p.mct = seg[4]
+            if p.mct not in (0, 1):
+                raise Jp2Error("unknown multiple-component transform")
             p.levels = seg[5]
             if p.levels > 10:
                 raise Jp2Error("too many decomposition levels")
@@ -1159,28 +1159,37 @@ def _parse_headers(d: bytes, i: int,
             seen_qcd = True
         elif m in (0xFF53, 0xFF5D):          # COC / QCC
             raise Jp2Error("per-component coding overrides unsupported")
-        elif m == 0xFF64 or (0xFF30 <= m <= 0xFF3F):
-            pass                             # COM / reserved: skip
+        elif m in (0xFF5F, 0xFF5E, 0xFF60):  # POC / RGN / PPM
+            # these CHANGE decode semantics (progression switch, ROI
+            # magnitude shift, relocated packet headers) — skipping them
+            # would return silently corrupt pixels, violating the
+            # unsupported-feature contract
+            raise Jp2Error("POC/RGN/PPM markers unsupported")
+        elif m in (0xFF64, 0xFF55, 0xFF57, 0xFF63):
+            pass                             # COM/TLM/PLM/CRG: informational
         i += ln
     return p, i - 2                          # position of SOT marker
 
 
 def _iter_packets(p):
     """Packet iteration (layer, res, comp) honouring the progression
-    order; single precinct per resolution makes position degenerate."""
+    order (B.12.1) with the single default precinct making position
+    degenerate.  A GENERATOR, not a list: nlayers is a 16-bit field, so
+    a few-hundred-byte adversarial stream could otherwise allocate
+    millions of tuples before the per-packet truncation check fires."""
     L = range(p.nlayers)
     R = range(p.levels + 1)
     C = range(p.ncomp)
     order = p.progression
     if order == "LRCP":
-        return [(l, r, c) for l in L for r in R for c in C]
+        return ((l, r, c) for l in L for r in R for c in C)
     if order == "RLCP":
-        return [(l, r, c) for r in R for l in L for c in C]
-    if order == "RPCL":
-        return [(l, r, c) for r in R for l in L for c in C]  # P degenerate
-    if order == "PCRL":
-        return [(l, r, c) for c in C for r in R for l in L]
-    return [(l, r, c) for c in C for r in R for l in L]      # CPRL
+        return ((l, r, c) for r in R for l in L for c in C)
+    if order == "RPCL":                      # r -> p -> c -> l: layer INNERMOST
+        return ((l, r, c) for r in R for c in C for l in L)
+    if order == "PCRL":                      # p -> c -> r -> l
+        return ((l, r, c) for c in C for r in R for l in L)
+    return ((l, r, c) for c in C for r in R for l in L)      # CPRL
 
 
 class _BlockState:
@@ -1287,10 +1296,11 @@ def _decode_j2k(data: bytes, max_pixels: int,
             trees[key] = (_TagTree(nx, ny), _TagTree(nx, ny))
 
     pos = j
+    tile = data[:tile_end]                   # one slice, not one per packet
     for (layer, r, c) in _iter_packets(p):
         if pos >= tile_end:
             raise Jp2Error("truncated tile data")
-        bio = _BioReader(data[:tile_end], pos)
+        bio = _BioReader(tile, pos)
         nonempty = bio.read()
         body_plan = []
         if nonempty:

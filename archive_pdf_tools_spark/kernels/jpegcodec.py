@@ -590,16 +590,6 @@ def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
     cap = len(cat) - 1
     one = np.int64(1)
 
-    def refill16(ids):
-        sub = ids[cnt[ids] < 16]
-        while sub.size:
-            b = np.where(pos[sub] < end[sub], cat[np.minimum(pos[sub], cap)],
-                         0)
-            buf[sub] = ((buf[sub] << 8) | b) & 0xFFFFFFFFFF
-            pos[sub] += 1
-            cnt[sub] += 8
-            sub = sub[cnt[sub] <= 24]
-
     def refill_var(ids, need):
         sub = ids[cnt[ids] < need]
         while sub.size:
@@ -632,7 +622,7 @@ def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
                 for bx in range(chh):
                     bases = ((my * cv + by) * cbw + mx * chh + bx) * 64
                     # --- DC ---
-                    refill16(ids0)
+                    refill_var(ids0, 16)
                     peek = (buf[ids0] >> (cnt[ids0] - 16)) & 0xFFFF
                     t = dsym[peek]
                     if (t < 0).any() or (t > 11).any():
@@ -655,7 +645,7 @@ def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
                     kk = np.ones(lanes.size, dtype=np.int64)
                     lbases = bases
                     while lanes.size:
-                        refill16(lanes)
+                        refill_var(lanes, 16)
                         peek = (buf[lanes] >> (cnt[lanes] - 16)) & 0xFFFF
                         rs = asym[peek]
                         if (rs < 0).any():

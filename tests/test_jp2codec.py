@@ -456,3 +456,48 @@ def test_reduced_resolution_decode():
 
     # reduce beyond the stream's levels clamps
     assert decode_jp2(d, reduce_levels=9).shape == (16, 20)
+
+
+# ------------------------------------------------- review-fix regressions
+
+def test_semantics_bearing_markers_raise_not_skip():
+    """POC/RGN/PPM change decode semantics — skipping them would return
+    silently corrupt pixels; MCT values beyond 0/1 likewise."""
+    img = np.full((16, 16), 9, np.uint8)
+    data = bytes(encode_jp2(img, raw_codestream=True))
+    cod = data.find(b"\xff\x52")
+    for marker in (b"\xff\x5f", b"\xff\x5e", b"\xff\x60"):   # POC/RGN/PPM
+        patched = data[:cod] + marker + b"\x00\x04\x00\x00" + data[cod:]
+        with pytest.raises(Jp2Error):
+            decode_jp2(patched)
+    rgb = np.full((16, 16, 3), 9, np.uint8)
+    d3 = bytearray(encode_jp2(rgb, raw_codestream=True))
+    cod = bytes(d3).find(b"\xff\x52")
+    d3[cod + 2 + 2 + 4] = 2                  # SGcod MCT byte -> unknown
+    with pytest.raises(Jp2Error, match="component transform"):
+        decode_jp2(bytes(d3))
+
+
+def test_reserved_segmentless_markers_are_skipped_without_length():
+    """0xFF30-0xFF3F carry no segment; treating the next two bytes as a
+    length desynchronised the old parser."""
+    img = np.full((16, 16), 77, np.uint8)
+    data = bytes(encode_jp2(img, raw_codestream=True))
+    assert data[:2] == b"\xff\x4f"
+    patched = data[:2] + b"\xff\x30" + data[2:]
+    assert np.array_equal(decode_jp2(patched), img)
+
+
+def test_adversarial_nlayers_does_not_preallocate():
+    """65535 declared layers in a tiny stream must fail fast on
+    truncated tile data, not allocate millions of packet tuples."""
+    import time
+
+    img = np.full((16, 16), 5, np.uint8)
+    data = bytearray(encode_jp2(img, raw_codestream=True))
+    cod = bytes(data).find(b"\xff\x52")
+    data[cod + 2 + 2 + 2:cod + 2 + 2 + 4] = (0xFFFF).to_bytes(2, "big")
+    t0 = time.time()
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(data))
+    assert time.time() - t0 < 5.0
