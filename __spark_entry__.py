@@ -3,9 +3,10 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 (65 queries, 60 DuckDB-oracle-paired —
+operator from SURVEY.md §2 (67 queries, 62 DuckDB-oracle-paired —
 the first 50 registry entries are all oracle-paired and uniquely
-informative; the tail is double-covered/raw rows —
+informative; the tail is double-covered/raw rows, each annotated with
+the in-window row that covers it —
 including the extraction pipeline itself via span-sequence digests, the
 checkpoint/resume protocol, and the media/PDF fixture queries via pinned
 value-table oracles, see ``archive_pdf_tools_spark/pinned_sql.py``) plus
