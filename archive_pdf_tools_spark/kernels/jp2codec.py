@@ -10,7 +10,9 @@ decoder for the REVERSIBLE path of the spec — the lossless profile
 archive masters actually use:
 
 * JP2 container box walk (signature/ftyp/jp2h/jp2c) or raw J2K;
-* codestream markers SIZ/COD/QCD/DRI-less single tile (SOT/SOD/EOC);
+* codestream markers SIZ/COD/QCD, single- AND multi-tile grids
+  (independent per-tile decode, power-of-two tile sizes — the layout
+  big archive scans ship), PLT/COM tile-header tolerance;
 * Tier-2: packet headers with inclusion + zero-bitplane tag trees
   (B.10.2), pass-count codes (Table B.4), Lblock length signalling,
   0xFF bit-stuffed header bit IO, all five progression orders over the
@@ -43,7 +45,7 @@ spec's lifting/context equations, and by structural pins of the public
 constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
 No third-party JPEG2000 codec exists in this container to cross-check
 foreign codestreams bit-for-bit; unsupported profile features
-(precinct partitions, multiple tiles, tile parts,
+(precinct partitions, multi-part tiles, POC/RGN/PPM markers,
 COC/QCC overrides, >1 codeword segment) raise ``Jp2Error`` and callers
 fall back to the metadata-only path — the same graceful degradation the
 JPEG codec established in round 4.
@@ -1097,8 +1099,9 @@ def _parse_headers(d: bytes, i: int,
             txo, tyo = _u32b(seg, 26), _u32b(seg, 30)
             if xo or yo or txo or tyo:
                 raise Jp2Error("image/tile offsets unsupported")
-            if tw < p.w or th < p.h:
-                raise Jp2Error("multiple tiles unsupported")
+            if tw == 0 or th == 0:
+                raise Jp2Error("zero tile size")
+            p.xt, p.yt = min(tw, p.w), min(th, p.h)
             p.ncomp = _u16b(seg, 34)
             if p.ncomp not in (1, 3):
                 raise Jp2Error(f"{p.ncomp}-component images unsupported")
@@ -1261,23 +1264,104 @@ def _decode_j2k(data: bytes, max_pixels: int,
         # all components share QCD (no QCC) and 8-bit depth here
         return mb, _quant_step(8 + gain, eps, mu)
 
-    # ---- tile: SOT .. SOD .. data
-    if _u16b(data, i) != _SOT:
-        raise Jp2Error("expected SOT")
-    lsot = _u16b(data, i + 2)
-    psot = _u32b(data, i + 6)
-    tpsot, tnsot = data[i + 10], data[i + 11]
-    if tpsot != 0 or (tnsot not in (0, 1)):
-        raise Jp2Error("tile parts unsupported")
-    tile_end = i + psot if psot else len(data)
-    j = i + 2 + lsot
-    if _u16b(data, j) != _SOD:
-        raise Jp2Error("expected SOD")
-    j += 2
+    # ---- tiles: grid from SIZ; each tile is an independent region
+    # with its own packets, tag trees and DWT (B.3).  Interior tiles
+    # must anchor on coordinates even at every decomposition level or
+    # the anchor-0 band geometry below would be wrong — real encoders
+    # use power-of-two tile sizes, which satisfy this.
+    ntx = -(-p.w // p.xt)
+    nty = -(-p.h // p.yt)
+    n_tiles = ntx * nty
+    if n_tiles > 1 and (p.xt % (1 << p.levels) or p.yt % (1 << p.levels)):
+        raise Jp2Error("tile size not a multiple of 2^levels")
+    red_w = -(-p.w // (1 << reduce_levels))
+    red_h = -(-p.h // (1 << reduce_levels))
+    planes = [np.zeros((red_h, red_w),
+                       dtype=np.float64 if p.irreversible else np.int64)
+              for _ in range(p.ncomp)]
 
-    bands = _bands_for(p.w, p.h, p.levels)
+    pos = i
+    tiles_seen = set()
+    while True:
+        m = _u16b(data, pos)
+        if m == _EOC:
+            break
+        if m != _SOT:
+            raise Jp2Error("expected SOT")
+        lsot = _u16b(data, pos + 2)
+        isot = _u16b(data, pos + 4)
+        psot = _u32b(data, pos + 6)
+        tpsot, tnsot = data[pos + 10], data[pos + 11]
+        if tpsot != 0 or (tnsot not in (0, 1)):
+            raise Jp2Error("tile parts unsupported")
+        if isot >= n_tiles or isot in tiles_seen:
+            raise Jp2Error("bad tile index")
+        tiles_seen.add(isot)
+        tile_end = pos + psot if psot else len(data)
+        if tile_end > len(data):
+            raise Jp2Error("truncated tile")
+        j = pos + 2 + lsot
+        # tile-part header segments before SOD: real encoders emit PLT
+        # (packet lengths) and COM here — both purely informational,
+        # skip; semantics-changing tile markers raise like their
+        # main-header counterparts
+        while _u16b(data, j) != _SOD:
+            mm = _u16b(data, j)
+            if mm in (0xFF58, 0xFF64):       # PLT / COM
+                j += 2 + _u16b(data, j + 2)
+            elif mm in (0xFF5F, 0xFF61, 0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
+                raise Jp2Error("tile-header coding overrides unsupported")
+            else:
+                raise Jp2Error("expected SOD")
+        j += 2
+
+        ty_i, tx_i = divmod(isot, ntx)
+        x0, y0 = tx_i * p.xt, ty_i * p.yt
+        tw_i = min(p.xt, p.w - x0)
+        th_i = min(p.yt, p.h - y0)
+        tile_planes = _decode_tile(data, j, tile_end, p, tw_i, th_i,
+                                   band_mb_delta, reduce_levels, r_max)
+        rx0, ry0 = x0 >> reduce_levels, y0 >> reduce_levels
+        for c in range(p.ncomp):
+            a = tile_planes[c]
+            planes[c][ry0:ry0 + a.shape[0], rx0:rx0 + a.shape[1]] = a
+        pos = tile_end
+    if len(tiles_seen) != n_tiles:
+        raise Jp2Error("missing tiles")
+    comps = planes
+
+    # ---- inverse component transform + DC unshift
+    if p.ncomp == 3 and p.mct == 1:
+        if p.irreversible:                   # ICT (G.3)
+            y_, cb, cr = comps
+            r_ = y_ + 1.402 * cr
+            g = y_ - 0.344136 * cb - 0.714136 * cr
+            b = y_ + 1.772 * cb
+        else:                                # RCT (G.2)
+            y_, u, v = comps
+            g = y_ - ((u + v) >> 2)
+            r_ = v + g
+            b = u + g
+        comps = [r_, g, b]
+    elif p.mct == 1 and p.ncomp != 3:
+        raise Jp2Error("MCT on non-3-component image")
+    if p.irreversible:
+        out = [np.clip(np.round(cp) + 128, 0, 255).astype(np.uint8)
+               for cp in comps]
+    else:
+        out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
+    if p.ncomp == 1:
+        return out[0]
+    return np.stack(out, axis=-1)
+
+
+
+def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
+                 reduce_levels, r_max):
+    """Decode one tile's packets + code-blocks + inverse DWT; returns
+    per-component reduced-resolution coefficient planes."""
+    bands = _bands_for(tw_i, th_i, p.levels)
     cbw, cbh = 1 << p.xcb, 1 << p.ycb
-    # state per (comp, res, band_idx): grid of _BlockState
     state = {}
     grids = {}
     for c in range(p.ncomp):
@@ -1289,7 +1373,6 @@ def _decode_j2k(data: bytes, max_pixels: int,
                 state[(c, r, bi)] = [_BlockState()
                                      for _ in range(nx * ny)]
 
-    # per-packet tag trees persist across layers
     trees = {}
     for key, (nx, ny) in grids.items():
         if nx and ny:
@@ -1341,13 +1424,12 @@ def _decode_j2k(data: bytes, max_pixels: int,
             blk.data += data[pos:pos + nbytes]
             pos += nbytes
 
-    # ---- Tier-1 decode all blocks, assemble Mallat arrays
-    # (reduced decode: the kept bands of the (w, h) pyramid at levels
-    # > reduce_levels are exactly the full pyramid of the reduced dims —
-    # the anchor-0 band-dims recurrence nests)
-    red_w = -(-p.w // (1 << reduce_levels))
-    red_h = -(-p.h // (1 << reduce_levels))
-    comps = []
+    # Tier-1 decode + Mallat assembly + inverse DWT, at reduced scale
+    # (the kept bands of the tile pyramid at levels > reduce_levels are
+    # exactly the full pyramid of the reduced tile dims)
+    red_w = -(-tw_i // (1 << reduce_levels))
+    red_h = -(-th_i // (1 << reduce_levels))
+    out = []
     for c in range(p.ncomp):
         arr = np.zeros((red_h, red_w),
                        dtype=np.float64 if p.irreversible else np.int64)
@@ -1374,7 +1456,7 @@ def _decode_j2k(data: bytes, max_pixels: int,
                             bytes(blk.data), blk.npasses, blk.numbps,
                             w_, h_, name)
                 if lev - reduce_levels <= 0:
-                    dst = arr                # full reduction: LL IS the image
+                    dst = arr                # full reduction: LL IS the tile
                 else:
                     dst = _band_slice(arr, name, lev - reduce_levels,
                                       red_w, red_h)
@@ -1389,33 +1471,10 @@ def _decode_j2k(data: bytes, max_pixels: int,
                     dst[:] = np.where(
                         f == 0, 0.0, (f + np.sign(f) * 0.5) * delta)
         if p.irreversible:
-            comps.append(dwt97_inverse(arr, p.levels - reduce_levels))
+            out.append(dwt97_inverse(arr, p.levels - reduce_levels))
         else:
-            comps.append(dwt53_inverse(arr, p.levels - reduce_levels))
-
-    # ---- inverse component transform + DC unshift
-    if p.ncomp == 3 and p.mct == 1:
-        if p.irreversible:                   # ICT (G.3)
-            y_, cb, cr = comps
-            r_ = y_ + 1.402 * cr
-            g = y_ - 0.344136 * cb - 0.714136 * cr
-            b = y_ + 1.772 * cb
-        else:                                # RCT (G.2)
-            y_, u, v = comps
-            g = y_ - ((u + v) >> 2)
-            r_ = v + g
-            b = u + g
-        comps = [r_, g, b]
-    elif p.mct == 1 and p.ncomp != 3:
-        raise Jp2Error("MCT on non-3-component image")
-    if p.irreversible:
-        out = [np.clip(np.round(cp) + 128, 0, 255).astype(np.uint8)
-               for cp in comps]
-    else:
-        out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
-    if p.ncomp == 1:
-        return out[0]
-    return np.stack(out, axis=-1)
+            out.append(dwt53_inverse(arr, p.levels - reduce_levels))
+    return out
 
 
 def _read_npasses(bio: _BioReader) -> int:
@@ -1457,9 +1516,13 @@ def _write_npasses(bio: _BioWriter, n: int):
 def encode_j2k(img: np.ndarray, levels: int = 2,
                block_exp: tuple[int, int] = (6, 6),
                irreversible: bool = False, step: float = 0.5,
-               derived_quant: bool = False) -> bytes:
-    """uint8 (h, w) or (h, w, 3) -> single-tile J2K codestream (LRCP,
-    1 layer, 64x64 blocks).  Default: LOSSLESS (5/3 reversible + RCT).
+               derived_quant: bool = False,
+               tile_size: tuple[int, int] | None = None) -> bytes:
+    """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
+    1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
+    into an independent tile grid (each a multiple of 2^levels, the
+    power-of-two shape real encoders use) — the layout big archive
+    scans actually ship.  Default: LOSSLESS (5/3 reversible + RCT).
     ``irreversible=True``: the lossy 9/7 path — ICT for colour, float
     CDF 9/7 lifting, dead-zone scalar quantization with step ``step``
     (pixel-scale; smaller = higher fidelity), QCD style 2 (expounded
@@ -1539,96 +1602,118 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 eps, mu, delta = max(depths) + gain, 0, None
             qspec.append((eps, mu, delta, eps + guard - 1))
 
-    # ---- per-component transform + T1
-    packet_blocks = {(r, c): [] for r in range(levels + 1)
-                     for c in range(len(comps))}
-    for c, plane in enumerate(comps):
-        mallat = (dwt97_forward if irreversible
-                  else dwt53_forward)(plane, levels)
-        for r, blist in enumerate(bands):
-            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
-                if not (bw and bh):
-                    packet_blocks[(r, c)].append((bi, []))
-                    continue
-                band_arr = np.asarray(
-                    _band_slice(mallat, name, lev, w, h))
-                sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
-                _e, _m, delta, mb = qspec[sidx]
-                if delta is not None:        # dead-zone scalar quantizer
-                    mags = np.floor(np.abs(band_arr) / delta)
-                    band_arr = (np.sign(band_arr) * mags).astype(np.int64)
-                blocks = []
-                ny = -(-bh // cbh)
-                nx = -(-bw // cbw)
-                for by in range(ny):
-                    for bx in range(nx):
-                        x0, y0 = bx * cbw, by * cbh
-                        sub = band_arr[y0:min(y0 + cbh, bh),
-                                       x0:min(x0 + cbw, bw)]
-                        data, npasses, numbps = t1_encode(
-                            sub.astype(np.int64), name)
-                        if numbps > mb:
-                            raise Jp2Error(
-                                "coefficient overflow vs guard bits")
-                        blocks.append((data, npasses, numbps, mb))
-                packet_blocks[(r, c)].append((bi, blocks))
+    if tile_size is None:
+        xt, yt = w, h
+    else:
+        xt, yt = int(tile_size[0]), int(tile_size[1])
+        if xt <= 0 or yt <= 0:
+            raise ValueError("bad tile size")
+        if (xt < w or yt < h) and (xt % (1 << levels)
+                                   or yt % (1 << levels)):
+            raise ValueError("tile size must be a multiple of 2^levels")
+    ntx, nty = -(-w // xt), -(-h // yt)
 
-    # ---- packets (LRCP, single layer)
-    body = bytearray()
-    for r in range(levels + 1):
-        for c in range(len(comps)):
-            bio = _BioWriter()
-            entries = packet_blocks[(r, c)]
-            any_data = any(
-                numbps > 0
-                for _bi, blocks in entries
-                for (_d, _np_, numbps, _mb) in blocks)
-            segs = []
-            if not any_data:
-                bio.write(0)
-            else:
-                bio.write(1)
-                for bi, blocks in entries:
-                    if not blocks:
+    def tile_body(planes_t, tw_i, th_i) -> bytes:
+        bands = _bands_for(tw_i, th_i, levels)
+        # ---- per-component transform + T1
+        packet_blocks = {(r, c): [] for r in range(levels + 1)
+                         for c in range(len(planes_t))}
+        for c, plane in enumerate(planes_t):
+            mallat = (dwt97_forward if irreversible
+                      else dwt53_forward)(plane, levels)
+            for r, blist in enumerate(bands):
+                for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                    if not (bw and bh):
+                        packet_blocks[(r, c)].append((bi, []))
                         continue
-                    nx, ny = 0, 0
-                    # grid dims recomputed from block count layout
-                    name, lev, bw, bh, gain = bands[r][bi]
-                    nx = -(-bw // cbw)
+                    band_arr = np.asarray(
+                        _band_slice(mallat, name, lev, tw_i, th_i))
+                    sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+                    _e, _m, delta, mb = qspec[sidx]
+                    if delta is not None:    # dead-zone scalar quantizer
+                        mags = np.floor(np.abs(band_arr) / delta)
+                        band_arr = (np.sign(band_arr)
+                                    * mags).astype(np.int64)
+                    blocks = []
                     ny = -(-bh // cbh)
-                    incl_t = _TagTree(nx, ny)
-                    imsb_t = _TagTree(nx, ny)
+                    nx = -(-bw // cbw)
                     for by in range(ny):
                         for bx in range(nx):
-                            data, npasses, numbps, mb = \
-                                blocks[by * nx + bx]
-                            incl_t.set(bx, by, 0 if numbps else 1)
-                            imsb_t.set(bx, by,
-                                       (mb - numbps) if numbps else 0)
-                    incl_t.finalize()
-                    imsb_t.finalize()
-                    for by in range(ny):
-                        for bx in range(nx):
-                            data, npasses, numbps, mb = \
-                                blocks[by * nx + bx]
-                            incl_t.encode(bio, bx, by, 1)
-                            if not numbps:
-                                continue
-                            imsb_t.encode(bio, bx, by, 64)
-                            _write_npasses(bio, npasses)
-                            lblock = 3
-                            nbits_needed = (len(data).bit_length()
-                                            if data else 1)
-                            want = _floor_log2(npasses)
-                            while lblock + want < nbits_needed:
-                                bio.write(1)
-                                lblock += 1
-                            bio.write(0)
-                            bio.write_bits(len(data), lblock + want)
-                            segs.append(data)
-            body += bio.flush()
-            for s in segs:
-                body += s
+                            x0, y0 = bx * cbw, by * cbh
+                            sub = band_arr[y0:min(y0 + cbh, bh),
+                                           x0:min(x0 + cbw, bw)]
+                            data, npasses, numbps = t1_encode(
+                                sub.astype(np.int64), name)
+                            if numbps > mb:
+                                raise Jp2Error(
+                                    "coefficient overflow vs guard bits")
+                            blocks.append((data, npasses, numbps, mb))
+                    packet_blocks[(r, c)].append((bi, blocks))
+
+        # ---- packets (LRCP, single layer)
+        body = bytearray()
+        for r in range(levels + 1):
+            for c in range(len(planes_t)):
+                bio = _BioWriter()
+                entries = packet_blocks[(r, c)]
+                any_data = any(
+                    numbps > 0
+                    for _bi, blocks in entries
+                    for (_d, _np_, numbps, _mb) in blocks)
+                segs = []
+                if not any_data:
+                    bio.write(0)
+                else:
+                    bio.write(1)
+                    for bi, blocks in entries:
+                        if not blocks:
+                            continue
+                        name, lev, bw, bh, gain = bands[r][bi]
+                        nx = -(-bw // cbw)
+                        ny = -(-bh // cbh)
+                        incl_t = _TagTree(nx, ny)
+                        imsb_t = _TagTree(nx, ny)
+                        for by in range(ny):
+                            for bx in range(nx):
+                                data, npasses, numbps, mb = \
+                                    blocks[by * nx + bx]
+                                incl_t.set(bx, by, 0 if numbps else 1)
+                                imsb_t.set(bx, by,
+                                           (mb - numbps) if numbps else 0)
+                        incl_t.finalize()
+                        imsb_t.finalize()
+                        for by in range(ny):
+                            for bx in range(nx):
+                                data, npasses, numbps, mb = \
+                                    blocks[by * nx + bx]
+                                incl_t.encode(bio, bx, by, 1)
+                                if not numbps:
+                                    continue
+                                imsb_t.encode(bio, bx, by, 64)
+                                _write_npasses(bio, npasses)
+                                lblock = 3
+                                nbits_needed = (len(data).bit_length()
+                                                if data else 1)
+                                want = _floor_log2(npasses)
+                                while lblock + want < nbits_needed:
+                                    bio.write(1)
+                                    lblock += 1
+                                bio.write(0)
+                                bio.write_bits(len(data), lblock + want)
+                                segs.append(data)
+                body += bio.flush()
+                for s in segs:
+                    body += s
+        return bytes(body)
+
+    bodies = []
+    for ti in range(ntx * nty):
+        ty_i, tx_i = divmod(ti, ntx)
+        x0, y0 = tx_i * xt, ty_i * yt
+        sub = [np.ascontiguousarray(
+                   pl[y0:min(y0 + yt, h), x0:min(x0 + xt, w)])
+               for pl in comps]
+        bodies.append(tile_body(sub, sub[0].shape[1], sub[0].shape[0]))
 
     # ---- marker segments
     out = bytearray()
@@ -1638,7 +1723,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     siz += (0).to_bytes(2, "big")            # Rsiz
     siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")
     siz += bytes(8)                          # XOsiz/YOsiz
-    siz += w.to_bytes(4, "big") + h.to_bytes(4, "big")   # tile = image
+    siz += xt.to_bytes(4, "big") + yt.to_bytes(4, "big")  # tile grid
     siz += bytes(8)                          # XTOsiz/YTOsiz
     siz += ncomp.to_bytes(2, "big")
     for _ in range(ncomp):
@@ -1661,11 +1746,12 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         qcd = bytes([guard << 5]) + bytes(
             [e << 3 for e, _m, _d, _mb in qspec])
     out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
-    psot = 12 + 2 + len(body)
-    sot = (10).to_bytes(2, "big")            # Lsot
-    out += _SOT.to_bytes(2, "big") + sot + (0).to_bytes(2, "big") \
-        + psot.to_bytes(4, "big") + bytes([0, 1])
-    out += _SOD.to_bytes(2, "big") + body
+    for ti, body in enumerate(bodies):
+        psot = 12 + 2 + len(body)
+        out += _SOT.to_bytes(2, "big") + (10).to_bytes(2, "big") \
+            + ti.to_bytes(2, "big") \
+            + psot.to_bytes(4, "big") + bytes([0, 1])
+        out += _SOD.to_bytes(2, "big") + body
     out += _EOC.to_bytes(2, "big")
     return bytes(out)
 
@@ -1679,13 +1765,14 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                block_exp: tuple[int, int] = (6, 6),
                raw_codestream: bool = False,
                irreversible: bool = False, step: float = 0.5,
-               derived_quant: bool = False) -> bytes:
+               derived_quant: bool = False,
+               tile_size: tuple[int, int] | None = None) -> bytes:
     """JP2 file (or raw J2K codestream) from a uint8 image — lossless
     5/3 by default, lossy 9/7 with ``irreversible=True`` (see
     ``encode_j2k``)."""
     cs = encode_j2k(img, levels=levels, block_exp=block_exp,
                     irreversible=irreversible, step=step,
-                    derived_quant=derived_quant)
+                    derived_quant=derived_quant, tile_size=tile_size)
     if raw_codestream:
         return cs
     img = np.asarray(img)

@@ -501,3 +501,116 @@ def test_adversarial_nlayers_does_not_preallocate():
     with pytest.raises(Jp2Error):
         decode_jp2(bytes(data))
     assert time.time() - t0 < 5.0
+
+
+def test_plt_and_com_in_tile_header_are_skipped():
+    """Real encoders put PLT (packet lengths) and COM between SOT and
+    SOD; both are informational and must not break decoding."""
+    img = np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) % 251
+    data = bytes(encode_jp2(img, raw_codestream=True))
+    sod = data.find(b"\xff\x93")
+    plt = b"\xff\x58" + (5).to_bytes(2, "big") + bytes([0, 0, 7])
+    com = b"\xff\x64" + (6).to_bytes(2, "big") + b"\x00\x01hi"
+    # Psot covers SOT..tile end; adding header bytes needs Psot bumped
+    sot = data.find(b"\xff\x90")
+    psot = int.from_bytes(data[sot + 6:sot + 10], "big")
+    grown = bytearray(data[:sod] + plt + com + data[sod:])
+    grown[sot + 6:sot + 10] = (psot + len(plt) + len(com)).to_bytes(4, "big")
+    assert np.array_equal(decode_jp2(bytes(grown)), img)
+
+
+def test_tile_header_coding_overrides_raise():
+    img = np.full((16, 16), 3, np.uint8)
+    data = bytes(encode_jp2(img, raw_codestream=True))
+    sod = data.find(b"\xff\x93")
+    sot = data.find(b"\xff\x90")
+    psot = int.from_bytes(data[sot + 6:sot + 10], "big")
+    for marker in (b"\xff\x61", b"\xff\x52"):       # PPT / tile COD
+        seg = marker + (4).to_bytes(2, "big") + b"\x00\x00"
+        grown = bytearray(data[:sod] + seg + data[sod:])
+        grown[sot + 6:sot + 10] = (psot + len(seg)).to_bytes(4, "big")
+        with pytest.raises(Jp2Error):
+            decode_jp2(bytes(grown))
+
+
+def test_property_lossless_roundtrip_any_image():
+    """Hypothesis-style sweep (seeded, bounded): ANY uint8 image
+    round-trips bit-exactly through the reversible path — the codec's
+    defining property, over adversarially-shaped content."""
+    rng = np.random.default_rng(2024)
+    for trial in range(25):
+        h = int(rng.integers(1, 80))
+        w = int(rng.integers(1, 80))
+        ch = int(rng.choice([1, 3]))
+        kind = trial % 5
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        if kind == 0:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+        elif kind == 1:                       # bilevel (mask-like)
+            img = (rng.random(shape) < 0.3).astype(np.uint8) * 255
+        elif kind == 2:                       # extreme checkerboard
+            base = ((np.indices((h, w)).sum(axis=0)) % 2 * 255)
+            img = (np.stack([base] * 3, -1) if ch == 3 else base
+                   ).astype(np.uint8)
+        elif kind == 3:                       # near-constant
+            img = np.full(shape, int(rng.integers(0, 256)), np.uint8)
+            img.reshape(-1)[::7] ^= 1
+        else:                                 # smooth ramp
+            ramp = (np.indices((h, w)).sum(axis=0) * 3 % 256)
+            img = (np.stack([ramp] * 3, -1) if ch == 3 else ramp
+                   ).astype(np.uint8)
+        lev = int(rng.integers(1, 4))
+        data = encode_jp2(img, levels=lev,
+                          block_exp=(int(rng.integers(4, 7)),) * 2)
+        assert np.array_equal(decode_jp2(data), img), (trial, kind, shape)
+
+
+# ------------------------------------------------------------ multi-tile
+
+def test_multitile_lossless_roundtrip():
+    """Tiled codestreams (the layout big archive scans ship): each tile
+    is an independent region — edge tiles partial, gray + RGB, and the
+    whole image still round-trips bit-exactly."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(9)
+    for (h, w, ch, ts, lev) in [(100, 140, 1, (64, 64), 2),
+                                (128, 128, 3, (64, 64), 2),
+                                (70, 90, 1, (32, 32), 2),
+                                (200, 120, 3, (64, 64), 3)]:
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        data = encode_j2k(img, levels=lev, tile_size=ts)
+        assert np.array_equal(decode_jp2(data), img), (h, w, ch, ts)
+
+
+def test_multitile_97_and_reduced():
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    yy, xx = np.mgrid[0:100, 0:140]
+    smooth = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)
+              ).astype(np.uint8)
+    d = encode_j2k(smooth, levels=2, tile_size=(64, 64),
+                   irreversible=True, step=0.5)
+    assert np.abs(decode_jp2(d).astype(int)
+                  - smooth.astype(int)).max() <= 3
+    const = np.full((100, 140), 99, np.uint8)
+    dc = encode_j2k(const, levels=2, tile_size=(64, 64))
+    assert decode_jp2(dc, reduce_levels=1).shape == (50, 70)
+    assert (decode_jp2(dc, reduce_levels=2) == 99).all()
+
+
+def test_multitile_contract_checks():
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    img = np.full((70, 90), 5, np.uint8)
+    with pytest.raises(ValueError, match="multiple of"):
+        encode_j2k(img, levels=2, tile_size=(30, 30))   # not 2^levels-aligned
+    data = bytearray(encode_j2k(img, levels=2, tile_size=(32, 32)))
+    # duplicate tile index must raise, not silently overwrite
+    sot = bytes(data).find(b"\xff\x90", 10)
+    second = bytes(data).find(b"\xff\x90", sot + 2)
+    patched = bytearray(data)
+    patched[second + 4:second + 6] = (0).to_bytes(2, "big")
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(patched))
