@@ -12,7 +12,9 @@ archive masters actually use:
 * JP2 container box walk (signature/ftyp/jp2h/jp2c) or raw J2K;
 * codestream markers SIZ/COD/QCD, single- AND multi-tile grids
   (independent per-tile decode, power-of-two tile sizes — the layout
-  big archive scans ship), PLT/COM tile-header tolerance;
+  big archive scans ship), PLT/COM tile-header tolerance, SOP/EPH
+  packet markers, explicit COD precinct sizes when they do not
+  actually partition (the common real-encoder shape);
 * Tier-2: packet headers with inclusion + zero-bitplane tag trees
   (B.10.2), pass-count codes (Table B.4), Lblock length signalling,
   0xFF bit-stuffed header bit IO, all five progression orders over the
@@ -45,7 +47,8 @@ spec's lifting/context equations, and by structural pins of the public
 constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
 No third-party JPEG2000 codec exists in this container to cross-check
 foreign codestreams bit-for-bit; unsupported profile features
-(precinct partitions, multi-part tiles, POC/RGN/PPM markers,
+(precinct sizes that actually partition a resolution, multi-part
+tiles, POC/RGN/PPM markers,
 COC/QCC overrides, >1 codeword segment) raise ``Jp2Error`` and callers
 fall back to the metadata-only path — the same graceful degradation the
 JPEG codec established in round 4.
@@ -1118,10 +1121,9 @@ def _parse_headers(d: bytes, i: int,
             seen_siz = True
         elif m == _COD:
             scod = seg[0]
-            if scod & 0x01:
-                raise Jp2Error("user-defined precincts unsupported")
-            if scod & 0x06:
-                raise Jp2Error("SOP/EPH markers unsupported")
+            p.use_sop = bool(scod & 0x02)
+            p.use_eph = bool(scod & 0x04)
+            p.prec_exps = None
             prog = seg[1]
             if prog not in _PROGRESSIONS:
                 raise Jp2Error("unknown progression order")
@@ -1144,6 +1146,15 @@ def _parse_headers(d: bytes, i: int,
             if seg[9] not in (0, 1):
                 raise Jp2Error("unknown wavelet transform")
             p.irreversible = seg[9] == 0
+            if scod & 0x01:
+                # explicit precinct sizes: accepted ONLY when every
+                # resolution's precinct covers its whole grid (real
+                # encoders often declare large explicit precincts that
+                # never partition); actual partitions raise at decode
+                pe = seg[10:10 + p.levels + 1]
+                if len(pe) < p.levels + 1:
+                    raise Jp2Error("truncated precinct sizes")
+                p.prec_exps = [(b & 0x0F, b >> 4) for b in pe]
             seen_cod = True
         elif m == _QCD:
             sq = seg[0]
@@ -1274,6 +1285,13 @@ def _decode_j2k(data: bytes, max_pixels: int,
     n_tiles = ntx * nty
     if n_tiles > 1 and (p.xt % (1 << p.levels) or p.yt % (1 << p.levels)):
         raise Jp2Error("tile size not a multiple of 2^levels")
+    if p.prec_exps is not None:
+        for r in range(p.levels + 1):
+            res_w = -(-p.xt // (1 << (p.levels - r)))
+            res_h = -(-p.yt // (1 << (p.levels - r)))
+            ppx, ppy = p.prec_exps[r]
+            if (1 << ppx) < res_w or (1 << ppy) < res_h:
+                raise Jp2Error("precinct partitions unsupported")
     red_w = -(-p.w // (1 << reduce_levels))
     red_h = -(-p.h // (1 << reduce_levels))
     planes = [np.zeros((red_h, red_w),
@@ -1383,6 +1401,8 @@ def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
     for (layer, r, c) in _iter_packets(p):
         if pos >= tile_end:
             raise Jp2Error("truncated tile data")
+        if p.use_sop and _u16b(data, pos) == 0xFF91:
+            pos += 6                         # SOP marker + Lsop + Nsop
         bio = _BioReader(tile, pos)
         nonempty = bio.read()
         body_plan = []
@@ -1418,6 +1438,10 @@ def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
                         blk.npasses += npasses
                         body_plan.append((blk, nbytes))
         pos = bio.align()
+        if p.use_eph:
+            if _u16b(data, pos) != 0xFF92:
+                raise Jp2Error("missing EPH marker")
+            pos += 2
         for blk, nbytes in body_plan:
             if pos + nbytes > tile_end:
                 raise Jp2Error("truncated packet body")
@@ -1517,7 +1541,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                block_exp: tuple[int, int] = (6, 6),
                irreversible: bool = False, step: float = 0.5,
                derived_quant: bool = False,
-               tile_size: tuple[int, int] | None = None) -> bytes:
+               tile_size: tuple[int, int] | None = None,
+               sop: bool = False, eph: bool = False) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -1613,6 +1638,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             raise ValueError("tile size must be a multiple of 2^levels")
     ntx, nty = -(-w // xt), -(-h // yt)
 
+    sop_counter = [0]
+
     def tile_body(planes_t, tw_i, th_i) -> bytes:
         bands = _bands_for(tw_i, th_i, levels)
         # ---- per-component transform + T1
@@ -1654,6 +1681,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         body = bytearray()
         for r in range(levels + 1):
             for c in range(len(planes_t)):
+                if sop:
+                    body += (b"\xff\x91\x00\x04"
+                             + (sop_counter[0] & 0xFFFF).to_bytes(2, "big"))
+                    sop_counter[0] += 1
                 bio = _BioWriter()
                 entries = packet_blocks[(r, c)]
                 any_data = any(
@@ -1702,6 +1733,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                                 bio.write_bits(len(data), lblock + want)
                                 segs.append(data)
                 body += bio.flush()
+                if eph:
+                    body += b"\xff\x92"
                 for s in segs:
                     body += s
         return bytes(body)
@@ -1729,7 +1762,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])              # 8-bit unsigned, no subsample
     out += _SIZ.to_bytes(2, "big") + (len(siz) + 2).to_bytes(2, "big") + siz
-    cod = bytes([0,                           # Scod: defaults
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = bytes([scod,
                  0]) + (1).to_bytes(2, "big") \
         + bytes([mct, levels, xcb - 2, ycb - 2, 0,
                  0 if irreversible else 1])

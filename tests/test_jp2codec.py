@@ -614,3 +614,39 @@ def test_multitile_contract_checks():
     patched[second + 4:second + 6] = (0).to_bytes(2, "big")
     with pytest.raises(Jp2Error):
         decode_jp2(bytes(patched))
+
+
+def test_sop_eph_markers_roundtrip():
+    """Real kakadu streams carry SOP resync markers and EPH header
+    terminators; both must decode transparently (incl. multi-tile)."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)
+    for sop, eph in [(True, False), (False, True), (True, True)]:
+        d = encode_j2k(img, levels=2, sop=sop, eph=eph)
+        assert np.array_equal(decode_jp2(d), img), (sop, eph)
+    d = encode_j2k(img, levels=2, tile_size=(32, 32), sop=True, eph=True)
+    assert np.array_equal(decode_jp2(d), img)
+
+
+def test_explicit_precincts_accepted_iff_not_partitioning():
+    """Explicit COD precinct sizes that cover every resolution decode
+    identically to the default; actual partitions raise."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)
+    d0 = bytes(encode_j2k(img, levels=2))
+    cod = d0.find(b"\xff\x52")
+    ln = int.from_bytes(d0[cod + 2:cod + 4], "big")
+
+    def with_precincts(pe: bytes) -> bytes:
+        out = bytearray(d0[:cod + 2] + (ln + len(pe)).to_bytes(2, "big")
+                        + d0[cod + 4:cod + 2 + ln])
+        out[cod + 4] |= 1
+        return bytes(out) + pe + d0[cod + 2 + ln:]
+
+    assert np.array_equal(decode_jp2(with_precincts(b"\xff" * 3)), img)
+    with pytest.raises(Jp2Error, match="precinct"):
+        decode_jp2(with_precincts(b"\x11" * 3))
