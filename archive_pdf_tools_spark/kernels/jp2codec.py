@@ -12,9 +12,10 @@ archive masters actually use:
 * JP2 container box walk (signature/ftyp/jp2h/jp2c) or raw J2K;
 * codestream markers SIZ/COD/QCD, single- AND multi-tile grids
   (independent per-tile decode, power-of-two tile sizes — the layout
-  big archive scans ship), PLT/COM tile-header tolerance, SOP/EPH
-  packet markers, explicit COD precinct sizes when they do not
-  actually partition (the common real-encoder shape);
+  big archive scans ship) with MULTI-PART tiles (packets spanning
+  TPsot tile-parts, the kakadu large-file layout), PLT/COM tile-header
+  tolerance, SOP/EPH packet markers, explicit COD precinct sizes when
+  they do not actually partition (the common real-encoder shape);
 * Tier-2: packet headers with inclusion + zero-bitplane tag trees
   (B.10.2), pass-count codes (Table B.4), Lblock length signalling,
   0xFF bit-stuffed header bit IO, all five progression orders over the
@@ -47,9 +48,9 @@ spec's lifting/context equations, and by structural pins of the public
 constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
 No third-party JPEG2000 codec exists in this container to cross-check
 foreign codestreams bit-for-bit; unsupported profile features
-(precinct sizes that actually partition a resolution, multi-part
-tiles, POC/RGN/PPM markers,
-COC/QCC overrides, >1 codeword segment) raise ``Jp2Error`` and callers
+(precinct sizes that actually partition a resolution, POC/RGN/PPM
+markers, COC/QCC overrides, >1 codeword segment) raise ``Jp2Error``
+and callers
 fall back to the metadata-only path — the same graceful degradation the
 JPEG codec established in round 4.
 
@@ -1299,7 +1300,8 @@ def _decode_j2k(data: bytes, max_pixels: int,
               for _ in range(p.ncomp)]
 
     pos = i
-    tiles_seen = set()
+    tile_parts = {}                          # isot -> [(tpsot, payload)]
+    declared_parts = {}
     while True:
         m = _u16b(data, pos)
         if m == _EOC:
@@ -1310,11 +1312,8 @@ def _decode_j2k(data: bytes, max_pixels: int,
         isot = _u16b(data, pos + 4)
         psot = _u32b(data, pos + 6)
         tpsot, tnsot = data[pos + 10], data[pos + 11]
-        if tpsot != 0 or (tnsot not in (0, 1)):
-            raise Jp2Error("tile parts unsupported")
-        if isot >= n_tiles or isot in tiles_seen:
+        if isot >= n_tiles:
             raise Jp2Error("bad tile index")
-        tiles_seen.add(isot)
         tile_end = pos + psot if psot else len(data)
         if tile_end > len(data):
             raise Jp2Error("truncated tile")
@@ -1332,20 +1331,36 @@ def _decode_j2k(data: bytes, max_pixels: int,
             else:
                 raise Jp2Error("expected SOD")
         j += 2
+        tile_parts.setdefault(isot, []).append((tpsot, data[j:tile_end]))
+        if tnsot:
+            declared_parts[isot] = tnsot
+        pos = tile_end
 
+    comps = None
+    for isot in range(n_tiles):
+        parts = tile_parts.get(isot)
+        if not parts:
+            raise Jp2Error("missing tiles")
+        tpsots = [t for t, _pl in parts]
+        if tpsots != list(range(len(parts))):
+            raise Jp2Error("tile-parts out of order")
+        if declared_parts.get(isot, len(parts)) != len(parts):
+            raise Jp2Error("tile-part count mismatch")
+        # packets continue seamlessly across a tile's parts (tile-part
+        # boundaries fall on packet boundaries), so the concatenated
+        # payload decodes as one stream
+        tdata = parts[0][1] if len(parts) == 1 else b"".join(
+            pl for _t, pl in parts)
         ty_i, tx_i = divmod(isot, ntx)
         x0, y0 = tx_i * p.xt, ty_i * p.yt
         tw_i = min(p.xt, p.w - x0)
         th_i = min(p.yt, p.h - y0)
-        tile_planes = _decode_tile(data, j, tile_end, p, tw_i, th_i,
+        tile_planes = _decode_tile(tdata, p, tw_i, th_i,
                                    band_mb_delta, reduce_levels, r_max)
         rx0, ry0 = x0 >> reduce_levels, y0 >> reduce_levels
         for c in range(p.ncomp):
             a = tile_planes[c]
             planes[c][ry0:ry0 + a.shape[0], rx0:rx0 + a.shape[1]] = a
-        pos = tile_end
-    if len(tiles_seen) != n_tiles:
-        raise Jp2Error("missing tiles")
     comps = planes
 
     # ---- inverse component transform + DC unshift
@@ -1374,9 +1389,10 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
 
 
-def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
+def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                  reduce_levels, r_max):
-    """Decode one tile's packets + code-blocks + inverse DWT; returns
+    """Decode one tile's packets + code-blocks + inverse DWT from its
+    (possibly tile-part-concatenated) payload bytes; returns
     per-component reduced-resolution coefficient planes."""
     bands = _bands_for(tw_i, th_i, p.levels)
     cbw, cbh = 1 << p.xcb, 1 << p.ycb
@@ -1396,14 +1412,14 @@ def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
         if nx and ny:
             trees[key] = (_TagTree(nx, ny), _TagTree(nx, ny))
 
-    pos = j
-    tile = data[:tile_end]                   # one slice, not one per packet
+    pos = 0
+    tile_end = len(tdata)
     for (layer, r, c) in _iter_packets(p):
         if pos >= tile_end:
             raise Jp2Error("truncated tile data")
-        if p.use_sop and _u16b(data, pos) == 0xFF91:
+        if p.use_sop and _u16b(tdata, pos) == 0xFF91:
             pos += 6                         # SOP marker + Lsop + Nsop
-        bio = _BioReader(tile, pos)
+        bio = _BioReader(tdata, pos)
         nonempty = bio.read()
         body_plan = []
         if nonempty:
@@ -1439,13 +1455,13 @@ def _decode_tile(data, j, tile_end, p, tw_i, th_i, band_mb_delta,
                         body_plan.append((blk, nbytes))
         pos = bio.align()
         if p.use_eph:
-            if _u16b(data, pos) != 0xFF92:
+            if _u16b(tdata, pos) != 0xFF92:
                 raise Jp2Error("missing EPH marker")
             pos += 2
         for blk, nbytes in body_plan:
             if pos + nbytes > tile_end:
                 raise Jp2Error("truncated packet body")
-            blk.data += data[pos:pos + nbytes]
+            blk.data += tdata[pos:pos + nbytes]
             pos += nbytes
 
     # Tier-1 decode + Mallat assembly + inverse DWT, at reduced scale
@@ -1542,7 +1558,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                irreversible: bool = False, step: float = 0.5,
                derived_quant: bool = False,
                tile_size: tuple[int, int] | None = None,
-               sop: bool = False, eph: bool = False) -> bytes:
+               sop: bool = False, eph: bool = False,
+               tile_parts: int = 1) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -1679,6 +1696,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
         # ---- packets (LRCP, single layer)
         body = bytearray()
+        pkt_offsets = []
         for r in range(levels + 1):
             for c in range(len(planes_t)):
                 if sop:
@@ -1737,7 +1755,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                     body += b"\xff\x92"
                 for s in segs:
                     body += s
-        return bytes(body)
+                pkt_offsets.append(len(body))
+        return bytes(body), pkt_offsets
 
     bodies = []
     for ti in range(ntx * nty):
@@ -1780,12 +1799,22 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         qcd = bytes([guard << 5]) + bytes(
             [e << 3 for e, _m, _d, _mb in qspec])
     out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
-    for ti, body in enumerate(bodies):
-        psot = 12 + 2 + len(body)
-        out += _SOT.to_bytes(2, "big") + (10).to_bytes(2, "big") \
-            + ti.to_bytes(2, "big") \
-            + psot.to_bytes(4, "big") + bytes([0, 1])
-        out += _SOD.to_bytes(2, "big") + body
+    for ti, (body, pkt_offsets) in enumerate(bodies):
+        # tile-part boundaries must fall on packet boundaries; split the
+        # body at (roughly) evenly-spaced packet cuts when asked
+        n_parts = max(1, min(int(tile_parts), len(pkt_offsets)))
+        cuts = [0]
+        for k in range(1, n_parts):
+            cuts.append(pkt_offsets[len(pkt_offsets) * k // n_parts - 1])
+        cuts.append(len(body))
+        cuts = sorted(set(cuts))
+        segs_tp = [body[cuts[k]:cuts[k + 1]] for k in range(len(cuts) - 1)]
+        for tp, part in enumerate(segs_tp):
+            psot = 12 + 2 + len(part)
+            out += _SOT.to_bytes(2, "big") + (10).to_bytes(2, "big") \
+                + ti.to_bytes(2, "big") \
+                + psot.to_bytes(4, "big") + bytes([tp, len(segs_tp)])
+            out += _SOD.to_bytes(2, "big") + part
     out += _EOC.to_bytes(2, "big")
     return bytes(out)
 

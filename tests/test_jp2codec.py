@@ -650,3 +650,36 @@ def test_explicit_precincts_accepted_iff_not_partitioning():
     assert np.array_equal(decode_jp2(with_precincts(b"\xff" * 3)), img)
     with pytest.raises(Jp2Error, match="precinct"):
         decode_jp2(with_precincts(b"\x11" * 3))
+
+
+def test_tile_parts_roundtrip_and_ordering():
+    """A tile's packets may span multiple tile-parts (TPsot) — kakadu
+    emits one per resolution on big files; the concatenated payload
+    decodes seamlessly, and out-of-order parts raise."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (60, 80)).astype(np.uint8)
+    for tp in (2, 3):
+        d = encode_j2k(img, levels=2, tile_parts=tp)
+        assert np.array_equal(decode_jp2(d), img), tp
+    d = encode_j2k(img, levels=2, tile_size=(32, 32), tile_parts=2)
+    assert np.array_equal(decode_jp2(d), img)
+    rgb = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    d = encode_j2k(rgb, levels=2, tile_parts=3, sop=True, eph=True)
+    assert np.array_equal(decode_jp2(d), rgb)
+
+    # swap the two tile-parts' TPsot fields -> ordering violation
+    two = bytearray(encode_j2k(img, levels=2, tile_parts=2))
+    sots = []
+    k = 0
+    while True:
+        k = bytes(two).find(b"\xff\x90", k)
+        if k < 0:
+            break
+        sots.append(k)
+        k += 2
+    assert len(sots) == 2
+    two[sots[0] + 10], two[sots[1] + 10] = two[sots[1] + 10], two[sots[0] + 10]
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(two))
