@@ -14,8 +14,10 @@ archive masters actually use:
   (independent per-tile decode, power-of-two tile sizes — the layout
   big archive scans ship) with MULTI-PART tiles (packets spanning
   TPsot tile-parts, the kakadu large-file layout), PLT/COM tile-header
-  tolerance, SOP/EPH packet markers, explicit COD precinct sizes when
-  they do not actually partition (the common real-encoder shape);
+  tolerance, SOP/EPH packet markers, and explicit precinct
+  PARTITIONS (per-precinct packets + tag trees, band-cell-capped
+  code-blocks; LRCP/RLCP/RPCL orders — positional orders with real
+  partitions raise);
 * Tier-2: packet headers with inclusion + zero-bitplane tag trees
   (B.10.2), pass-count codes (Table B.4), Lblock length signalling,
   0xFF bit-stuffed header bit IO, all five progression orders over the
@@ -48,7 +50,7 @@ spec's lifting/context equations, and by structural pins of the public
 constants (MQ Qe table spot-pins, tag-tree behaviour, Table B.4 codes).
 No third-party JPEG2000 codec exists in this container to cross-check
 foreign codestreams bit-for-bit; unsupported profile features
-(precinct sizes that actually partition a resolution, POC/RGN/PPM
+(PCRL/CPRL progression over real precinct partitions, POC/RGN/PPM
 markers, COC/QCC overrides, >1 codeword segment) raise ``Jp2Error``
 and callers
 fall back to the metadata-only path — the same graceful degradation the
@@ -1286,13 +1288,6 @@ def _decode_j2k(data: bytes, max_pixels: int,
     n_tiles = ntx * nty
     if n_tiles > 1 and (p.xt % (1 << p.levels) or p.yt % (1 << p.levels)):
         raise Jp2Error("tile size not a multiple of 2^levels")
-    if p.prec_exps is not None:
-        for r in range(p.levels + 1):
-            res_w = -(-p.xt // (1 << (p.levels - r)))
-            res_h = -(-p.yt // (1 << (p.levels - r)))
-            ppx, ppy = p.prec_exps[r]
-            if (1 << ppx) < res_w or (1 << ppy) < res_h:
-                raise Jp2Error("precinct partitions unsupported")
     red_w = -(-p.w // (1 << reduce_levels))
     red_h = -(-p.h // (1 << reduce_levels))
     planes = [np.zeros((red_h, red_w),
@@ -1389,32 +1384,108 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
 
 
+def _precinct_layout(p, bands, r, tw_i, th_i):
+    """Precinct geometry for resolution ``r`` of a tile (B.6): precincts
+    partition the RESOLUTION grid in 2^PPx x 2^PPy cells (the spec
+    default, PPx=PPy=15, yields the familiar single precinct); band-
+    coordinate cells are half that for r > 0, and the effective code-
+    block size is capped by the band-cell size.  Anchor-0 tiles make
+    precinct boundaries align with code-block boundaries, so each
+    precinct owns a rectangular index range of the band's block grid.
+
+    Returns (npx, npy, layouts) with layouts[bi] =
+    (cbw_e, cbh_e, pbw, pbh, nx, ny) per band."""
+    res_w = -(-tw_i // (1 << (p.levels - r)))
+    res_h = -(-th_i // (1 << (p.levels - r)))
+    ppx, ppy = p.prec_exps[r] if p.prec_exps is not None else (15, 15)
+    if ppx < (1 if r else 0) + 1 and r:
+        raise Jp2Error("illegal precinct size")
+    npx = max(1, -(-res_w // (1 << ppx)))
+    npy = max(1, -(-res_h // (1 << ppy)))
+    layouts = []
+    for (name, lev, bw, bh, gain) in bands[r]:
+        pbw = 1 << (ppx - (1 if r else 0))
+        pbh = 1 << (ppy - (1 if r else 0))
+        cbw_e = min(1 << p.xcb, pbw)
+        cbh_e = min(1 << p.ycb, pbh)
+        nx = -(-bw // cbw_e) if bw else 0
+        ny = -(-bh // cbh_e) if bh else 0
+        layouts.append((cbw_e, cbh_e, pbw, pbh, nx, ny))
+    return npx, npy, layouts
+
+
+def _prec_block_range(px, pbw, cbw_e, bw, nx):
+    """Block index range [b0, b1) of precinct column ``px`` (pbw is a
+    power-of-two multiple of cbw_e, so boundaries align)."""
+    x0 = px * pbw
+    if x0 >= bw:
+        return 0, 0
+    x1 = min(x0 + pbw, bw)
+    return x0 // cbw_e, min(-(-x1 // cbw_e), nx)
+
+
 def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                  reduce_levels, r_max):
     """Decode one tile's packets + code-blocks + inverse DWT from its
     (possibly tile-part-concatenated) payload bytes; returns
     per-component reduced-resolution coefficient planes."""
     bands = _bands_for(tw_i, th_i, p.levels)
-    cbw, cbh = 1 << p.xcb, 1 << p.ycb
     state = {}
     grids = {}
-    for c in range(p.ncomp):
-        for r, blist in enumerate(bands):
-            for bi, (name, lev, bw, bh, gain) in enumerate(blist):
-                nx = -(-bw // cbw) if bw else 0
-                ny = -(-bh // cbh) if bh else 0
+    prec = {}
+    for r in range(p.levels + 1):
+        prec[r] = _precinct_layout(p, bands, r, tw_i, th_i)
+        _npx, _npy, layouts = prec[r]
+        for c in range(p.ncomp):
+            for bi, (cbw_e, cbh_e, pbw, pbh, nx, ny) in enumerate(layouts):
                 grids[(c, r, bi)] = (nx, ny)
                 state[(c, r, bi)] = [_BlockState()
                                      for _ in range(nx * ny)]
 
+    # inclusion/zero-bitplane tag trees are PER PRECINCT (B.10.2)
     trees = {}
-    for key, (nx, ny) in grids.items():
-        if nx and ny:
-            trees[key] = (_TagTree(nx, ny), _TagTree(nx, ny))
+
+    def prec_trees(c, r, bi, px, py):
+        key = (c, r, bi, px, py)
+        if key not in trees:
+            _npx, _npy, layouts = prec[r]
+            cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
+            name, lev, bw, bh, gain = bands[r][bi]
+            bx0, bx1 = _prec_block_range(px, pbw, cbw_e, bw, nx)
+            by0, by1 = _prec_block_range(py, pbh, cbh_e, bh, ny)
+            w_ = max(bx1 - bx0, 0)
+            h_ = max(by1 - by0, 0)
+            trees[key] = ((_TagTree(w_, h_), _TagTree(w_, h_))
+                          if w_ and h_ else None,
+                          (bx0, bx1, by0, by1))
+        return trees[key]
+
+    n_prec = {r: prec[r][0] * prec[r][1] for r in range(p.levels + 1)}
+    if p.prec_exps is not None and any(n > 1 for n in n_prec.values()) \
+            and p.progression not in ("LRCP", "RLCP"):
+        raise Jp2Error(
+            "positional progression with precinct partitions unsupported")
+
+    def packets():
+        L = range(p.nlayers)
+        R = range(p.levels + 1)
+        C = range(p.ncomp)
+        if p.progression == "LRCP":
+            return ((l, r, c, pi) for l in L for r in R for c in C
+                    for pi in range(n_prec[r]))
+        if p.progression == "RLCP":
+            return ((l, r, c, pi) for r in R for l in L for c in C
+                    for pi in range(n_prec[r]))
+        if p.progression == "RPCL":
+            return ((l, r, c, pi) for r in R for pi in range(n_prec[r])
+                    for c in C for l in L)
+        # PCRL / CPRL: single precinct everywhere (guarded above)
+        return ((l, r, c, pi) for c in C for r in R
+                for pi in range(n_prec[r]) for l in L)
 
     pos = 0
     tile_end = len(tdata)
-    for (layer, r, c) in _iter_packets(p):
+    for (layer, r, c, pidx) in packets():
         if pos >= tile_end:
             raise Jp2Error("truncated tile data")
         if p.use_sop and _u16b(tdata, pos) == 0xFF91:
@@ -1422,24 +1493,30 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         bio = _BioReader(tdata, pos)
         nonempty = bio.read()
         body_plan = []
+        npx = prec[r][0]
+        py, px = divmod(pidx, npx)
         if nonempty:
             for bi, (name, lev, bw, bh, gain) in enumerate(bands[r]):
                 nx, ny = grids[(c, r, bi)]
                 if not (nx and ny):
                     continue
-                incl_t, imsb_t = trees[(c, r, bi)]
+                tt = prec_trees(c, r, bi, px, py)
+                if tt[0] is None:
+                    continue
+                (incl_t, imsb_t), (bx0, bx1, by0, by1) = tt
                 blocks = state[(c, r, bi)]
-                for by in range(ny):
-                    for bx in range(nx):
+                for by in range(by0, by1):
+                    for bx in range(bx0, bx1):
                         blk = blocks[by * nx + bx]
+                        lx, ly = bx - bx0, by - by0      # precinct-local
                         if not blk.included:
-                            inc = incl_t.decode(bio, bx, by, layer + 1)
+                            inc = incl_t.decode(bio, lx, ly, layer + 1)
                         else:
                             inc = bio.read()
                         if not inc:
                             continue
                         if not blk.included:
-                            imsbs = imsb_t.decode_value(bio, bx, by)
+                            imsbs = imsb_t.decode_value(bio, lx, ly)
                             sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
                             mb, _d = band_mb_delta(sidx, gain)
                             blk.numbps = mb - imsbs
@@ -1476,12 +1553,13 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         for r, blist in enumerate(bands):
             if r > r_max:
                 continue                     # dropped resolution
+            cbw_e_list = prec[r][2]
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                 if not (bw and bh):
                     continue
+                cbw_e, cbh_e, pbw, pbh, nx, ny = cbw_e_list[bi]
                 sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
                 _mb, delta = band_mb_delta(sidx, gain)
-                nx, ny = grids[(c, r, bi)]
                 band_arr = np.zeros((bh, bw), dtype=np.int32)
                 blocks = state[(c, r, bi)]
                 for by in range(ny):
@@ -1489,9 +1567,9 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                         blk = blocks[by * nx + bx]
                         if not blk.included or blk.npasses == 0:
                             continue
-                        x0, y0 = bx * cbw, by * cbh
-                        w_ = min(cbw, bw - x0)
-                        h_ = min(cbh, bh - y0)
+                        x0, y0 = bx * cbw_e, by * cbh_e
+                        w_ = min(cbw_e, bw - x0)
+                        h_ = min(cbh_e, bh - y0)
                         band_arr[y0:y0 + h_, x0:x0 + w_] = t1_decode(
                             bytes(blk.data), blk.npasses, blk.numbps,
                             w_, h_, name)
@@ -1559,7 +1637,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                derived_quant: bool = False,
                tile_size: tuple[int, int] | None = None,
                sop: bool = False, eph: bool = False,
-               tile_parts: int = 1) -> bytes:
+               tile_parts: int = 1,
+               precinct_exp: tuple[int, int] | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -1659,6 +1738,9 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
     def tile_body(planes_t, tw_i, th_i) -> bytes:
         bands = _bands_for(tw_i, th_i, levels)
+        # effective code-block dims are capped by the band precinct cell
+        if precinct_exp is not None:
+            ppx_, ppy_ = precinct_exp
         # ---- per-component transform + T1
         packet_blocks = {(r, c): [] for r in range(levels + 1)
                          for c in range(len(planes_t))}
@@ -1667,6 +1749,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                       else dwt53_forward)(plane, levels)
             for r, blist in enumerate(bands):
                 for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                    if precinct_exp is not None:
+                        pb = 1 << (ppx_ - (1 if r else 0))
+                        ph_ = 1 << (ppy_ - (1 if r else 0))
+                        cbw_e = min(cbw, pb)
+                        cbh_e = min(cbh, ph_)
+                    else:
+                        cbw_e, cbh_e = cbw, cbh
                     if not (bw and bh):
                         packet_blocks[(r, c)].append((bi, []))
                         continue
@@ -1679,13 +1768,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                         band_arr = (np.sign(band_arr)
                                     * mags).astype(np.int64)
                     blocks = []
-                    ny = -(-bh // cbh)
-                    nx = -(-bw // cbw)
+                    ny = -(-bh // cbh_e)
+                    nx = -(-bw // cbw_e)
                     for by in range(ny):
                         for bx in range(nx):
-                            x0, y0 = bx * cbw, by * cbh
-                            sub = band_arr[y0:min(y0 + cbh, bh),
-                                           x0:min(x0 + cbw, bw)]
+                            x0, y0 = bx * cbw_e, by * cbh_e
+                            sub = band_arr[y0:min(y0 + cbh_e, bh),
+                                           x0:min(x0 + cbw_e, bw)]
                             data, npasses, numbps = t1_encode(
                                 sub.astype(np.int64), name)
                             if numbps > mb:
@@ -1694,68 +1783,95 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                             blocks.append((data, npasses, numbps, mb))
                     packet_blocks[(r, c)].append((bi, blocks))
 
-        # ---- packets (LRCP, single layer)
+        # ---- packets (LRCP, single layer, one per precinct)
+        class _P:                            # layout probe for the shared
+            pass                             # precinct-geometry helper
+        _p = _P()
+        _p.levels = levels
+        _p.xcb, _p.ycb = xcb, ycb
+        _p.prec_exps = ([precinct_exp] * (levels + 1)
+                        if precinct_exp is not None else None)
         body = bytearray()
         pkt_offsets = []
         for r in range(levels + 1):
+            npx, npy, layouts = _precinct_layout(_p, bands, r, tw_i, th_i)
             for c in range(len(planes_t)):
-                if sop:
-                    body += (b"\xff\x91\x00\x04"
-                             + (sop_counter[0] & 0xFFFF).to_bytes(2, "big"))
-                    sop_counter[0] += 1
-                bio = _BioWriter()
                 entries = packet_blocks[(r, c)]
-                any_data = any(
-                    numbps > 0
-                    for _bi, blocks in entries
-                    for (_d, _np_, numbps, _mb) in blocks)
-                segs = []
-                if not any_data:
-                    bio.write(0)
-                else:
-                    bio.write(1)
+                for pidx in range(npx * npy):
+                    py_, px_ = divmod(pidx, npx)
+                    if sop:
+                        body += (b"\xff\x91\x00\x04"
+                                 + (sop_counter[0] & 0xFFFF).to_bytes(
+                                     2, "big"))
+                        sop_counter[0] += 1
+                    bio = _BioWriter()
+                    segs = []
+                    # precinct-local block ranges per band
+                    ranges = []
+                    any_data = False
                     for bi, blocks in entries:
-                        if not blocks:
-                            continue
                         name, lev, bw, bh, gain = bands[r][bi]
-                        nx = -(-bw // cbw)
-                        ny = -(-bh // cbh)
-                        incl_t = _TagTree(nx, ny)
-                        imsb_t = _TagTree(nx, ny)
-                        for by in range(ny):
-                            for bx in range(nx):
-                                data, npasses, numbps, mb = \
-                                    blocks[by * nx + bx]
-                                incl_t.set(bx, by, 0 if numbps else 1)
-                                imsb_t.set(bx, by,
-                                           (mb - numbps) if numbps else 0)
-                        incl_t.finalize()
-                        imsb_t.finalize()
-                        for by in range(ny):
-                            for bx in range(nx):
-                                data, npasses, numbps, mb = \
-                                    blocks[by * nx + bx]
-                                incl_t.encode(bio, bx, by, 1)
-                                if not numbps:
-                                    continue
-                                imsb_t.encode(bio, bx, by, 64)
-                                _write_npasses(bio, npasses)
-                                lblock = 3
-                                nbits_needed = (len(data).bit_length()
-                                                if data else 1)
-                                want = _floor_log2(npasses)
-                                while lblock + want < nbits_needed:
-                                    bio.write(1)
-                                    lblock += 1
-                                bio.write(0)
-                                bio.write_bits(len(data), lblock + want)
-                                segs.append(data)
-                body += bio.flush()
-                if eph:
-                    body += b"\xff\x92"
-                for s in segs:
-                    body += s
-                pkt_offsets.append(len(body))
+                        cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
+                        bx0, bx1 = _prec_block_range(px_, pbw, cbw_e,
+                                                     bw, nx)
+                        by0, by1 = _prec_block_range(py_, pbh, cbh_e,
+                                                     bh, ny)
+                        ranges.append((bi, blocks, nx,
+                                       bx0, bx1, by0, by1))
+                        any_data = any_data or any(
+                            blocks[by * nx + bx][2] > 0
+                            for by in range(by0, by1)
+                            for bx in range(bx0, bx1))
+                    if not any_data:
+                        bio.write(0)
+                    else:
+                        bio.write(1)
+                        for bi, blocks, nx, bx0, bx1, by0, by1 in ranges:
+                            w_ = bx1 - bx0
+                            h_ = by1 - by0
+                            if w_ <= 0 or h_ <= 0:
+                                continue
+                            incl_t = _TagTree(w_, h_)
+                            imsb_t = _TagTree(w_, h_)
+                            for by in range(by0, by1):
+                                for bx in range(bx0, bx1):
+                                    data, npasses, numbps, mb = \
+                                        blocks[by * nx + bx]
+                                    incl_t.set(bx - bx0, by - by0,
+                                               0 if numbps else 1)
+                                    imsb_t.set(bx - bx0, by - by0,
+                                               (mb - numbps)
+                                               if numbps else 0)
+                            incl_t.finalize()
+                            imsb_t.finalize()
+                            for by in range(by0, by1):
+                                for bx in range(bx0, bx1):
+                                    data, npasses, numbps, mb = \
+                                        blocks[by * nx + bx]
+                                    incl_t.encode(bio, bx - bx0,
+                                                  by - by0, 1)
+                                    if not numbps:
+                                        continue
+                                    imsb_t.encode(bio, bx - bx0,
+                                                  by - by0, 64)
+                                    _write_npasses(bio, npasses)
+                                    lblock = 3
+                                    nbits_needed = (len(data).bit_length()
+                                                    if data else 1)
+                                    want = _floor_log2(npasses)
+                                    while lblock + want < nbits_needed:
+                                        bio.write(1)
+                                        lblock += 1
+                                    bio.write(0)
+                                    bio.write_bits(len(data),
+                                                   lblock + want)
+                                    segs.append(data)
+                    body += bio.flush()
+                    if eph:
+                        body += b"\xff\x92"
+                    for s in segs:
+                        body += s
+                    pkt_offsets.append(len(body))
         return bytes(body), pkt_offsets
 
     bodies = []
@@ -1781,11 +1897,17 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     for _ in range(ncomp):
         siz += bytes([7, 1, 1])              # 8-bit unsigned, no subsample
     out += _SIZ.to_bytes(2, "big") + (len(siz) + 2).to_bytes(2, "big") + siz
-    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0) \
+        | (0x01 if precinct_exp is not None else 0)
     cod = bytes([scod,
                  0]) + (1).to_bytes(2, "big") \
         + bytes([mct, levels, xcb - 2, ycb - 2, 0,
                  0 if irreversible else 1])
+    if precinct_exp is not None:
+        ppx_, ppy_ = precinct_exp
+        if not (1 <= ppx_ <= 15 and 1 <= ppy_ <= 15):
+            raise ValueError("bad precinct exponents")
+        cod += bytes([(ppy_ << 4) | ppx_] * (levels + 1))
     out += _COD.to_bytes(2, "big") + (len(cod) + 2).to_bytes(2, "big") + cod
     if irreversible and derived_quant:       # scalar derived (style 1)
         e0_, m0_, _d0, _mb0 = qspec[0]

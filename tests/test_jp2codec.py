@@ -630,26 +630,49 @@ def test_sop_eph_markers_roundtrip():
     assert np.array_equal(decode_jp2(d), img)
 
 
-def test_explicit_precincts_accepted_iff_not_partitioning():
-    """Explicit COD precinct sizes that cover every resolution decode
-    identically to the default; actual partitions raise."""
+def test_precinct_partitions_roundtrip():
+    """Explicit precinct partitions (B.6): packets per precinct,
+    per-precinct tag trees, code-block size capped by the band cell —
+    round-trips bit-exactly across sizes, colour, 9/7, tiles and
+    reduced decode; non-partitioning sizes behave like the default."""
     from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
 
-    rng = np.random.default_rng(18)
-    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)
-    d0 = bytes(encode_j2k(img, levels=2))
-    cod = d0.find(b"\xff\x52")
-    ln = int.from_bytes(d0[cod + 2:cod + 4], "big")
+    rng = np.random.default_rng(31)
+    for (h, w, ch, pe, lev) in [(100, 140, 1, (6, 6), 2),
+                                (128, 96, 3, (5, 5), 2),
+                                (80, 80, 1, (4, 4), 1),
+                                (90, 70, 1, (5, 6), 3),
+                                (64, 64, 3, (7, 7), 2)]:
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = encode_j2k(img, levels=lev, precinct_exp=pe)
+        assert np.array_equal(decode_jp2(d), img), (h, w, ch, pe, lev)
 
-    def with_precincts(pe: bytes) -> bytes:
-        out = bytearray(d0[:cod + 2] + (ln + len(pe)).to_bytes(2, "big")
-                        + d0[cod + 4:cod + 2 + ln])
-        out[cod + 4] |= 1
-        return bytes(out) + pe + d0[cod + 2 + ln:]
+    yy, xx = np.mgrid[0:100, 0:140]
+    smooth = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)
+              ).astype(np.uint8)
+    d = encode_j2k(smooth, levels=2, precinct_exp=(5, 5),
+                   irreversible=True, step=0.5, sop=True, eph=True)
+    assert np.abs(decode_jp2(d).astype(int)
+                  - smooth.astype(int)).max() <= 3
+    d = encode_j2k(smooth, levels=2, precinct_exp=(5, 5),
+                   tile_size=(64, 64))
+    assert np.array_equal(decode_jp2(d), smooth)
+    d = encode_j2k(smooth, levels=2, precinct_exp=(5, 5))
+    assert decode_jp2(d, reduce_levels=1).shape == (50, 70)
 
-    assert np.array_equal(decode_jp2(with_precincts(b"\xff" * 3)), img)
-    with pytest.raises(Jp2Error, match="precinct"):
-        decode_jp2(with_precincts(b"\x11" * 3))
+
+def test_precinct_positional_progression_guard():
+    """PCRL/CPRL with real precinct partitions need the spatial-position
+    loop this decoder does not implement — must raise, not misparse."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    img = np.full((80, 80), 7, np.uint8)
+    data = bytearray(encode_j2k(img, levels=2, precinct_exp=(4, 4)))
+    cod = bytes(data).find(b"\xff\x52")
+    data[cod + 5] = 4                        # SGcod progression -> CPRL
+    with pytest.raises(Jp2Error, match="progression"):
+        decode_jp2(bytes(data))
 
 
 def test_tile_parts_roundtrip_and_ordering():
