@@ -1188,27 +1188,6 @@ def _parse_headers(d: bytes, i: int,
     return p, i - 2                          # position of SOT marker
 
 
-def _iter_packets(p):
-    """Packet iteration (layer, res, comp) honouring the progression
-    order (B.12.1) with the single default precinct making position
-    degenerate.  A GENERATOR, not a list: nlayers is a 16-bit field, so
-    a few-hundred-byte adversarial stream could otherwise allocate
-    millions of tuples before the per-packet truncation check fires."""
-    L = range(p.nlayers)
-    R = range(p.levels + 1)
-    C = range(p.ncomp)
-    order = p.progression
-    if order == "LRCP":
-        return ((l, r, c) for l in L for r in R for c in C)
-    if order == "RLCP":
-        return ((l, r, c) for r in R for l in L for c in C)
-    if order == "RPCL":                      # r -> p -> c -> l: layer INNERMOST
-        return ((l, r, c) for r in R for c in C for l in L)
-    if order == "PCRL":                      # p -> c -> r -> l
-        return ((l, r, c) for c in C for r in R for l in L)
-    return ((l, r, c) for c in C for r in R for l in L)      # CPRL
-
-
 class _BlockState:
     __slots__ = ("included", "numbps", "lblock", "npasses", "data")
 
@@ -1286,8 +1265,13 @@ def _decode_j2k(data: bytes, max_pixels: int,
     ntx = -(-p.w // p.xt)
     nty = -(-p.h // p.yt)
     n_tiles = ntx * nty
-    if n_tiles > 1 and (p.xt % (1 << p.levels) or p.yt % (1 << p.levels)):
-        raise Jp2Error("tile size not a multiple of 2^levels")
+    if n_tiles > 1 and (p.xt & (p.xt - 1) or p.yt & (p.yt - 1)
+                        or p.xt % (1 << p.levels)
+                        or p.yt % (1 << p.levels)):
+        # interior tiles must anchor on coordinates even at every level
+        # AND on code-block/precinct grid boundaries in absolute band
+        # coordinates — powers of two >= 2^levels guarantee both
+        raise Jp2Error("non-power-of-two tile size unsupported")
     red_w = -(-p.w // (1 << reduce_levels))
     red_h = -(-p.h // (1 << reduce_levels))
     planes = [np.zeros((red_h, red_w),
@@ -1309,7 +1293,9 @@ def _decode_j2k(data: bytes, max_pixels: int,
         tpsot, tnsot = data[pos + 10], data[pos + 11]
         if isot >= n_tiles:
             raise Jp2Error("bad tile index")
-        tile_end = pos + psot if psot else len(data)
+        # Psot=0 is legal in the LAST tile-part (A.4.2): payload runs to
+        # the EOC marker, which must stay visible to the SOT walk
+        tile_end = pos + psot if psot else len(data) - 2
         if tile_end > len(data):
             raise Jp2Error("truncated tile")
         j = pos + 2 + lsot
@@ -1331,7 +1317,6 @@ def _decode_j2k(data: bytes, max_pixels: int,
             declared_parts[isot] = tnsot
         pos = tile_end
 
-    comps = None
     for isot in range(n_tiles):
         parts = tile_parts.get(isot)
         if not parts:
@@ -1398,7 +1383,7 @@ def _precinct_layout(p, bands, r, tw_i, th_i):
     res_w = -(-tw_i // (1 << (p.levels - r)))
     res_h = -(-th_i // (1 << (p.levels - r)))
     ppx, ppy = p.prec_exps[r] if p.prec_exps is not None else (15, 15)
-    if ppx < (1 if r else 0) + 1 and r:
+    if r and (ppx < 1 or ppy < 1):           # PPx/PPy=0 illegal for r>0
         raise Jp2Error("illegal precinct size")
     npx = max(1, -(-res_w // (1 << ppx)))
     npy = max(1, -(-res_h // (1 << ppy)))
@@ -1461,8 +1446,9 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         return trees[key]
 
     n_prec = {r: prec[r][0] * prec[r][1] for r in range(p.levels + 1)}
-    if p.prec_exps is not None and any(n > 1 for n in n_prec.values()) \
-            and p.progression not in ("LRCP", "RLCP"):
+    # even the 2^15 DEFAULT precinct can partition a >32768-px resolution
+    if any(n > 1 for n in n_prec.values()) \
+            and p.progression not in ("LRCP", "RLCP", "RPCL"):
         raise Jp2Error(
             "positional progression with precinct partitions unsupported")
 
@@ -1729,9 +1715,11 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         xt, yt = int(tile_size[0]), int(tile_size[1])
         if xt <= 0 or yt <= 0:
             raise ValueError("bad tile size")
-        if (xt < w or yt < h) and (xt % (1 << levels)
+        if (xt < w or yt < h) and (xt & (xt - 1) or yt & (yt - 1)
+                                   or xt % (1 << levels)
                                    or yt % (1 << levels)):
-            raise ValueError("tile size must be a multiple of 2^levels")
+            raise ValueError(
+                "tile size must be a power of two >= 2^levels")
     ntx, nty = -(-w // xt), -(-h // yt)
 
     sop_counter = [0]

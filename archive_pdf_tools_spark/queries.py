@@ -1874,14 +1874,17 @@ def q_jp2_decode(spark, sf):
                     img = np.stack([(base + 85 * c) % 256
                                     for c in range(3)],
                                    axis=-1).astype(np.uint8)
-                # every 6th image encodes as a MULTI-TILE grid (16x16
-                # tiles over up-to-48px images): the per-tile decode
-                # path must reproduce the same closed-form pixels
+                # every 6th image encodes as a MULTI-TILE grid: the
+                # i%6==0 images are 8-11 px per side, so 8x8 tiles
+                # genuinely partition the 9-11 px ones into 2x2 grids
+                # (16x16 would silently degenerate to one tile) and the
+                # per-tile decode path must reproduce the same
+                # closed-form pixels
                 data = encode_jp2(
                     img, levels=1 + i % 3,
                     block_exp=(4 + i % 3, 4 + (i // 2) % 3),
                     raw_codestream=bool(i % 5 == 0),
-                    tile_size=(16, 16) if i % 6 == 0 else None)
+                    tile_size=(8, 8) if i % 6 == 0 else None)
                 dec = decode_jp2(data)
                 if not np.array_equal(dec, img):
                     raise AssertionError(f"lossless violation img {i}")

@@ -604,8 +604,10 @@ def test_multitile_contract_checks():
     from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
 
     img = np.full((70, 90), 5, np.uint8)
-    with pytest.raises(ValueError, match="multiple of"):
+    with pytest.raises(ValueError, match="power of two"):
         encode_j2k(img, levels=2, tile_size=(30, 30))   # not 2^levels-aligned
+    with pytest.raises(ValueError, match="power of two"):
+        encode_j2k(img, levels=2, tile_size=(48, 48))   # aligned but not pow2
     data = bytearray(encode_j2k(img, levels=2, tile_size=(32, 32)))
     # duplicate tile index must raise, not silently overwrite
     sot = bytes(data).find(b"\xff\x90", 10)
@@ -706,3 +708,16 @@ def test_tile_parts_roundtrip_and_ordering():
     two[sots[0] + 10], two[sots[1] + 10] = two[sots[1] + 10], two[sots[0] + 10]
     with pytest.raises(Jp2Error):
         decode_jp2(bytes(two))
+
+
+def test_psot_zero_last_tile_part_decodes():
+    """Psot=0 is legal in the final tile-part (A.4.2: payload runs to
+    EOC); the EOC marker must stay visible to the tile walk."""
+    rng = np.random.default_rng(51)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    data = bytearray(encode_j2k(img, levels=2))
+    sot = bytes(data).find(b"\xff\x90")
+    data[sot + 6:sot + 10] = (0).to_bytes(4, "big")     # Psot = 0
+    assert np.array_equal(decode_jp2(bytes(data)), img)
