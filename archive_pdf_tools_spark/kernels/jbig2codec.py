@@ -1,0 +1,426 @@
+"""From-scratch JBIG2 (ITU-T T.88) generic-region codec.
+
+The reference's DEFAULT mask sink is JBIG2: ``internetarchivepdf/
+mrc.py:474-520`` (``encode_mrc_mask``) shells out to the external
+``jbig2`` binary (jbig2enc, ``-p`` for PDF-embedded output) and
+``pdfhacks.py:60-70,106-177`` wires the result into the PDF as a 1-bit
+DeviceGray SMask with ``/Filter /JBIG2Decode``.  This module replaces
+the subprocess with a native codec: embedded-stream segment parsing
+(T.88 §7.2), the page-information segment (§7.4.8), arithmetic-coded
+generic-region decoding (§6.2.5.7, templates 0-3, TPGDON typical
+prediction, arbitrary AT pixel placement) and a matching encoder
+producing the same embedded organization jbig2enc ``-p`` emits (page
+info + immediate lossless generic region + end-of-page).
+
+The MQ arithmetic coder is shared with the JPEG2000 codec
+(``kernels/jp2codec.py``): T.88 Annex E and T.800 Annex C specify the
+identical coder; JBIG2 merely uses a different context model — one
+all-zero-initialised (state 0, MPS 0, §6.2.5.7 step 2) context per
+possible template neighbourhood value (2^16 for template 0).
+
+Everything here derives from the published ITU-T T.88 spec text
+(section/figure numbers cited inline).  Structural pins entered from
+the spec, not reconstructed from memory: the four TPGDON pseudo-pixel
+contexts (0x9B25/0x0795/0x00E5/0x0195, §6.2.5.7) and the template
+pixel layouts (figures 4-7).  No third-party JBIG2 codec exists
+in-container, so cross-codec parity is evidenced the same way as the
+JP2 codec: bit-exact decode(encode(x)) round-trips over fuzz corpora
+plus those spec-structure pins (see COVERAGE.md).
+
+Scope (raised as ``Jbig2Error``, honestly): MMR-coded regions, symbol
+dictionaries / text regions, halftone, refinement, unknown-length
+segments.  jbig2enc's generic mode and this module's own encoder use
+none of these.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .jp2codec import _mq_decode_fn, _mq_encode_fns
+
+
+class Jbig2Error(Exception):
+    """Unsupported or malformed JBIG2 stream (documented codec gate)."""
+
+
+# ----------------------------------------------------------- templates
+# Fixed template pixels per GBTEMPLATE (T.88 figures 4-7), as (dy, dx);
+# the adaptive (AT) pixels are appended and the whole set is ordered by
+# (dy, dx) — first pixel contributes the context MSB (§6.2.5.7).
+_FIXED = (
+    ((-2, -1), (-2, 0), (-2, 1),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+     (0, -4), (0, -3), (0, -2), (0, -1)),
+    ((-2, -1), (-2, 0), (-2, 1), (-2, 2),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1), (-1, 2),
+     (0, -3), (0, -2), (0, -1)),
+    ((-2, -1), (-2, 0), (-2, 1),
+     (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+     (0, -2), (0, -1)),
+    ((-1, -3), (-1, -2), (-1, -1), (-1, 0), (-1, 1),
+     (0, -4), (0, -3), (0, -2), (0, -1)),
+)
+
+# Nominal AT positions (§6.2.5.3): template 0 has A1-A4, 1-3 only A1.
+_NOMINAL_AT = (
+    ((-1, 3), (-1, -3), (-2, 2), (-2, -2)),
+    ((-1, 3),),
+    ((-1, 2),),
+    ((-1, 2),),
+)
+
+# TPGDON pseudo-pixel contexts per template (§6.2.5.7).
+_TPGDON_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
+
+
+def _sorted_template(template: int, at):
+    """AT pixels merged into the fixed set, (dy, dx)-sorted; MSB first."""
+    pix = list(_FIXED[template]) + [tuple(p) for p in at]
+    pix.sort()
+    return pix
+
+
+def _fast_params(template: int):
+    """Sliding-window constants for the NOMINAL-AT fast path.
+
+    With nominal AT pixels every template is three contiguous runs —
+    row y-2 spanning [x-a2..x+b2], row y-1 [x-a1..x+b1], row y
+    [x-a0..x-1] — so the context is three registers shifted left one
+    bit per pixel (the same lane trick jbig2dec/pdf.js use).
+    Returns (a2, b2, n2, a1, b1, n1, n0) with n2==0 for template 3.
+    """
+    if template == 0:
+        return (2, 2, 5, 3, 3, 7, 4)
+    if template == 1:
+        return (1, 2, 4, 2, 3, 6, 3)
+    if template == 2:
+        return (1, 1, 3, 2, 2, 5, 2)
+    return (0, 0, 0, 3, 2, 6, 4)
+
+
+def _is_nominal(template: int, at) -> bool:
+    return tuple(tuple(p) for p in at) == _NOMINAL_AT[template]
+
+
+def _decode_generic(decode, w: int, h: int, template: int, at,
+                    tpgdon: bool) -> np.ndarray:
+    """Generic region decoding procedure (§6.2.5.7), arithmetic only.
+
+    ``decode`` is the shared MQ decoder closure bound to this region's
+    2^16-context state.  Returns an (h, w) uint8 bitmap of {0, 1}.
+    """
+    bitmap = np.zeros((h, w), dtype=np.uint8)
+    ltp = 0
+    tp_ctx = _TPGDON_CTX[template]
+    if _is_nominal(template, at):
+        a2, b2, n2, a1, b1, n1, n0 = _fast_params(template)
+        m2, m1, m0 = (1 << n2) - 1, (1 << n1) - 1, (1 << n0) - 1
+        s2, s1 = n1 + n0, n0
+        pad = [0] * (max(b2, b1) + 2)
+        zrow = [0] * w + pad
+        for y in range(h):
+            if tpgdon:
+                ltp ^= decode(tp_ctx)
+                if ltp:
+                    if y:
+                        bitmap[y] = bitmap[y - 1]
+                    continue
+            r2 = (bitmap[y - 2].tolist() + pad) if y >= 2 and n2 else zrow
+            r1 = (bitmap[y - 1].tolist() + pad) if y >= 1 else zrow
+            # initial windows at x=0 (left-of-image pixels are 0)
+            c2 = _init_window(r2, a2, b2) if n2 else 0
+            c1 = _init_window(r1, a1, b1)
+            c0 = 0
+            row = bitmap[y]
+            out = row.tolist()
+            rd2, rd1 = b2 + 1, b1 + 1
+            for x in range(w):
+                bit = decode((c2 << s2) | (c1 << s1) | c0)
+                out[x] = bit
+                c2 = ((c2 << 1) | r2[x + rd2]) & m2
+                c1 = ((c1 << 1) | r1[x + rd1]) & m1
+                c0 = ((c0 << 1) | bit) & m0
+            bitmap[y] = out
+        return bitmap
+
+    # general path: arbitrary AT placement (foreign encoders may move
+    # A1-A4 anywhere in the causal neighbourhood) — per-pixel gather
+    pix = _sorted_template(template, at)
+    nb = len(pix)
+    for y in range(h):
+        if tpgdon:
+            ltp ^= decode(tp_ctx)
+            if ltp:
+                if y:
+                    bitmap[y] = bitmap[y - 1]
+                continue
+        rows = {}
+        for dy, dx in pix:
+            yy = y + dy
+            if yy not in rows:
+                rows[yy] = (bitmap[yy].tolist()
+                            if 0 <= yy < h else None)
+        row = [0] * w
+        rows[y] = row
+        for x in range(w):
+            ctx = 0
+            for dy, dx in pix:
+                xx = x + dx
+                r = rows[y + dy]
+                ctx = (ctx << 1) | (r[xx]
+                                    if r is not None and 0 <= xx < w
+                                    else 0)
+            row[x] = decode(ctx)
+        bitmap[y] = row
+    return bitmap
+
+
+def _init_window(r, a: int, b: int) -> int:
+    """Window [x-a .. x+b] value at x=0 (pixels left of the image = 0)."""
+    c = 0
+    for k in range(b + 1):
+        c = (c << 1) | r[k]
+    return c
+
+
+def _encode_generic(encode, bitmap: np.ndarray, template: int,
+                    tpgdon: bool) -> None:
+    """Mirror of `_decode_generic` over the nominal-AT fast path (the
+    encoder always emits nominal AT pixels, like jbig2enc)."""
+    h, w = bitmap.shape
+    at = _NOMINAL_AT[template]
+    a2, b2, n2, a1, b1, n1, n0 = _fast_params(template)
+    m2, m1, m0 = (1 << n2) - 1, (1 << n1) - 1, (1 << n0) - 1
+    s2, s1 = n1 + n0, n0
+    tp_ctx = _TPGDON_CTX[template]
+    pad = [0] * (max(b2, b1) + 2)
+    zrow = [0] * w + pad
+    ltp = 0
+    prev = None
+    for y in range(h):
+        row = bitmap[y].tolist()
+        if tpgdon:
+            typical = 1 if (row == prev if prev is not None
+                            else not any(row)) else 0
+            encode(tp_ctx, typical ^ ltp)
+            ltp = typical
+            if typical:
+                prev = row
+                continue
+        prev = row
+        r2 = (bitmap[y - 2].tolist() + pad) if y >= 2 and n2 else zrow
+        r1 = (bitmap[y - 1].tolist() + pad) if y >= 1 else zrow
+        c2 = _init_window(r2, a2, b2) if n2 else 0
+        c1 = _init_window(r1, a1, b1)
+        c0 = 0
+        rd2, rd1 = b2 + 1, b1 + 1
+        for x in range(w):
+            bit = row[x]
+            encode((c2 << s2) | (c1 << s1) | c0, bit)
+            c2 = ((c2 << 1) | r2[x + rd2]) & m2
+            c1 = ((c1 << 1) | r1[x + rd1]) & m1
+            c0 = ((c0 << 1) | bit) & m0
+
+
+# ------------------------------------------------------ segment layer
+
+def _u32(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 4], "big")
+
+
+def _u16(b: bytes, i: int) -> int:
+    return int.from_bytes(b[i:i + 2], "big")
+
+
+def _parse_segment_header(data: bytes, pos: int):
+    """T.88 §7.2: returns (segnum, seg_type, page, data_len, hdr_end)."""
+    if pos + 11 > len(data):
+        raise Jbig2Error("truncated segment header")
+    segnum = _u32(data, pos)
+    flags = data[pos + 4]
+    seg_type = flags & 0x3F
+    page_assoc_4 = bool(flags & 0x40)
+    i = pos + 5
+    rts = data[i]
+    if (rts >> 5) == 7:                      # long form (§7.2.4)
+        count = _u32(data, i) & 0x1FFFFFFF
+        i += 4 + (count + 8) // 8            # retain bits, ceil((n+1)/8)
+    else:
+        count = rts >> 5
+        i += 1
+    ref_size = 1 if segnum <= 256 else (2 if segnum <= 65536 else 4)
+    i += count * ref_size                    # referred-to numbers unused
+    if page_assoc_4:
+        page = _u32(data, i)
+        i += 4
+    else:
+        page = data[i]
+        i += 1
+    data_len = _u32(data, i)
+    i += 4
+    return segnum, seg_type, page, data_len, i
+
+
+def decode_jbig2(data: bytes, globals_data: bytes = b"",
+                 max_pixels: int = 64_000_000) -> np.ndarray:
+    """Decode a PDF-embedded JBIG2 stream (§7.2 organization, no file
+    header — exactly what ``/JBIG2Decode`` carries) to an (h, w) uint8
+    bitmap of {0, 1} where 1 = black (the filter's contract).
+
+    ``globals_data`` is the optional ``/JBIG2Globals`` stream; its
+    segments are processed first (it may legally carry the page-info
+    segment, though jbig2enc puts symbol dictionaries there, which are
+    out of scope and raise).
+    """
+    page_w = page_h = None
+    page_default = 0
+    bitmap = None
+    h_known = True
+
+    def _alloc(w, h, default):
+        return np.full((h, w), default, dtype=np.uint8)
+
+    for blob in (globals_data, data):
+        pos = 0
+        n = len(blob)
+        while pos < n:
+            (segnum, seg_type, page, data_len,
+             body) = _parse_segment_header(blob, pos)
+            if data_len == 0xFFFFFFFF:
+                raise Jbig2Error("unknown-length segment unsupported")
+            if body + data_len > n:
+                raise Jbig2Error("segment data overruns stream")
+            seg = blob[body:body + data_len]
+            pos = body + data_len
+
+            if seg_type == 48:               # page information (§7.4.8)
+                if len(seg) < 19:
+                    raise Jbig2Error("short page info segment")
+                page_w, page_h = _u32(seg, 0), _u32(seg, 4)
+                page_default = (seg[16] >> 2) & 1
+                if page_h == 0xFFFFFFFF:     # striped page, height later
+                    h_known = False
+                    bitmap = None
+                else:
+                    if page_w * page_h > max_pixels:
+                        raise Jbig2Error("page exceeds max_pixels bound")
+                    bitmap = _alloc(page_w, page_h, page_default)
+            elif seg_type in (38, 39):       # immediate generic region
+                if page_w is None:
+                    raise Jbig2Error("region before page info")
+                rw, rh = _u32(seg, 0), _u32(seg, 4)
+                rx, ry = _u32(seg, 8), _u32(seg, 12)
+                comb = seg[16] & 7
+                gflags = seg[17]
+                if gflags & 1:
+                    raise Jbig2Error("MMR generic region unsupported")
+                template = (gflags >> 1) & 3
+                tpgdon = bool(gflags & 8)
+                i = 18
+                n_at = 4 if template == 0 else 1
+                at = []
+                for _ in range(n_at):
+                    ax = int.from_bytes(seg[i:i + 1], "big", signed=True)
+                    ay = int.from_bytes(seg[i + 1:i + 2], "big",
+                                        signed=True)
+                    at.append((ay, ax))
+                    i += 2
+                if rw * rh > max_pixels:
+                    raise Jbig2Error("region exceeds max_pixels bound")
+                states = [0] * 65536         # §6.2.5.7 step 2: all-zero
+                mps = [0] * 65536
+                decode = _mq_decode_fn(seg[i:], states, mps)
+                region = _decode_generic(decode, rw, rh, template, at,
+                                         tpgdon)
+                if bitmap is None:           # unknown-height page: grow
+                    if not h_known:
+                        page_h = ry + rh
+                        bitmap = _alloc(page_w, page_h, page_default)
+                    else:
+                        raise Jbig2Error("region before page info")
+                elif not h_known and ry + rh > bitmap.shape[0]:
+                    grown = _alloc(page_w, ry + rh, page_default)
+                    grown[:bitmap.shape[0]] = bitmap
+                    bitmap = grown
+                if ry + rh > bitmap.shape[0] or rx + rw > bitmap.shape[1]:
+                    raise Jbig2Error("region outside page")
+                tgt = bitmap[ry:ry + rh, rx:rx + rw]
+                if comb == 0:                # OR
+                    tgt |= region
+                elif comb == 1:              # AND
+                    tgt &= region
+                elif comb == 2:              # XOR
+                    tgt ^= region
+                elif comb == 3:              # XNOR
+                    tgt[...] = 1 - (tgt ^ region)
+                else:                        # REPLACE
+                    tgt[...] = region
+            elif seg_type == 50:             # end of stripe: y coordinate
+                continue
+            elif seg_type in (49, 51):       # end of page / file
+                continue
+            elif seg_type == 62:             # extension: skippable
+                continue
+            else:
+                raise Jbig2Error(
+                    f"segment type {seg_type} unsupported "
+                    "(symbol/text/halftone/refinement out of scope)")
+    if bitmap is None:
+        raise Jbig2Error("no page produced")
+    return bitmap
+
+
+def _segment(segnum: int, seg_type: int, page: int,
+             payload: bytes) -> bytes:
+    """Emit one §7.2 segment header + payload (no referred segments,
+    1-byte page association — all our segment numbers are tiny)."""
+    return (segnum.to_bytes(4, "big")
+            + bytes((seg_type,))
+            + b"\x00"                        # 0 referred-to segments
+            + bytes((page,))
+            + len(payload).to_bytes(4, "big")
+            + payload)
+
+
+def encode_jbig2(bitmap: np.ndarray, template: int = 0,
+                 tpgdon: bool = True) -> bytes:
+    """Encode an (h, w) {0,1} bitmap as a PDF-embedded JBIG2 stream —
+    the jbig2enc ``-p`` organization the reference stores via
+    ``pdfhacks.py:106-177``: page info, one immediate lossless generic
+    region covering the page, end-of-page.  Lossless:
+    ``decode_jbig2(encode_jbig2(b)) == b`` bit-exactly.
+    """
+    bm = np.asarray(bitmap)
+    if bm.ndim != 2:
+        raise ValueError("bitmap must be 2-D")
+    if not 0 <= template <= 3:
+        raise ValueError("template must be 0..3")
+    bm = (bm != 0).astype(np.uint8)
+    h, w = bm.shape
+
+    states = [0] * 65536
+    mps = [0] * 65536
+    encode, flush = _mq_encode_fns(states, mps)
+    _encode_generic(encode, bm, template, tpgdon)
+    mq = flush()
+
+    at = _NOMINAL_AT[template]
+    gflags = (template << 1) | (8 if tpgdon else 0)
+    region = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+              + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+              + b"\x00"                      # external comb op OR
+              + bytes((gflags,)))
+    for ay, ax in at:
+        region += ax.to_bytes(1, "big", signed=True)
+        region += ay.to_bytes(1, "big", signed=True)
+    region += mq
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + b"\x01"                   # page flags: lossless
+                 + (0).to_bytes(2, "big"))   # no striping
+
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 39, 1, region)
+            + _segment(2, 49, 1, b""))

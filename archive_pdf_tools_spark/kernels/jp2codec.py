@@ -212,12 +212,18 @@ class _MQEncoder:
         self.encode, self.flush = _mq_encode_fns()
 
 
-def _mq_decode_fn(data: bytes):
+def _mq_decode_fn(data: bytes, states=None, mps=None):
     """Annex C decoder as a closure (nonlocal state beats attribute
     lookups in the per-decision hot path); past end-of-segment, BYTEIN
-    feeds 0xFF (the marker-like path keeps CT=8), per C.3.4."""
+    feeds 0xFF (the marker-like path keeps CT=8), per C.3.4.
+
+    ``states``/``mps`` default to the JPEG2000 Tier-1 context set
+    (Table D.7); callers with a different context model — JBIG2's
+    2^16 all-zero-initialised generic-region contexts share this exact
+    coder (T.88 == T.800 Annex C) — pass their own lists."""
     qe_t, nmps_t, nlps_t, sw_t = _QE, _NMPS, _NLPS, _SWITCH
-    states, mps = _init_ctx()
+    if states is None:
+        states, mps = _init_ctx()
     n = len(data)
     bp = 0
     c = (data[0] if n else 0xFF) << 16
@@ -1265,12 +1271,17 @@ def _decode_j2k(data: bytes, max_pixels: int,
     ntx = -(-p.w // p.xt)
     nty = -(-p.h // p.yt)
     n_tiles = ntx * nty
-    if n_tiles > 1 and (p.xt & (p.xt - 1) or p.yt & (p.yt - 1)
-                        or p.xt % (1 << p.levels)
-                        or p.yt % (1 << p.levels)):
-        # interior tiles must anchor on coordinates even at every level
-        # AND on code-block/precinct grid boundaries in absolute band
-        # coordinates — powers of two >= 2^levels guarantee both
+    # interior tiles must anchor on coordinates even at every level
+    # AND on code-block/precinct grid boundaries in absolute band
+    # coordinates — powers of two >= 2^levels guarantee both.  The
+    # check applies PER DIMENSION and only where that dimension
+    # actually partitions into >1 tile: p.xt/p.yt were clamped to the
+    # image size above, so a 50x150 image with declared 64x64 tiles
+    # (tall-strip scans) legally has xt=50 with ntx=1 — the clamped
+    # value never anchors an interior tile and must not be validated.
+    if ((ntx > 1 and (p.xt & (p.xt - 1) or p.xt % (1 << p.levels)))
+            or (nty > 1 and (p.yt & (p.yt - 1)
+                             or p.yt % (1 << p.levels)))):
         raise Jp2Error("non-power-of-two tile size unsupported")
     red_w = -(-p.w // (1 << reduce_levels))
     red_h = -(-p.h // (1 << reduce_levels))
@@ -1715,9 +1726,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         xt, yt = int(tile_size[0]), int(tile_size[1])
         if xt <= 0 or yt <= 0:
             raise ValueError("bad tile size")
-        if (xt < w or yt < h) and (xt & (xt - 1) or yt & (yt - 1)
-                                   or xt % (1 << levels)
-                                   or yt % (1 << levels)):
+        # per-dimension: only a dimension that partitions into >1 tile
+        # anchors interior tiles and needs the power-of-two guarantee
+        # (mirrors the decoder guard; tall-strip tiles like 64x64 over
+        # a 50x150 image are legal and round-trip)
+        if ((xt < w and (xt & (xt - 1) or xt % (1 << levels)))
+                or (yt < h and (yt & (yt - 1)
+                                or yt % (1 << levels)))):
             raise ValueError(
                 "tile size must be a power of two >= 2^levels")
     ntx, nty = -(-w // xt), -(-h // yt)

@@ -584,6 +584,37 @@ def test_multitile_lossless_roundtrip():
         assert np.array_equal(decode_jp2(data), img), (h, w, ch, ts)
 
 
+def test_multitile_strip_narrower_than_tile():
+    """A declared tile larger than the image in ONE dimension is legal
+    (tall-strip scans: 50x150 image, 64x64 tiles -> a 1x3 tile column).
+    The pow2 guard must run per dimension on what actually partitions —
+    the clamped 50 never anchors an interior tile (ADVICE r5)."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(23)
+    for shape, ts in [((150, 50), (64, 64)),     # tall strip, 3 tiles in y
+                      ((50, 150), (64, 64)),     # wide strip, 3 tiles in x
+                      ((150, 50, 3), (64, 64)),  # RGB tall strip
+                      ((130, 40), (40, 32))]:    # non-pow2 xt, but ntx==1
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        data = encode_j2k(img, levels=2, tile_size=ts)
+        assert np.array_equal(decode_jp2(data), img), (shape, ts)
+    # 9/7 + reduce still work on strips
+    yy, xx = np.mgrid[0:150, 0:50]
+    smooth = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)
+              ).astype(np.uint8)
+    d = encode_j2k(smooth, levels=2, tile_size=(64, 64),
+                   irreversible=True, step=0.5)
+    assert np.abs(decode_jp2(d).astype(int)
+                  - smooth.astype(int)).max() <= 3
+    assert decode_jp2(encode_j2k(smooth, levels=2, tile_size=(64, 64)),
+                      reduce_levels=1).shape == (75, 25)
+    # a dimension that DOES partition still rejects non-pow2
+    img = rng.integers(0, 256, (150, 50)).astype(np.uint8)
+    with pytest.raises(ValueError, match="power of two"):
+        encode_j2k(img, levels=2, tile_size=(64, 48))
+
+
 def test_multitile_97_and_reduced():
     from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
 
