@@ -61,6 +61,25 @@ def synth_jp2_real(w: int, h: int, gray: bool, seed: int = 0) -> bytes:
     return encode_jp2(img, levels=2)
 
 
+def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
+    """A DECODABLE embedded JBIG2 stream (round 6): a seeded text-mask-
+    like bitmap (horizontal strokes on white, the shape real MRC masks
+    have) encoded by the engine's own generic-region encoder
+    (``kernels.jbig2codec``) — the reference's DEFAULT mask compression
+    (``internetarchivepdf/mrc.py:474-520`` via the jbig2enc subprocess).
+    Seeded from (seed, w, h) only, like the other ``synth_*_real``
+    fixtures, so adding these never shifts sibling fixtures."""
+    from ..kernels.jbig2codec import encode_jbig2
+
+    rng = np.random.default_rng((seed * 7919) ^ (w << 16) ^ h)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    for _ in range(max(1, w * h // 50)):
+        y = int(rng.integers(0, h))
+        x = int(rng.integers(0, w))
+        bm[y, x:x + int(rng.integers(1, 10))] = 1
+    return encode_jbig2(bm)
+
+
 def _flate(data: bytes) -> bytes:
     return zlib.compress(data, 6)
 
@@ -156,14 +175,21 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                 # must take dims/components from the ihdr box.
                 data = img["data"]
                 filt = b"/JPXDecode"
+            elif img.get("jbig2"):
+                # JBIG2-filtered 1-bit mask: payload is an embedded
+                # JBIG2 stream (the reference's default mask sink,
+                # pdfhacks.py:60-70 JBIG2_TEMPL — 1-bit DeviceGray)
+                data = img["data"]
+                filt = b"/JBIG2Decode"
             else:
                 data = _flate(img["data"])
                 filt = b"/FlateDecode"
+            bpc = b"1" if img.get("jbig2") else b"8"
             body = (b"<< /Type /XObject /Subtype /Image /Width "
                     + str(img["w"]).encode() + b" /Height "
                     + str(img["h"]).encode()
                     + b" /ColorSpace " + cs
-                    + b" /BitsPerComponent 8 /Filter " + filt
+                    + b" /BitsPerComponent " + bpc + b" /Filter " + filt
                     + b" /Length "
                     + str(len(data)).encode() + b" >>\nstream\n"
                     + data + b"\nendstream")
@@ -305,6 +331,15 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                 images.append({"w": w, "h": h, "gray": gray, "jpx": True,
                                "data": synth_jp2_real(w, h, gray,
                                                       seed=seed)})
+                continue
+            if u < 0.45:                  # JBIG2-filtered 1-bit mask,
+                # real + losslessly decodable since round 6: exercises
+                # the generic-region decoder -> MRC path (the
+                # reference's default mask sink)
+                images.append({"w": w, "h": h, "gray": True,
+                               "jbig2": True,
+                               "data": synth_jbig2_real(w, h,
+                                                        seed=seed)})
                 continue
             n = w * h * (1 if gray else 3)
             images.append({"w": w, "h": h, "gray": gray,

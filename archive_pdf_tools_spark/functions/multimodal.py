@@ -42,11 +42,14 @@ FEATURES_SCHEMA_DDL = ("media_ref string, width int, height int, "
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an encoded image payload.  Baseline JPEG decodes natively
-    (``kernels.jpegcodec``, round 4) and reversible JPEG2000 — JP2 file
-    or raw J2K codestream — decodes natively (``kernels.jp2codec``,
-    round 5); the remaining formats (JBIG2/PNG/video/audio) stay gated
-    until codec libraries are available — the pipeline path uses the
-    deterministic synthetic decode (``corpus.rasters``) instead."""
+    (``kernels.jpegcodec``, round 4), reversible JPEG2000 — JP2 file
+    or raw J2K codestream — natively (``kernels.jp2codec``, round 5),
+    and JBIG2 bitonal masks — standalone .jb2 files or PDF-embedded
+    streams — natively (``kernels.jbig2codec``, round 6; returned as
+    0/255 uint8 grayscale, 1=black per the /JBIG2Decode contract); the
+    remaining formats (PNG/video/audio) stay gated until codec
+    libraries are available — the pipeline path uses the deterministic
+    synthetic decode (``corpus.rasters``) instead."""
     if payload[:2] == b"\xff\xd8":
         from ..kernels.jpegcodec import decode_baseline
 
@@ -56,6 +59,17 @@ def decode_image(payload: bytes) -> np.ndarray:
         from ..kernels.jp2codec import decode_jp2
 
         return decode_jp2(payload)
+    from ..kernels.jbig2codec import FILE_MAGIC
+    if (payload[:8] == FILE_MAGIC
+            or (len(payload) > 11 and payload[:4] == b"\x00\x00\x00\x00"
+                and (payload[4] & 0x3F) == 48)):
+        # standalone .jb2, or an embedded stream's leading page-info
+        # segment (segment number 0, type 48 — what jbig2enc -p and
+        # encode_jbig2 emit)
+        from ..kernels.jbig2codec import decode_jbig2
+
+        bits = decode_jbig2(payload)
+        return np.where(bits != 0, 0, 255).astype(np.uint8)
     if not CODECS_AVAILABLE:
         raise NotImplementedError(
             "non-JPEG/JP2 image codecs are not available in this "

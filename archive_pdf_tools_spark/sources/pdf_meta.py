@@ -301,6 +301,14 @@ def _stream_data(body: bytes, d: bytes) -> bytes:
         s += 1
     e = body.find(b"endstream", s)
     raw = body[s:e]
+    # /Length is authoritative (ISO 32000-1 §7.3.8.2): the EOL before
+    # the `endstream` keyword is NOT stream data — segment-exact codecs
+    # (JBIG2) reject trailing bytes, so trim to the declared length
+    # when it is consistent with what the keyword scan found.
+    if _get_ref(d, b"/Length") is None:      # indirect /Length: keep scan
+        n = _get_int(d, b"/Length")
+        if n is not None and 0 <= n <= len(raw):
+            raw = raw[:n]
     if b"/FlateDecode" in d:
         try:
             return zlib.decompress(raw)
@@ -506,6 +514,31 @@ def _jp2_dims(raw: bytes):
     return None
 
 
+def _jbig2_dims(raw: bytes):
+    """(width, height, 1) from an embedded JBIG2 stream's page-info
+    segment (T.88 §7.4.8), or None.  Header-only walk of the §7.2
+    segment headers — the 1-bit analogue of ``_jpeg_sof``/``_jp2_dims``
+    (JBIG2 pages are always single-component bitonal)."""
+    from ..kernels.jbig2codec import Jbig2Error, _parse_segment_header
+
+    pos, n = 0, len(raw)
+    try:
+        while pos < n:
+            _, styp, _, dlen, body = _parse_segment_header(raw, pos)
+            if styp == 48 and body + 8 <= n:
+                w = int.from_bytes(raw[body:body + 4], "big")
+                h = int.from_bytes(raw[body + 4:body + 8], "big")
+                if h == 0xFFFFFFFF:          # striped page: height later
+                    return None
+                return w, h, 1
+            if dlen == 0xFFFFFFFF:
+                return None
+            pos = body + dlen
+    except Jbig2Error:
+        return None
+    return None
+
+
 def parse_pdf(data: bytes) -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
     (see module docstring for the field provenance)."""
@@ -561,16 +594,22 @@ def parse_pdf(data: bytes) -> dict:
                     fmt = name
                     break
             mode = ("1" if bits == 1 else ("L" if gray else "RGB"))
-            if fmt in ("JPEG", "JPEG2000"):
+            if fmt in ("JPEG", "JPEG2000", "JBIG2"):
                 # Codec streams: the codec's own frame header (JPEG SOF /
-                # JP2 ihdr / J2K SIZ) is the authority for dims +
-                # component count (fills missing /Width//Height, corrects
-                # a dict that disagrees with the codec data).
+                # JP2 ihdr / J2K SIZ / JBIG2 page-info) is the authority
+                # for dims + component count (fills missing
+                # /Width//Height, corrects a dict that disagrees with
+                # the codec data).
                 raw = _stream_data(_ibody, idict)
-                hdr = _jpeg_sof(raw) if fmt == "JPEG" else _jp2_dims(raw)
+                hdr = (_jpeg_sof(raw) if fmt == "JPEG"
+                       else _jp2_dims(raw) if fmt == "JPEG2000"
+                       else _jbig2_dims(raw))
                 if hdr is not None:
                     w, h = hdr[0], hdr[1]
-                    mode = "L" if hdr[2] == 1 else "RGB"
+                    if fmt == "JBIG2":
+                        mode = "1"           # always bitonal
+                    else:
+                        mode = "L" if hdr[2] == 1 else "RGB"
             images.append({"xref": oid, "width": w, "height": h,
                            "bits": bits, "mode": mode, "format": fmt})
             mode_rank = max(mode_rank,
@@ -615,15 +654,20 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     /JPXDecode streams decode through the from-scratch reversible
     JPEG2000 decoder (``kernels.jp2codec``, round 5 — the reference's
     PRIMARY codec, ``internetarchivepdf/jpeg2000.py:87-148`` /
-    ``recode.py:337-358``); non-baseline JPEG, irreversible JP2 profiles
-    and the remaining codec families (JBIG2) stay metadata-only (the
-    documented multimodal gate), skipped without failing the page.
+    ``recode.py:337-358``); /JBIG2Decode streams decode through the
+    from-scratch generic-region JBIG2 decoder (``kernels.jbig2codec``,
+    round 6 — the reference's DEFAULT mask sink,
+    ``internetarchivepdf/mrc.py:474-520`` / ``pdfhacks.py:106-177``);
+    non-baseline JPEG, exotic JP2 profiles and symbol/MMR JBIG2 stay
+    metadata-only (the documented codec gate), skipped without failing
+    the page.
 
     ``meta``/``rd``: pass the already-parsed metadata and ``_Reader`` to
     amortize the structural parse across a document's pages (one parse
     per PDF, not one per page)."""
     import numpy as np
 
+    from ..kernels.jbig2codec import Jbig2Error, decode_jbig2
     from ..kernels.jp2codec import Jp2Error, decode_jp2
     from ..kernels.jpegcodec import JpegError, decode_baseline
 
@@ -635,7 +679,8 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
         rd = _Reader(data)
     out = []
     for im in meta["pages"][page_idx]["images"]:
-        if im["format"] not in ("FLATE", "RAW", "JPEG", "JPEG2000"):
+        if im["format"] not in ("FLATE", "RAW", "JPEG", "JPEG2000",
+                                "JBIG2"):
             continue
         body, d = rd.obj(im["xref"])
         raw = _stream_data(body, d)
@@ -651,6 +696,16 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
                 arr = decode_jp2(raw)
             except Jp2Error:
                 continue            # unsupported profile: metadata-only
+            out.append((im["xref"], arr))
+            continue
+        if im["format"] == "JBIG2":
+            try:
+                bits = decode_jbig2(raw)
+            except Jbig2Error:
+                continue            # symbol/MMR regions: metadata-only
+            # /JBIG2Decode contract: 1 = black; as DeviceGray pixels
+            # black is 0 — the mask shape MRC downstream expects
+            arr = np.where(bits != 0, 0, 255).astype(np.uint8)
             out.append((im["xref"], arr))
             continue
         ch = 1 if im["mode"] in ("L", "1") else 3

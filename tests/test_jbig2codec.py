@@ -187,6 +187,51 @@ def test_unknown_height_page_grows():
     assert np.array_equal(decode_jbig2(bytes(patched)), bm)
 
 
+def test_standalone_file_header_and_sniffing():
+    """Standalone .jb2 files (9.1 magic + flags + optional page count)
+    decode; decode_image sniffs both the file magic and the embedded
+    leading page-info segment."""
+    from archive_pdf_tools_spark.functions.multimodal import decode_image
+    from archive_pdf_tools_spark.kernels.jbig2codec import FILE_MAGIC
+
+    bm = _textish(20, 30, seed=9)
+    emb = encode_jbig2(bm)
+    with_count = FILE_MAGIC + bytes([1]) + (1).to_bytes(4, "big") + emb
+    no_count = FILE_MAGIC + bytes([3]) + emb
+    assert np.array_equal(decode_jbig2(with_count), bm)
+    assert np.array_equal(decode_jbig2(no_count), bm)
+    expect = np.where(bm != 0, 0, 255).astype(np.uint8)
+    assert np.array_equal(decode_image(emb), expect)
+    assert np.array_equal(decode_image(with_count), expect)
+    with pytest.raises(Jbig2Error, match="random-access"):
+        decode_jbig2(FILE_MAGIC + bytes([0]) + (1).to_bytes(4, "big")
+                     + emb)
+
+
+def test_pdf_fixture_flow():
+    """/JBIG2Decode fixture streams decode through the PDF page-image
+    path: dims from the page-info header, pixels 0/255 grayscale."""
+    from archive_pdf_tools_spark.corpus.pdfgen import (
+        build_pdf, synth_jbig2_real)
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        _jbig2_dims, extract_page_images, parse_pdf)
+
+    data = synth_jbig2_real(40, 30, seed=3)
+    assert _jbig2_dims(data) == (40, 30, 1)
+    pdf = build_pdf([{"width": 612, "height": 792,
+                      "images": [{"w": 40, "h": 30, "gray": True,
+                                  "jbig2": True, "data": data}],
+                      "text": "hello"}])
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    assert (im["format"], im["mode"], im["bits"]) == ("JBIG2", "1", 1)
+    imgs = dict(extract_page_images(pdf, 0, meta=meta))
+    arr = imgs[im["xref"]]
+    assert arr.shape == (30, 40) and set(np.unique(arr)) <= {0, 255}
+    bits = decode_jbig2(data)
+    assert np.array_equal(arr, np.where(bits != 0, 0, 255))
+
+
 def test_error_gates():
     bm = np.ones((3, 3), dtype=np.uint8)
     data = bytearray(encode_jbig2(bm))
