@@ -255,7 +255,8 @@ def _split_scan(data: bytes, start: int):
 
 
 def decode_baseline(data: bytes,
-                    max_pixels: int = 64_000_000) -> np.ndarray:
+                    max_pixels: int = 64_000_000,
+                    fancy_upsample: bool = False) -> np.ndarray:
     """Decode baseline-sequential JPEG bytes -> uint8 array, shape (h, w)
     for 1-component streams or (h, w, 3) (JFIF YCbCr -> RGB) for 3.
 
@@ -266,9 +267,17 @@ def decode_baseline(data: bytes,
     ``max_pixels`` caps the SOF-declared w*h before any buffer is
     allocated (decompression-bomb guard, same role as Pillow's
     MAX_IMAGE_PIXELS): a few-hundred-byte stream may not demand
-    gigabytes."""
+    gigabytes.
+
+    ``fancy_upsample`` (round 6): libjpeg-parity mode — triangle
+    ('fancy') chroma upsampling and the fixed-point YCbCr->RGB
+    conversion, matching the published jdsample.c/jdcolor.c arithmetic
+    pixel-for-pixel on 4:2:0/4:2:2/4:4:0 streams (parity-tested against
+    direct transcriptions of those loops).  Default stays the
+    nearest-neighbour + banker's-rounding path the engine's pinned
+    hashes were built on."""
     try:
-        return _decode_baseline(data, max_pixels)
+        return _decode_baseline(data, max_pixels, fancy_upsample)
     except (JpegError, MemoryError):
         raise
     except Exception as exc:  # noqa: BLE001 — contract: JpegError only
@@ -276,7 +285,8 @@ def decode_baseline(data: bytes,
             f"malformed JPEG ({type(exc).__name__}: {exc})") from exc
 
 
-def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
+def _decode_baseline(data: bytes, max_pixels: int,
+                     fancy: bool = False) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (no SOI)")
     qtbl = {}
@@ -297,7 +307,7 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
         i += 1
         if m == 0xD9:                        # EOI
             if frame is not None and frame.get("progressive") and scans_done:
-                return _assemble(frame, qtbl)
+                return _assemble(frame, qtbl, fancy)
             raise JpegError("EOI before scan")
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue                         # standalone
@@ -366,7 +376,7 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             if not frame["progressive"]:
                 return _decode_scan(data, i + seg_len, seg, frame, qtbl,
-                                    hufftab, restart_interval)
+                                    hufftab, restart_interval, fancy)
             # progressive: accumulate coefficients scan by scan; pixels
             # materialise once at EOI
             i = _decode_scan_prog(data, i + seg_len, seg, frame, qtbl,
@@ -375,12 +385,12 @@ def _decode_baseline(data: bytes, max_pixels: int) -> np.ndarray:
             continue
         i += seg_len
     if frame is not None and frame.get("progressive") and scans_done:
-        return _assemble(frame, qtbl)        # truncated but decodable
+        return _assemble(frame, qtbl, fancy)        # truncated but decodable
     raise JpegError("no scan in stream")
 
 
 def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
-                 restart_interval):
+                 restart_interval, fancy=False):
     if len(sos) < 1:
         raise JpegError("truncated SOS")
     ns = sos[0]
@@ -453,7 +463,7 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         expect = -(-n_mcus // restart_interval)
         _decode_entropy_dri_vec(segments[:expect], comps, hufftab,
                                 restart_interval, n_mcus, mcus_x)
-        return _assemble(frame, qtbl)
+        return _assemble(frame, qtbl, fancy)
 
     seg_idx = 0
     seg = segments[0]
@@ -552,7 +562,7 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         if pad > 8:
             raise JpegError("entropy data exhausted")
 
-    return _assemble(frame, qtbl)
+    return _assemble(frame, qtbl, fancy)
 
 
 # Below this lane count the per-step NumPy dispatch overhead of the
@@ -678,10 +688,76 @@ def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
             raise JpegError("entropy data exhausted")
 
 
-def _assemble(frame, qtbl) -> np.ndarray:
+def _fancy_upsample(s: np.ndarray, ry: int, rx: int):
+    """libjpeg's 'fancy' triangle-filter upsampling (jdsample.c
+    h2v1/h2v2/h1v2_fancy_upsample), vectorized with the exact integer
+    arithmetic and edge replication; returns None for ratios libjpeg
+    itself handles by replication (the caller falls back)."""
+    s = s.astype(np.int32)
+    if ry == 2 and rx == 2:
+        # h2v2: vertical column sums 3*near + far, then horizontal /16
+        up = np.concatenate([s[:1], s[:-1]], axis=0)
+        dn = np.concatenate([s[1:], s[-1:]], axis=0)
+        cs = np.empty((s.shape[0] * 2, s.shape[1]), np.int32)
+        cs[0::2] = 3 * s + up
+        cs[1::2] = 3 * s + dn
+        left = np.concatenate([cs[:, :1], cs[:, :-1]], axis=1)
+        right = np.concatenate([cs[:, 1:], cs[:, -1:]], axis=1)
+        out = np.empty((cs.shape[0], cs.shape[1] * 2), np.int32)
+        out[:, 0::2] = (3 * cs + left + 8) >> 4
+        out[:, 1::2] = (3 * cs + right + 7) >> 4
+        out[:, 0] = (cs[:, 0] * 4 + 8) >> 4
+        out[:, -1] = (cs[:, -1] * 4 + 7) >> 4
+        return out.astype(np.uint8)
+    if ry == 1 and rx == 2:
+        left = np.concatenate([s[:, :1], s[:, :-1]], axis=1)
+        right = np.concatenate([s[:, 1:], s[:, -1:]], axis=1)
+        out = np.empty((s.shape[0], s.shape[1] * 2), np.int32)
+        out[:, 0::2] = (3 * s + left + 1) >> 2
+        out[:, 1::2] = (3 * s + right + 2) >> 2
+        out[:, 0] = s[:, 0]
+        out[:, -1] = s[:, -1]
+        return out.astype(np.uint8)
+    if ry == 2 and rx == 1:
+        up = np.concatenate([s[:1], s[:-1]], axis=0)
+        dn = np.concatenate([s[1:], s[-1:]], axis=0)
+        out = np.empty((s.shape[0] * 2, s.shape[1]), np.int32)
+        out[0::2] = (3 * s + up + 1) >> 2
+        out[1::2] = (3 * s + dn + 2) >> 2
+        return out.astype(np.uint8)
+    return None
+
+
+_FIX = {k: int(v * 65536 + 0.5)
+        for k, v in (("1.40200", 1.40200), ("1.77200", 1.77200),
+                     ("0.34414", 0.34414), ("0.71414", 0.71414))}
+
+
+def _ycc_rgb_libjpeg(y, cb, cr) -> np.ndarray:
+    """libjpeg's fixed-point YCbCr->RGB (jdcolor.c build_ycc_rgb_table):
+    16-bit scaled coefficients, ONE_HALF rounding, arithmetic shift —
+    NOT banker's rounding on float coefficients."""
+    y = y.astype(np.int32)
+    cbm = cb.astype(np.int32) - 128
+    crm = cr.astype(np.int32) - 128
+    r = y + ((_FIX["1.40200"] * crm + 32768) >> 16)
+    b = y + ((_FIX["1.77200"] * cbm + 32768) >> 16)
+    g = y + ((-_FIX["0.34414"] * cbm - _FIX["0.71414"] * crm
+              + 32768) >> 16)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
     """Vectorized dequantize + IDCT per component, plane assembly,
     chroma upsample and colour conversion — shared by the baseline and
-    progressive paths (the coefficient stores are identical)."""
+    progressive paths (the coefficient stores are identical).
+
+    ``fancy`` = libjpeg-parity mode (round 6, ADVICE r4-low): triangle
+    fancy upsampling over the TRUE downsampled dims (block padding
+    cropped first, like libjpeg's downsampled_width) plus the
+    fixed-point colour conversion, closing the documented external-
+    corpus pixel divergence for the ratios libjpeg itself smooths
+    (4:2:0/4:2:2/4:4:0); other ratios replicate in both engines."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in comps)
@@ -704,14 +780,24 @@ def _assemble(frame, qtbl) -> np.ndarray:
         bh, bw = comp["bh"], comp["bw"]
         plane = (pix.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
-        # upsample to full resolution by replication, crop to (h, w)
+        # upsample to full resolution, crop to (h, w)
         ry, rx = vmax // comp["v"], hmax // comp["h"]
         if ry > 1 or rx > 1:
-            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+            fplane = None
+            if fancy:
+                dw = -(-w * comp["h"] // hmax)
+                dh = -(-h * comp["v"] // vmax)
+                fplane = _fancy_upsample(plane[:dh, :dw], ry, rx)
+            if fplane is not None:
+                plane = fplane
+            else:
+                plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:
         return planes[0]
+    if fancy:
+        return _ycc_rgb_libjpeg(planes[0], planes[1], planes[2])
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0

@@ -1880,11 +1880,17 @@ def q_jp2_decode(spark, sf):
                 # (16x16 would silently degenerate to one tile) and the
                 # per-tile decode path must reproduce the same
                 # closed-form pixels
+                # odd (RGB) images alternate per-component COC style
+                # overrides (bypass off for chroma) — exercises the
+                # per-component code-block-style decode path (round 6);
+                # lossless, so the same closed-form oracle applies
                 data = encode_jp2(
                     img, levels=1 + i % 3,
                     block_exp=(4 + i % 3, 4 + (i // 2) % 3),
                     raw_codestream=bool(i % 5 == 0),
-                    tile_size=(8, 8) if i % 6 == 0 else None)
+                    tile_size=(8, 8) if i % 6 == 0 else None,
+                    coc_bypass=({1: False, 2: False}
+                                if i % 4 == 1 else None))
                 dec = decode_jp2(data)
                 if not np.array_equal(dec, img):
                     raise AssertionError(f"lossless violation img {i}")
@@ -2022,9 +2028,15 @@ def q_jp2_lossy(spark, sf):
                     img = np.stack([img, 255 - img, np.roll(img, 3, 1)],
                                    axis=-1)
                 step = [0.25, 0.5, 1.0][i % 3]
+                # RGB images route through QCC per-component quantizers
+                # (chroma 2x coarser — the kakadu pattern; round 6)
                 data = encode_jp2(img, levels=1 + i % 3, irreversible=True,
                                   step=step,
-                                  derived_quant=bool(i % 4 == 1))
+                                  derived_quant=bool(i % 4 == 1),
+                                  comp_steps=(
+                                      (step, step * 2, step * 2)
+                                      if i % 3 == 2 and i % 4 != 1
+                                      else None))
                 dec = decode_jp2(data)
                 err = np.abs(dec.astype(np.int64) - img.astype(np.int64))
                 rows.append((i, dec.shape[1], dec.shape[0],

