@@ -67,11 +67,28 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
     have) encoded by the engine's own generic-region encoder
     (``kernels.jbig2codec``) — the reference's DEFAULT mask compression
     (``internetarchivepdf/mrc.py:474-520`` via the jbig2enc subprocess).
-    Seeded from (seed, w, h) only, like the other ``synth_*_real``
-    fixtures, so adding these never shifts sibling fixtures."""
-    from ..kernels.jbig2codec import encode_jbig2
+    When ``(w + h) % 3 == 0`` the stream uses SYMBOL MODE instead
+    (symbol dictionary + text region, jbig2enc ``-s`` organization —
+    what real archival PDFs usually carry), so both families flow
+    through the PDF -> MRC pins.  Seeded from (seed, w, h) only, like
+    the other ``synth_*_real`` fixtures, so adding these never shifts
+    sibling fixtures."""
+    from ..kernels.jbig2codec import encode_jbig2, encode_jbig2_symbols
 
     rng = np.random.default_rng((seed * 7919) ^ (w << 16) ^ h)
+    if (w + h) % 3 == 0 and w >= 8 and h >= 8:
+        glyphs = [(rng.random((int(rng.integers(2, 5)),
+                               int(rng.integers(2, 5)))) < 0.6
+                   ).astype(np.uint8) for _ in range(3)]
+        for g in glyphs:
+            g[0, 0] = 1
+        pls = []
+        for _ in range(max(2, w * h // 80)):
+            gi = int(rng.integers(0, 3))
+            gh, gw = glyphs[gi].shape
+            pls.append((gi, int(rng.integers(0, w - gw + 1)),
+                        int(rng.integers(0, h - gh + 1))))
+        return encode_jbig2_symbols(glyphs, pls, w, h)
     bm = np.zeros((h, w), dtype=np.uint8)
     for _ in range(max(1, w * h // 50)):
         y = int(rng.integers(0, h))

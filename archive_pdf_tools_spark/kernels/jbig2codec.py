@@ -12,6 +12,15 @@ prediction, arbitrary AT pixel placement) and a matching encoder
 producing the same embedded organization jbig2enc ``-p`` emits (page
 info + immediate lossless generic region + end-of-page).
 
+SYMBOL MODE too (round-6 late addition): symbol dictionaries (§6.5)
+and text regions (§6.4) decode on the arithmetic path — height-class
+glyph decoding with shared generic-region contexts, export runs, the
+§A.2/A.3 arithmetic integer procedures (IADH/IADW/IAEX/IADT/IAFS/
+IADS/IAIT/IAID), strip-ordered instance placement — and
+``encode_jbig2_symbols`` emits the organization jbig2enc's symbol
+coder (``-s``) produces, which is how real archival PDFs usually
+compress text masks (one glyph per repeated character shape).
+
 The MQ arithmetic coder is shared with the JPEG2000 codec
 (``kernels/jp2codec.py``): T.88 Annex E and T.800 Annex C specify the
 identical coder; JBIG2 merely uses a different context model — one
@@ -27,10 +36,11 @@ in-container, so cross-codec parity is evidenced the same way as the
 JP2 codec: bit-exact decode(encode(x)) round-trips over fuzz corpora
 plus those spec-structure pins (see COVERAGE.md).
 
-Scope (raised as ``Jbig2Error``, honestly): MMR-coded regions, symbol
-dictionaries / text regions, halftone, refinement, unknown-length
-segments.  jbig2enc's generic mode and this module's own encoder use
-none of these.
+Scope (raised as ``Jbig2Error``, honestly): MMR-coded regions,
+Huffman-coded symbol dictionaries / text regions, refinement /
+aggregate symbols, transposed text regions, halftone regions,
+unknown-length segments.  jbig2enc's generic and default symbol modes
+and this module's own encoders use none of these.
 """
 
 from __future__ import annotations
@@ -226,6 +236,281 @@ def _encode_generic(encode, bitmap: np.ndarray, template: int,
             c0 = ((c0 << 1) | bit) & m0
 
 
+# --------------------------------------- arithmetic integer coding (A.2/A.3)
+#
+# Each IAx procedure owns 512 MQ contexts reached through the PREV
+# chaining (capped at 9 bits); IAID owns 2^(SYMCODELEN+1).  All share
+# the segment's single MQ decoder — bases partition one context array.
+
+_IA_SIZE = 512
+
+
+def _make_int_decode(decode, base):
+    """A.2 integer decoding bound to context block ``base``; returns a
+    callable yielding an int or None for OOB."""
+    def dec():
+        prev = 1
+        b = decode(base + prev)
+        prev = (prev << 1) | b
+        s = b
+        b = decode(base + prev)
+        prev = (prev << 1) | b
+        if not b:
+            n, off = 2, 0
+        else:
+            b = decode(base + prev)
+            prev = (prev << 1) | b
+            if not b:
+                n, off = 4, 4
+            else:
+                b = decode(base + prev)
+                prev = (prev << 1) | b
+                if not b:
+                    n, off = 6, 20
+                else:
+                    b = decode(base + prev)
+                    prev = (prev << 1) | b
+                    if not b:
+                        n, off = 8, 84
+                    else:
+                        b = decode(base + prev)
+                        prev = (prev << 1) | b
+                        n, off = (12, 340) if not b else (32, 4436)
+        v = 0
+        for _ in range(n):
+            b = decode(base + prev)
+            prev = ((prev << 1) | b) if prev < 256 else \
+                ((((prev << 1) | b) & 511) | 256)
+            v = (v << 1) | b
+        v += off
+        if s:
+            return None if v == 0 else -v    # s=1, v=0 encodes OOB
+        return v
+    return dec
+
+
+def _make_int_encode(encode, base):
+    """Mirror of `_make_int_decode` (v=None encodes OOB)."""
+    def enc(v):
+        if v is None:
+            s, mag = 1, 0
+        elif v < 0:
+            s, mag = 1, -v
+        else:
+            s, mag = 0, v
+        if mag < 4:
+            sel, n, off = (0,), 2, 0
+        elif mag < 20:
+            sel, n, off = (1, 0), 4, 4
+        elif mag < 84:
+            sel, n, off = (1, 1, 0), 6, 20
+        elif mag < 340:
+            sel, n, off = (1, 1, 1, 0), 8, 84
+        elif mag < 4436:
+            sel, n, off = (1, 1, 1, 1, 0), 12, 340
+        else:
+            sel, n, off = (1, 1, 1, 1, 1), 32, 4436
+        prev = 1
+
+        def put(b):
+            nonlocal prev
+            encode(base + prev, b)
+            prev = ((prev << 1) | b) if prev < 256 else \
+                ((((prev << 1) | b) & 511) | 256)
+
+        put(s)
+        for b in sel:
+            put(b)
+        val = mag - off
+        for k in range(n - 1, -1, -1):
+            put((val >> k) & 1)
+    return enc
+
+
+def _iaid_decode(decode, base, codelen):
+    """A.3: symbol-ID decoding (codelen bits through a tree of
+    contexts); codelen 0 (single symbol) reads nothing."""
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | decode(base + prev)
+    return prev - (1 << codelen)
+
+
+def _iaid_encode(encode, base, codelen, sid):
+    prev = 1
+    for k in range(codelen - 1, -1, -1):
+        b = (sid >> k) & 1
+        encode(base + prev, b)
+        prev = (prev << 1) | b
+
+
+# ------------------------------------ symbol dictionary + text region
+
+def _decode_symbol_dict(seg: bytes, max_pixels: int):
+    """§6.5, arithmetic path (SDHUFF=0, SDREFAGG=0): height classes
+    ascending, widths as deltas (OOB ends a class), each glyph decoded
+    by the generic procedure with contexts and the MQ coder SHARED
+    across the whole segment; export runs select the output symbols."""
+    if len(seg) < 2:
+        raise Jbig2Error("truncated symbol dictionary")
+    flags = _u16(seg, 0)
+    if flags & 1:
+        raise Jbig2Error("Huffman symbol dictionary unsupported")
+    if flags & 2:
+        raise Jbig2Error("refinement/aggregate symbols unsupported")
+    template = (flags >> 10) & 3
+    i = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        ax = int.from_bytes(seg[i:i + 1], "big", signed=True)
+        ay = int.from_bytes(seg[i + 1:i + 2], "big", signed=True)
+        at.append((ay, ax))
+        i += 2
+    numex = _u32(seg, i)
+    numnew = _u32(seg, i + 4)
+    i += 8
+    if numnew > 100_000 or numex > 100_000:
+        raise Jbig2Error("implausible symbol counts")
+    nctx = 65536 + 3 * _IA_SIZE
+    states = [0] * nctx
+    mps = [0] * nctx
+    decode = _mq_decode_fn(seg[i:], states, mps)
+    iadh = _make_int_decode(decode, 65536)
+    iadw = _make_int_decode(decode, 65536 + _IA_SIZE)
+    iaex = _make_int_decode(decode, 65536 + 2 * _IA_SIZE)
+    symbols = []
+    hc = 0
+    while len(symbols) < numnew:
+        dh = iadh()
+        if dh is None:
+            raise Jbig2Error("OOB height-class delta")
+        hc += dh
+        if hc <= 0:
+            raise Jbig2Error("non-positive symbol height")
+        sw = 0
+        while True:
+            dw = iadw()
+            if dw is None:
+                break                        # end of height class
+            sw += dw
+            if sw <= 0 or sw * hc > max_pixels:
+                raise Jbig2Error("bad symbol dims")
+            if len(symbols) >= numnew:
+                raise Jbig2Error("more symbols than declared")
+            symbols.append(
+                _decode_generic(decode, sw, hc, template, at, False))
+    ex = []
+    flag = 0
+    while len(ex) < len(symbols):
+        run = iaex()
+        if run is None or run < 0 or len(ex) + run > len(symbols):
+            raise Jbig2Error("bad export run")
+        ex.extend([flag] * run)
+        flag ^= 1
+    exported = [s for s, f in zip(symbols, ex) if f]
+    if len(exported) != numex:
+        raise Jbig2Error("export count mismatch")
+    return exported
+
+
+def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
+    """§6.4, arithmetic path (SBHUFF=0, SBREFINE=0, TRANSPOSED=0):
+    strip-ordered symbol instances placed by (S, T) deltas; returns
+    (region bitmap, x, y, external comb op)."""
+    if len(seg) < 23:
+        raise Jbig2Error("truncated text region")
+    rw, rh = _u32(seg, 0), _u32(seg, 4)
+    rx, ry = _u32(seg, 8), _u32(seg, 12)
+    ext_comb = seg[16] & 7
+    flags = _u16(seg, 17)
+    if flags & 1:
+        raise Jbig2Error("Huffman text region unsupported")
+    if (flags >> 1) & 1:
+        raise Jbig2Error("refinement text region unsupported")
+    strips = 1 << ((flags >> 2) & 3)
+    refcorner = (flags >> 4) & 3
+    if (flags >> 6) & 1:
+        raise Jbig2Error("transposed text region unsupported")
+    combop = (flags >> 7) & 3
+    defpix = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32
+    ninst = _u32(seg, 19)
+    if rw * rh > max_pixels or ninst > 10_000_000:
+        raise Jbig2Error("implausible text region")
+    numsyms = len(syms)
+    if numsyms == 0:
+        raise Jbig2Error("text region without symbols")
+    codelen = max(numsyms - 1, 0).bit_length()
+    nctx = (1 << (codelen + 1)) + 4 * _IA_SIZE
+    states = [0] * nctx
+    mps = [0] * nctx
+    decode = _mq_decode_fn(seg[23:], states, mps)
+    b_iaid = 4 * _IA_SIZE
+    iadt = _make_int_decode(decode, 0)
+    iafs = _make_int_decode(decode, _IA_SIZE)
+    iads = _make_int_decode(decode, 2 * _IA_SIZE)
+    iait = _make_int_decode(decode, 3 * _IA_SIZE)
+    bitmap = np.full((rh, rw), defpix, dtype=np.uint8)
+
+    dt0 = iadt()
+    if dt0 is None:
+        raise Jbig2Error("bad STRIPT")
+    stript = -dt0 * strips
+    firsts = 0
+    inst = 0
+    while inst < ninst:
+        dt = iadt()
+        if dt is None:
+            raise Jbig2Error("bad strip delta")
+        stript += dt * strips
+        dfs = iafs()
+        if dfs is None:
+            raise Jbig2Error("bad first-S delta")
+        firsts += dfs
+        curs = firsts
+        first = True
+        while True:
+            if not first:
+                ids = iads()
+                if ids is None:
+                    break                    # end of strip
+                curs += ids + dsoffset
+            first = False
+            if inst >= ninst:
+                raise Jbig2Error("more instances than declared")
+            curt = 0 if strips == 1 else iait()
+            if curt is None:
+                raise Jbig2Error("bad T offset")
+            t = stript + curt
+            sid = _iaid_decode(decode, b_iaid, codelen)
+            if not 0 <= sid < numsyms:
+                raise Jbig2Error("symbol id out of range")
+            sb = syms[sid]
+            hs, ws = sb.shape
+            y0 = t if refcorner in (1, 3) else t - hs + 1
+            x0 = curs
+            # clip to the region (conformant streams stay inside)
+            ys, xs = max(y0, 0), max(x0, 0)
+            ye, xe = min(y0 + hs, rh), min(x0 + ws, rw)
+            if ye > ys and xe > xs:
+                src = sb[ys - y0:ye - y0, xs - x0:xe - x0]
+                tgt = bitmap[ys:ye, xs:xe]
+                if combop == 0:
+                    tgt |= src
+                elif combop == 1:
+                    tgt &= src
+                elif combop == 2:
+                    tgt ^= src
+                else:
+                    tgt[...] = 1 - (tgt ^ src)
+            curs += ws - 1
+            inst += 1
+    return bitmap, rx, ry, ext_comb
+
+
 # ------------------------------------------------------ segment layer
 
 def _u32(b: bytes, i: int) -> int:
@@ -237,7 +522,9 @@ def _u16(b: bytes, i: int) -> int:
 
 
 def _parse_segment_header(data: bytes, pos: int):
-    """T.88 §7.2: returns (segnum, seg_type, page, data_len, hdr_end)."""
+    """T.88 §7.2: returns (segnum, seg_type, refs, page, data_len,
+    hdr_end) — ``refs`` are the referred-to segment numbers (a text
+    region names its symbol dictionaries through them)."""
     if pos + 11 > len(data):
         raise Jbig2Error("truncated segment header")
     segnum = _u32(data, pos)
@@ -253,7 +540,10 @@ def _parse_segment_header(data: bytes, pos: int):
         count = rts >> 5
         i += 1
     ref_size = 1 if segnum <= 256 else (2 if segnum <= 65536 else 4)
-    i += count * ref_size                    # referred-to numbers unused
+    refs = [int.from_bytes(data[i + k * ref_size:
+                                i + (k + 1) * ref_size], "big")
+            for k in range(count)]
+    i += count * ref_size
     if page_assoc_4:
         page = _u32(data, i)
         i += 4
@@ -262,7 +552,7 @@ def _parse_segment_header(data: bytes, pos: int):
         i += 1
     data_len = _u32(data, i)
     i += 4
-    return segnum, seg_type, page, data_len, i
+    return segnum, seg_type, refs, page, data_len, i
 
 
 def decode_jbig2(data: bytes, globals_data: bytes = b"",
@@ -294,11 +584,12 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"",
             raise Jbig2Error(
                 "random-access file organization unsupported")
 
+    sym_store: dict[int, list] = {}      # segnum -> exported symbols
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
         while pos < n:
-            (segnum, seg_type, page, data_len,
+            (segnum, seg_type, refs, page, data_len,
              body) = _parse_segment_header(blob, pos)
             if data_len == 0xFFFFFFFF:
                 raise Jbig2Error("unknown-length segment unsupported")
@@ -369,6 +660,44 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"",
                     tgt[...] = 1 - (tgt ^ region)
                 else:                        # REPLACE
                     tgt[...] = region
+            elif seg_type == 0:              # symbol dictionary (6.5)
+                sym_store[segnum] = _decode_symbol_dict(seg, max_pixels)
+            elif seg_type in (6, 7):         # immediate text region (6.4)
+                if page_w is None:
+                    raise Jbig2Error("region before page info")
+                syms = []
+                for rseg in refs:
+                    syms.extend(sym_store.get(rseg, []))
+                region, rx, ry, comb = _decode_text_region(
+                    seg, syms, max_pixels)
+                rh_, rw_ = region.shape
+                if bitmap is None:
+                    if not h_known:
+                        page_h = ry + rh_
+                        bitmap = _alloc(page_w, page_h, page_default)
+                    else:
+                        raise Jbig2Error("region before page info")
+                elif not h_known and ry + rh_ > bitmap.shape[0]:
+                    grown = _alloc(page_w, ry + rh_, page_default)
+                    grown[:bitmap.shape[0]] = bitmap
+                    bitmap = grown
+                if (ry + rh_ > bitmap.shape[0]
+                        or rx + rw_ > bitmap.shape[1]):
+                    raise Jbig2Error("region outside page")
+                tgt = bitmap[ry:ry + rh_, rx:rx + rw_]
+                if comb == 0:
+                    tgt |= region
+                elif comb == 1:
+                    tgt &= region
+                elif comb == 2:
+                    tgt ^= region
+                elif comb == 3:
+                    tgt[...] = 1 - (tgt ^ region)
+                else:
+                    tgt[...] = region
+            elif seg_type == 4:              # intermediate text region
+                raise Jbig2Error(
+                    "intermediate text region unsupported")
             elif seg_type == 50:             # end of stripe: y coordinate
                 continue
             elif seg_type in (49, 51):       # end of page / file
@@ -378,19 +707,23 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"",
             else:
                 raise Jbig2Error(
                     f"segment type {seg_type} unsupported "
-                    "(symbol/text/halftone/refinement out of scope)")
+                    "(halftone/refinement out of scope)")
     if bitmap is None:
         raise Jbig2Error("no page produced")
     return bitmap
 
 
 def _segment(segnum: int, seg_type: int, page: int,
-             payload: bytes) -> bytes:
-    """Emit one §7.2 segment header + payload (no referred segments,
-    1-byte page association — all our segment numbers are tiny)."""
+             payload: bytes, refs: tuple = ()) -> bytes:
+    """Emit one §7.2 segment header + payload (short-form referred
+    list, 1-byte page association — all our segment numbers are
+    tiny)."""
+    if len(refs) > 4:
+        raise ValueError("short-form header supports <= 4 refs")
     return (segnum.to_bytes(4, "big")
             + bytes((seg_type,))
-            + b"\x00"                        # 0 referred-to segments
+            + bytes((len(refs) << 5,))       # count in the top 3 bits
+            + bytes(refs)
             + bytes((page,))
             + len(payload).to_bytes(4, "big")
             + payload)
@@ -437,3 +770,111 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
     return (_segment(0, 48, 1, page_info)
             + _segment(1, 39, 1, region)
             + _segment(2, 49, 1, b""))
+
+
+def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
+                         template: int = 0) -> bytes:
+    """Symbol-mode embedded JBIG2 — the organization jbig2enc's symbol
+    coder (``-s``) produces and real archival PDFs carry: page info +
+    symbol dictionary (§6.5, arithmetic) + immediate lossless text
+    region (§6.4, TL reference corner, SBSTRIPS=1) + end-of-page.
+
+    ``glyphs``: list of {0,1} bitmaps; ``placements``: (glyph_idx, x,
+    y) top-left positions on the (w, h) page.  Lossless:
+    ``decode_jbig2`` reproduces exactly the OR-composition of the
+    placed glyphs.
+    """
+    if not 0 <= template <= 3:
+        raise ValueError("template must be 0..3")
+    gs = [(np.asarray(g) != 0).astype(np.uint8) for g in glyphs]
+    if not gs:
+        raise ValueError("no glyphs")
+    for g in gs:
+        if g.ndim != 2 or 0 in g.shape:
+            raise ValueError("bad glyph shape")
+    for gi, x, y in placements:
+        gh, gw = gs[gi].shape
+        if not (0 <= x and x + gw <= w and 0 <= y and y + gh <= h):
+            raise ValueError("placement outside page")
+
+    # export order = decode order: height classes ascending, widths in
+    # emission order within a class
+    order = sorted(range(len(gs)), key=lambda k: (gs[k].shape[0], k))
+    exp_id = {orig: e for e, orig in enumerate(order)}
+
+    # ---- symbol dictionary (type 0)
+    nctx = 65536 + 3 * _IA_SIZE
+    st, mp = [0] * nctx, [0] * nctx
+    enc, flush = _mq_encode_fns(st, mp)
+    iadh = _make_int_encode(enc, 65536)
+    iadw = _make_int_encode(enc, 65536 + _IA_SIZE)
+    iaex = _make_int_encode(enc, 65536 + 2 * _IA_SIZE)
+    hc = 0
+    i = 0
+    while i < len(order):
+        gh = gs[order[i]].shape[0]
+        iadh(gh - hc)
+        hc = gh
+        sw = 0
+        while i < len(order) and gs[order[i]].shape[0] == hc:
+            g = gs[order[i]]
+            iadw(g.shape[1] - sw)
+            sw = g.shape[1]
+            _encode_generic(enc, g, template, False)
+            i += 1
+        iadw(None)                           # OOB: end of height class
+    iaex(0)                                  # first run: 0 not-exported
+    iaex(len(order))                         # export everything
+    sd_payload = (((template << 10)).to_bytes(2, "big"))
+    for ay, ax in _NOMINAL_AT[template]:
+        sd_payload += ax.to_bytes(1, "big", signed=True)
+        sd_payload += ay.to_bytes(1, "big", signed=True)
+    sd_payload += len(order).to_bytes(4, "big")      # SDNUMEXSYMS
+    sd_payload += len(order).to_bytes(4, "big")      # SDNUMNEWSYMS
+    sd_payload += flush()
+
+    # ---- text region (type 7), SBSTRIPS=1 so T deltas are exact rows
+    codelen = max(len(order) - 1, 0).bit_length()
+    nctx2 = (1 << (codelen + 1)) + 4 * _IA_SIZE
+    st2, mp2 = [0] * nctx2, [0] * nctx2
+    enc2, flush2 = _mq_encode_fns(st2, mp2)
+    b_iaid = 4 * _IA_SIZE
+    iadt = _make_int_encode(enc2, 0)
+    iafs = _make_int_encode(enc2, _IA_SIZE)
+    iads = _make_int_encode(enc2, 2 * _IA_SIZE)
+    inst = sorted((y, x, exp_id[gi]) for (gi, x, y) in placements)
+    iadt(0)                                  # STRIPT starts at 0
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][0]
+        iadt(t - prev_t)
+        prev_t = t
+        y0, x0, sid = inst[k]
+        iafs(x0 - firsts)
+        firsts = x0
+        _iaid_encode(enc2, b_iaid, codelen, sid)
+        curs = x0 + gs[order[sid]].shape[1] - 1
+        k += 1
+        while k < len(inst) and inst[k][0] == t:
+            _y, x2, sid2 = inst[k]
+            iads(x2 - curs)                  # SBDSOFFSET = 0
+            _iaid_encode(enc2, b_iaid, codelen, sid2)
+            curs = x2 + gs[order[sid2]].shape[1] - 1
+            k += 1
+        iads(None)                           # OOB: end of strip
+    tr_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                  + b"\x00"                  # external comb op OR
+                  + (1 << 4).to_bytes(2, "big")    # flags: TL corner
+                  + len(inst).to_bytes(4, "big")
+                  + flush2())
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + b"\x01" + (0).to_bytes(2, "big"))
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 0, 1, sd_payload)
+            + _segment(2, 7, 1, tr_payload, refs=(1,))
+            + _segment(3, 49, 1, b""))

@@ -1939,16 +1939,21 @@ def q_jbig2_decode(spark, sf):
     ``(3*i + 7*x + 5*y) % 11 < 4`` are encoded (rotating through all
     four GB templates, TPGDON on/off) as PDF-embedded JBIG2 streams and
     decoded back; per-image black-pixel counts and a position-weighted
-    sum are compared against the same closed form in SQL.  The coding
-    is lossless, so ANY defect — MQ coder, context model, template
-    windows, TPGDON, segment headers — corrupts pixels and breaks the
-    arithmetic match."""
+    sum are compared against the same closed form in SQL.  Every 5th
+    image routes through SYMBOL MODE instead (symbol dictionary + text
+    region, the jbig2enc -s organization): one solid-rect glyph placed
+    5 times at closed-form positions, whose rect-union the SQL oracle
+    recomputes per pixel.  The coding is lossless, so ANY defect — MQ
+    coder, context model, template windows, TPGDON, integer
+    procedures, strip placement, segment headers — corrupts pixels and
+    breaks the arithmetic match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
-        from .kernels.jbig2codec import decode_jbig2, encode_jbig2
+        from .kernels.jbig2codec import (decode_jbig2, encode_jbig2,
+                                         encode_jbig2_symbols)
         for pdf in batches:
             rows = []
             for i in pdf["id"].values:
@@ -1956,10 +1961,26 @@ def q_jbig2_decode(spark, sf):
                 w = 8 + (i * 13) % 50
                 h = 8 + (i * 9) % 33
                 yy, xx = np.mgrid[0:h, 0:w]
-                bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
-                      ).astype(np.uint8)
-                data = encode_jbig2(bm, template=i % 4,
-                                    tpgdon=bool(i % 2 == 0))
+                if i % 5 == 4:
+                    # SYMBOL MODE (round-6 late): one solid-rect glyph
+                    # placed 5 times at closed-form positions — the SQL
+                    # oracle recomputes the rect union per pixel
+                    gw = 2 + i % 3
+                    gh = 2 + (i // 2) % 3
+                    glyph = np.ones((gh, gw), np.uint8)
+                    pls = [(0, (k * 7 + i) % (w - gw + 1),
+                            (k * 5 + 2 * i) % (h - gh + 1))
+                           for k in range(5)]
+                    bm = np.zeros((h, w), np.uint8)
+                    for _g, x0, y0 in pls:
+                        bm[y0:y0 + gh, x0:x0 + gw] = 1
+                    data = encode_jbig2_symbols(
+                        [glyph], pls, w, h, template=i % 4)
+                else:
+                    bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
+                          ).astype(np.uint8)
+                    data = encode_jbig2(bm, template=i % 4,
+                                        tpgdon=bool(i % 2 == 0))
                 dec = decode_jbig2(data)
                 if not np.array_equal(dec, bm):
                     raise AssertionError(f"jbig2 lossless violation {i}")
@@ -1978,12 +1999,27 @@ def q_jbig2_decode(spark, sf):
 
 SQL_JBIG2_DECODE = r"""
 WITH imgs AS (SELECT unnest(generate_series(0, 19)) AS i),
-dims AS (SELECT i, 8 + (i * 13) % 50 AS w, 8 + (i * 9) % 33 AS h
+dims AS (SELECT i, 8 + (i * 13) % 50 AS w, 8 + (i * 9) % 33 AS h,
+                2 + i % 3 AS gw, 2 + (i // 2) % 3 AS gh
          FROM imgs),
 pix AS (
   SELECT d.i, d.w, d.h,
-         CASE WHEN (3 * d.i + 7 * xs.x + 5 * ys.y) % 11 < 4
-              THEN 1 ELSE 0 END AS v,
+         CASE
+           WHEN d.i % 5 = 4 THEN
+             -- symbol-mode images: union of 5 solid gw x gh rects at
+             -- closed-form positions (mirrors the Spark placements)
+             CASE WHEN EXISTS (
+               SELECT 1
+               FROM (SELECT unnest(generate_series(0, 4)) AS k) ks
+               WHERE xs.x >= (ks.k * 7 + d.i) % (d.w - d.gw + 1)
+                 AND xs.x <  (ks.k * 7 + d.i) % (d.w - d.gw + 1) + d.gw
+                 AND ys.y >= (ks.k * 5 + 2 * d.i) % (d.h - d.gh + 1)
+                 AND ys.y <  (ks.k * 5 + 2 * d.i) % (d.h - d.gh + 1)
+                              + d.gh
+             ) THEN 1 ELSE 0 END
+           WHEN (3 * d.i + 7 * xs.x + 5 * ys.y) % 11 < 4 THEN 1
+           ELSE 0
+         END AS v,
          xs.x + 2 * ys.y + 1 AS wgt
   FROM dims d,
        LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,

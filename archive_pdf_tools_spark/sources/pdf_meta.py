@@ -524,7 +524,7 @@ def _jbig2_dims(raw: bytes):
     pos, n = 0, len(raw)
     try:
         while pos < n:
-            _, styp, _, dlen, body = _parse_segment_header(raw, pos)
+            _, styp, _, _, dlen, body = _parse_segment_header(raw, pos)
             if styp == 48 and body + 8 <= n:
                 w = int.from_bytes(raw[body:body + 4], "big")
                 h = int.from_bytes(raw[body + 4:body + 8], "big")

@@ -107,7 +107,7 @@ def test_segment_header_grammar():
     data = encode_jbig2(np.ones((5, 9), dtype=np.uint8))
     pos, seen = 0, []
     while pos < len(data):
-        segnum, styp, page, dlen, body = jb._parse_segment_header(
+        segnum, styp, _refs, page, dlen, body = jb._parse_segment_header(
             data, pos)
         seen.append((segnum, styp, page))
         pos = body + dlen
@@ -162,7 +162,7 @@ def test_region_composition_ops():
     pos = 0
     parts = []
     while pos < len(seg_a):
-        _, styp, _, dlen, body = jb._parse_segment_header(seg_a, pos)
+        _, styp, _, _, dlen, body = jb._parse_segment_header(seg_a, pos)
         parts.append((styp, seg_a[pos:body + dlen],
                       seg_a[body:body + dlen]))
         pos = body + dlen
@@ -181,7 +181,7 @@ def test_unknown_height_page_grows():
     to cover the regions (7.4.8.1.2)."""
     bm = _textish(12, 20, seed=5)
     data = encode_jbig2(bm)
-    _, _, _, dlen, body = jb._parse_segment_header(data, 0)
+    _, _, _, _, dlen, body = jb._parse_segment_header(data, 0)
     patched = bytearray(data)
     patched[body + 4:body + 8] = b"\xff\xff\xff\xff"
     assert np.array_equal(decode_jbig2(bytes(patched)), bm)
@@ -236,16 +236,17 @@ def test_error_gates():
     bm = np.ones((3, 3), dtype=np.uint8)
     data = bytearray(encode_jbig2(bm))
     # MMR bit on the generic region flags
-    _, _, _, dlen, body = jb._parse_segment_header(data, 0)
+    _, _, _, _, dlen, body = jb._parse_segment_header(data, 0)
     pos2 = body + dlen
-    _, _, _, _, body2 = jb._parse_segment_header(data, pos2)
+    _, _, _, _, _, body2 = jb._parse_segment_header(data, pos2)
     mmr = bytearray(data)
     mmr[body2 + 17] |= 1
     with pytest.raises(Jbig2Error, match="MMR"):
         decode_jbig2(bytes(mmr))
-    # unsupported segment type (symbol dictionary = 0)
+    # unsupported segment type (halftone region = 22; symbol
+    # dictionaries decode since the symbol-mode addition)
     sym = bytearray(data)
-    sym[pos2 + 4] = (sym[pos2 + 4] & ~0x3F) | 0
+    sym[pos2 + 4] = (sym[pos2 + 4] & ~0x3F) | 22
     with pytest.raises(Jbig2Error, match="unsupported"):
         decode_jbig2(bytes(sym))
     # truncated stream
@@ -265,6 +266,112 @@ def test_default_pixel_one_page():
     leaves it black everywhere."""
     bm = np.zeros((6, 8), dtype=np.uint8)
     data = bytearray(encode_jbig2(bm))
-    _, _, _, _, body = jb._parse_segment_header(data, 0)
+    _, _, _, _, _, body = jb._parse_segment_header(data, 0)
     data[body + 16] |= 4                     # default pixel = 1
     assert (decode_jbig2(bytes(data)) == 1).all()
+
+
+# --------------------------------------------------------- symbol mode
+
+def test_symbol_mode_roundtrip():
+    """Symbol dictionary + text region (the organization jbig2enc -s
+    emits): decode reproduces the OR-composition of placed glyphs
+    exactly, across templates, glyph mixes and overlapping placements."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_symbols)
+
+    rng = np.random.default_rng(4)
+    for trial in range(6):
+        nglyphs = int(rng.integers(1, 7))
+        glyphs = []
+        for _ in range(nglyphs):
+            gh, gw = int(rng.integers(1, 9)), int(rng.integers(1, 9))
+            g = (rng.random((gh, gw)) < 0.5).astype(np.uint8)
+            g[0, 0] = 1                      # non-empty
+            glyphs.append(g)
+        W, H = int(rng.integers(30, 80)), int(rng.integers(20, 60))
+        placements = []
+        for k in range(int(rng.integers(1, 25))):
+            gi = int(rng.integers(0, nglyphs))
+            gh, gw = glyphs[gi].shape
+            placements.append((gi, int(rng.integers(0, W - gw + 1)),
+                               int(rng.integers(0, H - gh + 1))))
+        data = encode_jbig2_symbols(glyphs, placements, W, H,
+                                    template=trial % 4)
+        expect = np.zeros((H, W), np.uint8)
+        for gi, x, y in placements:
+            gh, gw = glyphs[gi].shape
+            expect[y:y + gh, x:x + gw] |= glyphs[gi]
+        assert np.array_equal(decode_jbig2(data), expect), trial
+
+
+def test_symbol_mode_single_glyph_and_strips():
+    """codelen 0 (single symbol: IAID reads no bits), repeated same-row
+    placements (one strip, negative IDS from overlaps), and multiple
+    height classes all round-trip."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_symbols)
+
+    g = np.array([[1, 0, 1], [0, 1, 0]], np.uint8)
+    placements = [(0, 0, 3), (0, 2, 3), (0, 1, 3), (0, 10, 3)]
+    data = encode_jbig2_symbols([g], placements, 20, 10)
+    expect = np.zeros((10, 20), np.uint8)
+    for _gi, x, y in placements:
+        expect[y:y + 2, x:x + 3] |= g
+    assert np.array_equal(decode_jbig2(data), expect)
+    # distinct heights -> multiple height classes in the dictionary
+    glyphs = [np.ones((2, 2), np.uint8), np.ones((4, 3), np.uint8),
+              np.ones((2, 5), np.uint8), np.ones((6, 2), np.uint8)]
+    placements = [(0, 0, 0), (1, 5, 1), (2, 12, 4), (3, 20, 2),
+                  (1, 9, 10), (0, 27, 8)]
+    data = encode_jbig2_symbols(glyphs, placements, 32, 18)
+    expect = np.zeros((18, 32), np.uint8)
+    for gi, x, y in placements:
+        gh, gw = glyphs[gi].shape
+        expect[y:y + gh, x:x + gw] |= glyphs[gi]
+    assert np.array_equal(decode_jbig2(data), expect)
+
+
+def test_symbol_mode_error_gates():
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_symbols)
+
+    g = np.ones((3, 3), np.uint8)
+    data = bytearray(encode_jbig2_symbols([g], [(0, 1, 1)], 10, 8))
+    # locate the symbol dictionary segment (type 0, segnum 1)
+    pos = 0
+    offsets = {}
+    while pos < len(data):
+        snum, styp, _refs, _pg, dlen, body = jb._parse_segment_header(
+            bytes(data), pos)
+        offsets[styp] = (pos, body, dlen)
+        pos = body + dlen
+    sd_pos, sd_body, _ = offsets[0]
+    tr_pos, tr_body, _ = offsets[7]
+    # SDHUFF flag -> loud
+    bad = bytearray(data)
+    bad[sd_body + 1] |= 1
+    with pytest.raises(Jbig2Error, match="Huffman"):
+        decode_jbig2(bytes(bad))
+    # refinement flag -> loud
+    bad = bytearray(data)
+    bad[sd_body + 1] |= 2
+    with pytest.raises(Jbig2Error, match="refinement"):
+        decode_jbig2(bytes(bad))
+    # transposed text region -> loud (TRANSPOSED = bit 6 of the
+    # 16-bit flags word = 0x40 of its LOW byte)
+    bad = bytearray(data)
+    bad[tr_body + 18] |= 0x40
+    with pytest.raises(Jbig2Error, match="transposed"):
+        decode_jbig2(bytes(bad))
+    # text region referring to no symbols -> loud
+    norefs = bytearray(data)
+    # patch referred count to 0 in the text-region header: flags byte
+    # at tr_pos+5 carries the count in its top 3 bits
+    norefs[tr_pos + 5] = 0
+    # removing the ref byte shifts the header; rebuild instead
+    tr_payload = bytes(data[tr_body:tr_body + offsets[7][2]])
+    rebuilt = (bytes(data[:tr_pos]) + jb._segment(2, 7, 1, tr_payload)
+               + jb._segment(3, 49, 1, b""))
+    with pytest.raises(Jbig2Error, match="without symbols"):
+        decode_jbig2(rebuilt)
