@@ -88,7 +88,8 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
             gh, gw = glyphs[gi].shape
             pls.append((gi, int(rng.integers(0, w - gw + 1)),
                         int(rng.integers(0, h - gh + 1))))
-        return encode_jbig2_symbols(glyphs, pls, w, h)
+        return encode_jbig2_symbols(glyphs, pls, w, h,
+                                    split_globals=True)
     bm = np.zeros((h, w), dtype=np.uint8)
     for _ in range(max(1, w * h // 50)):
         y = int(rng.integers(0, h))
@@ -182,6 +183,7 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
         img_ids = []
         for img in page.get("images", []):
             cs = b"/DeviceGray" if img.get("gray", True) else b"/DeviceRGB"
+            dparms = b""
             if img.get("dct"):
                 # DCT-filtered image: payload is JPEG bytes as-is; the
                 # parser must take dims/components from the SOF header.
@@ -195,9 +197,18 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
             elif img.get("jbig2"):
                 # JBIG2-filtered 1-bit mask: payload is an embedded
                 # JBIG2 stream (the reference's default mask sink,
-                # pdfhacks.py:60-70 JBIG2_TEMPL — 1-bit DeviceGray)
+                # pdfhacks.py:60-70 JBIG2_TEMPL — 1-bit DeviceGray).
+                # Symbol-mode fixtures carry the jbig2enc two-stream
+                # shape: shared dictionaries in a /JBIG2Globals stream
                 data = img["data"]
                 filt = b"/JBIG2Decode"
+                g = img.get("jbig2_globals")
+                if g:
+                    gid = add(b"<< /Length " + str(len(g)).encode()
+                              + b" >>\nstream\n" + g + b"\nendstream",
+                              stream=True)
+                    dparms = (b" /DecodeParms << /JBIG2Globals "
+                              + str(gid).encode() + b" 0 R >>")
             else:
                 data = _flate(img["data"])
                 filt = b"/FlateDecode"
@@ -207,6 +218,7 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                     + str(img["h"]).encode()
                     + b" /ColorSpace " + cs
                     + b" /BitsPerComponent " + bpc + b" /Filter " + filt
+                    + dparms
                     + b" /Length "
                     + str(len(data)).encode() + b" >>\nstream\n"
                     + data + b"\nendstream")
@@ -352,11 +364,15 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
             if u < 0.45:                  # JBIG2-filtered 1-bit mask,
                 # real + losslessly decodable since round 6: exercises
                 # the generic-region decoder -> MRC path (the
-                # reference's default mask sink)
-                images.append({"w": w, "h": h, "gray": True,
-                               "jbig2": True,
-                               "data": synth_jbig2_real(w, h,
-                                                        seed=seed)})
+                # reference's default mask sink); symbol-mode fixtures
+                # use the jbig2enc /JBIG2Globals two-stream shape
+                jb = synth_jbig2_real(w, h, seed=seed)
+                entry = {"w": w, "h": h, "gray": True, "jbig2": True}
+                if isinstance(jb, tuple):
+                    entry["jbig2_globals"], entry["data"] = jb
+                else:
+                    entry["data"] = jb
+                images.append(entry)
                 continue
             n = w * h * (1 if gray else 3)
             images.append({"w": w, "h": h, "gray": gray,

@@ -562,10 +562,26 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"",
     bitmap of {0, 1} where 1 = black (the filter's contract).
 
     ``globals_data`` is the optional ``/JBIG2Globals`` stream; its
-    segments are processed first (it may legally carry the page-info
-    segment, though jbig2enc puts symbol dictionaries there, which are
-    out of scope and raise).
+    segments are processed first — jbig2enc's symbol coder puts the
+    shared symbol dictionaries there, and text regions in ``data``
+    refer to them across the stream boundary.
+
+    Contract mirrors the sibling codecs (``decode_baseline`` /
+    ``decode_jp2``): malformed, truncated, adversarial, or unsupported
+    input raises ``Jbig2Error`` and nothing else, so callers'
+    metadata-only fallbacks stay scoped to the one bad image.
     """
+    try:
+        return _decode_jbig2(data, globals_data, max_pixels)
+    except (Jbig2Error, MemoryError):
+        raise
+    except Exception as exc:  # noqa: BLE001 — contract: Jbig2Error only
+        raise Jbig2Error(
+            f"malformed JBIG2 ({type(exc).__name__}: {exc})") from exc
+
+
+def _decode_jbig2(data: bytes, globals_data: bytes,
+                  max_pixels: int) -> np.ndarray:
     page_w = page_h = None
     page_default = 0
     bitmap = None
@@ -773,7 +789,8 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
 
 
 def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
-                         template: int = 0) -> bytes:
+                         template: int = 0,
+                         split_globals: bool = False):
     """Symbol-mode embedded JBIG2 — the organization jbig2enc's symbol
     coder (``-s``) produces and real archival PDFs carry: page info +
     symbol dictionary (§6.5, arithmetic) + immediate lossless text
@@ -783,6 +800,12 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
     y) top-left positions on the (w, h) page.  Lossless:
     ``decode_jbig2`` reproduces exactly the OR-composition of the
     placed glyphs.
+
+    ``split_globals=True`` returns ``(globals_bytes, page_bytes)`` —
+    the PDF two-stream shape jbig2enc emits, with the symbol
+    dictionary in the shared ``/JBIG2Globals`` stream (page
+    association 0) and the page stream's text region referring to it
+    across the boundary.
     """
     if not 0 <= template <= 3:
         raise ValueError("template must be 0..3")
@@ -874,6 +897,12 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
     page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                  + b"\x01" + (0).to_bytes(2, "big"))
+    if split_globals:
+        glob = _segment(0, 0, 0, sd_payload)     # file-scope: page 0
+        page = (_segment(1, 48, 1, page_info)
+                + _segment(2, 7, 1, tr_payload, refs=(0,))
+                + _segment(3, 49, 1, b""))
+        return glob, page
     return (_segment(0, 48, 1, page_info)
             + _segment(1, 0, 1, sd_payload)
             + _segment(2, 7, 1, tr_payload, refs=(1,))

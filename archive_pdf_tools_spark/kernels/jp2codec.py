@@ -2256,48 +2256,11 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     n_prec = {r: prec[r][0] * prec[r][1] for r in range(p.levels + 1)}
 
     def packets():
-        L = range(p.nlayers)
-        R = range(p.levels + 1)
-        C = range(p.ncomp)
-        if p.progression == "LRCP":
-            return ((l, r, c, pi) for l in L for r in R for c in C
-                    for pi in range(n_prec[r]))
-        if p.progression == "RLCP":
-            return ((l, r, c, pi) for r in R for l in L for c in C
-                    for pi in range(n_prec[r]))
-        if p.progression == "RPCL":
-            # precinct raster order IS the spec's y-then-x position scan
-            return ((l, r, c, pi) for r in R for pi in range(n_prec[r])
-                    for c in C for l in L)
-        # PCRL / CPRL (B.12.1.4/.5, round 6): true spatial order — each
-        # precinct keyed by its anchor in tile reference-grid coords
-        # (anchor = precinct index * 2^PPx scaled by 2^(levels - r);
-        # tile/image offsets are 0 here, enforced at SIZ parse), then
-        # position -> component -> resolution (PCRL) or component ->
-        # position -> resolution (CPRL), layers innermost.  Sorting the
-        # full packet list by that key reproduces the spec's nested
-        # position loop exactly.
-        anchors = []
-        for r in R:
-            npx = prec[r][0]
-            ppx, ppy = (p.prec_exps[r] if p.prec_exps is not None
-                        else (15, 15))
-            sx = 1 << min(ppx + p.levels - r, 40)
-            sy = 1 << min(ppy + p.levels - r, 40)
-            for pi in range(n_prec[r]):
-                py_, px_ = divmod(pi, npx)
-                anchors.append((r, pi, px_ * sx, py_ * sy))
-        if p.progression == "PCRL":
-            order = sorted((ys, xs, c, r, l, pi)
-                           for (r, pi, xs, ys) in anchors
-                           for c in C for l in L)
-            return ((l, r, c, pi)
-                    for (ys, xs, c, r, l, pi) in order)
-        order = sorted((c, ys, xs, r, l, pi)
-                       for (r, pi, xs, ys) in anchors
-                       for c in C for l in L)
-        return ((l, r, c, pi)
-                for (c, ys, xs, r, l, pi) in order)
+        plist = _precinct_anchors(p.levels, p.prec_exps,
+                                  lambda r: n_prec[r],
+                                  lambda r: prec[r][0])
+        return _progression_order(p.progression, plist, p.ncomp,
+                                  p.nlayers)
 
     pos = 0
     tile_end = len(tdata)
@@ -2424,6 +2387,47 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         else:
             out.append(dwt53_inverse(arr, p.levels - reduce_levels))
     return out
+
+
+def _progression_order(progression: str, plist, ncomp: int,
+                       nlayers: int):
+    """B.12.1 packet ordering, shared by encoder and decoder (one
+    source of truth, pinned against a hand-derived spec-loop order in
+    tests/test_jp2codec.py).  ``plist``: [(r, pi, xs, ys)] where
+    (xs, ys) is the precinct's anchor in tile reference-grid
+    coordinates (precinct index * 2^PPx scaled by 2^(levels - r)).
+    Returns [(l, r, c, pi)] in emission order."""
+    keys = {
+        "LRCP": lambda l, r, c, pi, xs, ys: (l, r, c, pi),
+        "RLCP": lambda l, r, c, pi, xs, ys: (r, l, c, pi),
+        "RPCL": lambda l, r, c, pi, xs, ys: (r, ys, xs, c, l),
+        "PCRL": lambda l, r, c, pi, xs, ys: (ys, xs, c, r, l),
+        "CPRL": lambda l, r, c, pi, xs, ys: (c, ys, xs, r, l),
+    }
+    try:
+        key = keys[progression]
+    except KeyError:
+        raise Jp2Error("unknown progression order") from None
+    pk = [(key(l, r, c, pi, xs, ys), (l, r, c, pi))
+          for (r, pi, xs, ys) in plist
+          for c in range(ncomp) for l in range(nlayers)]
+    pk.sort()
+    return [t for _k, t in pk]
+
+
+def _precinct_anchors(levels: int, prec_exps, n_prec, npx_of):
+    """[(r, pi, xs, ys)] reference-grid anchors for every precinct;
+    ``n_prec``/``npx_of`` map r -> precinct count / x-count."""
+    plist = []
+    for r in range(levels + 1):
+        ppx, ppy = (prec_exps[r] if prec_exps is not None else (15, 15))
+        sx = 1 << min(ppx + levels - r, 40)
+        sy = 1 << min(ppy + levels - r, 40)
+        npx = npx_of(r)
+        for pi in range(n_prec(r)):
+            py_, px_ = divmod(pi, npx)
+            plist.append((r, pi, px_ * sx, py_ * sy))
+    return plist
 
 
 def _read_npasses(bio: _BioReader) -> int:
@@ -2596,6 +2600,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     else:
         eff_bypass = [bypass] * len(comps)
 
+    if progression not in _PROGRESSIONS.values():
+        raise ValueError("unknown progression order")
     if tile_size is None:
         xt, yt = w, h
     else:
@@ -2675,142 +2681,118 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         pkt_offsets = []
         lay_r = {r: _precinct_layout(_p, bands, r, tw_i, th_i)
                  for r in range(levels + 1)}
-        # packet emission order per progression (single layer, so the
-        # L position is immaterial; spatial orders key precincts by
-        # their reference-grid anchor, mirroring the decoder)
-        plist = []
-        for r in range(levels + 1):
-            npx_, npy_ = lay_r[r][0], lay_r[r][1]
-            ppx_e, ppy_e = (precinct_exp if precinct_exp is not None
-                            else (15, 15))
-            sx = 1 << min(ppx_e + levels - r, 40)
-            sy = 1 << min(ppy_e + levels - r, 40)
-            for pidx in range(npx_ * npy_):
-                py_, px_ = divmod(pidx, npx_)
-                plist.append((r, pidx, px_ * sx, py_ * sy))
-        C = range(len(planes_t))
-        if progression in ("LRCP", "RLCP"):
-            order = [(r, c, pi)
-                     for (r, pi, xs, ys) in plist for c in C]
-            order.sort(key=lambda t: (t[0], t[1], t[2]))
-        elif progression == "RPCL":
-            order = [(r, c, pi)
-                     for (r, pi, xs, ys) in plist for c in C]
-            order.sort(key=lambda t: (t[0], t[2], t[1]))
-        elif progression == "PCRL":
-            order = [(r, c, pi) for (ys, xs, c, r, pi) in sorted(
-                (ys, xs, c, r, pi)
-                for (r, pi, xs, ys) in plist for c in C)]
-        elif progression == "CPRL":
-            order = [(r, c, pi) for (c, ys, xs, r, pi) in sorted(
-                (c, ys, xs, r, pi)
-                for (r, pi, xs, ys) in plist for c in C)]
-        else:
-            raise ValueError("unknown progression order")
-        for r, c, pidx in order:
-            if True:
-                npx, npy, layouts = lay_r[r]
-                entries = packet_blocks[(r, c)]
-                if True:
-                    py_, px_ = divmod(pidx, npx)
-                    if sop:
-                        body += (b"\xff\x91\x00\x04"
-                                 + (sop_counter[0] & 0xFFFF).to_bytes(
-                                     2, "big"))
-                        sop_counter[0] += 1
-                    bio = _BioWriter()
-                    segs = []
-                    # precinct-local block ranges per band
-                    ranges = []
-                    any_data = False
-                    for bi, blocks in entries:
-                        name, lev, bw, bh, gain = bands[r][bi]
-                        cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
-                        bx0, bx1 = _prec_block_range(px_, pbw, cbw_e,
-                                                     bw, nx)
-                        by0, by1 = _prec_block_range(py_, pbh, cbh_e,
-                                                     bh, ny)
-                        ranges.append((bi, blocks, nx,
-                                       bx0, bx1, by0, by1))
-                        any_data = any_data or any(
-                            blocks[by * nx + bx][2] > 0
-                            for by in range(by0, by1)
-                            for bx in range(bx0, bx1))
-                    if not any_data:
-                        bio.write(0)
-                    else:
-                        bio.write(1)
-                        for bi, blocks, nx, bx0, bx1, by0, by1 in ranges:
-                            w_ = bx1 - bx0
-                            h_ = by1 - by0
-                            if w_ <= 0 or h_ <= 0:
+        # packet emission order: the SAME shared function the decoder
+        # walks (single layer), so order bugs cannot hide on one side
+        pexps = ([precinct_exp] * (levels + 1)
+                 if precinct_exp is not None else None)
+        plist = _precinct_anchors(
+            levels, pexps,
+            lambda r: lay_r[r][0] * lay_r[r][1],
+            lambda r: lay_r[r][0])
+        order = _progression_order(progression, plist,
+                                   len(planes_t), 1)
+        for _l, r, c, pidx in order:
+            npx, npy, layouts = lay_r[r]
+            entries = packet_blocks[(r, c)]
+            py_, px_ = divmod(pidx, npx)
+            if sop:
+                body += (b"\xff\x91\x00\x04"
+                         + (sop_counter[0] & 0xFFFF).to_bytes(
+                             2, "big"))
+                sop_counter[0] += 1
+            bio = _BioWriter()
+            segs = []
+            # precinct-local block ranges per band
+            ranges = []
+            any_data = False
+            for bi, blocks in entries:
+                name, lev, bw, bh, gain = bands[r][bi]
+                cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
+                bx0, bx1 = _prec_block_range(px_, pbw, cbw_e,
+                                             bw, nx)
+                by0, by1 = _prec_block_range(py_, pbh, cbh_e,
+                                             bh, ny)
+                ranges.append((bi, blocks, nx,
+                               bx0, bx1, by0, by1))
+                any_data = any_data or any(
+                    blocks[by * nx + bx][2] > 0
+                    for by in range(by0, by1)
+                    for bx in range(bx0, bx1))
+            if not any_data:
+                bio.write(0)
+            else:
+                bio.write(1)
+                for bi, blocks, nx, bx0, bx1, by0, by1 in ranges:
+                    w_ = bx1 - bx0
+                    h_ = by1 - by0
+                    if w_ <= 0 or h_ <= 0:
+                        continue
+                    incl_t = _TagTree(w_, h_)
+                    imsb_t = _TagTree(w_, h_)
+                    for by in range(by0, by1):
+                        for bx in range(bx0, bx1):
+                            data, npasses, numbps, mb = \
+                                blocks[by * nx + bx]
+                            incl_t.set(bx - bx0, by - by0,
+                                       0 if numbps else 1)
+                            imsb_t.set(bx - bx0, by - by0,
+                                       (mb - numbps)
+                                       if numbps else 0)
+                    incl_t.finalize()
+                    imsb_t.finalize()
+                    for by in range(by0, by1):
+                        for bx in range(bx0, bx1):
+                            data, npasses, numbps, mb = \
+                                blocks[by * nx + bx]
+                            incl_t.encode(bio, bx - bx0,
+                                          by - by0, 1)
+                            if not numbps:
                                 continue
-                            incl_t = _TagTree(w_, h_)
-                            imsb_t = _TagTree(w_, h_)
-                            for by in range(by0, by1):
-                                for bx in range(bx0, bx1):
-                                    data, npasses, numbps, mb = \
-                                        blocks[by * nx + bx]
-                                    incl_t.set(bx - bx0, by - by0,
-                                               0 if numbps else 1)
-                                    imsb_t.set(bx - bx0, by - by0,
-                                               (mb - numbps)
-                                               if numbps else 0)
-                            incl_t.finalize()
-                            imsb_t.finalize()
-                            for by in range(by0, by1):
-                                for bx in range(bx0, bx1):
-                                    data, npasses, numbps, mb = \
-                                        blocks[by * nx + bx]
-                                    incl_t.encode(bio, bx - bx0,
-                                                  by - by0, 1)
-                                    if not numbps:
-                                        continue
-                                    imsb_t.encode(bio, bx - bx0,
-                                                  by - by0, 64)
-                                    _write_npasses(bio, npasses)
-                                    lblock = 3
-                                    if eff_bypass[c]:
-                                        # one length per codeword
-                                        # segment (B.10.7.4); lblock
-                                        # prefix signalled once
-                                        spans = _bypass_spans(1,
-                                                              npasses)
-                                        lens = [len(s) for s in data]
-                                        need = max(
-                                            (lens[sid].bit_length()
-                                             if lens[sid] else 1)
-                                            - _floor_log2(cnt)
-                                            for sid, cnt in spans)
-                                        while lblock < need:
-                                            bio.write(1)
-                                            lblock += 1
-                                        bio.write(0)
-                                        for sid, cnt in spans:
-                                            bio.write_bits(
-                                                lens[sid],
-                                                lblock
-                                                + _floor_log2(cnt))
-                                        segs.extend(data)
-                                    else:
-                                        nbits_needed = (
-                                            len(data).bit_length()
-                                            if data else 1)
-                                        want = _floor_log2(npasses)
-                                        while lblock + want \
-                                                < nbits_needed:
-                                            bio.write(1)
-                                            lblock += 1
-                                        bio.write(0)
-                                        bio.write_bits(len(data),
-                                                       lblock + want)
-                                        segs.append(data)
-                    body += bio.flush()
-                    if eph:
-                        body += b"\xff\x92"
-                    for s in segs:
-                        body += s
-                    pkt_offsets.append(len(body))
+                            imsb_t.encode(bio, bx - bx0,
+                                          by - by0, 64)
+                            _write_npasses(bio, npasses)
+                            lblock = 3
+                            if eff_bypass[c]:
+                                # one length per codeword
+                                # segment (B.10.7.4); lblock
+                                # prefix signalled once
+                                spans = _bypass_spans(1,
+                                                      npasses)
+                                lens = [len(s) for s in data]
+                                need = max(
+                                    (lens[sid].bit_length()
+                                     if lens[sid] else 1)
+                                    - _floor_log2(cnt)
+                                    for sid, cnt in spans)
+                                while lblock < need:
+                                    bio.write(1)
+                                    lblock += 1
+                                bio.write(0)
+                                for sid, cnt in spans:
+                                    bio.write_bits(
+                                        lens[sid],
+                                        lblock
+                                        + _floor_log2(cnt))
+                                segs.extend(data)
+                            else:
+                                nbits_needed = (
+                                    len(data).bit_length()
+                                    if data else 1)
+                                want = _floor_log2(npasses)
+                                while lblock + want \
+                                        < nbits_needed:
+                                    bio.write(1)
+                                    lblock += 1
+                                bio.write(0)
+                                bio.write_bits(len(data),
+                                               lblock + want)
+                                segs.append(data)
+            body += bio.flush()
+            if eph:
+                body += b"\xff\x92"
+            for s in segs:
+                body += s
+            pkt_offsets.append(len(body))
         return bytes(body), pkt_offsets
 
     bodies = []

@@ -303,9 +303,13 @@ def _stream_data(body: bytes, d: bytes) -> bytes:
     raw = body[s:e]
     # /Length is authoritative (ISO 32000-1 §7.3.8.2): the EOL before
     # the `endstream` keyword is NOT stream data — segment-exact codecs
-    # (JBIG2) reject trailing bytes, so trim to the declared length
-    # when it is consistent with what the keyword scan found.
-    if _get_ref(d, b"/Length") is None:      # indirect /Length: keep scan
+    # (JBIG2) reject trailing bytes, so trim to the declared length.
+    # NOT for FlateDecode: zlib is self-terminating (trailing bytes are
+    # harmless) and an UNDERSTATED /Length would truncate a stream the
+    # keyword scan recovers — trimming would turn recoverable content
+    # into b'' (round-6 review finding).
+    if b"/FlateDecode" not in d \
+            and _get_ref(d, b"/Length") is None:  # indirect: keep scan
         n = _get_int(d, b"/Length")
         if n is not None and 0 <= n <= len(raw):
             raw = raw[:n]
@@ -699,10 +703,18 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
             out.append((im["xref"], arr))
             continue
         if im["format"] == "JBIG2":
+            # jbig2enc's symbol coder shares its symbol dictionaries
+            # via a /JBIG2Globals stream in /DecodeParms; the page
+            # stream's text regions refer to them across the boundary
+            gref = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", d)
+            gdata = b""
+            if gref is not None and rd.has(int(gref.group(1))):
+                gbody, gdict = rd.obj(int(gref.group(1)))
+                gdata = _stream_data(gbody, gdict)
             try:
-                bits = decode_jbig2(raw)
+                bits = decode_jbig2(raw, gdata)
             except Jbig2Error:
-                continue            # symbol/MMR regions: metadata-only
+                continue            # Huffman/MMR regions: metadata-only
             # /JBIG2Decode contract: 1 = black; as DeviceGray pixels
             # black is 0 — the mask shape MRC downstream expects
             arr = np.where(bits != 0, 0, 255).astype(np.uint8)

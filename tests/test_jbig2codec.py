@@ -375,3 +375,39 @@ def test_symbol_mode_error_gates():
                + jb._segment(3, 49, 1, b""))
     with pytest.raises(Jbig2Error, match="without symbols"):
         decode_jbig2(rebuilt)
+
+
+def test_exception_contract_and_split_globals():
+    """Review findings (r6): (a) malformed streams raise Jbig2Error —
+    never IndexError — matching the sibling codecs' contract; (b) the
+    jbig2enc two-stream shape (symbol dictionary in /JBIG2Globals,
+    text region referring across the boundary) decodes."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_symbols)
+
+    # truncated type-39 payload and truncated header both stay typed
+    data = bytearray(encode_jbig2(np.ones((6, 8), np.uint8)))
+    for cut in (len(data) - 3, 29, 15, 7):
+        with pytest.raises(Jbig2Error):
+            decode_jbig2(bytes(data[:cut]))
+    # header with a bogus referred count cutting into nothing
+    bogus = (0).to_bytes(4, "big") + bytes([39, 0xBF])
+    with pytest.raises(Jbig2Error):
+        decode_jbig2(bogus)
+
+    g1 = np.ones((3, 4), np.uint8)
+    g2 = np.array([[1, 0], [0, 1], [1, 1]], np.uint8)
+    pls = [(0, 2, 2), (1, 10, 5), (0, 20, 9), (1, 14, 2)]
+    glob, page = encode_jbig2_symbols([g1, g2], pls, 30, 16,
+                                      split_globals=True)
+    expect = np.zeros((16, 30), np.uint8)
+    for gi, x, y in pls:
+        gh, gw = (g1 if gi == 0 else g2).shape
+        expect[y:y + gh, x:x + gw] |= (g1 if gi == 0 else g2)
+    assert np.array_equal(decode_jbig2(page, glob), expect)
+    # page stream alone must fail loudly (its symbols live elsewhere)
+    with pytest.raises(Jbig2Error, match="without symbols"):
+        decode_jbig2(page)
+    # single-stream form still equals the split decode
+    single = encode_jbig2_symbols([g1, g2], pls, 30, 16)
+    assert np.array_equal(decode_jbig2(single), expect)

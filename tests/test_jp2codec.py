@@ -610,37 +610,52 @@ def test_pcrl_cprl_progressions():
 
 
 def test_spatial_order_matches_spec_loop():
-    """Structural pin against B.12.1.4's nested position loop (guards
-    against encoder+decoder sharing the SAME wrong sort): hand-derived
-    packet order for a 64x96 2-level gray image with 16x16 precincts.
+    """Structural pin against B.12.1's nested loops: the ONE shared
+    order function (`_progression_order`, used verbatim by encoder AND
+    decoder) must reproduce a hand-derived packet order for a 64x96
+    2-level image with 16x16 precincts.
 
-    Geometry: r2 (full res 64 rows x 96 cols) has 4x6 precincts of
-    16px anchored at multiples of 16; r1 (32x48) has 2x3 precincts of
-    16px in r1 coords = anchors at multiples of 32 in reference coords;
-    r0 (16x24) has 1x2 precincts = anchors 0 and 256.  PCRL emits, at
-    each (y, x) anchor in y-then-x order, every resolution anchored
-    there in ascending r."""
-    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+    Geometry (hand-derived, not read back from the code): r2 = full
+    64x96 with 6x4 precincts anchored at multiples of 16 in reference
+    coords; r1 = 32x48 with 3x2 precincts, anchors at multiples of
+    2^(4+1) = 32; r0 = 16x24 with 2x1 precincts, anchors at multiples
+    of 2^(4+2) = 64.  PCRL visits anchors in y-then-x order emitting
+    every resolution anchored there in ascending r; CPRL is the same
+    per component."""
+    from archive_pdf_tools_spark.kernels.jp2codec import (
+        _precinct_anchors, _progression_order, encode_j2k)
 
+    geom = {2: (6, 4, 16), 1: (3, 2, 32), 0: (2, 1, 64)}
+    plist = _precinct_anchors(
+        2, [(4, 4)] * 3,
+        lambda r: geom[r][0] * geom[r][1],
+        lambda r: geom[r][0])
+    # anchors themselves: spot-pin r0/r1 reference-grid scaling
+    assert (0, 1, 64, 0) in plist            # r0, precinct 1 at x=64
+    assert (1, 4, 32, 32) in plist           # r1, raster idx 4 = (1,1)
+    got = _progression_order("PCRL", plist, 1, 1)
+    expect = []
+    for y, x, r, pi in sorted(
+            (py * s, px * s, r, py * nx + px)
+            for r, (nx, ny, s) in geom.items()
+            for py in range(ny) for px in range(nx)):
+        expect.append((0, r, 0, pi))
+    assert got == expect
+    # first anchors: (0,0) hosts r0 p0, r1 p0, r2 p0 ascending r; the
+    # next anchor x=16 hosts ONLY r2 p1; x=32 hosts r1 p1 then r2 p2
+    assert got[:6] == [(0, 0, 0, 0), (0, 1, 0, 0), (0, 2, 0, 0),
+                       (0, 2, 0, 1), (0, 1, 0, 1), (0, 2, 0, 2)]
+    # CPRL on 3 components = per-component PCRL blocks
+    got3 = _progression_order("CPRL", plist, 3, 1)
+    per = [t for t in expect]
+    assert got3 == [(0, r, c, pi) for c in range(3)
+                    for (_l, r, _c, pi) in per]
+    # and a real stream with that exact geometry still round-trips
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (64, 96)).astype(np.uint8)
     d = encode_j2k(img, levels=2, progression="PCRL",
                    precinct_exp=(4, 4), sop=True)
     assert np.array_equal(decode_jp2(d), img)
-    # independently derive the expected (r, pi) sequence per spec
-    plist = []
-    for r, (nx, ny, scale) in enumerate([(2, 1, 256), (3, 2, 32),
-                                         (6, 4, 16)]):
-        for pi in range(nx * ny):
-            py, px = divmod(pi, nx)
-            plist.append((py * scale, px * scale, r, pi))
-    expect = [(r, pi) for (y, x, r, pi) in sorted(plist)]
-    # first packets: everything anchored at (0,0), r ascending
-    assert expect[:3] == [(0, 0), (1, 0), (2, 0)]
-    # the SOP sequence numbers in the stream are emission-ordered; the
-    # decoder consumed them in the same order (decode succeeded above),
-    # and the expected length matches the packet count
-    assert len(expect) == 2 + 6 + 24
     assert d.count(b"\xff\x91") == len(expect)
 
 
