@@ -98,6 +98,23 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
     return encode_jbig2(bm)
 
 
+def synth_ccitt_real(w: int, h: int, seed: int = 0) -> bytes:
+    """A DECODABLE /CCITTFaxDecode Group-4 stream (round 6): seeded
+    text-mask content encoded by the engine's own T.6 encoder
+    (``kernels.ccittcodec``) — the pre-JBIG2 archival mask format the
+    reference leaves entirely to PyMuPDF (``pdfhacks.py:124-126``).
+    Seeded from (seed, w, h) only."""
+    from ..kernels.ccittcodec import encode_g4
+
+    rng = np.random.default_rng((seed * 9173) ^ (w << 16) ^ h)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    for _ in range(max(1, w * h // 55)):
+        y = int(rng.integers(0, h))
+        x = int(rng.integers(0, w))
+        bm[y, x:x + int(rng.integers(1, 9))] = 1
+    return encode_g4(bm)
+
+
 def _flate(data: bytes) -> bytes:
     return zlib.compress(data, 6)
 
@@ -194,6 +211,14 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                 # must take dims/components from the ihdr box.
                 data = img["data"]
                 filt = b"/JPXDecode"
+            elif img.get("ccitt"):
+                # CCITT G4 1-bit mask: /K -1 pure T.6 with explicit
+                # Columns/Rows DecodeParms (the common archival shape)
+                data = img["data"]
+                filt = b"/CCITTFaxDecode"
+                dparms = (b" /DecodeParms << /K -1 /Columns "
+                          + str(img["w"]).encode() + b" /Rows "
+                          + str(img["h"]).encode() + b" >>")
             elif img.get("jbig2"):
                 # JBIG2-filtered 1-bit mask: payload is an embedded
                 # JBIG2 stream (the reference's default mask sink,
@@ -212,7 +237,8 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
             else:
                 data = _flate(img["data"])
                 filt = b"/FlateDecode"
-            bpc = b"1" if img.get("jbig2") else b"8"
+            bpc = (b"1" if img.get("jbig2") or img.get("ccitt")
+                   else b"8")
             body = (b"<< /Type /XObject /Subtype /Image /Width "
                     + str(img["w"]).encode() + b" /Height "
                     + str(img["h"]).encode()
@@ -361,6 +387,15 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                                "data": synth_jp2_real(w, h, gray,
                                                       seed=seed)})
                 continue
+            if u < 0.52:                  # CCITT G4 1-bit mask (round
+                # 6 late): the pre-JBIG2 archival format, decodable
+                # through the T.6 codec -> MRC path
+                if u >= 0.45:
+                    images.append({"w": w, "h": h, "gray": True,
+                                   "ccitt": True,
+                                   "data": synth_ccitt_real(w, h,
+                                                            seed=seed)})
+                    continue
             if u < 0.45:                  # JBIG2-filtered 1-bit mask,
                 # real + losslessly decodable since round 6: exercises
                 # the generic-region decoder -> MRC path (the

@@ -1,0 +1,357 @@
+"""From-scratch CCITT Group 4 (ITU-T T.6, "MMR") bitonal codec.
+
+Real archival PDFs older than the JBIG2 era overwhelmingly carry
+their text masks as ``/CCITTFaxDecode`` images with ``/K < 0`` (pure
+two-dimensional T.6 coding); the reference leaves that entire family
+to PyMuPDF ("We can't do that for ccitt currently",
+``internetarchivepdf/pdfhacks.py:124-126``).  This module implements
+decode + encode natively:
+
+* T.6 2D modes per coding line against the reference line — pass
+  (``0001``), horizontal (``001`` + two T.4 run-length codes),
+  vertical V(0)/VR(1-3)/VL(1-3) — over CHANGING-ELEMENT lists, so the
+  cost per row is O(color changes), not O(pixels): long white margins
+  are near-free, which is exactly the shape scanned pages have.
+* The T.4 modified-Huffman run-length tables (terminating 0-63,
+  make-up 64-1728 per color, shared extended make-ups 1792-2560),
+  decoded through 13-bit prefix LUTs.
+* EOFB tolerated at the end; ``EncodedByteAlign`` supported (row
+  starts align to byte boundaries).
+
+The same T.6 coding IS JBIG2's "MMR" path (T.88 §6.2.6 delegates
+generic-region MMR to T.4/T.6), so ``kernels/jbig2codec.py`` routes
+``MMR=1`` generic regions here instead of raising.
+
+Everything derives from the published ITU-T T.4/T.6 spec tables and
+the classic changing-element algorithm (also described in RFC 804 and
+countless open implementations).  No third-party CCITT codec exists
+in-container, so parity follows the repo's codec evidence model:
+bit-exact decode(encode(x)) round-trips over fuzz corpora, plus
+structural pins of the public tables (spot values like white-0 =
+``00110101``, black-1 = ``010``, EOL = ``000000000001``; global
+prefix-freeness per color class, which any transcription collision
+breaks).  1=black in the returned bitmaps (the PDF ``BlackIs1``
+byte-sample convention only affects the sample packing this module
+never produces).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class CcittError(Exception):
+    """Unsupported or malformed CCITT stream (documented codec gate)."""
+
+
+# ----------------------------------------------------- T.4 code tables
+# (run, code-length, code-value); terminating codes then make-ups.
+
+_WHITE_CODES = (
+    (0, 8, 0x35), (1, 6, 0x07), (2, 4, 0x07), (3, 4, 0x08),
+    (4, 4, 0x0B), (5, 4, 0x0C), (6, 4, 0x0E), (7, 4, 0x0F),
+    (8, 5, 0x13), (9, 5, 0x14), (10, 5, 0x07), (11, 5, 0x08),
+    (12, 6, 0x08), (13, 6, 0x03), (14, 6, 0x34), (15, 6, 0x35),
+    (16, 6, 0x2A), (17, 6, 0x2B), (18, 7, 0x27), (19, 7, 0x0C),
+    (20, 7, 0x08), (21, 7, 0x17), (22, 7, 0x03), (23, 7, 0x04),
+    (24, 7, 0x28), (25, 7, 0x2B), (26, 7, 0x13), (27, 7, 0x24),
+    (28, 7, 0x18), (29, 8, 0x02), (30, 8, 0x03), (31, 8, 0x1A),
+    (32, 8, 0x1B), (33, 8, 0x12), (34, 8, 0x13), (35, 8, 0x14),
+    (36, 8, 0x15), (37, 8, 0x16), (38, 8, 0x17), (39, 8, 0x28),
+    (40, 8, 0x29), (41, 8, 0x2A), (42, 8, 0x2B), (43, 8, 0x2C),
+    (44, 8, 0x2D), (45, 8, 0x04), (46, 8, 0x05), (47, 8, 0x0A),
+    (48, 8, 0x0B), (49, 8, 0x52), (50, 8, 0x53), (51, 8, 0x54),
+    (52, 8, 0x55), (53, 8, 0x24), (54, 8, 0x25), (55, 8, 0x58),
+    (56, 8, 0x59), (57, 8, 0x5A), (58, 8, 0x5B), (59, 8, 0x4A),
+    (60, 8, 0x4B), (61, 8, 0x32), (62, 8, 0x33), (63, 8, 0x34),
+    (64, 5, 0x1B), (128, 5, 0x12), (192, 6, 0x17), (256, 7, 0x37),
+    (320, 8, 0x36), (384, 8, 0x37), (448, 8, 0x64), (512, 8, 0x65),
+    (576, 8, 0x68), (640, 8, 0x67), (704, 9, 0xCC), (768, 9, 0xCD),
+    (832, 9, 0xD2), (896, 9, 0xD3), (960, 9, 0xD4), (1024, 9, 0xD5),
+    (1088, 9, 0xD6), (1152, 9, 0xD7), (1216, 9, 0xD8),
+    (1280, 9, 0xD9), (1344, 9, 0xDA), (1408, 9, 0xDB),
+    (1472, 9, 0x98), (1536, 9, 0x99), (1600, 9, 0x9A),
+    (1664, 6, 0x18), (1728, 9, 0x9B),
+)
+
+_BLACK_CODES = (
+    (0, 10, 0x37), (1, 3, 0x02), (2, 2, 0x03), (3, 2, 0x02),
+    (4, 3, 0x03), (5, 4, 0x03), (6, 4, 0x02), (7, 5, 0x03),
+    (8, 6, 0x05), (9, 6, 0x04), (10, 7, 0x04), (11, 7, 0x05),
+    (12, 7, 0x07), (13, 8, 0x04), (14, 8, 0x07), (15, 9, 0x18),
+    (16, 10, 0x17), (17, 10, 0x18), (18, 10, 0x08), (19, 11, 0x67),
+    (20, 11, 0x68), (21, 11, 0x6C), (22, 11, 0x37), (23, 11, 0x28),
+    (24, 11, 0x17), (25, 11, 0x18), (26, 12, 0xCA), (27, 12, 0xCB),
+    (28, 12, 0xCC), (29, 12, 0xCD), (30, 12, 0x68), (31, 12, 0x69),
+    (32, 12, 0x6A), (33, 12, 0x6B), (34, 12, 0xD2), (35, 12, 0xD3),
+    (36, 12, 0xD4), (37, 12, 0xD5), (38, 12, 0xD6), (39, 12, 0xD7),
+    (40, 12, 0x6C), (41, 12, 0x6D), (42, 12, 0xDA), (43, 12, 0xDB),
+    (44, 12, 0x54), (45, 12, 0x55), (46, 12, 0x56), (47, 12, 0x57),
+    (48, 12, 0x64), (49, 12, 0x65), (50, 12, 0x52), (51, 12, 0x53),
+    (52, 12, 0x24), (53, 12, 0x37), (54, 12, 0x38), (55, 12, 0x27),
+    (56, 12, 0x28), (57, 12, 0x58), (58, 12, 0x59), (59, 12, 0x2B),
+    (60, 12, 0x2C), (61, 12, 0x5A), (62, 12, 0x66), (63, 12, 0x67),
+    (64, 10, 0x0F), (128, 12, 0xC8), (192, 12, 0xC9), (256, 12, 0x5B),
+    (320, 12, 0x33), (384, 12, 0x34), (448, 12, 0x35), (512, 13, 0x6C),
+    (576, 13, 0x6D), (640, 13, 0x4A), (704, 13, 0x4B), (768, 13, 0x4C),
+    (832, 13, 0x4D), (896, 13, 0x72), (960, 13, 0x73), (1024, 13, 0x74),
+    (1088, 13, 0x75), (1152, 13, 0x76), (1216, 13, 0x77),
+    (1280, 13, 0x52), (1344, 13, 0x53), (1408, 13, 0x54),
+    (1472, 13, 0x55), (1536, 13, 0x5A), (1600, 13, 0x5B),
+    (1664, 13, 0x64), (1728, 13, 0x65),
+)
+
+# extended make-ups 1792-2560 are shared by both colors (T.4 Table 3c)
+_EXT_CODES = (
+    (1792, 11, 0x08), (1856, 11, 0x0C), (1920, 11, 0x0D),
+    (1984, 12, 0x12), (2048, 12, 0x13), (2112, 12, 0x14),
+    (2176, 12, 0x15), (2240, 12, 0x16), (2304, 12, 0x17),
+    (2368, 12, 0x1C), (2432, 12, 0x1D), (2496, 12, 0x1E),
+    (2560, 12, 0x1F),
+)
+
+_MAXLEN = 13
+
+
+def _build_lut(codes):
+    """13-bit-peek prefix LUT: index -> (run, code length)."""
+    lut = [None] * (1 << _MAXLEN)
+    for run, ln, val in codes:
+        base = val << (_MAXLEN - ln)
+        for k in range(1 << (_MAXLEN - ln)):
+            if lut[base + k] is not None:
+                raise AssertionError("T.4 table prefix collision")
+            lut[base + k] = (run, ln)
+    return lut
+
+
+_WHITE_LUT = _build_lut(_WHITE_CODES + _EXT_CODES)
+_BLACK_LUT = _build_lut(_BLACK_CODES + _EXT_CODES)
+_ENC_WHITE = {run: (ln, val) for run, ln, val in _WHITE_CODES + _EXT_CODES}
+_ENC_BLACK = {run: (ln, val) for run, ln, val in _BLACK_CODES + _EXT_CODES}
+_MAKEUPS = sorted(r for r in _ENC_WHITE if r >= 64)
+
+
+class _Bits:
+    """MSB-first bit reader with a 13-bit peek; past end feeds 0s and
+    counts the overrun so truncation raises instead of spinning."""
+
+    __slots__ = ("data", "n", "pos", "over")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data) * 8
+        self.pos = 0
+        self.over = 0
+
+    def peek13(self) -> int:
+        v = 0
+        p = self.pos
+        data = self.data
+        for k in range(_MAXLEN):
+            i = p + k
+            b = (data[i >> 3] >> (7 - (i & 7))) & 1 if i < self.n else 0
+            v = (v << 1) | b
+        return v
+
+    def skip(self, k: int):
+        self.pos += k
+        if self.pos > self.n:
+            self.over += self.pos - self.n
+            if self.over > 64:
+                raise CcittError("truncated CCITT stream")
+
+    def read(self) -> int:
+        if self.pos >= self.n:
+            self.skip(1)
+            return 0
+        b = (self.data[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def align(self):
+        self.pos = (self.pos + 7) & ~7
+
+
+def _read_run(bits: _Bits, color: int) -> int:
+    """One T.4 run length: make-ups accumulate until a terminating
+    code (< 64) arrives."""
+    total = 0
+    lut = _BLACK_LUT if color else _WHITE_LUT
+    while True:
+        ent = lut[bits.peek13()]
+        if ent is None:
+            raise CcittError("bad run-length code")
+        run, ln = ent
+        bits.skip(ln)
+        total += run
+        if run < 64:
+            return total
+        lut = _BLACK_LUT if color else _WHITE_LUT
+
+
+def decode_g4(data: bytes, w: int, h: int,
+              byte_align: bool = False) -> np.ndarray:
+    """Decode pure 2D T.6 data to an (h, w) uint8 bitmap, 1 = black."""
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise CcittError("bad dimensions")
+    bits = _Bits(data)
+    rows = np.zeros((h, w), dtype=np.uint8)
+    ref = [w, w]                             # imaginary all-white row
+    for y in range(h):
+        if byte_align:
+            bits.align()
+        cur: list = []
+        a0 = -1                              # imaginary start element
+        color = 0
+        while a0 < w:
+            # b1: first reference change STRICTLY right of a0 whose
+            # index parity flips to the opposite of the current color
+            # (even index = white->black transition)
+            ri = 0
+            while ri < len(ref) and ref[ri] <= a0:
+                ri += 1
+            if (ri & 1) != color:
+                ri += 1
+            b1 = ref[ri] if ri < len(ref) else w
+            b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+            if bits.read():                  # 1 -> V0
+                a1 = b1
+            elif bits.read():                # 01x -> VR1 / VL1
+                a1 = b1 + 1 if bits.read() else b1 - 1
+            elif bits.read():                # 001 -> horizontal
+                a0c = a0 if a0 > 0 else 0
+                r1 = _read_run(bits, color)
+                r2 = _read_run(bits, color ^ 1)
+                a1 = a0c + r1
+                a2 = a1 + r2
+                if a2 > w or a1 < a0c:
+                    raise CcittError("horizontal runs overrun line")
+                cur.append(min(a1, w))
+                cur.append(min(a2, w))
+                a0 = a2
+                continue
+            elif bits.read():                # 0001 -> pass
+                a0 = b2
+                continue
+            elif bits.read():                # 00001x -> V2
+                a1 = b1 + 2 if bits.read() else b1 - 2
+            elif bits.read():                # 000001x -> V3
+                a1 = b1 + 3 if bits.read() else b1 - 3
+            else:
+                # 0000000...: EOL/EOFB prefix mid-image = malformed
+                # (this decoder reads exactly h rows and stops)
+                raise CcittError("EOL inside G4 data")
+            if a1 <= a0 or a1 > w:
+                raise CcittError("vertical move out of line")
+            cur.append(min(a1, w))
+            a0 = a1
+            color ^= 1
+        # materialize the row from its changing elements
+        cur.append(w)
+        cur.append(w)
+        row = rows[y]
+        pos = 0
+        col = 0
+        for c in cur:
+            if c > pos and col:
+                row[pos:c] = 1
+            if c >= w:
+                break
+            pos = c
+            col ^= 1
+        ref = cur
+    return rows
+
+
+def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
+    """Encode an (h, w) {0,1} bitmap as pure 2D T.6 + EOFB.  Lossless:
+    ``decode_g4(encode_g4(b), w, h) == b`` bit-exactly."""
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    if bm.ndim != 2 or 0 in bm.shape:
+        raise ValueError("bad bitmap shape")
+    h, w = bm.shape
+    out = bytearray()
+    buf = 0
+    nb = 0
+
+    def put(val: int, ln: int):
+        nonlocal buf, nb
+        buf = (buf << ln) | val
+        nb += ln
+        while nb >= 8:
+            nb -= 8
+            out.append((buf >> nb) & 0xFF)
+
+    def put_run(run: int, color: int):
+        table = _ENC_BLACK if color else _ENC_WHITE
+        # T.4: runs >= 64 take one or more make-up codes (concatenated
+        # for runs past 2623) plus a terminating code
+        while run >= 64:
+            mk = 64
+            for m in _MAKEUPS:
+                if m <= run:
+                    mk = m
+                else:
+                    break
+            ln, val = table[mk]
+            put(val, ln)
+            run -= mk
+        ln, val = table[run]
+        put(val, ln)
+
+    def changes(row) -> list:
+        d = np.nonzero(np.diff(np.concatenate(([0], row))))[0]
+        return d.tolist() + [w, w]
+
+    def align():
+        nonlocal buf, nb
+        if nb:
+            put(0, 8 - nb)
+
+    vcodes = {0: (0b1, 1), 1: (0b011, 3), -1: (0b010, 3),
+              2: (0b000011, 6), -2: (0b000010, 6),
+              3: (0b0000011, 7), -3: (0b0000010, 7)}
+    ref = [w, w]
+    for y in range(h):
+        if byte_align:
+            align()
+        cur = changes(bm[y])
+        a0 = -1
+        color = 0
+        while a0 < w:
+            ci = 0
+            while ci < len(cur) and cur[ci] <= a0:
+                ci += 1
+            if (ci & 1) != color:
+                ci += 1
+            a1 = cur[ci] if ci < len(cur) else w
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            ri = 0
+            while ri < len(ref) and ref[ri] <= a0:
+                ri += 1
+            if (ri & 1) != color:
+                ri += 1
+            b1 = ref[ri] if ri < len(ref) else w
+            b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+            if b2 < a1:
+                put(0b0001, 4)               # pass
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                code, ln = vcodes[d]
+                put(code, ln)
+                a0 = a1
+                color ^= 1
+                continue
+            put(0b001, 3)                    # horizontal
+            a0c = a0 if a0 > 0 else 0
+            put_run(a1 - a0c, color)
+            put_run(a2 - a1, color ^ 1)
+            a0 = a2
+        ref = cur
+    put(0x001, 12)                           # EOFB = EOL + EOL
+    put(0x001, 12)
+    align()
+    return bytes(out)

@@ -36,11 +36,14 @@ in-container, so cross-codec parity is evidenced the same way as the
 JP2 codec: bit-exact decode(encode(x)) round-trips over fuzz corpora
 plus those spec-structure pins (see COVERAGE.md).
 
-Scope (raised as ``Jbig2Error``, honestly): MMR-coded regions,
-Huffman-coded symbol dictionaries / text regions, refinement /
-aggregate symbols, transposed text regions, halftone regions,
-unknown-length segments.  jbig2enc's generic and default symbol modes
-and this module's own encoders use none of these.
+MMR (=1) generic regions decode via the shared T.6 path
+(``kernels/ccittcodec.py`` — T.88 §6.2.6 delegates to T.4/T.6).
+
+Scope (raised as ``Jbig2Error``, honestly): Huffman-coded symbol
+dictionaries / text regions, refinement / aggregate symbols,
+transposed text regions, halftone regions, unknown-length segments.
+jbig2enc's generic and default symbol modes and this module's own
+encoders use none of these.
 """
 
 from __future__ import annotations
@@ -372,6 +375,7 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int):
     i += 8
     if numnew > 100_000 or numex > 100_000:
         raise Jbig2Error("implausible symbol counts")
+    area_budget = max_pixels                 # cumulative glyph area cap
     nctx = 65536 + 3 * _IA_SIZE
     states = [0] * nctx
     mps = [0] * nctx
@@ -381,7 +385,14 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int):
     iaex = _make_int_decode(decode, 65536 + 2 * _IA_SIZE)
     symbols = []
     hc = 0
+    classes = 0
     while len(symbols) < numnew:
+        classes += 1
+        if classes > numnew + 1:
+            # garbage data can decode valid (dh, OOB) pairs forever
+            # once the MQ feeds past-end 0xFF — empty height classes
+            # cannot outnumber the declared symbols (fuzz-found hang)
+            raise Jbig2Error("runaway height classes")
         dh = iadh()
         if dh is None:
             raise Jbig2Error("OOB height-class delta")
@@ -396,13 +407,22 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int):
             sw += dw
             if sw <= 0 or sw * hc > max_pixels:
                 raise Jbig2Error("bad symbol dims")
+            area_budget -= sw * hc
+            if area_budget < 0:
+                # a few-hundred-byte stream may not demand unbounded
+                # decode work (slow-loop bomb guard, fuzz-found)
+                raise Jbig2Error("symbol areas exceed max_pixels")
             if len(symbols) >= numnew:
                 raise Jbig2Error("more symbols than declared")
             symbols.append(
                 _decode_generic(decode, sw, hc, template, at, False))
     ex = []
     flag = 0
+    runs = 0
     while len(ex) < len(symbols):
+        runs += 1
+        if runs > 2 * len(symbols) + 2:      # zero-runs forever: hang
+            raise Jbig2Error("runaway export runs")
         run = iaex()
         if run is None or run < 0 or len(ex) + run > len(symbols):
             raise Jbig2Error("bad export run")
@@ -438,7 +458,9 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     if dsoffset > 15:
         dsoffset -= 32
     ninst = _u32(seg, 19)
-    if rw * rh > max_pixels or ninst > 10_000_000:
+    if rw * rh > max_pixels or ninst > rw * rh + 1:
+        # one instance per pixel is already absurd for real text; a
+        # huge declared count with a tiny region is a slow-loop bomb
         raise Jbig2Error("implausible text region")
     numsyms = len(syms)
     if numsyms == 0:
@@ -540,6 +562,10 @@ def _parse_segment_header(data: bytes, pos: int):
         count = rts >> 5
         i += 1
     ref_size = 1 if segnum <= 256 else (2 if segnum <= 65536 else 4)
+    if i + count * ref_size > len(data):
+        # a mutated long-form count can claim ~2^29 refs; each needs
+        # at least ref_size real bytes (list-building bomb, fuzz-found)
+        raise Jbig2Error("referred-segment list overruns stream")
     refs = [int.from_bytes(data[i + k * ref_size:
                                 i + (k + 1) * ref_size], "big")
             for k in range(count)]
@@ -590,6 +616,35 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
     def _alloc(w, h, default):
         return np.full((h, w), default, dtype=np.uint8)
 
+    def _compose(region, rx, ry, comb):
+        """Place a decoded region onto the page with the external
+        combination operator, growing unknown-height pages."""
+        nonlocal bitmap, page_h
+        rh_, rw_ = region.shape
+        if bitmap is None:
+            if not h_known:
+                page_h = ry + rh_
+                bitmap = _alloc(page_w, page_h, page_default)
+            else:
+                raise Jbig2Error("region before page info")
+        elif not h_known and ry + rh_ > bitmap.shape[0]:
+            grown = _alloc(page_w, ry + rh_, page_default)
+            grown[:bitmap.shape[0]] = bitmap
+            bitmap = grown
+        if ry + rh_ > bitmap.shape[0] or rx + rw_ > bitmap.shape[1]:
+            raise Jbig2Error("region outside page")
+        tgt = bitmap[ry:ry + rh_, rx:rx + rw_]
+        if comb == 0:                        # OR
+            tgt |= region
+        elif comb == 1:                      # AND
+            tgt &= region
+        elif comb == 2:                      # XOR
+            tgt ^= region
+        elif comb == 3:                      # XNOR
+            tgt[...] = 1 - (tgt ^ region)
+        else:                                # REPLACE
+            tgt[...] = region
+
     if data[:8] == FILE_MAGIC:               # standalone file (§9.1)
         if len(data) < 9:
             raise Jbig2Error("truncated file header")
@@ -634,7 +689,19 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 comb = seg[16] & 7
                 gflags = seg[17]
                 if gflags & 1:
-                    raise Jbig2Error("MMR generic region unsupported")
+                    # MMR generic region (7.4.6.2, MMR=1): no AT
+                    # pixels, the data IS T.6 — shared with the CCITT
+                    # codec (T.88 §6.2.6 delegates to T.4/T.6)
+                    from .ccittcodec import CcittError, decode_g4
+                    if rw * rh > max_pixels:
+                        raise Jbig2Error("region exceeds max_pixels")
+                    try:
+                        region = decode_g4(seg[18:], rw, rh)
+                    except CcittError as exc:
+                        raise Jbig2Error(f"bad MMR region: {exc}") \
+                            from exc
+                    _compose(region, rx, ry, comb)
+                    continue
                 template = (gflags >> 1) & 3
                 tpgdon = bool(gflags & 8)
                 i = 18
@@ -653,29 +720,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 decode = _mq_decode_fn(seg[i:], states, mps)
                 region = _decode_generic(decode, rw, rh, template, at,
                                          tpgdon)
-                if bitmap is None:           # unknown-height page: grow
-                    if not h_known:
-                        page_h = ry + rh
-                        bitmap = _alloc(page_w, page_h, page_default)
-                    else:
-                        raise Jbig2Error("region before page info")
-                elif not h_known and ry + rh > bitmap.shape[0]:
-                    grown = _alloc(page_w, ry + rh, page_default)
-                    grown[:bitmap.shape[0]] = bitmap
-                    bitmap = grown
-                if ry + rh > bitmap.shape[0] or rx + rw > bitmap.shape[1]:
-                    raise Jbig2Error("region outside page")
-                tgt = bitmap[ry:ry + rh, rx:rx + rw]
-                if comb == 0:                # OR
-                    tgt |= region
-                elif comb == 1:              # AND
-                    tgt &= region
-                elif comb == 2:              # XOR
-                    tgt ^= region
-                elif comb == 3:              # XNOR
-                    tgt[...] = 1 - (tgt ^ region)
-                else:                        # REPLACE
-                    tgt[...] = region
+                _compose(region, rx, ry, comb)
             elif seg_type == 0:              # symbol dictionary (6.5)
                 sym_store[segnum] = _decode_symbol_dict(seg, max_pixels)
             elif seg_type in (6, 7):         # immediate text region (6.4)
@@ -686,31 +731,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     syms.extend(sym_store.get(rseg, []))
                 region, rx, ry, comb = _decode_text_region(
                     seg, syms, max_pixels)
-                rh_, rw_ = region.shape
-                if bitmap is None:
-                    if not h_known:
-                        page_h = ry + rh_
-                        bitmap = _alloc(page_w, page_h, page_default)
-                    else:
-                        raise Jbig2Error("region before page info")
-                elif not h_known and ry + rh_ > bitmap.shape[0]:
-                    grown = _alloc(page_w, ry + rh_, page_default)
-                    grown[:bitmap.shape[0]] = bitmap
-                    bitmap = grown
-                if (ry + rh_ > bitmap.shape[0]
-                        or rx + rw_ > bitmap.shape[1]):
-                    raise Jbig2Error("region outside page")
-                tgt = bitmap[ry:ry + rh_, rx:rx + rw_]
-                if comb == 0:
-                    tgt |= region
-                elif comb == 1:
-                    tgt &= region
-                elif comb == 2:
-                    tgt ^= region
-                elif comb == 3:
-                    tgt[...] = 1 - (tgt ^ region)
-                else:
-                    tgt[...] = region
+                _compose(region, rx, ry, comb)
             elif seg_type == 4:              # intermediate text region
                 raise Jbig2Error(
                     "intermediate text region unsupported")

@@ -2034,6 +2034,68 @@ FROM pix GROUP BY i, w, h
 """
 
 
+def q_ccitt_decode(spark, sf):
+    """Driver-visible TRUE-arithmetic oracle for the CCITT Group-4
+    (T.6) codec (round-6 late — the pre-JBIG2 archival mask format the
+    reference leaves to PyMuPDF): 16 closed-form bitonal masks
+    (``(5*i + 3*x + 7*y) % 13 < 5``) encode as pure 2D T.6 (alternating
+    EncodedByteAlign) and decode back; black-pixel counts and a
+    position-weighted sum are compared against the same closed form in
+    SQL.  Lossless, so any defect — T.4 tables, 2D modes, changing-
+    element bookkeeping — corrupts pixels and breaks the match."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.ccittcodec import decode_g4, encode_g4
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w = 8 + (i * 11) % 60
+                h = 8 + (i * 7) % 37
+                yy, xx = np.mgrid[0:h, 0:w]
+                bm = (((5 * i + 3 * xx + 7 * yy) % 13) < 5
+                      ).astype(np.uint8)
+                ba = bool(i % 3 == 0)
+                data = encode_g4(bm, byte_align=ba)
+                dec = decode_g4(data, w, h, byte_align=ba)
+                if not np.array_equal(dec, bm):
+                    raise AssertionError(f"g4 lossless violation {i}")
+                wsum = int((dec.astype(np.int64)
+                            * (xx + 2 * yy + 1)).sum())
+                rows.append((i, w, h, int(dec.sum()), wsum))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "black_px", "wsum"])
+
+    base = spark.range(0, 16).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "black_px bigint, wsum bigint")
+
+
+SQL_CCITT_DECODE = r"""
+WITH imgs AS (SELECT unnest(generate_series(0, 15)) AS i),
+dims AS (SELECT i, 8 + (i * 11) % 60 AS w, 8 + (i * 7) % 37 AS h
+         FROM imgs),
+pix AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN (5 * d.i + 3 * xs.x + 7 * ys.y) % 13 < 5
+              THEN 1 ELSE 0 END AS v,
+         xs.x + 2 * ys.y + 1 AS wgt
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+SELECT i AS img_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS black_px,
+       CAST(sum(v * wgt) AS BIGINT) AS wsum
+FROM pix GROUP BY i, w, h
+"""
+
+
 def q_jp2_lossy(spark, sf):
     """Irreversible JPEG2000 decode (9/7 float lifting + ICT + dead-zone
     scalar quantization, both QCD styles): 12 seeded smooth images
@@ -2389,7 +2451,6 @@ QUERIES = {
     "extract_resume": (q_extract_resume, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
-    "media_resize": (q_media_resize, None),
     "frame_sample": (q_frame_sample, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
@@ -2397,6 +2458,7 @@ QUERIES = {
     "jp2_decode": (q_jp2_decode, SQL_JP2_DECODE),    # new (r5)
     "jp2_lossy": (q_jp2_lossy, None),                # new (r5, pinned)
     "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
+    "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -2440,6 +2502,10 @@ QUERIES = {
     # - ann_lsh_recall (rotated out r6, driver-green r3-r5): the row is
     #   self-verifying (in-query exact-vs-approx recall); the identical
     #   construct stays driver-checked via ann_ivf_recall/ann_pq_recall.
+    # - media_resize (rotated out r6 late for ccitt_decode, driver-green
+    #   r3-r5): the resize kernels are pytest-verified against exact-int
+    #   box + Lanczos re-derivations (kernels/pages.py), and the raster/
+    #   decode plumbing it shares is driver-checked via media_features.
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),
     "winnow_fp": (q_winnow_fp, SQL_WINNOW),
     "minhash_sigs": (q_minhash, _minhash_sql()),
@@ -2452,6 +2518,7 @@ QUERIES = {
     "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
+    "media_resize": (q_media_resize, None),
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

@@ -18,7 +18,10 @@ Scope: both cross-reference forms of ISO 32000-1 — classic xref tables
 (§7.5.4) and PDF 1.5 cross-reference streams (§7.5.8) with /Prev chains,
 PNG/TIFF predictors (§7.4.4.4), and /ObjStm object streams (§7.5.7) — so
 both the classic and modern fixture shapes parse to identical output.
-Codec-filtered image payloads (JPX/DCT/JBIG2) stay metadata-only.
+Codec-filtered image payloads decode natively where the kernels
+support them (DCT round 4, JPX round 5, JBIG2 + CCITT G4 round 6);
+the residual families stay metadata-only via each codec's header
+probe.
 
 Spark surface: ``pdf_metadata(df)`` maps ``(doc_id, pdf binary)`` rows to
 per-page metadata rows via ``mapInPandas`` (1->N, UDTF-shaped — SURVEY
@@ -671,6 +674,7 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     per PDF, not one per page)."""
     import numpy as np
 
+    from ..kernels.ccittcodec import CcittError, decode_g4
     from ..kernels.jbig2codec import Jbig2Error, decode_jbig2
     from ..kernels.jp2codec import Jp2Error, decode_jp2
     from ..kernels.jpegcodec import JpegError, decode_baseline
@@ -684,7 +688,7 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     out = []
     for im in meta["pages"][page_idx]["images"]:
         if im["format"] not in ("FLATE", "RAW", "JPEG", "JPEG2000",
-                                "JBIG2"):
+                                "JBIG2", "CCITT"):
             continue
         body, d = rd.obj(im["xref"])
         raw = _stream_data(body, d)
@@ -714,9 +718,35 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
             try:
                 bits = decode_jbig2(raw, gdata)
             except Jbig2Error:
-                continue            # Huffman/MMR regions: metadata-only
+                continue            # Huffman/halftone: metadata-only
             # /JBIG2Decode contract: 1 = black; as DeviceGray pixels
             # black is 0 — the mask shape MRC downstream expects
+            arr = np.where(bits != 0, 0, 255).astype(np.uint8)
+            out.append((im["xref"], arr))
+            continue
+        if im["format"] == "CCITT":
+            # /CCITTFaxDecode with /K < 0 = pure 2D T.6 (Group 4), the
+            # encoding pre-JBIG2 archival scans carry; G3 (/K >= 0)
+            # stays metadata-only.  /Columns defaults to 1728 (spec);
+            # BlackIs1 only affects byte-sample packing, which this
+            # path never materialises — the decoder returns the ink
+            # mask directly.
+            mk = re.search(rb"/K\s+(-?\d+)", d)
+            if mk is None or int(mk.group(1)) >= 0:
+                continue
+            mc = re.search(rb"/Columns\s+(\d+)", d)
+            cols = int(mc.group(1)) if mc else 1728
+            mr = re.search(rb"/Rows\s+(\d+)", d)
+            rows_n = int(mr.group(1)) if mr else im["height"]
+            ba = re.search(rb"/EncodedByteAlign\s+true", d) is not None
+            if cols <= 0 or rows_n <= 0:
+                continue
+            try:
+                bits = decode_g4(raw, cols, rows_n, byte_align=ba)
+            except CcittError:
+                continue            # malformed/G3-ish: metadata-only
+            # ink mask -> DeviceGray pixels (black = 0), same shape
+            # MRC downstream expects
             arr = np.where(bits != 0, 0, 255).astype(np.uint8)
             out.append((im["xref"], arr))
             continue

@@ -1,0 +1,137 @@
+"""CCITT Group 4 / T.6 codec (kernels/ccittcodec.py) — the pre-JBIG2
+archival mask format; also JBIG2's MMR path.  Evidence model matches
+the other from-scratch codecs: bit-exact round-trips over fuzz corpora
+plus structural pins of the public T.4 tables."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels import ccittcodec as cc
+from archive_pdf_tools_spark.kernels.ccittcodec import (
+    CcittError, decode_g4, encode_g4)
+
+
+def _textish(h, w, seed):
+    rng = np.random.default_rng(seed)
+    bm = np.zeros((h, w), dtype=np.uint8)
+    for _ in range(max(1, h * w // 55)):
+        y = rng.integers(0, h)
+        x = rng.integers(0, w)
+        bm[y, x:x + int(rng.integers(1, 9))] = 1
+    return bm
+
+
+def test_t4_table_structural_pins():
+    """Spot values entered from the published T.4 tables plus global
+    prefix-freeness per color class (the LUT builder raises on any
+    collision — a transcription typo that collides is caught at
+    import; these spot pins catch value-shift typos)."""
+    assert (0, 8, 0x35) in cc._WHITE_CODES         # white 0 = 00110101
+    assert (1, 6, 0x07) in cc._WHITE_CODES         # white 1 = 000111
+    assert (64, 5, 0x1B) in cc._WHITE_CODES        # white 64 = 11011
+    assert (1664, 6, 0x18) in cc._WHITE_CODES
+    assert (0, 10, 0x37) in cc._BLACK_CODES        # black 0 = 0000110111
+    assert (1, 3, 0x02) in cc._BLACK_CODES         # black 1 = 010
+    assert (64, 10, 0x0F) in cc._BLACK_CODES
+    assert (1792, 11, 0x08) in cc._EXT_CODES
+    assert (2560, 12, 0x1F) in cc._EXT_CODES
+    # counts: 64 terminating + 27 make-ups per color, 13 shared
+    assert len(cc._WHITE_CODES) == 91
+    assert len(cc._BLACK_CODES) == 91
+    assert len(cc._EXT_CODES) == 13
+
+
+@pytest.mark.parametrize("byte_align", [False, True])
+def test_g4_roundtrip_fuzz(byte_align):
+    rng = np.random.default_rng(7 + byte_align)
+    for trial in range(60):
+        h = int(rng.integers(1, 60))
+        w = int(rng.integers(1, 90))
+        kind = trial % 4
+        if kind == 0:
+            bm = (rng.random((h, w)) < 0.3).astype(np.uint8)
+        elif kind == 1:
+            bm = _textish(h, w, trial)
+        elif kind == 2:
+            bm = np.zeros((h, w), np.uint8)
+        else:
+            bm = np.ones((h, w), np.uint8)
+        data = encode_g4(bm, byte_align=byte_align)
+        got = decode_g4(data, w, h, byte_align=byte_align)
+        assert np.array_equal(got, bm), (trial, h, w, kind)
+
+
+def test_g4_long_runs_and_modes():
+    """Make-up concatenation past 2623, pass mode (reference run
+    covering two coding changes), and all vertical offsets."""
+    bm = np.zeros((4, 6000), np.uint8)
+    bm[1, 4000:4100] = 1
+    bm[2, 30:40] = 1                         # forces pass mode on row 3
+    assert np.array_equal(decode_g4(encode_g4(bm), 6000, 4), bm)
+    # diagonal strokes exercise VR/VL 1-3
+    bm = np.zeros((40, 60), np.uint8)
+    for y in range(40):
+        x = (y * 3) % 50
+        bm[y, x:x + 4] = 1
+    assert np.array_equal(decode_g4(encode_g4(bm), 60, 40), bm)
+
+
+def test_g4_error_gates_and_crash_safety():
+    with pytest.raises(CcittError):
+        decode_g4(b"", 0, 4)
+    with pytest.raises(CcittError):
+        decode_g4(b"\x00" * 4, 10, 10)       # EOL-ish zeros mid-image
+    bm = _textish(20, 30, 1)
+    data = bytearray(encode_g4(bm))
+    rng = np.random.default_rng(3)
+    bad = 0
+    for trial in range(200):
+        buf = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        try:
+            decode_g4(bytes(buf), 30, 20)
+        except CcittError:
+            bad += 1
+    assert bad > 0                           # mutations get caught typed
+
+
+def test_jbig2_mmr_region():
+    """A JBIG2 generic region with MMR=1 decodes through the shared
+    T.6 path (T.88 §6.2.6)."""
+    from archive_pdf_tools_spark.kernels import jbig2codec as jb
+    from archive_pdf_tools_spark.kernels.jbig2codec import decode_jbig2
+
+    bm = _textish(18, 26, 5)
+    mmr = encode_g4(bm)
+    w, h = 26, 18
+    region = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+              + bytes(8) + b"\x00"
+              + bytes((1,))                  # gflags: MMR=1
+              + mmr)
+    page = (w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+            + b"\x00" + bytes(2))
+    data = (jb._segment(0, 48, 1, page) + jb._segment(1, 39, 1, region)
+            + jb._segment(2, 49, 1, b""))
+    assert np.array_equal(decode_jbig2(data), bm)
+
+
+def test_pdf_ccitt_fixture_flow():
+    """/CCITTFaxDecode (K=-1) fixture images decode through the PDF
+    page-image path to 0/255 ink masks."""
+    from archive_pdf_tools_spark.corpus.pdfgen import (
+        build_pdf, synth_ccitt_real)
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    d = synth_ccitt_real(40, 30, seed=3)
+    pdf = build_pdf([{"width": 612, "height": 792,
+                      "images": [{"w": 40, "h": 30, "gray": True,
+                                  "ccitt": True, "data": d}],
+                      "text": "x"}])
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    assert (im["format"], im["mode"], im["bits"]) == ("CCITT", "1", 1)
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+    bits = decode_g4(d, 40, 30)
+    assert np.array_equal(arr, np.where(bits != 0, 0, 255))

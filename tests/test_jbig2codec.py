@@ -411,3 +411,38 @@ def test_exception_contract_and_split_globals():
     # single-stream form still equals the split decode
     single = encode_jbig2_symbols([g1, g2], pls, 30, 16)
     assert np.array_equal(decode_jbig2(single), expect)
+
+
+def test_adversarial_fuzz_crash_safety():
+    """Adversarial bytes must raise Jbig2Error (or decode), never any
+    other exception and never hang — same crash-safety contract the
+    JP2/JPEG codecs carry."""
+    rng = np.random.default_rng(99)
+    base = encode_jbig2(_textish(24, 30, seed=1))
+    g, pg = __import__(
+        "archive_pdf_tools_spark.kernels.jbig2codec",
+        fromlist=["encode_jbig2_symbols"]).encode_jbig2_symbols(
+            [np.ones((3, 3), np.uint8)], [(0, 1, 1)], 12, 10,
+            split_globals=True)
+    corpora = [base, g + pg, pg]
+    n_ok = n_err = 0
+    for trial in range(300):
+        which = corpora[trial % 3]
+        buf = bytearray(which)
+        for _ in range(int(rng.integers(1, 6))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        try:
+            decode_jbig2(bytes(buf), max_pixels=64 * 64)
+            n_ok += 1
+        except Jbig2Error:
+            n_err += 1
+    # pure random garbage too
+    for trial in range(100):
+        blob = bytes(rng.integers(0, 256, int(rng.integers(1, 400)),
+                                  dtype=np.uint8))
+        try:
+            decode_jbig2(blob, max_pixels=64 * 64)
+            n_ok += 1
+        except Jbig2Error:
+            n_err += 1
+    assert n_err > 0                         # mutations do get caught
