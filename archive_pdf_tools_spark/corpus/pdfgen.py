@@ -104,7 +104,7 @@ def synth_ccitt_real(w: int, h: int, seed: int = 0) -> bytes:
     (``kernels.ccittcodec``) — the pre-JBIG2 archival mask format the
     reference leaves entirely to PyMuPDF (``pdfhacks.py:124-126``).
     Seeded from (seed, w, h) only."""
-    from ..kernels.ccittcodec import encode_g4
+    from ..kernels.ccittcodec import encode_g3, encode_g4
 
     rng = np.random.default_rng((seed * 9173) ^ (w << 16) ^ h)
     bm = np.zeros((h, w), dtype=np.uint8)
@@ -112,7 +112,14 @@ def synth_ccitt_real(w: int, h: int, seed: int = 0) -> bytes:
         y = int(rng.integers(0, h))
         x = int(rng.integers(0, w))
         bm[y, x:x + int(rng.integers(1, 9))] = 1
-    return encode_g4(bm)
+    # rotate through the /K families as a pure function of (w, h):
+    # G4 (K=-1), 1D G3 (K=0) and mixed G3 (K=4) all flow through pins
+    sel = (w + h) % 3
+    if sel == 1:
+        return encode_g3(bm, k=0), 0
+    if sel == 2:
+        return encode_g3(bm, k=4), 4
+    return encode_g4(bm), -1
 
 
 def _flate(data: bytes) -> bytes:
@@ -212,11 +219,13 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                 data = img["data"]
                 filt = b"/JPXDecode"
             elif img.get("ccitt"):
-                # CCITT G4 1-bit mask: /K -1 pure T.6 with explicit
-                # Columns/Rows DecodeParms (the common archival shape)
+                # CCITT 1-bit mask with explicit K/Columns/Rows
+                # DecodeParms (K=-1 G4, K=0 1D G3, K>0 mixed G3)
                 data = img["data"]
                 filt = b"/CCITTFaxDecode"
-                dparms = (b" /DecodeParms << /K -1 /Columns "
+                dparms = (b" /DecodeParms << /K "
+                          + str(img.get("ccitt_k", -1)).encode()
+                          + b" /Columns "
                           + str(img["w"]).encode() + b" /Rows "
                           + str(img["h"]).encode() + b" >>")
             elif img.get("jbig2"):
@@ -391,10 +400,10 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                 # 6 late): the pre-JBIG2 archival format, decodable
                 # through the T.6 codec -> MRC path
                 if u >= 0.45:
+                    cdata, ck = synth_ccitt_real(w, h, seed=seed)
                     images.append({"w": w, "h": h, "gray": True,
-                                   "ccitt": True,
-                                   "data": synth_ccitt_real(w, h,
-                                                            seed=seed)})
+                                   "ccitt": True, "ccitt_k": ck,
+                                   "data": cdata})
                     continue
             if u < 0.45:                  # JBIG2-filtered 1-bit mask,
                 # real + losslessly decodable since round 6: exercises

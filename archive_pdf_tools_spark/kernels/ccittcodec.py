@@ -190,6 +190,86 @@ def _read_run(bits: _Bits, color: int) -> int:
         lut = _BLACK_LUT if color else _WHITE_LUT
 
 
+def _decode_2d_row(bits: _Bits, ref: list, w: int) -> list:
+    """One T.4/T.6 two-dimensional coding line against ``ref``; returns
+    the changing-element list (without the trailing sentinels)."""
+    cur: list = []
+    a0 = -1                                  # imaginary start element
+    color = 0
+    while a0 < w:
+        # b1: first reference change STRICTLY right of a0 whose index
+        # parity flips to the opposite of the current color (even
+        # index = white->black transition)
+        ri = 0
+        while ri < len(ref) and ref[ri] <= a0:
+            ri += 1
+        if (ri & 1) != color:
+            ri += 1
+        b1 = ref[ri] if ri < len(ref) else w
+        b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+        if bits.read():                      # 1 -> V0
+            a1 = b1
+        elif bits.read():                    # 01x -> VR1 / VL1
+            a1 = b1 + 1 if bits.read() else b1 - 1
+        elif bits.read():                    # 001 -> horizontal
+            a0c = a0 if a0 > 0 else 0
+            r1 = _read_run(bits, color)
+            r2 = _read_run(bits, color ^ 1)
+            a1 = a0c + r1
+            a2 = a1 + r2
+            if a2 > w or a1 < a0c:
+                raise CcittError("horizontal runs overrun line")
+            cur.append(min(a1, w))
+            cur.append(min(a2, w))
+            a0 = a2
+            continue
+        elif bits.read():                    # 0001 -> pass
+            a0 = b2
+            continue
+        elif bits.read():                    # 00001x -> V2
+            a1 = b1 + 2 if bits.read() else b1 - 2
+        elif bits.read():                    # 000001x -> V3
+            a1 = b1 + 3 if bits.read() else b1 - 3
+        else:
+            # 0000000...: EOL/EOFB prefix mid-row = malformed here
+            raise CcittError("EOL inside 2D line")
+        if a1 <= a0 or a1 > w:
+            raise CcittError("vertical move out of line")
+        cur.append(min(a1, w))
+        a0 = a1
+        color ^= 1
+    return cur
+
+
+def _decode_1d_row(bits: _Bits, w: int) -> list:
+    """One T.4 one-dimensional (MH) coding line; runs alternate
+    starting white and must sum exactly to the line width."""
+    cur: list = []
+    total = 0
+    color = 0
+    while total < w:
+        run = _read_run(bits, color)
+        total += run
+        if total > w:
+            raise CcittError("1D runs overrun line")
+        cur.append(total)
+        color ^= 1
+    return cur
+
+
+def _fill_row(row, cur: list, w: int) -> None:
+    """Materialize a row from its changing-element list."""
+    pos = 0
+    col = 0
+    for c in cur + [w, w]:
+        if c > pos and col:
+            row[pos:c] = 1
+        if c >= w:
+            break
+        pos = c
+        col ^= 1
+
+
 def decode_g4(data: bytes, w: int, h: int,
               byte_align: bool = False) -> np.ndarray:
     """Decode pure 2D T.6 data to an (h, w) uint8 bitmap, 1 = black."""
@@ -201,89 +281,77 @@ def decode_g4(data: bytes, w: int, h: int,
     for y in range(h):
         if byte_align:
             bits.align()
-        cur: list = []
-        a0 = -1                              # imaginary start element
-        color = 0
-        while a0 < w:
-            # b1: first reference change STRICTLY right of a0 whose
-            # index parity flips to the opposite of the current color
-            # (even index = white->black transition)
-            ri = 0
-            while ri < len(ref) and ref[ri] <= a0:
-                ri += 1
-            if (ri & 1) != color:
-                ri += 1
-            b1 = ref[ri] if ri < len(ref) else w
-            b2 = ref[ri + 1] if ri + 1 < len(ref) else w
-            if bits.read():                  # 1 -> V0
-                a1 = b1
-            elif bits.read():                # 01x -> VR1 / VL1
-                a1 = b1 + 1 if bits.read() else b1 - 1
-            elif bits.read():                # 001 -> horizontal
-                a0c = a0 if a0 > 0 else 0
-                r1 = _read_run(bits, color)
-                r2 = _read_run(bits, color ^ 1)
-                a1 = a0c + r1
-                a2 = a1 + r2
-                if a2 > w or a1 < a0c:
-                    raise CcittError("horizontal runs overrun line")
-                cur.append(min(a1, w))
-                cur.append(min(a2, w))
-                a0 = a2
-                continue
-            elif bits.read():                # 0001 -> pass
-                a0 = b2
-                continue
-            elif bits.read():                # 00001x -> V2
-                a1 = b1 + 2 if bits.read() else b1 - 2
-            elif bits.read():                # 000001x -> V3
-                a1 = b1 + 3 if bits.read() else b1 - 3
-            else:
-                # 0000000...: EOL/EOFB prefix mid-image = malformed
-                # (this decoder reads exactly h rows and stops)
-                raise CcittError("EOL inside G4 data")
-            if a1 <= a0 or a1 > w:
-                raise CcittError("vertical move out of line")
-            cur.append(min(a1, w))
-            a0 = a1
-            color ^= 1
-        # materialize the row from its changing elements
-        cur.append(w)
-        cur.append(w)
-        row = rows[y]
-        pos = 0
-        col = 0
-        for c in cur:
-            if c > pos and col:
-                row[pos:c] = 1
-            if c >= w:
-                break
-            pos = c
-            col ^= 1
-        ref = cur
+        cur = _decode_2d_row(bits, ref, w)
+        _fill_row(rows[y], cur, w)
+        ref = cur + [w, w]
     return rows
 
 
-def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
-    """Encode an (h, w) {0,1} bitmap as pure 2D T.6 + EOFB.  Lossless:
-    ``decode_g4(encode_g4(b), w, h) == b`` bit-exactly."""
-    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
-    if bm.ndim != 2 or 0 in bm.shape:
-        raise ValueError("bad bitmap shape")
-    h, w = bm.shape
-    out = bytearray()
-    buf = 0
-    nb = 0
+def _eat_eol(bits: _Bits) -> None:
+    """Consume fill zeros + one EOL (11+ zeros then a 1, T.4 §4.1.2)."""
+    zeros = 0
+    while True:
+        b = bits.read()
+        if b:
+            if zeros < 11:
+                raise CcittError("expected EOL")
+            return
+        zeros += 1
+        if zeros > 64 + 11:
+            raise CcittError("runaway EOL fill")
 
-    def put(val: int, ln: int):
-        nonlocal buf, nb
-        buf = (buf << ln) | val
-        nb += ln
-        while nb >= 8:
-            nb -= 8
-            out.append((buf >> nb) & 0xFF)
 
-    def put_run(run: int, color: int):
+def decode_g3(data: bytes, w: int, h: int, k: int = 0,
+              byte_align: bool = False,
+              end_of_line: bool = False) -> np.ndarray:
+    """Decode Group-3 data to an (h, w) uint8 bitmap, 1 = black.
+
+    ``k == 0``: pure one-dimensional MH lines (the PDF default layout:
+    no EOLs unless ``end_of_line``).  ``k > 0``: mixed 2D — every line
+    is prefixed by EOL + a 1-bit tag (1 = 1D, 0 = 2D against the
+    previous line), per T.4 §4.2.1."""
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise CcittError("bad dimensions")
+    if k < 0:
+        return decode_g4(data, w, h, byte_align=byte_align)
+    bits = _Bits(data)
+    rows = np.zeros((h, w), dtype=np.uint8)
+    ref = [w, w]
+    for y in range(h):
+        if byte_align:
+            bits.align()
+        if k > 0:
+            _eat_eol(bits)
+            one_d = bits.read() == 1
+        else:
+            if end_of_line:
+                _eat_eol(bits)
+            one_d = True
+        cur = (_decode_1d_row(bits, w) if one_d
+               else _decode_2d_row(bits, ref, w))
+        _fill_row(rows[y], cur, w)
+        ref = cur + [w, w]
+    return rows
+
+
+class _BitWriter:
+    """MSB-first bit writer shared by the G3/G4 encoders."""
+
+    __slots__ = ("out", "buf", "nb")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nb = 0
+
+    def put(self, val: int, ln: int):
+        self.buf = (self.buf << ln) | val
+        self.nb += ln
+        while self.nb >= 8:
+            self.nb -= 8
+            self.out.append((self.buf >> self.nb) & 0xFF)
+
+    def put_run(self, run: int, color: int):
         table = _ENC_BLACK if color else _ENC_WHITE
         # T.4: runs >= 64 take one or more make-up codes (concatenated
         # for runs past 2623) plus a terminating code
@@ -295,63 +363,126 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
                 else:
                     break
             ln, val = table[mk]
-            put(val, ln)
+            self.put(val, ln)
             run -= mk
         ln, val = table[run]
-        put(val, ln)
+        self.put(val, ln)
 
-    def changes(row) -> list:
-        d = np.nonzero(np.diff(np.concatenate(([0], row))))[0]
-        return d.tolist() + [w, w]
+    def align(self):
+        if self.nb:
+            self.put(0, 8 - self.nb)
 
-    def align():
-        nonlocal buf, nb
-        if nb:
-            put(0, 8 - nb)
 
-    vcodes = {0: (0b1, 1), 1: (0b011, 3), -1: (0b010, 3),
-              2: (0b000011, 6), -2: (0b000010, 6),
-              3: (0b0000011, 7), -3: (0b0000010, 7)}
+_VCODES = {0: (0b1, 1), 1: (0b011, 3), -1: (0b010, 3),
+           2: (0b000011, 6), -2: (0b000010, 6),
+           3: (0b0000011, 7), -3: (0b0000010, 7)}
+
+
+def _row_changes(row, w: int) -> list:
+    d = np.nonzero(np.diff(np.concatenate(([0], row))))[0]
+    return d.tolist() + [w, w]
+
+
+def _encode_2d_row(bw: _BitWriter, cur: list, ref: list, w: int):
+    a0 = -1
+    color = 0
+    while a0 < w:
+        ci = 0
+        while ci < len(cur) and cur[ci] <= a0:
+            ci += 1
+        if (ci & 1) != color:
+            ci += 1
+        a1 = cur[ci] if ci < len(cur) else w
+        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+        ri = 0
+        while ri < len(ref) and ref[ri] <= a0:
+            ri += 1
+        if (ri & 1) != color:
+            ri += 1
+        b1 = ref[ri] if ri < len(ref) else w
+        b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+        if b2 < a1:
+            bw.put(0b0001, 4)                # pass
+            a0 = b2
+            continue
+        d = a1 - b1
+        if -3 <= d <= 3:
+            code, ln = _VCODES[d]
+            bw.put(code, ln)
+            a0 = a1
+            color ^= 1
+            continue
+        bw.put(0b001, 3)                     # horizontal
+        a0c = a0 if a0 > 0 else 0
+        bw.put_run(a1 - a0c, color)
+        bw.put_run(a2 - a1, color ^ 1)
+        a0 = a2
+
+
+def _encode_1d_row(bw: _BitWriter, cur: list, w: int):
+    pos = 0
+    color = 0
+    for c in cur:
+        if c >= w:
+            break
+        bw.put_run(c - pos, color)
+        pos = c
+        color ^= 1
+    bw.put_run(w - pos, color)
+
+
+def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
+    """Encode an (h, w) {0,1} bitmap as pure 2D T.6 + EOFB.  Lossless:
+    ``decode_g4(encode_g4(b), w, h) == b`` bit-exactly."""
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    if bm.ndim != 2 or 0 in bm.shape:
+        raise ValueError("bad bitmap shape")
+    h, w = bm.shape
+    bw = _BitWriter()
     ref = [w, w]
     for y in range(h):
         if byte_align:
-            align()
-        cur = changes(bm[y])
-        a0 = -1
-        color = 0
-        while a0 < w:
-            ci = 0
-            while ci < len(cur) and cur[ci] <= a0:
-                ci += 1
-            if (ci & 1) != color:
-                ci += 1
-            a1 = cur[ci] if ci < len(cur) else w
-            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-            ri = 0
-            while ri < len(ref) and ref[ri] <= a0:
-                ri += 1
-            if (ri & 1) != color:
-                ri += 1
-            b1 = ref[ri] if ri < len(ref) else w
-            b2 = ref[ri + 1] if ri + 1 < len(ref) else w
-            if b2 < a1:
-                put(0b0001, 4)               # pass
-                a0 = b2
-                continue
-            d = a1 - b1
-            if -3 <= d <= 3:
-                code, ln = vcodes[d]
-                put(code, ln)
-                a0 = a1
-                color ^= 1
-                continue
-            put(0b001, 3)                    # horizontal
-            a0c = a0 if a0 > 0 else 0
-            put_run(a1 - a0c, color)
-            put_run(a2 - a1, color ^ 1)
-            a0 = a2
+            bw.align()
+        cur = _row_changes(bm[y], w)
+        _encode_2d_row(bw, cur, ref, w)
         ref = cur
-    put(0x001, 12)                           # EOFB = EOL + EOL
-    put(0x001, 12)
-    align()
-    return bytes(out)
+    bw.put(0x001, 12)                        # EOFB = EOL + EOL
+    bw.put(0x001, 12)
+    bw.align()
+    return bytes(bw.out)
+
+
+def encode_g3(bitmap: np.ndarray, k: int = 0,
+              byte_align: bool = False,
+              end_of_line: bool = False) -> bytes:
+    """Encode as Group 3: ``k == 0`` pure MH lines (EOLs only with
+    ``end_of_line``, matching the PDF default); ``k > 0`` mixed 2D —
+    every line prefixed by EOL + tag, one 1D line per K lines (T.4
+    §4.2.1)."""
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    if bm.ndim != 2 or 0 in bm.shape:
+        raise ValueError("bad bitmap shape")
+    if k < 0:
+        return encode_g4(bm, byte_align=byte_align)
+    h, w = bm.shape
+    bw = _BitWriter()
+    ref = [w, w]
+    for y in range(h):
+        if byte_align:
+            bw.align()
+        cur = _row_changes(bm[y], w)
+        if k > 0:
+            one_d = y % k == 0
+            bw.put(0x001, 12)                # EOL
+            bw.put(1 if one_d else 0, 1)     # tag bit
+            if one_d:
+                _encode_1d_row(bw, cur, w)
+            else:
+                _encode_2d_row(bw, cur, ref, w)
+        else:
+            if end_of_line:
+                bw.put(0x001, 12)
+            _encode_1d_row(bw, cur, w)
+        ref = cur
+    bw.align()
+    return bytes(bw.out)

@@ -2038,17 +2038,18 @@ def q_ccitt_decode(spark, sf):
     """Driver-visible TRUE-arithmetic oracle for the CCITT Group-4
     (T.6) codec (round-6 late — the pre-JBIG2 archival mask format the
     reference leaves to PyMuPDF): 16 closed-form bitonal masks
-    (``(5*i + 3*x + 7*y) % 13 < 5``) encode as pure 2D T.6 (alternating
-    EncodedByteAlign) and decode back; black-pixel counts and a
-    position-weighted sum are compared against the same closed form in
-    SQL.  Lossless, so any defect — T.4 tables, 2D modes, changing-
+    (``(5*i + 3*x + 7*y) % 13 < 5``) encode rotating through the /K
+    families (G4, 1D G3, mixed-2D G3; alternating EncodedByteAlign)
+    and decode back; black-pixel counts and a position-weighted sum
+    are compared against the same closed form in SQL.  Lossless, so
+    any defect — T.4 tables, 1D/2D modes, EOL+tag framing, changing-
     element bookkeeping — corrupts pixels and breaks the match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
-        from .kernels.ccittcodec import decode_g4, encode_g4
+        from .kernels.ccittcodec import decode_g3, encode_g3
         for pdf in batches:
             rows = []
             for i in pdf["id"].values:
@@ -2059,8 +2060,9 @@ def q_ccitt_decode(spark, sf):
                 bm = (((5 * i + 3 * xx + 7 * yy) % 13) < 5
                       ).astype(np.uint8)
                 ba = bool(i % 3 == 0)
-                data = encode_g4(bm, byte_align=ba)
-                dec = decode_g4(data, w, h, byte_align=ba)
+                k = [-1, 0, 4][i % 3]
+                data = encode_g3(bm, k=k, byte_align=ba)
+                dec = decode_g3(data, w, h, k=k, byte_align=ba)
                 if not np.array_equal(dec, bm):
                     raise AssertionError(f"g4 lossless violation {i}")
                 wsum = int((dec.astype(np.int64)

@@ -674,7 +674,7 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     per PDF, not one per page)."""
     import numpy as np
 
-    from ..kernels.ccittcodec import CcittError, decode_g4
+    from ..kernels.ccittcodec import CcittError, decode_g3
     from ..kernels.jbig2codec import Jbig2Error, decode_jbig2
     from ..kernels.jp2codec import Jp2Error, decode_jp2
     from ..kernels.jpegcodec import JpegError, decode_baseline
@@ -725,26 +725,27 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
             out.append((im["xref"], arr))
             continue
         if im["format"] == "CCITT":
-            # /CCITTFaxDecode with /K < 0 = pure 2D T.6 (Group 4), the
-            # encoding pre-JBIG2 archival scans carry; G3 (/K >= 0)
-            # stays metadata-only.  /Columns defaults to 1728 (spec);
-            # BlackIs1 only affects byte-sample packing, which this
-            # path never materialises — the decoder returns the ink
-            # mask directly.
+            # /CCITTFaxDecode: /K < 0 = pure 2D T.6 (Group 4), the
+            # encoding pre-JBIG2 archival scans carry; /K == 0 = 1D MH
+            # Group 3; /K > 0 = mixed 2D Group 3 (EOL + tag per line).
+            # /Columns defaults to 1728 (spec); BlackIs1 only affects
+            # byte-sample packing, which this path never materialises —
+            # the decoder returns the ink mask directly.
             mk = re.search(rb"/K\s+(-?\d+)", d)
-            if mk is None or int(mk.group(1)) >= 0:
-                continue
+            k = int(mk.group(1)) if mk else 0
             mc = re.search(rb"/Columns\s+(\d+)", d)
             cols = int(mc.group(1)) if mc else 1728
             mr = re.search(rb"/Rows\s+(\d+)", d)
             rows_n = int(mr.group(1)) if mr else im["height"]
             ba = re.search(rb"/EncodedByteAlign\s+true", d) is not None
+            eol = re.search(rb"/EndOfLine\s+true", d) is not None
             if cols <= 0 or rows_n <= 0:
                 continue
             try:
-                bits = decode_g4(raw, cols, rows_n, byte_align=ba)
+                bits = decode_g3(raw, cols, rows_n, k=k,
+                                 byte_align=ba, end_of_line=eol)
             except CcittError:
-                continue            # malformed/G3-ish: metadata-only
+                continue            # malformed: metadata-only
             # ink mask -> DeviceGray pixels (black = 0), same shape
             # MRC downstream expects
             arr = np.where(bits != 0, 0, 255).astype(np.uint8)

@@ -124,14 +124,40 @@ def test_pdf_ccitt_fixture_flow():
     from archive_pdf_tools_spark.sources.pdf_meta import (
         extract_page_images, parse_pdf)
 
-    d = synth_ccitt_real(40, 30, seed=3)
-    pdf = build_pdf([{"width": 612, "height": 792,
-                      "images": [{"w": 40, "h": 30, "gray": True,
-                                  "ccitt": True, "data": d}],
-                      "text": "x"}])
-    meta = parse_pdf(pdf)
-    im = meta["pages"][0]["images"][0]
-    assert (im["format"], im["mode"], im["bits"]) == ("CCITT", "1", 1)
-    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
-    bits = decode_g4(d, 40, 30)
-    assert np.array_equal(arr, np.where(bits != 0, 0, 255))
+    from archive_pdf_tools_spark.kernels.ccittcodec import decode_g3
+
+    for (w, h) in [(40, 30), (41, 30), (40, 31)]:  # K=-1, 0, 4 routes
+        d, k = synth_ccitt_real(w, h, seed=3)
+        pdf = build_pdf([{"width": 612, "height": 792,
+                          "images": [{"w": w, "h": h, "gray": True,
+                                      "ccitt": True, "ccitt_k": k,
+                                      "data": d}],
+                          "text": "x"}])
+        meta = parse_pdf(pdf)
+        im = meta["pages"][0]["images"][0]
+        assert (im["format"], im["mode"], im["bits"]) == \
+            ("CCITT", "1", 1)
+        arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+        bits = decode_g3(d, w, h, k=k)
+        assert np.array_equal(arr, np.where(bits != 0, 0, 255)), (w, h)
+
+
+@pytest.mark.parametrize("k", [0, 1, 4])
+def test_g3_roundtrip(k):
+    """Group-3 1D (K=0) and mixed-2D (K>0) lines round-trip, with and
+    without byte alignment / explicit EOLs."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (decode_g3,
+                                                            encode_g3)
+
+    rng = np.random.default_rng(11 + k)
+    for trial in range(20):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 70))
+        bm = (_textish(h, w, trial) if trial % 2
+              else (rng.random((h, w)) < 0.3).astype(np.uint8))
+        for ba in (False, True):
+            for eol in ((False, True) if k == 0 else (False,)):
+                d = encode_g3(bm, k=k, byte_align=ba, end_of_line=eol)
+                got = decode_g3(d, w, h, k=k, byte_align=ba,
+                                end_of_line=eol)
+                assert np.array_equal(got, bm), (trial, k, ba, eol)
