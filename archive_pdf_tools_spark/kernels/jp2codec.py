@@ -59,8 +59,9 @@ records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
 round-trips; unsupported profile features
-(POC/RGN/PPM markers, COC overrides beyond the code-block style byte)
-raise ``Jp2Error`` and callers fall back to the metadata-only path —
+(POC/RGN markers, main-header PPM packed headers — tile-part PPT
+packed headers DECODE since round 6 late — and COC overrides beyond
+the code-block style byte) raise ``Jp2Error`` and callers fall back to the metadata-only path —
 the same graceful degradation the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
 (D.6 multi-segment blocks, raw SPP/MR passes — now the ENCODER
@@ -2089,6 +2090,7 @@ def _decode_j2k(data: bytes, max_pixels: int,
     pos = i
     tile_parts = {}                          # isot -> [(tpsot, payload)]
     declared_parts = {}
+    ppt_store = {}                           # isot -> [(zppt, bytes)]
     while True:
         m = _u16b(data, pos)
         if m == _EOC:
@@ -2115,7 +2117,15 @@ def _decode_j2k(data: bytes, max_pixels: int,
             mm = _u16b(data, j)
             if mm in (0xFF58, 0xFF64):       # PLT / COM
                 j += 2 + _u16b(data, j + 2)
-            elif mm in (0xFF5F, 0xFF61, 0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
+            elif mm == 0xFF61:               # PPT (A.7.5): packed headers
+                ln = _u16b(data, j + 2)
+                if ln < 3:
+                    raise Jp2Error("truncated PPT")
+                zppt = data[j + 4]
+                ppt_store.setdefault(isot, []).append(
+                    (zppt, data[j + 5:j + 2 + ln]))
+                j += 2 + ln
+            elif mm in (0xFF5F, 0xFF52, 0xFF5C, 0xFF53, 0xFF5D):
                 raise Jp2Error("tile-header coding overrides unsupported")
             else:
                 raise Jp2Error("expected SOD")
@@ -2143,8 +2153,15 @@ def _decode_j2k(data: bytes, max_pixels: int,
         x0, y0 = tx_i * p.xt, ty_i * p.yt
         tw_i = min(p.xt, p.w - x0)
         th_i = min(p.yt, p.h - y0)
+        ppt = None
+        if isot in ppt_store:
+            chunks = sorted(ppt_store[isot])
+            if [z for z, _c in chunks] != list(range(len(chunks))):
+                raise Jp2Error("PPT segments out of order")
+            ppt = b"".join(c for _z, c in chunks)
         tile_planes = _decode_tile(tdata, p, tw_i, th_i,
-                                   band_mb_delta, reduce_levels, r_max)
+                                   band_mb_delta, reduce_levels, r_max,
+                                   ppt=ppt)
         rx0, ry0 = x0 >> reduce_levels, y0 >> reduce_levels
         for c in range(p.ncomp):
             a = tile_planes[c]
@@ -2218,7 +2235,7 @@ def _prec_block_range(px, pbw, cbw_e, bw, nx):
 
 
 def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
-                 reduce_levels, r_max):
+                 reduce_levels, r_max, ppt=None):
     """Decode one tile's packets + code-blocks + inverse DWT from its
     (possibly tile-part-concatenated) payload bytes; returns
     per-component reduced-resolution coefficient planes."""
@@ -2264,12 +2281,16 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
 
     pos = 0
     tile_end = len(tdata)
+    # PPT (B.10.5): packet headers relocated into tile-part header
+    # segments; the bitstream carries only SOP markers + packet bodies,
+    # and EPH terminators live in the packed-header stream
+    ppt_bio = _BioReader(ppt, 0) if ppt is not None else None
     for (layer, r, c, pidx) in packets():
-        if pos >= tile_end:
+        if ppt_bio is None and pos >= tile_end:
             raise Jp2Error("truncated tile data")
         if p.use_sop and _u16b(tdata, pos) == 0xFF91:
             pos += 6                         # SOP marker + Lsop + Nsop
-        bio = _BioReader(tdata, pos)
+        bio = ppt_bio if ppt_bio is not None else _BioReader(tdata, pos)
         nonempty = bio.read()
         body_plan = []
         npx = prec[r][0]
@@ -2320,11 +2341,18 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                             nbytes = bio.read_bits(nbits)
                             body_plan.append((blk, nbytes, 0))
                         blk.npasses += npasses
-        pos = bio.align()
-        if p.use_eph:
-            if _u16b(tdata, pos) != 0xFF92:
-                raise Jp2Error("missing EPH marker")
-            pos += 2
+        if ppt_bio is None:
+            pos = bio.align()
+            if p.use_eph:
+                if _u16b(tdata, pos) != 0xFF92:
+                    raise Jp2Error("missing EPH marker")
+                pos += 2
+        else:
+            hp = bio.align()                 # headers are byte units
+            if p.use_eph:
+                if _u16b(ppt, hp) != 0xFF92:
+                    raise Jp2Error("missing EPH marker")
+                bio.pos = hp + 2
         for blk, nbytes, sid in body_plan:
             if pos + nbytes > tile_end:
                 raise Jp2Error("truncated packet body")
@@ -2477,7 +2505,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                bypass: bool = True,
                comp_steps: tuple | None = None,
                coc_bypass: dict | None = None,
-               progression: str = "LRCP") -> bytes:
+               progression: str = "LRCP",
+               ppt: bool = False) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2602,6 +2631,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
     if progression not in _PROGRESSIONS.values():
         raise ValueError("unknown progression order")
+    if ppt and tile_parts != 1:
+        raise ValueError("ppt with multiple tile-parts unsupported")
     if tile_size is None:
         xt, yt = w, h
     else:
@@ -2678,6 +2709,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         _p.prec_exps = ([precinct_exp] * (levels + 1)
                         if precinct_exp is not None else None)
         body = bytearray()
+        ppt_buf = bytearray()
         pkt_offsets = []
         lay_r = {r: _precinct_layout(_p, bands, r, tw_i, th_i)
                  for r in range(levels + 1)}
@@ -2787,13 +2819,20 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                                 bio.write_bits(len(data),
                                                lblock + want)
                                 segs.append(data)
-            body += bio.flush()
-            if eph:
-                body += b"\xff\x92"
+            if ppt:
+                # packed headers: header bytes (+EPH) go to the PPT
+                # stream; the bitstream keeps only SOP + bodies
+                ppt_buf += bio.flush()
+                if eph:
+                    ppt_buf += b"\xff\x92"
+            else:
+                body += bio.flush()
+                if eph:
+                    body += b"\xff\x92"
             for s in segs:
                 body += s
             pkt_offsets.append(len(body))
-        return bytes(body), pkt_offsets
+        return bytes(body), pkt_offsets, bytes(ppt_buf)
 
     bodies = []
     for ti in range(ntx * nty):
@@ -2870,7 +2909,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 coc += bytes([(ppy_ << 4) | ppx_] * (levels + 1))
             out += (0xFF53).to_bytes(2, "big") \
                 + (len(coc) + 2).to_bytes(2, "big") + coc
-    for ti, (body, pkt_offsets) in enumerate(bodies):
+    for ti, (body, pkt_offsets, ppt_data) in enumerate(bodies):
         # tile-part boundaries must fall on packet boundaries; split the
         # body at (roughly) evenly-spaced packet cuts when asked
         n_parts = max(1, min(int(tile_parts), len(pkt_offsets)))
@@ -2882,9 +2921,23 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         segs_tp = [body[cuts[k]:cuts[k + 1]] for k in range(len(cuts) - 1)]
         for tp, part in enumerate(segs_tp):
             psot = 12 + 2 + len(part)
+            ppt_segs = b""
+            if ppt_data:
+                # one or more PPT marker segments (A.7.5), split at the
+                # 2^16-1 marker-length ceiling, Zppt ascending
+                z = 0
+                rest = ppt_data
+                while rest:
+                    chunk, rest = rest[:65530], rest[65530:]
+                    ppt_segs += ((0xFF61).to_bytes(2, "big")
+                                 + (len(chunk) + 3).to_bytes(2, "big")
+                                 + bytes((z,)) + chunk)
+                    z += 1
+            psot += len(ppt_segs)
             out += _SOT.to_bytes(2, "big") + (10).to_bytes(2, "big") \
                 + ti.to_bytes(2, "big") \
                 + psot.to_bytes(4, "big") + bytes([tp, len(segs_tp)])
+            out += ppt_segs
             out += _SOD.to_bytes(2, "big") + part
     out += _EOC.to_bytes(2, "big")
     return bytes(out)

@@ -956,3 +956,49 @@ def test_psot_zero_last_tile_part_decodes():
     sot = bytes(data).find(b"\xff\x90")
     data[sot + 6:sot + 10] = (0).to_bytes(4, "big")     # Psot = 0
     assert np.array_equal(decode_jp2(bytes(data)), img)
+
+
+def test_ppt_packed_headers():
+    """PPT tile-part segments (A.7.5/B.10.5, round-6 late): packet
+    headers relocated out of the bitstream decode — including with
+    precinct partitions, SOP/EPH, spatial progressions, bypass, 9/7
+    and multi-tile grids; Zppt split/ordering is validated."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    for shape, kw in [((70, 90), {}),
+                      ((64, 96), {"precinct_exp": (4, 4)}),
+                      ((64, 80, 3), {"sop": True, "eph": True}),
+                      ((100, 140), {"tile_size": (64, 64)}),
+                      ((64, 96), {"progression": "PCRL",
+                                  "precinct_exp": (4, 4)}),
+                      ((60, 72), {"bypass": False})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = encode_j2k(img, levels=2, ppt=True, **kw)
+        assert b"\xff\x61" in d
+        assert np.array_equal(decode_jp2(d), img), (shape, kw)
+    yy, xx = np.mgrid[0:64, 0:96]
+    sm = np.clip(110 + 50 * np.sin(xx / 7.0), 0, 255).astype(np.uint8)
+    d = encode_j2k(sm, levels=2, ppt=True, irreversible=True, step=0.5)
+    assert np.abs(decode_jp2(d).astype(int) - sm.astype(int)).max() <= 3
+    # out-of-order Zppt raises
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    d = bytearray(encode_j2k(img, levels=2, ppt=True))
+    zpos = bytes(d).find(b"\xff\x61") + 4
+    d[zpos] = 1                              # Zppt 0 -> 1: gap
+    with pytest.raises(Jp2Error, match="PPT"):
+        decode_jp2(bytes(d))
+    with pytest.raises(ValueError, match="tile-parts"):
+        encode_j2k(img, levels=2, ppt=True, tile_parts=2)
+    # mutation fuzz on the packed-header stream stays typed
+    base = encode_j2k(img, levels=2, ppt=True)
+    bad = 0
+    for trial in range(60):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        try:
+            decode_jp2(bytes(buf))
+        except Jp2Error:
+            bad += 1
+    assert bad > 0
