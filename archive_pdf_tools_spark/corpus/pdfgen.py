@@ -98,11 +98,14 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
     return encode_jbig2(bm)
 
 
-def synth_ccitt_real(w: int, h: int, seed: int = 0) -> bytes:
-    """A DECODABLE /CCITTFaxDecode Group-4 stream (round 6): seeded
-    text-mask content encoded by the engine's own T.6 encoder
+def synth_ccitt_real(w: int, h: int,
+                     seed: int = 0) -> tuple[bytes, int]:
+    """A DECODABLE /CCITTFaxDecode stream (round 6): seeded text-mask
+    content encoded by the engine's own T.4/T.6 encoders
     (``kernels.ccittcodec``) — the pre-JBIG2 archival mask format the
     reference leaves entirely to PyMuPDF (``pdfhacks.py:124-126``).
+    Returns ``(stream, k)`` where ``k`` is the /K DecodeParms value
+    the stream was encoded for (rotates -1/0/4 by ``(w + h) % 3``).
     Seeded from (seed, w, h) only."""
     from ..kernels.ccittcodec import encode_g3, encode_g4
 
@@ -396,15 +399,14 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                                "data": synth_jp2_real(w, h, gray,
                                                       seed=seed)})
                 continue
-            if u < 0.52:                  # CCITT G4 1-bit mask (round
-                # 6 late): the pre-JBIG2 archival format, decodable
-                # through the T.6 codec -> MRC path
-                if u >= 0.45:
-                    cdata, ck = synth_ccitt_real(w, h, seed=seed)
-                    images.append({"w": w, "h": h, "gray": True,
-                                   "ccitt": True, "ccitt_k": ck,
-                                   "data": cdata})
-                    continue
+            if 0.45 <= u < 0.52:          # CCITT 1-bit mask (round 6
+                # late): the pre-JBIG2 archival format, decodable
+                # through the T.4/T.6 codec -> MRC path
+                cdata, ck = synth_ccitt_real(w, h, seed=seed)
+                images.append({"w": w, "h": h, "gray": True,
+                               "ccitt": True, "ccitt_k": ck,
+                               "data": cdata})
+                continue
             if u < 0.45:                  # JBIG2-filtered 1-bit mask,
                 # real + losslessly decodable since round 6: exercises
                 # the generic-region decoder -> MRC path (the

@@ -139,20 +139,20 @@ class _Bits:
     __slots__ = ("data", "n", "pos", "over")
 
     def __init__(self, data: bytes):
-        self.data = data
+        # 4 zero pad bytes let peek13 read one 32-bit window
+        # unconditionally (past-end bits are 0 by construction)
+        self.data = bytes(data) + b"\x00\x00\x00\x00"
         self.n = len(data) * 8
         self.pos = 0
         self.over = 0
 
     def peek13(self) -> int:
-        v = 0
+        # one 4-byte window instead of 13 single-bit reads — this is
+        # the per-code hot path (review finding r6)
         p = self.pos
-        data = self.data
-        for k in range(_MAXLEN):
-            i = p + k
-            b = (data[i >> 3] >> (7 - (i & 7))) & 1 if i < self.n else 0
-            v = (v << 1) | b
-        return v
+        byte = p >> 3
+        return (int.from_bytes(self.data[byte:byte + 4], "big")
+                >> (19 - (p & 7))) & 0x1FFF
 
     def skip(self, k: int):
         self.pos += k

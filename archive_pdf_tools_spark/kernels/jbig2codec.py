@@ -458,9 +458,10 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     if dsoffset > 15:
         dsoffset -= 32
     ninst = _u32(seg, 19)
-    if rw * rh > max_pixels or ninst > rw * rh + 1:
-        # one instance per pixel is already absurd for real text; a
-        # huge declared count with a tiny region is a slow-loop bomb
+    if rw * rh > max_pixels or ninst > min(rw * rh + 1, 10_000_000):
+        # one instance per pixel is already absurd for real text, and
+        # a huge declared count (with a big OR tiny region) is a
+        # slow-loop bomb — keep the absolute ceiling too
         raise Jbig2Error("implausible text region")
     numsyms = len(syms)
     if numsyms == 0:

@@ -2288,7 +2288,8 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     for (layer, r, c, pidx) in packets():
         if ppt_bio is None and pos >= tile_end:
             raise Jp2Error("truncated tile data")
-        if p.use_sop and _u16b(tdata, pos) == 0xFF91:
+        if p.use_sop and pos + 2 <= tile_end \
+                and _u16b(tdata, pos) == 0xFF91:
             pos += 6                         # SOP marker + Lsop + Nsop
         bio = ppt_bio if ppt_bio is not None else _BioReader(tdata, pos)
         nonempty = bio.read()

@@ -2385,7 +2385,7 @@ FROM counts
 
 # Ordering contract: the correctness driver verifies the FIRST 50 registry
 # entries, so every uniquely-informative oracle-paired query sits inside
-# that window.  The overflow tail holds (a) the 5 deliberately oracle-less
+# that window.  The overflow tail holds (a) the deliberately oracle-less
 # raw queries, each value-verified by a paired in-window row, (b)
 # oracle-paired rows whose behaviour is covered by a NAMED in-window row
 # (the per-entry map below states exactly which), and (c) contract

@@ -126,7 +126,7 @@ def test_pdf_ccitt_fixture_flow():
 
     from archive_pdf_tools_spark.kernels.ccittcodec import decode_g3
 
-    for (w, h) in [(40, 30), (41, 30), (40, 31)]:  # K=-1, 0, 4 routes
+    for (w, h) in [(42, 30), (40, 30), (41, 30)]:  # K=-1, 0, 4 routes
         d, k = synth_ccitt_real(w, h, seed=3)
         pdf = build_pdf([{"width": 612, "height": 792,
                           "images": [{"w": w, "h": h, "gray": True,
