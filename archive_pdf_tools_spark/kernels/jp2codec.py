@@ -59,9 +59,9 @@ records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
 round-trips; unsupported profile features
-(POC/RGN markers, main-header PPM packed headers — tile-part PPT
-packed headers DECODE since round 6 late — and COC overrides beyond
-the code-block style byte) raise ``Jp2Error`` and callers fall back to the metadata-only path —
+(POC/RGN markers and COC overrides beyond the code-block style byte —
+PPT and main-header PPM packed headers both DECODE since round 6
+late) raise ``Jp2Error`` and callers fall back to the metadata-only path —
 the same graceful degradation the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
 (D.6 multi-segment blocks, raw SPP/MR passes — now the ENCODER
@@ -1777,6 +1777,7 @@ def _parse_headers(d: bytes, i: int,
     """Parse main-header marker segments up to (and including) SOT."""
     p = _CodestreamParams()
     p.coc_raw, p.qcc_raw = [], []
+    p.ppm_raw = []
     p.comp_cbstyle, p.comp_q = {}, {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
@@ -1888,12 +1889,15 @@ def _parse_headers(d: bytes, i: int,
             p.coc_raw.append(bytes(seg))
         elif m == 0xFF5D:                    # QCC (A.6.5)
             p.qcc_raw.append(bytes(seg))
-        elif m in (0xFF5F, 0xFF5E, 0xFF60):  # POC / RGN / PPM
+        elif m == 0xFF60:                    # PPM (A.6.6): packed headers
+            if len(seg) < 1:
+                raise Jp2Error("truncated PPM")
+            p.ppm_raw.append((seg[0], bytes(seg[1:])))
+        elif m in (0xFF5F, 0xFF5E):          # POC / RGN
             # these CHANGE decode semantics (progression switch, ROI
-            # magnitude shift, relocated packet headers) — skipping them
-            # would return silently corrupt pixels, violating the
-            # unsupported-feature contract
-            raise Jp2Error("POC/RGN/PPM markers unsupported")
+            # magnitude shift) — skipping them would return silently
+            # corrupt pixels, violating the unsupported-feature contract
+            raise Jp2Error("POC/RGN markers unsupported")
         elif m in (0xFF64, 0xFF55, 0xFF57, 0xFF63):
             pass                             # COM/TLM/PLM/CRG: informational
         i += ln
@@ -2091,6 +2095,26 @@ def _decode_j2k(data: bytes, max_pixels: int,
     tile_parts = {}                          # isot -> [(tpsot, payload)]
     declared_parts = {}
     ppt_store = {}                           # isot -> [(zppt, bytes)]
+    # PPM (A.6.6): one Zppm-ordered byte stream of [Nppm(4) + headers]
+    # records, consumed one record per TILE-PART in codestream order
+    ppm_records = None
+    if p.ppm_raw:
+        chunks = sorted(p.ppm_raw)
+        if [z for z, _c in chunks] != list(range(len(chunks))):
+            raise Jp2Error("PPM segments out of order")
+        buf = b"".join(c for _z, c in chunks)
+        ppm_records = []
+        k = 0
+        while k < len(buf):
+            if k + 4 > len(buf):
+                raise Jp2Error("truncated PPM record")
+            nlen = _u32b(buf, k)
+            k += 4
+            if k + nlen > len(buf):
+                raise Jp2Error("truncated PPM record")
+            ppm_records.append(buf[k:k + nlen])
+            k += nlen
+        ppm_records.reverse()                # pop() consumes in order
     while True:
         m = _u16b(data, pos)
         if m == _EOC:
@@ -2118,6 +2142,8 @@ def _decode_j2k(data: bytes, max_pixels: int,
             if mm in (0xFF58, 0xFF64):       # PLT / COM
                 j += 2 + _u16b(data, j + 2)
             elif mm == 0xFF61:               # PPT (A.7.5): packed headers
+                if ppm_records is not None:
+                    raise Jp2Error("both PPM and PPT present")
                 ln = _u16b(data, j + 2)
                 if ln < 3:
                     raise Jp2Error("truncated PPT")
@@ -2131,6 +2157,13 @@ def _decode_j2k(data: bytes, max_pixels: int,
                 raise Jp2Error("expected SOD")
         j += 2
         tile_parts.setdefault(isot, []).append((tpsot, data[j:tile_end]))
+        if ppm_records is not None:
+            if isot in ppt_store:
+                raise Jp2Error("both PPM and PPT present")
+            if not ppm_records:
+                raise Jp2Error("missing PPM record for tile-part")
+            ppt_store.setdefault(isot, []).append(
+                (tpsot, ppm_records.pop()))
         if tnsot:
             declared_parts[isot] = tnsot
         pos = tile_end
@@ -2507,7 +2540,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                comp_steps: tuple | None = None,
                coc_bypass: dict | None = None,
                progression: str = "LRCP",
-               ppt: bool = False) -> bytes:
+               ppt: bool = False, ppm: bool = False) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2632,8 +2665,12 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
     if progression not in _PROGRESSIONS.values():
         raise ValueError("unknown progression order")
+    if ppm:
+        if ppt:
+            raise ValueError("ppm and ppt are mutually exclusive")
+        ppt = True                           # collect headers per tile
     if ppt and tile_parts != 1:
-        raise ValueError("ppt with multiple tile-parts unsupported")
+        raise ValueError("ppt/ppm with multiple tile-parts unsupported")
     if tile_size is None:
         xt, yt = w, h
     else:
@@ -2884,6 +2921,18 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         qcd = bytes([guard << 5]) + bytes(
             [e << 3 for e, _m, _d, _mb in qspec])
     out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
+    if ppm:
+        # one [Nppm(4) + headers] record per tile(-part), concatenated
+        # and split into Zppm-ordered PPM segments (A.6.6)
+        buf = b"".join(len(pdta).to_bytes(4, "big") + pdta
+                       for _b, _o, pdta in bodies)
+        z = 0
+        while buf or z == 0:
+            chunk, buf = buf[:65530], buf[65530:]
+            out += ((0xFF60).to_bytes(2, "big")
+                    + (len(chunk) + 3).to_bytes(2, "big")
+                    + bytes((z,)) + chunk)
+            z += 1
     if comp_steps is not None:
         # QCC for every non-first component whose step differs from the
         # QCD default (A.6.5; expounded style, like the COD path above)
@@ -2923,7 +2972,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         for tp, part in enumerate(segs_tp):
             psot = 12 + 2 + len(part)
             ppt_segs = b""
-            if ppt_data:
+            if ppt_data and not ppm:
                 # one or more PPT marker segments (A.7.5), split at the
                 # 2^16-1 marker-length ceiling, Zppt ascending
                 z = 0

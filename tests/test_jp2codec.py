@@ -1002,3 +1002,52 @@ def test_ppt_packed_headers():
         except Jp2Error:
             bad += 1
     assert bad > 0
+
+
+def test_ppm_main_header_packed_headers():
+    """PPM main-header segments (A.6.6, round-6 late): one Nppm-framed
+    record per tile-part, consumed in codestream order and fed through
+    the same packed-header decode path as PPT; composes with
+    precincts, SOP/EPH, spatial progressions, multi-tile, bypass and
+    9/7.  Mixing PPM with PPT raises."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    for shape, kw in [((70, 90), {}),
+                      ((64, 96), {"precinct_exp": (4, 4)}),
+                      ((64, 80, 3), {"sop": True, "eph": True}),
+                      ((100, 140), {"tile_size": (64, 64)}),
+                      ((64, 96), {"progression": "CPRL",
+                                  "precinct_exp": (4, 4)}),
+                      ((60, 72), {"bypass": False})]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = encode_j2k(img, levels=2, ppm=True, **kw)
+        sot = d.find(b"\xff\x90")
+        ppm_at = d.find(b"\xff\x60")
+        assert 0 < ppm_at < sot, (shape, kw)  # PPM in the MAIN header
+        assert np.array_equal(decode_jp2(d), img), (shape, kw)
+    yy, xx = np.mgrid[0:64, 0:96]
+    sm = np.clip(110 + 50 * np.sin(xx / 7.0), 0, 255).astype(np.uint8)
+    d = encode_j2k(sm, levels=2, ppm=True, irreversible=True, step=0.5)
+    assert np.abs(decode_jp2(d).astype(int) - sm.astype(int)).max() <= 3
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        encode_j2k(img, levels=2, ppm=True, ppt=True)
+    # truncated PPM record raises typed
+    d = bytearray(encode_j2k(img, levels=2, ppm=True))
+    ppm_at = bytes(d).find(b"\xff\x60")
+    d[ppm_at + 5] = 0xFF                     # corrupt the Nppm length
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(d))
+    # mutation fuzz stays typed
+    base = encode_j2k(img, levels=2, ppm=True)
+    bad = 0
+    for trial in range(60):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(256))
+        try:
+            decode_jp2(bytes(buf))
+        except Jp2Error:
+            bad += 1
+    assert bad > 0
