@@ -59,8 +59,8 @@ records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
 round-trips; unsupported profile features
-(POC/RGN markers and COC overrides beyond the code-block style byte —
-PPT and main-header PPM packed headers both DECODE since round 6
+(the POC marker and COC overrides beyond the code-block style byte —
+PPT/PPM packed headers and RGN maxshift ROI all DECODE since round 6
 late) raise ``Jp2Error`` and callers fall back to the metadata-only path —
 the same graceful degradation the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
@@ -1778,6 +1778,7 @@ def _parse_headers(d: bytes, i: int,
     p = _CodestreamParams()
     p.coc_raw, p.qcc_raw = [], []
     p.ppm_raw = []
+    p.rgn = {}
     p.comp_cbstyle, p.comp_q = {}, {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
@@ -1893,11 +1894,18 @@ def _parse_headers(d: bytes, i: int,
             if len(seg) < 1:
                 raise Jp2Error("truncated PPM")
             p.ppm_raw.append((seg[0], bytes(seg[1:])))
-        elif m in (0xFF5F, 0xFF5E):          # POC / RGN
-            # these CHANGE decode semantics (progression switch, ROI
-            # magnitude shift) — skipping them would return silently
-            # corrupt pixels, violating the unsupported-feature contract
-            raise Jp2Error("POC/RGN markers unsupported")
+        elif m == 0xFF5E:                    # RGN (A.6.3): maxshift ROI
+            if len(seg) < 3:
+                raise Jp2Error("truncated RGN")
+            crgn = seg[0]
+            if seg[1] != 0:
+                raise Jp2Error("only maxshift ROI (Srgn=0) supported")
+            p.rgn[crgn] = seg[2]
+        elif m == 0xFF5F:                    # POC
+            # progression switching CHANGES decode semantics — skipping
+            # would return silently corrupt pixels, violating the
+            # unsupported-feature contract
+            raise Jp2Error("POC marker unsupported")
         elif m in (0xFF64, 0xFF55, 0xFF57, 0xFF63):
             pass                             # COM/TLM/PLM/CRG: informational
         i += ln
@@ -2057,10 +2065,16 @@ def _decode_j2k(data: bytes, max_pixels: int,
             raise Jp2Error("QCC exponent count mismatch")
         comp_q[cc] = (guard_c, pairs_c)
 
+    for cc in p.rgn:
+        if cc >= p.ncomp:
+            raise Jp2Error("RGN for nonexistent component")
+
     def band_mb_delta(c: int, sidx: int, gain: int):
         guard_c, pairs = comp_q.get(c, (p.guard, p.qpairs))
         eps, mu = pairs[sidx]
-        mb = eps + guard_c - 1
+        # maxshift ROI (E.1): the component's bit-plane budget grows by
+        # SPrgn — ROI coefficient planes sit above every background one
+        mb = eps + guard_c - 1 + p.rgn.get(c, 0)
         if not p.irreversible:
             return mb, None
         return mb, _quant_step(8 + gain, eps, mu)
@@ -2429,6 +2443,16 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                             segments=(blk._segments()
                                       if p.comp_cbstyle.get(
                                           c, p.cbstyle) & 1 else None))
+                sprgn = p.rgn.get(c, 0)
+                if sprgn:
+                    # maxshift decode (E.1.2): any coefficient whose
+                    # magnitude reaches 2^SPrgn is an ROI coefficient
+                    # the encoder scaled up — shift it back down
+                    mag = np.abs(band_arr.astype(np.int64))
+                    roi = mag >= (1 << sprgn)
+                    band_arr = np.where(
+                        roi, np.sign(band_arr) * (mag >> sprgn),
+                        band_arr).astype(np.int32)
                 if lev - reduce_levels <= 0:
                     dst = arr                # full reduction: LL IS the tile
                 else:
@@ -2540,7 +2564,9 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                comp_steps: tuple | None = None,
                coc_bypass: dict | None = None,
                progression: str = "LRCP",
-               ppt: bool = False, ppm: bool = False) -> bytes:
+               ppt: bool = False, ppm: bool = False,
+               roi: tuple | None = None,
+               roi_comps: tuple | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2665,6 +2691,14 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
     if progression not in _PROGRESSIONS.values():
         raise ValueError("unknown progression order")
+    if roi is not None:
+        if tile_size is not None:
+            raise ValueError("roi with tiling unsupported (RGN is a "
+                             "main-header, whole-image segment here)")
+        rx0, ry0, rw_, rh_ = (int(v) for v in roi)
+        if not (0 <= rx0 < w and 0 <= ry0 < h and rw_ > 0 and rh_ > 0
+                and rx0 + rw_ <= w and ry0 + rh_ <= h):
+            raise ValueError("roi rectangle outside image")
     if ppm:
         if ppt:
             raise ValueError("ppm and ppt are mutually exclusive")
@@ -2689,6 +2723,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     ntx, nty = -(-w // xt), -(-h // yt)
 
     sop_counter = [0]
+    rgn_shifts: dict = {}
 
     def tile_body(planes_t, tw_i, th_i) -> bytes:
         bands = _bands_for(tw_i, th_i, levels)
@@ -2701,6 +2736,44 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         for c, plane in enumerate(planes_t):
             mallat = (dwt97_forward if irreversible
                       else dwt53_forward)(plane, levels)
+            # quantize every band first (a list pass) so maxshift ROI
+            # can compute the component's background bit budget before
+            # any block is entropy-coded
+            quantized = {}
+            for r, blist in enumerate(bands):
+                for bi, (name, lev, bw, bh, gain) in enumerate(blist):
+                    if not (bw and bh):
+                        continue
+                    band_arr = np.asarray(
+                        _band_slice(mallat, name, lev, tw_i, th_i))
+                    sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
+                    _e, _m, delta, mb = qspec_c[c][sidx]
+                    if delta is not None:    # dead-zone scalar quantizer
+                        mags = np.floor(np.abs(band_arr) / delta)
+                        band_arr = (np.sign(band_arr)
+                                    * mags).astype(np.int64)
+                    quantized[(r, bi)] = band_arr
+            sprgn = 0
+            if roi is not None and c in roi_comps:
+                # maxshift (E.1): SPrgn = bit length of the largest
+                # coefficient anywhere in the component — every shifted
+                # ROI plane then clears every background plane
+                peak = max(
+                    (int(np.abs(ba).max()) for ba in quantized.values()
+                     if ba.size), default=0)
+                sprgn = max(peak.bit_length(), 1)
+                rx0, ry0, rw_, rh_ = roi
+                for (r, bi), ba in quantized.items():
+                    name, lev, bw, bh, gain = bands[r][bi]
+                    # band-coordinate ROI rect (1-coefficient dilation
+                    # for the lifting support; the decoder is mask-free
+                    # so any encoder-side mask choice is conformant)
+                    bx0 = max(rx0 // (1 << lev) - 1, 0)
+                    by0 = max(ry0 // (1 << lev) - 1, 0)
+                    bx1 = min(-(-(rx0 + rw_) // (1 << lev)) + 1, bw)
+                    by1 = min(-(-(ry0 + rh_) // (1 << lev)) + 1, bh)
+                    ba[by0:by1, bx0:bx1] <<= sprgn
+                rgn_shifts[c] = sprgn
             for r, blist in enumerate(bands):
                 for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                     if precinct_exp is not None:
@@ -2713,14 +2786,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                     if not (bw and bh):
                         packet_blocks[(r, c)].append((bi, []))
                         continue
-                    band_arr = np.asarray(
-                        _band_slice(mallat, name, lev, tw_i, th_i))
+                    band_arr = quantized[(r, bi)]
                     sidx = 0 if r == 0 else 3 * (r - 1) + 1 + bi
                     _e, _m, delta, mb = qspec_c[c][sidx]
-                    if delta is not None:    # dead-zone scalar quantizer
-                        mags = np.floor(np.abs(band_arr) / delta)
-                        band_arr = (np.sign(band_arr)
-                                    * mags).astype(np.int64)
+                    mb += sprgn
                     blocks = []
                     ny = -(-bh // cbh_e)
                     nx = -(-bw // cbw_e)
@@ -2872,6 +2941,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             pkt_offsets.append(len(body))
         return bytes(body), pkt_offsets, bytes(ppt_buf)
 
+    if roi_comps is None:
+        roi_comps = tuple(range(len(comps)))
     bodies = []
     for ti in range(ntx * nty):
         ty_i, tx_i = divmod(ti, ntx)
@@ -2944,6 +3015,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 for e, m_, _d, _mb in qspec_c[c])
             out += (0xFF5D).to_bytes(2, "big") \
                 + (len(qcc) + 2).to_bytes(2, "big") + qcc
+    for rc, sh in sorted(rgn_shifts.items()):
+        # RGN (A.6.3): maxshift ROI, Srgn=0, one segment per component
+        out += ((0xFF5E).to_bytes(2, "big") + (5).to_bytes(2, "big")
+                + bytes((rc, 0, sh)))
     if coc_bypass:
         # COC for components whose code-block style differs from COD
         # (A.6.2) — everything else mirrors the COD parameters

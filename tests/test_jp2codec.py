@@ -1051,3 +1051,45 @@ def test_ppm_main_header_packed_headers():
         except Jp2Error:
             bad += 1
     assert bad > 0
+
+
+def test_rgn_maxshift_roi():
+    """RGN maxshift ROI (A.6.3/E.1, round-6 late): the decoder
+    identifies ROI coefficients purely by magnitude >= 2^SPrgn and
+    shifts them back — mask-free, so lossless streams round-trip
+    bit-exactly and lossy ROI regions come back at least as accurate
+    as the background."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    for shape in [(70, 90), (64, 80, 3), (40, 40)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = encode_j2k(img, levels=2, roi=(10, 8, 20, 16))
+        assert 0 < d.find(b"\xff\x5e") < d.find(b"\xff\x90"), shape
+        assert np.array_equal(decode_jp2(d), img), shape
+    # composes with PPM, bypass-off and per-component selection
+    img = rng.integers(0, 256, (50, 60, 3)).astype(np.uint8)
+    for kw in ({"ppm": True}, {"bypass": False},
+               {"roi_comps": (0, 2)}):
+        d = encode_j2k(img, levels=2, roi=(5, 5, 20, 20), **kw)
+        assert np.array_equal(decode_jp2(d), img), kw
+    # lossy: ROI must not be worse than the overall error at a coarse
+    # step (the shifted planes decode at full precision)
+    yy, xx = np.mgrid[0:64, 0:96]
+    sm = np.clip(110 + 50 * np.sin(xx / 5.0) + 35 * np.cos(yy / 4.0),
+                 0, 255).astype(np.uint8)
+    d = encode_j2k(sm, levels=2, irreversible=True, step=2.0,
+                   roi=(30, 20, 24, 20))
+    err = np.abs(decode_jp2(d).astype(int) - sm.astype(int))
+    assert err[20:40, 30:54].mean() <= err.mean() + 0.2
+    # contract checks
+    with pytest.raises(ValueError, match="tiling"):
+        encode_j2k(sm, levels=2, roi=(0, 0, 8, 8), tile_size=(64, 64))
+    with pytest.raises(ValueError, match="outside"):
+        encode_j2k(sm, levels=2, roi=(90, 0, 20, 8))
+    # non-maxshift Srgn raises typed
+    d = bytearray(encode_j2k(sm[:32, :32], levels=2, roi=(4, 4, 8, 8)))
+    at = bytes(d).find(b"\xff\x5e")
+    d[at + 5] = 1                            # Srgn -> 1
+    with pytest.raises(Jp2Error, match="maxshift"):
+        decode_jp2(bytes(d))
