@@ -58,10 +58,11 @@ wrongly fail a correct coder; this note (round 6, VERDICT ask #7)
 records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
-round-trips; unsupported profile features
-(the POC marker and COC overrides beyond the code-block style byte —
-PPT/PPM packed headers and RGN maxshift ROI all DECODE since round 6
-late) raise ``Jp2Error`` and callers fall back to the metadata-only path —
+round-trips; the one remaining
+unsupported profile feature family (COC overrides beyond the
+code-block style byte — PPT/PPM packed headers, RGN maxshift ROI and
+POC progression changes all DECODE since round 6 late) raises
+``Jp2Error`` and callers fall back to the metadata-only path —
 the same graceful degradation the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
 (D.6 multi-segment blocks, raw SPP/MR passes — now the ENCODER
@@ -1779,6 +1780,7 @@ def _parse_headers(d: bytes, i: int,
     p.coc_raw, p.qcc_raw = [], []
     p.ppm_raw = []
     p.rgn = {}
+    p.poc = None
     p.comp_cbstyle, p.comp_q = {}, {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
@@ -1901,11 +1903,19 @@ def _parse_headers(d: bytes, i: int,
             if seg[1] != 0:
                 raise Jp2Error("only maxshift ROI (Srgn=0) supported")
             p.rgn[crgn] = seg[2]
-        elif m == 0xFF5F:                    # POC
-            # progression switching CHANGES decode semantics — skipping
-            # would return silently corrupt pixels, violating the
-            # unsupported-feature contract
-            raise Jp2Error("POC marker unsupported")
+        elif m == 0xFF5F:                    # POC (A.6.4)
+            # entries are 7 bytes for <257 components: RSpoc(1),
+            # CSpoc(1), LYEpoc(2), REpoc(1), CEpoc(1), Ppoc(1)
+            if len(seg) % 7:
+                raise Jp2Error("truncated POC")
+            p.poc = []
+            for k in range(0, len(seg), 7):
+                prog = seg[k + 6]
+                if prog not in _PROGRESSIONS:
+                    raise Jp2Error("unknown progression order")
+                p.poc.append((seg[k], seg[k + 1], _u16b(seg, k + 2),
+                              seg[k + 4], seg[k + 5],
+                              _PROGRESSIONS[prog]))
         elif m in (0xFF64, 0xFF55, 0xFF57, 0xFF63):
             pass                             # COM/TLM/PLM/CRG: informational
         i += ln
@@ -2323,8 +2333,10 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         plist = _precinct_anchors(p.levels, p.prec_exps,
                                   lambda r: n_prec[r],
                                   lambda r: prec[r][0])
-        return _progression_order(p.progression, plist, p.ncomp,
-                                  p.nlayers)
+        if p.poc is None:
+            return _progression_order(p.progression, plist, p.ncomp,
+                                      p.nlayers)
+        return _poc_order(p.poc, plist, p.ncomp, p.nlayers, p.levels)
 
     pos = 0
     tile_end = len(tdata)
@@ -2501,6 +2513,28 @@ def _progression_order(progression: str, plist, ncomp: int,
     return [t for _k, t in pk]
 
 
+def _poc_order(poc, plist, ncomp: int, nlayers: int, levels: int):
+    """POC packet ordering (B.12.2): each progression-change entry
+    emits its (layer < LYEpoc, RSpoc <= r < REpoc, CSpoc <= c < CEpoc)
+    volume in its own progression order, skipping packets an earlier
+    entry already emitted; the list must cover every packet exactly
+    once by the end (a partial cover would desynchronize the packet
+    walk, so it raises)."""
+    seen = set()
+    order = []
+    for (rs, cs, lye, re_, ce, prog) in poc:
+        sub = [t for t in _progression_order(prog, plist, ncomp,
+                                             nlayers)
+               if rs <= t[1] < re_ and cs <= t[2] < ce
+               and t[0] < lye and t not in seen]
+        seen.update(sub)
+        order.extend(sub)
+    total = len(_progression_order("LRCP", plist, ncomp, nlayers))
+    if len(order) != total:
+        raise Jp2Error("POC does not cover every packet")
+    return order
+
+
 def _precinct_anchors(levels: int, prec_exps, n_prec, npx_of):
     """[(r, pi, xs, ys)] reference-grid anchors for every precinct;
     ``n_prec``/``npx_of`` map r -> precinct count / x-count."""
@@ -2566,7 +2600,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                progression: str = "LRCP",
                ppt: bool = False, ppm: bool = False,
                roi: tuple | None = None,
-               roi_comps: tuple | None = None) -> bytes:
+               roi_comps: tuple | None = None,
+               poc: list | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2828,8 +2863,11 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             levels, pexps,
             lambda r: lay_r[r][0] * lay_r[r][1],
             lambda r: lay_r[r][0])
-        order = _progression_order(progression, plist,
-                                   len(planes_t), 1)
+        if poc is not None:
+            order = _poc_order(poc, plist, len(planes_t), 1, levels)
+        else:
+            order = _progression_order(progression, plist,
+                                       len(planes_t), 1)
         for _l, r, c, pidx in order:
             npx, npy, layouts = lay_r[r]
             entries = packet_blocks[(r, c)]
@@ -3015,6 +3053,18 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 for e, m_, _d, _mb in qspec_c[c])
             out += (0xFF5D).to_bytes(2, "big") \
                 + (len(qcc) + 2).to_bytes(2, "big") + qcc
+    if poc is not None:
+        if tile_size is not None:
+            raise ValueError("poc with tiling unsupported")
+        seg = b""
+        for (rs, cs, lye, re_, ce, prog) in poc:
+            if prog not in _PROGRESSIONS.values():
+                raise ValueError("unknown progression order in poc")
+            code = {v: k for k, v in _PROGRESSIONS.items()}[prog]
+            seg += (bytes((rs, cs)) + int(lye).to_bytes(2, "big")
+                    + bytes((re_, ce, code)))
+        out += ((0xFF5F).to_bytes(2, "big")
+                + (len(seg) + 2).to_bytes(2, "big") + seg)
     for rc, sh in sorted(rgn_shifts.items()):
         # RGN (A.6.3): maxshift ROI, Srgn=0, one segment per component
         out += ((0xFF5E).to_bytes(2, "big") + (5).to_bytes(2, "big")

@@ -1093,3 +1093,42 @@ def test_rgn_maxshift_roi():
     d[at + 5] = 1                            # Srgn -> 1
     with pytest.raises(Jp2Error, match="maxshift"):
         decode_jp2(bytes(d))
+
+
+def test_poc_progression_order_change():
+    """POC segments (A.6.4/B.12.2, round-6 late): each entry emits its
+    (layer, resolution, component) volume in its own progression
+    order, skipping already-emitted packets; partial covers raise.
+    Exercises the classic streaming shape — low resolutions first,
+    then the rest — including over precinct partitions with a spatial
+    progression inside an entry."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    for shape in [(70, 90), (64, 80, 3)]:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        nc = 1 if img.ndim == 2 else 3
+        poc = [(0, 0, 1, 2, nc, "RLCP"), (2, 0, 1, 3, nc, "LRCP")]
+        d = encode_j2k(img, levels=2, poc=poc)
+        assert 0 < d.find(b"\xff\x5f") < d.find(b"\xff\x90"), shape
+        assert np.array_equal(decode_jp2(d), img), shape
+    img = rng.integers(0, 256, (64, 96)).astype(np.uint8)
+    poc = [(0, 0, 1, 1, 1, "LRCP"), (1, 0, 1, 3, 1, "PCRL")]
+    d = encode_j2k(img, levels=2, precinct_exp=(4, 4), poc=poc)
+    assert np.array_equal(decode_jp2(d), img)
+    # overlapping volumes: the second entry re-covers the first's
+    # packets, which must be skipped, not duplicated
+    poc = [(0, 0, 1, 2, 1, "RLCP"), (0, 0, 1, 3, 1, "LRCP")]
+    d = encode_j2k(img, levels=2, poc=poc)
+    assert np.array_equal(decode_jp2(d), img)
+    # a POC that does not cover every packet raises (encode side uses
+    # the same shared order function as decode)
+    with pytest.raises(Jp2Error, match="cover"):
+        encode_j2k(img, levels=2, poc=[(0, 0, 1, 2, 1, "LRCP")])
+    # decode side: truncated POC entry bytes raise typed
+    d = bytearray(encode_j2k(img, levels=2,
+                             poc=[(0, 0, 1, 3, 1, "LRCP")]))
+    at = bytes(d).find(b"\xff\x5f")
+    d[at + 3] -= 1                           # shrink Lpoc: 7 -> 6 body
+    with pytest.raises(Jp2Error):
+        decode_jp2(bytes(d))
