@@ -59,10 +59,10 @@ records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
 round-trips; the one remaining
-unsupported profile feature family (COC overrides beyond the
-code-block style byte — PPT/PPM packed headers, RGN maxshift ROI and
-POC progression changes all DECODE since round 6 late) raises
-``Jp2Error`` and callers fall back to the metadata-only path —
+unsupported profile corner (COC overrides of decomposition LEVELS or
+transform — style bytes, CODE-BLOCK SIZES, PPT/PPM packed headers,
+RGN maxshift ROI and POC progression changes all DECODE since round 6
+late) raises ``Jp2Error`` and callers fall back to the metadata-only path —
 the same graceful degradation the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
 (D.6 multi-segment blocks, raw SPP/MR passes — now the ENCODER
@@ -1781,6 +1781,7 @@ def _parse_headers(d: bytes, i: int,
     p.ppm_raw = []
     p.rgn = {}
     p.poc = None
+    p.comp_cb = {}
     p.comp_cbstyle, p.comp_q = {}, {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
@@ -1931,15 +1932,20 @@ def _parse_headers(d: bytes, i: int,
         if c >= p.ncomp:
             raise Jp2Error("COC for nonexistent component")
         scoc = seg[1]
-        if (seg[2] != p.levels or (seg[3] & 0x0F) + 2 != p.xcb
-                or (seg[4] & 0x0F) + 2 != p.ycb
+        if (seg[2] != p.levels
                 or seg[6] != (0 if p.irreversible else 1)):
-            # per-component decomposition/code-block/transform changes
-            # would need per-component band+precinct layouts — out of
-            # scope; the common real-world COC (kakadu per-component
-            # coder modes) only varies the style byte
+            # per-component decomposition levels / transform would need
+            # per-component band GEOMETRY (Mallat assembly changes) —
+            # out of scope; style byte and CODE-BLOCK SIZE overrides
+            # (round-6 late) are supported via per-component layouts
             raise Jp2Error(
-                "COC override beyond code-block style unsupported")
+                "COC override beyond style/code-block size unsupported")
+        xcb_c = (seg[3] & 0x0F) + 2
+        ycb_c = (seg[4] & 0x0F) + 2
+        if xcb_c + ycb_c > 12:
+            raise Jp2Error("illegal code-block size")
+        if (xcb_c, ycb_c) != (p.xcb, p.ycb):
+            p.comp_cb[c] = (xcb_c, ycb_c)
         if scoc & 1:
             pe = seg[7:7 + p.levels + 1]
             if len(pe) < p.levels + 1:
@@ -2251,7 +2257,7 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
 
 
-def _precinct_layout(p, bands, r, tw_i, th_i):
+def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None):
     """Precinct geometry for resolution ``r`` of a tile (B.6): precincts
     partition the RESOLUTION grid in 2^PPx x 2^PPy cells (the spec
     default, PPx=PPy=15, yields the familiar single precinct); band-
@@ -2273,8 +2279,8 @@ def _precinct_layout(p, bands, r, tw_i, th_i):
     for (name, lev, bw, bh, gain) in bands[r]:
         pbw = 1 << (ppx - (1 if r else 0))
         pbh = 1 << (ppy - (1 if r else 0))
-        cbw_e = min(1 << p.xcb, pbw)
-        cbh_e = min(1 << p.ycb, pbh)
+        cbw_e = min(1 << (p.xcb if xcb is None else xcb), pbw)
+        cbh_e = min(1 << (p.ycb if ycb is None else ycb), pbh)
         nx = -(-bw // cbw_e) if bw else 0
         ny = -(-bh // cbh_e) if bh else 0
         layouts.append((cbw_e, cbh_e, pbw, pbh, nx, ny))
@@ -2301,9 +2307,11 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     grids = {}
     prec = {}
     for r in range(p.levels + 1):
-        prec[r] = _precinct_layout(p, bands, r, tw_i, th_i)
-        _npx, _npy, layouts = prec[r]
         for c in range(p.ncomp):
+            xcb_c, ycb_c = p.comp_cb.get(c, (p.xcb, p.ycb))
+            prec[(c, r)] = _precinct_layout(p, bands, r, tw_i, th_i,
+                                            xcb_c, ycb_c)
+            _npx, _npy, layouts = prec[(c, r)]
             for bi, (cbw_e, cbh_e, pbw, pbh, nx, ny) in enumerate(layouts):
                 grids[(c, r, bi)] = (nx, ny)
                 state[(c, r, bi)] = [_BlockState()
@@ -2315,7 +2323,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     def prec_trees(c, r, bi, px, py):
         key = (c, r, bi, px, py)
         if key not in trees:
-            _npx, _npy, layouts = prec[r]
+            _npx, _npy, layouts = prec[(c, r)]
             cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
             name, lev, bw, bh, gain = bands[r][bi]
             bx0, bx1 = _prec_block_range(px, pbw, cbw_e, bw, nx)
@@ -2327,12 +2335,15 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                           (bx0, bx1, by0, by1))
         return trees[key]
 
-    n_prec = {r: prec[r][0] * prec[r][1] for r in range(p.levels + 1)}
+    # the precinct GRID depends only on the resolution dims + precinct
+    # exponents (shared across components) — component 0 is canonical
+    n_prec = {r: prec[(0, r)][0] * prec[(0, r)][1]
+              for r in range(p.levels + 1)}
 
     def packets():
         plist = _precinct_anchors(p.levels, p.prec_exps,
                                   lambda r: n_prec[r],
-                                  lambda r: prec[r][0])
+                                  lambda r: prec[(0, r)][0])
         if p.poc is None:
             return _progression_order(p.progression, plist, p.ncomp,
                                       p.nlayers)
@@ -2353,7 +2364,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         bio = ppt_bio if ppt_bio is not None else _BioReader(tdata, pos)
         nonempty = bio.read()
         body_plan = []
-        npx = prec[r][0]
+        npx = prec[(0, r)][0]
         py, px = divmod(pidx, npx)
         if nonempty:
             for bi, (name, lev, bw, bh, gain) in enumerate(bands[r]):
@@ -2432,7 +2443,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         for r, blist in enumerate(bands):
             if r > r_max:
                 continue                     # dropped resolution
-            cbw_e_list = prec[r][2]
+            cbw_e_list = prec[(c, r)][2]
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                 if not (bw and bh):
                     continue
@@ -2601,7 +2612,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                ppt: bool = False, ppm: bool = False,
                roi: tuple | None = None,
                roi_comps: tuple | None = None,
-               poc: list | None = None) -> bytes:
+               poc: list | None = None,
+               coc_block_exp: dict | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2723,6 +2735,16 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                       for c in range(len(comps))]
     else:
         eff_bypass = [bypass] * len(comps)
+    eff_cb = [(xcb, ycb)] * len(comps)
+    if coc_block_exp:
+        for cc, (xe, ye) in coc_block_exp.items():
+            if not 0 <= int(cc) < len(comps):
+                raise ValueError(
+                    "coc_block_exp for nonexistent component")
+            xe, ye = int(xe), int(ye)
+            if not (2 <= xe <= 10 and 2 <= ye <= 10 and xe + ye <= 12):
+                raise ValueError("illegal code-block size")
+            eff_cb[int(cc)] = (xe, ye)
 
     if progression not in _PROGRESSIONS.values():
         raise ValueError("unknown progression order")
@@ -2809,15 +2831,17 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                     by1 = min(-(-(ry0 + rh_) // (1 << lev)) + 1, bh)
                     ba[by0:by1, bx0:bx1] <<= sprgn
                 rgn_shifts[c] = sprgn
+            cbw_c = 1 << eff_cb[c][0]
+            cbh_c = 1 << eff_cb[c][1]
             for r, blist in enumerate(bands):
                 for bi, (name, lev, bw, bh, gain) in enumerate(blist):
                     if precinct_exp is not None:
                         pb = 1 << (ppx_ - (1 if r else 0))
                         ph_ = 1 << (ppy_ - (1 if r else 0))
-                        cbw_e = min(cbw, pb)
-                        cbh_e = min(cbh, ph_)
+                        cbw_e = min(cbw_c, pb)
+                        cbh_e = min(cbh_c, ph_)
                     else:
-                        cbw_e, cbh_e = cbw, cbh
+                        cbw_e, cbh_e = cbw_c, cbh_c
                     if not (bw and bh):
                         packet_blocks[(r, c)].append((bi, []))
                         continue
@@ -2853,23 +2877,26 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         body = bytearray()
         ppt_buf = bytearray()
         pkt_offsets = []
-        lay_r = {r: _precinct_layout(_p, bands, r, tw_i, th_i)
-                 for r in range(levels + 1)}
+        lay_r = {(c2, r): _precinct_layout(
+                     _p, bands, r, tw_i, th_i,
+                     eff_cb[c2][0], eff_cb[c2][1])
+                 for r in range(levels + 1)
+                 for c2 in range(len(planes_t))}
         # packet emission order: the SAME shared function the decoder
         # walks (single layer), so order bugs cannot hide on one side
         pexps = ([precinct_exp] * (levels + 1)
                  if precinct_exp is not None else None)
         plist = _precinct_anchors(
             levels, pexps,
-            lambda r: lay_r[r][0] * lay_r[r][1],
-            lambda r: lay_r[r][0])
+            lambda r: lay_r[(0, r)][0] * lay_r[(0, r)][1],
+            lambda r: lay_r[(0, r)][0])
         if poc is not None:
             order = _poc_order(poc, plist, len(planes_t), 1, levels)
         else:
             order = _progression_order(progression, plist,
                                        len(planes_t), 1)
         for _l, r, c, pidx in order:
-            npx, npy, layouts = lay_r[r]
+            npx, npy, layouts = lay_r[(c, r)]
             entries = packet_blocks[(r, c)]
             py_, px_ = divmod(pidx, npx)
             if sop:
@@ -3069,14 +3096,14 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         # RGN (A.6.3): maxshift ROI, Srgn=0, one segment per component
         out += ((0xFF5E).to_bytes(2, "big") + (5).to_bytes(2, "big")
                 + bytes((rc, 0, sh)))
-    if coc_bypass:
-        # COC for components whose code-block style differs from COD
-        # (A.6.2) — everything else mirrors the COD parameters
+    if coc_bypass or coc_block_exp:
+        # COC for components whose code-block style OR size differs
+        # from COD (A.6.2) — everything else mirrors the COD parameters
         for c in range(len(comps)):
-            if eff_bypass[c] == bypass:
+            if eff_bypass[c] == bypass and eff_cb[c] == (xcb, ycb):
                 continue
             coc = bytes([c, 0x01 if precinct_exp is not None else 0,
-                         levels, xcb - 2, ycb - 2,
+                         levels, eff_cb[c][0] - 2, eff_cb[c][1] - 2,
                          0x01 if eff_bypass[c] else 0,
                          0 if irreversible else 1])
             if precinct_exp is not None:
@@ -3133,7 +3160,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                comp_steps: tuple | None = None,
                coc_bypass: dict | None = None,
                progression: str = "LRCP",
-               precinct_exp: tuple | None = None) -> bytes:
+               precinct_exp: tuple | None = None,
+               coc_block_exp: dict | None = None) -> bytes:
     """JP2 file (or raw J2K codestream) from a uint8 image — lossless
     5/3 by default, lossy 9/7 with ``irreversible=True`` (see
     ``encode_j2k``; ``bypass`` = selective arithmetic bypass, default
@@ -3145,7 +3173,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                     derived_quant=derived_quant, tile_size=tile_size,
                     bypass=bypass, comp_steps=comp_steps,
                     coc_bypass=coc_bypass, progression=progression,
-                    precinct_exp=precinct_exp)
+                    precinct_exp=precinct_exp,
+                    coc_block_exp=coc_block_exp)
     if raw_codestream:
         return cs
     img = np.asarray(img)

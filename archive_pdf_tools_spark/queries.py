@@ -1880,17 +1880,20 @@ def q_jp2_decode(spark, sf):
                 # (16x16 would silently degenerate to one tile) and the
                 # per-tile decode path must reproduce the same
                 # closed-form pixels
-                # odd (RGB) images alternate per-component COC style
-                # overrides (bypass off for chroma) — exercises the
-                # per-component code-block-style decode path (round 6);
-                # lossless, so the same closed-form oracle applies
+                # odd (RGB) images alternate per-component COC
+                # overrides (bypass off + smaller code-blocks for
+                # chroma) — exercises the per-component style AND
+                # layout decode paths (round 6); lossless, so the same
+                # closed-form oracle applies
                 data = encode_jp2(
                     img, levels=1 + i % 3,
                     block_exp=(4 + i % 3, 4 + (i // 2) % 3),
                     raw_codestream=bool(i % 5 == 0),
                     tile_size=(8, 8) if i % 6 == 0 else None,
                     coc_bypass=({1: False, 2: False}
-                                if i % 4 == 1 else None))
+                                if i % 4 == 1 else None),
+                    coc_block_exp=({1: (4, 4), 2: (5, 3)}
+                                   if i % 4 == 1 else None))
                 dec = decode_jp2(data)
                 if not np.array_equal(dec, img):
                     raise AssertionError(f"lossless violation img {i}")

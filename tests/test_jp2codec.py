@@ -719,7 +719,7 @@ def test_coc_qcc_decode_guards():
     # COC that changes decomposition levels (out of scope -> loud)
     bad = bytearray(d)
     bad[coc + 6] += 1
-    with pytest.raises(Jp2Error, match="beyond code-block style"):
+    with pytest.raises(Jp2Error, match="beyond style"):
         decode_jp2(bytes(bad))
     dq = bytearray(encode_jp2(img, levels=2, raw_codestream=True,
                               irreversible=True,
@@ -1132,3 +1132,31 @@ def test_poc_progression_order_change():
     d[at + 3] -= 1                           # shrink Lpoc: 7 -> 6 body
     with pytest.raises(Jp2Error):
         decode_jp2(bytes(d))
+
+
+def test_coc_per_component_block_sizes():
+    """COC code-block-size overrides (round-6 late): per-component
+    layouts thread through precinct geometry, packet headers, tag
+    trees and Tier-1 on both sides; composes with precinct partitions,
+    bypass styles and SOP/EPH."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (70, 90, 3)).astype(np.uint8)
+    for kw in ({}, {"precinct_exp": (4, 4)}, {"bypass": False},
+               {"coc_bypass": {1: False}}, {"sop": True, "eph": True}):
+        d = encode_j2k(img, levels=2,
+                       coc_block_exp={1: (4, 4), 2: (5, 3)}, **kw)
+        assert d.find(b"\xff\x53") > 0
+        assert np.array_equal(decode_jp2(d), img), kw
+    # 9/7 + QCC + per-component blocks together
+    yy, xx = np.mgrid[0:64, 0:80]
+    sm = np.clip(110 + 50 * np.sin(xx / 7.0), 0, 255).astype(np.uint8)
+    srgb = np.stack([sm, 255 - sm, np.roll(sm, 3, 1)], axis=-1)
+    d = encode_j2k(srgb, levels=2, irreversible=True,
+                   comp_steps=(0.25, 1.0, 1.0),
+                   coc_block_exp={1: (4, 4)})
+    assert np.abs(decode_jp2(d).astype(int)
+                  - srgb.astype(int)).max() <= 4
+    with pytest.raises(ValueError, match="illegal code-block"):
+        encode_j2k(img, levels=2, coc_block_exp={1: (8, 8)})
