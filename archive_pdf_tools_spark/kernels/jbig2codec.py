@@ -43,7 +43,14 @@ Scope (raised as ``Jbig2Error``, honestly): Huffman-coded symbol
 dictionaries / text regions, refinement / aggregate symbols,
 transposed text regions, halftone regions, unknown-length segments.
 jbig2enc's generic and default symbol modes and this module's own
-encoders use none of these.
+encoders use none of these.  The Huffman path's standard tables
+(T.88 Annex B.4-B.15) and the refinement templates (§6.3.5.3) are NOT
+reconstructed from memory for the same reason the MQ conformance
+vector is not (see ``jp2codec``): a misremembered spec table decodes
+self-consistent fixtures while silently corrupting foreign streams —
+the worst failure mode a codec gate exists to prevent.  This note
+records the deliberate boundary; closing it requires the actual spec
+text in-container.
 """
 
 from __future__ import annotations

@@ -1909,6 +1909,8 @@ def _parse_headers(d: bytes, i: int,
             # CSpoc(1), LYEpoc(2), REpoc(1), CEpoc(1), Ppoc(1)
             if len(seg) % 7:
                 raise Jp2Error("truncated POC")
+            if p.poc is not None:
+                raise Jp2Error("duplicate POC marker")
             p.poc = []
             for k in range(0, len(seg), 7):
                 prog = seg[k + 6]
@@ -2188,8 +2190,10 @@ def _decode_j2k(data: bytes, max_pixels: int,
         j += 2
         tile_parts.setdefault(isot, []).append((tpsot, data[j:tile_end]))
         if ppm_records is not None:
-            if isot in ppt_store:
-                raise Jp2Error("both PPM and PPT present")
+            # (a real PPT marker already raised in the tile-header walk
+            # above, so ppt_store can only hold this tile's own PPM
+            # records from its earlier tile-parts — appending is the
+            # multi-tile-part case, not mixing)
             if not ppm_records:
                 raise Jp2Error("missing PPM record for tile-part")
             ppt_store.setdefault(isot, []).append(
@@ -2198,6 +2202,10 @@ def _decode_j2k(data: bytes, max_pixels: int,
             declared_parts[isot] = tnsot
         pos = tile_end
 
+    if ppm_records:
+        # under-supply raises per tile-part above; over-supply is the
+        # same desync and must be as loud
+        raise Jp2Error("unconsumed PPM records")
     for isot in range(n_tiles):
         parts = tile_parts.get(isot)
         if not parts:
@@ -2347,7 +2355,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         if p.poc is None:
             return _progression_order(p.progression, plist, p.ncomp,
                                       p.nlayers)
-        return _poc_order(p.poc, plist, p.ncomp, p.nlayers, p.levels)
+        return _poc_order(p.poc, plist, p.ncomp, p.nlayers)
 
     pos = 0
     tile_end = len(tdata)
@@ -2524,7 +2532,7 @@ def _progression_order(progression: str, plist, ncomp: int,
     return [t for _k, t in pk]
 
 
-def _poc_order(poc, plist, ncomp: int, nlayers: int, levels: int):
+def _poc_order(poc, plist, ncomp: int, nlayers: int):
     """POC packet ordering (B.12.2): each progression-change entry
     emits its (layer < LYEpoc, RSpoc <= r < REpoc, CSpoc <= c < CEpoc)
     volume in its own progression order, skipping packets an earlier
@@ -2540,8 +2548,7 @@ def _poc_order(poc, plist, ncomp: int, nlayers: int, levels: int):
                and t[0] < lye and t not in seen]
         seen.update(sub)
         order.extend(sub)
-    total = len(_progression_order("LRCP", plist, ncomp, nlayers))
-    if len(order) != total:
+    if len(order) != len(plist) * ncomp * nlayers:
         raise Jp2Error("POC does not cover every packet")
     return order
 
@@ -2756,6 +2763,10 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         if not (0 <= rx0 < w and 0 <= ry0 < h and rw_ > 0 and rh_ > 0
                 and rx0 + rw_ <= w and ry0 + rh_ <= h):
             raise ValueError("roi rectangle outside image")
+    elif roi_comps is not None:
+        raise ValueError("roi_comps without roi")
+    if poc is not None and tile_size is not None:
+        raise ValueError("poc with tiling unsupported")
     if ppm:
         if ppt:
             raise ValueError("ppm and ppt are mutually exclusive")
@@ -2891,7 +2902,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             lambda r: lay_r[(0, r)][0] * lay_r[(0, r)][1],
             lambda r: lay_r[(0, r)][0])
         if poc is not None:
-            order = _poc_order(poc, plist, len(planes_t), 1, levels)
+            order = _poc_order(poc, plist, len(planes_t), 1)
         else:
             order = _progression_order(progression, plist,
                                        len(planes_t), 1)
@@ -3008,6 +3019,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
 
     if roi_comps is None:
         roi_comps = tuple(range(len(comps)))
+    elif any(not 0 <= int(cc) < len(comps) for cc in roi_comps):
+        raise ValueError("roi_comps for nonexistent component")
     bodies = []
     for ti in range(ntx * nty):
         ty_i, tx_i = divmod(ti, ntx)
@@ -3081,8 +3094,6 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             out += (0xFF5D).to_bytes(2, "big") \
                 + (len(qcc) + 2).to_bytes(2, "big") + qcc
     if poc is not None:
-        if tile_size is not None:
-            raise ValueError("poc with tiling unsupported")
         seg = b""
         for (rs, cs, lye, re_, ce, prog) in poc:
             if prog not in _PROGRESSIONS.values():

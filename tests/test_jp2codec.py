@@ -1160,3 +1160,56 @@ def test_coc_per_component_block_sizes():
                   - srgb.astype(int)).max() <= 4
     with pytest.raises(ValueError, match="illegal code-block"):
         encode_j2k(img, levels=2, coc_block_exp={1: (8, 8)})
+
+
+def test_ppm_multi_tile_part_and_over_supply():
+    """Review-fix regressions: a tile with MORE THAN ONE tile-part
+    under PPM must decode (each part consumes its own Nppm record —
+    previously misdiagnosed as PPM+PPT mixing), and leftover PPM
+    records after the tile walk raise instead of silently desyncing."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (48, 56)).astype(np.uint8)
+    d = bytearray(encode_j2k(img, levels=2, ppm=True))
+    # append an EMPTY second tile-part (SOT header only, no packets)
+    # and a matching zero-length Nppm record: headers and bodies are
+    # unchanged, but the tile now has two parts
+    ppm_at = bytes(d).find(b"\xff\x60")
+    lppm = int.from_bytes(d[ppm_at + 2:ppm_at + 4], "big")
+    d[ppm_at + 2:ppm_at + 4] = (lppm + 4).to_bytes(2, "big")
+    d[ppm_at + 2 + lppm:ppm_at + 2 + lppm] = (0).to_bytes(4, "big")
+    sot_at = bytes(d).find(b"\xff\x90")
+    d[sot_at + 10] = 0                       # tpsot 0
+    d[sot_at + 11] = 2                       # tnsot: now 2 parts
+    empty_part = (b"\xff\x90" + (10).to_bytes(2, "big")
+                  + (0).to_bytes(2, "big") + (14).to_bytes(4, "big")
+                  + bytes((1, 2)) + b"\xff\x93")
+    eoc = len(d) - 2
+    d[eoc:eoc] = empty_part
+    assert np.array_equal(decode_jp2(bytes(d)), img)
+    # over-supplied records (an extra one nothing consumes) raise
+    d2 = bytearray(encode_j2k(img, levels=2, ppm=True))
+    at = bytes(d2).find(b"\xff\x60")
+    l2 = int.from_bytes(d2[at + 2:at + 4], "big")
+    d2[at + 2:at + 4] = (l2 + 4).to_bytes(2, "big")
+    d2[at + 2 + l2:at + 2 + l2] = (0).to_bytes(4, "big")
+    with pytest.raises(Jp2Error, match="unconsumed PPM"):
+        decode_jp2(bytes(d2))
+    # duplicate POC markers raise
+    d3 = bytearray(encode_j2k(img, levels=2,
+                              poc=[(0, 0, 1, 3, 1, "LRCP")]))
+    at = bytes(d3).find(b"\xff\x5f")
+    lpoc = int.from_bytes(d3[at + 2:at + 4], "big")
+    seg = bytes(d3[at:at + 2 + lpoc])
+    d3[at:at] = seg
+    with pytest.raises(Jp2Error, match="duplicate POC"):
+        decode_jp2(bytes(d3))
+    # encoder contract checks from the same review pass
+    with pytest.raises(ValueError, match="roi_comps"):
+        encode_j2k(img, levels=2, roi=(2, 2, 8, 8), roi_comps=(3,))
+    with pytest.raises(ValueError, match="roi_comps without roi"):
+        encode_j2k(img, levels=2, roi_comps=(0,))
+    with pytest.raises(ValueError, match="poc with tiling"):
+        encode_j2k(np.tile(img, (2, 2)), levels=2,
+                   tile_size=(64, 64), poc=[(0, 0, 1, 3, 1, "LRCP")])
