@@ -629,6 +629,12 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
         combination operator, growing unknown-height pages."""
         nonlocal bitmap, page_h
         rh_, rw_ = region.shape
+        if not h_known and page_w * (ry + rh_) > max_pixels:
+            # Striped-page bomb guard: a small region (rw*rh within its
+            # own cap) placed at a huge ry would otherwise force an
+            # arbitrarily large allocation below — mirror the
+            # known-height page-info max_pixels check here.
+            raise Jbig2Error("striped page grows past max_pixels bound")
         if bitmap is None:
             if not h_known:
                 page_h = ry + rh_

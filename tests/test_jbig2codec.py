@@ -187,6 +187,24 @@ def test_unknown_height_page_grows():
     assert np.array_equal(decode_jbig2(bytes(patched)), bm)
 
 
+def test_unknown_height_page_growth_is_bounded():
+    """Striped-page bomb guard: a tiny region (within its own rw*rh
+    cap) placed at a huge ry on an unknown-height page must raise
+    Jbig2Error, not attempt a multi-GB allocation (the growth check
+    mirrors the known-height page-info max_pixels check)."""
+    bm = _textish(8, 16, seed=1)
+    data = encode_jbig2(bm)
+    # segment 0 = page info, segment 1 = region
+    _, _, _, _, dlen0, body0 = jb._parse_segment_header(data, 0)
+    pos1 = body0 + dlen0
+    _, _, _, _, _, body1 = jb._parse_segment_header(data, pos1)
+    patched = bytearray(data)
+    patched[body0 + 4:body0 + 8] = b"\xff\xff\xff\xff"   # height unknown
+    patched[body1 + 12:body1 + 16] = (2 ** 27).to_bytes(4, "big")  # ry
+    with pytest.raises(Jbig2Error, match="max_pixels"):
+        decode_jbig2(bytes(patched), max_pixels=64_000_000)
+
+
 def test_standalone_file_header_and_sniffing():
     """Standalone .jb2 files (9.1 magic + flags + optional page count)
     decode; decode_image sniffs both the file magic and the embedded
