@@ -69,11 +69,16 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
     (``internetarchivepdf/mrc.py:474-520`` via the jbig2enc subprocess).
     When ``(w + h) % 3 == 0`` the stream uses SYMBOL MODE instead
     (symbol dictionary + text region, jbig2enc ``-s`` organization —
-    what real archival PDFs usually carry), so both families flow
-    through the PDF -> MRC pins.  Seeded from (seed, w, h) only, like
-    the other ``synth_*_real`` fixtures, so adding these never shifts
-    sibling fixtures."""
-    from ..kernels.jbig2codec import encode_jbig2, encode_jbig2_symbols
+    what real archival PDFs usually carry), and when
+    ``(w + h) % 3 == 1`` the REFINEMENT organization (round 7: a
+    corrupted base generic region + an immediate refinement region
+    restoring the mask, jbig2enc ``-r`` shape), so all three families
+    flow through the PDF -> MRC pins.  Seeded from (seed, w, h) only,
+    like the other ``synth_*_real`` fixtures, so adding these never
+    shifts sibling fixtures."""
+    from ..kernels.jbig2codec import (encode_jbig2,
+                                      encode_jbig2_refinement,
+                                      encode_jbig2_symbols)
 
     rng = np.random.default_rng((seed * 7919) ^ (w << 16) ^ h)
     if (w + h) % 3 == 0 and w >= 8 and h >= 8:
@@ -95,6 +100,13 @@ def synth_jbig2_real(w: int, h: int, seed: int = 0) -> bytes:
         y = int(rng.integers(0, h))
         x = int(rng.integers(0, w))
         bm[y, x:x + int(rng.integers(1, 10))] = 1
+    if (w + h) % 3 == 1 and w >= 8 and h >= 8:
+        # jbig2enc -r shape: a seeded-corrupted approximation as the
+        # base generic region, refined back to ``bm`` exactly
+        flips = (rng.random((h, w)) < 0.03).astype(np.uint8)
+        return encode_jbig2_refinement(bm ^ flips, bm,
+                                       template=(w + h) % 2,
+                                       tpgron=bool(seed % 2 == 0))
     return encode_jbig2(bm)
 
 

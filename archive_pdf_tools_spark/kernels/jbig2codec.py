@@ -39,18 +39,32 @@ plus those spec-structure pins (see COVERAGE.md).
 MMR (=1) generic regions decode via the shared T.6 path
 (``kernels/ccittcodec.py`` — T.88 §6.2.6 delegates to T.4/T.6).
 
-Scope (raised as ``Jbig2Error``, honestly): Huffman-coded symbol
-dictionaries / text regions, refinement / aggregate symbols,
-transposed text regions, halftone regions, unknown-length segments.
-jbig2enc's generic and default symbol modes and this module's own
-encoders use none of these.  The Huffman path's standard tables
-(T.88 Annex B.4-B.15) and the refinement templates (§6.3.5.3) are NOT
-reconstructed from memory for the same reason the MQ conformance
-vector is not (see ``jp2codec``): a misremembered spec table decodes
-self-consistent fixtures while silently corrupting foreign streams —
-the worst failure mode a codec gate exists to prevent.  This note
-records the deliberate boundary; closing it requires the actual spec
-text in-container.
+REFINEMENT (round 7): generic refinement regions (§6.3, templates 0-1,
+TPGRON typical prediction, segment types 42/43 refining the page per
+§7.4.7.2), SBREFINE text-region instances (§6.4.11) and SDREFAGG
+symbol dictionaries with REFAGGNINST=1 (§6.5.8.2) — together the
+jbig2enc lossy ``-r`` organization — all decode and the matching
+encoders (``encode_jbig2_refinement``, ``encode_jbig2_symbols(...,
+refinements=...)``) round-trip bit-exactly.  HALFTONE too: pattern
+dictionaries (§6.7) and halftone regions (§6.6, Annex-C gray-coded
+bitplanes, 8.8 fixed-point grid stamping) with
+``encode_jbig2_halftone``.
+
+Scope (raised as ``Jbig2Error``, honestly): Huffman-coded segments,
+aggregate symbols (REFAGGNINST > 1, a nested text region),
+transposed text regions, HENABLESKIP halftones, intermediate
+regions, unknown-length segments.  jbig2enc's modes and this
+module's own encoders use none of these.  The Huffman path's
+standard tables (T.88 Annex B.4-B.15) are NOT reconstructed from
+memory for the same reason the MQ conformance vector is not (see
+``jp2codec``): a misremembered spec table decodes self-consistent
+fixtures while silently corrupting foreign streams — the worst
+failure mode a codec gate exists to prevent.  The refinement
+template pixel SETS and the halftone grid/gray-code procedures are
+algorithmic figure-level structure (same class as the generic
+templates, whose transcription reproduces the published TPGDON
+constants); the residual foreign-parity caveat is transcription-
+level bit ordering, recorded here.
 """
 
 from __future__ import annotations
@@ -246,6 +260,155 @@ def _encode_generic(encode, bitmap: np.ndarray, template: int,
             c0 = ((c0 << 1) | bit) & m0
 
 
+# ------------------------------------------- refinement regions (§6.3)
+#
+# Generic refinement region decoding: each pixel's context combines
+# already-decoded neighbours in the bitmap being produced (the "coding"
+# pixels, causal) with a 3x3-ish window of an existing REFERENCE bitmap
+# shifted by (GRREFERENCEDX, GRREFERENCEDY).  This is how jbig2enc's
+# lossy refinement mode (``-r``) upgrades an approximate page/symbol to
+# the exact original, and how SDREFAGG symbol dictionaries define new
+# glyphs as deltas of existing ones.
+#
+# Template pixel sets per GRTEMPLATE (§6.3.5.3 figures 12-13), (dy, dx);
+# context = coding pixels then reference pixels, first listed pixel =
+# MSB — the same figure-reading-order convention as the generic
+# templates above (whose transcription reproduces the published TPGDON
+# constants, the strongest available cross-check without spec text
+# in-container).  Template 0 appends A1 to the coding set and A2 to the
+# reference set (13-bit contexts); template 1 is fixed (10-bit).
+_REF_CODING = (
+    ((-1, 0), (-1, 1), (0, -1)),
+    ((-1, -1), (-1, 0), (-1, 1), (0, -1)),
+)
+_REF_REFERENCE = (
+    ((-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1),
+     (1, -1), (1, 0), (1, 1)),
+    ((-1, 0), (0, -1), (0, 0), (0, 1), (1, 0), (1, 1)),
+)
+# TPGRON pseudo-pixel context (§6.3.5.6): the context value whose only
+# set bit is the reference bitmap's centre pixel — 0x0020 / 0x0008
+# under the ordering above.
+_TPGRON_CTX = (0x0020, 0x0008)
+# Nominal refinement AT positions (§6.3.5.3), (dy, dx).
+_REF_NOMINAL_AT = ((-1, -1), (-1, -1))
+_REF_CTX_SIZE = 1 << 13
+
+
+def _ref_typical(ref, ry: int, rx: int):
+    """TPGRON typicality (§6.3.5.6): the 3x3 reference window centred
+    at (ry, rx) — pixels outside the reference count as 0.  Returns 0
+    (all-zero), 1 (all-one) or None (mixed: pixel must be coded).
+    ``ref`` is a list-of-row-lists."""
+    rh = len(ref)
+    rw = len(ref[0]) if rh else 0
+    total = 0
+    for yy in range(ry - 1, ry + 2):
+        if 0 <= yy < rh:
+            for xx in range(rx - 1, rx + 2):
+                if 0 <= xx < rw and ref[yy][xx]:
+                    total += 1
+    if total == 0:
+        return 0
+    if total == 9:
+        return 1
+    return None
+
+
+def _decode_refinement(decode, w: int, h: int, template: int, at,
+                       ref: np.ndarray, dx: int, dy: int,
+                       tpgron: bool, base: int = 0) -> np.ndarray:
+    """Generic refinement region decoding procedure (§6.3.5.6).
+
+    ``ref`` is the reference bitmap; output pixel (y, x) reads the
+    reference around (y - dy, x - dx).  ``base`` offsets this
+    procedure's context block within the segment's shared MQ state (a
+    text region interleaves refinement contexts with its IAx blocks).
+    """
+    coding = list(_REF_CODING[template])
+    refpix = list(_REF_REFERENCE[template])
+    if template == 0:
+        coding.append(tuple(at[0]))
+        refpix.append(tuple(at[1]))
+    refl = [r.tolist() for r in np.asarray(ref)]
+    rh, rw = ref.shape
+    rows: list = []
+    ltp = 0
+    tp_ctx = base + _TPGRON_CTX[template]
+    for y in range(h):
+        if tpgron:
+            ltp ^= decode(tp_ctx)
+        row = [0] * w
+        rows.append(row)
+        for x in range(w):
+            if ltp:
+                tv = _ref_typical(refl, y - dy, x - dx)
+                if tv is not None:
+                    row[x] = tv
+                    continue
+            ctx = 0
+            for dy_, dx_ in coding:
+                yy, xx = y + dy_, x + dx_
+                ctx = (ctx << 1) | (rows[yy][xx]
+                                    if 0 <= yy < h and 0 <= xx < w
+                                    else 0)
+            for dy_, dx_ in refpix:
+                yy, xx = y - dy + dy_, x - dx + dx_
+                ctx = (ctx << 1) | (refl[yy][xx]
+                                    if 0 <= yy < rh and 0 <= xx < rw
+                                    else 0)
+            row[x] = decode(base + ctx)
+    return np.array(rows, dtype=np.uint8).reshape(h, w)
+
+
+def _encode_refinement(encode, bitmap: np.ndarray, template: int,
+                       ref: np.ndarray, dx: int, dy: int,
+                       tpgron: bool, base: int = 0) -> None:
+    """Mirror of `_decode_refinement` (nominal AT pixels, like the
+    generic encoder).  With ``tpgron`` a row is marked typical when
+    every uniform-reference pixel already equals its reference value —
+    those pixels are then skipped exactly as the decoder skips them."""
+    at = _REF_NOMINAL_AT
+    coding = list(_REF_CODING[template])
+    refpix = list(_REF_REFERENCE[template])
+    if template == 0:
+        coding.append(at[0])
+        refpix.append(at[1])
+    h, w = bitmap.shape
+    rows = [r.tolist() for r in bitmap]
+    refl = [r.tolist() for r in np.asarray(ref)]
+    rh, rw = ref.shape
+    ltp = 0
+    tp_ctx = base + _TPGRON_CTX[template]
+    for y in range(h):
+        typ = [None] * w
+        if tpgron:
+            row_typical = 1
+            for x in range(w):
+                tv = _ref_typical(refl, y - dy, x - dx)
+                typ[x] = tv
+                if tv is not None and tv != rows[y][x]:
+                    row_typical = 0
+                    break
+            encode(tp_ctx, row_typical ^ ltp)
+            ltp = row_typical
+        for x in range(w):
+            if ltp and typ[x] is not None:
+                continue                     # decoder copies from ref
+            ctx = 0
+            for dy_, dx_ in coding:
+                yy, xx = y + dy_, x + dx_
+                ctx = (ctx << 1) | (rows[yy][xx]
+                                    if 0 <= yy < h and 0 <= xx < w
+                                    else 0)
+            for dy_, dx_ in refpix:
+                yy, xx = y - dy + dy_, x - dx + dx_
+                ctx = (ctx << 1) | (refl[yy][xx]
+                                    if 0 <= yy < rh and 0 <= xx < rw
+                                    else 0)
+            encode(base + ctx, rows[y][x])
+
+
 # --------------------------------------- arithmetic integer coding (A.2/A.3)
 #
 # Each IAx procedure owns 512 MQ contexts reached through the PREV
@@ -354,21 +517,226 @@ def _iaid_encode(encode, base, codelen, sid):
         prev = (prev << 1) | b
 
 
+# --------------------------------- halftone regions (§6.6) + patterns (§6.7)
+
+def _pattern_dict_at(template: int, hdpw: int):
+    """Pattern-dictionary AT pixels (§6.7.5.2): A1 = (0, -HDPW) ties
+    each pattern's context to the previous pattern in the collective
+    bitmap; A2-A4 (template 0) keep their nominal generic values."""
+    if template == 0:
+        return ((0, -hdpw), (-1, -3), (-2, 2), (-2, -2))
+    return ((0, -hdpw),)
+
+
+def _decode_pattern_dict(seg: bytes, max_pixels: int):
+    """§6.7: one collective generic region of (GRAYMAX+1) patterns
+    side by side, then split.  Returns the pattern list."""
+    if len(seg) < 7:
+        raise Jbig2Error("truncated pattern dictionary")
+    flags = seg[0]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    hdpw, hdph = seg[1], seg[2]
+    graymax = _u32(seg, 3)
+    if hdpw == 0 or hdph == 0:
+        raise Jbig2Error("zero pattern size")
+    if graymax > 10_000:
+        raise Jbig2Error("implausible GRAYMAX")
+    cw = (graymax + 1) * hdpw
+    if cw * hdph > max_pixels:
+        raise Jbig2Error("pattern dictionary exceeds max_pixels")
+    if mmr:
+        from .ccittcodec import CcittError, decode_g4
+        try:
+            coll = decode_g4(seg[7:], cw, hdph)
+        except CcittError as exc:
+            raise Jbig2Error(f"bad MMR pattern dict: {exc}") from exc
+    else:
+        states = [0] * 65536
+        mps = [0] * 65536
+        decode = _mq_decode_fn(seg[7:], states, mps)
+        coll = _decode_generic(decode, cw, hdph, template,
+                               _pattern_dict_at(template, hdpw),
+                               False)
+    return [coll[:, k * hdpw:(k + 1) * hdpw].copy()
+            for k in range(graymax + 1)]
+
+
+def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
+    """§6.6: grayscale image via Annex-C gray-coded bitplanes (all
+    planes share one MQ decoder + context), then one pattern stamped
+    per grid cell.  Returns (region bitmap, x, y, external comb)."""
+    if len(seg) < 38:
+        raise Jbig2Error("truncated halftone region")
+    if not patterns:
+        raise Jbig2Error("halftone region without patterns")
+    rw, rh = _u32(seg, 0), _u32(seg, 4)
+    rx, ry = _u32(seg, 8), _u32(seg, 12)
+    ext_comb = seg[16] & 7
+    flags = seg[17]
+    mmr = flags & 1
+    template = (flags >> 1) & 3
+    if (flags >> 3) & 1:
+        raise Jbig2Error("HENABLESKIP unsupported")
+    combop = (flags >> 4) & 7
+    defpix = (flags >> 7) & 1
+    hgw, hgh = _u32(seg, 18), _u32(seg, 22)
+    hgx = int.from_bytes(seg[26:30], "big", signed=True)
+    hgy = int.from_bytes(seg[30:34], "big", signed=True)
+    hrx, hry = _u16(seg, 34), _u16(seg, 36)
+    if rw * rh > max_pixels or hgw * hgh > max_pixels:
+        raise Jbig2Error("halftone region exceeds max_pixels")
+    if mmr:
+        raise Jbig2Error("MMR halftone grayscale unsupported")
+    bits = max(len(patterns) - 1, 0).bit_length()
+    states = [0] * 65536
+    mps = [0] * 65536
+    decode = _mq_decode_fn(seg[38:], states, mps)
+    at = _NOMINAL_AT[template]
+    planes = [_decode_generic(decode, hgw, hgh, template, at, False)
+              for _ in range(bits)]          # MSB first (C.5)
+    # Gray decode: bit_j = plane_j ^ bit_{j+1}
+    value = np.zeros((hgh, hgw), dtype=np.int64)
+    bit = np.zeros((hgh, hgw), dtype=np.uint8)
+    for plane in planes:
+        bit = plane ^ bit
+        value = (value << 1) | bit
+    if int(value.max(initial=0)) >= len(patterns):
+        raise Jbig2Error("gray value beyond pattern dictionary")
+    hph, hpw = patterns[0].shape
+    bitmap = np.full((rh, rw), defpix, dtype=np.uint8)
+    for mg in range(hgh):
+        for ng in range(hgw):
+            # §6.6.5.1 grid placement, 1/256-pixel fixed point
+            x = (hgx + mg * hry + ng * hrx) >> 8
+            y = (hgy + mg * hrx - ng * hry) >> 8
+            pat = patterns[int(value[mg, ng])]
+            ys, xs = max(y, 0), max(x, 0)
+            ye, xe = min(y + hph, rh), min(x + hpw, rw)
+            if ye <= ys or xe <= xs:
+                continue
+            src = pat[ys - y:ye - y, xs - x:xe - x]
+            tgt = bitmap[ys:ye, xs:xe]
+            if combop == 0:
+                tgt |= src
+            elif combop == 1:
+                tgt &= src
+            elif combop == 2:
+                tgt ^= src
+            elif combop == 3:
+                tgt[...] = 1 - (tgt ^ src)
+            else:
+                tgt[...] = src
+    return bitmap, rx, ry, ext_comb
+
+
+def _encode_generic_at(encode, bitmap: np.ndarray, template: int,
+                       at) -> None:
+    """General-path generic encoder for non-nominal AT pixels (the
+    pattern dictionary's A1 = (0, -HDPW)); mirrors `_decode_generic`'s
+    gather path."""
+    h, w = bitmap.shape
+    pix = _sorted_template(template, at)
+    rows = [r.tolist() for r in bitmap]
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dy, dx in pix:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (rows[yy][xx]
+                                    if 0 <= yy < h and 0 <= xx < w
+                                    else 0)
+            encode(ctx, rows[y][x])
+
+
+def encode_jbig2_halftone(gray, patterns, template: int = 0,
+                          pitch: int | None = None) -> bytes:
+    """Encode a halftone page: pattern dictionary (§6.7) + immediate
+    lossless halftone region (§6.6) + end of page.  ``gray`` is an
+    (HGH, HGW) array of pattern indices; ``patterns`` a list of equal-
+    shape {0,1} cells; ``pitch`` the grid spacing in pixels (defaults
+    to the pattern width).  Lossless: ``decode_jbig2`` reproduces the
+    OR-stamped grid exactly."""
+    pats = [(np.asarray(p) != 0).astype(np.uint8) for p in patterns]
+    if not pats:
+        raise ValueError("no patterns")
+    hph, hpw = pats[0].shape
+    if any(p.shape != (hph, hpw) for p in pats):
+        raise ValueError("patterns must share one shape")
+    if not (0 < hpw < 256 and 0 < hph < 256):
+        raise ValueError("pattern dims must fit one byte")
+    g = np.asarray(gray, dtype=np.int64)
+    if g.ndim != 2 or g.min(initial=0) < 0 \
+            or g.max(initial=0) >= len(pats):
+        raise ValueError("gray values must index the pattern list")
+    hgh, hgw = g.shape
+    pitch = hpw if pitch is None else pitch
+    if not 0 < pitch < 256:
+        raise ValueError("pitch must fit the 8.8 grid vector")
+    graymax = len(pats) - 1
+
+    # ---- pattern dictionary (type 16): collective bitmap
+    coll = np.concatenate(pats, axis=1)
+    states = [0] * 65536
+    mps = [0] * 65536
+    enc, flush = _mq_encode_fns(states, mps)
+    _encode_generic_at(enc, coll, template,
+                       _pattern_dict_at(template, hpw))
+    pd_payload = (bytes(((template << 1),)) + bytes((hpw, hph))
+                  + graymax.to_bytes(4, "big") + flush())
+
+    # ---- halftone region (type 23)
+    w = (hgw - 1) * pitch + hpw
+    h = (hgh - 1) * pitch + hph
+    bits = max(graymax, 0).bit_length()
+    planes = []
+    bit = np.zeros((hgh, hgw), dtype=np.uint8)
+    for j in range(bits - 1, -1, -1):        # MSB first
+        b = ((g >> j) & 1).astype(np.uint8)
+        planes.append(b ^ bit)               # Gray encode
+        bit = b
+    st2 = [0] * 65536
+    mp2 = [0] * 65536
+    enc2, flush2 = _mq_encode_fns(st2, mp2)
+    for plane in planes:
+        _encode_generic(enc2, plane, template, False)
+    ht_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                  + bytes(8)
+                  + b"\x00"                  # external comb op OR
+                  + bytes(((template << 1),))   # HMMR=0, no skip, OR
+                  + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
+                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                  + (pitch << 8).to_bytes(2, "big")
+                  + (0).to_bytes(2, "big")
+                  + flush2())
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + bytes(8) + b"\x01" + bytes(2))
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 16, 1, pd_payload)
+            + _segment(2, 23, 1, ht_payload, refs=(1,))
+            + _segment(3, 49, 1, b""))
+
+
 # ------------------------------------ symbol dictionary + text region
 
-def _decode_symbol_dict(seg: bytes, max_pixels: int):
-    """§6.5, arithmetic path (SDHUFF=0, SDREFAGG=0): height classes
-    ascending, widths as deltas (OOB ends a class), each glyph decoded
-    by the generic procedure with contexts and the MQ coder SHARED
-    across the whole segment; export runs select the output symbols."""
+def _decode_symbol_dict(seg: bytes, max_pixels: int, insyms=None):
+    """§6.5, arithmetic path (SDHUFF=0): height classes ascending,
+    widths as deltas (OOB ends a class), each glyph decoded by the
+    generic procedure with contexts and the MQ coder SHARED across the
+    whole segment; export runs select the output symbols over input +
+    new symbols.  SDREFAGG=1 with REFAGGNINST=1 decodes new glyphs as
+    refinements of existing ones (§6.5.8.2 — jbig2enc's ``-r`` shape);
+    true aggregate (REFAGGNINST>1 nested text region) stays gated."""
     if len(seg) < 2:
         raise Jbig2Error("truncated symbol dictionary")
+    insyms = insyms or []
     flags = _u16(seg, 0)
     if flags & 1:
         raise Jbig2Error("Huffman symbol dictionary unsupported")
-    if flags & 2:
-        raise Jbig2Error("refinement/aggregate symbols unsupported")
+    refagg = bool(flags & 2)
     template = (flags >> 10) & 3
+    rtemplate = (flags >> 12) & 1
     i = 2
     n_at = 4 if template == 0 else 1
     at = []
@@ -377,19 +745,36 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int):
         ay = int.from_bytes(seg[i + 1:i + 2], "big", signed=True)
         at.append((ay, ax))
         i += 2
+    rat = list(_REF_NOMINAL_AT)
+    if refagg and rtemplate == 0:            # SDRAT (§7.4.3.1.3)
+        rat = []
+        for _ in range(2):
+            ax = int.from_bytes(seg[i:i + 1], "big", signed=True)
+            ay = int.from_bytes(seg[i + 1:i + 2], "big", signed=True)
+            rat.append((ay, ax))
+            i += 2
     numex = _u32(seg, i)
     numnew = _u32(seg, i + 4)
     i += 8
     if numnew > 100_000 or numex > 100_000:
         raise Jbig2Error("implausible symbol counts")
     area_budget = max_pixels                 # cumulative glyph area cap
-    nctx = 65536 + 3 * _IA_SIZE
+    # SBSYMCODELEN over input + new symbols (§6.5.8.2.3)
+    codelen = max(len(insyms) + numnew - 1, 0).bit_length()
+    nctx = 65536 + 6 * _IA_SIZE
+    b_iaid = nctx
+    nctx += 1 << (codelen + 1)
+    b_ref = nctx
+    nctx += _REF_CTX_SIZE if refagg else 0
     states = [0] * nctx
     mps = [0] * nctx
     decode = _mq_decode_fn(seg[i:], states, mps)
     iadh = _make_int_decode(decode, 65536)
     iadw = _make_int_decode(decode, 65536 + _IA_SIZE)
     iaex = _make_int_decode(decode, 65536 + 2 * _IA_SIZE)
+    iaai = _make_int_decode(decode, 65536 + 3 * _IA_SIZE)
+    iardx = _make_int_decode(decode, 65536 + 4 * _IA_SIZE)
+    iardy = _make_int_decode(decode, 65536 + 5 * _IA_SIZE)
     symbols = []
     hc = 0
     classes = 0
@@ -421,30 +806,52 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int):
                 raise Jbig2Error("symbol areas exceed max_pixels")
             if len(symbols) >= numnew:
                 raise Jbig2Error("more symbols than declared")
-            symbols.append(
-                _decode_generic(decode, sw, hc, template, at, False))
+            if refagg:
+                ninst_agg = iaai()
+                if ninst_agg != 1:
+                    raise Jbig2Error(
+                        "aggregate symbol (REFAGGNINST != 1) "
+                        "unsupported")
+                sid = _iaid_decode(decode, b_iaid, codelen)
+                allsyms = insyms + symbols
+                if not 0 <= sid < len(allsyms):
+                    raise Jbig2Error("refinement symbol id out of "
+                                     "range")
+                rdx = iardx()
+                rdy = iardy()
+                if rdx is None or rdy is None:
+                    raise Jbig2Error("bad refinement offset")
+                symbols.append(_decode_refinement(
+                    decode, sw, hc, rtemplate, rat, allsyms[sid],
+                    rdx, rdy, False, base=b_ref))
+            else:
+                symbols.append(
+                    _decode_generic(decode, sw, hc, template, at,
+                                    False))
+    allsyms = insyms + symbols
     ex = []
     flag = 0
     runs = 0
-    while len(ex) < len(symbols):
+    while len(ex) < len(allsyms):
         runs += 1
-        if runs > 2 * len(symbols) + 2:      # zero-runs forever: hang
+        if runs > 2 * len(allsyms) + 2:      # zero-runs forever: hang
             raise Jbig2Error("runaway export runs")
         run = iaex()
-        if run is None or run < 0 or len(ex) + run > len(symbols):
+        if run is None or run < 0 or len(ex) + run > len(allsyms):
             raise Jbig2Error("bad export run")
         ex.extend([flag] * run)
         flag ^= 1
-    exported = [s for s, f in zip(symbols, ex) if f]
+    exported = [s for s, f in zip(allsyms, ex) if f]
     if len(exported) != numex:
         raise Jbig2Error("export count mismatch")
     return exported
 
 
 def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
-    """§6.4, arithmetic path (SBHUFF=0, SBREFINE=0, TRANSPOSED=0):
-    strip-ordered symbol instances placed by (S, T) deltas; returns
-    (region bitmap, x, y, external comb op)."""
+    """§6.4, arithmetic path (SBHUFF=0, TRANSPOSED=0): strip-ordered
+    symbol instances placed by (S, T) deltas; SBREFINE instances may
+    replace their symbol with an in-stream refinement (§6.4.11).
+    Returns (region bitmap, x, y, external comb op)."""
     if len(seg) < 23:
         raise Jbig2Error("truncated text region")
     rw, rh = _u32(seg, 0), _u32(seg, 4)
@@ -453,8 +860,7 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     flags = _u16(seg, 17)
     if flags & 1:
         raise Jbig2Error("Huffman text region unsupported")
-    if (flags >> 1) & 1:
-        raise Jbig2Error("refinement text region unsupported")
+    refine = bool((flags >> 1) & 1)
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3
     if (flags >> 6) & 1:
@@ -464,7 +870,20 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     dsoffset = (flags >> 10) & 0x1F
     if dsoffset > 15:
         dsoffset -= 32
-    ninst = _u32(seg, 19)
+    rtemplate = (flags >> 15) & 1
+    i = 19
+    rat = list(_REF_NOMINAL_AT)
+    if refine and rtemplate == 0:            # SBRAT (§7.4.4.1.2)
+        rat = []
+        for _ in range(2):
+            ax = int.from_bytes(seg[i:i + 1], "big", signed=True)
+            ay = int.from_bytes(seg[i + 1:i + 2], "big", signed=True)
+            rat.append((ay, ax))
+            i += 2
+    if len(seg) < i + 4:
+        raise Jbig2Error("truncated text region")
+    ninst = _u32(seg, i)
+    i += 4
     if rw * rh > max_pixels or ninst > min(rw * rh + 1, 10_000_000):
         # one instance per pixel is already absurd for real text, and
         # a huge declared count (with a big OR tiny region) is a
@@ -474,15 +893,25 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     if numsyms == 0:
         raise Jbig2Error("text region without symbols")
     codelen = max(numsyms - 1, 0).bit_length()
-    nctx = (1 << (codelen + 1)) + 4 * _IA_SIZE
+    n_ia = 9 if refine else 4
+    nctx = n_ia * _IA_SIZE
+    b_iaid = nctx
+    nctx += 1 << (codelen + 1)
+    b_ref = nctx
+    nctx += _REF_CTX_SIZE if refine else 0
     states = [0] * nctx
     mps = [0] * nctx
-    decode = _mq_decode_fn(seg[23:], states, mps)
-    b_iaid = 4 * _IA_SIZE
+    decode = _mq_decode_fn(seg[i:], states, mps)
     iadt = _make_int_decode(decode, 0)
     iafs = _make_int_decode(decode, _IA_SIZE)
     iads = _make_int_decode(decode, 2 * _IA_SIZE)
     iait = _make_int_decode(decode, 3 * _IA_SIZE)
+    if refine:
+        iari = _make_int_decode(decode, 4 * _IA_SIZE)
+        iardw = _make_int_decode(decode, 5 * _IA_SIZE)
+        iardh = _make_int_decode(decode, 6 * _IA_SIZE)
+        iardx = _make_int_decode(decode, 7 * _IA_SIZE)
+        iardy = _make_int_decode(decode, 8 * _IA_SIZE)
     bitmap = np.full((rh, rw), defpix, dtype=np.uint8)
 
     dt0 = iadt()
@@ -520,6 +949,26 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
                 raise Jbig2Error("symbol id out of range")
             sb = syms[sid]
             hs, ws = sb.shape
+            if refine:
+                ri = iari()
+                if ri is None:
+                    raise Jbig2Error("bad refinement flag")
+                if ri:
+                    rdw, rdh = iardw(), iardh()
+                    rdx, rdy = iardx(), iardy()
+                    if None in (rdw, rdh, rdx, rdy):
+                        raise Jbig2Error("bad refinement deltas")
+                    ws2, hs2 = ws + rdw, hs + rdh
+                    if (ws2 <= 0 or hs2 <= 0
+                            or ws2 * hs2 > max_pixels):
+                        raise Jbig2Error("bad refined instance dims")
+                    # §6.4.11: GRREFERENCEDX/DY centre the old symbol
+                    # in the refined bitmap, then shift by RDX/RDY
+                    sb = _decode_refinement(
+                        decode, ws2, hs2, rtemplate, rat, sb,
+                        (rdw >> 1) + rdx, (rdh >> 1) + rdy, False,
+                        base=b_ref)
+                    hs, ws = hs2, ws2
             y0 = t if refcorner in (1, 3) else t - hs + 1
             x0 = curs
             # clip to the region (conformant streams stay inside)
@@ -670,6 +1119,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 "random-access file organization unsupported")
 
     sym_store: dict[int, list] = {}      # segnum -> exported symbols
+    pat_store: dict[int, list] = {}      # segnum -> halftone patterns
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
@@ -735,8 +1185,52 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 region = _decode_generic(decode, rw, rh, template, at,
                                          tpgdon)
                 _compose(region, rx, ry, comb)
+            elif seg_type in (40, 42, 43):   # refinement region (§7.4.7)
+                if seg_type == 40:
+                    raise Jbig2Error(
+                        "intermediate refinement region unsupported")
+                if bitmap is None:
+                    raise Jbig2Error("refinement before page info")
+                if len(seg) < 18:
+                    raise Jbig2Error("truncated refinement region")
+                rw, rh = _u32(seg, 0), _u32(seg, 4)
+                rx, ry = _u32(seg, 8), _u32(seg, 12)
+                comb = seg[16] & 7
+                rflags = seg[17]
+                template = rflags & 1
+                tpgron = bool(rflags & 2)
+                j = 18
+                rat = list(_REF_NOMINAL_AT)
+                if template == 0:
+                    rat = []
+                    for _ in range(2):
+                        ax = int.from_bytes(seg[j:j + 1], "big",
+                                            signed=True)
+                        ay = int.from_bytes(seg[j + 1:j + 2], "big",
+                                            signed=True)
+                        rat.append((ay, ax))
+                        j += 2
+                if rw * rh > max_pixels:
+                    raise Jbig2Error("region exceeds max_pixels bound")
+                if (ry + rh > bitmap.shape[0]
+                        or rx + rw > bitmap.shape[1]):
+                    # §7.4.7.2: no referred intermediate region means
+                    # the reference is the page's current content —
+                    # which must therefore already cover the region
+                    raise Jbig2Error("refinement outside page")
+                ref = bitmap[ry:ry + rh, rx:rx + rw].copy()
+                states = [0] * _REF_CTX_SIZE
+                mps = [0] * _REF_CTX_SIZE
+                decode = _mq_decode_fn(seg[j:], states, mps)
+                region = _decode_refinement(decode, rw, rh, template,
+                                            rat, ref, 0, 0, tpgron)
+                _compose(region, rx, ry, comb)
             elif seg_type == 0:              # symbol dictionary (6.5)
-                sym_store[segnum] = _decode_symbol_dict(seg, max_pixels)
+                insyms = []
+                for rseg in refs:
+                    insyms.extend(sym_store.get(rseg, []))
+                sym_store[segnum] = _decode_symbol_dict(
+                    seg, max_pixels, insyms)
             elif seg_type in (6, 7):         # immediate text region (6.4)
                 if page_w is None:
                     raise Jbig2Error("region before page info")
@@ -749,6 +1243,21 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
             elif seg_type == 4:              # intermediate text region
                 raise Jbig2Error(
                     "intermediate text region unsupported")
+            elif seg_type == 16:             # pattern dictionary (6.7)
+                pat_store[segnum] = _decode_pattern_dict(seg,
+                                                         max_pixels)
+            elif seg_type in (20, 22, 23):   # halftone region (6.6)
+                if seg_type == 20:
+                    raise Jbig2Error(
+                        "intermediate halftone region unsupported")
+                if page_w is None:
+                    raise Jbig2Error("region before page info")
+                pats = []
+                for rseg in refs:
+                    pats.extend(pat_store.get(rseg, []))
+                region, rx, ry, comb = _decode_halftone(
+                    seg, pats, max_pixels)
+                _compose(region, rx, ry, comb)
             elif seg_type == 50:             # end of stripe: y coordinate
                 continue
             elif seg_type in (49, 51):       # end of page / file
@@ -758,7 +1267,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
             else:
                 raise Jbig2Error(
                     f"segment type {seg_type} unsupported "
-                    "(halftone/refinement out of scope)")
+                    "(Huffman-coded segments out of scope)")
     if bitmap is None:
         raise Jbig2Error("no page produced")
     return bitmap
@@ -823,9 +1332,65 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
             + _segment(2, 49, 1, b""))
 
 
+def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray,
+                            template: int = 0,
+                            tpgron: bool = True) -> bytes:
+    """Encode the jbig2enc ``-r`` two-stage organization: a generic
+    region carrying ``base`` (the approximation) followed by an
+    immediate lossless generic refinement region (type 43) that
+    upgrades the page to ``refined`` exactly — the refinement's
+    reference is the page content per §7.4.7.2.  Lossless:
+    ``decode_jbig2`` returns ``refined`` bit-exactly."""
+    bb = (np.asarray(base) != 0).astype(np.uint8)
+    rb = (np.asarray(refined) != 0).astype(np.uint8)
+    if bb.shape != rb.shape or bb.ndim != 2:
+        raise ValueError("base and refined must share a 2-D shape")
+    if template not in (0, 1):
+        raise ValueError("refinement template must be 0 or 1")
+    h, w = bb.shape
+
+    states = [0] * 65536
+    mps = [0] * 65536
+    encode, flush = _mq_encode_fns(states, mps)
+    _encode_generic(encode, bb, 0, True)
+    base_mq = flush()
+    base_region = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                   + bytes(8) + b"\x00"
+                   + bytes(((0 << 1) | 8,)))
+    for ay, ax in _NOMINAL_AT[0]:
+        base_region += ax.to_bytes(1, "big", signed=True)
+        base_region += ay.to_bytes(1, "big", signed=True)
+    base_region += base_mq
+
+    st2 = [0] * _REF_CTX_SIZE
+    mp2 = [0] * _REF_CTX_SIZE
+    enc2, flush2 = _mq_encode_fns(st2, mp2)
+    _encode_refinement(enc2, rb, template, bb, 0, 0, tpgron)
+    rflags = template | (2 if tpgron else 0)
+    ref_region = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                  + bytes(8)
+                  + b"\x04"                  # external comb: REPLACE
+                  + bytes((rflags,)))
+    if template == 0:
+        for ay, ax in _REF_NOMINAL_AT:
+            ref_region += ax.to_bytes(1, "big", signed=True)
+            ref_region += ay.to_bytes(1, "big", signed=True)
+    ref_region += flush2()
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + bytes(8)
+                 + b"\x21"                   # lossless, REPLACE allowed
+                 + bytes(2))
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 39, 1, base_region)
+            + _segment(2, 43, 1, ref_region)
+            + _segment(3, 49, 1, b""))
+
+
 def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
                          template: int = 0,
-                         split_globals: bool = False):
+                         split_globals: bool = False,
+                         refinements: dict | None = None):
     """Symbol-mode embedded JBIG2 — the organization jbig2enc's symbol
     coder (``-s``) produces and real archival PDFs carry: page info +
     symbol dictionary (§6.5, arithmetic) + immediate lossless text
@@ -841,17 +1406,29 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
     dictionary in the shared ``/JBIG2Globals`` stream (page
     association 0) and the page stream's text region referring to it
     across the boundary.
+
+    ``refinements`` maps a placement index to an exact target bitmap
+    for that instance: the text region then sets SBREFINE and encodes
+    an in-stream refinement (§6.4.11) of the placed glyph into the
+    target — the jbig2enc ``-s -r`` lossy-symbol-plus-refinement
+    organization.  Decode reproduces each target bit-exactly.
     """
     if not 0 <= template <= 3:
         raise ValueError("template must be 0..3")
+    refinements = {
+        pi: (np.asarray(t) != 0).astype(np.uint8)
+        for pi, t in (refinements or {}).items()}
     gs = [(np.asarray(g) != 0).astype(np.uint8) for g in glyphs]
     if not gs:
         raise ValueError("no glyphs")
     for g in gs:
         if g.ndim != 2 or 0 in g.shape:
             raise ValueError("bad glyph shape")
-    for gi, x, y in placements:
-        gh, gw = gs[gi].shape
+    for pi, (gi, x, y) in enumerate(placements):
+        tgt = refinements.get(pi)
+        gh, gw = tgt.shape if tgt is not None else gs[gi].shape
+        if tgt is not None and (tgt.ndim != 2 or 0 in tgt.shape):
+            raise ValueError("bad refinement target shape")
         if not (0 <= x and x + gw <= w and 0 <= y and y + gh <= h):
             raise ValueError("placement outside page")
 
@@ -892,15 +1469,48 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
     sd_payload += flush()
 
     # ---- text region (type 7), SBSTRIPS=1 so T deltas are exact rows
+    refine = bool(refinements)
     codelen = max(len(order) - 1, 0).bit_length()
-    nctx2 = (1 << (codelen + 1)) + 4 * _IA_SIZE
+    n_ia = 9 if refine else 4
+    b_iaid = n_ia * _IA_SIZE
+    b_ref = b_iaid + (1 << (codelen + 1))
+    nctx2 = b_ref + (_REF_CTX_SIZE if refine else 0)
     st2, mp2 = [0] * nctx2, [0] * nctx2
     enc2, flush2 = _mq_encode_fns(st2, mp2)
-    b_iaid = 4 * _IA_SIZE
     iadt = _make_int_encode(enc2, 0)
     iafs = _make_int_encode(enc2, _IA_SIZE)
     iads = _make_int_encode(enc2, 2 * _IA_SIZE)
-    inst = sorted((y, x, exp_id[gi]) for (gi, x, y) in placements)
+    if refine:
+        iari = _make_int_encode(enc2, 4 * _IA_SIZE)
+        iardw = _make_int_encode(enc2, 5 * _IA_SIZE)
+        iardh = _make_int_encode(enc2, 6 * _IA_SIZE)
+        iardx = _make_int_encode(enc2, 7 * _IA_SIZE)
+        iardy = _make_int_encode(enc2, 8 * _IA_SIZE)
+
+    def _emit_instance(sid, pi):
+        """Symbol code (+ optional §6.4.11 refinement); returns the
+        instance's effective width for CURS advancement."""
+        _iaid_encode(enc2, b_iaid, codelen, sid)
+        g = gs[order[sid]]
+        tgt = refinements.get(pi)
+        if refine:
+            if tgt is None:
+                iari(0)
+            else:
+                iari(1)
+                rdh = tgt.shape[0] - g.shape[0]
+                rdw = tgt.shape[1] - g.shape[1]
+                iardw(rdw)
+                iardh(rdh)
+                iardx(0)
+                iardy(0)
+                _encode_refinement(enc2, tgt, 0, g, rdw >> 1,
+                                   rdh >> 1, False, base=b_ref)
+                return tgt.shape[1]
+        return g.shape[1]
+
+    inst = sorted((y, x, exp_id[gi], pi)
+                  for pi, (gi, x, y) in enumerate(placements))
     iadt(0)                                  # STRIPT starts at 0
     prev_t = 0
     firsts = 0
@@ -909,25 +1519,27 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
         t = inst[k][0]
         iadt(t - prev_t)
         prev_t = t
-        y0, x0, sid = inst[k]
+        y0, x0, sid, pi = inst[k]
         iafs(x0 - firsts)
         firsts = x0
-        _iaid_encode(enc2, b_iaid, codelen, sid)
-        curs = x0 + gs[order[sid]].shape[1] - 1
+        curs = x0 + _emit_instance(sid, pi) - 1
         k += 1
         while k < len(inst) and inst[k][0] == t:
-            _y, x2, sid2 = inst[k]
+            _y, x2, sid2, pi2 = inst[k]
             iads(x2 - curs)                  # SBDSOFFSET = 0
-            _iaid_encode(enc2, b_iaid, codelen, sid2)
-            curs = x2 + gs[order[sid2]].shape[1] - 1
+            curs = x2 + _emit_instance(sid2, pi2) - 1
             k += 1
         iads(None)                           # OOB: end of strip
+    tr_flags = (1 << 4) | ((1 << 1) if refine else 0)   # TL corner
     tr_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                   + b"\x00"                  # external comb op OR
-                  + (1 << 4).to_bytes(2, "big")    # flags: TL corner
-                  + len(inst).to_bytes(4, "big")
-                  + flush2())
+                  + tr_flags.to_bytes(2, "big"))
+    if refine:                               # SBRAT (template 0)
+        for ay, ax in _REF_NOMINAL_AT:
+            tr_payload += ax.to_bytes(1, "big", signed=True)
+            tr_payload += ay.to_bytes(1, "big", signed=True)
+    tr_payload += len(inst).to_bytes(4, "big") + flush2()
 
     page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")

@@ -1949,13 +1949,24 @@ def q_jbig2_decode(spark, sf):
     recomputes per pixel.  The coding is lossless, so ANY defect — MQ
     coder, context model, template windows, TPGDON, integer
     procedures, strip placement, segment headers — corrupts pixels and
-    breaks the arithmetic match."""
+    breaks the arithmetic match.  Round 7 rotates two more region
+    families through the same oracle: every ``i % 5 == 2`` image is a
+    REFINEMENT route (a closed-form-corrupted base generic region plus
+    an immediate refinement region, §6.3/§7.4.7, that restores the
+    exact closed form — the oracle value is unchanged but only the
+    refinement decoder can reach it) and every ``i % 5 == 3`` image a
+    HALFTONE route (pattern dictionary §6.7 + halftone region §6.6,
+    solid 0/1 patterns over a closed-form checker grid the SQL
+    recomputes per pixel); the last symbol-mode image also carries an
+    SBREFINE instance (§6.4.11)."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
         from .kernels.jbig2codec import (decode_jbig2, encode_jbig2,
+                                         encode_jbig2_halftone,
+                                         encode_jbig2_refinement,
                                          encode_jbig2_symbols)
         for pdf in batches:
             rows = []
@@ -1963,6 +1974,8 @@ def q_jbig2_decode(spark, sf):
                 i = int(i)
                 w = 8 + (i * 13) % 50
                 h = 8 + (i * 9) % 33
+                if i % 5 == 3:               # halftone: 4-cell grid
+                    w, h = (w // 4) * 4, (h // 4) * 4
                 yy, xx = np.mgrid[0:h, 0:w]
                 if i % 5 == 4:
                     # SYMBOL MODE (round-6 late): one solid-rect glyph
@@ -1977,8 +1990,33 @@ def q_jbig2_decode(spark, sf):
                     bm = np.zeros((h, w), np.uint8)
                     for _g, x0, y0 in pls:
                         bm[y0:y0 + gh, x0:x0 + gw] = 1
+                    # the last symbol image routes its first instance
+                    # through SBREFINE (same content, real refinement
+                    # coding: IARI/IARDW/GRD all on the decode path)
+                    refs = {0: glyph} if i >= 15 else None
                     data = encode_jbig2_symbols(
-                        [glyph], pls, w, h, template=i % 4)
+                        [glyph], pls, w, h, template=i % 4,
+                        refinements=refs)
+                elif i % 5 == 2:
+                    # REFINEMENT: base = closed form with closed-form
+                    # flips; the refinement region restores the form
+                    bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
+                          ).astype(np.uint8)
+                    base = (bm ^ ((3 * xx + 5 * yy + i) % 17 == 0)
+                            ).astype(np.uint8)
+                    data = encode_jbig2_refinement(
+                        base, bm, template=i % 2,
+                        tpgron=bool(i % 3 == 0))
+                elif i % 5 == 3:
+                    # HALFTONE: solid 0/1 patterns over a checker grid
+                    pats = [np.zeros((4, 4), np.uint8),
+                            np.ones((4, 4), np.uint8)]
+                    gm, gn = np.mgrid[0:h // 4, 0:w // 4]
+                    gray = (gm + 2 * gn + i) % 2
+                    bm = np.kron(gray,
+                                 np.ones((4, 4), int)).astype(np.uint8)
+                    data = encode_jbig2_halftone(gray, pats,
+                                                 template=i % 4)
                 else:
                     bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
                           ).astype(np.uint8)
@@ -2002,7 +2040,13 @@ def q_jbig2_decode(spark, sf):
 
 SQL_JBIG2_DECODE = r"""
 WITH imgs AS (SELECT unnest(generate_series(0, 19)) AS i),
-dims AS (SELECT i, 8 + (i * 13) % 50 AS w, 8 + (i * 9) % 33 AS h,
+dims AS (SELECT i,
+                CASE WHEN i % 5 = 3
+                     THEN ((8 + (i * 13) % 50) // 4) * 4
+                     ELSE 8 + (i * 13) % 50 END AS w,
+                CASE WHEN i % 5 = 3
+                     THEN ((8 + (i * 9) % 33) // 4) * 4
+                     ELSE 8 + (i * 9) % 33 END AS h,
                 2 + i % 3 AS gw, 2 + (i // 2) % 3 AS gh
          FROM imgs),
 pix AS (
@@ -2020,6 +2064,12 @@ pix AS (
                  AND ys.y <  (ks.k * 5 + 2 * d.i) % (d.h - d.gh + 1)
                               + d.gh
              ) THEN 1 ELSE 0 END
+           WHEN d.i % 5 = 3 THEN
+             -- halftone images: checker of solid 4x4 cells (the
+             -- refinement route i%5=2 decodes back to the closed
+             -- form below, so it needs no case of its own)
+             CASE WHEN (ys.y // 4 + 2 * (xs.x // 4) + d.i) % 2 = 1
+                  THEN 1 ELSE 0 END
            WHEN (3 * d.i + 7 * xs.x + 5 * ys.y) % 11 < 4 THEN 1
            ELSE 0
          END AS v,

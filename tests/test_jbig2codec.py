@@ -187,6 +187,267 @@ def test_unknown_height_page_grows():
     assert np.array_equal(decode_jbig2(bytes(patched)), bm)
 
 
+# ------------------------------------------------- refinement (§6.3)
+
+@pytest.mark.parametrize("template", [0, 1])
+@pytest.mark.parametrize("tpgron", [True, False])
+def test_refinement_region_roundtrip(template, tpgron):
+    """Generic refinement region (type 43) refining the page content
+    (§7.4.7.2): decode returns the refined bitmap bit-exactly, for
+    both templates, with and without TPGRON."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_refinement)
+    rng = np.random.default_rng(template * 2 + tpgron)
+    for shape in [(1, 1), (7, 13), (40, 56), (23, 9)]:
+        base = (rng.random(shape) < 0.3).astype(np.uint8)
+        refined = base.copy()
+        refined[rng.random(shape) < 0.05] ^= 1
+        data = encode_jbig2_refinement(base, refined,
+                                       template=template,
+                                       tpgron=tpgron)
+        assert np.array_equal(decode_jbig2(data), refined), shape
+
+
+def test_refinement_tpgron_skips_typical_pixels(monkeypatch):
+    """TPGRON's payoff is skipped WORK, not bytes (the adaptive MQ
+    coder already compresses match-the-reference pixels to almost
+    nothing): on a sparse-text refinement most pixels sit in uniform
+    3x3 reference windows and are copied without an MQ decision."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_refinement)
+    base = _textish(80, 100, seed=21)
+    refined = base.copy()
+    refined[40, 50] ^= 1
+    with_tp = encode_jbig2_refinement(base, refined, tpgron=True)
+    without = encode_jbig2_refinement(base, refined, tpgron=False)
+
+    counts = []
+    real = jb._mq_decode_fn
+
+    def counting(data, states, mps):
+        decode = real(data, states, mps)
+        n = [0]
+        counts.append(n)
+
+        def wrapped(ctx):
+            n[0] += 1
+            return decode(ctx)
+        return wrapped
+
+    monkeypatch.setattr(jb, "_mq_decode_fn", counting)
+    assert np.array_equal(decode_jbig2(with_tp), refined)
+    tp_decisions = counts[-1][0]             # refinement segment's MQ
+    counts.clear()
+    assert np.array_equal(decode_jbig2(without), refined)
+    plain_decisions = counts[-1][0]
+    assert plain_decisions >= 80 * 100       # one per pixel, no skip
+    assert tp_decisions < plain_decisions // 2
+
+
+def test_refinement_spec_structure_pins():
+    """Pins entered from T.88 §6.3.5: template pixel counts (13-bit /
+    10-bit contexts incl. AT), the reference set is the full 3x3
+    window for template 0, and the TPGRON pseudo-context is the
+    context whose only set bit is the reference centre pixel."""
+    t0_bits = len(jb._REF_CODING[0]) + 1 + len(jb._REF_REFERENCE[0]) + 1
+    t1_bits = len(jb._REF_CODING[1]) + len(jb._REF_REFERENCE[1])
+    assert (t0_bits, t1_bits) == (13, 10)
+    assert set(jb._REF_REFERENCE[0]) == {
+        (dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)} - {(-1, -1)}
+    # centre-pixel-only context under the coding-then-reference MSB
+    # ordering: position of ref(0,0) from the LSB end
+    concat0 = (list(jb._REF_CODING[0]) + [None]
+               + list(jb._REF_REFERENCE[0]) + [None])
+    pos0 = len(concat0) - 1 - (4 + jb._REF_REFERENCE[0].index((0, 0)))
+    assert jb._TPGRON_CTX[0] == 1 << pos0 == 0x0020
+    concat1 = list(jb._REF_CODING[1]) + list(jb._REF_REFERENCE[1])
+    pos1 = len(concat1) - 1 - concat1.index((0, 0), 4)
+    assert jb._TPGRON_CTX[1] == 1 << pos1 == 0x0008
+
+
+def test_text_region_sbrefine_roundtrip():
+    """SBREFINE instances (§6.4.11) replace the placed glyph with an
+    in-stream refinement of it; unrefined instances in the same region
+    still place the dictionary glyph."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_symbols)
+    g1 = np.array([[1, 1, 1], [1, 0, 1], [1, 1, 1]], dtype=np.uint8)
+    g2 = np.array([[0, 1], [1, 1]], dtype=np.uint8)
+    tgt = np.array([[1, 1, 1, 0], [1, 0, 0, 1], [0, 1, 1, 1]],
+                   dtype=np.uint8)                   # g1 grown by RDW=1
+    placements = [(0, 2, 1), (1, 10, 3), (0, 20, 1)]
+    data = encode_jbig2_symbols([g1, g2], placements, 30, 10,
+                                refinements={0: tgt})
+    exp = np.zeros((10, 30), dtype=np.uint8)
+    exp[1:4, 2:6] |= tgt
+    exp[3:5, 10:12] |= g2
+    exp[1:4, 20:23] |= g1
+    assert np.array_equal(decode_jbig2(data), exp)
+    # the split-globals (PDF two-stream) shape with shrunken + grown
+    # refinement targets
+    gl, pg = encode_jbig2_symbols(
+        [g1, g2], placements, 30, 10, split_globals=True,
+        refinements={0: tgt, 2: np.ones((2, 2), np.uint8)})
+    exp2 = np.zeros((10, 30), dtype=np.uint8)
+    exp2[1:4, 2:6] |= tgt
+    exp2[3:5, 10:12] |= g2
+    exp2[1:3, 20:22] |= 1
+    assert np.array_equal(decode_jbig2(pg, gl), exp2)
+
+
+def test_symbol_dict_refagg_roundtrip():
+    """SDREFAGG=1 / REFAGGNINST=1 (§6.5.8.2): a second dictionary
+    defines a new glyph as a refinement of a glyph imported from its
+    referred dictionary; export runs span input + new symbols."""
+    from archive_pdf_tools_spark.kernels.jp2codec import _mq_encode_fns
+
+    g1 = _textish(9, 11, seed=31)
+    g1[0, 0] = 1                             # ensure non-empty
+    g1p = g1.copy()
+    g1p[4, 5] ^= 1
+    g1p[0, 3] ^= 1
+
+    # dict A: one generic glyph, via the public encoder's dictionary
+    sym_stream = jb.encode_jbig2_symbols(
+        [g1], [(0, 0, 0)], g1.shape[1], g1.shape[0])
+    pos, segs = 0, []
+    while pos < len(sym_stream):
+        _, styp, _, _, dlen, body = jb._parse_segment_header(
+            sym_stream, pos)
+        segs.append((styp, sym_stream[body:body + dlen]))
+        pos = body + dlen
+    dict_a_payload = next(p for t, p in segs if t == 0)
+
+    # dict B: SDREFAGG, refines input symbol 0 into g1p
+    IA = jb._IA_SIZE
+
+    def dict_b_payload(ninst_agg):
+        codelen = 1                          # 1 input + 1 new symbol
+        b_iaid = 65536 + 6 * IA
+        b_ref = b_iaid + (1 << (codelen + 1))
+        nctx = b_ref + jb._REF_CTX_SIZE
+        st, mp = [0] * nctx, [0] * nctx
+        enc, flush = _mq_encode_fns(st, mp)
+        iadh = jb._make_int_encode(enc, 65536)
+        iadw = jb._make_int_encode(enc, 65536 + IA)
+        iaex = jb._make_int_encode(enc, 65536 + 2 * IA)
+        iaai = jb._make_int_encode(enc, 65536 + 3 * IA)
+        iardx = jb._make_int_encode(enc, 65536 + 4 * IA)
+        iardy = jb._make_int_encode(enc, 65536 + 5 * IA)
+        iadh(g1p.shape[0])
+        iadw(g1p.shape[1])
+        iaai(ninst_agg)
+        jb._iaid_encode(enc, b_iaid, codelen, 0)
+        iardx(0)
+        iardy(0)
+        jb._encode_refinement(enc, g1p, 0, g1, 0, 0, False,
+                              base=b_ref)
+        iadw(None)
+        iaex(1)                              # skip the imported g1
+        iaex(1)                              # export the refined g1p
+        flags = 2 | (0 << 10) | (0 << 12)    # SDREFAGG, templates 0
+        payload = flags.to_bytes(2, "big")
+        for ay, ax in jb._NOMINAL_AT[0]:
+            payload += ax.to_bytes(1, "big", signed=True)
+            payload += ay.to_bytes(1, "big", signed=True)
+        for ay, ax in jb._REF_NOMINAL_AT:    # SDRAT
+            payload += ax.to_bytes(1, "big", signed=True)
+            payload += ay.to_bytes(1, "big", signed=True)
+        payload += (1).to_bytes(4, "big")    # SDNUMEXSYMS
+        payload += (1).to_bytes(4, "big")    # SDNUMNEWSYMS
+        payload += flush()
+        return payload
+
+    payload = dict_b_payload(1)
+
+    # text region placing the refined glyph via dict B
+    h, w = 14, 18
+    trs = jb.encode_jbig2_symbols([g1p], [(0, 3, 2)], w, h)
+    pos, tr_payload = 0, None
+    while pos < len(trs):
+        _, styp, _, _, dlen, body = jb._parse_segment_header(trs, pos)
+        if styp == 7:
+            tr_payload = trs[body:body + dlen]
+        pos = body + dlen
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + bytes(8) + b"\x01" + bytes(2))
+    data = (jb._segment(0, 48, 1, page_info)
+            + jb._segment(1, 0, 1, dict_a_payload)
+            + jb._segment(2, 0, 1, payload, refs=(1,))
+            + jb._segment(3, 7, 1, tr_payload, refs=(2,))
+            + jb._segment(4, 49, 1, b""))
+    exp = np.zeros((h, w), dtype=np.uint8)
+    exp[2:2 + g1p.shape[0], 3:3 + g1p.shape[1]] = g1p
+    assert np.array_equal(decode_jbig2(data), exp)
+
+    # true aggregate symbols (REFAGGNINST > 1: a nested text region)
+    # stay loudly gated
+    data2 = (jb._segment(0, 48, 1, page_info)
+             + jb._segment(1, 0, 1, dict_a_payload)
+             + jb._segment(2, 0, 1, dict_b_payload(2), refs=(1,))
+             + jb._segment(3, 7, 1, tr_payload, refs=(2,))
+             + jb._segment(4, 49, 1, b""))
+    with pytest.raises(Jbig2Error, match="aggregate"):
+        decode_jbig2(data2)
+
+
+# --------------------------------------------------- halftone (§6.6)
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+def test_halftone_roundtrip(template):
+    """Pattern dictionary (§6.7, collective bitmap with the
+    A1=(0,-HDPW) AT) + halftone region (§6.6, Annex-C gray-coded
+    bitplanes, grid stamping) round-trips for every template."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_halftone)
+    rng = np.random.default_rng(template)
+    pats = []
+    for k in range(4):
+        p = np.zeros((4, 4), np.uint8)
+        p.flat[rng.permutation(16)[:k * 5]] = 1
+        pats.append(p)
+    for shape in [(1, 1), (5, 7), (12, 9)]:
+        gray = rng.integers(0, 4, shape)
+        data = encode_jbig2_halftone(gray, pats, template=template)
+        hgh, hgw = shape
+        exp = np.zeros(((hgh - 1) * 4 + 4, (hgw - 1) * 4 + 4),
+                       np.uint8)
+        for mg in range(hgh):
+            for ng in range(hgw):
+                exp[mg * 4:mg * 4 + 4,
+                    ng * 4:ng * 4 + 4] |= pats[gray[mg, ng]]
+        assert np.array_equal(decode_jbig2(data), exp), shape
+
+
+def test_halftone_pitch_and_gates():
+    """Grid pitch beyond the pattern width leaves gaps (the 8.8
+    fixed-point grid vector); HENABLESKIP and a gray value past the
+    dictionary stay loudly gated."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_halftone)
+    rng = np.random.default_rng(9)
+    pats = [np.zeros((4, 4), np.uint8), np.ones((4, 4), np.uint8)]
+    gray = rng.integers(0, 2, (3, 5))
+    data = encode_jbig2_halftone(gray, pats, pitch=6)
+    exp = np.zeros((2 * 6 + 4, 4 * 6 + 4), np.uint8)
+    for mg in range(3):
+        for ng in range(5):
+            exp[mg * 6:mg * 6 + 4,
+                ng * 6:ng * 6 + 4] |= pats[gray[mg, ng]]
+    assert np.array_equal(decode_jbig2(data), exp)
+
+    # flip HENABLESKIP in the halftone region flags byte -> loud
+    pos, offs = 0, {}
+    while pos < len(data):
+        _, styp, _, _, dlen, body = jb._parse_segment_header(data, pos)
+        offs[styp] = body
+        pos = body + dlen
+    bad = bytearray(data)
+    bad[offs[23] + 17] |= 8
+    with pytest.raises(Jbig2Error, match="HENABLESKIP"):
+        decode_jbig2(bytes(bad))
+
+
 def test_unknown_height_page_growth_is_bounded():
     """Striped-page bomb guard: a tiny region (within its own rw*rh
     cap) placed at a huge ry on an unknown-height page must raise
@@ -261,10 +522,10 @@ def test_error_gates():
     mmr[body2 + 17] |= 1
     with pytest.raises(Jbig2Error, match="MMR"):
         decode_jbig2(bytes(mmr))
-    # unsupported segment type (halftone region = 22; symbol
-    # dictionaries decode since the symbol-mode addition)
+    # unsupported segment type (53 = Huffman tables; generic /
+    # symbol / refinement / halftone regions all decode now)
     sym = bytearray(data)
-    sym[pos2 + 4] = (sym[pos2 + 4] & ~0x3F) | 22
+    sym[pos2 + 4] = (sym[pos2 + 4] & ~0x3F) | 53
     with pytest.raises(Jbig2Error, match="unsupported"):
         decode_jbig2(bytes(sym))
     # truncated stream
@@ -371,10 +632,12 @@ def test_symbol_mode_error_gates():
     bad[sd_body + 1] |= 1
     with pytest.raises(Jbig2Error, match="Huffman"):
         decode_jbig2(bytes(bad))
-    # refinement flag -> loud
+    # refinement flag on a non-refinement stream -> loud misparse
+    # (SDREFAGG itself decodes since round 7; the flag flip makes the
+    # header's SDRAT bytes swallow the count fields)
     bad = bytearray(data)
     bad[sd_body + 1] |= 2
-    with pytest.raises(Jbig2Error, match="refinement"):
+    with pytest.raises(Jbig2Error):
         decode_jbig2(bytes(bad))
     # transposed text region -> loud (TRANSPOSED = bit 6 of the
     # 16-bit flags word = 0x40 of its LOW byte)
