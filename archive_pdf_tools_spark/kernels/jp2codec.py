@@ -58,12 +58,15 @@ wrongly fail a correct coder; this note (round 6, VERDICT ask #7)
 records that no vector is available rather than guessing one.  The
 coder is instead pinned by the Qe-table spot checks, the JBIG2 codec
 sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
-round-trips; the one remaining
-unsupported profile corner (COC overrides of decomposition LEVELS or
-transform — style bytes, CODE-BLOCK SIZES, PPT/PPM packed headers,
-RGN maxshift ROI and POC progression changes all DECODE since round 6
-late) raises ``Jp2Error`` and callers fall back to the metadata-only path —
-the same graceful degradation the JPEG codec established in round 4.
+round-trips.  The COC marker scope is COMPLETE as of round 7:
+per-component decomposition LEVELS and TRANSFORM overrides decode
+and encode (each component owns its Mallat depth, inverse filter and
+quantization spec; mixed 5/3+9/7 triples drop MCT per G.2/G.3) —
+joining the style bytes, CODE-BLOCK SIZES, PPT/PPM packed headers,
+RGN maxshift ROI and POC progression changes of round 6.  Malformed
+or genuinely out-of-profile streams raise ``Jp2Error`` and callers
+fall back to the metadata-only path — the same graceful degradation
+the JPEG codec established in round 4.
 Round 6 closed four former gaps: selective arithmetic coding bypass
 (D.6 multi-segment blocks, raw SPP/MR passes — now the ENCODER
 default too), QCC per-component quantization, COC per-component
@@ -1783,6 +1786,7 @@ def _parse_headers(d: bytes, i: int,
     p.poc = None
     p.comp_cb = {}
     p.comp_cbstyle, p.comp_q = {}, {}
+    p.comp_levels, p.comp_irrev = {}, {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
         m = _u16b(d, i)
@@ -1934,14 +1938,19 @@ def _parse_headers(d: bytes, i: int,
         if c >= p.ncomp:
             raise Jp2Error("COC for nonexistent component")
         scoc = seg[1]
-        if (seg[2] != p.levels
-                or seg[6] != (0 if p.irreversible else 1)):
-            # per-component decomposition levels / transform would need
-            # per-component band GEOMETRY (Mallat assembly changes) —
-            # out of scope; style byte and CODE-BLOCK SIZE overrides
-            # (round-6 late) are supported via per-component layouts
-            raise Jp2Error(
-                "COC override beyond style/code-block size unsupported")
+        # per-component decomposition LEVELS and wavelet TRANSFORM
+        # overrides (round 7): each component owns its band geometry
+        # (its own Mallat pyramid depth) and its own inverse filter —
+        # the remaining COC scope item after the round-6 style /
+        # code-block-size overrides
+        lev_c = seg[2]
+        if lev_c > 10:
+            raise Jp2Error("too many decomposition levels")
+        if lev_c != p.levels:
+            p.comp_levels[c] = lev_c
+        irrev_c = seg[6] == 0
+        if irrev_c != p.irreversible:
+            p.comp_irrev[c] = irrev_c
         xcb_c = (seg[3] & 0x0F) + 2
         ycb_c = (seg[4] & 0x0F) + 2
         if xcb_c + ycb_c > 12:
@@ -1949,8 +1958,8 @@ def _parse_headers(d: bytes, i: int,
         if (xcb_c, ycb_c) != (p.xcb, p.ycb):
             p.comp_cb[c] = (xcb_c, ycb_c)
         if scoc & 1:
-            pe = seg[7:7 + p.levels + 1]
-            if len(pe) < p.levels + 1:
+            pe = seg[7:7 + lev_c + 1]
+            if len(pe) < lev_c + 1:
                 raise Jp2Error("truncated COC precinct sizes")
             pexp = [(b & 0x0F, b >> 4) for b in pe]
             if pexp != p.prec_exps:
@@ -2037,63 +2046,66 @@ def _decode_j2k(data: bytes, max_pixels: int,
     if len(data) < 4 or _u16b(data, 0) != _SOC:
         raise Jp2Error("not a JPEG2000 codestream (no SOC)")
     p, i = _parse_headers(data, 2, max_pixels)
-    reduce_levels = max(0, min(int(reduce_levels), p.levels))
-    r_max = p.levels - reduce_levels         # highest resolution decoded
+    # per-component decomposition levels / transform (COC overrides):
+    # every geometry decision below is per-component; precinct
+    # partitions stay at the spec default when any level differs (the
+    # per-component precinct-list combination already raises in the
+    # header parser)
+    lev_of = [p.comp_levels.get(c, p.levels) for c in range(p.ncomp)]
+    irr_of = [p.comp_irrev.get(c, p.irreversible)
+              for c in range(p.ncomp)]
+    max_lev = max(lev_of, default=p.levels)
+    min_lev = min(lev_of, default=p.levels)
+    if p.comp_levels and p.prec_exps is not None:
+        raise Jp2Error("per-component decomposition levels with "
+                       "custom precincts unsupported")
+    reduce_levels = max(0, min(int(reduce_levels), min_lev))
     if p.w == 0 or p.h == 0:
         raise Jp2Error("empty image")
-    nsub = 3 * p.levels + 1
-    if p.irreversible and p.qstyle == 0:
-        raise Jp2Error("9/7 transform requires a quantization style")
-    if not p.irreversible and p.qstyle != 0:
-        raise Jp2Error("quantization on the reversible transform")
-    if p.qstyle == 1:
-        if not p.qpairs:
-            raise Jp2Error("QCD exponent count mismatch")
-        # scalar DERIVED (E.1.1): one (ε0, μ0); band at decomposition
-        # level n_b gets ε_b = ε0 - N_L + n_b, μ_b = μ0 (LL keeps ε0)
-        e0, mu0 = p.qpairs[0]
-        pairs = [(e0, mu0)]
-        for r in range(1, p.levels + 1):
-            lev = p.levels - r + 1
-            for _ in range(3):
-                pairs.append((e0 - p.levels + lev, mu0))
-        p.qpairs = pairs
-    if len(p.qpairs) < nsub:
-        raise Jp2Error("QCD exponent count mismatch")
 
-    # QCC overrides: per-component (guard, pairs), same style rules and
-    # derived-style expansion as QCD (E.1.1 applies per component)
-    comp_q = {}
-    for cc, (guard_c, qs_c, pairs_c) in p.comp_q.items():
-        if p.irreversible and qs_c == 0:
+    # per-component quantization spec: QCC override if present, else
+    # the QCD default — style-vs-transform rules and the derived-style
+    # expansion (E.1.1) both apply with the COMPONENT's level count
+    comp_qspec = {}
+    for c in range(p.ncomp):
+        if c in p.comp_q:
+            which = "QCC"
+            guard_c, qs_c, pairs_c = p.comp_q[c]
+        else:
+            which = "QCD"
+            guard_c, qs_c, pairs_c = p.guard, p.qstyle, p.qpairs
+        if irr_of[c] and qs_c == 0:
             raise Jp2Error("9/7 transform requires a quantization style")
-        if not p.irreversible and qs_c != 0:
+        if not irr_of[c] and qs_c != 0:
             raise Jp2Error("quantization on the reversible transform")
         if qs_c == 1:
             if not pairs_c:
-                raise Jp2Error("QCC exponent count mismatch")
+                raise Jp2Error(f"{which} exponent count mismatch")
+            # scalar DERIVED (E.1.1): one (ε0, μ0); band at
+            # decomposition level n_b gets ε_b = ε0 - N_L + n_b,
+            # μ_b = μ0 (LL keeps ε0)
             e0, mu0 = pairs_c[0]
             ex = [(e0, mu0)]
-            for r in range(1, p.levels + 1):
-                lev = p.levels - r + 1
+            for r in range(1, lev_of[c] + 1):
+                lev = lev_of[c] - r + 1
                 for _ in range(3):
-                    ex.append((e0 - p.levels + lev, mu0))
+                    ex.append((e0 - lev_of[c] + lev, mu0))
             pairs_c = ex
-        if len(pairs_c) < nsub:
-            raise Jp2Error("QCC exponent count mismatch")
-        comp_q[cc] = (guard_c, pairs_c)
+        if len(pairs_c) < 3 * lev_of[c] + 1:
+            raise Jp2Error(f"{which} exponent count mismatch")
+        comp_qspec[c] = (guard_c, pairs_c)
 
     for cc in p.rgn:
         if cc >= p.ncomp:
             raise Jp2Error("RGN for nonexistent component")
 
     def band_mb_delta(c: int, sidx: int, gain: int):
-        guard_c, pairs = comp_q.get(c, (p.guard, p.qpairs))
+        guard_c, pairs = comp_qspec[c]
         eps, mu = pairs[sidx]
         # maxshift ROI (E.1): the component's bit-plane budget grows by
         # SPrgn — ROI coefficient planes sit above every background one
         mb = eps + guard_c - 1 + p.rgn.get(c, 0)
-        if not p.irreversible:
+        if not irr_of[c]:
             return mb, None
         return mb, _quant_step(8 + gain, eps, mu)
 
@@ -2113,15 +2125,15 @@ def _decode_j2k(data: bytes, max_pixels: int,
     # image size above, so a 50x150 image with declared 64x64 tiles
     # (tall-strip scans) legally has xt=50 with ntx=1 — the clamped
     # value never anchors an interior tile and must not be validated.
-    if ((ntx > 1 and (p.xt & (p.xt - 1) or p.xt % (1 << p.levels)))
+    if ((ntx > 1 and (p.xt & (p.xt - 1) or p.xt % (1 << max_lev)))
             or (nty > 1 and (p.yt & (p.yt - 1)
-                             or p.yt % (1 << p.levels)))):
+                             or p.yt % (1 << max_lev)))):
         raise Jp2Error("non-power-of-two tile size unsupported")
     red_w = -(-p.w // (1 << reduce_levels))
     red_h = -(-p.h // (1 << reduce_levels))
     planes = [np.zeros((red_h, red_w),
-                       dtype=np.float64 if p.irreversible else np.int64)
-              for _ in range(p.ncomp)]
+                       dtype=np.float64 if irr_of[c] else np.int64)
+              for c in range(p.ncomp)]
 
     pos = i
     tile_parts = {}                          # isot -> [(tpsot, payload)]
@@ -2231,7 +2243,7 @@ def _decode_j2k(data: bytes, max_pixels: int,
                 raise Jp2Error("PPT segments out of order")
             ppt = b"".join(c for _z, c in chunks)
         tile_planes = _decode_tile(tdata, p, tw_i, th_i,
-                                   band_mb_delta, reduce_levels, r_max,
+                                   band_mb_delta, reduce_levels,
                                    ppt=ppt)
         rx0, ry0 = x0 >> reduce_levels, y0 >> reduce_levels
         for c in range(p.ncomp):
@@ -2241,7 +2253,12 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
     # ---- inverse component transform + DC unshift
     if p.ncomp == 3 and p.mct == 1:
-        if p.irreversible:                   # ICT (G.3)
+        # RCT needs 5/3 on all three components, ICT needs 9/7 (G.2/
+        # G.3) — a COC transform override inside an MCT triple is
+        # non-conformant
+        if irr_of[1] != irr_of[0] or irr_of[2] != irr_of[0]:
+            raise Jp2Error("MCT with mixed per-component transforms")
+        if irr_of[0]:                        # ICT (G.3)
             y_, cb, cr = comps
             r_ = y_ + 1.402 * cr
             g = y_ - 0.344136 * cb - 0.714136 * cr
@@ -2254,18 +2271,18 @@ def _decode_j2k(data: bytes, max_pixels: int,
         comps = [r_, g, b]
     elif p.mct == 1 and p.ncomp != 3:
         raise Jp2Error("MCT on non-3-component image")
-    if p.irreversible:
-        out = [np.clip(np.round(cp) + 128, 0, 255).astype(np.uint8)
-               for cp in comps]
-    else:
-        out = [np.clip(cp + 128, 0, 255).astype(np.uint8) for cp in comps]
+    out = [np.clip(np.round(cp) + 128, 0, 255).astype(np.uint8)
+           if irr_of[c] else
+           np.clip(cp + 128, 0, 255).astype(np.uint8)
+           for c, cp in enumerate(comps)]
     if p.ncomp == 1:
         return out[0]
     return np.stack(out, axis=-1)
 
 
 
-def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None):
+def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
+                     levels=None):
     """Precinct geometry for resolution ``r`` of a tile (B.6): precincts
     partition the RESOLUTION grid in 2^PPx x 2^PPy cells (the spec
     default, PPx=PPy=15, yields the familiar single precinct); band-
@@ -2276,8 +2293,12 @@ def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None):
 
     Returns (npx, npy, layouts) with layouts[bi] =
     (cbw_e, cbh_e, pbw, pbh, nx, ny) per band."""
-    res_w = -(-tw_i // (1 << (p.levels - r)))
-    res_h = -(-th_i // (1 << (p.levels - r)))
+    if levels is None:
+        levels = p.levels
+    res_w = -(-tw_i // (1 << (levels - r)))
+    res_h = -(-th_i // (1 << (levels - r)))
+    # a levels override forces default precincts (parser-enforced), so
+    # indexing p.prec_exps by r is safe whenever it is non-None
     ppx, ppy = p.prec_exps[r] if p.prec_exps is not None else (15, 15)
     if r and (ppx < 1 or ppy < 1):           # PPx/PPy=0 illegal for r>0
         raise Jp2Error("illegal precinct size")
@@ -2306,19 +2327,28 @@ def _prec_block_range(px, pbw, cbw_e, bw, nx):
 
 
 def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
-                 reduce_levels, r_max, ppt=None):
+                 reduce_levels, ppt=None):
     """Decode one tile's packets + code-blocks + inverse DWT from its
     (possibly tile-part-concatenated) payload bytes; returns
-    per-component reduced-resolution coefficient planes."""
-    bands = _bands_for(tw_i, th_i, p.levels)
+    per-component reduced-resolution coefficient planes.
+
+    Per-component COC overrides give each component its own band
+    geometry (decomposition levels), inverse filter (transform) and
+    code-block grid — every map below is keyed by component."""
+    lev_of = [p.comp_levels.get(c, p.levels) for c in range(p.ncomp)]
+    irr_of = [p.comp_irrev.get(c, p.irreversible)
+              for c in range(p.ncomp)]
+    max_lev = max(lev_of)
+    bands_of = [_bands_for(tw_i, th_i, lv) for lv in lev_of]
     state = {}
     grids = {}
     prec = {}
-    for r in range(p.levels + 1):
-        for c in range(p.ncomp):
+    for c in range(p.ncomp):
+        for r in range(lev_of[c] + 1):
             xcb_c, ycb_c = p.comp_cb.get(c, (p.xcb, p.ycb))
-            prec[(c, r)] = _precinct_layout(p, bands, r, tw_i, th_i,
-                                            xcb_c, ycb_c)
+            prec[(c, r)] = _precinct_layout(p, bands_of[c], r, tw_i,
+                                            th_i, xcb_c, ycb_c,
+                                            levels=lev_of[c])
             _npx, _npy, layouts = prec[(c, r)]
             for bi, (cbw_e, cbh_e, pbw, pbh, nx, ny) in enumerate(layouts):
                 grids[(c, r, bi)] = (nx, ny)
@@ -2333,7 +2363,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         if key not in trees:
             _npx, _npy, layouts = prec[(c, r)]
             cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
-            name, lev, bw, bh, gain = bands[r][bi]
+            name, lev, bw, bh, gain = bands_of[c][r][bi]
             bx0, bx1 = _prec_block_range(px, pbw, cbw_e, bw, nx)
             by0, by1 = _prec_block_range(py, pbh, cbh_e, bh, ny)
             w_ = max(bx1 - bx0, 0)
@@ -2344,18 +2374,27 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         return trees[key]
 
     # the precinct GRID depends only on the resolution dims + precinct
-    # exponents (shared across components) — component 0 is canonical
-    n_prec = {r: prec[(0, r)][0] * prec[(0, r)][1]
-              for r in range(p.levels + 1)}
+    # exponents (shared across components): use, per r, any component
+    # that reaches that resolution (with per-component levels the
+    # parser forces default precincts, so every reaching component
+    # agrees — one precinct per resolution)
+    canon_c = {r: next(c for c in range(p.ncomp) if lev_of[c] >= r)
+               for r in range(max_lev + 1)}
+    n_prec = {r: prec[(canon_c[r], r)][0] * prec[(canon_c[r], r)][1]
+              for r in range(max_lev + 1)}
 
     def packets():
-        plist = _precinct_anchors(p.levels, p.prec_exps,
+        plist = _precinct_anchors(max_lev, p.prec_exps,
                                   lambda r: n_prec[r],
-                                  lambda r: prec[(0, r)][0])
+                                  lambda r: prec[(canon_c[r], r)][0])
         if p.poc is None:
-            return _progression_order(p.progression, plist, p.ncomp,
-                                      p.nlayers)
-        return _poc_order(p.poc, plist, p.ncomp, p.nlayers)
+            order = _progression_order(p.progression, plist, p.ncomp,
+                                       p.nlayers)
+        else:
+            order = _poc_order(p.poc, plist, p.ncomp, p.nlayers)
+        # B.12.1: a component contributes packets only for the
+        # resolutions its own decomposition-level count reaches
+        return [e for e in order if e[1] <= lev_of[e[2]]]
 
     pos = 0
     tile_end = len(tdata)
@@ -2372,10 +2411,11 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
         bio = ppt_bio if ppt_bio is not None else _BioReader(tdata, pos)
         nonempty = bio.read()
         body_plan = []
-        npx = prec[(0, r)][0]
+        npx = prec[(c, r)][0]
         py, px = divmod(pidx, npx)
         if nonempty:
-            for bi, (name, lev, bw, bh, gain) in enumerate(bands[r]):
+            for bi, (name, lev, bw, bh, gain) in enumerate(
+                    bands_of[c][r]):
                 nx, ny = grids[(c, r, bi)]
                 if not (nx and ny):
                     continue
@@ -2446,10 +2486,11 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     red_h = -(-th_i // (1 << reduce_levels))
     out = []
     for c in range(p.ncomp):
+        r_max_c = lev_of[c] - reduce_levels
         arr = np.zeros((red_h, red_w),
-                       dtype=np.float64 if p.irreversible else np.int64)
-        for r, blist in enumerate(bands):
-            if r > r_max:
+                       dtype=np.float64 if irr_of[c] else np.int64)
+        for r, blist in enumerate(bands_of[c]):
+            if r > r_max_c:
                 continue                     # dropped resolution
             cbw_e_list = prec[(c, r)][2]
             for bi, (name, lev, bw, bh, gain) in enumerate(blist):
@@ -2499,10 +2540,10 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                     f = band_arr.astype(np.float64)
                     dst[:] = np.where(
                         f == 0, 0.0, (f + np.sign(f) * 0.5) * delta)
-        if p.irreversible:
-            out.append(dwt97_inverse(arr, p.levels - reduce_levels))
+        if irr_of[c]:
+            out.append(dwt97_inverse(arr, lev_of[c] - reduce_levels))
         else:
-            out.append(dwt53_inverse(arr, p.levels - reduce_levels))
+            out.append(dwt53_inverse(arr, lev_of[c] - reduce_levels))
     return out
 
 
@@ -2620,7 +2661,9 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                roi: tuple | None = None,
                roi_comps: tuple | None = None,
                poc: list | None = None,
-               coc_block_exp: dict | None = None) -> bytes:
+               coc_block_exp: dict | None = None,
+               coc_levels: dict | None = None,
+               coc_transform: dict | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2641,7 +2684,14 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     only: decoded pixels are identical either way (lossless stays
     lossless, 9/7 error bounds unchanged); decode throughput roughly
     doubles because most low-bit-plane decisions skip the MQ coder.
-    ``bypass=False`` emits the single-segment streams of rounds 1-5."""
+    ``bypass=False`` emits the single-segment streams of rounds 1-5.
+
+    ``coc_levels`` / ``coc_transform`` (round 7): per-component
+    decomposition-level counts and wavelet-transform choices (c ->
+    levels / c -> irreversible bool), signalled via COC (A.6.2) with
+    the matching QCC; a transform override on a colour image drops the
+    component transform (MCT=0 — RCT/ICT require a uniform wavelet,
+    G.2/G.3) and codes the R/G/B channels independently."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h, w) or (h, w, 3)")
@@ -2657,13 +2707,52 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         raise ValueError("illegal code-block size")
     cbw, cbh = 1 << xcb, 1 << ycb
 
+    ncomp_ = 1 if gray else 3
+    eff_irr = [irreversible] * ncomp_
+    if coc_transform:
+        for cc, v in coc_transform.items():
+            if not 0 <= int(cc) < ncomp_:
+                raise ValueError("coc_transform for nonexistent "
+                                 "component")
+            eff_irr[int(cc)] = bool(v)
+    eff_lv = [levels] * ncomp_
+    if coc_levels:
+        for cc, v in coc_levels.items():
+            if not 0 <= int(cc) < ncomp_:
+                raise ValueError("coc_levels for nonexistent component")
+            v = int(v)
+            if not 1 <= v <= 6:
+                raise ValueError("coc_levels out of range")
+            eff_lv[int(cc)] = v
+    mixed_tr = any(e != irreversible for e in eff_irr)
+    mixed_lv = any(e != levels for e in eff_lv)
+    if mixed_tr or mixed_lv:
+        if precinct_exp is not None:
+            raise ValueError("coc_levels/coc_transform with custom "
+                             "precincts unsupported")
+        if roi is not None:
+            raise ValueError("coc_levels/coc_transform with roi "
+                             "unsupported")
+        if comp_steps is not None:
+            raise ValueError("coc_levels/coc_transform with "
+                             "comp_steps unsupported")
+
     # DC shift + component transform (RCT for reversible, ICT for 9/7)
     if gray:
-        if irreversible:
+        if eff_irr[0]:
             comps = [img.astype(np.float64) - 128.0]
         else:
             comps = [img.astype(np.int64) - 128]
         depths = [8]
+        mct = 0
+    elif mixed_tr:
+        # mixed per-component wavelets: no MCT (G.2/G.3 each require a
+        # uniform transform across the triple) — each channel coded
+        # independently in its own arithmetic
+        comps = [img[..., k].astype(np.float64) - 128.0
+                 if eff_irr[k] else img[..., k].astype(np.int64) - 128
+                 for k in range(3)]
+        depths = [8, 8, 8]
         mct = 0
     elif irreversible:
         r = img[..., 0].astype(np.float64) - 128.0
@@ -2687,7 +2776,6 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         mct = 1
 
     guard = 2
-    bands = _bands_for(w, h, levels)
 
     # Per-band quantization spec: (eps, mu, delta, mb).  Reversible: no
     # quantization, eps = max component depth + gain (chroma is 9-bit
@@ -2709,20 +2797,20 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     else:
         steps = [step] * len(comps)
 
-    def build_qspec(step_c):
+    def build_qspec(step_c, irr_c, lev_c):
         spec = []
         e0 = mu0 = None
-        for r, blist in enumerate(bands):
+        for r, blist in enumerate(_bands_for(w, h, lev_c)):
             for name, lev, bw, bh, gain in blist:
-                if irreversible and derived_quant:
+                if irr_c and derived_quant:
                     if not spec:             # LL band fixes (eps0, mu0)
                         e0, mu0 = _step_to_eps_mu(8, step_c)
-                    eps, mu = e0 - levels + lev, mu0
+                    eps, mu = e0 - lev_c + lev, mu0
                     if eps < 1:
                         raise Jp2Error(
                             "step too coarse for derived quant")
                     delta = _quant_step(8 + gain, eps, mu)
-                elif irreversible:
+                elif irr_c:
                     rb = 8 + gain
                     eps, mu = _step_to_eps_mu(rb, step_c)
                     delta = _quant_step(rb, eps, mu)
@@ -2731,8 +2819,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                 spec.append((eps, mu, delta, eps + guard - 1))
         return spec
 
-    qspec_c = [build_qspec(s) for s in steps]
-    qspec = qspec_c[0]                       # QCD (component 0 /default)
+    qspec_c = [build_qspec(steps[c], eff_irr[c], eff_lv[c])
+               for c in range(len(comps))]
+    # QCD carries the COD DEFAULTS — a component 0 override moves its
+    # own spec into a QCC like any other component's
+    qspec = (qspec_c[0]
+             if eff_irr[0] == irreversible and eff_lv[0] == levels
+             else build_qspec(steps[0], irreversible, levels))
 
     if coc_bypass:
         for cc in coc_bypass:
@@ -2783,9 +2876,9 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         # anchors interior tiles and needs the power-of-two guarantee
         # (mirrors the decoder guard; tall-strip tiles like 64x64 over
         # a 50x150 image are legal and round-trip)
-        if ((xt < w and (xt & (xt - 1) or xt % (1 << levels)))
+        if ((xt < w and (xt & (xt - 1) or xt % (1 << max(eff_lv))))
                 or (yt < h and (yt & (yt - 1)
-                                or yt % (1 << levels)))):
+                                or yt % (1 << max(eff_lv))))):
             raise ValueError(
                 "tile size must be a power of two >= 2^levels")
     ntx, nty = -(-w // xt), -(-h // yt)
@@ -2794,16 +2887,18 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     rgn_shifts: dict = {}
 
     def tile_body(planes_t, tw_i, th_i) -> bytes:
-        bands = _bands_for(tw_i, th_i, levels)
+        bands_cc = [_bands_for(tw_i, th_i, eff_lv[c])
+                    for c in range(len(planes_t))]
         # effective code-block dims are capped by the band precinct cell
         if precinct_exp is not None:
             ppx_, ppy_ = precinct_exp
         # ---- per-component transform + T1
-        packet_blocks = {(r, c): [] for r in range(levels + 1)
-                         for c in range(len(planes_t))}
+        packet_blocks = {(r, c): [] for c in range(len(planes_t))
+                         for r in range(eff_lv[c] + 1)}
         for c, plane in enumerate(planes_t):
-            mallat = (dwt97_forward if irreversible
-                      else dwt53_forward)(plane, levels)
+            bands = bands_cc[c]
+            mallat = (dwt97_forward if eff_irr[c]
+                      else dwt53_forward)(plane, eff_lv[c])
             # quantize every band first (a list pass) so maxshift ROI
             # can compute the component's background bit budget before
             # any block is entropy-coded
@@ -2889,23 +2984,29 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         ppt_buf = bytearray()
         pkt_offsets = []
         lay_r = {(c2, r): _precinct_layout(
-                     _p, bands, r, tw_i, th_i,
-                     eff_cb[c2][0], eff_cb[c2][1])
-                 for r in range(levels + 1)
-                 for c2 in range(len(planes_t))}
+                     _p, bands_cc[c2], r, tw_i, th_i,
+                     eff_cb[c2][0], eff_cb[c2][1],
+                     levels=eff_lv[c2])
+                 for c2 in range(len(planes_t))
+                 for r in range(eff_lv[c2] + 1)}
         # packet emission order: the SAME shared function the decoder
         # walks (single layer), so order bugs cannot hide on one side
         pexps = ([precinct_exp] * (levels + 1)
                  if precinct_exp is not None else None)
+        canon = {r: next(c2 for c2 in range(len(planes_t))
+                         if eff_lv[c2] >= r)
+                 for r in range(max(eff_lv) + 1)}
         plist = _precinct_anchors(
-            levels, pexps,
-            lambda r: lay_r[(0, r)][0] * lay_r[(0, r)][1],
-            lambda r: lay_r[(0, r)][0])
+            max(eff_lv), pexps,
+            lambda r: lay_r[(canon[r], r)][0] * lay_r[(canon[r], r)][1],
+            lambda r: lay_r[(canon[r], r)][0])
         if poc is not None:
             order = _poc_order(poc, plist, len(planes_t), 1)
         else:
             order = _progression_order(progression, plist,
                                        len(planes_t), 1)
+        # a component only carries packets for its own resolutions
+        order = [e for e in order if e[1] <= eff_lv[e[2]]]
         for _l, r, c, pidx in order:
             npx, npy, layouts = lay_r[(c, r)]
             entries = packet_blocks[(r, c)]
@@ -2921,7 +3022,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             ranges = []
             any_data = False
             for bi, blocks in entries:
-                name, lev, bw, bh, gain = bands[r][bi]
+                name, lev, bw, bh, gain = bands_cc[c][r][bi]
                 cbw_e, cbh_e, pbw, pbh, nx, ny = layouts[bi]
                 bx0, bx1 = _prec_block_range(px_, pbw, cbw_e,
                                              bw, nx)
@@ -3082,15 +3183,30 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                     + (len(chunk) + 3).to_bytes(2, "big")
                     + bytes((z,)) + chunk)
             z += 1
-    if comp_steps is not None:
-        # QCC for every non-first component whose step differs from the
-        # QCD default (A.6.5; expounded style, like the COD path above)
-        for c in range(1, len(comps)):
-            if steps[c] == steps[0]:
-                continue
-            qcc = bytes([c, (guard << 5) | 2]) + b"".join(
+    def _qbody(irr_c, spec):
+        # quantization marker body (Sqxx + pairs), shared by QCD / QCC
+        if irr_c and derived_quant:
+            e0_, m0_, _d0, _mb0 = spec[0]
+            return bytes([(guard << 5) | 1]) \
+                + ((e0_ << 11) | m0_).to_bytes(2, "big")
+        if irr_c:
+            return bytes([(guard << 5) | 2]) + b"".join(
                 ((e << 11) | m_).to_bytes(2, "big")
-                for e, m_, _d, _mb in qspec_c[c])
+                for e, m_, _d, _mb in spec)
+        return bytes([guard << 5]) + bytes(
+            [e << 3 for e, _m, _d, _mb in spec])
+
+    if comp_steps is not None or mixed_tr or mixed_lv:
+        # QCC for every component whose quantization differs from the
+        # QCD default (A.6.5) — a different step (comp_steps), a
+        # different style (transform override) or a different pair
+        # count (levels override)
+        qcd_body = _qbody(irreversible, qspec)
+        for c in range(len(comps)):
+            body_c = _qbody(eff_irr[c], qspec_c[c])
+            if body_c == qcd_body:
+                continue
+            qcc = bytes([c]) + body_c
             out += (0xFF5D).to_bytes(2, "big") \
                 + (len(qcc) + 2).to_bytes(2, "big") + qcc
     if poc is not None:
@@ -3107,16 +3223,20 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         # RGN (A.6.3): maxshift ROI, Srgn=0, one segment per component
         out += ((0xFF5E).to_bytes(2, "big") + (5).to_bytes(2, "big")
                 + bytes((rc, 0, sh)))
-    if coc_bypass or coc_block_exp:
-        # COC for components whose code-block style OR size differs
-        # from COD (A.6.2) — everything else mirrors the COD parameters
+    if coc_bypass or coc_block_exp or mixed_tr or mixed_lv:
+        # COC for components whose code-block style, size,
+        # decomposition-level count or transform differs from COD
+        # (A.6.2) — everything else mirrors the COD parameters
         for c in range(len(comps)):
-            if eff_bypass[c] == bypass and eff_cb[c] == (xcb, ycb):
+            if (eff_bypass[c] == bypass and eff_cb[c] == (xcb, ycb)
+                    and eff_irr[c] == irreversible
+                    and eff_lv[c] == levels):
                 continue
             coc = bytes([c, 0x01 if precinct_exp is not None else 0,
-                         levels, eff_cb[c][0] - 2, eff_cb[c][1] - 2,
+                         eff_lv[c], eff_cb[c][0] - 2,
+                         eff_cb[c][1] - 2,
                          0x01 if eff_bypass[c] else 0,
-                         0 if irreversible else 1])
+                         0 if eff_irr[c] else 1])
             if precinct_exp is not None:
                 ppx_, ppy_ = precinct_exp
                 coc += bytes([(ppy_ << 4) | ppx_] * (levels + 1))
@@ -3172,20 +3292,25 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                coc_bypass: dict | None = None,
                progression: str = "LRCP",
                precinct_exp: tuple | None = None,
-               coc_block_exp: dict | None = None) -> bytes:
+               coc_block_exp: dict | None = None,
+               coc_levels: dict | None = None,
+               coc_transform: dict | None = None) -> bytes:
     """JP2 file (or raw J2K codestream) from a uint8 image — lossless
     5/3 by default, lossy 9/7 with ``irreversible=True`` (see
     ``encode_j2k``; ``bypass`` = selective arithmetic bypass, default
     on — entropy-layer only, decoded pixels identical; ``comp_steps``
     = per-component quantizer steps via QCC; ``coc_bypass`` =
-    per-component style via COC)."""
+    per-component style, ``coc_levels`` / ``coc_transform`` =
+    per-component decomposition levels / wavelet via COC)."""
     cs = encode_j2k(img, levels=levels, block_exp=block_exp,
                     irreversible=irreversible, step=step,
                     derived_quant=derived_quant, tile_size=tile_size,
                     bypass=bypass, comp_steps=comp_steps,
                     coc_bypass=coc_bypass, progression=progression,
                     precinct_exp=precinct_exp,
-                    coc_block_exp=coc_block_exp)
+                    coc_block_exp=coc_block_exp,
+                    coc_levels=coc_levels,
+                    coc_transform=coc_transform)
     if raw_codestream:
         return cs
     img = np.asarray(img)

@@ -1881,10 +1881,11 @@ def q_jp2_decode(spark, sf):
                 # per-tile decode path must reproduce the same
                 # closed-form pixels
                 # odd (RGB) images alternate per-component COC
-                # overrides (bypass off + smaller code-blocks for
-                # chroma) — exercises the per-component style AND
-                # layout decode paths (round 6); lossless, so the same
-                # closed-form oracle applies
+                # overrides: i%4==1 routes style + code-block-size
+                # overrides (round 6), i%4==3 per-component
+                # DECOMPOSITION LEVELS (round 7 — chroma gets its own
+                # Mallat depth, the last COC scope item); lossless, so
+                # the same closed-form oracle applies
                 data = encode_jp2(
                     img, levels=1 + i % 3,
                     block_exp=(4 + i % 3, 4 + (i // 2) % 3),
@@ -1893,7 +1894,9 @@ def q_jp2_decode(spark, sf):
                     coc_bypass=({1: False, 2: False}
                                 if i % 4 == 1 else None),
                     coc_block_exp=({1: (4, 4), 2: (5, 3)}
-                                   if i % 4 == 1 else None))
+                                   if i % 4 == 1 else None),
+                    coc_levels=({2: 1 + (i // 2) % 3}
+                                if i % 4 == 3 else None))
                 dec = decode_jp2(data)
                 if not np.array_equal(dec, img):
                     raise AssertionError(f"lossless violation img {i}")

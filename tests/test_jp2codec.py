@@ -716,10 +716,12 @@ def test_coc_qcc_decode_guards():
     bad[coc + 4] = 7
     with pytest.raises(Jp2Error, match="nonexistent"):
         decode_jp2(bytes(bad))
-    # COC that changes decomposition levels (out of scope -> loud)
+    # COC that bumps decomposition levels without the matching
+    # quantization pairs (round 7: levels overrides decode, but the
+    # component's QCD/QCC must cover its own 3*N_L+1 subbands)
     bad = bytearray(d)
     bad[coc + 6] += 1
-    with pytest.raises(Jp2Error, match="beyond style"):
+    with pytest.raises(Jp2Error, match="exponent count mismatch"):
         decode_jp2(bytes(bad))
     dq = bytearray(encode_jp2(img, levels=2, raw_codestream=True,
                               irreversible=True,
@@ -1213,3 +1215,127 @@ def test_ppm_multi_tile_part_and_over_supply():
     with pytest.raises(ValueError, match="poc with tiling"):
         encode_j2k(np.tile(img, (2, 2)), levels=2,
                    tile_size=(64, 64), poc=[(0, 0, 1, 3, 1, "LRCP")])
+
+
+# ------------------------- per-component levels / transform (round 7)
+
+from archive_pdf_tools_spark.kernels.jp2codec import encode_j2k  # noqa: E402
+
+def test_coc_per_component_levels_roundtrip():
+    """COC decomposition-level overrides (A.6.2 SPcoc levels byte, the
+    last COC scope item): each component owns its own Mallat pyramid
+    depth, lossless round-trips bit-exactly across progressions and
+    code-block-size combinations."""
+    rng = np.random.default_rng(71)
+    gray = rng.integers(0, 256, (45, 52)).astype(np.uint8)
+    img3 = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    for kwargs in (
+            dict(levels=2, coc_levels={0: 4}),
+            dict(levels=3, coc_levels={0: 1}),
+    ):
+        d = encode_j2k(gray, **kwargs)
+        assert np.array_equal(decode_jp2(d), gray)
+    for kwargs in (
+            dict(levels=3, coc_levels={2: 1}),
+            dict(levels=1, coc_levels={1: 3, 2: 2}),
+            dict(levels=2, coc_levels={0: 4}, progression="RLCP"),
+            dict(levels=2, coc_levels={2: 3},
+                 coc_block_exp={2: (4, 4)}),
+            dict(levels=2, coc_levels={1: 3}, coc_bypass={1: False}),
+    ):
+        d = encode_j2k(img3, **kwargs)
+        assert np.array_equal(decode_jp2(d), img3), kwargs
+    # the override is actually signalled (COC present, levels byte set)
+    d = encode_j2k(img3, levels=3, coc_levels={2: 1})
+    i = d.find(b"\xff\x53")
+    assert i > 0 and d[i + 4] == 2 and d[i + 6] == 1
+
+
+def test_coc_per_component_transform_mixed():
+    """COC transform overrides: mixed 5/3 + 9/7 components code each
+    channel independently (MCT off — G.2/G.3 need a uniform wavelet);
+    reversible components stay bit-exact while the 9/7 one quantizes."""
+    rng = np.random.default_rng(72)
+    img3 = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    d = encode_j2k(img3, levels=2, coc_transform={2: True}, step=4.0)
+    # COD default reversible, no MCT; COC flips component 2 to 9/7
+    # (segment: FF53 Lcoc Ccoc Scoc SPcoc=levels,xcb,ycb,style,transform)
+    i = d.find(b"\xff\x53")
+    assert i > 0 and d[i + 4] == 2 and d[i + 10] == 0
+    assert d.find(b"\xff\x5d") > 0          # QCC carries its quant
+    out = decode_jp2(d)
+    assert np.array_equal(out[..., 0], img3[..., 0])
+    assert np.array_equal(out[..., 1], img3[..., 1])
+    err = np.abs(out[..., 2].astype(int) - img3[..., 2].astype(int))
+    assert 0 < err.max() < 32
+    # inverse direction: lossy default, one channel forced lossless
+    d = encode_j2k(img3, levels=2, irreversible=True, step=2.0,
+                   coc_transform={0: False})
+    out = decode_jp2(d)
+    assert np.array_equal(out[..., 0], img3[..., 0])
+    assert not np.array_equal(out[..., 1], img3[..., 1])
+    # combined levels + transform + block-size override on one channel
+    d = encode_j2k(img3, levels=2, coc_transform={1: True},
+                   coc_levels={1: 3}, coc_block_exp={1: (4, 4)},
+                   step=0.25)
+    out = decode_jp2(d)
+    assert np.array_equal(out[..., 0], img3[..., 0])
+    assert np.array_equal(out[..., 2], img3[..., 2])
+    # derived-quant default with a deeper-pyramid component (per-
+    # component E.1.1 expansion in the decoder)
+    d = encode_j2k(img3, levels=2, irreversible=True,
+                   derived_quant=True, coc_levels={1: 3}, step=0.25)
+    out = decode_jp2(d)
+    assert np.abs(out.astype(int) - img3.astype(int)).max() < 10
+
+
+def test_coc_levels_reduce_and_tiles():
+    """Per-component levels compose with reduce_levels (clamped to the
+    SHALLOWEST component) and with multi-tile grids."""
+    rng = np.random.default_rng(73)
+    img3 = rng.integers(0, 256, (40, 48, 3)).astype(np.uint8)
+    d = encode_j2k(img3, levels=3, coc_levels={2: 2})
+    out = decode_jp2(d, reduce_levels=1)
+    assert out.shape == (20, 24, 3)
+    # reduce beyond the shallowest component clamps to it
+    out = decode_jp2(d, reduce_levels=3)
+    assert out.shape == (10, 12, 3)
+    big = rng.integers(0, 256, (48, 64, 3)).astype(np.uint8)
+    d = encode_j2k(big, levels=2, coc_levels={1: 3},
+                   tile_size=(16, 16))
+    assert np.array_equal(decode_jp2(d), big)
+
+
+def test_coc_levels_guards_and_fuzz():
+    """Contract guards for the new scope + typed-error fuzz over a
+    levels-override stream."""
+    rng = np.random.default_rng(74)
+    img3 = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    with pytest.raises(ValueError, match="nonexistent"):
+        encode_j2k(img3, coc_levels={5: 2})
+    with pytest.raises(ValueError, match="out of range"):
+        encode_j2k(img3, coc_levels={1: 9})
+    with pytest.raises(ValueError, match="nonexistent"):
+        encode_j2k(img3, coc_transform={4: True})
+    with pytest.raises(ValueError, match="custom precincts"):
+        encode_j2k(img3, coc_levels={1: 3}, precinct_exp=(4, 4))
+    with pytest.raises(ValueError, match="roi"):
+        encode_j2k(img3, coc_transform={1: True}, roi=(0, 0, 8, 8))
+    with pytest.raises(ValueError, match="comp_steps"):
+        encode_j2k(img3, irreversible=True, coc_levels={1: 3},
+                   comp_steps=(0.5, 1.0, 1.0))
+    data = bytearray(encode_j2k(img3, levels=2, coc_levels={2: 3},
+                                coc_transform={1: True}, step=1.0))
+    for i in range(0, len(data), 13):
+        try:
+            decode_jp2(bytes(data[:i]))
+        except Jp2Error:
+            pass
+    for _ in range(150):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jp2(bytes(d))
+        except Jp2Error:
+            pass
