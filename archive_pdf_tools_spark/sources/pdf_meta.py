@@ -671,13 +671,25 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
 
     ``meta``/``rd``: pass the already-parsed metadata and ``_Reader`` to
     amortize the structural parse across a document's pages (one parse
-    per PDF, not one per page)."""
+    per PDF, not one per page).
+
+    Codec dispatch goes through ``kernels.registry`` (round 7): the
+    from-scratch decoders are the defaults, and a native decoder
+    swapped in via ``registry.register_decoder`` (contract-verified
+    against the same true-arithmetic oracles) changes THIS call site's
+    behavior without touching the Spark plan — the documented 100-TB
+    remedy for the per-core codec floor (``BENCH/codec_swap_r7.md``)."""
     import numpy as np
 
-    from ..kernels.ccittcodec import CcittError, decode_g3
-    from ..kernels.jbig2codec import Jbig2Error, decode_jbig2
-    from ..kernels.jp2codec import Jp2Error, decode_jp2
-    from ..kernels.jpegcodec import JpegError, decode_baseline
+    from ..kernels.ccittcodec import CcittError
+    from ..kernels.jbig2codec import Jbig2Error
+    from ..kernels.jp2codec import Jp2Error
+    from ..kernels.jpegcodec import JpegError
+    from ..kernels.registry import get_decoder
+    decode_baseline = get_decoder("JPEG")
+    decode_jp2 = get_decoder("JPEG2000")
+    decode_jbig2 = get_decoder("JBIG2")
+    decode_g3 = get_decoder("CCITT")
 
     if meta is None:
         meta = parse_pdf(data)

@@ -1,0 +1,120 @@
+"""The native-codec swap contract (round-7 VERDICT ask #2): the
+registry seam in ``kernels/registry.py`` is a TESTED interface — a
+drop-in decoder must pass the same true-arithmetic oracles the driver
+correctness gate pins, a wrong one is rejected before it can touch the
+pipeline, and ``extract_page_images`` provably dispatches through the
+registry (so a verified swap changes extraction without a code edit).
+"""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels import registry
+from archive_pdf_tools_spark.kernels.registry import (
+    FORMATS, ContractViolation, builtin_decoder, contract_cases,
+    get_decoder, register_decoder, reset_decoder, verify_decoder)
+
+
+@pytest.fixture(autouse=True)
+def _restore_registry():
+    yield
+    reset_decoder()
+
+
+def test_builtins_pass_their_own_contract():
+    """The engine's own decoders satisfy the suite any drop-in must
+    satisfy — the contract is anchored to working arithmetic."""
+    for fmt in FORMATS:
+        verify_decoder(fmt, builtin_decoder(fmt))
+
+
+def test_contract_cases_are_nontrivial():
+    for fmt in FORMATS:
+        cases = list(contract_cases(fmt))
+        assert len(cases) >= 2
+        for args, kwargs, expected in cases:
+            assert isinstance(args[0], bytes) and len(args[0]) > 4
+            assert expected.size > 0 and expected.max() > 0
+
+
+def test_faithful_dropin_accepted_and_wrapped():
+    """A faithful drop-in (here: the built-in behind a foreign-looking
+    wrapper that raises foreign exceptions) registers, serves decodes,
+    and its failures surface as the format's TYPED error — the
+    metadata-only fallback contract survives the swap."""
+    from archive_pdf_tools_spark.kernels.jp2codec import Jp2Error
+
+    calls = []
+
+    def native_jp2(raw: bytes):
+        calls.append(len(raw))
+        if raw == b"BOOM":
+            raise RuntimeError("segfault-adjacent native failure")
+        return builtin_decoder("JPEG2000")(raw)
+
+    register_decoder("JPEG2000", native_jp2)
+    args, kwargs, expected = next(iter(contract_cases("JPEG2000")))
+    assert np.array_equal(get_decoder("JPEG2000")(*args), expected)
+    assert calls  # verification + the call above went through it
+    with pytest.raises(Jp2Error, match="drop-in"):
+        get_decoder("JPEG2000")(b"BOOM")
+
+
+def test_corrupting_dropin_rejected():
+    """A decoder that is wrong by ONE pixel is rejected and the
+    registry keeps the built-in."""
+    def off_by_one(raw: bytes):
+        out = builtin_decoder("JPEG")(raw).copy()
+        out.flat[0] ^= 1
+        return out
+
+    with pytest.raises(ContractViolation, match="mismatches"):
+        register_decoder("JPEG", off_by_one)
+    assert get_decoder("JPEG") is builtin_decoder("JPEG")
+
+    def crashes(raw: bytes, globals_data: bytes = b""):
+        raise ValueError("cannot decode anything")
+
+    with pytest.raises(ContractViolation, match="raised"):
+        register_decoder("JBIG2", crashes)
+    assert get_decoder("JBIG2") is builtin_decoder("JBIG2")
+
+
+def test_extract_page_images_uses_registry(monkeypatch):
+    """The PDF scan's decode dispatch IS the registry: swapping a
+    marker decoder changes extracted pixels with no pdf_meta edit."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
+    from archive_pdf_tools_spark.sources.pdf_meta import \
+        extract_page_images
+
+    # a real fixture PDF whose first page carries a JPEG2000 image
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (40, 48)).astype(np.uint8)
+    pdf = build_pdf([{"width": 48, "height": 40, "images": [
+        {"w": 48, "h": 40, "gray": True, "jpx": True,
+         "data": encode_jp2(img)}]}])
+    base = extract_page_images(pdf, 0)
+    assert base and base[0][1].shape == (40, 48)
+
+    marker = np.full((40, 48), 7, dtype=np.uint8)
+
+    def fake_native(raw: bytes):
+        return marker
+
+    # bypass verification deliberately: this test wants dispatch proof
+    register_decoder("JPEG2000", fake_native, verify=False)
+    swapped = extract_page_images(pdf, 0)
+    assert np.array_equal(swapped[0][1], marker)
+    reset_decoder("JPEG2000")
+    again = extract_page_images(pdf, 0)
+    assert np.array_equal(again[0][1], base[0][1])
+
+
+def test_maybe_register_native_is_safe_without_libraries():
+    """In this container no native codec library exists: the opt-in
+    returns empty and leaves the built-ins installed."""
+    swapped = registry.maybe_register_native()
+    for fmt in FORMATS:
+        if fmt not in swapped:
+            assert get_decoder(fmt) is builtin_decoder(fmt)
