@@ -116,9 +116,13 @@ def synth_ccitt_real(w: int, h: int,
     content encoded by the engine's own T.4/T.6 encoders
     (``kernels.ccittcodec``) — the pre-JBIG2 archival mask format the
     reference leaves entirely to PyMuPDF (``pdfhacks.py:124-126``).
-    Returns ``(stream, k)`` where ``k`` is the /K DecodeParms value
-    the stream was encoded for (rotates -1/0/4 by ``(w + h) % 3``).
-    Seeded from (seed, w, h) only."""
+    Returns ``(stream, k, no_rows)`` where ``k`` is the /K DecodeParms
+    value the stream was encoded for (rotates -1/0/4 by ``(w + h) % 3``)
+    and ``no_rows`` asks the PDF writer to OMIT /Rows so the default
+    /EndOfBlock self-delimiting decode path (EOFB for G4, RTC for mixed
+    G3, zero-padding for plain 1D) is what real corpora exercise.  Both
+    rotations are pure functions of (w, h); seeded from (seed, w, h)
+    only."""
     from ..kernels.ccittcodec import encode_g3, encode_g4
 
     rng = np.random.default_rng((seed * 9173) ^ (w << 16) ^ h)
@@ -130,11 +134,13 @@ def synth_ccitt_real(w: int, h: int,
     # rotate through the /K families as a pure function of (w, h):
     # G4 (K=-1), 1D G3 (K=0) and mixed G3 (K=4) all flow through pins
     sel = (w + h) % 3
+    no_rows = w % 2 == 0
     if sel == 1:
-        return encode_g3(bm, k=0), 0
+        return encode_g3(bm, k=0), 0, no_rows
     if sel == 2:
-        return encode_g3(bm, k=4), 4
-    return encode_g4(bm), -1
+        # self-delimiting mixed-2D streams need an explicit RTC
+        return encode_g3(bm, k=4, rtc=no_rows), 4, no_rows
+    return encode_g4(bm), -1, no_rows
 
 
 def _flate(data: bytes) -> bytes:
@@ -234,15 +240,27 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                 data = img["data"]
                 filt = b"/JPXDecode"
             elif img.get("ccitt"):
-                # CCITT 1-bit mask with explicit K/Columns/Rows
-                # DecodeParms (K=-1 G4, K=0 1D G3, K>0 mixed G3)
+                # CCITT 1-bit mask with K/Columns DecodeParms (K=-1
+                # G4, K=0 1D G3, K>0 mixed G3).  ccitt_no_rows omits
+                # /Rows (the /EndOfBlock-default self-delimiting
+                # shape); ccitt_black1 adds /BlackIs1 true paired with
+                # an image-level /Decode [1 0] — sample sense and
+                # decode map flip together, so pixels are identical
                 data = img["data"]
                 filt = b"/CCITTFaxDecode"
                 dparms = (b" /DecodeParms << /K "
                           + str(img.get("ccitt_k", -1)).encode()
-                          + b" /Columns "
-                          + str(img["w"]).encode() + b" /Rows "
-                          + str(img["h"]).encode() + b" >>")
+                          + b" /Columns " + str(img["w"]).encode())
+                if not img.get("ccitt_no_rows"):
+                    dparms += b" /Rows " + str(img["h"]).encode()
+                if img.get("ccitt_black1"):
+                    dparms += b" /BlackIs1 true"
+                if img.get("ccitt_eob_false"):
+                    dparms += b" /EndOfBlock false"
+                dparms += b" >>"
+                if img.get("ccitt_flip_decode",
+                           img.get("ccitt_black1", False)):
+                    dparms += b" /Decode [1 0]"
             elif img.get("jbig2"):
                 # JBIG2-filtered 1-bit mask: payload is an embedded
                 # JBIG2 stream (the reference's default mask sink,
@@ -413,10 +431,17 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
                 continue
             if 0.45 <= u < 0.52:          # CCITT 1-bit mask (round 6
                 # late): the pre-JBIG2 archival format, decodable
-                # through the T.4/T.6 codec -> MRC path
-                cdata, ck = synth_ccitt_real(w, h, seed=seed)
+                # through the T.4/T.6 codec -> MRC path.  Round 7:
+                # even-width fixtures omit /Rows (self-delimiting
+                # /EndOfBlock decode) and odd-height fixtures carry
+                # /BlackIs1 true + /Decode [1 0] — pixel-identical by
+                # construction, so the parameter envelope is exercised
+                # without moving any decoded-content pin
+                cdata, ck, cnr = synth_ccitt_real(w, h, seed=seed)
                 images.append({"w": w, "h": h, "gray": True,
                                "ccitt": True, "ccitt_k": ck,
+                               "ccitt_no_rows": cnr,
+                               "ccitt_black1": h % 2 == 1,
                                "data": cdata})
                 continue
             if u < 0.45:                  # JBIG2-filtered 1-bit mask,

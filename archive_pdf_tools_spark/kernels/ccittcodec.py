@@ -172,6 +172,34 @@ class _Bits:
     def align(self):
         self.pos = (self.pos + 7) & ~7
 
+    def only_padding_left(self) -> bool:
+        """True when every remaining bit is 0 (or none remain) — the
+        end-of-data condition for self-delimiting streams without an
+        explicit terminator."""
+        p = self.pos
+        if p >= self.n:
+            return True
+        first = p >> 3
+        # mask the consumed high bits of the first partial byte
+        if self.data[first] & (0xFF >> (p & 7)):
+            return False
+        return not any(self.data[first + 1:(self.n + 7) >> 3])
+
+    def at_eol(self) -> bool:
+        """Peek (no consume): do >= 11 zero bits then a 1 start here?
+        Fill zeros before the EOL are part of the match (T.4 §4.1.2);
+        legitimate T.4/T.6 codewords never open with 11 zeros, so the
+        answer is unambiguous."""
+        p = self.pos
+        zeros = 0
+        while p < self.n and zeros <= 64 + 11:
+            b = (self.data[p >> 3] >> (7 - (p & 7))) & 1
+            if b:
+                return zeros >= 11
+            zeros += 1
+            p += 1
+        return False
+
 
 def _read_run(bits: _Bits, color: int) -> int:
     """One T.4 run length: make-ups accumulate until a terminating
@@ -270,21 +298,45 @@ def _fill_row(row, cur: list, w: int) -> None:
         col ^= 1
 
 
-def decode_g4(data: bytes, w: int, h: int,
+def decode_g4(data: bytes, w: int, h: int | None,
               byte_align: bool = False) -> np.ndarray:
-    """Decode pure 2D T.6 data to an (h, w) uint8 bitmap, 1 = black."""
-    if w <= 0 or h <= 0 or w * h > 64_000_000:
+    """Decode pure 2D T.6 data to an (h, w) uint8 bitmap, 1 = black.
+
+    ``h=None`` (PDF ``/EndOfBlock`` true with no ``/Rows``): the
+    stream is self-delimiting — rows decode until the EOFB marker
+    (EOL+EOL, T.6 §4.2.1.3.1 via the /EndOfBlock contract) or the
+    data runs out; the decoded row count defines the height."""
+    if w <= 0 or (h is not None and (h <= 0 or w * h > 64_000_000)):
         raise CcittError("bad dimensions")
     bits = _Bits(data)
-    rows = np.zeros((h, w), dtype=np.uint8)
-    ref = [w, w]                             # imaginary all-white row
-    for y in range(h):
+    if h is not None:
+        rows = np.zeros((h, w), dtype=np.uint8)
+        ref = [w, w]                         # imaginary all-white row
+        for y in range(h):
+            if byte_align:
+                bits.align()
+            cur = _decode_2d_row(bits, ref, w)
+            _fill_row(rows[y], cur, w)
+            ref = cur + [w, w]
+        return rows
+    max_rows = 64_000_000 // w
+    out = []
+    ref = [w, w]
+    while True:
         if byte_align:
             bits.align()
+        if bits.only_padding_left() or bits.at_eol():
+            break                            # EOFB opens with an EOL
+        if len(out) >= max_rows:
+            raise CcittError("self-delimited G4 exceeds pixel bound")
         cur = _decode_2d_row(bits, ref, w)
-        _fill_row(rows[y], cur, w)
+        row = np.zeros(w, dtype=np.uint8)
+        _fill_row(row, cur, w)
+        out.append(row)
         ref = cur + [w, w]
-    return rows
+    if not out:
+        raise CcittError("no rows before EOFB")
+    return np.stack(out)
 
 
 def _eat_eol(bits: _Bits) -> None:
@@ -301,7 +353,7 @@ def _eat_eol(bits: _Bits) -> None:
             raise CcittError("runaway EOL fill")
 
 
-def decode_g3(data: bytes, w: int, h: int, k: int = 0,
+def decode_g3(data: bytes, w: int, h: int | None, k: int = 0,
               byte_align: bool = False,
               end_of_line: bool = False) -> np.ndarray:
     """Decode Group-3 data to an (h, w) uint8 bitmap, 1 = black.
@@ -309,29 +361,65 @@ def decode_g3(data: bytes, w: int, h: int, k: int = 0,
     ``k == 0``: pure one-dimensional MH lines (the PDF default layout:
     no EOLs unless ``end_of_line``).  ``k > 0``: mixed 2D — every line
     is prefixed by EOL + a 1-bit tag (1 = 1D, 0 = 2D against the
-    previous line), per T.4 §4.2.1."""
-    if w <= 0 or h <= 0 or w * h > 64_000_000:
+    previous line), per T.4 §4.2.1.
+
+    ``h=None`` (PDF ``/EndOfBlock`` true with no ``/Rows``): rows
+    decode until RTC (T.4 §4.1.3: six EOLs in 1D mode, six EOL+1 in
+    2D mode — the first sequence consumed as the next line's prefix,
+    the second EOL detected right behind it) or until only padding
+    remains; the decoded row count defines the height."""
+    if w <= 0 or (h is not None and (h <= 0 or w * h > 64_000_000)):
         raise CcittError("bad dimensions")
     if k < 0:
         return decode_g4(data, w, h, byte_align=byte_align)
     bits = _Bits(data)
-    rows = np.zeros((h, w), dtype=np.uint8)
+    unbounded = h is None
+    max_rows = (64_000_000 // w) if unbounded else h
+    rows_out = [] if unbounded else np.zeros((h, w), dtype=np.uint8)
     ref = [w, w]
-    for y in range(h):
+    y = 0
+    while y < max_rows:
         if byte_align:
             bits.align()
+        if unbounded and bits.only_padding_left():
+            break
         if k > 0:
             _eat_eol(bits)
+            if unbounded and bits.only_padding_left():
+                break
             one_d = bits.read() == 1
+            # RTC in 2D mode is six EOL+1 sequences (T.4 §4.2.1.3.5):
+            # the tag bit belongs to the EOL, so the second EOL is only
+            # visible AFTER consuming the tag.  Row data never opens
+            # with 11 zeros and rows are never empty, so this peek is
+            # unambiguous.
+            if unbounded and (bits.at_eol()
+                              or bits.only_padding_left()):
+                break
         else:
             if end_of_line:
                 _eat_eol(bits)
+                if unbounded and (bits.at_eol()
+                                  or bits.only_padding_left()):
+                    break
             one_d = True
         cur = (_decode_1d_row(bits, w) if one_d
                else _decode_2d_row(bits, ref, w))
-        _fill_row(rows[y], cur, w)
+        if unbounded:
+            row = np.zeros(w, dtype=np.uint8)
+            _fill_row(row, cur, w)
+            rows_out.append(row)
+        else:
+            _fill_row(rows_out[y], cur, w)
         ref = cur + [w, w]
-    return rows
+        y += 1
+    if not unbounded:
+        return rows_out
+    if unbounded and y >= max_rows:
+        raise CcittError("self-delimited G3 exceeds pixel bound")
+    if not rows_out:
+        raise CcittError("no rows before RTC")
+    return np.stack(rows_out)
 
 
 class _BitWriter:
@@ -446,6 +534,10 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
         cur = _row_changes(bm[y], w)
         _encode_2d_row(bw, cur, ref, w)
         ref = cur
+    if byte_align:
+        bw.align()          # EOFB starts a coding line: align it too,
+        #                     so the self-delimiting decoder's
+        #                     align-then-peek finds the full EOL
     bw.put(0x001, 12)                        # EOFB = EOL + EOL
     bw.put(0x001, 12)
     bw.align()
@@ -454,11 +546,17 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
 
 def encode_g3(bitmap: np.ndarray, k: int = 0,
               byte_align: bool = False,
-              end_of_line: bool = False) -> bytes:
+              end_of_line: bool = False,
+              rtc: bool = False) -> bytes:
     """Encode as Group 3: ``k == 0`` pure MH lines (EOLs only with
     ``end_of_line``, matching the PDF default); ``k > 0`` mixed 2D —
     every line prefixed by EOL + tag, one 1D line per K lines (T.4
-    §4.2.1)."""
+    §4.2.1).  ``rtc=True`` appends return-to-control (T.4 §4.1.3 /
+    §4.2.1.3.5: six EOLs, tagged ``+1`` in 2D mode) so the stream is
+    self-delimiting — the shape a PDF ``/EndOfBlock`` stream without
+    ``/Rows`` carries.  For ``k == 0`` without ``end_of_line`` there
+    is no EOL vocabulary; such streams self-delimit by zero padding
+    and ``rtc`` is a no-op."""
     bm = (np.asarray(bitmap) != 0).astype(np.uint8)
     if bm.ndim != 2 or 0 in bm.shape:
         raise ValueError("bad bitmap shape")
@@ -484,5 +582,12 @@ def encode_g3(bitmap: np.ndarray, k: int = 0,
                 bw.put(0x001, 12)
             _encode_1d_row(bw, cur, w)
         ref = cur
+    if rtc and (k > 0 or end_of_line):
+        if byte_align:
+            bw.align()      # RTC starts a coding line (see encode_g4)
+        for _ in range(6):
+            bw.put(0x001, 12)                # RTC = six EOLs ...
+            if k > 0:
+                bw.put(1, 1)                 # ... tagged +1 in 2D mode
     bw.align()
     return bytes(bw.out)

@@ -42,7 +42,8 @@ JPEG2000   ``fn(raw: bytes) -> np.ndarray`` (uint8 gray or RGB)
 JBIG2      ``fn(raw: bytes, globals_data: bytes) -> np.ndarray``
            (0/1 uint8 ink mask)
 CCITT      ``fn(raw, columns, rows, *, k, byte_align, end_of_line)
-           -> np.ndarray`` (0/1 uint8 ink mask)
+           -> np.ndarray`` (0/1 uint8 ink mask; ``rows=None`` =
+           self-delimiting /EndOfBlock stream — decode to EOFB/RTC)
 =========  =========================================================
 
 Reference parity: the reference engine delegates exactly these
@@ -197,6 +198,12 @@ def contract_cases(fmt: str):
             bm = (((3 * i + 7 * xx + 5 * yy) % 13) < 5).astype(np.uint8)
             data = encode_g4(bm) if k < 0 else encode_g3(bm, k=k)
             yield ((data, w, h), {"k": k}, bm)
+        # self-delimiting /EndOfBlock shapes: rows=None, decode to
+        # EOFB (G4) / RTC (mixed-2D G3) — any drop-in must honor them
+        yy, xx = np.mgrid[0:20, 0:40]
+        bm = (((7 * xx + 5 * yy) % 11) < 4).astype(np.uint8)
+        yield ((encode_g4(bm), 40, None), {"k": -1}, bm)
+        yield ((encode_g3(bm, k=2, rtc=True), 40, None), {"k": 2}, bm)
     else:
         raise KeyError(fmt)
 

@@ -2097,9 +2097,13 @@ def q_ccitt_decode(spark, sf):
     (``(5*i + 3*x + 7*y) % 13 < 5``) encode rotating through the /K
     families (G4, 1D G3, mixed-2D G3; alternating EncodedByteAlign)
     and decode back; black-pixel counts and a position-weighted sum
-    are compared against the same closed form in SQL.  Lossless, so
-    any defect — T.4 tables, 1D/2D modes, EOL+tag framing, changing-
-    element bookkeeping — corrupts pixels and breaks the match."""
+    are compared against the same closed form in SQL.  Round 7: odd
+    images decode SELF-DELIMITING (``h=None`` — EOFB for G4, RTC for
+    mixed G3, zero padding for plain 1D; the PDF ``/EndOfBlock``
+    default-true shape), so height inference is driver-verified too.
+    Lossless, so any defect — T.4 tables, 1D/2D modes, EOL+tag
+    framing, EOFB/RTC detection, changing-element bookkeeping —
+    corrupts pixels and breaks the match."""
     import pandas as pd
 
     def gen(batches):
@@ -2117,9 +2121,11 @@ def q_ccitt_decode(spark, sf):
                       ).astype(np.uint8)
                 ba = bool(i % 3 == 0)
                 k = [-1, 0, 4][i % 3]
-                data = encode_g3(bm, k=k, byte_align=ba)
-                dec = decode_g3(data, w, h, k=k, byte_align=ba)
-                if not np.array_equal(dec, bm):
+                data = encode_g3(bm, k=k, byte_align=ba,
+                                 rtc=bool(k > 0 and i % 2))
+                dec = decode_g3(data, w, None if i % 2 else h,
+                                k=k, byte_align=ba)
+                if dec.shape != (h, w) or not np.array_equal(dec, bm):
                     raise AssertionError(f"g4 lossless violation {i}")
                 wsum = int((dec.astype(np.int64)
                             * (xx + 2 * yy + 1)).sum())

@@ -740,27 +740,51 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
             # /CCITTFaxDecode: /K < 0 = pure 2D T.6 (Group 4), the
             # encoding pre-JBIG2 archival scans carry; /K == 0 = 1D MH
             # Group 3; /K > 0 = mixed 2D Group 3 (EOL + tag per line).
-            # /Columns defaults to 1728 (spec); BlackIs1 only affects
-            # byte-sample packing, which this path never materialises —
-            # the decoder returns the ink mask directly.
+            # /Columns defaults to 1728 (spec).  /Rows absent with
+            # /EndOfBlock (default true): the stream is self-delimiting
+            # — decode to EOFB/RTC (rows=None) and let /Height clamp or
+            # pad the result.  /BlackIs1 (default false) flips the
+            # filter's sample sense (false: 0-bits are black); the
+            # image's /Decode array (default [0 1]) then maps samples
+            # to gray, so both are honored before the gray conversion.
             mk = re.search(rb"/K\s+(-?\d+)", d)
             k = int(mk.group(1)) if mk else 0
             mc = re.search(rb"/Columns\s+(\d+)", d)
             cols = int(mc.group(1)) if mc else 1728
             mr = re.search(rb"/Rows\s+(\d+)", d)
-            rows_n = int(mr.group(1)) if mr else im["height"]
+            eob = re.search(rb"/EndOfBlock\s+false", d) is None
+            black1 = re.search(rb"/BlackIs1\s+true", d) is not None
+            if mr:
+                rows_n = int(mr.group(1))
+            elif eob:
+                rows_n = None       # self-delimiting: EOFB/RTC sets h
+            else:
+                rows_n = im["height"]
             ba = re.search(rb"/EncodedByteAlign\s+true", d) is not None
             eol = re.search(rb"/EndOfLine\s+true", d) is not None
-            if cols <= 0 or rows_n <= 0:
+            if cols <= 0 or (rows_n is not None and rows_n <= 0):
                 continue
             try:
                 bits = decode_g3(raw, cols, rows_n, k=k,
                                  byte_align=ba, end_of_line=eol)
             except CcittError:
                 continue            # malformed: metadata-only
-            # ink mask -> DeviceGray pixels (black = 0), same shape
-            # MRC downstream expects
-            arr = np.where(bits != 0, 0, 255).astype(np.uint8)
+            # /Height is the image contract: crop longer streams, pad
+            # shorter ones with white (ink = 0)
+            hh = im["height"]
+            if bits.shape[0] > hh:
+                bits = bits[:hh]
+            elif bits.shape[0] < hh:
+                bits = np.vstack([bits, np.zeros(
+                    (hh - bits.shape[0], cols), dtype=np.uint8)])
+            # filter sample per /BlackIs1, then /Decode [a b] -> gray
+            sample = bits if black1 else 1 - bits
+            mdec = re.search(
+                rb"/Decode\s*\[\s*([01])\s+([01])\s*\]", d)
+            a, b = (int(mdec.group(1)), int(mdec.group(2))) \
+                if mdec else (0, 1)
+            arr = ((a + sample.astype(np.int32) * (b - a)) * 255
+                   ).astype(np.uint8)
             out.append((im["xref"], arr))
             continue
         ch = 1 if im["mode"] in ("L", "1") else 3

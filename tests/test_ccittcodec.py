@@ -127,7 +127,7 @@ def test_pdf_ccitt_fixture_flow():
     from archive_pdf_tools_spark.kernels.ccittcodec import decode_g3
 
     for (w, h) in [(42, 30), (40, 30), (41, 30)]:  # K=-1, 0, 4 routes
-        d, k = synth_ccitt_real(w, h, seed=3)
+        d, k, _nr = synth_ccitt_real(w, h, seed=3)
         pdf = build_pdf([{"width": 612, "height": 792,
                           "images": [{"w": w, "h": h, "gray": True,
                                       "ccitt": True, "ccitt_k": k,
@@ -161,3 +161,116 @@ def test_g3_roundtrip(k):
                 got = decode_g3(d, w, h, k=k, byte_align=ba,
                                 end_of_line=eol)
                 assert np.array_equal(got, bm), (trial, k, ba, eol)
+
+
+@pytest.mark.parametrize("mode", ["g4", "g4ba", "k2", "k2ba",
+                                  "k0eol", "k0pad"])
+def test_self_delimiting_roundtrip(mode):
+    """/EndOfBlock shapes: ``h=None`` decodes to the EOFB (G4), RTC
+    (G3) or zero-padding terminator and infers the height (r7 —
+    VERDICT r6 ask #7 parameter matrix)."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (decode_g3,
+                                                            decode_g4,
+                                                            encode_g3,
+                                                            encode_g4)
+
+    rng = np.random.default_rng(hash(mode) % 2**32)
+    for trial in range(12):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(2, 70))
+        bm = (_textish(h, w, trial) if trial % 2
+              else (rng.random((h, w)) < 0.3).astype(np.uint8))
+        if mode in ("g4", "g4ba"):
+            ba = mode == "g4ba"
+            got = decode_g4(encode_g4(bm, byte_align=ba), w, None,
+                            byte_align=ba)
+        elif mode in ("k2", "k2ba"):
+            ba = mode == "k2ba"
+            got = decode_g3(encode_g3(bm, k=2, byte_align=ba,
+                                      rtc=True), w, None, k=2,
+                            byte_align=ba)
+        elif mode == "k0eol":
+            got = decode_g3(encode_g3(bm, k=0, end_of_line=True,
+                                      rtc=True), w, None, k=0,
+                            end_of_line=True)
+        else:                       # plain 1D: zero padding delimits
+            got = decode_g3(encode_g3(bm, k=0), w, None, k=0)
+        assert got.shape == (h, w), (mode, trial)
+        assert np.array_equal(got, bm), (mode, trial)
+
+
+def test_self_delimiting_error_gates():
+    """h=None error paths stay inside CcittError."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (CcittError,
+                                                            decode_g4,
+                                                            encode_g4)
+
+    with pytest.raises(CcittError):
+        decode_g4(b"\x00\x10\x01", 5, None)      # EOFB only: no rows
+    with pytest.raises(CcittError):
+        decode_g4(b"", 5, None)
+    # a valid unbounded stream still respects the pixel bomb bound
+    bm = np.zeros((4, 8), dtype=np.uint8)
+    enc = encode_g4(bm)
+    assert decode_g4(enc, 8, None).shape == (4, 8)
+
+
+def test_pdf_ccitt_parameter_matrix():
+    """/CCITTFaxDecode dict envelope: missing /Rows with default
+    /EndOfBlock (self-delimiting), /EndOfBlock false fallback to
+    /Height, /BlackIs1 with and without a compensating /Decode, and
+    /Height crop/pad of over/under-length streams."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.kernels.ccittcodec import (encode_g3,
+                                                            encode_g4)
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(41)
+    w, h = 36, 22
+    bm = (rng.random((h, w)) < 0.35).astype(np.uint8)
+    ink = np.where(bm != 0, 0, 255)
+
+    def run(img):
+        pdf = build_pdf([{"width": 612, "height": 792,
+                          "images": [img], "text": "x"}])
+        meta = parse_pdf(pdf)
+        im = meta["pages"][0]["images"][0]
+        return dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+
+    base = {"w": w, "h": h, "gray": True, "ccitt": True}
+    # 1. no /Rows + default /EndOfBlock: EOFB (G4) / RTC (K=4) decode
+    arr = run(dict(base, ccitt_k=-1, ccitt_no_rows=True,
+                   data=encode_g4(bm)))
+    assert np.array_equal(arr, ink)
+    arr = run(dict(base, ccitt_k=4, ccitt_no_rows=True,
+                   data=encode_g3(bm, k=4, rtc=True)))
+    assert np.array_equal(arr, ink)
+    # 2. /BlackIs1 true + /Decode [1 0]: pixel-identical to default
+    arr = run(dict(base, ccitt_k=-1, ccitt_black1=True,
+                   data=encode_g4(bm)))
+    assert np.array_equal(arr, ink)
+    # 3. /BlackIs1 true WITHOUT /Decode: samples flip -> inverted gray
+    arr = run(dict(base, ccitt_k=-1, ccitt_black1=True,
+                   ccitt_flip_decode=False, data=encode_g4(bm)))
+    assert np.array_equal(arr, 255 - ink)
+    # 4. /Decode [1 0] alone flips too
+    arr = run(dict(base, ccitt_k=-1, ccitt_black1=False,
+                   ccitt_flip_decode=True, data=encode_g4(bm)))
+    assert np.array_equal(arr, 255 - ink)
+    # 5. /Height crops a longer self-delimited stream ...
+    tall = np.vstack([bm, (rng.random((9, w)) < 0.35).astype(np.uint8)])
+    arr = run(dict(base, ccitt_k=-1, ccitt_no_rows=True,
+                   data=encode_g4(tall)))
+    assert arr.shape == (h, w) and np.array_equal(arr, ink)
+    # ... and pads a shorter one with white
+    short = bm[: h - 5]
+    arr = run(dict(base, ccitt_k=-1, ccitt_no_rows=True,
+                   data=encode_g4(short)))
+    assert arr.shape == (h, w)
+    assert np.array_equal(arr[: h - 5], ink[: h - 5])
+    assert (arr[h - 5:] == 255).all()
+    # 6. /EndOfBlock false + no /Rows: decode exactly /Height rows
+    arr = run(dict(base, ccitt_k=-1, ccitt_no_rows=True,
+                   ccitt_eob_false=True, data=encode_g4(bm)))
+    assert np.array_equal(arr, ink)
