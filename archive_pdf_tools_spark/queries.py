@@ -2470,9 +2470,21 @@ FROM counts
 # in-window row named at each tail entry): ngram_jaccard, dedup_keep,
 # gaps_islands (driver-verified green in r5), lang_stopwords,
 # top_terms, ann_lsh_recall.
+#
+# r7 rotated IN (VERDICT r6 ask #5): pdf_poison (the one registry row
+# never driver-verified in any round), skip_anti_join, repetition,
+# winnow_fp.  Rotated OUT, each a clean swap against the row that
+# replaces it (covering in-window row named at the tail entry):
+# skip_filter (skip_anti_join consumes the same scandata skip list),
+# quality_keep (repetition verifies its embedded {rep} CTE; the
+# quality side was driver-green r1-r6 with SQL_QUALITY pytest/tail
+# coverage), winnow_pairs (winnow_fp emits the exact fingerprint sets
+# the pair join equi-joins on), scandata (page_series re-parses the
+# same XML through the same source; skip_anti_join consumes its skip
+# list).
 QUERIES = {
     # relational / reference-derived
-    "skip_filter": (q_skip_filter, SQL_SKIP),
+    "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
     "stop_after": (q_stop_after, SQL_STOP),
     "positional_join": (q_positional_join, SQL_POSJOIN),
     "timing_summary": (q_timing_summary, SQL_TIMING),
@@ -2486,8 +2498,7 @@ QUERIES = {
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
-    "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
-        rep=SQL_REPETITION, qual=SQL_QUALITY)),
+    "repetition": (q_repetition, SQL_REPETITION),            # in (r7)
     "lang_guess": (q_lang_guess, SQL_LANG),                  # in (r6)
     "fingerprints": (q_fingerprints, SQL_FP),
     # dedup
@@ -2497,7 +2508,7 @@ QUERIES = {
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP.format(
         seed=SEED_DOCS_SQL, shingles=_SEEDED_SHINGLES_SQL.format(n=3))),
-    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "winnow_fp": (q_winnow_fp, SQL_WINNOW),                  # in (r7)
     "embedding_dups": (q_embedding_dups, SQL_EMB_DUPS),
     # corpus assembly
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
@@ -2526,16 +2537,27 @@ QUERIES = {
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
-    "scandata": (q_scandata, SQL_SCANDATA),
+    "pdf_poison": (q_pdf_poison, SQL_PDF_POISON),            # in (r7)
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
-    # contract queries past the window (gate-swept locally every round):
-    "pdf_poison": (q_pdf_poison, SQL_PDF_POISON),
     # oracle-paired, behaviour covered by the NAMED in-window row:
-    # - skip_anti_join: same anti-join semantics as skip_filter's NOT-IN
-    #   (both derive from the scandata skip list; skip_filter is green on
-    #   identical inputs).
+    # - skip_filter (rotated out r7, driver-green r1-r6):
+    #   skip_anti_join (in-window since r7) consumes the same scandata
+    #   skip list with the same anti-join semantics — a skip-list
+    #   defect breaks that in-window row first.
+    # - quality_keep (rotated out r7, driver-green r1-r6): repetition
+    #   (in-window since r7) verifies the embedded {rep} CTE; the
+    #   quality-score side is quality_scores' SQL_QUALITY (tail) plus
+    #   pytest kernel oracles.
+    # - winnow_pairs (rotated out r7, driver-green r2-r6): winnow_fp
+    #   (in-window since r7) emits the exact fingerprint sets the pair
+    #   query equi-joins; the join construct is exercised by multiple
+    #   in-window relational rows.
+    # - scandata (rotated out r7, driver-green r1-r6): page_series
+    #   re-parses the same scandata XML through the same source
+    #   (kernels/pagenumbers.py downstream) and skip_anti_join consumes
+    #   its skip list — both in-window.
     # - minhash_sigs (rotated out r5): minhash_lsh_pairs bucket-joins on
     #   these exact signatures and verifies candidates vs the exact-
     #   Jaccard oracle — a signature defect changes its in-window pairs.
@@ -2543,10 +2565,6 @@ QUERIES = {
     #   SQL_QUALITY as its {qual} CTE — per-doc scores are verified there.
     # - scale_estimate: the same scale column is driver-verified inside
     #   pdf_metadata (pinned value oracle, column `scale`).
-    # - repetition: quality_keep's oracle embeds SQL_REPETITION ({rep}).
-    # - winnow_fp (rotated out r5): winnow_pairs joins on these exact
-    #   fingerprint hashes and verifies against the HUGEINT-mirrored
-    #   oracle — a fingerprint defect changes its in-window pair set.
     # - ngram_jaccard (rotated out r6, driver-green r2-r5):
     #   minhash_lsh_pairs' oracle verifies its candidate pairs against
     #   the SAME exact-Jaccard SQL on identical shingle inputs — a
@@ -2570,12 +2588,14 @@ QUERIES = {
     #   r3-r5): the resize kernels are pytest-verified against exact-int
     #   box + Lanczos re-derivations (kernels/pages.py), and the raster/
     #   decode plumbing it shares is driver-checked via media_features.
-    "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),
-    "winnow_fp": (q_winnow_fp, SQL_WINNOW),
+    "skip_filter": (q_skip_filter, SQL_SKIP),
+    "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
+        rep=SQL_REPETITION, qual=SQL_QUALITY)),
+    "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "scandata": (q_scandata, SQL_SCANDATA),
     "minhash_sigs": (q_minhash, _minhash_sql()),
     "quality_scores": (q_quality_scores, SQL_QUALITY),
     "scale_estimate": (q_scale_estimate, SQL_SCALE),
-    "repetition": (q_repetition, SQL_REPETITION),
     "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),
