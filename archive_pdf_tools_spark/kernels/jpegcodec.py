@@ -31,10 +31,18 @@ so 1000 executors decode 32000 streams concurrently and nothing about
 the plan changes.  Everything after the Huffman walk is vectorized
 NumPy over the whole image's blocks.
 
-Arithmetic-coded, 12-bit, lossless and hierarchical processes remain
-out of scope and raise ``JpegError`` — callers fall back to the
-metadata-only path (SOF header parse), the same graceful degradation the
-engine always had.
+Round 7 adds the lossless predictive process (SOF3, T.81 Annex H):
+Huffman-coded sample differences against the seven spatial predictors,
+modulo-65536 reconstruction, point transform, 2-16-bit precision
+(precision > 8 returns uint16), multi-scan non-interleaved and
+interleaved 1x1-sampled frames; ``encode_lossless`` is the matching
+encoder.  Restart intervals in lossless scans raise (see
+``_decode_scan_lossless``).
+
+Arithmetic-coded, 12-bit DCT and hierarchical processes remain out of
+scope and raise ``JpegError`` — callers fall back to the metadata-only
+path (SOF header parse), the same graceful degradation the engine
+always had.
 """
 
 from __future__ import annotations
@@ -42,7 +50,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["JpegError", "decode_baseline", "encode_baseline",
-           "encode_progressive"]
+           "encode_progressive", "encode_lossless"]
 
 
 class JpegError(ValueError):
@@ -308,6 +316,8 @@ def _decode_baseline(data: bytes, max_pixels: int,
         if m == 0xD9:                        # EOI
             if frame is not None and frame.get("progressive") and scans_done:
                 return _assemble(frame, qtbl, fancy)
+            if frame is not None and frame.get("lossless") and scans_done:
+                return _assemble_lossless(frame)
             raise JpegError("EOI before scan")
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             continue                         # standalone
@@ -342,16 +352,22 @@ def _decode_baseline(data: bytes, max_pixels: int,
                 huffval = list(seg[j + 17:j + 17 + nv])
                 hufftab[(tc, th)] = _decode_lookup(bits, huffval)
                 j += 17 + nv
-        elif m in (0xC0, 0xC1, 0xC2):
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3):
             # SOF0 baseline / SOF1 extended-sequential (identical 8-bit
-            # Huffman decoding) / SOF2 progressive (round 5)
+            # Huffman decoding) / SOF2 progressive (round 5) / SOF3
+            # lossless predictive (round 7, T.81 Annex H)
             if len(seg) < 6:
                 raise JpegError("truncated SOF")
-            if seg[0] != 8:
+            lossless = m == 0xC3
+            if lossless:
+                if not 2 <= seg[0] <= 16:
+                    raise JpegError("bad lossless precision")
+            elif seg[0] != 8:
                 raise JpegError("only 8-bit precision supported")
             h, w = _u16(seg, 1), _u16(seg, 3)
             nc = seg[5]
-            if h == 0 or w == 0 or nc not in (1, 3):
+            if h == 0 or w == 0 or \
+                    nc not in ((1, 2, 3, 4) if lossless else (1, 3)):
                 raise JpegError("unsupported frame geometry")
             if w * h > max_pixels:
                 raise JpegError(f"image {w}x{h} exceeds max_pixels bound")
@@ -363,17 +379,29 @@ def _decode_baseline(data: bytes, max_pixels: int,
                 hv = seg[7 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": seg[8 + 3 * c]})
+            if lossless and any(c["h"] != 1 or c["v"] != 1
+                                for c in comps):
+                raise JpegError(
+                    "subsampled lossless components unsupported")
             frame = {"w": w, "h": h, "comps": comps,
-                     "progressive": m == 0xC2}
-        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
+                     "progressive": m == 0xC2,
+                     "lossless": lossless, "precision": seg[0]}
+        elif m in (0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
-                "arithmetic/lossless/hierarchical JPEG unsupported")
+                "arithmetic/hierarchical JPEG unsupported")
         elif m == 0xDD:                      # DRI
             restart_interval = _u16(seg, 0)
         elif m == 0xDA:                      # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
+            if frame.get("lossless"):
+                # lossless: one scan per component set; planes
+                # materialise at EOI (multi-scan non-interleaved files)
+                i = _decode_scan_lossless(data, i + seg_len, seg, frame,
+                                          hufftab, restart_interval)
+                scans_done += 1
+                continue
             if not frame["progressive"]:
                 return _decode_scan(data, i + seg_len, seg, frame, qtbl,
                                     hufftab, restart_interval, fancy)
@@ -1080,6 +1108,248 @@ def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
                         k += 1
                     eobrun -= 1
     return end
+
+
+# ------------------------------------------------------ lossless (SOF3)
+
+def _decode_scan_lossless(data, scan_start, sos, frame, hufftab,
+                          restart_interval):
+    """One lossless-process scan (T.81 Annex H): Huffman-coded sample
+    differences against predictors 1-7, modulo-65536 reconstruction,
+    point transform.  Fills ``frame['planes'][component_id]``; returns
+    the index just past the scan's entropy data.
+
+    Row reconstruction is vectorized where the predictor recurrence
+    allows (1-5 reduce to a cumulative sum or a pure shift of the
+    previous row); predictors 6-7 carry the current sample through a
+    ``>> 1`` and stay per-sample.  The Huffman difference walk itself is
+    inherently sequential per image — images parallelise as independent
+    rows inside mapInPandas, same as every other codec here.
+
+    Restart intervals raise: T.81 H.1.1's per-interval predictor-reset
+    interplay with the first-line rule is not reconstructible from the
+    spec text with confidence, and no conformance decoder exists
+    in-container to pin it against (the MQ-vector discipline — see the
+    module docstring), so the gate is explicit rather than guessed."""
+    if restart_interval:
+        raise JpegError("restart intervals unsupported in lossless scans")
+    if len(sos) < 1:
+        raise JpegError("truncated SOS")
+    ns = sos[0]
+    if ns < 1 or len(sos) < 1 + 2 * ns + 3:
+        raise JpegError("truncated lossless SOS")
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scomps = []
+    for k in range(ns):
+        cid = sos[1 + 2 * k]
+        td = sos[2 + 2 * k] >> 4
+        if cid not in by_id:
+            raise JpegError("scan references unknown component")
+        if (0, td) not in hufftab:
+            raise JpegError("missing lossless Huffman table")
+        scomps.append((cid, hufftab[(0, td)]))
+    pred_sel = sos[1 + 2 * ns]              # Ss = predictor selection
+    se = sos[2 + 2 * ns]
+    pt = sos[3 + 2 * ns] & 0x0F             # Al = point transform
+    prec = frame["precision"]
+    if not 1 <= pred_sel <= 7 or se != 0 or pt >= prec:
+        raise JpegError("bad lossless scan parameters")
+    w, h = frame["w"], frame["h"]
+    segments, end = _split_scan(data, scan_start)
+    if len(segments) != 1:
+        raise JpegError("restart intervals unsupported in lossless scans")
+    br = _BitReader(segments[0])
+    default = 1 << (prec - pt - 1)
+    ncs = len(scomps)
+    outs = [np.zeros((h, w), dtype=np.int64) for _ in scomps]
+    diffrow = np.empty((ncs, w), dtype=np.int64)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncs):
+                sym, ln = scomps[ci][1]
+                t = br.huff(sym, ln)
+                if t == 0:
+                    d = 0
+                elif t == 16:               # SSSS=16: +32768, no bits
+                    d = 32768
+                elif t > 16:
+                    raise JpegError("bad lossless difference category")
+                else:
+                    d = _extend(br.bits(t), t)
+                diffrow[ci, x] = d
+        for ci in range(ncs):
+            out = outs[ci]
+            d = diffrow[ci]
+            if y == 0:
+                # H.1.1: first line predicts 2^(P-Pt-1) then Ra
+                row = default + np.cumsum(d)
+            else:
+                prev = out[y - 1]
+                p = pred_sel
+                if p == 1:
+                    # x0 = Rb (line start), then Ra: a cumulative sum
+                    row = prev[0] + np.cumsum(d)
+                elif p == 2:
+                    row = prev + d
+                elif p == 3:
+                    row = np.concatenate((prev[:1], prev[:-1])) + d
+                elif p == 4:
+                    # e = x - Rb obeys e_i = e_{i-1} + d_i with
+                    # e_0 = d_0 (x0 = Rb + d0): again a cumsum
+                    row = prev + np.cumsum(d)
+                elif p == 5:
+                    inc = d.copy()
+                    inc[1:] += (prev[1:] - prev[:-1]) >> 1
+                    row = prev[0] + np.cumsum(inc)
+                elif p == 6:
+                    row = np.empty(w, dtype=np.int64)
+                    row[0] = (prev[0] + d[0]) & 0xFFFF
+                    for xi in range(1, w):
+                        px = int(prev[xi]) + (
+                            (int(row[xi - 1]) - int(prev[xi - 1])) >> 1)
+                        row[xi] = (px + d[xi]) & 0xFFFF
+                else:                       # 7
+                    row = np.empty(w, dtype=np.int64)
+                    row[0] = (prev[0] + d[0]) & 0xFFFF
+                    for xi in range(1, w):
+                        px = (int(row[xi - 1]) + int(prev[xi])) >> 1
+                        row[xi] = (px + d[xi]) & 0xFFFF
+            out[y] = row & 0xFFFF           # mod-65536 arithmetic (H.1.2.2)
+    planes = frame.setdefault("planes", {})
+    for ci, (cid, _tab) in enumerate(scomps):
+        planes[cid] = outs[ci] << pt        # point transform (H.1.2.3)
+    return end
+
+
+def _assemble_lossless(frame):
+    planes = frame.get("planes", {})
+    comps = frame["comps"]
+    if any(c["id"] not in planes for c in comps):
+        raise JpegError("lossless scan missing a component")
+    dtype = np.uint8 if frame["precision"] <= 8 else np.uint16
+    arrs = [planes[c["id"]].astype(dtype) for c in comps]
+    if len(arrs) == 1:
+        return arrs[0]
+    # T.81 is colour-blind and JFIF's YCbCr contract covers only the
+    # DCT processes: lossless components return as stored (RGB in the
+    # wild — DNG, medical), no colour transform
+    return np.stack(arrs, axis=-1)
+
+
+# Huffman table for lossless fixtures: one flat table carrying every
+# difference category 0..16 at code length 5 (17 of 32 codes used, the
+# all-ones code free as T.81 C.2 requires).  Wasteful on rate, valid on
+# syntax — same fixture philosophy as PROG_AC_BITS.
+LOSSLESS_BITS = [0, 0, 0, 0, 17] + [0] * 11
+LOSSLESS_VALS = list(range(17))
+
+
+def encode_lossless(img: np.ndarray, predictor: int = 4,
+                    point_transform: int = 0,
+                    precision: int | None = None,
+                    interleave: bool = True) -> bytes:
+    """(h, w[, nc<=4]) uint8/uint16 image -> lossless JPEG (SOF3) bytes.
+
+    ``predictor`` selects T.81 H.1 predictor 1-7 (written as the scan's
+    Ss); ``point_transform`` drops that many low bits before prediction
+    (Al, decoded back as a ``<< Pt``); ``precision`` defaults to 8 for
+    uint8 input and 16 for uint16.  Components are encoded sampling
+    1x1 with no colour transform, either interleaved (one sample each
+    per MCU, a single scan) or ``interleave=False`` as one scan per
+    component (the non-interleaved multi-scan file shape) —
+    ``decode_baseline`` round-trips bit-exactly either way, the parity
+    the tests pin."""
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    if arr.ndim != 3 or not 1 <= arr.shape[2] <= 4 \
+            or 0 in arr.shape[:2]:
+        raise ValueError("bad image shape")
+    if precision is None:
+        precision = 16 if arr.dtype == np.uint16 else 8
+    if not 2 <= precision <= 16:
+        raise ValueError("bad precision")
+    if not 1 <= predictor <= 7:
+        raise ValueError("bad predictor")
+    if not 0 <= point_transform < precision:
+        raise ValueError("bad point transform")
+    h, w, nc = arr.shape
+    if h > 65535 or w > 65535:
+        raise ValueError("image too large for SOF")
+    x = arr.astype(np.int64) >> point_transform
+    if int(x.max()) >= 1 << (precision - point_transform):
+        raise ValueError("sample exceeds precision")
+
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for c in range(nc):
+        sof += bytes([c + 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    body = bytes([0x00]) + bytes(LOSSLESS_BITS) + bytes(LOSSLESS_VALS)
+    out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+    codes = _canonical_codes(LOSSLESS_BITS, LOSSLESS_VALS)
+
+    # Predictions from the known image, vectorized per component, then
+    # differences mapped to [-32768, 32767] (mod-65536 coding, H.1.2.2).
+    diffs = np.empty((h, w, nc), dtype=np.int64)
+    for c in range(nc):
+        xc = x[:, :, c]
+        px = np.empty((h, w), dtype=np.int64)
+        px[0, 0] = 1 << (precision - point_transform - 1)
+        px[0, 1:] = xc[0, :-1]              # first line: Ra
+        px[1:, 0] = xc[:-1, 0]              # line starts: Rb
+        ra, rb, rc = xc[1:, :-1], xc[:-1, 1:], xc[:-1, :-1]
+        if predictor == 1:
+            inner = ra
+        elif predictor == 2:
+            inner = rb
+        elif predictor == 3:
+            inner = rc
+        elif predictor == 4:
+            inner = ra + rb - rc
+        elif predictor == 5:
+            inner = ra + ((rb - rc) >> 1)
+        elif predictor == 6:
+            inner = rb + ((ra - rc) >> 1)
+        else:
+            inner = (ra + rb) >> 1
+        px[1:, 1:] = inner
+        diffs[:, :, c] = ((xc - px + 32768) & 0xFFFF) - 32768
+
+    def put(bw_, d):
+        t = _category(d)
+        code, ln_ = codes[t]
+        bw_.write(code, ln_)
+        if 0 < t < 16:                      # SSSS=16 carries no bits
+            bw_.write(_encode_coef(d, t), t)
+
+    def sos_marker(comp_ids):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([predictor, 0, point_transform])
+        return b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    if interleave:
+        out += sos_marker([c + 1 for c in range(nc)])
+        bw_ = _BitWriter()
+        for y in range(h):
+            for xx in range(w):
+                for c in range(nc):
+                    put(bw_, int(diffs[y, xx, c]))
+        bw_.flush()
+        out += bw_.out
+    else:                                   # one scan per component
+        for c in range(nc):
+            out += sos_marker([c + 1])
+            bw_ = _BitWriter()
+            for d in diffs[:, :, c].ravel():
+                put(bw_, int(d))
+            bw_.flush()
+            out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # ---------------------------------------------------------------- encode

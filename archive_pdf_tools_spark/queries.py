@@ -1791,28 +1791,47 @@ def q_jpeg_decode(spark, sf):
     exercise the DRI path, and every 4th image goes through the
     PROGRESSIVE (SOF2) encoder instead — same quantized coefficients,
     so the same closed-form oracle pins the spectral-selection /
-    successive-approximation decode path (round 5).  Any entropy/
-    zigzag/dequant/IDCT/assembly bug breaks the match."""
+    successive-approximation decode path (round 5).  Round 7: the
+    i%4==1 images instead encode through the LOSSLESS process (SOF3,
+    T.81 Annex H) — RGB per-pixel gradients (no tile trick needed:
+    lossless is exact for arbitrary content), predictors rotating 1-7,
+    interleaved and non-interleaved multi-scan layouts alternating —
+    against a per-pixel closed form in SQL.  Any entropy/zigzag/
+    dequant/IDCT/assembly/predictor bug breaks the match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
         from .kernels.jpegcodec import (decode_baseline, encode_baseline,
+                                        encode_lossless,
                                         encode_progressive)
         for pdf in batches:
             rows = []
             for i in pdf["id"].values:
                 i = int(i)
                 w, h = 8 * (4 + i % 5), 8 * (3 + i % 4)
-                img = np.zeros((h, w), dtype=np.uint8)
-                for ty in range(h // 8):
-                    for tx in range(w // 8):
-                        img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] = \
-                            (37 * i + 11 * tx + 23 * ty) % 256
-                enc = encode_progressive if i % 4 == 3 else encode_baseline
-                dec = decode_baseline(enc(
-                    img, quality=100, restart_interval=i % 3))
+                if i % 4 == 1:
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [(37 * i + 11 * xx + 23 * yy + 85 * c) % 256
+                         for c in range(3)], axis=-1).astype(np.uint8)
+                    dec = decode_baseline(encode_lossless(
+                        img, predictor=1 + i % 7,
+                        interleave=(i % 8 == 5)))
+                    if not np.array_equal(dec, img):
+                        raise AssertionError(
+                            f"lossless violation {i}")
+                else:
+                    img = np.zeros((h, w), dtype=np.uint8)
+                    for ty in range(h // 8):
+                        for tx in range(w // 8):
+                            img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] \
+                                = (37 * i + 11 * tx + 23 * ty) % 256
+                    enc = (encode_progressive if i % 4 == 3
+                           else encode_baseline)
+                    dec = decode_baseline(enc(
+                        img, quality=100, restart_interval=i % 3))
                 rows.append((i, dec.shape[1], dec.shape[0],
                              int(dec.astype(np.int64).sum()),
                              int(dec.min()), int(dec.max())))
@@ -1833,12 +1852,28 @@ tiles AS (
   SELECT d.i, d.w, d.h, (37 * d.i + 11 * tx.x + 23 * ty.y) % 256 AS v
   FROM dims d,
        LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS x) tx,
-       LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS y) ty)
+       LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS y) ty
+  WHERE d.i % 4 <> 1),
+-- i%4==1: lossless (SOF3) RGB per-pixel gradients, exact by process
+lpix AS (
+  SELECT d.i, d.w, d.h,
+         (37 * d.i + 11 * px.x + 23 * py.y + 85 * pc.c) % 256 AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) px,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) py,
+       (SELECT unnest(generate_series(0, 2)) AS c) pc
+  WHERE d.i % 4 = 1),
+agg AS (
+  SELECT i, w, h, 64 * sum(v) AS s, min(v) AS lo, max(v) AS hi
+  FROM tiles GROUP BY i, w, h
+  UNION ALL
+  SELECT i, w, h, sum(v) AS s, min(v) AS lo, max(v) AS hi
+  FROM lpix GROUP BY i, w, h)
 SELECT i AS img_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-       CAST(64 * sum(v) AS BIGINT) AS pix_sum,
-       CAST(min(v) AS INTEGER) AS pix_min,
-       CAST(max(v) AS INTEGER) AS pix_max
-FROM tiles GROUP BY i, w, h
+       CAST(s AS BIGINT) AS pix_sum,
+       CAST(lo AS INTEGER) AS pix_min,
+       CAST(hi AS INTEGER) AS pix_max
+FROM agg
 """
 
 

@@ -358,6 +358,32 @@ def _jpeg_sof(raw: bytes):
     return None
 
 
+def _jpeg_precision(raw: bytes) -> int:
+    """SOF sample precision of a JPEG stream (8 when unreadable) —
+    the companion to ``_jpeg_sof`` for the lossless (SOF3) >8-bit
+    downshift in ``extract_page_images``."""
+    i, n = 2, len(raw)
+    if raw[:2] != b"\xff\xd8":
+        return 8
+    while i + 4 < n:
+        if raw[i] != 0xFF:
+            i += 1
+            continue
+        m = raw[i + 1]
+        if m == 0xFF:
+            i += 1
+            continue
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m in (0xD9, 0xDA):
+            return 8
+        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            return raw[i + 4]
+        i += 2 + int.from_bytes(raw[i + 2:i + 4], "big")
+    return 8
+
+
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
 
@@ -709,6 +735,13 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
                 arr = decode_baseline(raw)
             except JpegError:
                 continue            # non-baseline/undecodable: metadata-only
+            if arr.dtype != np.uint8:
+                # >8-bit lossless (SOF3): downshift to the engine's
+                # 8-bit raster pipeline by the SOF-declared precision
+                arr = (arr >> max(0, _jpeg_precision(raw) - 8)
+                       ).astype(np.uint8)
+            if arr.ndim == 3 and arr.shape[2] not in (1, 3):
+                continue            # 2/4-component lossless: no raster map
             out.append((im["xref"], arr))
             continue
         if im["format"] == "JPEG2000":

@@ -379,7 +379,9 @@ def test_unsupported_processes_still_raise():
     img = np.full((16, 16), 50, np.uint8)
     data = bytearray(encode_baseline(img, 90))
     i = bytes(data).find(b"\xff\xc0")
-    for marker in (0xC3, 0xC7, 0xC9, 0xCA, 0xCB):   # lossless/arithmetic
+    # 0xC3 (lossless) decodes since round 7 and is exercised above;
+    # hierarchical/arithmetic processes still raise
+    for marker in (0xC5, 0xC7, 0xC9, 0xCA, 0xCB):
         d = bytearray(data)
         d[i + 1] = marker
         with pytest.raises(JpegError):
@@ -503,3 +505,184 @@ def test_fancy_decode_end_to_end():
     dg = encode_baseline(base, quality=95)
     assert np.array_equal(decode_baseline(dg, fancy_upsample=True),
                           decode_baseline(dg))
+
+
+# ------------------------------------------------------ lossless (SOF3)
+
+def test_lossless_roundtrip_every_predictor_every_layout():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    rng = np.random.default_rng(71)
+    for pred in range(1, 8):
+        for interleave in (True, False):
+            img = rng.integers(0, 256, (13, 17, 3), dtype=np.uint8)
+            dec = decode_baseline(
+                encode_lossless(img, predictor=pred, interleave=interleave))
+            assert dec.dtype == np.uint8
+            assert np.array_equal(dec, img), (pred, interleave)
+    # grayscale, 1-pixel-wide, 1-pixel-tall edge geometries
+    for shape in ((1, 1), (1, 9), (9, 1), (5, 7)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(
+            decode_baseline(encode_lossless(img, predictor=4)), img)
+
+
+def test_lossless_16bit_and_odd_precisions():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    rng = np.random.default_rng(72)
+    img16 = rng.integers(0, 65536, (9, 11), dtype=np.uint16)
+    dec = decode_baseline(encode_lossless(img16, predictor=1))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img16)
+    # 12-bit samples in an explicit precision=12 frame (medical shape)
+    img12 = rng.integers(0, 4096, (8, 10), dtype=np.uint16)
+    dec = decode_baseline(encode_lossless(img12, predictor=4, precision=12))
+    assert dec.dtype == np.uint16 and np.array_equal(dec, img12)
+    # 2-bit floor of the 2..16 range
+    img2 = rng.integers(0, 4, (6, 6), dtype=np.uint8)
+    assert np.array_equal(
+        decode_baseline(encode_lossless(img2, predictor=7, precision=2)),
+        img2)
+
+
+def test_lossless_point_transform_and_component_counts():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8) & 0xF8
+    dec = decode_baseline(encode_lossless(img, predictor=6,
+                                          point_transform=3))
+    assert np.array_equal(dec, img)        # decoder re-applies << Pt
+    # 2- and 4-component frames (alpha / CMYK-ish) are legal in SOF3
+    for nc in (2, 4):
+        img = rng.integers(0, 256, (6, 7, nc), dtype=np.uint8)
+        for interleave in (True, False):
+            dec = decode_baseline(
+                encode_lossless(img, predictor=2, interleave=interleave))
+            assert np.array_equal(dec, img)
+
+
+def test_lossless_handwritten_stream_pins_spec_semantics():
+    """Asymmetric pin: a byte stream assembled by hand from the T.81
+    Annex H equations (not via encode_lossless) must decode to the
+    hand-computed samples.  The flat length-5 fixture table makes code
+    words equal their category value, so the stream is writable by
+    inspection.  img = [[130, 131], [129, 132]], predictor 1, P=8:
+    diffs are +2, +1 (first line: 128 default then Ra), -1, +3
+    (second line: Rb at the line start then Ra)."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import (
+        LOSSLESS_BITS, LOSSLESS_VALS, encode_lossless)
+
+    codes = _canonical_codes(LOSSLESS_BITS, LOSSLESS_VALS)
+    assert codes[2] == (2, 5) and codes[16] == (16, 5)  # code == category
+
+    bits = []
+
+    def put(diff):
+        t = abs(diff).bit_length()
+        bits.extend(int(b) for b in format(t, "05b"))
+        if 0 < t < 16:
+            raw = diff if diff >= 0 else diff + (1 << t) - 1
+            bits.extend(int(b) for b in format(raw, f"0{t}b"))
+
+    for d in (2, 1, -1, 3):
+        put(d)
+    while len(bits) % 8:
+        bits.append(1)                      # pad with 1s (F.1.2.3)
+    scan = b""
+    for i in range(0, len(bits), 8):
+        b = int("".join(map(str, bits[i:i + 8])), 2)
+        scan += bytes([b]) + (b"\x00" if b == 0xFF else b"")  # stuffing
+
+
+    sof = bytes([8]) + (2).to_bytes(2, "big") + (2).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    dht = bytes([0x00]) + bytes(LOSSLESS_BITS) + bytes(LOSSLESS_VALS)
+    sos = bytes([1, 1, 0x00, 1, 0, 0])      # pred 1, Se 0, Pt 0
+    data = (b"\xff\xd8"
+            + b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+            + b"\xff\xc4" + (len(dht) + 2).to_bytes(2, "big") + dht
+            + b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+            + scan + b"\xff\xd9")
+    assert np.array_equal(decode_baseline(data),
+                          np.array([[130, 131], [129, 132]], np.uint8))
+    # and the encoder emits this exact stream for the same image
+    assert encode_lossless(np.array([[130, 131], [129, 132]], np.uint8),
+                           predictor=1) == data
+
+
+def test_lossless_mod65536_wraparound_and_ssss16():
+    """Differences of magnitude 32768 ride category 16 with zero raw
+    bits (T.81 H.1.2.2's mod-65536 arithmetic): sample 0 against the
+    2^15 default prediction exercises it exactly."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    img = np.array([[0, 65535], [32768, 1]], dtype=np.uint16)
+    data = encode_lossless(img, predictor=1)
+    assert np.array_equal(decode_baseline(data), img)
+
+
+def test_lossless_predictor4_flat_gradient_codes_to_zeros():
+    """Ra + Rb - Rc is exact on any plane x = a + b*col + c*row, so the
+    interior diffs are all category 0 — a semantic check on the
+    predictor definition, visible as stream size."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = (3 * xx + 5 * yy).astype(np.uint16)
+    n4 = len(encode_lossless(img, predictor=4))
+    n1 = len(encode_lossless(img, predictor=1))
+    assert n4 < n1                           # P4 exact, P1 pays per row
+
+
+def test_lossless_gates_and_malformed():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    img = np.full((8, 8), 9, np.uint8)
+    good = bytearray(encode_lossless(img, predictor=1))
+    # restart intervals in a lossless scan: explicit gate
+    i = bytes(good).find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x04"
+    with pytest.raises(JpegError):
+        decode_baseline(bytes(good[:i]) + dri + bytes(good[i:]))
+    # subsampled lossless components: gate
+    bad = bytearray(good)
+    j = bytes(good).find(b"\xff\xc3")
+    bad[j + 9] = 0x22                        # h=2, v=2 on the only comp
+    with pytest.raises(JpegError):
+        decode_baseline(bytes(bad))
+    # predictor 0 / Se != 0 / Pt >= precision all raise
+    for (off, val) in ((3, 0), (4, 7), (5, 8)):
+        bad = bytearray(good)
+        k = bytes(good).find(b"\xff\xda")
+        bad[k + 4 + off] = val
+        with pytest.raises(JpegError):
+            decode_baseline(bytes(bad))
+    # encoder-side validation
+    with pytest.raises(ValueError):
+        encode_lossless(img, predictor=0)
+    with pytest.raises(ValueError):
+        encode_lossless(img, precision=17)
+    with pytest.raises(ValueError):
+        encode_lossless(np.full((4, 4), 255, np.uint8), precision=4)
+
+
+def test_lossless_fuzz_truncation_and_corruption():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+
+    rng = np.random.default_rng(74)
+    img = rng.integers(0, 256, (9, 12, 3), dtype=np.uint8)
+    data = bytearray(encode_lossless(img, predictor=5, interleave=False))
+    for i in range(2, len(data), 7):
+        try:
+            decode_baseline(bytes(data[:i]))
+        except JpegError:
+            pass
+    for _ in range(200):
+        d = bytearray(data)
+        pos = int(rng.integers(2, len(d)))
+        d[pos] = int(rng.integers(0, 256))
+        try:
+            decode_baseline(bytes(d))
+        except JpegError:
+            pass

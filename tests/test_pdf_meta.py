@@ -334,3 +334,72 @@ def test_hybrid_xrefstm_overrides_classic_free_entries():
     assert b"/Fluff" in rd.body(hidden_oid)
     # and the document still parses identically
     assert parse_pdf(bytes(out)) == parse_pdf(base)
+
+
+def test_lossless_jpeg_images_decode_through_the_pdf_path():
+    """/DCTDecode streams carrying the lossless process (SOF3) decode
+    through extract_page_images since round 7: 8-bit planes pass
+    through exactly, >8-bit precision downshifts into the engine's
+    8-bit raster pipeline by the SOF-declared precision, and 2/4-
+    component lossless frames (no raster mapping) stay metadata-only
+    without failing the page."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_lossless
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        _jpeg_precision, extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(75)
+
+    def page(data, w, h, gray):
+        return build_pdf([{"width": 612, "height": 792, "images": [
+            {"w": w, "h": h, "gray": gray, "dct": True, "data": data}],
+            "text": "x"}])
+
+    # 8-bit gray and RGB: exact pixels out
+    g8 = rng.integers(0, 256, (14, 19), dtype=np.uint8)
+    pdf = page(encode_lossless(g8, predictor=4), 19, 14, True)
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    assert (im["width"], im["height"], im["mode"]) == (19, 14, "L")
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+    assert np.array_equal(arr, g8)
+
+    rgb = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    pdf = page(encode_lossless(rgb, predictor=1, interleave=False),
+               12, 10, False)
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+    assert np.array_equal(arr, rgb)
+
+    # 16-bit: downshift by precision-8 into uint8
+    g16 = rng.integers(0, 65536, (9, 9), dtype=np.uint16)
+    data = encode_lossless(g16, predictor=2)
+    assert _jpeg_precision(data) == 16
+    pdf = page(data, 9, 9, True)
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+    assert arr.dtype == np.uint8
+    assert np.array_equal(arr, (g16 >> 8).astype(np.uint8))
+
+    # 12-bit: downshift by 4
+    g12 = rng.integers(0, 4096, (8, 8), dtype=np.uint16)
+    data = encode_lossless(g12, predictor=7, precision=12)
+    assert _jpeg_precision(data) == 12
+    pdf = page(data, 8, 8, True)
+    meta = parse_pdf(pdf)
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[
+        meta["pages"][0]["images"][0]["xref"]]
+    assert np.array_equal(arr, (g12 >> 4).astype(np.uint8))
+
+    # 4-component lossless: metadata-only, page-level decode survives
+    c4 = rng.integers(0, 256, (6, 6, 4), dtype=np.uint8)
+    pdf = page(encode_lossless(c4, predictor=3), 6, 6, False)
+    meta = parse_pdf(pdf)
+    assert dict(extract_page_images(pdf, 0, meta=meta)) == {}
+
+    # precision probe degrades to 8 on garbage
+    assert _jpeg_precision(b"not a jpeg") == 8
