@@ -50,7 +50,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["JpegError", "decode_baseline", "encode_baseline",
-           "encode_progressive", "encode_lossless"]
+           "encode_progressive", "encode_lossless",
+           "encode_extended"]
 
 
 class JpegError(ValueError):
@@ -331,14 +332,17 @@ def _decode_baseline(data: bytes, max_pixels: int,
             j = 0
             while j < len(seg):
                 pq, tq = seg[j] >> 4, seg[j] & 0x0F
-                if pq != 0:
-                    raise JpegError("16-bit quant tables unsupported")
-                if j + 65 > len(seg):
+                if pq not in (0, 1):
+                    raise JpegError("bad DQT precision")
+                step = 65 + 64 * pq          # Pq=1: 16-bit entries (12-bit)
+                if j + step > len(seg):
                     raise JpegError("truncated DQT")
-                tab = np.frombuffer(seg[j + 1:j + 65],
-                                    dtype=np.uint8).astype(np.int64)
+                raw = seg[j + 1:j + step]
+                tab = (np.frombuffer(raw, dtype=">u2") if pq
+                       else np.frombuffer(raw, dtype=np.uint8)
+                       ).astype(np.int64)
                 qtbl[tq] = tab[UNZIGZAG]     # store in natural order
-                j += 65
+                j += step
         elif m == 0xC4:                      # DHT
             j = 0
             while j < len(seg):
@@ -362,8 +366,12 @@ def _decode_baseline(data: bytes, max_pixels: int,
             if lossless:
                 if not 2 <= seg[0] <= 16:
                     raise JpegError("bad lossless precision")
+            elif m == 0xC1 and seg[0] == 12:
+                pass                         # 12-bit extended sequential
             elif seg[0] != 8:
-                raise JpegError("only 8-bit precision supported")
+                raise JpegError("only 8-bit precision supported"
+                                if m != 0xC2 else
+                                "12-bit progressive unsupported")
             h, w = _u16(seg, 1), _u16(seg, 3)
             nc = seg[5]
             if h == 0 or w == 0 or \
@@ -486,11 +494,12 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         comp["flat"] = comp["coef"].reshape(-1)
         plan.append((comp, dsym, dlen, asym, alen))
 
+    dcmax = 11 if frame.get("precision", 8) == 8 else 15
     if restart_interval and n_mcus > restart_interval * (_VEC_MIN_LANES - 1):
         # enough independent restart segments: vectorized lane decode
         expect = -(-n_mcus // restart_interval)
         _decode_entropy_dri_vec(segments[:expect], comps, hufftab,
-                                restart_interval, n_mcus, mcus_x)
+                                restart_interval, n_mcus, mcus_x, dcmax)
         return _assemble(frame, qtbl, fancy)
 
     seg_idx = 0
@@ -527,7 +536,7 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
                         buf &= 0xFFFFFFFFFF
                     peek = (buf >> (cnt - 16)) & 0xFFFF
                     t = dsym[peek]
-                    if t < 0 or t > 11:
+                    if t < 0 or t > dcmax:
                         raise JpegError("bad DC code")
                     cnt -= dlen[peek]
                     if t:
@@ -598,7 +607,8 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
 _VEC_MIN_LANES = 16
 
 
-def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
+def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x,
+                            dcmax=11):
     """Restart-segment-parallel baseline entropy decode (round 5).
 
     DRI makes segments fully independent — the byte stream, the bit
@@ -663,7 +673,7 @@ def _decode_entropy_dri_vec(segments, comps, hufftab, ri, n_mcus, mcus_x):
                     refill_var(ids0, 16)
                     peek = (buf[ids0] >> (cnt[ids0] - 16)) & 0xFFFF
                     t = dsym[peek]
-                    if (t < 0).any() or (t > 11).any():
+                    if (t < 0).any() or (t > dcmax).any():
                         raise JpegError("bad DC code")
                     cnt[ids0] -= dlen[peek]
                     nzm = t > 0
@@ -788,6 +798,10 @@ def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
     (4:2:0/4:2:2/4:4:0); other ratios replicate in both engines."""
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
+    prec = frame.get("precision", 8)
+    shift, maxv = 1 << (prec - 1), (1 << prec) - 1
+    dtype = np.uint8 if prec <= 8 else np.uint16
+    fancy = fancy and prec == 8              # fixed-point path is 8-bit
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     planes = []
@@ -802,9 +816,9 @@ def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
         blocks = coefs.reshape(-1, 8, 8)
         pix = np.ascontiguousarray(_blocks_mul(blocks, DCT_A.T, DCT_A))
         np.round(pix, out=pix)
-        pix += 128
-        np.clip(pix, 0, 255, out=pix)
-        pix = pix.astype(np.uint8)
+        pix += shift
+        np.clip(pix, 0, maxv, out=pix)
+        pix = pix.astype(dtype)
         bh, bw = comp["bh"], comp["bw"]
         plane = (pix.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
@@ -827,12 +841,12 @@ def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
     if fancy:
         return _ycc_rgb_libjpeg(planes[0], planes[1], planes[2])
     y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
+    cb = planes[1].astype(np.float64) - float(shift)
+    cr = planes[2].astype(np.float64) - float(shift)
     rgb = np.stack([y + 1.402 * cr,
                     y - 0.344136 * cb - 0.714136 * cr,
                     y + 1.772 * cb], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 # ----------------------------------------------------------- progressive
@@ -1352,6 +1366,67 @@ def encode_lossless(img: np.ndarray, predictor: int = 4,
     return bytes(out)
 
 
+# Fixture Huffman tables for the 12-bit extended process: every DC
+# category 0..15 at code length 5 (16 of 32, all-ones free), and every
+# AC (run, size) pair with size 1..14 plus EOB and ZRL at length 8
+# (226 of 256, all-ones free) — valid per T.81 C.2, wasteful on rate,
+# same fixture philosophy as LOSSLESS_BITS.
+EXT12_DC_BITS = [0, 0, 0, 0, 16] + [0] * 11
+EXT12_DC_VALS = list(range(16))
+EXT12_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 226] + [0] * 8
+EXT12_AC_VALS = [0x00] + [(r << 4) | sz for r in range(16)
+                          for sz in range(1, 15)] + [0xF0]
+
+
+def encode_extended(img: np.ndarray, quality: int = 90,
+                    subsample: tuple[int, int] = (1, 1),
+                    restart_interval: int = 0) -> bytes:
+    """uint16 (h, w) or (h, w, 3) 12-bit image -> extended-sequential
+    JPEG (SOF1, precision 12) bytes — T.81's F.1.3 process with 16-bit
+    DQT entries (Pq=1), DC categories to 15 and AC sizes to 14.
+    Samples must be < 4096; entropy coding is shared with the baseline
+    encoder (``_encode_entropy_seq``), only headers and table reach
+    differ.  The reference's Pillow path rejects these streams
+    (recode.py:351 operates 8-bit); here they decode through
+    ``decode_baseline`` into uint16 planes and the PDF scan downshifts
+    them into the 8-bit raster pipeline."""
+    gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
+        img, quality, subsample, precision=12)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        body = bytes([0x10 | tq])            # Pq=1: 16-bit entries
+        body += b"".join(int(v).to_bytes(2, "big") for v in qt[ZIGZAG])
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([12]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc1" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0, 0, (EXT12_DC_BITS, EXT12_DC_VALS)),
+              (1, 0, (EXT12_AC_BITS, EXT12_AC_VALS))]
+    if not gray:
+        # chroma scans reference table slot 1: same fixture tables
+        tables += [(0, 1, (EXT12_DC_BITS, EXT12_DC_VALS)),
+                   (1, 1, (EXT12_AC_BITS, EXT12_AC_VALS))]
+    enc = {}
+    for tc, th, (bits, huffval) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+        enc[(tc, th)] = _canonical_codes(bits, huffval)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], (c["td"] << 4) | c["ta"]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    out += _encode_entropy_seq(comps, enc, mcus_x, mcus_y,
+                               restart_interval)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- encode
 
 class _BitWriter:
@@ -1389,14 +1464,22 @@ def _encode_coef(v: int, t: int) -> int:
 
 
 def _prepare_components(img: np.ndarray, quality: int,
-                        subsample: tuple[int, int]):
+                        subsample: tuple[int, int], precision: int = 8):
     """Shared encoder front half: validate, colour-convert, subsample,
     forward-DCT and quantize.  Returns (gray, h, w, comps, qt_l, qt_c,
     mcus_x, mcus_y); each comp carries zigzag-ordered quantized blocks
-    in ``q``."""
+    in ``q``.  ``precision`` 12 takes uint16 samples < 4096 (the
+    extended-sequential process); the level shift and chroma centre
+    become 2^(P-1)."""
     img = np.asarray(img)
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    if precision == 8:
+        if img.dtype != np.uint8 or img.ndim not in (2, 3):
+            raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    else:
+        if img.dtype != np.uint16 or img.ndim not in (2, 3):
+            raise ValueError("expected uint16 (h, w) or (h, w, 3)")
+        if img.size and int(img.max()) >= 1 << precision:
+            raise ValueError("sample exceeds precision")
     gray = img.ndim == 2
     if not gray and img.shape[2] != 3:
         raise ValueError("expected 3 channels for color")
@@ -1420,9 +1503,10 @@ def _prepare_components(img: np.ndarray, quality: int,
         r = img[..., 0].astype(np.float64)
         g = img[..., 1].astype(np.float64)
         b = img[..., 2].astype(np.float64)
+        ctr = float(1 << (precision - 1))
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + ctr
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + ctr
         if sh > 1 or sv > 1:
             ph = -(-h // sv) * sv
             pw = -(-w // sh) * sh
@@ -1447,7 +1531,8 @@ def _prepare_components(img: np.ndarray, quality: int,
         bh = mcus_y * comp["v"]
         ph, pw = bh * 8, bw * 8
         pl = np.pad(plane, ((0, ph - plane.shape[0]),
-                            (0, pw - plane.shape[1])), mode="edge") - 128.0
+                            (0, pw - plane.shape[1])),
+                    mode="edge") - float(1 << (precision - 1))
         blocks = np.ascontiguousarray(
             pl.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)).reshape(-1, 8, 8)
         coef = _blocks_mul(blocks, DCT_A, DCT_A.T)
@@ -1457,46 +1542,14 @@ def _prepare_components(img: np.ndarray, quality: int,
     return gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y
 
 
-def encode_baseline(img: np.ndarray, quality: int = 90,
-                    subsample: tuple[int, int] = (1, 1),
-                    restart_interval: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG bytes.
-
-    ``subsample`` = luma sampling factors (h, v): (1,1) is 4:4:4,
-    (2,1) 4:2:2, (2,2) 4:2:0 (chroma box-averaged).  ``restart_interval``
-    inserts RSTn markers every that many MCUs (DRI segment)."""
-    gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
-        img, quality, subsample)
-
-    # Header segments.
-    out = bytearray(b"\xff\xd8")
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
-    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
-        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
-        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
-        + bytes([len(comps)])
-    for c in comps:
-        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
-    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
-    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
-    if not gray:
-        tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
-    enc = {}
-    for tc, th, (bits, huffval) in tables:
-        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
-        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
-        enc[(tc, th)] = _canonical_codes(bits, huffval)
-    if restart_interval:
-        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
-    sos = bytes([len(comps)])
-    for c in comps:
-        sos += bytes([c["id"], (c["td"] << 4) | c["ta"]])
-    sos += b"\x00\x3f\x00"
-    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
-
-    # Entropy-coded data.
+def _encode_entropy_seq(comps, enc, mcus_x, mcus_y,
+                        restart_interval) -> bytes:
+    """Sequential-DCT entropy coding shared by the baseline and 12-bit
+    extended encoders: the MCU walk over each component's zigzag
+    quantized blocks with DC prediction, ZRL/EOB runs and RSTn
+    restarts.  The processes differ only in headers and table reach
+    (T.81 F.1.2 vs F.1.3)."""
+    out = bytearray()
     bw_ = _BitWriter()
     pred = {c["id"]: 0 for c in comps}
     rst = 0
@@ -1547,6 +1600,50 @@ def encode_baseline(img: np.ndarray, quality: int = 90,
                         bw_.write(code, ln_)
     bw_.flush()
     out += bw_.out
+    return bytes(out)
+
+
+def encode_baseline(img: np.ndarray, quality: int = 90,
+                    subsample: tuple[int, int] = (1, 1),
+                    restart_interval: int = 0) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JPEG bytes.
+
+    ``subsample`` = luma sampling factors (h, v): (1,1) is 4:4:4,
+    (2,1) 4:2:2, (2,2) 4:2:0 (chroma box-averaged).  ``restart_interval``
+    inserts RSTn markers every that many MCUs (DRI segment)."""
+    gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
+        img, quality, subsample)
+
+    # Header segments.
+    out = bytearray(b"\xff\xd8")
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA)]
+    if not gray:
+        tables += [(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)]
+    enc = {}
+    for tc, th, (bits, huffval) in tables:
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(huffval)
+        out += b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + body
+        enc[(tc, th)] = _canonical_codes(bits, huffval)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+    sos = bytes([len(comps)])
+    for c in comps:
+        sos += bytes([c["id"], (c["td"] << 4) | c["ta"]])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    out += _encode_entropy_seq(comps, enc, mcus_x, mcus_y,
+                               restart_interval)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -1796,15 +1796,18 @@ def q_jpeg_decode(spark, sf):
     T.81 Annex H) — RGB per-pixel gradients (no tile trick needed:
     lossless is exact for arbitrary content), predictors rotating 1-7,
     interleaved and non-interleaved multi-scan layouts alternating —
-    against a per-pixel closed form in SQL.  Any entropy/zigzag/
-    dequant/IDCT/assembly/predictor bug breaks the match."""
+    against a per-pixel closed form in SQL; and the i%8==6 images
+    encode through the 12-BIT EXTENDED process (SOF1 precision 12,
+    Pq=1 DQT) — constant tiles spanning the 12-bit range, exact at
+    q100 by the same DC-only argument.  Any entropy/zigzag/dequant/
+    IDCT/assembly/predictor bug breaks the match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
         from .kernels.jpegcodec import (decode_baseline, encode_baseline,
-                                        encode_lossless,
+                                        encode_extended, encode_lossless,
                                         encode_progressive)
         for pdf in batches:
             rows = []
@@ -1822,6 +1825,14 @@ def q_jpeg_decode(spark, sf):
                     if not np.array_equal(dec, img):
                         raise AssertionError(
                             f"lossless violation {i}")
+                elif i % 8 == 6:
+                    img = np.zeros((h, w), dtype=np.uint16)
+                    for ty in range(h // 8):
+                        for tx in range(w // 8):
+                            img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] \
+                                = (37 * i + 11 * tx + 23 * ty) * 16 % 4096
+                    dec = decode_baseline(encode_extended(
+                        img, quality=100, restart_interval=i % 3))
                 else:
                     img = np.zeros((h, w), dtype=np.uint8)
                     for ty in range(h // 8):
@@ -1849,7 +1860,10 @@ SQL_JPEG_DECODE = r"""
 WITH imgs AS (SELECT unnest(generate_series(0, 31)) AS i),
 dims AS (SELECT i, 8 * (4 + i % 5) AS w, 8 * (3 + i % 4) AS h FROM imgs),
 tiles AS (
-  SELECT d.i, d.w, d.h, (37 * d.i + 11 * tx.x + 23 * ty.y) % 256 AS v
+  SELECT d.i, d.w, d.h,
+         CASE WHEN d.i % 8 = 6
+              THEN (37 * d.i + 11 * tx.x + 23 * ty.y) * 16 % 4096
+              ELSE (37 * d.i + 11 * tx.x + 23 * ty.y) % 256 END AS v
   FROM dims d,
        LATERAL (SELECT unnest(generate_series(0, d.w // 8 - 1)) AS x) tx,
        LATERAL (SELECT unnest(generate_series(0, d.h // 8 - 1)) AS y) ty

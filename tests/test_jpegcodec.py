@@ -686,3 +686,128 @@ def test_lossless_fuzz_truncation_and_corruption():
             decode_baseline(bytes(d))
         except JpegError:
             pass
+
+
+# ------------------------------------------- 12-bit extended sequential
+
+def test_extended12_constant_tiles_exact_and_vec_dri_path():
+    """12-bit SOF1 at quality 100: constant 8x8 tiles decode bit-exact
+    (DC-only blocks, all-ones quant) across the whole 12-bit range,
+    through both the scalar walk and the restart-segment-vectorized
+    lane decoder (64 MCUs at DRI=1 clears _VEC_MIN_LANES)."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_extended
+
+    img = np.zeros((64, 64), dtype=np.uint16)
+    for ty in range(8):
+        for tx in range(8):
+            img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] = \
+                (521 * tx + 89 * ty) % 4096
+    for ri in (0, 1):                        # scalar / vectorized DRI
+        dec = decode_baseline(encode_extended(img, quality=100,
+                                              restart_interval=ri))
+        assert dec.dtype == np.uint16
+        assert np.array_equal(dec, img), ri
+
+
+def test_extended12_roundtrip_bounds_and_rgb():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_extended
+
+    rng = np.random.default_rng(76)
+    g = rng.integers(0, 4096, (21, 27), dtype=np.uint16)
+    dec = decode_baseline(encode_extended(g, quality=100))
+    assert dec.shape == g.shape and dec.dtype == np.uint16
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+    # smooth RGB through 4:4:4 and 4:2:0 stays close on the 12-bit scale
+    yy, xx = np.mgrid[0:24, 0:32]
+    base = (2048 + 1500 * np.sin(xx / 6.0) * np.cos(yy / 8.0)
+            ).astype(np.uint16)
+    rgb = np.stack([base, 4095 - base, np.roll(base, 4, 1)], axis=-1)
+    for sub in ((1, 1), (2, 2)):
+        dec = decode_baseline(encode_extended(rgb, quality=97,
+                                              subsample=sub))
+        assert dec.shape == rgb.shape and dec.dtype == np.uint16
+        err = np.abs(dec.astype(int) - rgb.astype(int)).mean()
+        assert err < 16 * (1 + 15 * (sub != (1, 1))), (sub, err)
+
+
+def test_extended12_dqt_pq1_and_table_reach():
+    """The 12-bit stream exercises exactly the new envelope: Pq=1
+    16-bit DQT entries and DC categories above 11 — verified on the
+    emitted bytes, not just by round-trip."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_extended
+
+    img = np.zeros((8, 16), dtype=np.uint16)
+    img[:, 8:] = 4095                        # adjacent constant tiles:
+    data = encode_extended(img, quality=100)  # DC diff 8*4095 = cat 15
+    i = data.find(b"\xff\xdb")
+    assert data[i + 4] == 0x10               # Pq=1, Tq=0
+    assert data.find(b"\xff\xc1") > 0 and data[data.find(b"\xff\xc1") + 4] == 12
+    dec = decode_baseline(data)
+    assert np.array_equal(dec, img)          # exact: DC-only blocks
+
+
+def test_extended12_gates():
+    from archive_pdf_tools_spark.kernels.jpegcodec import (
+        encode_extended, encode_progressive)
+
+    with pytest.raises(ValueError):          # uint8 input rejected
+        encode_extended(np.zeros((8, 8), dtype=np.uint8))
+    with pytest.raises(ValueError):          # sample over 12 bits
+        encode_extended(np.full((8, 8), 4096, dtype=np.uint16))
+    # 12-bit progressive: explicit gate (flip SOF1 -> SOF2)
+    img = np.full((16, 16), 100, dtype=np.uint16)
+    data = bytearray(encode_extended(img, quality=90))
+    j = bytes(data).find(b"\xff\xc1")
+    data[j + 1] = 0xC2
+    with pytest.raises(JpegError):
+        decode_baseline(bytes(data))
+    # baseline (SOF0) stays strictly 8-bit
+    data = bytearray(encode_extended(img, quality=90))
+    data[j + 1] = 0xC0
+    with pytest.raises(JpegError):
+        decode_baseline(bytes(data))
+    # 8-bit files still decode with Pq=1 tables absent: regression guard
+    img8 = np.full((8, 8), 50, np.uint8)
+    assert decode_baseline(encode_baseline(img8, 90)).dtype == np.uint8
+
+
+def test_extended12_fuzz_truncation_and_corruption():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_extended
+
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    data = bytearray(encode_extended(img, quality=85, restart_interval=2))
+    for i in range(2, len(data), 11):
+        try:
+            decode_baseline(bytes(data[:i]))
+        except JpegError:
+            pass
+    for _ in range(200):
+        d = bytearray(data)
+        pos = int(rng.integers(2, len(d)))
+        d[pos] = int(rng.integers(0, 256))
+        try:
+            decode_baseline(bytes(d))
+        except JpegError:
+            pass
+
+
+def test_extended12_images_flow_through_the_pdf_path():
+    """12-bit DCT images in a PDF downshift into the 8-bit raster
+    pipeline by SOF precision (same wiring as >8-bit lossless)."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_extended
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    img = np.zeros((16, 24), dtype=np.uint16)
+    img[:8], img[8:] = 1024, 3840            # constant tiles: exact
+    pdf = build_pdf([{"width": 612, "height": 792, "images": [
+        {"w": 24, "h": 16, "gray": True, "dct": True,
+         "data": encode_extended(img, quality=100)}], "text": "x"}])
+    meta = parse_pdf(pdf)
+    im = meta["pages"][0]["images"][0]
+    assert (im["width"], im["height"]) == (24, 16)
+    arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
+    assert arr.dtype == np.uint8
+    assert np.array_equal(arr, (img >> 4).astype(np.uint8))
