@@ -185,6 +185,28 @@ class _Bits:
             return False
         return not any(self.data[first + 1:(self.n + 7) >> 3])
 
+    def at_eofb(self) -> bool:
+        """Peek (no consume): two EOLs in a row from here?  At an
+        UNALIGNED position a single EOL is ambiguous — byte-pad zeros
+        plus a code word's leading zeros can total 11 — but row data
+        can never follow with a second 11-zero run, so the double-EOL
+        peek is the unambiguous EOFB test for byte-aligned streams
+        whose encoder wrote EOFB unpadded after the last line."""
+        p = self.pos
+        for _ in range(2):
+            zeros = 0
+            while True:
+                if p >= self.n or zeros > 64 + 11:
+                    return False
+                if (self.data[p >> 3] >> (7 - (p & 7))) & 1:
+                    break
+                zeros += 1
+                p += 1
+            if zeros < 11:
+                return False
+            p += 1                           # the EOL's closing 1
+        return True
+
     def at_eol(self) -> bool:
         """Peek (no consume): do >= 11 zero bits then a 1 start here?
         Fill zeros before the EOL are part of the match (T.4 §4.1.2);
@@ -323,9 +345,20 @@ def decode_g4(data: bytes, w: int, h: int | None,
     out = []
     ref = [w, w]
     while True:
+        if bits.only_padding_left():
+            break
         if byte_align:
+            # T.6 byte alignment applies to coded lines, and a foreign
+            # encoder may emit EOFB unpadded right after the last line
+            # — aligning first would eat 1-7 of EOFB's leading zeros.
+            # The pre-align peek must demand BOTH EOLs: pad zeros plus
+            # a code's leading zeros can mimic a single one.
+            if bits.at_eofb():
+                break
             bits.align()
-        if bits.only_padding_left() or bits.at_eol():
+            if bits.only_padding_left() or bits.at_eol():
+                break
+        elif bits.at_eol():
             break                            # EOFB opens with an EOL
         if len(out) >= max_rows:
             raise CcittError("self-delimited G4 exceeds pixel bound")
@@ -402,6 +435,8 @@ def decode_g3(data: bytes, w: int, h: int | None, k: int = 0,
                 if unbounded and (bits.at_eol()
                                   or bits.only_padding_left()):
                     break
+            elif unbounded and bits.at_eol():
+                break       # RTC terminator on an EOL-less 1D stream
             one_d = True
         cur = (_decode_1d_row(bits, w) if one_d
                else _decode_2d_row(bits, ref, w))

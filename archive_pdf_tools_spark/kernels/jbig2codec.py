@@ -1426,9 +1426,9 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
             raise ValueError("bad glyph shape")
     for pi, (gi, x, y) in enumerate(placements):
         tgt = refinements.get(pi)
-        gh, gw = tgt.shape if tgt is not None else gs[gi].shape
         if tgt is not None and (tgt.ndim != 2 or 0 in tgt.shape):
             raise ValueError("bad refinement target shape")
+        gh, gw = tgt.shape if tgt is not None else gs[gi].shape
         if not (0 <= x and x + gw <= w and 0 <= y and y + gh <= h):
             raise ValueError("placement outside page")
 

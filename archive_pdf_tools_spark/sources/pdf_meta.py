@@ -333,6 +333,14 @@ def _jpeg_sof(raw: bytes):
     169-190``); here the marker walk reads only the headers — SOF0-SOF15
     except the DHT/DAC/JPG reserved codes — and decode stays behind the
     multimodal codec gate."""
+    sof = _jpeg_sof_fields(raw)
+    return sof and (sof[0], sof[1], sof[2])
+
+
+def _jpeg_sof_fields(raw: bytes):
+    """One marker walk shared by ``_jpeg_sof`` and ``_jpeg_precision``:
+    (width, height, n_components, precision) from the first SOF frame
+    header, or None."""
     if raw[:2] != b"\xff\xd8":
         return None
     i, n = 2, len(raw)
@@ -353,35 +361,17 @@ def _jpeg_sof(raw: bytes):
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h = int.from_bytes(raw[i + 5:i + 7], "big")
             w = int.from_bytes(raw[i + 7:i + 9], "big")
-            return w, h, raw[i + 9]
+            return w, h, raw[i + 9], raw[i + 4]
         i += 2 + seg_len
     return None
 
 
 def _jpeg_precision(raw: bytes) -> int:
     """SOF sample precision of a JPEG stream (8 when unreadable) —
-    the companion to ``_jpeg_sof`` for the lossless (SOF3) >8-bit
-    downshift in ``extract_page_images``."""
-    i, n = 2, len(raw)
-    if raw[:2] != b"\xff\xd8":
-        return 8
-    while i + 4 < n:
-        if raw[i] != 0xFF:
-            i += 1
-            continue
-        m = raw[i + 1]
-        if m == 0xFF:
-            i += 1
-            continue
-        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
-            i += 2
-            continue
-        if m in (0xD9, 0xDA):
-            return 8
-        if 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            return raw[i + 4]
-        i += 2 + int.from_bytes(raw[i + 2:i + 4], "big")
-    return 8
+    the companion to ``_jpeg_sof`` for the >8-bit (lossless SOF3 /
+    extended SOF1-12) downshift in ``extract_page_images``."""
+    sof = _jpeg_sof_fields(raw)
+    return sof[3] if sof else 8
 
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
@@ -812,10 +802,19 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
                     (hh - bits.shape[0], cols), dtype=np.uint8)])
             # filter sample per /BlackIs1, then /Decode [a b] -> gray
             sample = bits if black1 else 1 - bits
+            # PDF numbers may be reals (/Decode [1.0 0.0] is legal and
+            # occurs in the wild); for 1-bit images the endpoints are
+            # 0-or-1 valued either way
             mdec = re.search(
-                rb"/Decode\s*\[\s*([01])\s+([01])\s*\]", d)
-            a, b = (int(mdec.group(1)), int(mdec.group(2))) \
-                if mdec else (0, 1)
+                rb"/Decode\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s*\]", d)
+            try:
+                a, b = ((int(float(mdec.group(1))),
+                         int(float(mdec.group(2))))
+                        if mdec else (0, 1))
+            except ValueError:
+                a, b = 0, 1
+            if (a, b) not in ((0, 1), (1, 0)):
+                a, b = 0, 1
             arr = ((a + sample.astype(np.int32) * (b - a)) * 255
                    ).astype(np.uint8)
             out.append((im["xref"], arr))

@@ -274,3 +274,50 @@ def test_pdf_ccitt_parameter_matrix():
     arr = run(dict(base, ccitt_k=-1, ccitt_no_rows=True,
                    ccitt_eob_false=True, data=encode_g4(bm)))
     assert np.array_equal(arr, ink)
+
+
+def test_self_delimiting_terminators_foreign_shapes():
+    """Terminator shapes the engine's own encoder does not emit but
+    conformant foreign encoders do (r7 review findings):
+
+    1. K=0 /EndOfBlock: PDF 1.7 says the end-of-block pattern for
+       Group 3 is RTC — a pure-1D stream ending in six EOLs must
+       decode, not raise (the rows themselves carry no EOLs).
+    2. G4 + EncodedByteAlign: T.6 alignment applies to coded LINES;
+       an encoder may emit EOFB unpadded right after the last line.
+       The decoder must peek for EOFB before aligning."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (
+        _BitWriter, _encode_2d_row, _row_changes, decode_g3, decode_g4,
+        encode_g3)
+
+    rng = np.random.default_rng(47)
+    w, h = 30, 11
+    bm = (rng.random((h, w)) < 0.4).astype(np.uint8)
+
+    # 1. plain-1D stream + RTC appended (encode_g3 pads with zeros
+    # first; fill zeros before an EOL are legal T.4 §4.1.2)
+    rtc = bytearray()
+    acc = ""
+    for _ in range(6):
+        acc += "000000000001"
+    while len(acc) % 8:
+        acc += "0"
+    for i in range(0, len(acc), 8):
+        rtc.append(int(acc[i:i + 8], 2))
+    data = encode_g3(bm, k=0) + bytes(rtc)
+    got = decode_g3(data, w, None, k=0)
+    assert got.shape == (h, w) and np.array_equal(got, bm)
+
+    # 2. byte-aligned G4 lines with an UNALIGNED EOFB
+    bw = _BitWriter()
+    ref = [w, w]
+    for y in range(h):
+        bw.align()
+        cur = _row_changes(bm[y], w)
+        _encode_2d_row(bw, cur, ref, w)
+        ref = cur
+    bw.put(0x001, 12)                        # EOFB straight after data
+    bw.put(0x001, 12)
+    bw.align()
+    got = decode_g4(bytes(bw.out), w, None, byte_align=True)
+    assert got.shape == (h, w) and np.array_equal(got, bm)

@@ -403,3 +403,39 @@ def test_lossless_jpeg_images_decode_through_the_pdf_path():
 
     # precision probe degrades to 8 on garbage
     assert _jpeg_precision(b"not a jpeg") == 8
+
+
+def test_ccitt_decode_array_accepts_real_numbers():
+    """/Decode [1.0 0.0] (reals are legal PDF numbers) must flip the
+    sample sense exactly like /Decode [1 0] — before r7 the
+    integer-only regex silently ignored it (review finding)."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.kernels.ccittcodec import encode_g4
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(48)
+    w, h = 28, 14
+    bm = (rng.random((h, w)) < 0.35).astype(np.uint8)
+    ink = np.where(bm != 0, 0, 255)
+    pdf = build_pdf([{"width": 612, "height": 792, "images": [
+        {"w": w, "h": h, "gray": True, "ccitt": True, "ccitt_k": -1,
+         "ccitt_black1": True, "data": encode_g4(bm)}],
+        "text": "x"}])
+    assert b"/Decode [1 0]" in pdf
+    # same byte length (xref offsets must not move): reals with the
+    # space after /Decode dropped, both legal PDF syntax
+    float_pdf = pdf.replace(b"/Decode [1 0]", b"/Decode[1. 0]")
+
+    def run(blob):
+        meta = parse_pdf(blob)
+        im = meta["pages"][0]["images"][0]
+        return dict(extract_page_images(blob, 0, meta=meta))[im["xref"]]
+
+    assert np.array_equal(run(float_pdf), run(pdf))
+    assert np.array_equal(run(float_pdf), ink)
+    # out-of-range endpoints fall back to identity, never crash
+    weird = pdf.replace(b"/Decode [1 0]", b"/Decode [3 7]")
+    assert np.array_equal(run(weird), 255 - ink)
