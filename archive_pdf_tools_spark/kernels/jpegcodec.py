@@ -366,12 +366,10 @@ def _decode_baseline(data: bytes, max_pixels: int,
             if lossless:
                 if not 2 <= seg[0] <= 16:
                     raise JpegError("bad lossless precision")
-            elif m == 0xC1 and seg[0] == 12:
-                pass                         # 12-bit extended sequential
+            elif m in (0xC1, 0xC2) and seg[0] == 12:
+                pass              # 12-bit extended sequential/progressive
             elif seg[0] != 8:
-                raise JpegError("only 8-bit precision supported"
-                                if m != 0xC2 else
-                                "12-bit progressive unsupported")
+                raise JpegError("only 8-bit precision supported")
             h, w = _u16(seg, 1), _u16(seg, 3)
             nc = seg[5]
             if h == 0 or w == 0 or \
@@ -1024,7 +1022,8 @@ def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
                     if ah == 0:
                         dsym, dlen = tabs[cid]
                         t = br.huff(dsym, dlen)
-                        if t > 11:
+                        if t > (11 if frame.get("precision", 8) == 8
+                                else 15):
                             raise JpegError("bad DC code")
                         diff = _extend(br.bits(t), t) if t else 0
                         pred[cid] += diff
@@ -1659,6 +1658,11 @@ def encode_baseline(img: np.ndarray, quality: int = 90,
 PROG_AC_BITS = [0] * 7 + [176] + [0] * 8
 PROG_AC_VALS = [(r << 4) | s for r in range(16) for s in range(11)]
 
+# 12-bit progressive AC fixture: sizes to 14 (T.81 F.1.3 reach), 240
+# of 256 codes at length 8, all-ones free.
+PROG12_AC_BITS = [0] * 7 + [240] + [0] * 8
+PROG12_AC_VALS = [(r << 4) | s for r in range(16) for s in range(15)]
+
 
 class _ScanWriter:
     """Entropy emission for one progressive scan: byte-stuffed bit
@@ -1694,7 +1698,8 @@ class _ScanWriter:
 
 def encode_progressive(img: np.ndarray, quality: int = 90,
                        subsample: tuple[int, int] = (1, 1),
-                       restart_interval: int = 0) -> bytes:
+                       restart_interval: int = 0,
+                       precision: int = 8) -> bytes:
     """uint8 image -> progressive (SOF2) JPEG bytes.
 
     Emits the classic simple-progression script — DC first at Al=1, AC
@@ -1705,24 +1710,40 @@ def encode_progressive(img: np.ndarray, quality: int = 90,
     The quantized coefficients are IDENTICAL to ``encode_baseline``'s at
     the same quality (shared ``_prepare_components``), so the decoded
     pixels of the progressive and baseline files match bit-for-bit —
-    which is the oracle the tests and the driver query pin."""
+    which is the oracle the tests and the driver query pin.
+
+    ``precision=12`` emits the 12-bit progressive process (same scan
+    script; Pq=1 quantization tables, the EXT12 DC reach and AC sizes
+    to 14 — round 7), taking uint16 samples < 4096."""
     gray, h, w, comps, qt_l, qt_c, mcus_x, mcus_y = _prepare_components(
-        img, quality, subsample)
+        img, quality, subsample, precision=precision)
 
     out = bytearray(b"\xff\xd8")
-    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
+    if precision == 8:                       # JFIF is an 8-bit contract
+        jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        out += b"\xff\xe0" + (len(jfif) + 2).to_bytes(2, "big") + jfif
     for tq, qt in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
-        body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        if precision == 8:
+            body = bytes([tq]) + bytes(int(v) for v in qt[ZIGZAG])
+        else:
+            body = bytes([0x10 | tq]) + b"".join(
+                int(v).to_bytes(2, "big") for v in qt[ZIGZAG])
         out += b"\xff\xdb" + (len(body) + 2).to_bytes(2, "big") + body
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+    sof = bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([len(comps)])
     for c in comps:
         sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
     out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
-    tables = [(0, 0, HUFF_DC_LUMA), (1, 0, (PROG_AC_BITS, PROG_AC_VALS))]
-    if not gray:
-        tables.append((0, 1, HUFF_DC_CHROMA))
+    if precision == 8:
+        tables = [(0, 0, HUFF_DC_LUMA),
+                  (1, 0, (PROG_AC_BITS, PROG_AC_VALS))]
+        if not gray:
+            tables.append((0, 1, HUFF_DC_CHROMA))
+    else:
+        tables = [(0, 0, (EXT12_DC_BITS, EXT12_DC_VALS)),
+                  (1, 0, (PROG12_AC_BITS, PROG12_AC_VALS))]
+        if not gray:
+            tables.append((0, 1, (EXT12_DC_BITS, EXT12_DC_VALS)))
     enc = {}
     for tc, th, (bits_, vals) in tables:
         body = bytes([(tc << 4) | th]) + bytes(bits_) + bytes(vals)

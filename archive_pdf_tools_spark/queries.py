@@ -1798,8 +1798,9 @@ def q_jpeg_decode(spark, sf):
     interleaved and non-interleaved multi-scan layouts alternating —
     against a per-pixel closed form in SQL; and the i%8==6 images
     encode through the 12-BIT EXTENDED process (SOF1 precision 12,
-    Pq=1 DQT) — constant tiles spanning the 12-bit range, exact at
-    q100 by the same DC-only argument.  Any entropy/zigzag/dequant/
+    Pq=1 DQT; i%16==14 via 12-bit PROGRESSIVE instead) — constant
+    tiles spanning the 12-bit range, exact at q100 by the same
+    DC-only argument.  Any entropy/zigzag/dequant/
     IDCT/assembly/predictor bug breaks the match."""
     import pandas as pd
 
@@ -1831,8 +1832,11 @@ def q_jpeg_decode(spark, sf):
                         for tx in range(w // 8):
                             img[8 * ty:8 * ty + 8, 8 * tx:8 * tx + 8] \
                                 = (37 * i + 11 * tx + 23 * ty) * 16 % 4096
-                    dec = decode_baseline(encode_extended(
-                        img, quality=100, restart_interval=i % 3))
+                    enc12 = (encode_progressive if i % 16 == 14
+                             else encode_extended)
+                    dec = decode_baseline(enc12(
+                        img, quality=100, restart_interval=i % 3,
+                        **({"precision": 12} if i % 16 == 14 else {})))
                 else:
                     img = np.zeros((h, w), dtype=np.uint8)
                     for ty in range(h // 8):

@@ -754,7 +754,9 @@ def test_extended12_gates():
         encode_extended(np.zeros((8, 8), dtype=np.uint8))
     with pytest.raises(ValueError):          # sample over 12 bits
         encode_extended(np.full((8, 8), 4096, dtype=np.uint16))
-    # 12-bit progressive: explicit gate (flip SOF1 -> SOF2)
+    # flipping SOF1 -> SOF2 leaves a sequential scan header (Ss=0,
+    # Se=63) inside a progressive frame: malformed, raises (12-bit
+    # progressive itself is SUPPORTED — see the parity test)
     img = np.full((16, 16), 100, dtype=np.uint16)
     data = bytearray(encode_extended(img, quality=90))
     j = bytes(data).find(b"\xff\xc1")
@@ -811,3 +813,57 @@ def test_extended12_images_flow_through_the_pdf_path():
     arr = dict(extract_page_images(pdf, 0, meta=meta))[im["xref"]]
     assert arr.dtype == np.uint8
     assert np.array_equal(arr, (img >> 4).astype(np.uint8))
+
+
+def test_progressive12_decodes_bit_identical_to_extended():
+    """12-bit progressive (SOF2 precision 12): same quantized
+    coefficients as encode_extended at the same quality, so decoded
+    pixels must match bit-for-bit — the same parity oracle that pins
+    the 8-bit progressive path, now over the wider DC/AC reach."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import (
+        encode_extended, encode_progressive)
+
+    rng = np.random.default_rng(78)
+    g = rng.integers(0, 4096, (24, 33), dtype=np.uint16)
+    for ri in (0, 2):
+        p = decode_baseline(encode_progressive(g, quality=95,
+                                               restart_interval=ri,
+                                               precision=12))
+        e = decode_baseline(encode_extended(g, quality=95,
+                                            restart_interval=ri))
+        assert p.dtype == np.uint16 and np.array_equal(p, e), ri
+    rgb = rng.integers(0, 4096, (16, 24, 3), dtype=np.uint16)
+    for sub in ((1, 1), (2, 2)):
+        p = decode_baseline(encode_progressive(rgb, quality=90,
+                                               subsample=sub,
+                                               precision=12))
+        e = decode_baseline(encode_extended(rgb, quality=90,
+                                            subsample=sub))
+        assert np.array_equal(p, e), sub
+    # constant tiles at q100: exact against the source too
+    img = np.zeros((16, 16), dtype=np.uint16)
+    img[:, 8:] = 4095
+    assert np.array_equal(
+        decode_baseline(encode_progressive(img, quality=100,
+                                           precision=12)), img)
+
+
+def test_progressive12_fuzz():
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_progressive
+
+    rng = np.random.default_rng(79)
+    img = rng.integers(0, 4096, (16, 16), dtype=np.uint16)
+    data = bytearray(encode_progressive(img, quality=85, precision=12))
+    for i in range(2, len(data), 13):
+        try:
+            decode_baseline(bytes(data[:i]))
+        except JpegError:
+            pass
+    for _ in range(150):
+        d = bytearray(data)
+        pos = int(rng.integers(2, len(d)))
+        d[pos] = int(rng.integers(0, 256))
+        try:
+            decode_baseline(bytes(d))
+        except JpegError:
+            pass
