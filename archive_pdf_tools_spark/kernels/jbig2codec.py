@@ -50,10 +50,13 @@ dictionaries (§6.7) and halftone regions (§6.6, Annex-C gray-coded
 bitplanes, 8.8 fixed-point grid stamping) with
 ``encode_jbig2_halftone``.
 
+TRANSPOSED text regions (§6.4.5 (viii)/(xi), vertical-text strips)
+and HENABLESKIP halftones (§6.6.5.1 HSKIP + USESKIP bitplane decode)
+decode and encode since late round 7.
+
 Scope (raised as ``Jbig2Error``, honestly): Huffman-coded segments,
 aggregate symbols (REFAGGNINST > 1, a nested text region),
-transposed text regions, HENABLESKIP halftones, intermediate
-regions, unknown-length segments.  jbig2enc's modes and this
+intermediate regions, unknown-length segments.  jbig2enc's modes and this
 module's own encoders use none of these.  The Huffman path's
 standard tables (T.88 Annex B.4-B.15) are NOT reconstructed from
 memory for the same reason the MQ conformance vector is not (see
@@ -141,11 +144,14 @@ def _is_nominal(template: int, at) -> bool:
 
 
 def _decode_generic(decode, w: int, h: int, template: int, at,
-                    tpgdon: bool) -> np.ndarray:
+                    tpgdon: bool, skip=None) -> np.ndarray:
     """Generic region decoding procedure (§6.2.5.7), arithmetic only.
 
     ``decode`` is the shared MQ decoder closure bound to this region's
     2^16-context state.  Returns an (h, w) uint8 bitmap of {0, 1}.
+    ``skip`` (USESKIP, §6.2.5.7 step 3(c)): an (h, w) {0,1} bitmap —
+    pixels where it is 1 are set to 0 WITHOUT consuming a decision
+    (the HENABLESKIP halftone path); the context windows see the 0s.
     """
     bitmap = np.zeros((h, w), dtype=np.uint8)
     ltp = 0
@@ -172,12 +178,21 @@ def _decode_generic(decode, w: int, h: int, template: int, at,
             row = bitmap[y]
             out = row.tolist()
             rd2, rd1 = b2 + 1, b1 + 1
-            for x in range(w):
-                bit = decode((c2 << s2) | (c1 << s1) | c0)
-                out[x] = bit
-                c2 = ((c2 << 1) | r2[x + rd2]) & m2
-                c1 = ((c1 << 1) | r1[x + rd1]) & m1
-                c0 = ((c0 << 1) | bit) & m0
+            if skip is None:                 # hot path: no per-pixel test
+                for x in range(w):
+                    bit = decode((c2 << s2) | (c1 << s1) | c0)
+                    out[x] = bit
+                    c2 = ((c2 << 1) | r2[x + rd2]) & m2
+                    c1 = ((c1 << 1) | r1[x + rd1]) & m1
+                    c0 = ((c0 << 1) | bit) & m0
+            else:
+                sk = skip[y].tolist()
+                for x in range(w):
+                    bit = 0 if sk[x] else                         decode((c2 << s2) | (c1 << s1) | c0)
+                    out[x] = bit
+                    c2 = ((c2 << 1) | r2[x + rd2]) & m2
+                    c1 = ((c1 << 1) | r1[x + rd1]) & m1
+                    c0 = ((c0 << 1) | bit) & m0
             bitmap[y] = out
         return bitmap
 
@@ -200,7 +215,10 @@ def _decode_generic(decode, w: int, h: int, template: int, at,
                             if 0 <= yy < h else None)
         row = [0] * w
         rows[y] = row
+        sk = skip[y].tolist() if skip is not None else None
         for x in range(w):
+            if sk is not None and sk[x]:
+                continue                     # row[x] stays 0, no decision
             ctx = 0
             for dy, dx in pix:
                 xx = x + dx
@@ -222,9 +240,11 @@ def _init_window(r, a: int, b: int) -> int:
 
 
 def _encode_generic(encode, bitmap: np.ndarray, template: int,
-                    tpgdon: bool) -> None:
+                    tpgdon: bool, skip=None) -> None:
     """Mirror of `_decode_generic` over the nominal-AT fast path (the
-    encoder always emits nominal AT pixels, like jbig2enc)."""
+    encoder always emits nominal AT pixels, like jbig2enc).  ``skip``
+    mirrors the decoder's USESKIP: those pixels (which must be 0 in
+    ``bitmap``) emit no decision."""
     h, w = bitmap.shape
     at = _NOMINAL_AT[template]
     a2, b2, n2, a1, b1, n1, n0 = _fast_params(template)
@@ -252,9 +272,11 @@ def _encode_generic(encode, bitmap: np.ndarray, template: int,
         c1 = _init_window(r1, a1, b1)
         c0 = 0
         rd2, rd1 = b2 + 1, b1 + 1
+        sk = skip[y].tolist() if skip is not None else None
         for x in range(w):
             bit = row[x]
-            encode((c2 << s2) | (c1 << s1) | c0, bit)
+            if sk is None or not sk[x]:
+                encode((c2 << s2) | (c1 << s1) | c0, bit)
             c2 = ((c2 << 1) | r2[x + rd2]) & m2
             c1 = ((c1 << 1) | r1[x + rd1]) & m1
             c0 = ((c0 << 1) | bit) & m0
@@ -562,6 +584,20 @@ def _decode_pattern_dict(seg: bytes, max_pixels: int):
             for k in range(graymax + 1)]
 
 
+def _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry, hpw, hph,
+                   rw, rh) -> np.ndarray:
+    """HSKIP (§6.6.5.1): grid cells whose pattern placement lies
+    entirely outside the region — their grayscale bits are never
+    coded (USESKIP in the bitplane decode)."""
+    mg = np.arange(hgh)[:, None]
+    ng = np.arange(hgw)[None, :]
+    x = (hgx + mg * hry + ng * hrx) >> 8
+    y = (hgy + mg * hrx - ng * hry) >> 8
+    out = ((x + hpw <= 0) | (x >= rw)
+           | (y + hph <= 0) | (y >= rh))
+    return out.astype(np.uint8)
+
+
 def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
     """§6.6: grayscale image via Annex-C gray-coded bitplanes (all
     planes share one MQ decoder + context), then one pattern stamped
@@ -576,8 +612,7 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
     flags = seg[17]
     mmr = flags & 1
     template = (flags >> 1) & 3
-    if (flags >> 3) & 1:
-        raise Jbig2Error("HENABLESKIP unsupported")
+    enable_skip = (flags >> 3) & 1
     combop = (flags >> 4) & 7
     defpix = (flags >> 7) & 1
     hgw, hgh = _u32(seg, 18), _u32(seg, 22)
@@ -593,7 +628,11 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
     mps = [0] * 65536
     decode = _mq_decode_fn(seg[38:], states, mps)
     at = _NOMINAL_AT[template]
-    planes = [_decode_generic(decode, hgw, hgh, template, at, False)
+    hph_, hpw_ = patterns[0].shape
+    hskip = _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry,
+                           hpw_, hph_, rw, rh) if enable_skip else None
+    planes = [_decode_generic(decode, hgw, hgh, template, at, False,
+                              skip=hskip)
               for _ in range(bits)]          # MSB first (C.5)
     # Gray decode: bit_j = plane_j ^ bit_{j+1}
     value = np.zeros((hgh, hgw), dtype=np.int64)
@@ -650,13 +689,21 @@ def _encode_generic_at(encode, bitmap: np.ndarray, template: int,
 
 
 def encode_jbig2_halftone(gray, patterns, template: int = 0,
-                          pitch: int | None = None) -> bytes:
+                          pitch: int | None = None,
+                          grid_offset: tuple = (0, 0),
+                          enable_skip: bool = False) -> bytes:
     """Encode a halftone page: pattern dictionary (§6.7) + immediate
     lossless halftone region (§6.6) + end of page.  ``gray`` is an
     (HGH, HGW) array of pattern indices; ``patterns`` a list of equal-
     shape {0,1} cells; ``pitch`` the grid spacing in pixels (defaults
     to the pattern width).  Lossless: ``decode_jbig2`` reproduces the
-    OR-stamped grid exactly."""
+    OR-stamped grid exactly.
+
+    ``grid_offset`` = (HGX, HGY) in whole pixels (may be negative —
+    cells then fall partly or fully outside the region and clip);
+    ``enable_skip=True`` sets HENABLESKIP and omits the grayscale bits
+    of fully-outside cells from the bitstream (USESKIP, §6.6.5.1) —
+    the decoder recomputes the same HSKIP and stays in sync."""
     pats = [(np.asarray(p) != 0).astype(np.uint8) for p in patterns]
     if not pats:
         raise ValueError("no patterns")
@@ -688,6 +735,12 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
     # ---- halftone region (type 23)
     w = (hgw - 1) * pitch + hpw
     h = (hgh - 1) * pitch + hph
+    gx, gy = grid_offset
+    hskip = None
+    if enable_skip:
+        hskip = _halftone_skip(hgw, hgh, gx << 8, gy << 8,
+                               pitch << 8, 0, hpw, hph, w, h)
+        g = np.where(hskip != 0, 0, g)       # uncoded cells decode to 0
     bits = max(graymax, 0).bit_length()
     planes = []
     bit = np.zeros((hgh, hgw), dtype=np.uint8)
@@ -699,13 +752,15 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
     mp2 = [0] * 65536
     enc2, flush2 = _mq_encode_fns(st2, mp2)
     for plane in planes:
-        _encode_generic(enc2, plane, template, False)
+        _encode_generic(enc2, plane, template, False, skip=hskip)
+    ht_flags = (template << 1) | ((1 << 3) if enable_skip else 0)
     ht_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                   + bytes(8)
                   + b"\x00"                  # external comb op OR
-                  + bytes(((template << 1),))   # HMMR=0, no skip, OR
+                  + bytes((ht_flags,))          # HMMR=0, OR
                   + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
-                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                  + (gx << 8).to_bytes(4, "big", signed=True)
+                  + (gy << 8).to_bytes(4, "big", signed=True)
                   + (pitch << 8).to_bytes(2, "big")
                   + (0).to_bytes(2, "big")
                   + flush2())
@@ -863,8 +918,7 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     refine = bool((flags >> 1) & 1)
     strips = 1 << ((flags >> 2) & 3)
     refcorner = (flags >> 4) & 3
-    if (flags >> 6) & 1:
-        raise Jbig2Error("transposed text region unsupported")
+    transposed = (flags >> 6) & 1
     combop = (flags >> 7) & 3
     defpix = (flags >> 9) & 1
     dsoffset = (flags >> 10) & 0x1F
@@ -969,8 +1023,16 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
                         (rdw >> 1) + rdx, (rdh >> 1) + rdy, False,
                         base=b_ref)
                     hs, ws = hs2, ws2
-            y0 = t if refcorner in (1, 3) else t - hs + 1
-            x0 = curs
+            if transposed:
+                # §6.4.5 (viii)/(xi): S runs down the page, T across;
+                # the advance-before rule for BOTTOM corners makes the
+                # S span [CURS, CURS+HI-1] for every corner, and the
+                # L/R bit places the T edge
+                y0 = curs
+                x0 = t if refcorner in (0, 1) else t - ws + 1
+            else:
+                y0 = t if refcorner in (1, 3) else t - hs + 1
+                x0 = curs
             # clip to the region (conformant streams stay inside)
             ys, xs = max(y0, 0), max(x0, 0)
             ye, xe = min(y0 + hs, rh), min(x0 + ws, rw)
@@ -985,7 +1047,7 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
                     tgt ^= src
                 else:
                     tgt[...] = 1 - (tgt ^ src)
-            curs += ws - 1
+            curs += (hs if transposed else ws) - 1
             inst += 1
     return bitmap, rx, ry, ext_comb
 
@@ -1390,7 +1452,8 @@ def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray,
 def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
                          template: int = 0,
                          split_globals: bool = False,
-                         refinements: dict | None = None):
+                         refinements: dict | None = None,
+                         transposed: bool = False):
     """Symbol-mode embedded JBIG2 — the organization jbig2enc's symbol
     coder (``-s``) produces and real archival PDFs carry: page info +
     symbol dictionary (§6.5, arithmetic) + immediate lossless text
@@ -1412,6 +1475,11 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
     an in-stream refinement (§6.4.11) of the placed glyph into the
     target — the jbig2enc ``-s -r`` lossy-symbol-plus-refinement
     organization.  Decode reproduces each target bit-exactly.
+
+    ``transposed=True`` emits a TRANSPOSED=1 text region (§6.4.5
+    (viii)/(xi): strips run across the page, S down it — the vertical-
+    text organization), TL corner; placements still name top-left
+    (x, y) positions and decode to the identical composition.
     """
     if not 0 <= template <= 3:
         raise ValueError("template must be 0..3")
@@ -1489,7 +1557,7 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
 
     def _emit_instance(sid, pi):
         """Symbol code (+ optional §6.4.11 refinement); returns the
-        instance's effective width for CURS advancement."""
+        instance's effective (height, width) for CURS advancement."""
         _iaid_encode(enc2, b_iaid, codelen, sid)
         g = gs[order[sid]]
         tgt = refinements.get(pi)
@@ -1506,11 +1574,18 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
                 iardy(0)
                 _encode_refinement(enc2, tgt, 0, g, rdw >> 1,
                                    rdh >> 1, False, base=b_ref)
-                return tgt.shape[1]
-        return g.shape[1]
+                return tgt.shape
+        return g.shape
 
-    inst = sorted((y, x, exp_id[gi], pi)
-                  for pi, (gi, x, y) in enumerate(placements))
+    # strip coordinate T, in-strip coordinate S: (y, x) normally,
+    # (x, y) when transposed (§6.4.5 — strips run across the page)
+    if transposed:
+        inst = sorted((x, y, exp_id[gi], pi)
+                      for pi, (gi, x, y) in enumerate(placements))
+    else:
+        inst = sorted((y, x, exp_id[gi], pi)
+                      for pi, (gi, x, y) in enumerate(placements))
+    adv = (lambda hw: hw[0]) if transposed else (lambda hw: hw[1])
     iadt(0)                                  # STRIPT starts at 0
     prev_t = 0
     firsts = 0
@@ -1519,18 +1594,19 @@ def encode_jbig2_symbols(glyphs, placements, w: int, h: int,
         t = inst[k][0]
         iadt(t - prev_t)
         prev_t = t
-        y0, x0, sid, pi = inst[k]
-        iafs(x0 - firsts)
-        firsts = x0
-        curs = x0 + _emit_instance(sid, pi) - 1
+        _t, s0, sid, pi = inst[k]
+        iafs(s0 - firsts)
+        firsts = s0
+        curs = s0 + adv(_emit_instance(sid, pi)) - 1
         k += 1
         while k < len(inst) and inst[k][0] == t:
-            _y, x2, sid2, pi2 = inst[k]
-            iads(x2 - curs)                  # SBDSOFFSET = 0
-            curs = x2 + _emit_instance(sid2, pi2) - 1
+            _t2, s2, sid2, pi2 = inst[k]
+            iads(s2 - curs)                  # SBDSOFFSET = 0
+            curs = s2 + adv(_emit_instance(sid2, pi2)) - 1
             k += 1
         iads(None)                           # OOB: end of strip
-    tr_flags = (1 << 4) | ((1 << 1) if refine else 0)   # TL corner
+    tr_flags = ((1 << 4) | ((1 << 1) if refine else 0)   # TL corner
+                | ((1 << 6) if transposed else 0))
     tr_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                   + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
                   + b"\x00"                  # external comb op OR
