@@ -2014,7 +2014,11 @@ def q_jbig2_decode(spark, sf):
     HALFTONE route (pattern dictionary §6.7 + halftone region §6.6,
     solid 0/1 patterns over a closed-form checker grid the SQL
     recomputes per pixel); the last symbol-mode image also carries an
-    SBREFINE instance (§6.4.11)."""
+    SBREFINE instance (§6.4.11).  Late round 7: odd symbol-mode images
+    encode TRANSPOSED=1 (same rect-union oracle — §6.4.5 placement
+    equivalence is exactly what is under test) and the ``i >= 10``
+    halftone images carry HGX=HGY=-4 with HENABLESKIP, the oracle
+    recomputing the one-cell shift and clip."""
     import pandas as pd
 
     def gen(batches):
@@ -2052,7 +2056,8 @@ def q_jbig2_decode(spark, sf):
                     refs = {0: glyph} if i >= 15 else None
                     data = encode_jbig2_symbols(
                         [glyph], pls, w, h, template=i % 4,
-                        refinements=refs)
+                        refinements=refs,
+                        transposed=bool(i % 2))
                 elif i % 5 == 2:
                     # REFINEMENT: base = closed form with closed-form
                     # flips; the refinement region restores the form
@@ -2069,10 +2074,23 @@ def q_jbig2_decode(spark, sf):
                             np.ones((4, 4), np.uint8)]
                     gm, gn = np.mgrid[0:h // 4, 0:w // 4]
                     gray = (gm + 2 * gn + i) % 2
-                    bm = np.kron(gray,
-                                 np.ones((4, 4), int)).astype(np.uint8)
-                    data = encode_jbig2_halftone(gray, pats,
-                                                 template=i % 4)
+                    if i >= 10:
+                        # HGX=HGY=-4 + HENABLESKIP: the first grid
+                        # row/column falls fully outside (uncoded via
+                        # USESKIP); content shifts up-left one cell
+                        bm = np.zeros((h, w), np.uint8)
+                        bm[:h - 4, :w - 4] = np.kron(
+                            gray[1:, 1:],
+                            np.ones((4, 4), int)).astype(np.uint8)
+                        data = encode_jbig2_halftone(
+                            gray, pats, template=i % 4,
+                            grid_offset=(-4, -4), enable_skip=True)
+                    else:
+                        bm = np.kron(gray,
+                                     np.ones((4, 4), int)
+                                     ).astype(np.uint8)
+                        data = encode_jbig2_halftone(gray, pats,
+                                                     template=i % 4)
                 else:
                     bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
                           ).astype(np.uint8)
@@ -2120,6 +2138,14 @@ pix AS (
                  AND ys.y <  (ks.k * 5 + 2 * d.i) % (d.h - d.gh + 1)
                               + d.gh
              ) THEN 1 ELSE 0 END
+           WHEN d.i % 5 = 3 AND d.i >= 10 THEN
+             -- skip-halftone images (r7): grid offset (-4, -4) with
+             -- HENABLESKIP drops the first cell row/column; content
+             -- is the same checker evaluated one cell over, clipped
+             -- to the top-left (w-4) x (h-4) area
+             CASE WHEN xs.x < d.w - 4 AND ys.y < d.h - 4
+                   AND (ys.y // 4 + 2 * (xs.x // 4) + d.i + 3) % 2 = 1
+                  THEN 1 ELSE 0 END
            WHEN d.i % 5 = 3 THEN
              -- halftone images: checker of solid 4x4 cells (the
              -- refinement route i%5=2 decodes back to the closed
