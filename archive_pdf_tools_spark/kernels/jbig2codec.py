@@ -54,8 +54,13 @@ TRANSPOSED text regions (§6.4.5 (viii)/(xi), vertical-text strips)
 and HENABLESKIP halftones (§6.6.5.1 HSKIP + USESKIP bitplane decode)
 decode and encode since late round 7.
 
+Aggregate symbols (REFAGGNINST > 1 — the glyph decoded as a nested
+text region over the symbols so far, §6.5.8.2.1 with the Table-17
+parameters and the dictionary's persistent contexts) decode since
+late round 7 too (``encode_jbig2_aggregate`` emits the two-dictionary
+organization).
+
 Scope (raised as ``Jbig2Error``, honestly): Huffman-coded segments,
-aggregate symbols (REFAGGNINST > 1, a nested text region),
 intermediate regions, unknown-length segments.  jbig2enc's modes and this
 module's own encoders use none of these.  The Huffman path's
 standard tables (T.88 Annex B.4-B.15) are NOT reconstructed from
@@ -688,6 +693,171 @@ def _encode_generic_at(encode, bitmap: np.ndarray, template: int,
             encode(ctx, rows[y][x])
 
 
+def encode_jbig2_aggregate(members, agg_size, agg_placements,
+                           placements, w: int, h: int,
+                           template: int = 0) -> bytes:
+    """Aggregate-symbol JBIG2 (§6.5.8.2.1, REFAGGNINST > 1): two
+    symbol dictionaries — a plain one defining ``members`` (list of
+    {0,1} bitmaps), then an SDREFAGG=1 dictionary whose single new
+    glyph of shape ``agg_size`` = (ah, aw) is a NESTED TEXT REGION
+    placing members at ``agg_placements`` [(member_idx, dx, dy)
+    top-left offsets] — and a page text region placing the composite
+    at ``placements`` [(x, y)].  Lossless: ``decode_jbig2``
+    reproduces the OR of the member stamps at every placement."""
+    ms = [(np.asarray(g) != 0).astype(np.uint8) for g in members]
+    if not ms or not agg_placements or not placements:
+        raise ValueError("members, agg_placements and placements "
+                         "must be non-empty")
+    ah, aw = agg_size
+    for mi, dx, dy in agg_placements:
+        mh, mw = ms[mi].shape
+        if not (0 <= dx and dx + mw <= aw and 0 <= dy
+                and dy + mh <= ah):
+            raise ValueError("member placement outside aggregate")
+    for x, y in placements:
+        if not (0 <= x and x + aw <= w and 0 <= y and y + ah <= h):
+            raise ValueError("aggregate placement outside page")
+
+    # ---- dict A: plain, exports the members (height-class order)
+    order = sorted(range(len(ms)), key=lambda k: (ms[k].shape[0], k))
+    exp_id = {orig: e for e, orig in enumerate(order)}
+    nctx = 65536 + 3 * _IA_SIZE
+    st, mp = [0] * nctx, [0] * nctx
+    enc, flush = _mq_encode_fns(st, mp)
+    iadh = _make_int_encode(enc, 65536)
+    iadw = _make_int_encode(enc, 65536 + _IA_SIZE)
+    iaex = _make_int_encode(enc, 65536 + 2 * _IA_SIZE)
+    hc = 0
+    i = 0
+    while i < len(order):
+        gh = ms[order[i]].shape[0]
+        iadh(gh - hc)
+        hc = gh
+        sw = 0
+        while i < len(order) and ms[order[i]].shape[0] == hc:
+            g = ms[order[i]]
+            iadw(g.shape[1] - sw)
+            sw = g.shape[1]
+            _encode_generic(enc, g, template, False)
+            i += 1
+        iadw(None)
+    iaex(0)
+    iaex(len(order))
+    dict_a = (((template << 10)).to_bytes(2, "big"))
+    for ay, ax in _NOMINAL_AT[template]:
+        dict_a += ax.to_bytes(1, "big", signed=True)
+        dict_a += ay.to_bytes(1, "big", signed=True)
+    dict_a += len(order).to_bytes(4, "big")
+    dict_a += len(order).to_bytes(4, "big")
+    dict_a += flush()
+
+    # ---- dict B: SDREFAGG=1, one aggregate glyph via nested text
+    codelen = len(ms).bit_length()           # insyms + 1 new - 1
+    nctx = 65536 + 13 * _IA_SIZE
+    b_iaid = nctx
+    nctx += 1 << (codelen + 1)
+    b_ref = nctx
+    nctx += _REF_CTX_SIZE
+    st2, mp2 = [0] * nctx, [0] * nctx
+    enc2, flush2 = _mq_encode_fns(st2, mp2)
+    iadh2 = _make_int_encode(enc2, 65536)
+    iadw2 = _make_int_encode(enc2, 65536 + _IA_SIZE)
+    iaex2 = _make_int_encode(enc2, 65536 + 2 * _IA_SIZE)
+    iaai2 = _make_int_encode(enc2, 65536 + 3 * _IA_SIZE)
+    iadt2 = _make_int_encode(enc2, 65536 + 6 * _IA_SIZE)
+    iafs2 = _make_int_encode(enc2, 65536 + 7 * _IA_SIZE)
+    iads2 = _make_int_encode(enc2, 65536 + 8 * _IA_SIZE)
+    iari2 = _make_int_encode(enc2, 65536 + 10 * _IA_SIZE)
+    iadh2(ah)
+    iadw2(aw)
+    iaai2(len(agg_placements))
+    # nested text region: strips=1, TL, OR, SBREFINE=1 (Table 17)
+    inst = sorted((dy, dx, exp_id[mi])
+                  for mi, dx, dy in agg_placements)
+    iadt2(0)                                 # STRIPT = 0
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(inst):
+        t = inst[k][0]
+        iadt2(t - prev_t)
+        prev_t = t
+        _t, s0, sid = inst[k]
+        iafs2(s0 - firsts)
+        firsts = s0
+        _iaid_encode(enc2, b_iaid, codelen, sid)
+        iari2(0)
+        curs = s0 + ms[order[sid]].shape[1] - 1
+        k += 1
+        while k < len(inst) and inst[k][0] == t:
+            _t2, s2, sid2 = inst[k]
+            iads2(s2 - curs)
+            _iaid_encode(enc2, b_iaid, codelen, sid2)
+            iari2(0)
+            curs = s2 + ms[order[sid2]].shape[1] - 1
+            k += 1
+        iads2(None)
+    iadw2(None)                              # end of height class
+    iaex2(len(ms))                           # skip the input symbols
+    iaex2(1)                                 # export the aggregate
+    flags_b = (template << 10) | 2           # SDREFAGG
+    dict_b = flags_b.to_bytes(2, "big")
+    for ay, ax in _NOMINAL_AT[template]:
+        dict_b += ax.to_bytes(1, "big", signed=True)
+        dict_b += ay.to_bytes(1, "big", signed=True)
+    for ay, ax in _REF_NOMINAL_AT:           # SDRAT (rtemplate 0)
+        dict_b += ax.to_bytes(1, "big", signed=True)
+        dict_b += ay.to_bytes(1, "big", signed=True)
+    dict_b += (1).to_bytes(4, "big")         # SDNUMEXSYMS
+    dict_b += (1).to_bytes(4, "big")         # SDNUMNEWSYMS
+    dict_b += flush2()
+
+    # ---- page text region placing the aggregate (symbol id 0: dict
+    # B's export is the region's only referred symbol)
+    st3, mp3 = [0] * (4 * _IA_SIZE + 2), [0] * (4 * _IA_SIZE + 2)
+    enc3, flush3 = _mq_encode_fns(st3, mp3)
+    iadt3 = _make_int_encode(enc3, 0)
+    iafs3 = _make_int_encode(enc3, _IA_SIZE)
+    iads3 = _make_int_encode(enc3, 2 * _IA_SIZE)
+    b_iaid3 = 4 * _IA_SIZE
+    pinst = sorted((y, x) for x, y in placements)
+    iadt3(0)
+    prev_t = 0
+    firsts = 0
+    k = 0
+    while k < len(pinst):
+        t = pinst[k][0]
+        iadt3(t - prev_t)
+        prev_t = t
+        _t, x0 = pinst[k]
+        iafs3(x0 - firsts)
+        firsts = x0
+        _iaid_encode(enc3, b_iaid3, 0, 0)
+        curs = x0 + aw - 1
+        k += 1
+        while k < len(pinst) and pinst[k][0] == t:
+            _t2, x2 = pinst[k]
+            iads3(x2 - curs)
+            _iaid_encode(enc3, b_iaid3, 0, 0)
+            curs = x2 + aw - 1
+            k += 1
+        iads3(None)
+    tr_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                  + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                  + b"\x00"
+                  + (1 << 4).to_bytes(2, "big")    # TL corner
+                  + len(pinst).to_bytes(4, "big") + flush3())
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+                 + b"\x01" + (0).to_bytes(2, "big"))
+    return (_segment(0, 48, 1, page_info)
+            + _segment(1, 0, 1, dict_a)
+            + _segment(2, 0, 1, dict_b, refs=(1,))
+            + _segment(3, 7, 1, tr_payload, refs=(2,))
+            + _segment(4, 49, 1, b""))
+
+
 def encode_jbig2_halftone(gray, patterns, template: int = 0,
                           pitch: int | None = None,
                           grid_offset: tuple = (0, 0),
@@ -782,7 +952,8 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int, insyms=None):
     whole segment; export runs select the output symbols over input +
     new symbols.  SDREFAGG=1 with REFAGGNINST=1 decodes new glyphs as
     refinements of existing ones (§6.5.8.2 — jbig2enc's ``-r`` shape);
-    true aggregate (REFAGGNINST>1 nested text region) stays gated."""
+    REFAGGNINST>1 decodes the glyph as a nested text region over the
+    symbols so far (§6.5.8.2.1, Table-17 parameters, late round 7)."""
     if len(seg) < 2:
         raise Jbig2Error("truncated symbol dictionary")
     insyms = insyms or []
@@ -816,7 +987,9 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int, insyms=None):
     area_budget = max_pixels                 # cumulative glyph area cap
     # SBSYMCODELEN over input + new symbols (§6.5.8.2.3)
     codelen = max(len(insyms) + numnew - 1, 0).bit_length()
-    nctx = 65536 + 6 * _IA_SIZE
+    # IA slots 0-5 always; 6-12 are the Table-17 text-region contexts
+    # a REFAGGNINST>1 aggregate shares across the whole dictionary
+    nctx = 65536 + (13 if refagg else 6) * _IA_SIZE
     b_iaid = nctx
     nctx += 1 << (codelen + 1)
     b_ref = nctx
@@ -830,6 +1003,14 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int, insyms=None):
     iaai = _make_int_decode(decode, 65536 + 3 * _IA_SIZE)
     iardx = _make_int_decode(decode, 65536 + 4 * _IA_SIZE)
     iardy = _make_int_decode(decode, 65536 + 5 * _IA_SIZE)
+    agg_pos = agg_ref = None
+    if refagg:
+        agg_pos = tuple(_make_int_decode(decode, 65536 + k * _IA_SIZE)
+                        for k in (6, 7, 8, 9))   # IADT/IAFS/IADS/IAIT
+        agg_ref = (_make_int_decode(decode, 65536 + 10 * _IA_SIZE),
+                   _make_int_decode(decode, 65536 + 11 * _IA_SIZE),
+                   _make_int_decode(decode, 65536 + 12 * _IA_SIZE),
+                   iardx, iardy)                 # IARI/IARDW/IARDH/+
     symbols = []
     hc = 0
     classes = 0
@@ -863,22 +1044,37 @@ def _decode_symbol_dict(seg: bytes, max_pixels: int, insyms=None):
                 raise Jbig2Error("more symbols than declared")
             if refagg:
                 ninst_agg = iaai()
-                if ninst_agg != 1:
-                    raise Jbig2Error(
-                        "aggregate symbol (REFAGGNINST != 1) "
-                        "unsupported")
-                sid = _iaid_decode(decode, b_iaid, codelen)
-                allsyms = insyms + symbols
-                if not 0 <= sid < len(allsyms):
-                    raise Jbig2Error("refinement symbol id out of "
-                                     "range")
-                rdx = iardx()
-                rdy = iardy()
-                if rdx is None or rdy is None:
-                    raise Jbig2Error("bad refinement offset")
-                symbols.append(_decode_refinement(
-                    decode, sw, hc, rtemplate, rat, allsyms[sid],
-                    rdx, rdy, False, base=b_ref))
+                if ninst_agg is None or ninst_agg <= 0 \
+                        or ninst_agg > min(sw * hc + 1, 10_000_000):
+                    raise Jbig2Error("bad aggregate instance count")
+                if ninst_agg == 1:
+                    # §6.5.8.2.2 shortcut: one refinement, no nested
+                    # text region
+                    sid = _iaid_decode(decode, b_iaid, codelen)
+                    allsyms = insyms + symbols
+                    if not 0 <= sid < len(allsyms):
+                        raise Jbig2Error("refinement symbol id out of "
+                                         "range")
+                    rdx = iardx()
+                    rdy = iardy()
+                    if rdx is None or rdy is None:
+                        raise Jbig2Error("bad refinement offset")
+                    symbols.append(_decode_refinement(
+                        decode, sw, hc, rtemplate, rat, allsyms[sid],
+                        rdx, rdy, False, base=b_ref))
+                else:
+                    # §6.5.8.2.1: the glyph is a nested text region
+                    # over the symbols decoded so far, with Table-17
+                    # fixed parameters and the dictionary's contexts
+                    allsyms = insyms + symbols
+                    if not allsyms:
+                        raise Jbig2Error(
+                            "aggregate before any symbol")
+                    symbols.append(_text_body(
+                        decode, agg_pos, agg_ref, allsyms, sw, hc,
+                        ninst_agg, 1, 1, 0, 0, 0, 0, True,
+                        rtemplate, rat, codelen, b_iaid, b_ref,
+                        max_pixels))
             else:
                 symbols.append(
                     _decode_generic(decode, sw, hc, template, at,
@@ -960,12 +1156,32 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
     iafs = _make_int_decode(decode, _IA_SIZE)
     iads = _make_int_decode(decode, 2 * _IA_SIZE)
     iait = _make_int_decode(decode, 3 * _IA_SIZE)
+    ia = None
     if refine:
-        iari = _make_int_decode(decode, 4 * _IA_SIZE)
-        iardw = _make_int_decode(decode, 5 * _IA_SIZE)
-        iardh = _make_int_decode(decode, 6 * _IA_SIZE)
-        iardx = _make_int_decode(decode, 7 * _IA_SIZE)
-        iardy = _make_int_decode(decode, 8 * _IA_SIZE)
+        ia = (_make_int_decode(decode, 4 * _IA_SIZE),
+              _make_int_decode(decode, 5 * _IA_SIZE),
+              _make_int_decode(decode, 6 * _IA_SIZE),
+              _make_int_decode(decode, 7 * _IA_SIZE),
+              _make_int_decode(decode, 8 * _IA_SIZE))
+    bitmap = _text_body(
+        decode, (iadt, iafs, iads, iait), ia, syms, rw, rh, ninst,
+        strips, refcorner, transposed, combop, defpix, dsoffset,
+        refine, rtemplate, rat, codelen, b_iaid, b_ref, max_pixels)
+    return bitmap, rx, ry, ext_comb
+
+
+def _text_body(decode, pos_ia, ref_ia, syms, rw, rh, ninst, strips,
+               refcorner, transposed, combop, defpix, dsoffset,
+               refine, rtemplate, rat, codelen, b_iaid, b_ref,
+               max_pixels):
+    """The §6.4.5 strip-placement loop, shared by standalone text
+    regions and REFAGGNINST>1 aggregate symbols in a dictionary
+    (§6.5.8.2.1 invokes this procedure with the dictionary's own
+    persistent integer contexts and Table-17 fixed parameters)."""
+    iadt, iafs, iads, iait = pos_ia
+    if refine:
+        iari, iardw, iardh, iardx, iardy = ref_ia
+    numsyms = len(syms)
     bitmap = np.full((rh, rw), defpix, dtype=np.uint8)
 
     dt0 = iadt()
@@ -1049,7 +1265,7 @@ def _decode_text_region(seg: bytes, syms: list, max_pixels: int):
                     tgt[...] = 1 - (tgt ^ src)
             curs += (hs if transposed else ws) - 1
             inst += 1
-    return bitmap, rx, ry, ext_comb
+    return bitmap
 
 
 # ------------------------------------------------------ segment layer
