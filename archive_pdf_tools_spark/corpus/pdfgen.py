@@ -12,6 +12,7 @@ trailer, /Pages tree, /XObject /Image, Tj text operators).
 
 from __future__ import annotations
 
+import re
 import zlib
 
 import numpy as np
@@ -201,7 +202,8 @@ def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
     return enc(img, quality=quality)
 
 
-def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
+def build_pdf(pages: list[dict], modern: bool = False,
+              encrypt: str | None = None) -> bytes:
     """pages: [{width, height, rotate, images: [{w, h, gray: bool,
     data: bytes}], text: str | None}] -> PDF bytes.
 
@@ -209,7 +211,12 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
     objects (pages tree, page dicts, catalog) packed into a compressed
     /ObjStm, and a /Type /XRef cross-reference *stream* (W [1 4 2]
     binary rows) instead of the classic table + trailer.  Same logical
-    document either way — the parser must produce identical metadata."""
+    document either way — the parser must produce identical metadata.
+
+    ``encrypt`` wraps every stream in the standard security handler
+    with the EMPTY user password: "rc4_40" (R2), "rc4" (R3 128-bit),
+    "aes" (R4 AESV2) or "aes256" (R6 AESV3) — the owner-locked
+    archival shapes the reference reads through PyMuPDF."""
     objects: list[bytes] = []          # 1-indexed object bodies (sans header)
     has_stream: list[bool] = []
 
@@ -327,8 +334,46 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
                      + str(tree_id).encode() + b" 0 R >>")
     del pages_tree_id_placeholder
 
+    handler = None
+    trailer_extra = b""
+    if encrypt is not None:
+        from ..kernels.pdfcrypt import StdSecurityHandler, make_credentials
+        r = {"rc4_40": 2, "rc4": 3, "aes": 4, "aes256": 6}[encrypt]
+        id0 = b"\x01" * 16
+        cred = make_credentials(r, p=-4, id0=id0)
+        handler = StdSecurityHandler(
+            v=cred["V"], r=cred["R"], length_bits=cred["Length"],
+            p=-4, o=cred["O"], u=cred["U"], id0=id0,
+            oe=cred.get("OE", b""), ue=cred.get("UE", b""),
+            cfm=cred.get("CFM"))
+        for k in range(len(objects)):
+            if has_stream[k]:
+                objects[k] = _encrypt_stream_obj(objects[k], handler,
+                                                 k + 1)
+
+        def hx(b):
+            return b"<" + b.hex().encode() + b">"
+
+        ed = (b"<< /Filter /Standard /V %d /R %d /Length %d /P -4 /O %s"
+              b" /U %s" % (cred["V"], cred["R"], cred["Length"],
+                           hx(cred["O"]), hx(cred["U"])))
+        if "CFM" in cred:
+            klen = 32 if r == 6 else 16
+            ed += (b" /CF << /StdCF << /CFM /" + cred["CFM"].encode()
+                   + b" /Length %d >> >> /StmF /StdCF /StrF /StdCF"
+                   % klen)
+        if r == 6:
+            ed += b" /OE %s /UE %s" % (hx(cred["OE"]), hx(cred["UE"]))
+        ed += b" >>"
+        # stream=True keeps the encryption dictionary out of any
+        # /ObjStm (it must be readable before decryption)
+        enc_id = add(ed, stream=True)
+        trailer_extra = (b" /Encrypt %d 0 R /ID [%s %s]"
+                         % (enc_id, hx(id0), hx(id0)))
+
     if modern:
-        return _emit_modern(objects, has_stream, catalog_id)
+        return _emit_modern(objects, has_stream, catalog_id, handler,
+                            trailer_extra)
 
     out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
     offsets = [0]
@@ -340,13 +385,34 @@ def build_pdf(pages: list[dict], modern: bool = False) -> bytes:
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-            % (len(objects) + 1, catalog_id, xref_pos))
+    out += (b"trailer\n<< /Size %d /Root %d 0 R" % (len(objects) + 1,
+                                                    catalog_id)
+            + trailer_extra
+            + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out)
 
 
+def _encrypt_stream_obj(body: bytes, handler, num: int) -> bytes:
+    """Encrypt one object's raw stream payload in place (Algorithm 1
+    applies before filters on read = after filters on write) and
+    refresh /Length to the ciphertext size."""
+    i = body.find(b"stream\n")
+    if i < 0:
+        return body
+    head = body[:i]
+    data = body[i + len(b"stream\n"):]
+    if data.endswith(b"\nendstream"):
+        data = data[:-len(b"\nendstream")]
+    ct = handler.encrypt(data, num, 0,
+                         iv=num.to_bytes(8, "big") * 2)
+    head = re.sub(rb"/Length\s+\d+",
+                  b"/Length %d" % len(ct), head, count=1)
+    return head + b"stream\n" + ct + b"\nendstream"
+
+
 def _emit_modern(objects: list[bytes], has_stream: list[bool],
-                 catalog_id: int) -> bytes:
+                 catalog_id: int, handler=None,
+                 trailer_extra: bytes = b"") -> bytes:
     """Serialize with an /ObjStm for dictionary objects and a /XRef
     cross-reference stream (ISO 32000-1 §7.5.7-7.5.8)."""
     out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
@@ -368,6 +434,9 @@ def _emit_modern(objects: list[bytes], has_stream: list[bool],
                            _running_offsets([b for _, b in packed])))
     payload = header + b"\n" + b" ".join(b for _, b in packed)
     zdata = _flate(payload)
+    if handler is not None:                  # /ObjStm is a stream too
+        zdata = handler.encrypt(zdata, objstm_id, 0,
+                                iv=objstm_id.to_bytes(8, "big") * 2)
     entries[objstm_id] = (1, len(out), 0)
     out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
             b"/Filter /FlateDecode /Length %d >>\nstream\n"
@@ -382,9 +451,11 @@ def _emit_modern(objects: list[bytes], has_stream: list[bool],
         t, a, b = entries.get(oid, (0, 0, 0))
         rows += bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
     zrows = _flate(bytes(rows))
-    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
-            b"/Filter /FlateDecode /Length %d >>\nstream\n"
-            % (xref_id, size, catalog_id, len(zrows))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R"
+            % (xref_id, size, catalog_id)
+            + trailer_extra
+            + b" /Filter /FlateDecode /Length %d >>\nstream\n"
+            % len(zrows)
             + zrows + b"\nendstream\nendobj\n")
     out += b"startxref\n%d\n%%%%EOF\n" % xref_pos
     return bytes(out)

@@ -114,6 +114,61 @@ class _Reader:
         while pos is not None and 0 <= pos < len(data) and pos not in seen:
             seen.add(pos)
             pos = self._load_section(pos)
+        self.crypt = None
+        self._init_crypt()
+
+    def _init_crypt(self):
+        """Standard security handler (§7.6): when the trailer names an
+        /Encrypt dictionary, derive the file key for the EMPTY user
+        password so every stream fetch decrypts transparently — the
+        capability the reference gets from PyMuPDF's crypto layer.
+        Password-protected or out-of-scope handlers raise ``PdfError``
+        (callers degrade to the per-doc error row)."""
+        enc_oid = None
+        id0 = b""
+        for t in self.trailers:
+            if enc_oid is None:
+                enc_oid = _get_ref(t, b"/Encrypt")
+            if not id0:
+                m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", t)
+                if m:
+                    id0 = bytes.fromhex(
+                        m.group(1).decode("ascii").strip())
+        if enc_oid is None or not self.has(enc_oid):
+            return
+        _body, d = self.obj(enc_oid)
+        if b"/Standard" not in d:
+            raise PdfError("unsupported security handler")
+        mstmf = re.search(rb"/StmF\s*/(\w+)", d)
+        if mstmf and mstmf.group(1) == b"Identity":
+            return                           # streams not encrypted
+        mcfm = re.search(rb"/CFM\s*/(\w+)", d)
+        from ..kernels.pdfcrypt import PdfCryptError, StdSecurityHandler
+        try:
+            self.crypt = StdSecurityHandler(
+                v=_get_int(d, b"/V") or 0,
+                r=_get_int(d, b"/R") or 0,
+                length_bits=_get_int(d, b"/Length") or 40,
+                p=_get_int(d, b"/P") or -1,
+                o=_crypt_string(d, b"/O"),
+                u=_crypt_string(d, b"/U"),
+                id0=id0,
+                encrypt_metadata=not re.search(
+                    rb"/EncryptMetadata\s+false", d),
+                oe=_crypt_string(d, b"/OE"),
+                ue=_crypt_string(d, b"/UE"),
+                cfm=mcfm.group(1).decode("ascii") if mcfm else None)
+        except PdfCryptError as exc:
+            raise PdfError(f"encrypted PDF: {exc}") from exc
+
+    def _decrypter(self, oid: int):
+        """Per-object decrypt callable for ``_stream_data``, or None
+        when the file is unencrypted."""
+        if self.crypt is None:
+            return None
+        e = self.entries.get(oid)
+        gen = e[2] if e and e[0] == 1 and len(e) > 2 else 0
+        return lambda raw: self.crypt.decrypt(raw, oid, gen)
 
     # -- section loading ---------------------------------------------
     def _load_section(self, pos: int):
@@ -145,7 +200,9 @@ class _Reader:
             for i in range(count):
                 entry = data[cur:cur + 20]
                 if entry[17:18] == b"n":
-                    self.entries.setdefault(start + i, (1, int(entry[0:10])))
+                    self.entries.setdefault(
+                        start + i,
+                        (1, int(entry[0:10]), int(entry[11:16])))
                 else:
                     # Free entries are tombstones: a newer section freeing
                     # an object must shadow an OLDER section's in-use
@@ -188,7 +245,7 @@ class _Reader:
                 t, a, b = fields[fi]
                 fi += 1
                 if t == 1:
-                    self.entries.setdefault(start + i, (1, a))
+                    self.entries.setdefault(start + i, (1, a, b))
                 elif t == 2:
                     self.entries.setdefault(start + i, (2, a, b))
                 else:                        # type-0 free = tombstone
@@ -214,7 +271,7 @@ class _Reader:
             return cached
         body = self.body(stm_oid)
         d = _dict_region(body)
-        payload = _stream_data(body, d)
+        payload = _stream_data(body, d, self._decrypter(stm_oid))
         n = _get_int(d, b"/N") or 0
         first = _get_int(d, b"/First") or 0
         header = payload[:first].split()
@@ -293,7 +350,54 @@ def _get_refs_array(d: bytes, key: bytes):
     return [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
 
 
-def _stream_data(body: bytes, d: bytes) -> bytes:
+def _crypt_string(d: bytes, key: bytes) -> bytes:
+    """/O //U //OE //UE entries of an /Encrypt dictionary: hex or
+    literal PDF strings holding arbitrary bytes (octal and two-char
+    escapes honored)."""
+    m = re.search(re.escape(key) + rb"\s*(\(|<)", d)
+    if not m:
+        return b""
+    i = m.end() - 1
+    if d[i:i + 1] == b"<":
+        j = d.find(b">", i)
+        hx = re.sub(rb"\s", b"", d[i + 1:j if j > 0 else len(d)])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            return bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return b""
+    out = bytearray()
+    depth = 1
+    i += 1
+    n = len(d)
+    while i < n and depth:
+        c = d[i:i + 1]
+        if c == b"\\":
+            nxt = d[i + 1:i + 2]
+            if nxt in _ESCAPES:
+                out += _ESCAPES[nxt]
+                i += 2
+                continue
+            mo = re.match(rb"[0-7]{1,3}", d[i + 1:i + 4])
+            if mo:
+                out.append(int(mo.group(0), 8) & 0xFF)
+                i += 1 + len(mo.group(0))
+                continue
+            i += 2                           # escaped EOL/unknown: drop
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if not depth:
+                break
+        out += c
+        i += 1
+    return bytes(out)
+
+
+def _stream_data(body: bytes, d: bytes, decrypt=None) -> bytes:
     s = body.find(b"stream")
     if s < 0:
         return b""
@@ -304,6 +408,21 @@ def _stream_data(body: bytes, d: bytes) -> bytes:
         s += 1
     e = body.find(b"endstream", s)
     raw = body[s:e]
+    if decrypt is not None:
+        # encryption applies to the raw stream bytes before any
+        # filter; the ciphertext length is exact, so the /Length trim
+        # applies here even for Flate (the understated-Length caveat
+        # below protects plaintext keyword scans, not ciphertext)
+        n = (_get_int(d, b"/Length")
+             if _get_ref(d, b"/Length") is None else None)
+        if n is not None and 0 <= n <= len(raw):
+            raw = raw[:n]
+        else:
+            raw = raw.rstrip(b"\r\n")
+        try:
+            raw = decrypt(raw)
+        except Exception:
+            return b""                       # wrong key/garbage: empty
     # /Length is authoritative (ISO 32000-1 §7.3.8.2): the EOL before
     # the `endstream` keyword is NOT stream data — segment-exact codecs
     # (JBIG2) reject trailing bytes, so trim to the declared length.
@@ -623,7 +742,7 @@ def parse_pdf(data: bytes) -> dict:
                 # for dims + component count (fills missing
                 # /Width//Height, corrects a dict that disagrees with
                 # the codec data).
-                raw = _stream_data(_ibody, idict)
+                raw = _stream_data(_ibody, idict, rd._decrypter(oid))
                 hdr = (_jpeg_sof(raw) if fmt == "JPEG"
                        else _jp2_dims(raw) if fmt == "JPEG2000"
                        else _jbig2_dims(raw))
@@ -652,7 +771,7 @@ def parse_pdf(data: bytes) -> dict:
         has_text = False
         if content_id is not None and rd.has(content_id):
             cbody, cdict = obj(content_id)
-            ops = _stream_data(cbody, cdict)
+            ops = _stream_data(cbody, cdict, rd._decrypter(content_id))
             has_text = b"Tj" in ops or b"TJ" in ops
 
         pages.append({"page_idx": idx, "oid": pid,
@@ -719,7 +838,7 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
                                 "JBIG2", "CCITT"):
             continue
         body, d = rd.obj(im["xref"])
-        raw = _stream_data(body, d)
+        raw = _stream_data(body, d, rd._decrypter(im["xref"]))
         if im["format"] == "JPEG":
             try:
                 arr = decode_baseline(raw)
@@ -749,7 +868,8 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
             gdata = b""
             if gref is not None and rd.has(int(gref.group(1))):
                 gbody, gdict = rd.obj(int(gref.group(1)))
-                gdata = _stream_data(gbody, gdict)
+                gdata = _stream_data(gbody, gdict,
+                                     rd._decrypter(int(gref.group(1))))
             try:
                 bits = decode_jbig2(raw, gdata)
             except Jbig2Error:

@@ -1,0 +1,196 @@
+"""PDF standard security handler (kernels/pdfcrypt.py) and its wiring
+through the PDF scan (sources/pdf_meta.py).
+
+The reference reads encrypted PDFs transparently via PyMuPDF
+(bin/pdf-metadata-json / recode.py never see ciphertext); this suite
+pins the re-derived capability: RC4 R2/R3, AESV2 R4 and AESV3 R6 with
+the empty user password, across both file structures, down to decoded
+pixels.  No AES/PDF-crypto conformance vector exists in-container
+(module docstring), so the evidence model is algebraic pins on the
+DERIVED S-box plus bit-exact self round-trips — a misremembered
+constant fails loudly on foreign files, never silently."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels.pdfcrypt import (
+    _INV_SBOX, _SBOX, PdfCryptError, StdSecurityHandler,
+    aes_cbc_decrypt, aes_cbc_encrypt, _gf_mul, make_credentials, rc4)
+
+
+def test_sbox_is_the_affine_of_the_field_inverse():
+    """The S-box is DERIVED (GF(2^8) inversion + affine), so its
+    defining algebra is checkable: S is a bijection, S[0] is the bare
+    affine constant 0x63, inverting the affine map recovers x^-1 with
+    x * x^-1 == 1 in the field, and INV_SBOX inverts S."""
+    assert sorted(_SBOX) == list(range(256))
+    assert _SBOX[0] == 0x63
+    assert all(_INV_SBOX[_SBOX[i]] == i for i in range(256))
+    for x in (1, 2, 3, 0x53, 0xCA, 0xFF):
+        b = _SBOX[x]
+        # undo the affine transform: solve v from the forward def
+        for cand in range(256):
+            v = cand
+            acc = cand
+            for _ in range(4):
+                v = ((v << 1) | (v >> 7)) & 0xFF
+                acc ^= v
+            if acc ^ 0x63 == b:
+                assert _gf_mul(x, cand) == 1, x
+                break
+        else:
+            raise AssertionError(f"no affine preimage for S[{x}]")
+
+
+def test_aes_cbc_roundtrip_all_key_sizes():
+    rng = np.random.default_rng(95)
+    for klen in (16, 24, 32):
+        key = bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+        iv = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+        for n in (0, 1, 15, 16, 17, 257):
+            pt = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+            assert aes_cbc_decrypt(key, aes_cbc_encrypt(key, iv, pt)) \
+                == pt, (klen, n)
+        # unpadded (the AESV3 key-wrap shape)
+        pt = bytes(rng.integers(0, 256, 32, dtype=np.uint8))
+        ct = aes_cbc_encrypt(key, iv, pt, pad=False)
+        assert aes_cbc_decrypt(key, ct, pad=False) == pt
+    # avalanche sanity: one plaintext bit flips ~half the block
+    key = bytes(16)
+    a = aes_cbc_encrypt(key, bytes(16), bytes(16), pad=False)[16:]
+    b = aes_cbc_encrypt(key, bytes(16),
+                        b"\x01" + bytes(15), pad=False)[16:]
+    diff = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+    assert 40 <= diff <= 88
+
+
+def test_rc4_involution_and_known_shape():
+    assert rc4(b"k", rc4(b"k", b"payload")) == b"payload"
+    assert rc4(b"a", b"x") != rc4(b"b", b"x")
+
+
+@pytest.mark.parametrize("r", [2, 3, 4, 6])
+def test_handler_roundtrip_and_password_gate(r):
+    cred = make_credentials(r)
+    kw = dict(v=cred["V"], r=cred["R"], length_bits=cred["Length"],
+              p=-4, o=cred["O"], u=cred["U"], id0=b"\x01" * 16,
+              cfm=cred.get("CFM"))
+    if r == 6:
+        kw.update(oe=cred["OE"], ue=cred["UE"])
+    h = StdSecurityHandler(**kw)
+    data = b"stream payload " * 9
+    ct = h.encrypt(data, 7, 0)
+    assert ct != data
+    assert h.decrypt(ct, 7, 0) == data
+    if r < 6:                                # per-object keys differ
+        try:
+            assert h.decrypt(ct, 8, 0) != data
+        except PdfCryptError:
+            pass                             # AES: bad padding raises
+    # a wrong /U means a non-empty user password: loud gate
+    bad = dict(kw)
+    bad["u"] = b"\x00" * len(cred["U"])
+    with pytest.raises(PdfCryptError, match="password"):
+        StdSecurityHandler(**bad)
+
+
+def test_unsupported_handler_versions_raise():
+    with pytest.raises(PdfCryptError):
+        StdSecurityHandler(v=3, r=3, length_bits=128, p=-4,
+                           o=b"\x00" * 32, u=b"\x00" * 32,
+                           id0=b"\x01" * 16)
+    with pytest.raises(PdfCryptError):
+        StdSecurityHandler(v=4, r=4, length_bits=128, p=-4,
+                           o=b"\x00" * 32, u=b"\x00" * 32,
+                           id0=b"\x01" * 16, cfm="AESV9")
+
+
+# ------------------------------------------------- PDF wiring (S2/S3)
+
+@pytest.mark.parametrize("enc", ["rc4_40", "rc4", "aes", "aes256"])
+@pytest.mark.parametrize("modern", [False, True])
+def test_encrypted_pdf_parses_and_decodes_like_plaintext(enc, modern):
+    """Every handler revision x both file structures: metadata equals
+    the plaintext parse and image pixels come out exact, including a
+    decrypt-then-JPEG-decode chain and the /ObjStm page-tree walk."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf, synth_jpeg
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(96)
+    raw = bytes(rng.integers(0, 256, 9 * 7, dtype=np.uint8))
+    page = {"width": 612, "height": 792, "images": [
+        {"w": 9, "h": 7, "gray": True, "data": raw},
+        {"w": 33, "h": 21, "gray": True, "dct": True,
+         "data": synth_jpeg(33, 21, gray=True)}],
+        "text": "hello Tj text"}
+    plain = parse_pdf(build_pdf([page]))
+    blob = build_pdf([page], modern=modern, encrypt=enc)
+    assert raw not in blob                   # payloads really encrypted
+    meta = parse_pdf(blob)
+    assert meta["pages"][0]["has_text"] is True
+    assert [(im["width"], im["height"], im["format"])
+            for im in meta["pages"][0]["images"]] == \
+        [(im["width"], im["height"], im["format"])
+         for im in plain["pages"][0]["images"]]
+    arrs = dict(extract_page_images(blob, 0, meta=meta))
+    got = arrs[meta["pages"][0]["images"][0]["xref"]]
+    assert np.array_equal(got, np.frombuffer(raw, np.uint8).reshape(7, 9))
+
+
+def test_password_protected_pdf_degrades_to_error_row():
+    """A non-empty user password (wrong /U for the empty password)
+    raises PdfError from parse_pdf — pdf_metadata turns that into the
+    per-doc error row instead of failing the batch."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        PdfError, parse_pdf)
+
+    blob = build_pdf([{"width": 612, "height": 792, "images": [],
+                       "text": "x"}], encrypt="rc4")
+    # corrupt /U in place (same length): the handler must refuse
+    import re
+    m = re.search(rb"/U <([0-9a-f]+)>", blob)
+    assert m
+    bad = blob[:m.start(1)] + b"00" * (len(m.group(1)) // 2) \
+        + blob[m.end(1):]
+    with pytest.raises(PdfError, match="password"):
+        parse_pdf(bad)
+
+
+def test_identity_stmf_skips_stream_decryption():
+    """/StmF /Identity declares streams unencrypted even though an
+    /Encrypt dictionary exists: the parser must not decrypt."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.sources.pdf_meta import parse_pdf
+
+    blob = build_pdf([{"width": 612, "height": 792, "images": [],
+                       "text": "x"}])       # plaintext streams
+    # graft a hand-built /Encrypt dict naming the Identity stream
+    # filter onto the PLAINTEXT file (valid credentials so the /U
+    # check passes; /StmF /Identity must stop all stream decryption)
+    import re
+
+    from archive_pdf_tools_spark.kernels.pdfcrypt import make_credentials
+    cred = make_credentials(4, p=-4, id0=b"\x01" * 16)
+    ident = (b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -4"
+             b" /O <" + cred["O"].hex().encode() + b">"
+             b" /U <" + cred["U"].hex().encode() + b">"
+             b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+             b" /StmF /Identity /StrF /StdCF >>")
+    # true incremental update on the PLAIN file: new object + a new
+    # xref section chaining to the original via /Prev
+    nobj = blob.count(b" 0 obj") + 1
+    orig_xref = int(re.search(rb"startxref\s+(\d+)", blob).group(1))
+    root = int(re.search(rb"/Root\s+(\d+)\s+\d+\s+R", blob).group(1))
+    obj_off = len(blob)
+    out = bytearray(blob)
+    out += b"%d 0 obj\n" % nobj + ident + b"\nendobj\n"
+    xref2 = len(out)
+    out += b"xref\n%d 1\n%010d 00000 n \n" % (nobj, obj_off)
+    idhex = b"01" * 16                       # the /ID /U was built with
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Encrypt %d 0 R"
+            b" /ID [<%s> <%s>] /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+            % (nobj + 1, root, nobj, idhex, idhex, orig_xref, xref2))
+    meta = parse_pdf(bytes(out))
+    assert meta["pages"][0]["has_text"] is True
