@@ -60,8 +60,14 @@ parameters and the dictionary's persistent contexts) decode since
 late round 7 too (``encode_jbig2_aggregate`` emits the two-dictionary
 organization).
 
-Scope (raised as ``Jbig2Error``, honestly): Huffman-coded segments,
-intermediate regions, unknown-length segments.  jbig2enc's modes and this
+Intermediate regions (§8.2 — types 4/20/36/40 retained as reference
+buffers for refinement chains) and unknown-length immediate generic
+segments (§7.2.7, FF AC + row count) decode since late round 7.
+
+Scope (raised as ``Jbig2Error``, honestly): Huffman-coded segments
+and unknown-length MMR regions (the 00 00 terminator can collide
+with legitimate T.6 bytes; no conformance stream exists here to pin
+the disambiguation).  jbig2enc's modes and this
 module's own encoders use none of these.  The Huffman path's
 standard tables (T.88 Annex B.4-B.15) are NOT reconstructed from
 memory for the same reason the MQ conformance vector is not (see
@@ -1398,6 +1404,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
 
     sym_store: dict[int, list] = {}      # segnum -> exported symbols
     pat_store: dict[int, list] = {}      # segnum -> halftone patterns
+    aux_store: dict[int, tuple] = {}     # segnum -> intermediate region
     for blob in (globals_data, data):
         pos = 0
         n = len(blob)
@@ -1405,11 +1412,34 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
             (segnum, seg_type, refs, page, data_len,
              body) = _parse_segment_header(blob, pos)
             if data_len == 0xFFFFFFFF:
-                raise Jbig2Error("unknown-length segment unsupported")
-            if body + data_len > n:
-                raise Jbig2Error("segment data overruns stream")
-            seg = blob[body:body + data_len]
-            pos = body + data_len
+                # §7.2.7: unknown length is legal only for immediate
+                # generic regions; MQ data terminates with FF AC (a
+                # pair byte-stuffing can never emit) + 4-byte row
+                # count.  MMR unknown-length stays gated: its 00 00
+                # terminator can collide with legitimate T.6 bytes
+                # and no conformance stream exists here to pin the
+                # disambiguation rule.
+                if seg_type not in (38, 39):
+                    raise Jbig2Error(
+                        "unknown length outside generic region")
+                rest = blob[body:]
+                if len(rest) >= 18 and rest[17] & 1:
+                    raise Jbig2Error(
+                        "unknown-length MMR region unsupported")
+                term = rest.find(b"\xff\xac", 18)
+                if term < 0 or term + 6 > len(rest):
+                    raise Jbig2Error("unterminated unknown-length "
+                                     "segment")
+                rows = _u32(rest, term + 2)
+                seg = rest[:term + 2]
+                pos = body + term + 6
+                unknown_rows = rows
+            else:
+                if body + data_len > n:
+                    raise Jbig2Error("segment data overruns stream")
+                seg = blob[body:body + data_len]
+                pos = body + data_len
+                unknown_rows = None
 
             if seg_type == 48:               # page information (§7.4.8)
                 if len(seg) < 19:
@@ -1423,11 +1453,18 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     if page_w * page_h > max_pixels:
                         raise Jbig2Error("page exceeds max_pixels bound")
                     bitmap = _alloc(page_w, page_h, page_default)
-            elif seg_type in (38, 39):       # immediate generic region
+            elif seg_type in (36, 38, 39):   # generic region
                 if page_w is None:
                     raise Jbig2Error("region before page info")
                 rw, rh = _u32(seg, 0), _u32(seg, 4)
                 rx, ry = _u32(seg, 8), _u32(seg, 12)
+                if unknown_rows is not None:
+                    # region info declared the height unknown; the
+                    # trailing row count is the authority (§7.2.7)
+                    if rh not in (0xFFFFFFFF, unknown_rows):
+                        raise Jbig2Error("unknown-length height "
+                                         "mismatch")
+                    rh = unknown_rows
                 comb = seg[16] & 7
                 gflags = seg[17]
                 if gflags & 1:
@@ -1442,7 +1479,10 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     except CcittError as exc:
                         raise Jbig2Error(f"bad MMR region: {exc}") \
                             from exc
-                    _compose(region, rx, ry, comb)
+                    if seg_type == 36:       # intermediate: retained
+                        aux_store[segnum] = (region, rx, ry, comb)
+                    else:
+                        _compose(region, rx, ry, comb)
                     continue
                 template = (gflags >> 1) & 3
                 tpgdon = bool(gflags & 8)
@@ -1462,12 +1502,12 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 decode = _mq_decode_fn(seg[i:], states, mps)
                 region = _decode_generic(decode, rw, rh, template, at,
                                          tpgdon)
-                _compose(region, rx, ry, comb)
+                if seg_type == 36:           # intermediate: retained
+                    aux_store[segnum] = (region, rx, ry, comb)
+                else:
+                    _compose(region, rx, ry, comb)
             elif seg_type in (40, 42, 43):   # refinement region (§7.4.7)
-                if seg_type == 40:
-                    raise Jbig2Error(
-                        "intermediate refinement region unsupported")
-                if bitmap is None:
+                if bitmap is None and seg_type != 40:
                     raise Jbig2Error("refinement before page info")
                 if len(seg) < 18:
                     raise Jbig2Error("truncated refinement region")
@@ -1490,26 +1530,42 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                         j += 2
                 if rw * rh > max_pixels:
                     raise Jbig2Error("region exceeds max_pixels bound")
-                if (ry + rh > bitmap.shape[0]
-                        or rx + rw > bitmap.shape[1]):
-                    # §7.4.7.2: no referred intermediate region means
-                    # the reference is the page's current content —
-                    # which must therefore already cover the region
-                    raise Jbig2Error("refinement outside page")
-                ref = bitmap[ry:ry + rh, rx:rx + rw].copy()
+                aux_refs = [r for r in refs if r in aux_store]
+                if aux_refs:
+                    # §7.4.7.2: a referred INTERMEDIATE region is the
+                    # reference buffer (dx/dy 0 — dims must agree)
+                    ref = aux_store[aux_refs[-1]][0]
+                    if ref.shape != (rh, rw):
+                        raise Jbig2Error(
+                            "refinement/intermediate dims mismatch")
+                else:
+                    if seg_type == 40 or bitmap is None:
+                        raise Jbig2Error(
+                            "intermediate refinement without a "
+                            "referred region")
+                    if (ry + rh > bitmap.shape[0]
+                            or rx + rw > bitmap.shape[1]):
+                        # no referred intermediate region: the
+                        # reference is the page's current content —
+                        # which must already cover the region
+                        raise Jbig2Error("refinement outside page")
+                    ref = bitmap[ry:ry + rh, rx:rx + rw].copy()
                 states = [0] * _REF_CTX_SIZE
                 mps = [0] * _REF_CTX_SIZE
                 decode = _mq_decode_fn(seg[j:], states, mps)
                 region = _decode_refinement(decode, rw, rh, template,
                                             rat, ref, 0, 0, tpgron)
-                _compose(region, rx, ry, comb)
+                if seg_type == 40:           # intermediate: retained
+                    aux_store[segnum] = (region, rx, ry, comb)
+                else:
+                    _compose(region, rx, ry, comb)
             elif seg_type == 0:              # symbol dictionary (6.5)
                 insyms = []
                 for rseg in refs:
                     insyms.extend(sym_store.get(rseg, []))
                 sym_store[segnum] = _decode_symbol_dict(
                     seg, max_pixels, insyms)
-            elif seg_type in (6, 7):         # immediate text region (6.4)
+            elif seg_type in (4, 6, 7):      # text region (6.4)
                 if page_w is None:
                     raise Jbig2Error("region before page info")
                 syms = []
@@ -1517,17 +1573,14 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     syms.extend(sym_store.get(rseg, []))
                 region, rx, ry, comb = _decode_text_region(
                     seg, syms, max_pixels)
-                _compose(region, rx, ry, comb)
-            elif seg_type == 4:              # intermediate text region
-                raise Jbig2Error(
-                    "intermediate text region unsupported")
+                if seg_type == 4:            # intermediate: retained
+                    aux_store[segnum] = (region, rx, ry, comb)
+                else:
+                    _compose(region, rx, ry, comb)
             elif seg_type == 16:             # pattern dictionary (6.7)
                 pat_store[segnum] = _decode_pattern_dict(seg,
                                                          max_pixels)
             elif seg_type in (20, 22, 23):   # halftone region (6.6)
-                if seg_type == 20:
-                    raise Jbig2Error(
-                        "intermediate halftone region unsupported")
                 if page_w is None:
                     raise Jbig2Error("region before page info")
                 pats = []
@@ -1535,7 +1588,10 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     pats.extend(pat_store.get(rseg, []))
                 region, rx, ry, comb = _decode_halftone(
                     seg, pats, max_pixels)
-                _compose(region, rx, ry, comb)
+                if seg_type == 20:           # intermediate: retained
+                    aux_store[segnum] = (region, rx, ry, comb)
+                else:
+                    _compose(region, rx, ry, comb)
             elif seg_type == 50:             # end of stripe: y coordinate
                 continue
             elif seg_type in (49, 51):       # end of page / file

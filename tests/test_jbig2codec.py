@@ -894,3 +894,114 @@ def test_aggregate_gates_and_fuzz():
             decode_jbig2(bytes(d))
         except Jbig2Error:
             pass
+
+
+def test_intermediate_region_refinement_chain():
+    """Intermediate regions (T.88 §8.2, late r7): a type-36
+    intermediate generic region is retained (not composed), a type-40
+    intermediate refinement refines it via the referred-segment link,
+    and a final type-43 immediate refinement composes the result onto
+    the page — a three-stage progressive chain."""
+    from archive_pdf_tools_spark.kernels.jp2codec import _mq_encode_fns
+
+    rng = np.random.default_rng(97)
+    h, w = 14, 22
+    base = (rng.random((h, w)) < 0.35).astype(np.uint8)
+    mid = base ^ ((rng.random((h, w)) < 0.08).astype(np.uint8))
+    final = mid ^ ((rng.random((h, w)) < 0.08).astype(np.uint8))
+
+    def generic_payload(bm):
+        st, mp = [0] * 65536, [0] * 65536
+        enc, flush = _mq_encode_fns(st, mp)
+        jb._encode_generic(enc, bm, 0, True)
+        payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                   + bytes(8) + b"\x00" + bytes(((0 << 1) | 8,)))
+        for ay, ax in jb._NOMINAL_AT[0]:
+            payload += ax.to_bytes(1, "big", signed=True)
+            payload += ay.to_bytes(1, "big", signed=True)
+        return payload + flush()
+
+    def refine_payload(ref, tgt, comb):
+        st, mp = [0] * jb._REF_CTX_SIZE, [0] * jb._REF_CTX_SIZE
+        enc, flush = _mq_encode_fns(st, mp)
+        jb._encode_refinement(enc, tgt, 0, ref, 0, 0, True)
+        payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                   + bytes(8) + bytes((comb,)) + bytes((0 | 2,)))
+        for ay, ax in jb._REF_NOMINAL_AT:
+            payload += ax.to_bytes(1, "big", signed=True)
+            payload += ay.to_bytes(1, "big", signed=True)
+        return payload + flush()
+
+    page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                 + bytes(8) + b"\x01" + bytes(2))
+    data = (jb._segment(0, 48, 1, page_info)
+            + jb._segment(1, 36, 1, generic_payload(base))
+            + jb._segment(2, 40, 1, refine_payload(base, mid, 0),
+                          refs=(1,))
+            + jb._segment(3, 43, 1, refine_payload(mid, final, 4),
+                          refs=(2,))
+            + jb._segment(4, 49, 1, b""))
+    assert np.array_equal(decode_jbig2(data), final)
+
+    # dims mismatch between refinement and its intermediate: loud
+    bad = (jb._segment(0, 48, 1, page_info)
+           + jb._segment(1, 36, 1, generic_payload(base))
+           + jb._segment(2, 43, 1,
+                         refine_payload(base, final, 4)[:8].replace(
+                             w.to_bytes(4, "big"),
+                             (w + 1).to_bytes(4, "big"))
+                         + refine_payload(base, final, 4)[8:],
+                         refs=(1,))
+           + jb._segment(3, 49, 1, b""))
+    with pytest.raises(Jbig2Error):
+        decode_jbig2(bad)
+    # intermediate refinement with no referred region: loud
+    orphan = (jb._segment(0, 48, 1, page_info)
+              + jb._segment(1, 40, 1, refine_payload(base, mid, 0))
+              + jb._segment(2, 49, 1, b""))
+    with pytest.raises(Jbig2Error, match="intermediate refinement"):
+        decode_jbig2(orphan)
+
+
+def test_unknown_length_generic_segment():
+    """§7.2.7 unknown-length immediate generic regions: data length
+    0xFFFFFFFF, the MQ payload terminated by FF AC (a pair MQ
+    byte-stuffing can never emit) + a 4-byte row count that supplies
+    the height.  MMR unknown-length stays loudly gated."""
+    bm = _textish(17, 26, seed=21)
+    data = encode_jbig2(bm)
+    # segments: page info (0), generic region (1), end of page (2)
+    pos, spans = 0, []
+    while pos < len(data):
+        _, styp, _, _, dlen, body = jb._parse_segment_header(data, pos)
+        spans.append((styp, pos, body, dlen))
+        pos = body + dlen
+    styp, spos, sbody, sdlen = spans[1]
+    assert styp == 39
+    payload = bytearray(data[sbody:sbody + sdlen])
+    payload[4:8] = b"\xff\xff\xff\xff"       # height: unknown
+    payload += b"\xff\xac" + (17).to_bytes(4, "big")
+    hdr = bytearray(data[spos:sbody])
+    hdr[-4:] = b"\xff\xff\xff\xff"           # data length: unknown
+    patched = (data[:spos] + bytes(hdr) + bytes(payload)
+               + data[sbody + sdlen:])
+    assert np.array_equal(decode_jbig2(patched), bm)
+
+    # lying trailing row count: loud mismatch with... the height was
+    # declared unknown, so the count IS the authority — a wrong count
+    # decodes a different height and the pixel content breaks the MQ
+    # stream or the page bounds, either way never a silent pass
+    wrong = patched.replace(b"\xff\xac" + (17).to_bytes(4, "big"),
+                            b"\xff\xac" + (99).to_bytes(4, "big"))
+    try:
+        out = decode_jbig2(wrong)
+        assert out.shape[0] >= 17
+    except Jbig2Error:
+        pass
+    # unknown length on a non-region segment type: loud
+    with pytest.raises(Jbig2Error):
+        bad = bytearray(patched)
+        # flip the patched segment's type byte to 48 (page info)
+        tpos = spos + 4
+        bad[tpos] = (bad[tpos] & ~0x3F) | 48
+        decode_jbig2(bytes(bad))
