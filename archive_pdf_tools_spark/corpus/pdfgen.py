@@ -540,4 +540,10 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
             "text": ("page text %d" % rng.integers(1000)
                      if rng.random() < 0.7 else None),
         })
-    return build_pdf(pages, modern=modern)
+    # every 7th doc is ENCRYPTED (standard security handler, empty
+    # user password, revision rotating by seed) — parse output is
+    # byte-identical to the plaintext build, so every pinned consumer
+    # exercises the decrypt path without moving a pin (round 7)
+    encrypt = (None if seed % 7
+               else ["rc4", "aes", "rc4_40", "aes256"][(seed // 7) % 4])
+    return build_pdf(pages, modern=modern, encrypt=encrypt)

@@ -1426,7 +1426,11 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                 if len(rest) >= 18 and rest[17] & 1:
                     raise Jbig2Error(
                         "unknown-length MMR region unsupported")
-                term = rest.find(b"\xff\xac", 18)
+                # search starts PAST the AT-pixel bytes: a legal AT
+                # pair like (-1, -84) is itself FF AC (review finding)
+                tmpl = (rest[17] >> 1) & 3 if len(rest) >= 18 else 0
+                data_start = 18 + (8 if tmpl == 0 else 2)
+                term = rest.find(b"\xff\xac", data_start)
                 if term < 0 or term + 6 > len(rest):
                     raise Jbig2Error("unterminated unknown-length "
                                      "segment")

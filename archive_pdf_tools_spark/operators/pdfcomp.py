@@ -103,7 +103,8 @@ def _doc_spans(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
         if page["has_text"]:
             content_id = _get_ref(rd.obj(page["oid"])[1], b"/Contents")
             body, d = rd.obj(content_id)
-            for s in extract_text_strings(_stream_data(body, d)):
+            for s in extract_text_strings(_stream_data(
+                    body, d, rd._decrypter(content_id))):
                 if s.strip():
                     spans.append(("text", s, ""))
         words = word_data_by_page.get(pidx, [])

@@ -125,30 +125,61 @@ class _Reader:
         Password-protected or out-of-scope handlers raise ``PdfError``
         (callers degrade to the per-doc error row)."""
         enc_oid = None
+        enc_direct = None
         id0 = b""
         for t in self.trailers:
-            if enc_oid is None:
+            if enc_oid is None and enc_direct is None:
                 enc_oid = _get_ref(t, b"/Encrypt")
+                if enc_oid is None:
+                    md = re.search(rb"/Encrypt\s*<<", t)
+                    if md:                   # direct dictionary form
+                        enc_direct = _dict_region(t[md.end() - 2:])
             if not id0:
                 m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", t)
                 if m:
                     id0 = bytes.fromhex(
                         m.group(1).decode("ascii").strip())
-        if enc_oid is None or not self.has(enc_oid):
+                else:                        # literal-string /ID form
+                    m = re.search(rb"/ID\s*\[\s*\(", t)
+                    if m:
+                        id0, _e = _parse_literal_string(t, m.end() - 1)
+        if enc_direct is not None:
+            d = enc_direct
+        elif enc_oid is not None and self.has(enc_oid):
+            _body, d = self.obj(enc_oid)
+        else:
             return
-        _body, d = self.obj(enc_oid)
         if b"/Standard" not in d:
             raise PdfError("unsupported security handler")
+        v = _get_int(d, b"/V") or 0
         mstmf = re.search(rb"/StmF\s*/(\w+)", d)
         if mstmf and mstmf.group(1) == b"Identity":
             return                           # streams not encrypted
+        if v >= 4 and mstmf is None:
+            # ISO 32000-1 Table 25: /StmF defaults to Identity —
+            # streams are NOT encrypted unless the filter is named
+            return
         mcfm = re.search(rb"/CFM\s*/(\w+)", d)
+        cfm = mcfm.group(1).decode("ascii") if mcfm else None
+        # top-level /Length is in BITS (40-256); a nested crypt-filter
+        # /Length is in BYTES — take the first bit-plausible match,
+        # else the version's default key size
+        length_bits = None
+        for ml in re.finditer(rb"/Length\s+(\d+)", d):
+            val = int(ml.group(1))
+            if val >= 40 and val % 8 == 0:
+                length_bits = val
+                break
+        if length_bits is None:
+            length_bits = {4: 128, 5: 256}.get(v, 40)
+        if cfm == "AESV2":
+            length_bits = 128                # fixed per ISO 32000-1
         from ..kernels.pdfcrypt import PdfCryptError, StdSecurityHandler
         try:
             self.crypt = StdSecurityHandler(
-                v=_get_int(d, b"/V") or 0,
+                v=v,
                 r=_get_int(d, b"/R") or 0,
-                length_bits=_get_int(d, b"/Length") or 40,
+                length_bits=length_bits,
                 p=_get_int(d, b"/P") or -1,
                 o=_crypt_string(d, b"/O"),
                 u=_crypt_string(d, b"/U"),
@@ -157,7 +188,7 @@ class _Reader:
                     rb"/EncryptMetadata\s+false", d),
                 oe=_crypt_string(d, b"/OE"),
                 ue=_crypt_string(d, b"/UE"),
-                cfm=mcfm.group(1).decode("ascii") if mcfm else None)
+                cfm=cfm)
         except PdfCryptError as exc:
             raise PdfError(f"encrypted PDF: {exc}") from exc
 
@@ -367,34 +398,8 @@ def _crypt_string(d: bytes, key: bytes) -> bytes:
             return bytes.fromhex(hx.decode("ascii"))
         except ValueError:
             return b""
-    out = bytearray()
-    depth = 1
-    i += 1
-    n = len(d)
-    while i < n and depth:
-        c = d[i:i + 1]
-        if c == b"\\":
-            nxt = d[i + 1:i + 2]
-            if nxt in _ESCAPES:
-                out += _ESCAPES[nxt]
-                i += 2
-                continue
-            mo = re.match(rb"[0-7]{1,3}", d[i + 1:i + 4])
-            if mo:
-                out.append(int(mo.group(0), 8) & 0xFF)
-                i += 1 + len(mo.group(0))
-                continue
-            i += 2                           # escaped EOL/unknown: drop
-            continue
-        if c == b"(":
-            depth += 1
-        elif c == b")":
-            depth -= 1
-            if not depth:
-                break
-        out += c
-        i += 1
-    return bytes(out)
+    out, _end = _parse_literal_string(d, i)  # §7.3.4.2 escapes, shared
+    return out
 
 
 def _stream_data(body: bytes, d: bytes, decrypt=None) -> bytes:
@@ -417,8 +422,13 @@ def _stream_data(body: bytes, d: bytes, decrypt=None) -> bytes:
              if _get_ref(d, b"/Length") is None else None)
         if n is not None and 0 <= n <= len(raw):
             raw = raw[:n]
-        else:
-            raw = raw.rstrip(b"\r\n")
+        elif raw.endswith(b"\r\n"):
+            # indirect//missing /Length: only the single EOL before
+            # the endstream keyword is non-data — ciphertext may
+            # legitimately END in 0x0A/0x0D bytes, so never rstrip
+            raw = raw[:-2]
+        elif raw.endswith((b"\n", b"\r")):
+            raw = raw[:-1]
         try:
             raw = decrypt(raw)
         except Exception:

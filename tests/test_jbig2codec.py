@@ -1005,3 +1005,49 @@ def test_unknown_length_generic_segment():
         tpos = spos + 4
         bad[tpos] = (bad[tpos] & ~0x3F) | 48
         decode_jbig2(bytes(bad))
+
+
+def test_unknown_length_terminator_not_confused_by_at_bytes():
+    """r7 review finding: an AT pixel pair (x=-1, y=-84) serializes as
+    FF AC — exactly the unknown-length terminator.  The terminator
+    search must start past the AT bytes, so such a stream decodes."""
+    from archive_pdf_tools_spark.kernels.jp2codec import _mq_encode_fns
+
+    bm = _textish(11, 19, seed=23)
+    h, w = bm.shape
+    at = ((-84, -1), (-1, -3), (-2, 2), (-2, -2))   # A1 = FF AC bytes
+    template = 0
+    pix = jb._sorted_template(template, at)
+    states, mps = [0] * 65536, [0] * 65536
+    encode, flush = _mq_encode_fns(states, mps)
+    grid = bm.tolist()
+    for y in range(h):
+        for x in range(w):
+            ctx = 0
+            for dy, dx in pix:
+                yy, xx = y + dy, x + dx
+                ctx = (ctx << 1) | (grid[yy][xx]
+                                    if 0 <= yy < h and 0 <= xx < w
+                                    else 0)
+            encode(ctx, grid[y][x])
+    mq = flush()
+    region = (w.to_bytes(4, "big") + b"\xff\xff\xff\xff"  # h unknown
+              + bytes(8) + b"\x00" + bytes((template << 1,)))
+    for ay, ax in at:
+        region += ax.to_bytes(1, "big", signed=True)
+        region += ay.to_bytes(1, "big", signed=True)
+    assert b"\xff\xac" in region[18:26]      # the hazard is real
+    region += mq + b"\xff\xac" + h.to_bytes(4, "big")
+    page = (w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes(8)
+            + b"\x00" + bytes(2))
+    # _segment emits header+payload; patch its data length to unknown
+    hdr = bytearray(jb._segment(1, 39, 1, region))
+    # the 4-byte data length sits at the end of the header (before
+    # the payload): locate it as the bytes encoding len(region)
+    enc_len = len(region).to_bytes(4, "big")
+    li = bytes(hdr).find(enc_len)
+    assert li >= 0
+    hdr[li:li + 4] = b"\xff\xff\xff\xff"
+    data = (jb._segment(0, 48, 1, page) + bytes(hdr)
+            + jb._segment(2, 49, 1, b""))
+    assert np.array_equal(decode_jbig2(data), bm)
