@@ -42,6 +42,34 @@ def test_sbox_is_the_affine_of_the_field_inverse():
             raise AssertionError(f"no affine preimage for S[{x}]")
 
 
+def test_ttable_block_parity_with_byte_oriented_cipher():
+    """The T-table fast path must match the byte-oriented FIPS-197
+    cipher (whose S-box algebra is pinned above) block-for-block —
+    the slow path is the oracle, the tables are the optimization."""
+    from archive_pdf_tools_spark.kernels.pdfcrypt import (
+        _decrypt_block, _decrypt_block_fast, _encrypt_block,
+        _encrypt_block_fast, _round_keys)
+    rng = np.random.default_rng(97)
+    for klen in (16, 24, 32):
+        key = bytes(rng.integers(0, 256, klen, dtype=np.uint8))
+        rks, kw, ikw, nr = _round_keys(key)
+        for _ in range(8):
+            blk = bytes(rng.integers(0, 256, 16, dtype=np.uint8))
+            ct = _encrypt_block(blk, rks, nr)
+            assert _encrypt_block_fast(blk, kw, nr) == ct, klen
+            assert _decrypt_block(ct, rks, nr) == blk
+            assert _decrypt_block_fast(ct, kw, ikw, nr) == blk, klen
+        # the batched numpy InvCipher must agree with the scalar one
+        # block-for-block (ECB direction; the CBC XOR is the caller's)
+        from archive_pdf_tools_spark.kernels.pdfcrypt import \
+            _decrypt_blocks_np
+        blocks = bytes(rng.integers(0, 256, 64 * 16, dtype=np.uint8))
+        batched = bytes(_decrypt_blocks_np(blocks, kw, ikw, nr))
+        scalar = b"".join(_decrypt_block(blocks[i:i + 16], rks, nr)
+                          for i in range(0, len(blocks), 16))
+        assert batched == scalar, klen
+
+
 def test_aes_cbc_roundtrip_all_key_sizes():
     rng = np.random.default_rng(95)
     for klen in (16, 24, 32):
