@@ -372,6 +372,28 @@ def decode_g4(data: bytes, w: int, h: int | None,
     return np.stack(out)
 
 
+def decode_g4_planes(data: bytes, w: int, h: int, count: int) -> list:
+    """Decode ``count`` back-to-back (h, w) pure-2D T.6 planes from ONE
+    coded stream — no resynchronization or EOFB between planes, the
+    reference line resets to the imaginary all-white row at each plane
+    start.  This is the JBIG2 gray-scale bitplane shape (T.88 Annex
+    C.5 with HMMR=1: all bitplanes in a single MMR stream, one EOFB
+    after the last)."""
+    if w <= 0 or h <= 0 or count < 0 or w * h * max(count, 1) > 64_000_000:
+        raise CcittError("bad plane dimensions")
+    bits = _Bits(data)
+    planes = []
+    for _ in range(count):
+        rows = np.zeros((h, w), dtype=np.uint8)
+        ref = [w, w]
+        for y in range(h):
+            cur = _decode_2d_row(bits, ref, w)
+            _fill_row(rows[y], cur, w)
+            ref = cur + [w, w]
+        planes.append(rows)
+    return planes
+
+
 def _eat_eol(bits: _Bits) -> None:
     """Consume fill zeros + one EOL (11+ zeros then a 1, T.4 §4.1.2)."""
     zeros = 0
@@ -573,6 +595,26 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
         bw.align()          # EOFB starts a coding line: align it too,
         #                     so the self-delimiting decoder's
         #                     align-then-peek finds the full EOL
+    bw.put(0x001, 12)                        # EOFB = EOL + EOL
+    bw.put(0x001, 12)
+    bw.align()
+    return bytes(bw.out)
+
+
+def encode_g4_planes(planes) -> bytes:
+    """Mirror of `decode_g4_planes`: concatenated pure-2D T.6 planes,
+    reference line reset per plane, single EOFB + pad at the end."""
+    bw = _BitWriter()
+    for plane in planes:
+        bm = (np.asarray(plane) != 0).astype(np.uint8)
+        if bm.ndim != 2 or 0 in bm.shape:
+            raise ValueError("bad plane shape")
+        h, w = bm.shape
+        ref = [w, w]
+        for y in range(h):
+            cur = _row_changes(bm[y], w)
+            _encode_2d_row(bw, cur, ref, w)
+            ref = cur
     bw.put(0x001, 12)                        # EOFB = EOL + EOL
     bw.put(0x001, 12)
     bw.align()

@@ -48,7 +48,9 @@ encoders (``encode_jbig2_refinement``, ``encode_jbig2_symbols(...,
 refinements=...)``) round-trip bit-exactly.  HALFTONE too: pattern
 dictionaries (§6.7) and halftone regions (§6.6, Annex-C gray-coded
 bitplanes, 8.8 fixed-point grid stamping) with
-``encode_jbig2_halftone``.
+``encode_jbig2_halftone`` — both the arithmetic and the HDMMR/HMMR
+paths (C.5 MMR grayscale: every bitplane in one continuous T.6
+stream, ``ccittcodec.decode_g4_planes``).
 
 TRANSPOSED text regions (§6.4.5 (viii)/(xi), vertical-text strips)
 and HENABLESKIP halftones (§6.6.5.1 HSKIP + USESKIP bitplane decode)
@@ -632,19 +634,28 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
     hrx, hry = _u16(seg, 34), _u16(seg, 36)
     if rw * rh > max_pixels or hgw * hgh > max_pixels:
         raise Jbig2Error("halftone region exceeds max_pixels")
-    if mmr:
-        raise Jbig2Error("MMR halftone grayscale unsupported")
     bits = max(len(patterns) - 1, 0).bit_length()
-    states = [0] * 65536
-    mps = [0] * 65536
-    decode = _mq_decode_fn(seg[38:], states, mps)
-    at = _NOMINAL_AT[template]
-    hph_, hpw_ = patterns[0].shape
-    hskip = _halftone_skip(hgw, hgh, hgx, hgy, hrx, hry,
-                           hpw_, hph_, rw, rh) if enable_skip else None
-    planes = [_decode_generic(decode, hgw, hgh, template, at, False,
-                              skip=hskip)
-              for _ in range(bits)]          # MSB first (C.5)
+    if mmr:
+        # C.5 HMMR=1: every bitplane in ONE continuous MMR stream,
+        # single EOFB after the last; USESKIP is an arithmetic-path
+        # feature and does not apply here.
+        from .ccittcodec import CcittError, decode_g4_planes
+        try:
+            planes = decode_g4_planes(seg[38:], hgw, hgh, bits)
+        except CcittError as exc:
+            raise Jbig2Error(f"bad MMR grayscale: {exc}") from exc
+    else:
+        states = [0] * 65536
+        mps = [0] * 65536
+        decode = _mq_decode_fn(seg[38:], states, mps)
+        at = _NOMINAL_AT[template]
+        hph_, hpw_ = patterns[0].shape
+        hskip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry,
+                                hpw_, hph_, rw, rh)
+                 if enable_skip else None)
+        planes = [_decode_generic(decode, hgw, hgh, template, at,
+                                  False, skip=hskip)
+                  for _ in range(bits)]      # MSB first (C.5)
     # Gray decode: bit_j = plane_j ^ bit_{j+1}
     value = np.zeros((hgh, hgw), dtype=np.int64)
     bit = np.zeros((hgh, hgw), dtype=np.uint8)
@@ -867,7 +878,8 @@ def encode_jbig2_aggregate(members, agg_size, agg_placements,
 def encode_jbig2_halftone(gray, patterns, template: int = 0,
                           pitch: int | None = None,
                           grid_offset: tuple = (0, 0),
-                          enable_skip: bool = False) -> bytes:
+                          enable_skip: bool = False,
+                          mmr: bool = False) -> bytes:
     """Encode a halftone page: pattern dictionary (§6.7) + immediate
     lossless halftone region (§6.6) + end of page.  ``gray`` is an
     (HGH, HGW) array of pattern indices; ``patterns`` a list of equal-
@@ -879,7 +891,13 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
     cells then fall partly or fully outside the region and clip);
     ``enable_skip=True`` sets HENABLESKIP and omits the grayscale bits
     of fully-outside cells from the bitstream (USESKIP, §6.6.5.1) —
-    the decoder recomputes the same HSKIP and stays in sync."""
+    the decoder recomputes the same HSKIP and stays in sync.
+    ``mmr=True`` codes both the pattern dictionary (HDMMR) and the
+    gray-code bitplanes (HMMR, one continuous T.6 stream per C.5)
+    with MMR instead of arithmetic; USESKIP is arithmetic-only, so
+    the combination with ``enable_skip`` is rejected."""
+    if mmr and enable_skip:
+        raise ValueError("HENABLESKIP is arithmetic-only (no MMR)")
     pats = [(np.asarray(p) != 0).astype(np.uint8) for p in patterns]
     if not pats:
         raise ValueError("no patterns")
@@ -900,13 +918,20 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
 
     # ---- pattern dictionary (type 16): collective bitmap
     coll = np.concatenate(pats, axis=1)
-    states = [0] * 65536
-    mps = [0] * 65536
-    enc, flush = _mq_encode_fns(states, mps)
-    _encode_generic_at(enc, coll, template,
-                       _pattern_dict_at(template, hpw))
-    pd_payload = (bytes(((template << 1),)) + bytes((hpw, hph))
-                  + graymax.to_bytes(4, "big") + flush())
+    if mmr:
+        from .ccittcodec import encode_g4
+        pd_data = encode_g4(coll)
+        pd_flags = 1
+    else:
+        states = [0] * 65536
+        mps = [0] * 65536
+        enc, flush = _mq_encode_fns(states, mps)
+        _encode_generic_at(enc, coll, template,
+                           _pattern_dict_at(template, hpw))
+        pd_data = flush()
+        pd_flags = template << 1
+    pd_payload = (bytes((pd_flags,)) + bytes((hpw, hph))
+                  + graymax.to_bytes(4, "big") + pd_data)
 
     # ---- halftone region (type 23)
     w = (hgw - 1) * pitch + hpw
@@ -924,22 +949,28 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
         b = ((g >> j) & 1).astype(np.uint8)
         planes.append(b ^ bit)               # Gray encode
         bit = b
-    st2 = [0] * 65536
-    mp2 = [0] * 65536
-    enc2, flush2 = _mq_encode_fns(st2, mp2)
-    for plane in planes:
-        _encode_generic(enc2, plane, template, False, skip=hskip)
-    ht_flags = (template << 1) | ((1 << 3) if enable_skip else 0)
+    if mmr:
+        from .ccittcodec import encode_g4_planes
+        gray_data = encode_g4_planes(planes)
+    else:
+        st2 = [0] * 65536
+        mp2 = [0] * 65536
+        enc2, flush2 = _mq_encode_fns(st2, mp2)
+        for plane in planes:
+            _encode_generic(enc2, plane, template, False, skip=hskip)
+        gray_data = flush2()
+    ht_flags = ((1 if mmr else 0) | (template << 1)
+                | ((1 << 3) if enable_skip else 0))
     ht_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                   + bytes(8)
                   + b"\x00"                  # external comb op OR
-                  + bytes((ht_flags,))          # HMMR=0, OR
+                  + bytes((ht_flags,))       # HMMR + template + skip, OR
                   + hgw.to_bytes(4, "big") + hgh.to_bytes(4, "big")
                   + (gx << 8).to_bytes(4, "big", signed=True)
                   + (gy << 8).to_bytes(4, "big", signed=True)
                   + (pitch << 8).to_bytes(2, "big")
                   + (0).to_bytes(2, "big")
-                  + flush2())
+                  + gray_data)
 
     page_info = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                  + bytes(8) + b"\x01" + bytes(2))

@@ -2018,7 +2018,9 @@ def q_jbig2_decode(spark, sf):
     encode TRANSPOSED=1 (same rect-union oracle — §6.4.5 placement
     equivalence is exactly what is under test) and the ``i >= 10``
     halftone images carry HGX=HGY=-4 with HENABLESKIP, the oracle
-    recomputing the one-cell shift and clip."""
+    recomputing the one-cell shift and clip; odd ``i < 10`` halftone
+    images code the pattern dictionary and gray planes with MMR
+    (HDMMR/HMMR, Annex C.5 single-stream grayscale)."""
     import pandas as pd
 
     def gen(batches):
@@ -2089,8 +2091,13 @@ def q_jbig2_decode(spark, sf):
                         bm = np.kron(gray,
                                      np.ones((4, 4), int)
                                      ).astype(np.uint8)
+                        # odd ids take the HDMMR/HMMR route (round 7:
+                        # C.5 single-stream MMR grayscale) — lossless
+                        # either way, so the oracle value is unchanged
+                        # but only the MMR plane decoder can reach it
                         data = encode_jbig2_halftone(gray, pats,
-                                                     template=i % 4)
+                                                     template=i % 4,
+                                                     mmr=bool(i % 2))
                 else:
                     bm = (((3 * i + 7 * xx + 5 * yy) % 11) < 4
                           ).astype(np.uint8)

@@ -456,6 +456,62 @@ def test_halftone_pitch_and_gates():
     assert np.array_equal(decode_jbig2(bytes(flip)), exp)
 
 
+def test_halftone_mmr_roundtrip():
+    """HDMMR pattern dictionary + HMMR grayscale (Annex C.5: all
+    gray-code bitplanes in ONE continuous T.6 stream, no resync
+    between planes, single trailing EOFB) round-trips, including a
+    negative grid offset; HENABLESKIP is arithmetic-only and the
+    encoder rejects the combination."""
+    from archive_pdf_tools_spark.kernels.jbig2codec import (
+        encode_jbig2_halftone)
+    rng = np.random.default_rng(23)
+    pats = [rng.integers(0, 2, (6, 6), dtype=np.uint8)
+            for _ in range(7)]
+    gray = rng.integers(0, 7, (9, 13))
+    for off in ((0, 0), (-3, 2)):
+        data = encode_jbig2_halftone(gray, pats, pitch=6,
+                                     grid_offset=off, mmr=True)
+        arith = encode_jbig2_halftone(gray, pats, pitch=6,
+                                      grid_offset=off, mmr=False)
+        # the two coding paths must agree pixel-for-pixel
+        assert np.array_equal(decode_jbig2(data), decode_jbig2(arith))
+        gx, gy = off
+        h, w = 8 * 6 + 6, 12 * 6 + 6
+        exp = np.zeros((h, w), np.uint8)
+        for mg in range(9):
+            for ng in range(13):
+                x, y = gx + ng * 6, gy + mg * 6
+                ys, xs = max(y, 0), max(x, 0)
+                ye, xe = min(y + 6, h), min(x + 6, w)
+                if ye <= ys or xe <= xs:
+                    continue
+                exp[ys:ye, xs:xe] |= \
+                    pats[gray[mg, ng]][ys - y:ye - y, xs - x:xe - x]
+        assert np.array_equal(decode_jbig2(data), exp), off
+    with pytest.raises(ValueError, match="arithmetic-only"):
+        encode_jbig2_halftone(gray, pats, enable_skip=True, mmr=True)
+
+
+def test_g4_planes_stream_shape():
+    """decode_g4_planes consumes concatenated planes from a single
+    bit position — chopping the stream at a byte boundary and
+    decoding plane-by-plane would desynchronize, so parity with the
+    per-plane encoder is the contract."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (
+        decode_g4_planes, encode_g4_planes)
+    rng = np.random.default_rng(31)
+    planes = [rng.integers(0, 2, (11, 23), dtype=np.uint8)
+              for _ in range(5)]
+    data = encode_g4_planes(planes)
+    out = decode_g4_planes(data, 23, 11, 5)
+    for a, b in zip(planes, out):
+        assert np.array_equal(a, b)
+    # truncated stream raises rather than returning short planes
+    from archive_pdf_tools_spark.kernels.ccittcodec import CcittError
+    with pytest.raises(CcittError):
+        decode_g4_planes(data[:4], 23, 11, 5)
+
+
 def test_unknown_height_page_growth_is_bounded():
     """Striped-page bomb guard: a tiny region (within its own rw*rh
     cap) placed at a huge ry on an unknown-height page must raise
