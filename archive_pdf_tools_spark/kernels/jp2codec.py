@@ -61,7 +61,11 @@ sharing it verbatim (T.88 == T.800 Annex C), and bit-exact
 round-trips.  The COC marker scope is COMPLETE as of round 7:
 per-component decomposition LEVELS and TRANSFORM overrides decode
 and encode (each component owns its Mallat depth, inverse filter and
-quantization spec; mixed 5/3+9/7 triples drop MCT per G.2/G.3) —
+quantization spec; mixed 5/3+9/7 triples drop MCT per G.2/G.3), and
+per-component PRECINCT grids too (round 7 late — COC Scoc bit 0
+gives a component its own precinct partition, or reverts it to the
+maximal default; the packet walk concatenates per-component anchor
+lists, so every progression order and POC handles mixed grids) —
 joining the style bytes, CODE-BLOCK SIZES, PPT/PPM packed headers,
 RGN maxshift ROI and POC progression changes of round 6.  Malformed
 or genuinely out-of-profile streams raise ``Jp2Error`` and callers
@@ -1787,6 +1791,7 @@ def _parse_headers(d: bytes, i: int,
     p.comp_cb = {}
     p.comp_cbstyle, p.comp_q = {}, {}
     p.comp_levels, p.comp_irrev = {}, {}
+    p.comp_prec = {}
     seen_siz = seen_cod = seen_qcd = False
     while True:
         m = _u16b(d, i)
@@ -1963,10 +1968,13 @@ def _parse_headers(d: bytes, i: int,
                 raise Jp2Error("truncated COC precinct sizes")
             pexp = [(b & 0x0F, b >> 4) for b in pe]
             if pexp != p.prec_exps:
-                raise Jp2Error(
-                    "per-component precinct sizes unsupported")
+                # per-component precinct sizes (round 7): this
+                # component partitions its resolutions on its own grid
+                p.comp_prec[c] = pexp
         elif p.prec_exps is not None:
-            raise Jp2Error("per-component precinct sizes unsupported")
+            # Scoc bit 0 clear while COD declared precincts: the
+            # component reverts to the maximal default (A.6.2)
+            p.comp_prec[c] = [(15, 15)] * (lev_c + 1)
         if seg[5] not in (0, 1):
             raise Jp2Error("code-block style flags unsupported")
         p.comp_cbstyle[c] = seg[5]
@@ -2046,17 +2054,16 @@ def _decode_j2k(data: bytes, max_pixels: int,
     if len(data) < 4 or _u16b(data, 0) != _SOC:
         raise Jp2Error("not a JPEG2000 codestream (no SOC)")
     p, i = _parse_headers(data, 2, max_pixels)
-    # per-component decomposition levels / transform (COC overrides):
-    # every geometry decision below is per-component; precinct
-    # partitions stay at the spec default when any level differs (the
-    # per-component precinct-list combination already raises in the
-    # header parser)
+    # per-component decomposition levels / transform / precinct
+    # overrides (COC): every geometry decision below is per-component;
+    # precinct partitions stay at the spec default when any level
+    # differs (the levels+precincts combination raises below)
     lev_of = [p.comp_levels.get(c, p.levels) for c in range(p.ncomp)]
     irr_of = [p.comp_irrev.get(c, p.irreversible)
               for c in range(p.ncomp)]
     max_lev = max(lev_of, default=p.levels)
     min_lev = min(lev_of, default=p.levels)
-    if p.comp_levels and p.prec_exps is not None:
+    if p.comp_levels and (p.prec_exps is not None or p.comp_prec):
         raise Jp2Error("per-component decomposition levels with "
                        "custom precincts unsupported")
     reduce_levels = max(0, min(int(reduce_levels), min_lev))
@@ -2281,8 +2288,11 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
 
 
+_UNSET = object()
+
+
 def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
-                     levels=None):
+                     levels=None, pexps=_UNSET):
     """Precinct geometry for resolution ``r`` of a tile (B.6): precincts
     partition the RESOLUTION grid in 2^PPx x 2^PPy cells (the spec
     default, PPx=PPy=15, yields the familiar single precinct); band-
@@ -2297,9 +2307,12 @@ def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
         levels = p.levels
     res_w = -(-tw_i // (1 << (levels - r)))
     res_h = -(-th_i // (1 << (levels - r)))
-    # a levels override forces default precincts (parser-enforced), so
-    # indexing p.prec_exps by r is safe whenever it is non-None
-    ppx, ppy = p.prec_exps[r] if p.prec_exps is not None else (15, 15)
+    # ``pexps`` (round 7) carries a per-component precinct override
+    # (COC Scoc bit 0); a levels override forces default precincts
+    # (parser-enforced), so indexing by r is safe whenever non-None
+    if pexps is _UNSET:
+        pexps = p.prec_exps
+    ppx, ppy = pexps[r] if pexps is not None else (15, 15)
     if r and (ppx < 1 or ppy < 1):           # PPx/PPy=0 illegal for r>0
         raise Jp2Error("illegal precinct size")
     npx = max(1, -(-res_w // (1 << ppx)))
@@ -2343,12 +2356,14 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     state = {}
     grids = {}
     prec = {}
+    pex_of = [p.comp_prec.get(c, p.prec_exps) for c in range(p.ncomp)]
     for c in range(p.ncomp):
         for r in range(lev_of[c] + 1):
             xcb_c, ycb_c = p.comp_cb.get(c, (p.xcb, p.ycb))
             prec[(c, r)] = _precinct_layout(p, bands_of[c], r, tw_i,
                                             th_i, xcb_c, ycb_c,
-                                            levels=lev_of[c])
+                                            levels=lev_of[c],
+                                            pexps=pex_of[c])
             _npx, _npy, layouts = prec[(c, r)]
             for bi, (cbw_e, cbh_e, pbw, pbh, nx, ny) in enumerate(layouts):
                 grids[(c, r, bi)] = (nx, ny)
@@ -2373,28 +2388,19 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
                           (bx0, bx1, by0, by1))
         return trees[key]
 
-    # the precinct GRID depends only on the resolution dims + precinct
-    # exponents (shared across components): use, per r, any component
-    # that reaches that resolution (with per-component levels the
-    # parser forces default precincts, so every reaching component
-    # agrees — one precinct per resolution)
-    canon_c = {r: next(c for c in range(p.ncomp) if lev_of[c] >= r)
-               for r in range(max_lev + 1)}
-    n_prec = {r: prec[(canon_c[r], r)][0] * prec[(canon_c[r], r)][1]
-              for r in range(max_lev + 1)}
-
     def packets():
-        plist = _precinct_anchors(max_lev, p.prec_exps,
-                                  lambda r: n_prec[r],
-                                  lambda r: prec[(canon_c[r], r)][0])
+        # one anchor list per component (B.12.1: a component
+        # contributes packets only for its own resolutions, on its
+        # OWN precinct grid — per-component COC precincts, round 7)
+        plist = []
+        for c in range(p.ncomp):
+            plist += _precinct_anchors(
+                lev_of[c], pex_of[c],
+                lambda r, c=c: prec[(c, r)][0] * prec[(c, r)][1],
+                lambda r, c=c: prec[(c, r)][0], c=c)
         if p.poc is None:
-            order = _progression_order(p.progression, plist, p.ncomp,
-                                       p.nlayers)
-        else:
-            order = _poc_order(p.poc, plist, p.ncomp, p.nlayers)
-        # B.12.1: a component contributes packets only for the
-        # resolutions its own decomposition-level count reaches
-        return [e for e in order if e[1] <= lev_of[e[2]]]
+            return _progression_order(p.progression, plist, p.nlayers)
+        return _poc_order(p.poc, plist, p.nlayers)
 
     pos = 0
     tile_end = len(tdata)
@@ -2547,14 +2553,15 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     return out
 
 
-def _progression_order(progression: str, plist, ncomp: int,
-                       nlayers: int):
+def _progression_order(progression: str, plist, nlayers: int):
     """B.12.1 packet ordering, shared by encoder and decoder (one
     source of truth, pinned against a hand-derived spec-loop order in
-    tests/test_jp2codec.py).  ``plist``: [(r, pi, xs, ys)] where
-    (xs, ys) is the precinct's anchor in tile reference-grid
-    coordinates (precinct index * 2^PPx scaled by 2^(levels - r)).
-    Returns [(l, r, c, pi)] in emission order."""
+    tests/test_jp2codec.py).  ``plist``: [(c, r, pi, xs, ys)] — one
+    entry per (component, resolution, precinct), where (xs, ys) is the
+    precinct's anchor in tile reference-grid coordinates (precinct
+    index * 2^PPx scaled by 2^(component's levels - r)); per-component
+    precinct grids (round 7) just contribute different entry sets per
+    component.  Returns [(l, r, c, pi)] in emission order."""
     keys = {
         "LRCP": lambda l, r, c, pi, xs, ys: (l, r, c, pi),
         "RLCP": lambda l, r, c, pi, xs, ys: (r, l, c, pi),
@@ -2567,13 +2574,13 @@ def _progression_order(progression: str, plist, ncomp: int,
     except KeyError:
         raise Jp2Error("unknown progression order") from None
     pk = [(key(l, r, c, pi, xs, ys), (l, r, c, pi))
-          for (r, pi, xs, ys) in plist
-          for c in range(ncomp) for l in range(nlayers)]
+          for (c, r, pi, xs, ys) in plist
+          for l in range(nlayers)]
     pk.sort()
     return [t for _k, t in pk]
 
 
-def _poc_order(poc, plist, ncomp: int, nlayers: int):
+def _poc_order(poc, plist, nlayers: int):
     """POC packet ordering (B.12.2): each progression-change entry
     emits its (layer < LYEpoc, RSpoc <= r < REpoc, CSpoc <= c < CEpoc)
     volume in its own progression order, skipping packets an earlier
@@ -2583,20 +2590,22 @@ def _poc_order(poc, plist, ncomp: int, nlayers: int):
     seen = set()
     order = []
     for (rs, cs, lye, re_, ce, prog) in poc:
-        sub = [t for t in _progression_order(prog, plist, ncomp,
-                                             nlayers)
+        sub = [t for t in _progression_order(prog, plist, nlayers)
                if rs <= t[1] < re_ and cs <= t[2] < ce
                and t[0] < lye and t not in seen]
         seen.update(sub)
         order.extend(sub)
-    if len(order) != len(plist) * ncomp * nlayers:
+    if len(order) != len(plist) * nlayers:
         raise Jp2Error("POC does not cover every packet")
     return order
 
 
-def _precinct_anchors(levels: int, prec_exps, n_prec, npx_of):
-    """[(r, pi, xs, ys)] reference-grid anchors for every precinct;
-    ``n_prec``/``npx_of`` map r -> precinct count / x-count."""
+def _precinct_anchors(levels: int, prec_exps, n_prec, npx_of,
+                      c: int = 0):
+    """[(c, r, pi, xs, ys)] reference-grid anchors for component
+    ``c``'s precincts; ``n_prec``/``npx_of`` map r -> precinct count /
+    x-count and ``levels``/``prec_exps`` are the COMPONENT's values —
+    multi-component callers concatenate one call per component."""
     plist = []
     for r in range(levels + 1):
         ppx, ppy = (prec_exps[r] if prec_exps is not None else (15, 15))
@@ -2605,7 +2614,7 @@ def _precinct_anchors(levels: int, prec_exps, n_prec, npx_of):
         npx = npx_of(r)
         for pi in range(n_prec(r)):
             py_, px_ = divmod(pi, npx)
-            plist.append((r, pi, px_ * sx, py_ * sy))
+            plist.append((c, r, pi, px_ * sx, py_ * sy))
     return plist
 
 
@@ -2663,7 +2672,8 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                poc: list | None = None,
                coc_block_exp: dict | None = None,
                coc_levels: dict | None = None,
-               coc_transform: dict | None = None) -> bytes:
+               coc_transform: dict | None = None,
+               coc_prec: dict | None = None) -> bytes:
     """uint8 (h, w) or (h, w, 3) -> J2K codestream (LRCP,
     1 layer, 64x64 blocks); ``tile_size=(tw, th)`` splits the image
     into an independent tile grid (each a multiple of 2^levels, the
@@ -2724,10 +2734,21 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             if not 1 <= v <= 6:
                 raise ValueError("coc_levels out of range")
             eff_lv[int(cc)] = v
+    eff_pe = [precinct_exp] * ncomp_
+    if coc_prec:
+        for cc, v in coc_prec.items():
+            if not 0 <= int(cc) < ncomp_:
+                raise ValueError("coc_prec for nonexistent component")
+            if v is not None:
+                px_, py_ = v
+                if not (1 <= px_ <= 15 and 1 <= py_ <= 15):
+                    raise ValueError("coc_prec exponents out of range")
+            eff_pe[int(cc)] = v
+    mixed_pe = any(e != precinct_exp for e in eff_pe)
     mixed_tr = any(e != irreversible for e in eff_irr)
     mixed_lv = any(e != levels for e in eff_lv)
     if mixed_tr or mixed_lv:
-        if precinct_exp is not None:
+        if precinct_exp is not None or mixed_pe:
             raise ValueError("coc_levels/coc_transform with custom "
                              "precincts unsupported")
         if roi is not None:
@@ -2889,9 +2910,6 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
     def tile_body(planes_t, tw_i, th_i) -> bytes:
         bands_cc = [_bands_for(tw_i, th_i, eff_lv[c])
                     for c in range(len(planes_t))]
-        # effective code-block dims are capped by the band precinct cell
-        if precinct_exp is not None:
-            ppx_, ppy_ = precinct_exp
         # ---- per-component transform + T1
         packet_blocks = {(r, c): [] for c in range(len(planes_t))
                          for r in range(eff_lv[c] + 1)}
@@ -2941,9 +2959,13 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
             cbh_c = 1 << eff_cb[c][1]
             for r, blist in enumerate(bands):
                 for bi, (name, lev, bw, bh, gain) in enumerate(blist):
-                    if precinct_exp is not None:
-                        pb = 1 << (ppx_ - (1 if r else 0))
-                        ph_ = 1 << (ppy_ - (1 if r else 0))
+                    # effective code-block dims are capped by the
+                    # COMPONENT's band precinct cell (per-component
+                    # precincts, round 7)
+                    if eff_pe[c] is not None:
+                        pex_, pey_ = eff_pe[c]
+                        pb = 1 << (pex_ - (1 if r else 0))
+                        ph_ = 1 << (pey_ - (1 if r else 0))
                         cbw_e = min(cbw_c, pb)
                         cbh_e = min(cbh_c, ph_)
                     else:
@@ -2983,30 +3005,27 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         body = bytearray()
         ppt_buf = bytearray()
         pkt_offsets = []
+        pexps_of = [([eff_pe[c2]] * (eff_lv[c2] + 1)
+                     if eff_pe[c2] is not None else None)
+                    for c2 in range(len(planes_t))]
         lay_r = {(c2, r): _precinct_layout(
                      _p, bands_cc[c2], r, tw_i, th_i,
                      eff_cb[c2][0], eff_cb[c2][1],
-                     levels=eff_lv[c2])
+                     levels=eff_lv[c2], pexps=pexps_of[c2])
                  for c2 in range(len(planes_t))
                  for r in range(eff_lv[c2] + 1)}
         # packet emission order: the SAME shared function the decoder
         # walks (single layer), so order bugs cannot hide on one side
-        pexps = ([precinct_exp] * (levels + 1)
-                 if precinct_exp is not None else None)
-        canon = {r: next(c2 for c2 in range(len(planes_t))
-                         if eff_lv[c2] >= r)
-                 for r in range(max(eff_lv) + 1)}
-        plist = _precinct_anchors(
-            max(eff_lv), pexps,
-            lambda r: lay_r[(canon[r], r)][0] * lay_r[(canon[r], r)][1],
-            lambda r: lay_r[(canon[r], r)][0])
+        plist = []
+        for c2 in range(len(planes_t)):
+            plist += _precinct_anchors(
+                eff_lv[c2], pexps_of[c2],
+                lambda r, c2=c2: lay_r[(c2, r)][0] * lay_r[(c2, r)][1],
+                lambda r, c2=c2: lay_r[(c2, r)][0], c=c2)
         if poc is not None:
-            order = _poc_order(poc, plist, len(planes_t), 1)
+            order = _poc_order(poc, plist, 1)
         else:
-            order = _progression_order(progression, plist,
-                                       len(planes_t), 1)
-        # a component only carries packets for its own resolutions
-        order = [e for e in order if e[1] <= eff_lv[e[2]]]
+            order = _progression_order(progression, plist, 1)
         for _l, r, c, pidx in order:
             npx, npy, layouts = lay_r[(c, r)]
             entries = packet_blocks[(r, c)]
@@ -3223,23 +3242,24 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
         # RGN (A.6.3): maxshift ROI, Srgn=0, one segment per component
         out += ((0xFF5E).to_bytes(2, "big") + (5).to_bytes(2, "big")
                 + bytes((rc, 0, sh)))
-    if coc_bypass or coc_block_exp or mixed_tr or mixed_lv:
+    if coc_bypass or coc_block_exp or mixed_tr or mixed_lv or mixed_pe:
         # COC for components whose code-block style, size,
-        # decomposition-level count or transform differs from COD
-        # (A.6.2) — everything else mirrors the COD parameters
+        # decomposition-level count, transform or precinct grid
+        # differs from COD (A.6.2) — everything else mirrors COD
         for c in range(len(comps)):
             if (eff_bypass[c] == bypass and eff_cb[c] == (xcb, ycb)
                     and eff_irr[c] == irreversible
-                    and eff_lv[c] == levels):
+                    and eff_lv[c] == levels
+                    and eff_pe[c] == precinct_exp):
                 continue
-            coc = bytes([c, 0x01 if precinct_exp is not None else 0,
+            coc = bytes([c, 0x01 if eff_pe[c] is not None else 0,
                          eff_lv[c], eff_cb[c][0] - 2,
                          eff_cb[c][1] - 2,
                          0x01 if eff_bypass[c] else 0,
                          0 if eff_irr[c] else 1])
-            if precinct_exp is not None:
-                ppx_, ppy_ = precinct_exp
-                coc += bytes([(ppy_ << 4) | ppx_] * (levels + 1))
+            if eff_pe[c] is not None:
+                ppx_, ppy_ = eff_pe[c]
+                coc += bytes([(ppy_ << 4) | ppx_] * (eff_lv[c] + 1))
             out += (0xFF53).to_bytes(2, "big") \
                 + (len(coc) + 2).to_bytes(2, "big") + coc
     for ti, (body, pkt_offsets, ppt_data) in enumerate(bodies):
@@ -3294,7 +3314,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                precinct_exp: tuple | None = None,
                coc_block_exp: dict | None = None,
                coc_levels: dict | None = None,
-               coc_transform: dict | None = None) -> bytes:
+               coc_transform: dict | None = None,
+               coc_prec: dict | None = None) -> bytes:
     """JP2 file (or raw J2K codestream) from a uint8 image — lossless
     5/3 by default, lossy 9/7 with ``irreversible=True`` (see
     ``encode_j2k``; ``bypass`` = selective arithmetic bypass, default
@@ -3310,7 +3331,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2,
                     precinct_exp=precinct_exp,
                     coc_block_exp=coc_block_exp,
                     coc_levels=coc_levels,
-                    coc_transform=coc_transform)
+                    coc_transform=coc_transform,
+                    coc_prec=coc_prec)
     if raw_codestream:
         return cs
     img = np.asarray(img)

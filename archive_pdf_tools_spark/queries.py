@@ -1935,10 +1935,12 @@ def q_jp2_decode(spark, sf):
                 # closed-form pixels
                 # odd (RGB) images alternate per-component COC
                 # overrides: i%4==1 routes style + code-block-size
-                # overrides (round 6), i%4==3 per-component
-                # DECOMPOSITION LEVELS (round 7 — chroma gets its own
-                # Mallat depth, the last COC scope item); lossless, so
-                # the same closed-form oracle applies
+                # overrides (round 6) PLUS per-component PRECINCT
+                # grids (round 7 late — chroma partitions its
+                # resolutions on its own grid, the final COC scope
+                # item), i%4==3 per-component DECOMPOSITION LEVELS
+                # (round 7 — chroma gets its own Mallat depth);
+                # lossless, so the same closed-form oracle applies
                 data = encode_jp2(
                     img, levels=1 + i % 3,
                     block_exp=(4 + i % 3, 4 + (i // 2) % 3),
@@ -1948,6 +1950,7 @@ def q_jp2_decode(spark, sf):
                                 if i % 4 == 1 else None),
                     coc_block_exp=({1: (4, 4), 2: (5, 3)}
                                    if i % 4 == 1 else None),
+                    coc_prec=({1: (3, 4)} if i % 4 == 1 else None),
                     coc_levels=({2: 1 + (i // 2) % 3}
                                 if i % 4 == 3 else None))
                 dec = decode_jp2(data)

@@ -631,9 +631,9 @@ def test_spatial_order_matches_spec_loop():
         lambda r: geom[r][0] * geom[r][1],
         lambda r: geom[r][0])
     # anchors themselves: spot-pin r0/r1 reference-grid scaling
-    assert (0, 1, 64, 0) in plist            # r0, precinct 1 at x=64
-    assert (1, 4, 32, 32) in plist           # r1, raster idx 4 = (1,1)
-    got = _progression_order("PCRL", plist, 1, 1)
+    assert (0, 0, 1, 64, 0) in plist         # r0, precinct 1 at x=64
+    assert (0, 1, 4, 32, 32) in plist        # r1, raster idx 4 = (1,1)
+    got = _progression_order("PCRL", plist, 1)
     expect = []
     for y, x, r, pi in sorted(
             (py * s, px * s, r, py * nx + px)
@@ -645,8 +645,15 @@ def test_spatial_order_matches_spec_loop():
     # next anchor x=16 hosts ONLY r2 p1; x=32 hosts r1 p1 then r2 p2
     assert got[:6] == [(0, 0, 0, 0), (0, 1, 0, 0), (0, 2, 0, 0),
                        (0, 2, 0, 1), (0, 1, 0, 1), (0, 2, 0, 2)]
-    # CPRL on 3 components = per-component PCRL blocks
-    got3 = _progression_order("CPRL", plist, 3, 1)
+    # CPRL on 3 components = per-component PCRL blocks (one anchor
+    # list per component, concatenated — the round-7 plist shape)
+    plist3 = []
+    for c in range(3):
+        plist3 += _precinct_anchors(
+            2, [(4, 4)] * 3,
+            lambda r: geom[r][0] * geom[r][1],
+            lambda r: geom[r][0], c=c)
+    got3 = _progression_order("CPRL", plist3, 1)
     per = [t for t in expect]
     assert got3 == [(0, r, c, pi) for c in range(3)
                     for (_l, r, _c, pi) in per]
@@ -1304,6 +1311,66 @@ def test_coc_levels_reduce_and_tiles():
     d = encode_j2k(big, levels=2, coc_levels={1: 3},
                    tile_size=(16, 16))
     assert np.array_equal(decode_jp2(d), big)
+
+
+def test_coc_per_component_precincts_roundtrip():
+    """Per-component precinct grids (round 7 late — the FINAL COC
+    scope item): COC Scoc bit 0 gives a component its own precinct
+    partition (or reverts it to the maximal default while COD
+    declares precincts), changing its packet count, anchor set,
+    tag-tree shapes and effective code-block caps.  Lossless
+    round-trips across every progression order, composed with
+    SOP/EPH, tile-parts, tiles, POC and the block-size overrides;
+    plus contract guards and typed-error fuzz."""
+    rng = np.random.default_rng(81)
+    img = rng.integers(0, 256, (64, 96, 3)).astype(np.uint8)
+    for prog in ("LRCP", "RLCP", "RPCL", "PCRL", "CPRL"):
+        d = encode_j2k(img, levels=2, progression=prog,
+                       precinct_exp=(4, 4),
+                       coc_prec={1: (5, 4), 2: None})
+        assert d.count(b"\xff\x53") >= 2     # COC for comps 1 and 2
+        assert np.array_equal(decode_jp2(d), img), prog
+    # COD default (maximal) + one component with real precincts
+    d = encode_j2k(img, levels=2, coc_prec={0: (4, 5)})
+    assert np.array_equal(decode_jp2(d), img)
+    # composes with sop/eph/tile-parts, tiles, POC, cb-size overrides
+    d = encode_j2k(img, levels=2, progression="RPCL", sop=True,
+                   eph=True, precinct_exp=(4, 4), tile_parts=2,
+                   coc_prec={2: (4, 5)})
+    assert np.array_equal(decode_jp2(d), img)
+    d = encode_j2k(img, levels=2, tile_size=(32, 32),
+                   precinct_exp=(4, 4), coc_prec={1: (5, 4)})
+    assert np.array_equal(decode_jp2(d), img)
+    d = encode_j2k(img, levels=2, coc_prec={1: (4, 4)},
+                   poc=[(0, 0, 1, 1, 3, "LRCP"),
+                        (1, 0, 1, 3, 3, "RPCL")])
+    assert np.array_equal(decode_jp2(d), img)
+    d = encode_j2k(img, levels=2, precinct_exp=(4, 4),
+                   coc_prec={1: (3, 3)}, coc_block_exp={1: (3, 3)})
+    assert np.array_equal(decode_jp2(d), img)
+    # guards
+    with pytest.raises(ValueError, match="nonexistent"):
+        encode_j2k(img, coc_prec={7: (4, 4)})
+    with pytest.raises(ValueError, match="out of range"):
+        encode_j2k(img, coc_prec={1: (0, 4)})
+    with pytest.raises(ValueError, match="custom precincts"):
+        encode_j2k(img, coc_levels={1: 3}, coc_prec={1: (4, 4)})
+    # typed-error fuzz over a per-component-precinct stream
+    data = bytearray(encode_j2k(img, levels=2, precinct_exp=(4, 4),
+                                coc_prec={1: (5, 4), 2: None}))
+    for i in range(0, len(data), 17):
+        try:
+            decode_jp2(bytes(data[:i]))
+        except Jp2Error:
+            pass
+    for _ in range(120):
+        d = bytearray(data)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jp2(bytes(d))
+        except Jp2Error:
+            pass
 
 
 def test_coc_levels_guards_and_fuzz():
