@@ -320,6 +320,20 @@ def _fill_row(row, cur: list, w: int) -> None:
         col ^= 1
 
 
+def _decode_g4_plane(bits: _Bits, rows: np.ndarray, w: int,
+                     byte_align: bool = False) -> None:
+    """Decode ``rows.shape[0]`` pure-2D coding lines into ``rows``
+    against a fresh imaginary all-white reference line (shared by the
+    single-image and multi-plane decoders)."""
+    ref = [w, w]
+    for y in range(rows.shape[0]):
+        if byte_align:
+            bits.align()
+        cur = _decode_2d_row(bits, ref, w)
+        _fill_row(rows[y], cur, w)
+        ref = cur + [w, w]
+
+
 def decode_g4(data: bytes, w: int, h: int | None,
               byte_align: bool = False) -> np.ndarray:
     """Decode pure 2D T.6 data to an (h, w) uint8 bitmap, 1 = black.
@@ -333,13 +347,7 @@ def decode_g4(data: bytes, w: int, h: int | None,
     bits = _Bits(data)
     if h is not None:
         rows = np.zeros((h, w), dtype=np.uint8)
-        ref = [w, w]                         # imaginary all-white row
-        for y in range(h):
-            if byte_align:
-                bits.align()
-            cur = _decode_2d_row(bits, ref, w)
-            _fill_row(rows[y], cur, w)
-            ref = cur + [w, w]
+        _decode_g4_plane(bits, rows, w, byte_align)
         return rows
     max_rows = 64_000_000 // w
     out = []
@@ -372,25 +380,30 @@ def decode_g4(data: bytes, w: int, h: int | None,
     return np.stack(out)
 
 
-def decode_g4_planes(data: bytes, w: int, h: int, count: int) -> list:
-    """Decode ``count`` back-to-back (h, w) pure-2D T.6 planes from ONE
-    coded stream — no resynchronization or EOFB between planes, the
-    reference line resets to the imaginary all-white row at each plane
-    start.  This is the JBIG2 gray-scale bitplane shape (T.88 Annex
-    C.5 with HMMR=1: all bitplanes in a single MMR stream, one EOFB
-    after the last)."""
-    if w <= 0 or h <= 0 or count < 0 or w * h * max(count, 1) > 64_000_000:
+def decode_g4_planes(data: bytes, w: int, h: int, count: int,
+                     max_pixels: int = 64_000_000) -> list:
+    """Decode ``count`` (h, w) pure-2D T.6 planes from ONE coded
+    stream, the reference line resetting to the imaginary all-white
+    row at each plane start — the JBIG2 gray-scale bitplane shape
+    (T.88 Annex C.5 with HMMR=1).  EOL/EOFB sequences BETWEEN planes
+    are consumed when present and not required: interop decoders
+    (pdf.js, jbig2dec) read C.5 as each bitplane carrying its own
+    EOFB terminator, while a bare single-trailing-EOFB concatenation
+    also exists — a legal 2D coding line can never open with 11 zero
+    bits, so the two layouts are unambiguous to distinguish and both
+    decode.  ``max_pixels`` bounds one plane (same semantic as the
+    arithmetic halftone path's per-plane region cap)."""
+    if w <= 0 or h <= 0 or count < 0 or w * h > max_pixels \
+            or count > 64:
         raise CcittError("bad plane dimensions")
     bits = _Bits(data)
     planes = []
     for _ in range(count):
         rows = np.zeros((h, w), dtype=np.uint8)
-        ref = [w, w]
-        for y in range(h):
-            cur = _decode_2d_row(bits, ref, w)
-            _fill_row(rows[y], cur, w)
-            ref = cur + [w, w]
+        _decode_g4_plane(bits, rows, w)
         planes.append(rows)
+        while bits.at_eol():                 # per-plane EOFB / fill
+            _eat_eol(bits)
     return planes
 
 
@@ -576,14 +589,12 @@ def _encode_1d_row(bw: _BitWriter, cur: list, w: int):
     bw.put_run(w - pos, color)
 
 
-def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
-    """Encode an (h, w) {0,1} bitmap as pure 2D T.6 + EOFB.  Lossless:
-    ``decode_g4(encode_g4(b), w, h) == b`` bit-exactly."""
-    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
-    if bm.ndim != 2 or 0 in bm.shape:
-        raise ValueError("bad bitmap shape")
+def _encode_g4_plane(bw: _BitWriter, bm: np.ndarray,
+                     byte_align: bool = False) -> None:
+    """Encode one {0,1} plane as pure-2D coding lines against a fresh
+    all-white reference line (shared by the single-image and
+    multi-plane encoders)."""
     h, w = bm.shape
-    bw = _BitWriter()
     ref = [w, w]
     for y in range(h):
         if byte_align:
@@ -591,6 +602,16 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
         cur = _row_changes(bm[y], w)
         _encode_2d_row(bw, cur, ref, w)
         ref = cur
+
+
+def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
+    """Encode an (h, w) {0,1} bitmap as pure 2D T.6 + EOFB.  Lossless:
+    ``decode_g4(encode_g4(b), w, h) == b`` bit-exactly."""
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    if bm.ndim != 2 or 0 in bm.shape:
+        raise ValueError("bad bitmap shape")
+    bw = _BitWriter()
+    _encode_g4_plane(bw, bm, byte_align)
     if byte_align:
         bw.align()          # EOFB starts a coding line: align it too,
         #                     so the self-delimiting decoder's
@@ -602,21 +623,22 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
 
 
 def encode_g4_planes(planes) -> bytes:
-    """Mirror of `decode_g4_planes`: concatenated pure-2D T.6 planes,
-    reference line reset per plane, single EOFB + pad at the end."""
+    """Mirror of `decode_g4_planes`: concatenated pure-2D T.6 planes
+    of ONE shared shape, reference line reset per plane, EACH plane
+    terminated by its own EOFB (the interop layout pdf.js/jbig2dec
+    expect for C.5 MMR grayscale; the mirror decoder also accepts the
+    bare single-trailing-EOFB concatenation), byte pad at the end."""
+    bms = [(np.asarray(p) != 0).astype(np.uint8) for p in planes]
+    if not bms:
+        raise ValueError("no planes")
+    if bms[0].ndim != 2 or 0 in bms[0].shape \
+            or any(b.shape != bms[0].shape for b in bms):
+        raise ValueError("planes must share one non-empty 2D shape")
     bw = _BitWriter()
-    for plane in planes:
-        bm = (np.asarray(plane) != 0).astype(np.uint8)
-        if bm.ndim != 2 or 0 in bm.shape:
-            raise ValueError("bad plane shape")
-        h, w = bm.shape
-        ref = [w, w]
-        for y in range(h):
-            cur = _row_changes(bm[y], w)
-            _encode_2d_row(bw, cur, ref, w)
-            ref = cur
-    bw.put(0x001, 12)                        # EOFB = EOL + EOL
-    bw.put(0x001, 12)
+    for bm in bms:
+        _encode_g4_plane(bw, bm)
+        bw.put(0x001, 12)                    # EOFB = EOL + EOL
+        bw.put(0x001, 12)
     bw.align()
     return bytes(bw.out)
 

@@ -49,8 +49,9 @@ refinements=...)``) round-trip bit-exactly.  HALFTONE too: pattern
 dictionaries (§6.7) and halftone regions (§6.6, Annex-C gray-coded
 bitplanes, 8.8 fixed-point grid stamping) with
 ``encode_jbig2_halftone`` — both the arithmetic and the HDMMR/HMMR
-paths (C.5 MMR grayscale: every bitplane in one continuous T.6
-stream, ``ccittcodec.decode_g4_planes``).
+paths (C.5 MMR grayscale: bitplanes in one T.6 stream with per-plane
+EOFB terminators, the pdf.js/jbig2dec interop layout; bare
+concatenations decode too — ``ccittcodec.decode_g4_planes``).
 
 TRANSPOSED text regions (§6.4.5 (viii)/(xi), vertical-text strips)
 and HENABLESKIP halftones (§6.6.5.1 HSKIP + USESKIP bitplane decode)
@@ -636,12 +637,14 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
         raise Jbig2Error("halftone region exceeds max_pixels")
     bits = max(len(patterns) - 1, 0).bit_length()
     if mmr:
-        # C.5 HMMR=1: every bitplane in ONE continuous MMR stream,
-        # single EOFB after the last; USESKIP is an arithmetic-path
-        # feature and does not apply here.
+        # C.5 HMMR=1: bitplanes in ONE MMR stream; per-plane EOFB
+        # terminators (the pdf.js/jbig2dec interop layout) and the
+        # bare concatenation both decode; USESKIP is an
+        # arithmetic-path feature and does not apply here.
         from .ccittcodec import CcittError, decode_g4_planes
         try:
-            planes = decode_g4_planes(seg[38:], hgw, hgh, bits)
+            planes = decode_g4_planes(seg[38:], hgw, hgh, bits,
+                                      max_pixels=max_pixels)
         except CcittError as exc:
             raise Jbig2Error(f"bad MMR grayscale: {exc}") from exc
     else:

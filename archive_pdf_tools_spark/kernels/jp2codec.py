@@ -2288,11 +2288,7 @@ def _decode_j2k(data: bytes, max_pixels: int,
 
 
 
-_UNSET = object()
-
-
-def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
-                     levels=None, pexps=_UNSET):
+def _precinct_layout(bands, r, tw_i, th_i, xcb, ycb, levels, pexps):
     """Precinct geometry for resolution ``r`` of a tile (B.6): precincts
     partition the RESOLUTION grid in 2^PPx x 2^PPy cells (the spec
     default, PPx=PPy=15, yields the familiar single precinct); band-
@@ -2303,15 +2299,11 @@ def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
 
     Returns (npx, npy, layouts) with layouts[bi] =
     (cbw_e, cbh_e, pbw, pbh, nx, ny) per band."""
-    if levels is None:
-        levels = p.levels
     res_w = -(-tw_i // (1 << (levels - r)))
     res_h = -(-th_i // (1 << (levels - r)))
-    # ``pexps`` (round 7) carries a per-component precinct override
-    # (COC Scoc bit 0); a levels override forces default precincts
-    # (parser-enforced), so indexing by r is safe whenever non-None
-    if pexps is _UNSET:
-        pexps = p.prec_exps
+    # ``levels``/``pexps`` are the COMPONENT's values (per-component
+    # COC overrides, round 7); a levels override forces default
+    # precincts (parser-enforced), so indexing by r is safe
     ppx, ppy = pexps[r] if pexps is not None else (15, 15)
     if r and (ppx < 1 or ppy < 1):           # PPx/PPy=0 illegal for r>0
         raise Jp2Error("illegal precinct size")
@@ -2321,8 +2313,8 @@ def _precinct_layout(p, bands, r, tw_i, th_i, xcb=None, ycb=None,
     for (name, lev, bw, bh, gain) in bands[r]:
         pbw = 1 << (ppx - (1 if r else 0))
         pbh = 1 << (ppy - (1 if r else 0))
-        cbw_e = min(1 << (p.xcb if xcb is None else xcb), pbw)
-        cbh_e = min(1 << (p.ycb if ycb is None else ycb), pbh)
+        cbw_e = min(1 << xcb, pbw)
+        cbh_e = min(1 << ycb, pbh)
         nx = -(-bw // cbw_e) if bw else 0
         ny = -(-bh // cbh_e) if bh else 0
         layouts.append((cbw_e, cbh_e, pbw, pbh, nx, ny))
@@ -2360,7 +2352,7 @@ def _decode_tile(tdata, p, tw_i, th_i, band_mb_delta,
     for c in range(p.ncomp):
         for r in range(lev_of[c] + 1):
             xcb_c, ycb_c = p.comp_cb.get(c, (p.xcb, p.ycb))
-            prec[(c, r)] = _precinct_layout(p, bands_of[c], r, tw_i,
+            prec[(c, r)] = _precinct_layout(bands_of[c], r, tw_i,
                                             th_i, xcb_c, ycb_c,
                                             levels=lev_of[c],
                                             pexps=pex_of[c])
@@ -2995,13 +2987,6 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                     packet_blocks[(r, c)].append((bi, blocks))
 
         # ---- packets (LRCP, single layer, one per precinct)
-        class _P:                            # layout probe for the shared
-            pass                             # precinct-geometry helper
-        _p = _P()
-        _p.levels = levels
-        _p.xcb, _p.ycb = xcb, ycb
-        _p.prec_exps = ([precinct_exp] * (levels + 1)
-                        if precinct_exp is not None else None)
         body = bytearray()
         ppt_buf = bytearray()
         pkt_offsets = []
@@ -3009,7 +2994,7 @@ def encode_j2k(img: np.ndarray, levels: int = 2,
                      if eff_pe[c2] is not None else None)
                     for c2 in range(len(planes_t))]
         lay_r = {(c2, r): _precinct_layout(
-                     _p, bands_cc[c2], r, tw_i, th_i,
+                     bands_cc[c2], r, tw_i, th_i,
                      eff_cb[c2][0], eff_cb[c2][1],
                      levels=eff_lv[c2], pexps=pexps_of[c2])
                  for c2 in range(len(planes_t))

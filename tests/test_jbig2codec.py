@@ -494,11 +494,13 @@ def test_halftone_mmr_roundtrip():
 
 def test_g4_planes_stream_shape():
     """decode_g4_planes consumes concatenated planes from a single
-    bit position — chopping the stream at a byte boundary and
-    decoding plane-by-plane would desynchronize, so parity with the
-    per-plane encoder is the contract."""
+    bit position and accepts BOTH C.5 readings: per-plane EOFB
+    terminators (the pdf.js/jbig2dec interop layout, what
+    encode_g4_planes emits — no inter-plane byte alignment) and the
+    bare concatenation with nothing between planes."""
     from archive_pdf_tools_spark.kernels.ccittcodec import (
-        decode_g4_planes, encode_g4_planes)
+        CcittError, _BitWriter, _encode_g4_plane, decode_g4_planes,
+        encode_g4_planes)
     rng = np.random.default_rng(31)
     planes = [rng.integers(0, 2, (11, 23), dtype=np.uint8)
               for _ in range(5)]
@@ -506,10 +508,28 @@ def test_g4_planes_stream_shape():
     out = decode_g4_planes(data, 23, 11, 5)
     for a, b in zip(planes, out):
         assert np.array_equal(a, b)
+    # bare layout: planes back-to-back, single trailing EOFB
+    bw = _BitWriter()
+    for p in planes:
+        _encode_g4_plane(bw, p)
+    bw.put(0x001, 12)
+    bw.put(0x001, 12)
+    bw.align()
+    bare = bytes(bw.out)
+    assert len(data) > len(bare)             # per-plane EOFBs emitted
+    out = decode_g4_planes(bare, 23, 11, 5)
+    for a, b in zip(planes, out):
+        assert np.array_equal(a, b)
     # truncated stream raises rather than returning short planes
-    from archive_pdf_tools_spark.kernels.ccittcodec import CcittError
     with pytest.raises(CcittError):
         decode_g4_planes(data[:4], 23, 11, 5)
+    # the max_pixels budget bounds ONE plane (same semantic as the
+    # arithmetic halftone cap) and is threaded from the caller
+    with pytest.raises(CcittError):
+        decode_g4_planes(data, 23, 11, 5, max_pixels=100)
+    # mixed-shape planes are rejected at encode time
+    with pytest.raises(ValueError, match="one non-empty 2D shape"):
+        encode_g4_planes([planes[0], planes[1][:, :20]])
 
 
 def test_unknown_height_page_growth_is_bounded():
