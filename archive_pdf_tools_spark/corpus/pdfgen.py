@@ -203,7 +203,9 @@ def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
 
 
 def build_pdf(pages: list[dict], modern: bool = False,
-              encrypt: str | None = None) -> bytes:
+              encrypt: str | None = None,
+              encrypt_password: bytes = b"",
+              encrypt_owner_password: bytes | None = None) -> bytes:
     """pages: [{width, height, rotate, images: [{w, h, gray: bool,
     data: bytes}], text: str | None}] -> PDF bytes.
 
@@ -213,10 +215,12 @@ def build_pdf(pages: list[dict], modern: bool = False,
     binary rows) instead of the classic table + trailer.  Same logical
     document either way — the parser must produce identical metadata.
 
-    ``encrypt`` wraps every stream in the standard security handler
-    with the EMPTY user password: "rc4_40" (R2), "rc4" (R3 128-bit),
-    "aes" (R4 AESV2) or "aes256" (R6 AESV3) — the owner-locked
-    archival shapes the reference reads through PyMuPDF."""
+    ``encrypt`` wraps every stream in the standard security handler:
+    "rc4_40" (R2), "rc4" (R3 128-bit), "aes" (R4 AESV2) or "aes256"
+    (R6 AESV3) — by default with the EMPTY user password (the
+    owner-locked archival shape the reference reads through PyMuPDF);
+    ``encrypt_password`` / ``encrypt_owner_password`` set real user /
+    owner passwords instead (readers must then supply one)."""
     objects: list[bytes] = []          # 1-indexed object bodies (sans header)
     has_stream: list[bool] = []
 
@@ -340,12 +344,14 @@ def build_pdf(pages: list[dict], modern: bool = False,
         from ..kernels.pdfcrypt import StdSecurityHandler, make_credentials
         r = {"rc4_40": 2, "rc4": 3, "aes": 4, "aes256": 6}[encrypt]
         id0 = b"\x01" * 16
-        cred = make_credentials(r, p=-4, id0=id0)
+        cred = make_credentials(r, p=-4, id0=id0,
+                                password=encrypt_password,
+                                owner_password=encrypt_owner_password)
         handler = StdSecurityHandler(
             v=cred["V"], r=cred["R"], length_bits=cred["Length"],
             p=-4, o=cred["O"], u=cred["U"], id0=id0,
             oe=cred.get("OE", b""), ue=cred.get("UE", b""),
-            cfm=cred.get("CFM"))
+            cfm=cred.get("CFM"), password=encrypt_password)
         for k in range(len(objects)):
             if has_stream[k]:
                 objects[k] = _encrypt_stream_obj(objects[k], handler,

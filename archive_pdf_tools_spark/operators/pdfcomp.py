@@ -75,7 +75,8 @@ def _recode_one(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
     return rows
 
 
-def _doc_spans(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
+def _doc_spans(doc_id: str, pdf: bytes, hocr,
+               password: bytes = b"") -> list[tuple]:
     """One PDF document -> ordered (kind, text, media_ref) output spans.
 
     Per page, in page order: the embedded text layer (literal strings the
@@ -95,8 +96,8 @@ def _doc_spans(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
         for idx, page in enumerate(iter_pages(hocr)):
             word_data_by_page[idx] = page_word_data(page)
 
-    meta = parse_pdf(pdf)
-    rd = _Reader(pdf)
+    meta = parse_pdf(pdf, password)
+    rd = _Reader(pdf, password)
     spans: list[tuple] = []
     for page in meta["pages"]:
         pidx = page["page_idx"]
@@ -123,11 +124,15 @@ def _doc_spans(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
     return spans
 
 
-def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
+def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr",
+                  password: bytes = b""):
     """(doc_id, pdf binary [, hocr]) -> (doc_id, spans) in the engine's
     output span contract — the PDF front door: a reference pdfcomp user
     points spark-submit at a table of PDFs and gets the recoded span
-    table, shard-checkpointed like every other front door."""
+    table, shard-checkpointed like every other front door.
+    ``password`` opens user/owner-password-protected inputs (one
+    corpus-wide password, the batch-job shape; per-doc failures still
+    degrade to the pdf_error span)."""
     import pandas as pd
 
     from ..operators.extract import OUTPUT_SCHEMA_DDL
@@ -141,7 +146,8 @@ def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
             for doc_id, blob, hocr in zip(pdfb["doc_id"].values,
                                           pdfb[pdf_col].values, hocrs):
                 try:
-                    rows = _doc_spans(doc_id, bytes(blob), hocr)
+                    rows = _doc_spans(doc_id, bytes(blob), hocr,
+                                      password)
                 except Exception as exc:  # noqa: BLE001 — poison-doc guard
                     # same observable-failure contract as the HTML front
                     # door's html_error span: the failing document stays
@@ -160,7 +166,8 @@ def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr"):
 
 
 def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
-                       stop_after_shards: int | None = None) -> dict:
+                       stop_after_shards: int | None = None,
+                       password: bytes = b"") -> dict:
     """Sharded snapshot commits for the PDF front door: the conversion
     IS the extraction here, so each shard writes ``pdfs_to_spans``
     output directly plus a small metrics row.  The commit protocol
@@ -174,7 +181,7 @@ def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
     from .checkpoint import run_sharded
 
     def write_shard(shard_df, k: int):
-        out = pdfs_to_spans(shard_df).persist()
+        out = pdfs_to_spans(shard_df, password=password).persist()
         try:
             out.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "spans", f"shard={k}"))

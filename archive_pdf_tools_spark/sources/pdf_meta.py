@@ -103,8 +103,9 @@ class _Reader:
     resolving each object id to a byte offset or an object-stream slot.
     Newest sections win (incremental-update semantics)."""
 
-    def __init__(self, data: bytes):
+    def __init__(self, data: bytes, password: bytes = b""):
         self.data = data
+        self.password = password
         # oid -> (1, byte offset) | (2, objstm oid, index inside it)
         self.entries: dict[int, tuple] = {}
         self.trailers: list[bytes] = []
@@ -119,10 +120,12 @@ class _Reader:
 
     def _init_crypt(self):
         """Standard security handler (§7.6): when the trailer names an
-        /Encrypt dictionary, derive the file key for the EMPTY user
-        password so every stream fetch decrypts transparently — the
-        capability the reference gets from PyMuPDF's crypto layer.
-        Password-protected or out-of-scope handlers raise ``PdfError``
+        /Encrypt dictionary, derive the file key (for the empty user
+        password by default, or the caller-supplied user/owner
+        ``password``) so every stream fetch decrypts transparently —
+        the capability the reference gets from PyMuPDF's crypto layer
+        (``fitz.Document.authenticate``).
+        Password-rejected or out-of-scope handlers raise ``PdfError``
         (callers degrade to the per-doc error row)."""
         enc_oid = None
         enc_direct = None
@@ -188,7 +191,8 @@ class _Reader:
                     rb"/EncryptMetadata\s+false", d),
                 oe=_crypt_string(d, b"/OE"),
                 ue=_crypt_string(d, b"/UE"),
-                cfm=cfm)
+                cfm=cfm,
+                password=self.password)
         except PdfCryptError as exc:
             raise PdfError(f"encrypted PDF: {exc}") from exc
 
@@ -691,10 +695,12 @@ def _jbig2_dims(raw: bytes):
     return None
 
 
-def parse_pdf(data: bytes) -> dict:
+def parse_pdf(data: bytes, password: bytes = b"") -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
-    (see module docstring for the field provenance)."""
-    rd = _Reader(data)
+    (see module docstring for the field provenance).  ``password``
+    opens user- or owner-password-protected files (empty default =
+    the owner-locked archival shape)."""
+    rd = _Reader(data, password)
     root_id = rd.root_id()
     if root_id is None or not rd.has(root_id):
         raise PdfError("no /Root")
@@ -798,7 +804,8 @@ def parse_pdf(data: bytes) -> dict:
             "scale": round(max_scale, 6), "pages": pages}
 
 
-def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
+def extract_page_images(data: bytes, page_idx: int, *, meta=None,
+                        rd=None, password: bytes = b""):
     """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
     image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams decode
     directly; /DCTDecode streams decode through the from-scratch
@@ -837,11 +844,11 @@ def extract_page_images(data: bytes, page_idx: int, *, meta=None, rd=None):
     decode_g3 = get_decoder("CCITT")
 
     if meta is None:
-        meta = parse_pdf(data)
+        meta = parse_pdf(data, password)
     if page_idx >= meta["n_pages"]:
         raise IndexError(page_idx)
     if rd is None:
-        rd = _Reader(data)
+        rd = _Reader(data, password)
     out = []
     for im in meta["pages"][page_idx]["images"]:
         if im["format"] not in ("FLATE", "RAW", "JPEG", "JPEG2000",

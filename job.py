@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--synthetic", type=int, default=None,
                     help="generate N synthetic docs instead of --input")
+    ap.add_argument("--pdf-password", default="",
+                    help="user or owner password for encrypted PDF "
+                         "inputs (--input-format pdf); one corpus-wide "
+                         "password, per-doc failures degrade to "
+                         "pdf_error spans")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -62,8 +67,9 @@ def main(argv=None):
             # text + MRC-recoded images): shard-committed directly.
             from archive_pdf_tools_spark.operators.pdfcomp import (
                 run_pdf_checkpoint)
-            manifest = run_pdf_checkpoint(spark, docs, args.output,
-                                          shards=args.shards)
+            manifest = run_pdf_checkpoint(
+                spark, docs, args.output, shards=args.shards,
+                password=args.pdf_password.encode())
             print(json.dumps(manifest))
             spark.stop()
             return

@@ -186,6 +186,73 @@ def test_password_protected_pdf_degrades_to_error_row():
         parse_pdf(bad)
 
 
+@pytest.mark.parametrize("r", [2, 3, 4, 6])
+def test_user_and_owner_passwords(r):
+    """Real (non-empty) passwords, every revision: the handler accepts
+    the user password (Algorithms 4/5 against /U), accepts the OWNER
+    password (Algorithm 7: /O inverted back to the padded user string
+    for R<=4, Algorithm 2.A's /O check for R6) deriving the SAME file
+    key, and rejects wrong/empty passwords loudly."""
+    cred = make_credentials(r, password=b"secret",
+                            owner_password=b"own3r")
+    kw = dict(v=cred["V"], r=cred["R"], length_bits=cred["Length"],
+              p=-4, o=cred["O"], u=cred["U"], id0=b"\x01" * 16,
+              cfm=cred.get("CFM"), oe=cred.get("OE", b""),
+              ue=cred.get("UE", b""))
+    hu = StdSecurityHandler(**kw, password=b"secret")
+    ho = StdSecurityHandler(**kw, password=b"own3r")
+    assert hu.key == ho.key
+    data = b"per-object payload " * 4
+    assert ho.decrypt(hu.encrypt(data, 5, 0), 5, 0) == data
+    for bad in (b"", b"wrong", b"Secret"):
+        with pytest.raises(PdfCryptError, match="password"):
+            StdSecurityHandler(**kw, password=bad)
+    # owner defaults to the user password (Algorithm 3 step (a))
+    cred2 = make_credentials(r, password=b"both")
+    kw2 = dict(kw, o=cred2["O"], u=cred2["U"], oe=cred2.get("OE", b""),
+               ue=cred2.get("UE", b""))
+    assert StdSecurityHandler(**kw2, password=b"both").key \
+        == StdSecurityHandler(**kw2, password=b"both").key
+
+
+@pytest.mark.parametrize("enc", ["rc4_40", "rc4", "aes", "aes256"])
+def test_password_protected_pdf_end_to_end(enc):
+    """The full scan surface with a real user password: parse_pdf /
+    extract_page_images succeed with the user OR owner password
+    (pixel-exact against the plaintext build), refuse without, and the
+    PDF front door degrades a wrong-password corpus to pdf_error spans
+    rather than failing the batch."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+    from archive_pdf_tools_spark.operators.pdfcomp import _doc_spans
+    from archive_pdf_tools_spark.sources.pdf_meta import (
+        PdfError, extract_page_images, parse_pdf)
+
+    rng = np.random.default_rng(97)
+    raw = bytes(rng.integers(0, 256, 8 * 6, dtype=np.uint8))
+    page = {"width": 612, "height": 792, "images": [
+        {"w": 8, "h": 6, "gray": True, "data": raw}],
+        "text": "locked Tj text"}
+    plain = parse_pdf(build_pdf([page]))
+    blob = build_pdf([page], encrypt=enc, encrypt_password=b"secret",
+                     encrypt_owner_password=b"own3r")
+    assert raw not in blob
+    with pytest.raises(PdfError, match="password"):
+        parse_pdf(blob)
+    for pw in (b"secret", b"own3r"):
+        meta = parse_pdf(blob, pw)
+        assert meta["n_pages"] == plain["n_pages"]
+        assert meta["pages"][0]["has_text"] is True
+        arrs = dict(extract_page_images(blob, 0, password=pw))
+        got = arrs[meta["pages"][0]["images"][0]["xref"]]
+        assert np.array_equal(
+            got, np.frombuffer(raw, np.uint8).reshape(6, 8))
+    # front door: right password -> spans; wrong -> error span contract
+    spans = _doc_spans("d1", blob, None, password=b"secret")
+    assert any(k == "text" for k, _t, _m in spans)
+    with pytest.raises(PdfError):
+        _doc_spans("d1", blob, None, password=b"nope")
+
+
 def test_identity_stmf_skips_stream_decryption():
     """/StmF /Identity declares streams unencrypted even though an
     /Encrypt dictionary exists: the parser must not decrypt."""
