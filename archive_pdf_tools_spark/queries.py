@@ -1689,8 +1689,12 @@ GROUP BY lang
 
 def q_pdf_poison(spark, sf):
     """The observable-failure contract, driver-checkable: a batch of 6
-    PDFs where doc 5 is truncated garbage.  The 5 good text-only docs
-    each produce exactly one text span with known text; the poison doc
+    PDFs where doc 5 is truncated garbage, doc 4 is password-protected
+    with the corpus password (round 7 late: the front door's
+    ``password=`` opens it — its text span proves the authenticated
+    decrypt worked) and doc 3 is protected with a DIFFERENT password
+    (wrong-password degradation).  The good text-only docs each
+    produce exactly one text span with known text; each poison doc
     produces exactly one pdf_error span and never an empty span list —
     and never poisons its batch neighbours.  Pure-arithmetic oracle."""
     import pandas as pd
@@ -1701,8 +1705,13 @@ def q_pdf_poison(spark, sf):
             rows = []
             for i in pdf["id"].values:
                 i = int(i)
+                enc = {3: dict(encrypt="rc4",
+                               encrypt_password=b"other"),
+                       4: dict(encrypt="aes",
+                               encrypt_password=b"pw55")}.get(i, {})
                 blob = build_pdf([{"width": 612, "height": 792,
-                                   "images": [], "text": f"page {i}"}])
+                                   "images": [], "text": f"page {i}"}],
+                                 **enc)
                 if i == 5:
                     blob = blob[:40]        # valid header, truncated xref
                 rows.append((f"px_{i}", bytearray(blob)))
@@ -1712,7 +1721,7 @@ def q_pdf_poison(spark, sf):
 
     docs = spark.range(0, 6).repartition(2).mapInPandas(
         gen, schema="doc_id string, pdf binary")
-    out = pdfs_to_spans(docs, hocr_col=None)
+    out = pdfs_to_spans(docs, hocr_col=None, password=b"pw55")
     return out.select(
         "doc_id",
         F.size(F.filter("spans", lambda s: s["kind"] == F.lit("text")))
@@ -1727,10 +1736,13 @@ def q_pdf_poison(spark, sf):
 
 SQL_PDF_POISON = """
 SELECT 'px_' || i::VARCHAR AS doc_id,
-       CAST(CASE WHEN i = 5 THEN 0 ELSE 1 END AS INTEGER) AS n_text,
-       CAST(CASE WHEN i = 5 THEN 1 ELSE 0 END AS INTEGER) AS n_error,
+       CAST(CASE WHEN i IN (3, 5) THEN 0 ELSE 1 END AS INTEGER)
+           AS n_text,
+       CAST(CASE WHEN i IN (3, 5) THEN 1 ELSE 0 END AS INTEGER)
+           AS n_error,
        CAST(1 AS INTEGER) AS n_spans,
-       CASE WHEN i = 5 THEN '' ELSE 'page ' || i::VARCHAR END AS texts
+       CASE WHEN i IN (3, 5) THEN ''
+            ELSE 'page ' || i::VARCHAR END AS texts
 FROM (SELECT unnest(generate_series(0, 5)) AS i)
 """
 
