@@ -76,7 +76,7 @@ def _recode_one(doc_id: str, pdf: bytes, hocr) -> list[tuple]:
 
 
 def _doc_spans(doc_id: str, pdf: bytes, hocr,
-               password: bytes = b"") -> list[tuple]:
+               password: bytes | str = b"") -> list[tuple]:
     """One PDF document -> ordered (kind, text, media_ref) output spans.
 
     Per page, in page order: the embedded text layer (literal strings the
@@ -125,7 +125,7 @@ def _doc_spans(doc_id: str, pdf: bytes, hocr,
 
 
 def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr",
-                  password: bytes = b""):
+                  password: bytes | str = b""):
     """(doc_id, pdf binary [, hocr]) -> (doc_id, spans) in the engine's
     output span contract — the PDF front door: a reference pdfcomp user
     points spark-submit at a table of PDFs and gets the recoded span
@@ -167,7 +167,7 @@ def pdfs_to_spans(df, pdf_col: str = "pdf", hocr_col: str | None = "hocr",
 
 def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
                        stop_after_shards: int | None = None,
-                       password: bytes = b"") -> dict:
+                       password: bytes | str = b"") -> dict:
     """Sharded snapshot commits for the PDF front door: the conversion
     IS the extraction here, so each shard writes ``pdfs_to_spans``
     output directly plus a small metrics row.  The commit protocol

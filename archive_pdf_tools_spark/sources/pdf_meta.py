@@ -103,7 +103,7 @@ class _Reader:
     resolving each object id to a byte offset or an object-stream slot.
     Newest sections win (incremental-update semantics)."""
 
-    def __init__(self, data: bytes, password: bytes = b""):
+    def __init__(self, data: bytes, password: bytes | str = b""):
         self.data = data
         self.password = password
         # oid -> (1, byte offset) | (2, objstm oid, index inside it)
@@ -695,7 +695,7 @@ def _jbig2_dims(raw: bytes):
     return None
 
 
-def parse_pdf(data: bytes, password: bytes = b"") -> dict:
+def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
     """PDF bytes -> {n_pages, recommended_format, scale, pages: [...]}
     (see module docstring for the field provenance).  ``password``
     opens user- or owner-password-protected files (empty default =
@@ -805,7 +805,7 @@ def parse_pdf(data: bytes, password: bytes = b"") -> dict:
 
 
 def extract_page_images(data: bytes, page_idx: int, *, meta=None,
-                        rd=None, password: bytes = b""):
+                        rd=None, password: bytes | str = b""):
     """S2 (``recode.py:316-332``): raw decoded pixel arrays of a page's
     image XObjects — ``[(xref, np.ndarray)]``.  Flate/raw streams decode
     directly; /DCTDecode streams decode through the from-scratch

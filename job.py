@@ -69,7 +69,7 @@ def main(argv=None):
                 run_pdf_checkpoint)
             manifest = run_pdf_checkpoint(
                 spark, docs, args.output, shards=args.shards,
-                password=args.pdf_password.encode())
+                password=args.pdf_password)
             print(json.dumps(manifest))
             spark.stop()
             return

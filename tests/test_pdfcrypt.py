@@ -207,12 +207,27 @@ def test_user_and_owner_passwords(r):
     for bad in (b"", b"wrong", b"Secret"):
         with pytest.raises(PdfCryptError, match="password"):
             StdSecurityHandler(**kw, password=bad)
-    # owner defaults to the user password (Algorithm 3 step (a))
+    # owner defaults to the user password (Algorithm 3 step (a)):
+    # the defaulted /O must equal the explicit same-owner /O and
+    # differ from a distinct-owner /O
     cred2 = make_credentials(r, password=b"both")
-    kw2 = dict(kw, o=cred2["O"], u=cred2["U"], oe=cred2.get("OE", b""),
-               ue=cred2.get("UE", b""))
-    assert StdSecurityHandler(**kw2, password=b"both").key \
-        == StdSecurityHandler(**kw2, password=b"both").key
+    cred2e = make_credentials(r, password=b"both",
+                              owner_password=b"both")
+    assert cred2["O"] == cred2e["O"]
+    assert cred2["O"] != cred["O"]
+    # a passworded corpus still opens owner-locked files: the handler
+    # retries the EMPTY password after user+owner attempts fail
+    cred0 = make_credentials(r)
+    kw0 = dict(kw, o=cred0["O"], u=cred0["U"], oe=cred0.get("OE", b""),
+               ue=cred0.get("UE", b""))
+    h0 = StdSecurityHandler(**kw0, password=b"not-this-files-pw")
+    assert h0.key == StdSecurityHandler(**kw0).key
+    # str passwords encode per revision (Latin-1 R<=4, UTF-8 R6)
+    creds = make_credentials(r, password="café".encode(
+        "utf-8" if r == 6 else "latin-1"))
+    kws = dict(kw, o=creds["O"], u=creds["U"], oe=creds.get("OE", b""),
+               ue=creds.get("UE", b""))
+    assert StdSecurityHandler(**kws, password="café").key
 
 
 @pytest.mark.parametrize("enc", ["rc4_40", "rc4", "aes", "aes256"])
