@@ -490,6 +490,23 @@ def test_halftone_mmr_roundtrip():
         assert np.array_equal(decode_jbig2(data), exp), off
     with pytest.raises(ValueError, match="arithmetic-only"):
         encode_jbig2_halftone(gray, pats, enable_skip=True, mmr=True)
+    # typed-error fuzz over the MMR stream (small max_pixels so bomb
+    # guards trip fast instead of grinding inside the default bound)
+    base = bytearray(encode_jbig2_halftone(gray, pats, pitch=6,
+                                           mmr=True))
+    for i in range(0, len(base), 11):
+        try:
+            decode_jbig2(bytes(base[:i]), max_pixels=64 * 64)
+        except Exception as exc:
+            assert type(exc).__name__ == "Jbig2Error", exc
+    for _ in range(150):
+        d = bytearray(base)
+        for _ in range(int(rng.integers(1, 5))):
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+        try:
+            decode_jbig2(bytes(d), max_pixels=64 * 64)
+        except Exception as exc:
+            assert type(exc).__name__ == "Jbig2Error", exc
 
 
 def test_g4_planes_stream_shape():
