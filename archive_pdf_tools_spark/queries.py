@@ -2261,6 +2261,103 @@ FROM pix GROUP BY i, w, h
 """
 
 
+def q_tiff_decode(spark, sf):
+    """Driver-visible TRUE-arithmetic oracle for the TIFF codec
+    (round 7 late — the imagestack page format the reference hands to
+    PIL, ``recode.py:595-597`` / ``bin/pdf-to-imagestack``): 18
+    closed-form images encode rotating through the strip compressions
+    (none / PackBits / LZW / LZW+predictor over 8-bit gray or RGB,
+    and CCITT G4 / G3 bilevel fax pages at photometric 0) with
+    multi-strip layouts, then decode back; per-image pixel sums and a
+    position-weighted sum are compared against the same closed form
+    in SQL.  Every scheme is lossless, so any defect — IFD walk,
+    strip layout, LZW early-change widths, predictor prefix sums,
+    PackBits runs, the CCITT handoff, photometric rendering —
+    corrupts pixels and breaks the arithmetic match."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.tiffcodec import decode_tiff, encode_tiff
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w = 8 + (i * 13) % 57
+                h = 8 + (i * 9) % 41
+                yy, xx = np.mgrid[0:h, 0:w]
+                route = i % 6
+                if route >= 4:               # bilevel fax routes
+                    black = (((3 * i + 7 * xx + 5 * yy) % 11) < 4)
+                    img = np.where(black, 0, 255).astype(np.uint8)
+                    comp = "g4" if route == 4 else "g3"
+                    data = encode_tiff(img, compression=comp,
+                                       bilevel=True)
+                    exp = img
+                else:
+                    comp = ["none", "packbits", "lzw",
+                            "lzw_predictor"][route]
+                    base = (37 * i + 5 * xx + 11 * yy)
+                    if i % 2:                # RGB
+                        img = np.stack([(base + 85 * c) % 256
+                                        for c in range(3)],
+                                       axis=-1).astype(np.uint8)
+                    else:
+                        img = (base % 256).astype(np.uint8)
+                    data = encode_tiff(img, compression=comp,
+                                       rows_per_strip=5 + i % 7)
+                    exp = img
+                dec = decode_tiff(data)
+                if not np.array_equal(dec, exp):
+                    raise AssertionError(f"tiff lossless violation {i}")
+                wgt = (xx + 2 * yy + 1)
+                if dec.ndim == 3:
+                    wsum = int((dec.astype(np.int64)
+                                * wgt[:, :, None]).sum())
+                else:
+                    wsum = int((dec.astype(np.int64) * wgt).sum())
+                rows.append((i, w, h, dec.ndim == 3,
+                             int(dec.astype(np.int64).sum()), wsum))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "rgb", "px_sum", "wsum"])
+
+    base = spark.range(0, 18).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "rgb boolean, px_sum bigint, wsum bigint")
+
+
+SQL_TIFF_DECODE = r"""
+WITH imgs AS (SELECT unnest(generate_series(0, 17)) AS i),
+dims AS (SELECT i, 8 + (i * 13) % 57 AS w, 8 + (i * 9) % 41 AS h
+         FROM imgs),
+pix AS (
+  SELECT d.i, d.w, d.h,
+         CASE
+           WHEN d.i % 6 >= 4 THEN              -- bilevel fax routes
+             CASE WHEN (3 * d.i + 7 * xs.x + 5 * ys.y) % 11 < 4
+                  THEN 0 ELSE 255 END
+           WHEN d.i % 2 = 1 THEN               -- RGB: 3-channel sum
+             (37 * d.i + 5 * xs.x + 11 * ys.y) % 256
+             + (37 * d.i + 5 * xs.x + 11 * ys.y + 85) % 256
+             + (37 * d.i + 5 * xs.x + 11 * ys.y + 170) % 256
+           ELSE (37 * d.i + 5 * xs.x + 11 * ys.y) % 256
+         END AS v,
+         xs.x + 2 * ys.y + 1 AS wgt
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+SELECT i AS img_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       (i % 6 < 4 AND i % 2 = 1) AS rgb,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum(v * wgt) AS BIGINT) AS wsum
+FROM pix GROUP BY i, w, h
+"""
+
+
 def q_jp2_lossy(spark, sf):
     """Irreversible JPEG2000 decode (9/7 float lifting + ICT + dead-zone
     scalar quantization, both QCD styles): 12 seeded smooth images
@@ -2588,7 +2685,6 @@ QUERIES = {
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
     "stop_after": (q_stop_after, SQL_STOP),
     "positional_join": (q_positional_join, SQL_POSJOIN),
-    "timing_summary": (q_timing_summary, SQL_TIMING),
     "ratio_agg": (q_ratio_agg, SQL_RATIO),
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
     "hq_flag": (q_hq_flag, SQL_HQ),
@@ -2635,6 +2731,7 @@ QUERIES = {
     "jp2_lossy": (q_jp2_lossy, None),                # new (r5, pinned)
     "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
     "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
+    "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),     # new (r7 late)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -2643,6 +2740,11 @@ QUERIES = {
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
     # oracle-paired, behaviour covered by the NAMED in-window row:
+    # - timing_summary (rotated out r7 late for tiff_decode,
+    #   driver-green r1-r7): its metrics input rows are the pinned
+    #   in-window extract_metrics VALUES oracle, and the added
+    #   groupBy-sum shape is the same aggregate construct
+    #   pricing_summary/ratio_agg drive in-window.
     # - skip_filter (rotated out r7, driver-green r1-r6):
     #   skip_anti_join (in-window since r7) consumes the same scandata
     #   skip list with the same anti-join semantics — a skip-list
@@ -2704,6 +2806,7 @@ QUERIES = {
     "top_terms": (q_top_terms, SQL_TOP_TERMS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     "media_resize": (q_media_resize, None),
+    "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

@@ -1,0 +1,203 @@
+"""TIFF codec (kernels/tiffcodec.py) — the imagestack page format.
+
+The reference hands every ``*_tif.zip`` page file to PIL
+(``recode.py:595-597`` imagestack scan, ``bin/pdf-to-imagestack``
+inverse); this suite pins the re-derived capability: classic TIFF
+strips across none/PackBits/LZW(+predictor)/CCITT G3/G4/JPEG
+compressions, both byte orders, bilevel fax pages and 8-bit
+gray/RGB.  No foreign TIFF exists in-container, so the evidence
+model is bit-exact round-trips, hand-built byte-level fixtures
+(big-endian, JPEGTables) and typed-error fuzz — the same model as
+the other codecs."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels.tiffcodec import (
+    TiffError, decode_tiff, encode_tiff, lzw_decode, lzw_encode,
+    packbits_decode, packbits_encode)
+
+
+def test_packbits_roundtrip_and_pins():
+    rng = np.random.default_rng(1)
+    for n in (0, 1, 2, 127, 128, 129, 4000):
+        for lo in (2, 256):
+            b = bytes(rng.integers(0, lo, n, dtype=np.uint8))
+            assert packbits_decode(packbits_encode(b), n) == b, (n, lo)
+    # §9 worked example shapes: a repeat run and a literal run
+    assert packbits_encode(b"\xaa\xaa\xaa") == b"\xfe\xaa"
+    assert packbits_decode(b"\xfe\xaa", 3) == b"\xaa\xaa\xaa"
+    assert packbits_decode(b"\x02abc", 3) == b"abc"
+    with pytest.raises(TiffError):
+        packbits_decode(b"\x05ab", 6)        # truncated literal
+
+
+def test_lzw_roundtrip_growth_and_pins():
+    """Early-change width schedule: the first code is 9 bits and the
+    stream opens with Clear (256) — pinned at the bit level — and a
+    long low-entropy payload crosses 10/11/12-bit widths plus a table
+    reset without desynchronizing."""
+    rng = np.random.default_rng(2)
+    for n in (0, 1, 300, 5000):
+        b = bytes(rng.integers(0, 6, n, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(b), n) == b, n
+        r = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        assert lzw_decode(lzw_encode(r), n) == r, n
+    big = bytes(rng.integers(0, 16, 300_000, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(big), len(big)) == big
+    # bit-level pin: Clear=256 as the leading 9-bit code = 1000 0000 0
+    enc = lzw_encode(b"A")
+    assert enc[0] == 0b10000000
+    assert (enc[1] >> 7) == 0
+    with pytest.raises(TiffError):
+        lzw_decode(lzw_encode(b"hello")[:1], 5)
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "lzw",
+                                  "lzw_predictor"])
+def test_gray_rgb_roundtrip(comp):
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 256, (45, 61), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    smooth = np.clip(np.add.outer(np.arange(40) * 3,
+                                  np.arange(50) * 2), 0, 255
+                     ).astype(np.uint8)
+    for img in (gray, rgb, smooth):
+        t = encode_tiff(img, compression=comp, rows_per_strip=7)
+        assert np.array_equal(decode_tiff(t), img), comp
+
+
+@pytest.mark.parametrize("comp", ["none", "packbits", "g4", "g3"])
+def test_bilevel_roundtrip(comp):
+    """Fax-style pages: photometric 0 (min-is-white, the CCITT norm),
+    1-bit rows padded to bytes; decode renders 0/255 gray."""
+    rng = np.random.default_rng(4)
+    bl = (rng.random((37, 83)) < 0.25).astype(np.uint8) * 255
+    t = encode_tiff(bl, compression=comp, bilevel=True)
+    assert np.array_equal(decode_tiff(t), np.where(bl < 128, 0, 255))
+
+
+def test_jpeg_in_tiff_and_jpegtables():
+    """New-style JPEG (tag 7): full interchange strips decode, and
+    the JPEGTables-abbreviated layout (tables stream + per-strip
+    scan-only streams, §22 / TTN2) re-merges to the same pixels."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_baseline
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    t = encode_tiff(img, compression="jpeg")
+    full = decode_tiff(t)
+    assert full.shape == img.shape
+    # split a full stream into tables (DQT/DHT) + abbreviated image
+    blob = encode_baseline(img)
+    tables, image = bytearray(b"\xff\xd8"), bytearray(b"\xff\xd8")
+    i = 2
+    while i < len(blob):
+        assert blob[i] == 0xFF
+        m = blob[i + 1]
+        if m == 0xD9:
+            break
+        seg_len = struct.unpack(">H", blob[i + 2:i + 4])[0]
+        seg = blob[i:i + 2 + seg_len]
+        (tables if m in (0xDB, 0xC4) else image).extend(seg)
+        i += 2 + seg_len
+        if m == 0xDA:                        # entropy data to EOI
+            image.extend(blob[i:])
+            break
+    tables.extend(b"\xff\xd9")
+    # hand-build a TIFF with JPEGTables: take the encoder's layout and
+    # swap the strip + add tag 347
+    base = encode_tiff(img, compression="jpeg")
+    h, w = img.shape
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    entries = [
+        (256, 4, [w]), (257, 4, [h]), (258, 3, [8]), (259, 3, [7]),
+        (262, 3, [1]), (273, 4, [0]), (277, 3, [1]), (278, 4, [h]),
+        (279, 4, [len(image)]), (347, 7, None)]
+    ifd_size = 2 + 12 * len(entries) + 4
+    tbl_off = 8 + ifd_size
+    strip_off = tbl_off + len(tables)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, vals in entries:
+        if tag == 273:
+            vals = [strip_off]
+        if tag == 347:
+            out += struct.pack("<HHII", tag, typ, len(tables), tbl_off)
+            continue
+        fmt = {3: "H", 4: "I"}[typ]
+        b = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        out += struct.pack("<HHI", tag, typ, len(vals))
+        out += b + b"\x00" * (4 - len(b))
+    out += struct.pack("<I", 0)
+    out += tables + image
+    merged = decode_tiff(bytes(out))
+    assert np.array_equal(merged, full)
+
+
+def test_big_endian_and_photometric_inversion():
+    """MM byte order decodes (hand-built fixture) and photometric 0
+    on 8-bit gray inverts."""
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    raw = img.tobytes()
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    entries = [(256, 3, 4), (257, 3, 3), (258, 3, 8), (259, 3, 1),
+               (262, 3, 0), (273, 4, None), (277, 3, 1),
+               (278, 3, 3), (279, 4, len(raw))]
+    ifd_size = 2 + 12 * len(entries) + 4
+    data_off = 8 + ifd_size
+    out += struct.pack(">H", len(entries))
+    for tag, typ, val in entries:
+        if tag == 273:
+            val = data_off
+        out += struct.pack(">HHI", tag, typ, 1)
+        if typ == 3:
+            out += struct.pack(">H", val) + b"\x00\x00"
+        else:
+            out += struct.pack(">I", val)
+    out += struct.pack(">I", 0)
+    out += raw
+    got = decode_tiff(bytes(out))
+    assert np.array_equal(got, 255 - img)    # WhiteIsZero inverts
+
+
+def test_multi_strip_and_gates():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (64, 32), dtype=np.uint8)
+    t = encode_tiff(img, compression="lzw", rows_per_strip=5)
+    assert np.array_equal(decode_tiff(t), img)
+    with pytest.raises(TiffError, match="magic"):
+        decode_tiff(b"NOTATIFF")
+    with pytest.raises(TiffError):
+        decode_tiff(encode_tiff(img)[:30])
+    big = encode_tiff(np.zeros((100, 100), np.uint8))
+    with pytest.raises(TiffError, match="dimensions"):
+        decode_tiff(big, max_pixels=50)
+    with pytest.raises(ValueError, match="bilevel"):
+        encode_tiff(img, compression="g4")
+
+
+def test_fuzz_typed_errors_only():
+    """Truncations and byte mutations raise TiffError only (the
+    mapInPandas metadata-fallback contract)."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (20, 30), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw", "g4"):
+        base = bytearray(encode_tiff(
+            np.where(img > 128, np.uint8(255), np.uint8(0))
+            if comp == "g4" else img,
+            compression=comp, bilevel=comp == "g4"))
+        for i in range(0, len(base), 13):
+            try:
+                decode_tiff(bytes(base[:i]), max_pixels=64 * 64)
+            except TiffError:
+                pass
+        for _ in range(120):
+            d = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                d[int(rng.integers(0, len(d)))] = \
+                    int(rng.integers(0, 256))
+            try:
+                decode_tiff(bytes(d), max_pixels=64 * 64)
+            except TiffError:
+                pass
