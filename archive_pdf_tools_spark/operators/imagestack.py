@@ -1,0 +1,149 @@
+"""Imagestack front door: (doc_id, page_idx, image) -> output spans.
+
+The reference's PRIMARY input is an image stack plus hOCR
+(``recode.py:595-597``: glob + lexicographic sort of page-image
+files, position = page index; pages are TIFF/JP2 files inside
+``*_tif.zip``).  This operator is that front door as a cluster job:
+one row per page file, pages decoded through the engine's own codecs
+(``kernels/tiffcodec`` for TIFF — G4 fax, LZW/PackBits gray/RGB —
+with JPEG2000/JPEG payloads routed to their codecs by magic), MRC
+decomposition per page, and per-doc span assembly in ``page_idx``
+order (order is DATA, never file order — the S1 contract).
+
+Scale shape: the only shuffle is the per-doc regroup
+(``groupBy(doc_id).applyInPandas``), the same partitioning the
+flagship extraction reuses; page decode + MRC run inside the grouped
+UDF with no driver-side state, and the checkpoint protocol is the
+shared ``checkpoint.run_sharded``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import numpy as np
+
+__all__ = ["imagestack_to_spans", "run_imagestack_checkpoint",
+           "decode_page_image"]
+
+
+def decode_page_image(blob: bytes) -> np.ndarray:
+    """One page file -> uint8 raster, dispatched by magic: TIFF
+    (II*/MM*), JPEG2000 (JP2 box / raw J2K), JPEG (SOI), else raw
+    PGM-less bytes raise.  The same typed-error contract as the PDF
+    image path: unsupported/corrupt pages raise their codec error."""
+    from ..kernels.registry import get_decoder
+    if blob[:4] in (b"II*\x00", b"MM\x00*"):
+        from ..kernels.tiffcodec import decode_tiff
+        return decode_tiff(bytes(blob))
+    if blob[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" \
+            or blob[:4] == b"\xff\x4f\xff\x51":
+        return get_decoder("JPEG2000")(bytes(blob))
+    if blob[:2] == b"\xff\xd8":
+        return get_decoder("JPEG")(bytes(blob))
+    from ..kernels.tiffcodec import TiffError
+    raise TiffError("unrecognized page-image format")
+
+
+def _sha12(arr: np.ndarray) -> str:
+    return hashlib.sha1(
+        np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
+
+
+def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
+    """pages: [(page_idx, image bytes)] sorted by page_idx -> ordered
+    (kind, text, media_ref) spans, mirroring the PDF front door's
+    per-image contract (hOCR-accepted MRC text lines + one
+    content-addressed media span per page)."""
+    from ..kernels.mrc import create_mrc_components
+    from ..sources.hocr import iter_pages, page_word_data
+
+    word_data_by_page: dict[int, list] = {}
+    if hocr:
+        for idx, page in enumerate(iter_pages(hocr)):
+            word_data_by_page[idx] = page_word_data(page)
+    spans: list[tuple] = []
+    for pidx, blob in pages:
+        raster = decode_page_image(bytes(blob))
+        words = word_data_by_page.get(pidx, [])
+        res = create_mrc_components(raster, words)
+        for dec in res.line_decisions:
+            if dec.accepted:
+                line = words[dec.para_idx]["lines"][dec.line_idx]
+                spans.append(
+                    ("text",
+                     " ".join(w["text"] for w in line["words"]), ""))
+        ref = (f"stack://{doc_id}/p{pidx}"
+               f"#mrc={_sha12(res.mask)}-{_sha12(res.foreground)}-"
+               f"{_sha12(res.background)}")
+        spans.append(("media", "", ref))
+    return spans
+
+
+def imagestack_to_spans(df, image_col: str = "image",
+                        hocr_col: str | None = "hocr"):
+    """(doc_id, page_idx, image binary[, hocr per doc]) -> (doc_id,
+    spans) in the engine's output span contract.  ``hocr_col`` (when
+    present) carries the document's hOCR markup on any of its rows
+    (typically page 0); pages assemble in ``page_idx`` order."""
+    import pandas as pd
+
+    from ..operators.extract import OUTPUT_SCHEMA_DDL
+
+    has_hocr = hocr_col is not None and hocr_col in df.columns
+
+    def one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc_id = pdf["doc_id"].iloc[0]
+        hocr = None
+        if has_hocr:
+            hv = pdf[hocr_col].dropna()
+            if len(hv):
+                hocr = hv.iloc[0]
+        pages = sorted(zip(pdf["page_idx"].values,
+                           pdf[image_col].values),
+                       key=lambda t: int(t[0]))
+        try:
+            rows = _doc_rows(doc_id, pages, hocr)
+        except Exception as exc:  # noqa: BLE001 — poison-doc guard
+            rows = [("stack_error",
+                     f"{type(exc).__name__}: {exc}"[:200], "")]
+        return pd.DataFrame({
+            "doc_id": [doc_id],
+            "spans": [[{"kind": k, "text": t, "media_ref": m,
+                        "offset": i}
+                       for i, (k, t, m) in enumerate(rows)]]})
+
+    cols = ["doc_id", "page_idx", image_col] + (
+        [hocr_col] if has_hocr else [])
+    return (df.select(*cols).groupBy("doc_id")
+            .applyInPandas(one_doc, schema=OUTPUT_SCHEMA_DDL))
+
+
+def run_imagestack_checkpoint(spark, df, out_dir: str,
+                              shards: int = 16,
+                              stop_after_shards: int | None = None,
+                              hocr_col: str | None = "hocr") -> dict:
+    """Sharded snapshot commits for the imagestack front door — the
+    shared ``checkpoint.run_sharded`` protocol, same as PDFs."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .checkpoint import run_sharded
+
+    def write_shard(shard_df, k: int):
+        out = imagestack_to_spans(shard_df, hocr_col=hocr_col).persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "spans", f"shard={k}"))
+            (out.select(F.count("*").alias("doc_count"),
+                        F.sum(F.size("spans")).alias("span_count"))
+             .withColumn("shard", F.lit(k))
+             .write.mode("overwrite").parquet(
+                 os.path.join(out_dir, "metrics", f"shard={k}")))
+        finally:
+            out.unpersist()
+
+    return run_sharded(df, out_dir, shards, write_shard,
+                       stop_after_shards=stop_after_shards)

@@ -24,7 +24,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents table path (parquet)")
     ap.add_argument("--input-format", choices=("spans", "hocr", "html",
-                                               "pdf"),
+                                               "pdf", "imagestack"),
                     default="spans",
                     help="'spans' = interleaved (doc_id, spans) table; "
                          "'hocr' = (doc_id, hocr markup [, dpi]) table, "
@@ -33,7 +33,11 @@ def main(argv=None):
                          "extracted via sources/htmlmain.py; "
                          "'pdf' = (doc_id, pdf binary [, hocr]) table, "
                          "recoded to spans via operators/pdfcomp.py "
-                         "(the bin/pdfcomp entry point as a cluster job)")
+                         "(the bin/pdfcomp entry point as a cluster job); "
+                         "'imagestack' = (doc_id, page_idx, image "
+                         "binary [, hocr]) table of TIFF/JP2/JPEG page "
+                         "files, the reference's primary input shape "
+                         "(operators/imagestack.py)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--partitions", type=int, default=None)
@@ -62,6 +66,15 @@ def main(argv=None):
                                    num_partitions=args.partitions)
     elif args.input:
         docs = spark.read.parquet(args.input)
+        if args.input_format == "imagestack":
+            from archive_pdf_tools_spark.operators.imagestack import (
+                run_imagestack_checkpoint)
+            manifest = run_imagestack_checkpoint(spark, docs,
+                                                 args.output,
+                                                 shards=args.shards)
+            print(json.dumps(manifest))
+            spark.stop()
+            return
         if args.input_format == "pdf":
             # The conversion IS the extraction for PDFs (content-stream
             # text + MRC-recoded images): shard-committed directly.

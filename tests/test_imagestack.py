@@ -1,0 +1,83 @@
+"""Imagestack front door (operators/imagestack.py): per-page TIFF
+files -> per-doc ordered spans — the reference's PRIMARY input shape
+(``recode.py:595-597``: image stack + hOCR, position = page index)."""
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+from archive_pdf_tools_spark.operators.imagestack import (
+    decode_page_image, imagestack_to_spans)
+
+
+def _page(seed: int, gray: bool = True) -> bytes:
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    if not gray:
+        img = np.stack([img, 255 - img, np.roll(img, 3, 1)], axis=-1)
+    return encode_tiff(img, compression="lzw" if gray else "packbits")
+
+
+def test_decode_page_image_dispatch():
+    """Magic-based dispatch: TIFF, JPEG and JP2 page files all decode;
+    junk raises the typed error."""
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
+    from archive_pdf_tools_spark.kernels.jpegcodec import encode_baseline
+    from archive_pdf_tools_spark.kernels.tiffcodec import TiffError
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    assert np.array_equal(
+        decode_page_image(encode_tiff(img, compression="lzw")), img)
+    assert np.array_equal(decode_page_image(encode_jp2(img)), img)
+    assert decode_page_image(encode_baseline(img)).shape == img.shape
+    with pytest.raises(TiffError, match="unrecognized"):
+        decode_page_image(b"\x00\x01\x02junk")
+
+
+def test_imagestack_to_spans_order_and_poison(spark):
+    """Pages assemble in page_idx order regardless of row order, each
+    page emits one content-addressed media span, and a corrupt page
+    poisons only ITS document (stack_error span, batch survives)."""
+    rows = []
+    for d in range(3):
+        for p in range(3):
+            blob = _page(10 * d + p, gray=(d + p) % 2 == 0)
+            if d == 2 and p == 1:
+                blob = blob[:10]             # corrupt mid-doc page
+            rows.append((f"doc{d}", p, bytearray(blob)))
+    rows.reverse()                           # row order != page order
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_idx int, image binary")
+    out = {r["doc_id"]: r["spans"]
+           for r in imagestack_to_spans(df, hocr_col=None).collect()}
+    assert set(out) == {"doc0", "doc1", "doc2"}
+    for d in ("doc0", "doc1"):
+        spans = out[d]
+        media = [s for s in spans if s["kind"] == "media"]
+        assert len(media) == 3
+        # offsets strictly ordered and refs name ascending pages
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        assert [m["media_ref"].split("/p")[1].split("#")[0]
+                for m in media] == ["0", "1", "2"]
+        # content-addressed: mask/fg/bg hashes present
+        assert all("#mrc=" in m["media_ref"] for m in media)
+    bad = out["doc2"]
+    assert len(bad) == 1 and bad[0]["kind"] == "stack_error"
+
+
+def test_imagestack_hocr_text_lines(spark):
+    """With hOCR attached, accepted MRC text lines appear before the
+    page's media span — the flagship imagestack+hOCR pairing."""
+    from archive_pdf_tools_spark.corpus.hocrgen import synth_hocr
+    # a page whose raster has real dark strokes so hOCR lines accept
+    img = np.full((60, 80), 255, np.uint8)
+    img[10:14, 5:70] = 20
+    blob = encode_tiff(img, compression="g4", bilevel=True)
+    hocr = synth_hocr("alpha beta gamma delta", words_per_page=4)
+    df = spark.createDataFrame(
+        [("d0", 0, bytearray(blob), hocr)],
+        "doc_id string, page_idx int, image binary, hocr string")
+    spans = imagestack_to_spans(df).collect()[0]["spans"]
+    kinds = [s["kind"] for s in spans]
+    assert kinds[-1] == "media"
+    assert spans[-1]["media_ref"].startswith("stack://d0/p0#mrc=")
