@@ -127,7 +127,10 @@ def packbits_encode(data: bytes) -> bytes:
             i = j
             continue
         # literal run until the next >=3 repeat (2-byte repeats are
-        # cheaper folded into the literal)
+        # cheaper folded into the literal); folding advances j by 2,
+        # so clamp to the 128-byte literal ceiling — without it a
+        # 127+pair state emits header byte 0x80, the no-op code
+        # (review finding, undecodable stream)
         j = i
         while j < n and j - i < 128:
             k = j + 1
@@ -135,7 +138,7 @@ def packbits_encode(data: bytes) -> bytes:
                 k += 1
             if k - j >= 3:
                 break
-            j = k
+            j = min(k, i + 128)
         out += bytes([j - i - 1]) + data[i:j]
         i = j
     return bytes(out)
@@ -294,7 +297,10 @@ def _decode_tiff(data: bytes, max_pixels: int) -> np.ndarray:
         depth = 8
     else:
         raise TiffError("unsupported sample layout")
-    if photo not in (0, 1) and not (photo in (2, 6) and spp == 3):
+    if photo not in (0, 1) and not (photo == 2 and spp == 3) \
+            and not (photo == 6 and spp == 3 and comp == 7):
+        # YCbCr is only in scope where JPEG converts it internally —
+        # raw YCbCr samples must not masquerade as RGB
         raise TiffError("unsupported photometric interpretation")
 
     offs = tags.get(_T_STRIP_OFF)
@@ -383,6 +389,11 @@ def _decode_tiff(data: bytes, max_pixels: int) -> np.ndarray:
                 raise TiffError(f"bad JPEG strip: {exc}") from exc
             if (arr.ndim == 2) != (spp == 1):
                 raise TiffError("JPEG strip component mismatch")
+            # validate against the IFD-claimed geometry: y advances by
+            # IFD rows, so a lying strip must raise, not silently
+            # return a wrong-sized raster (review finding)
+            if arr.shape[1] != w or arr.shape[0] < nrows:
+                raise TiffError("JPEG strip dimensions mismatch")
             arr = arr[:nrows]
         else:
             raise TiffError(f"compression {comp} unsupported")
@@ -432,6 +443,8 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
         raise ValueError("RGB must be (h, w, 3) and 8-bit")
     if compression in ("g3", "g4") and not bilevel:
         raise ValueError("CCITT compressions require bilevel=True")
+    if compression == "jpeg" and bilevel:
+        raise ValueError("jpeg compression is 8-bit only")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
@@ -515,12 +528,10 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
         fmt = {3: "H", 4: "I"}[typ]
         return b"".join(struct.pack("<" + fmt, v) for v in vals)
 
-    # strip data goes after all out-of-line tag values: compute tag
-    # value layout first with a placeholder pass
-    blobs = []
+    # strip data goes after all out-of-line tag values: a first pass
+    # just measures the out-of-line tail so strip offsets are known
     for tag, typ, vals in entries:
         b = val_bytes(typ, vals)
-        blobs.append(b)
         if len(b) > 4:
             tail += b
     data_off = tail_base + len(tail)

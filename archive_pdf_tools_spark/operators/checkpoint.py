@@ -54,6 +54,34 @@ def _write_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
+def run_spans_checkpoint(df, out_dir: str, shards: int, to_spans,
+                         stop_after_shards: int | None = None) -> dict:
+    """Shard-commit protocol for front doors whose shard output IS a
+    spans table: ``to_spans(shard_df) -> (doc_id, spans)`` DataFrame,
+    written to ``<out>/spans/shard=k`` plus a small metrics row —
+    shared by the PDF and imagestack front doors so the
+    crash-safety-critical layout lives in one place."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    def write_shard(shard_df, k: int):
+        out = to_spans(shard_df).persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "spans", f"shard={k}"))
+            (out.select(F.count("*").alias("doc_count"),
+                        F.sum(F.size("spans")).alias("span_count"))
+             .withColumn("shard", F.lit(k))
+             .write.mode("overwrite").parquet(
+                 os.path.join(out_dir, "metrics", f"shard={k}")))
+        finally:
+            out.unpersist()
+
+    return run_sharded(df, out_dir, shards, write_shard,
+                       stop_after_shards=stop_after_shards)
+
+
 def run_sharded(documents_df, out_dir: str, shards: int,
                 write_shard, stop_after_shards: int | None = None) -> dict:
     """The shared shard-commit protocol: deterministic doc->shard

@@ -19,9 +19,6 @@ shared ``checkpoint.run_sharded``.
 
 from __future__ import annotations
 
-import hashlib
-from typing import Iterable, Iterator
-
 import numpy as np
 
 __all__ = ["imagestack_to_spans", "run_imagestack_checkpoint",
@@ -46,11 +43,6 @@ def decode_page_image(blob: bytes) -> np.ndarray:
     raise TiffError("unrecognized page-image format")
 
 
-def _sha12(arr: np.ndarray) -> str:
-    return hashlib.sha1(
-        np.ascontiguousarray(arr).tobytes()).hexdigest()[:12]
-
-
 def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
     """pages: [(page_idx, image bytes)] sorted by page_idx -> ordered
     (kind, text, media_ref) spans, mirroring the PDF front door's
@@ -58,6 +50,7 @@ def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
     content-addressed media span per page)."""
     from ..kernels.mrc import create_mrc_components
     from ..sources.hocr import iter_pages, page_word_data
+    from .extract import _sha12
 
     word_data_by_page: dict[int, list] = {}
     if hocr:
@@ -126,24 +119,9 @@ def run_imagestack_checkpoint(spark, df, out_dir: str,
                               hocr_col: str | None = "hocr") -> dict:
     """Sharded snapshot commits for the imagestack front door — the
     shared ``checkpoint.run_sharded`` protocol, same as PDFs."""
-    import os
+    from .checkpoint import run_spans_checkpoint
 
-    from pyspark.sql import functions as F
-
-    from .checkpoint import run_sharded
-
-    def write_shard(shard_df, k: int):
-        out = imagestack_to_spans(shard_df, hocr_col=hocr_col).persist()
-        try:
-            out.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "spans", f"shard={k}"))
-            (out.select(F.count("*").alias("doc_count"),
-                        F.sum(F.size("spans")).alias("span_count"))
-             .withColumn("shard", F.lit(k))
-             .write.mode("overwrite").parquet(
-                 os.path.join(out_dir, "metrics", f"shard={k}")))
-        finally:
-            out.unpersist()
-
-    return run_sharded(df, out_dir, shards, write_shard,
-                       stop_after_shards=stop_after_shards)
+    return run_spans_checkpoint(
+        df, out_dir, shards,
+        lambda d: imagestack_to_spans(d, hocr_col=hocr_col),
+        stop_after_shards=stop_after_shards)

@@ -174,27 +174,12 @@ def run_pdf_checkpoint(spark, pdf_df, out_dir: str, shards: int = 16,
     itself (shard assignment, manifest, resume, kill simulation) is the
     shared ``checkpoint.run_sharded`` — one crash-safety implementation
     for every front door."""
-    import os
+    from .checkpoint import run_spans_checkpoint
 
-    from pyspark.sql import functions as F
-
-    from .checkpoint import run_sharded
-
-    def write_shard(shard_df, k: int):
-        out = pdfs_to_spans(shard_df, password=password).persist()
-        try:
-            out.write.mode("overwrite").parquet(
-                os.path.join(out_dir, "spans", f"shard={k}"))
-            (out.select(F.count("*").alias("doc_count"),
-                        F.sum(F.size("spans")).alias("span_count"))
-             .withColumn("shard", F.lit(k))
-             .write.mode("overwrite").parquet(
-                 os.path.join(out_dir, "metrics", f"shard={k}")))
-        finally:
-            out.unpersist()
-
-    return run_sharded(pdf_df, out_dir, shards, write_shard,
-                       stop_after_shards=stop_after_shards)
+    return run_spans_checkpoint(
+        pdf_df, out_dir, shards,
+        lambda d: pdfs_to_spans(d, password=password),
+        stop_after_shards=stop_after_shards)
 
 
 def recode_existing_pdfs(df, pdf_col: str = "pdf", hocr_col: str = "hocr"):

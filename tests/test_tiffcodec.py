@@ -32,6 +32,27 @@ def test_packbits_roundtrip_and_pins():
     assert packbits_decode(b"\x02abc", 3) == b"abc"
     with pytest.raises(TiffError):
         packbits_decode(b"\x05ab", 6)        # truncated literal
+    # review-finding pin: a 127-byte literal followed by a folded
+    # 2-byte pair must NOT emit a 129-byte literal (header 0x80 =
+    # the no-op code — undecodable by ANY PackBits reader)
+    tricky = bytes(range(127)) + b"\xc8\xc8\x07"
+    enc = packbits_encode(tricky)
+    assert 0x80 not in [enc[k] for k in _header_positions(enc)]
+    assert packbits_decode(enc, len(tricky)) == tricky
+    img = np.array([list(range(127)) + [200, 200, 7]], dtype=np.uint8)
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        decode_tiff, encode_tiff)
+    t = encode_tiff(img, compression="packbits")
+    assert np.array_equal(decode_tiff(t), img)
+
+
+def _header_positions(enc: bytes):
+    """Walk a PackBits stream yielding its header-byte indices."""
+    i = 0
+    while i < len(enc):
+        yield i
+        b = enc[i]
+        i += (b + 2) if b < 128 else (2 if b > 128 else 1)
 
 
 def test_lzw_roundtrip_growth_and_pins():
@@ -175,6 +196,31 @@ def test_multi_strip_and_gates():
         decode_tiff(big, max_pixels=50)
     with pytest.raises(ValueError, match="bilevel"):
         encode_tiff(img, compression="g4")
+
+
+def test_lying_jpeg_strip_raises():
+    """Review-finding pin: an IFD that claims more rows than its JPEG
+    strip decodes (or a YCbCr photometric on a non-JPEG compression)
+    must raise, never return a wrong-sized or wrong-colored raster."""
+    img = ((np.add.outer(np.arange(40) * 2, np.arange(48) * 3)) % 256
+           ).astype(np.uint8)
+    t = bytearray(encode_tiff(img, compression="jpeg"))
+    # patch ImageLength (tag 257) from 40 to 80 in the LE IFD
+    pos = t.find(struct.pack("<HHI", 257, 4, 1))
+    assert pos > 0
+    t[pos + 8:pos + 12] = struct.pack("<I", 80)
+    with pytest.raises(TiffError):
+        decode_tiff(bytes(t))
+    # photometric 6 on an LZW strip: raw YCbCr must not pass as RGB
+    rgbish = np.stack([img, img, img], axis=-1)
+    t2 = bytearray(encode_tiff(rgbish, compression="lzw"))
+    pos = t2.find(struct.pack("<HHI", 262, 3, 1))
+    assert pos > 0
+    t2[pos + 8:pos + 10] = struct.pack("<H", 6)
+    with pytest.raises(TiffError, match="photometric"):
+        decode_tiff(bytes(t2))
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff(img, compression="jpeg", bilevel=True)
 
 
 def test_fuzz_typed_errors_only():
