@@ -50,11 +50,22 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
               9: 4, 10: 8, 11: 4, 12: 8}
 
 
-def _read_ifd(data: bytes, lt: str):
-    """First IFD -> {tag: [values]} (classic TIFF only)."""
+def _read_ifd(data: bytes, lt: str, page: int = 0):
+    """IFD ``page`` (next-IFD chain walk) -> {tag: [values]} (classic
+    TIFF only)."""
     if len(data) < 8:
         raise TiffError("truncated TIFF header")
     off = struct.unpack(lt + "I", data[4:8])[0]
+    for _ in range(page):
+        if off + 2 > len(data):
+            raise TiffError("IFD offset out of range")
+        cnt0 = struct.unpack(lt + "H", data[off:off + 2])[0]
+        nxt = off + 2 + 12 * cnt0
+        if nxt + 4 > len(data):
+            raise TiffError("truncated IFD chain")
+        off = struct.unpack(lt + "I", data[nxt:nxt + 4])[0]
+        if off == 0:
+            raise TiffError("page beyond IFD chain")
     if off + 2 > len(data):
         raise TiffError("IFD offset out of range")
     n = struct.unpack(lt + "H", data[off:off + 2])[0]
@@ -249,13 +260,15 @@ def lzw_encode(data: bytes) -> bytes:
 
 # ------------------------------------------------------------- decoder
 
-def decode_tiff(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+def decode_tiff(data: bytes, max_pixels: int = 64_000_000,
+                page: int = 0) -> np.ndarray:
     """TIFF bytes -> uint8 array: (h, w) gray (bilevel rendered 0/255)
-    or (h, w, 3) RGB.  Contract mirrors the other codecs: malformed,
+    or (h, w, 3) RGB.  ``page`` walks the next-IFD chain (multi-page
+    book-scan TIFFs).  Contract mirrors the other codecs: malformed,
     truncated, adversarial, or unsupported-profile input raises
     ``TiffError`` — never crashes, never returns garbage silently."""
     try:
-        return _decode_tiff(data, max_pixels)
+        return _decode_tiff(data, max_pixels, page)
     except TiffError:
         raise
     except Exception as exc:                 # noqa: BLE001 — typed gate
@@ -263,14 +276,39 @@ def decode_tiff(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             f"malformed TIFF ({type(exc).__name__}: {exc})") from exc
 
 
-def _decode_tiff(data: bytes, max_pixels: int) -> np.ndarray:
+def tiff_page_count(data: bytes) -> int:
+    """Number of IFDs on the next-IFD chain (pages)."""
     if data[:2] == b"II" and data[2:4] == b"*\x00":
         lt = "<"
     elif data[:2] == b"MM" and data[2:4] == b"\x00*":
         lt = ">"
     else:
         raise TiffError("not a classic TIFF (II*/MM* magic)")
-    tags = _read_ifd(data, lt)
+    if len(data) < 8:
+        raise TiffError("truncated TIFF header")
+    off = struct.unpack(lt + "I", data[4:8])[0]
+    n = 0
+    while off and n < 65536:
+        if off + 2 > len(data):
+            raise TiffError("IFD offset out of range")
+        cnt = struct.unpack(lt + "H", data[off:off + 2])[0]
+        nxt = off + 2 + 12 * cnt
+        if nxt + 4 > len(data):
+            raise TiffError("truncated IFD chain")
+        off = struct.unpack(lt + "I", data[nxt:nxt + 4])[0]
+        n += 1
+    return n
+
+
+def _decode_tiff(data: bytes, max_pixels: int,
+                 page: int = 0) -> np.ndarray:
+    if data[:2] == b"II" and data[2:4] == b"*\x00":
+        lt = "<"
+    elif data[:2] == b"MM" and data[2:4] == b"\x00*":
+        lt = ">"
+    else:
+        raise TiffError("not a classic TIFF (II*/MM* magic)")
+    tags = _read_ifd(data, lt, page)
     if _T_TILE_W in tags or _T_TILE_H in tags:
         raise TiffError("tiled TIFF unsupported")
 
@@ -427,14 +465,10 @@ def _raster(raw: bytes, nrows: int, w: int, spp: int,
 
 # ------------------------------------------------------------- encoder
 
-def encode_tiff(img: np.ndarray, compression: str = "none",
-                rows_per_strip: int | None = None,
-                bilevel: bool = False) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB -> classic little-endian TIFF.
-    ``compression``: none | packbits | lzw | lzw_predictor | g4 | g3 |
-    jpeg.  ``bilevel=True`` thresholds gray at 128 and writes a 1-bit
-    fax-style page (required for g3/g4).  Lossless for every scheme
-    except jpeg (which uses the baseline encoder's default quality)."""
+def _page_parts(img: np.ndarray, compression: str,
+                rows_per_strip: int | None, bilevel: bool):
+    """One page's (IFD entries, strips) — shared by the single- and
+    multi-page writers."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h, w) or (h, w, 3)")
@@ -518,37 +552,53 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
         ent(_T_T4OPTS, 4, [0])
     entries.sort()
 
-    # layout: header(8) + IFD + out-of-line values + strip data
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
-    tail = bytearray()
-    tail_base = ifd_off + ifd_size
+    return entries, strips
 
-    def val_bytes(typ, vals):
-        fmt = {3: "H", 4: "I"}[typ]
-        return b"".join(struct.pack("<" + fmt, v) for v in vals)
 
-    # strip data goes after all out-of-line tag values: a first pass
-    # just measures the out-of-line tail so strip offsets are known
-    for tag, typ, vals in entries:
-        b = val_bytes(typ, vals)
+def _val_bytes(typ, vals):
+    fmt = {3: "H", 4: "I"}[typ]
+    return b"".join(struct.pack("<" + fmt, v) for v in vals)
+
+
+def _block_len(entries, strips) -> int:
+    """Byte length of one [IFD][out-of-line values][strips] block."""
+    tail = 0
+    for _tag, typ, vals in entries:
+        b = _val_bytes(typ, vals)
         if len(b) > 4:
-            tail += b
-    data_off = tail_base + len(tail)
+            tail += len(b)
+    return (2 + 12 * len(entries) + 4) + tail \
+        + sum(len(s) for s in strips)
+
+
+def _emit_ifd_block(entries, strips, base: int,
+                    next_ifd: int) -> bytes:
+    """One page block at absolute offset ``base``: IFD (next-IFD
+    pointer = ``next_ifd``), out-of-line tag values, strip data —
+    every offset absolute, so blocks chain into multi-page files."""
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail_base = base + ifd_size
+    # first pass measures the out-of-line tail so strip offsets are
+    # known before the IFD is emitted
+    tail_len = 0
+    for _tag, typ, vals in entries:
+        b = _val_bytes(typ, vals)
+        if len(b) > 4:
+            tail_len += len(b)
+    data_off = tail_base + tail_len
     strip_offs = []
     pos = data_off
     for s in strips:
         strip_offs.append(pos)
         pos += len(s)
-    # rebuild with the real strip offsets
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out = bytearray()
     out += struct.pack("<H", len(entries))
     tail = bytearray()
     voff = tail_base
     for tag, typ, vals in entries:
         if tag == _T_STRIP_OFF:
             vals = strip_offs
-        b = val_bytes(typ, vals)
+        b = _val_bytes(typ, vals)
         out += struct.pack("<HHI", tag, typ, len(vals))
         if len(b) <= 4:
             out += b + b"\x00" * (4 - len(b))
@@ -556,8 +606,58 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
             out += struct.pack("<I", voff)
             tail += b
             voff += len(b)
-    out += struct.pack("<I", 0)              # next-IFD terminator
+    out += struct.pack("<I", next_ifd)
     out += tail
     for s in strips:
         out += s
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, compression: str = "none",
+                rows_per_strip: int | None = None,
+                bilevel: bool = False) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB -> classic little-endian TIFF.
+    ``compression``: none | packbits | lzw | lzw_predictor | g4 | g3 |
+    jpeg.  ``bilevel=True`` thresholds gray at 128 and writes a 1-bit
+    fax-style page (required for g3/g4).  Lossless for every scheme
+    except jpeg (which uses the baseline encoder's default quality)."""
+    entries, strips = _page_parts(img, compression, rows_per_strip,
+                                  bilevel)
+    return (b"II*\x00" + struct.pack("<I", 8)
+            + _emit_ifd_block(entries, strips, 8, 0))
+
+
+def encode_tiff_multi(imgs, compression: str = "none",
+                      rows_per_strip: int | None = None,
+                      bilevel: bool = False) -> bytes:
+    """Multi-page TIFF (next-IFD chain — the multi-page book-scan
+    layout): one IFD block per image, each pointing at the next.
+    ``compression``/``bilevel`` may be single values or per-page
+    lists.  Pages decode back with ``decode_tiff(data, page=k)`` /
+    ``tiff_page_count``."""
+    imgs = list(imgs)
+    if not imgs:
+        raise ValueError("no pages")
+    n = len(imgs)
+
+    def per_page(v, name):
+        if isinstance(v, (list, tuple)):
+            if len(v) != n:
+                raise ValueError(f"{name} list length != page count")
+            return list(v)
+        return [v] * n
+
+    comps = per_page(compression, "compression")
+    bils = per_page(bilevel, "bilevel")
+    parts = [_page_parts(im, c, rows_per_strip, b)
+             for im, c, b in zip(imgs, comps, bils)]
+    bases = []
+    pos = 8
+    for entries, strips in parts:
+        bases.append(pos)
+        pos += _block_len(entries, strips)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    for k, (entries, strips) in enumerate(parts):
+        nxt = bases[k + 1] if k + 1 < n else 0
+        out += _emit_ifd_block(entries, strips, bases[k], nxt)
     return bytes(out)

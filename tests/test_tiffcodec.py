@@ -223,6 +223,36 @@ def test_lying_jpeg_strip_raises():
         encode_tiff(img, compression="jpeg", bilevel=True)
 
 
+def test_multi_page_chain():
+    """Multi-page TIFF (next-IFD chain — the multi-page book-scan
+    layout): mixed per-page compressions and bilevel pages round-trip
+    by page index, MULTI-STRIP pages exercise the out-of-line value
+    layout across chained blocks, and reading past the chain raises."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff_multi, tiff_page_count)
+    rng = np.random.default_rng(7)
+    imgs = [rng.integers(0, 256, (30 + i, 41 - i), dtype=np.uint8)
+            for i in range(3)]
+    bl = (rng.random((25, 40)) < 0.3).astype(np.uint8) * 255
+    data = encode_tiff_multi(
+        imgs + [bl],
+        compression=["none", "packbits", "lzw_predictor", "g4"],
+        bilevel=[False, False, False, True],
+        rows_per_strip=6)                    # multi-strip every page
+    assert tiff_page_count(data) == 4
+    for k, im in enumerate(imgs):
+        assert np.array_equal(decode_tiff(data, page=k), im), k
+    assert np.array_equal(decode_tiff(data, page=3),
+                          np.where(bl < 128, 0, 255))
+    with pytest.raises(TiffError, match="chain"):
+        decode_tiff(data, page=4)
+    with pytest.raises(ValueError, match="length"):
+        encode_tiff_multi(imgs, compression=["lzw"])
+    # single-page files report one page
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    assert tiff_page_count(encode_tiff(imgs[0])) == 1
+
+
 def test_fuzz_typed_errors_only():
     """Truncations and byte mutations raise TiffError only (the
     mapInPandas metadata-fallback contract)."""
