@@ -56,9 +56,18 @@ def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
     if hocr:
         for idx, page in enumerate(iter_pages(hocr)):
             word_data_by_page[idx] = page_word_data(page)
+    if len(pages) == 1 and int(pages[0][0]) < 0:
+        # whole-document row (page_idx = -1): a MULTI-PAGE TIFF whose
+        # next-IFD chain carries the book — expand it to page decodes
+        from ..kernels.tiffcodec import decode_tiff, tiff_page_count
+        blob = bytes(pages[0][1])
+        pages = [(k, blob) for k in range(tiff_page_count(blob))]
+        decode = lambda b, k: decode_tiff(b, page=k)  # noqa: E731
+    else:
+        decode = lambda b, _k: decode_page_image(b)   # noqa: E731
     spans: list[tuple] = []
     for pidx, blob in pages:
-        raster = decode_page_image(bytes(blob))
+        raster = decode(bytes(blob), pidx)
         words = word_data_by_page.get(pidx, [])
         res = create_mrc_components(raster, words)
         for dec in res.line_decisions:
@@ -79,7 +88,9 @@ def imagestack_to_spans(df, image_col: str = "image",
     """(doc_id, page_idx, image binary[, hocr per doc]) -> (doc_id,
     spans) in the engine's output span contract.  ``hocr_col`` (when
     present) carries the document's hOCR markup on any of its rows
-    (typically page 0); pages assemble in ``page_idx`` order."""
+    (typically page 0); pages assemble in ``page_idx`` order.  A doc
+    whose single row has ``page_idx = -1`` is a WHOLE-DOCUMENT
+    multi-page TIFF: its next-IFD chain supplies the pages."""
     import pandas as pd
 
     from ..operators.extract import OUTPUT_SCHEMA_DDL

@@ -65,6 +65,28 @@ def test_imagestack_to_spans_order_and_poison(spark):
     assert len(bad) == 1 and bad[0]["kind"] == "stack_error"
 
 
+def test_imagestack_multipage_tiff_doc(spark):
+    """A doc whose single row carries page_idx=-1 and a MULTI-PAGE
+    TIFF expands through the next-IFD chain — same span contract,
+    pages in chain order — alongside ordinary per-page docs."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff_multi)
+    rng = np.random.default_rng(12)
+    imgs = [rng.integers(0, 256, (18, 26), dtype=np.uint8)
+            for _ in range(3)]
+    book = encode_tiff_multi(imgs, compression="lzw")
+    rows = [("multi", -1, bytearray(book)),
+            ("plain", 0, bytearray(_page(77)))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_idx int, image binary")
+    out = {r["doc_id"]: r["spans"]
+           for r in imagestack_to_spans(df, hocr_col=None).collect()}
+    media = [s for s in out["multi"] if s["kind"] == "media"]
+    assert [m["media_ref"].split("/p")[1].split("#")[0]
+            for m in media] == ["0", "1", "2"]
+    assert len([s for s in out["plain"] if s["kind"] == "media"]) == 1
+
+
 def test_imagestack_hocr_text_lines(spark):
     """With hOCR attached, accepted MRC text lines appear before the
     page's media span — the flagship imagestack+hOCR pairing."""
