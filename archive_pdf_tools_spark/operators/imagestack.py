@@ -6,7 +6,8 @@ files, position = page index; pages are TIFF/JP2 files inside
 ``*_tif.zip``).  This operator is that front door as a cluster job:
 one row per page file, pages decoded through the engine's own codecs
 (``kernels/tiffcodec`` for TIFF — G4 fax, LZW/PackBits gray/RGB —
-with JPEG2000/JPEG payloads routed to their codecs by magic), MRC
+with JPEG2000/JPEG/PNG/PNM payloads routed to their codecs by
+magic), MRC
 decomposition per page, and per-doc span assembly in ``page_idx``
 order (order is DATA, never file order — the S1 contract).
 
@@ -27,9 +28,13 @@ __all__ = ["imagestack_to_spans", "run_imagestack_checkpoint",
 
 def decode_page_image(blob: bytes) -> np.ndarray:
     """One page file -> uint8 raster, dispatched by magic: TIFF
-    (II*/MM*), JPEG2000 (JP2 box / raw J2K), JPEG (SOI), else raw
-    PGM-less bytes raise.  The same typed-error contract as the PDF
-    image path: unsupported/corrupt pages raise their codec error."""
+    (II*/MM*), JPEG2000 (JP2 box / raw J2K), JPEG (SOI), PNG
+    (\\x89PNG), PNM (P1-P6).  The same typed-error contract as the
+    PDF image path: unsupported/corrupt pages raise their codec
+    error.  PNG alpha is dropped (gray+alpha -> gray, RGBA -> RGB),
+    matching the reference's PIL ``convert('L')``/``convert('RGB')``
+    behavior on page opens (``mrc.py:361``), so every dispatch
+    lands on the MRC raster contract ((h, w) or (h, w, 3))."""
     from ..kernels.registry import get_decoder
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
         from ..kernels.tiffcodec import decode_tiff
@@ -39,6 +44,15 @@ def decode_page_image(blob: bytes) -> np.ndarray:
         return get_decoder("JPEG2000")(bytes(blob))
     if blob[:2] == b"\xff\xd8":
         return get_decoder("JPEG")(bytes(blob))
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from ..kernels.pngcodec import decode_png
+        img = decode_png(bytes(blob))
+        if img.ndim == 3 and img.shape[2] in (2, 4):
+            img = img[:, :, 0] if img.shape[2] == 2 else img[:, :, :3]
+        return img
+    if blob[:1] == b"P" and blob[1:2] in b"123456":
+        from ..kernels.pnmcodec import decode_pnm
+        return decode_pnm(bytes(blob))
     from ..kernels.tiffcodec import TiffError
     raise TiffError("unrecognized page-image format")
 

@@ -2358,6 +2358,130 @@ FROM pix GROUP BY i, w, h
 """
 
 
+def q_png_decode(spark, sf):
+    """Driver-visible TRUE-arithmetic oracle for the PNG and PNM
+    codecs plus the imagestack magic dispatch (round 7 late): the
+    reference's mask sink is always a PNG (``mrc.py:477-520``) and
+    its kakadu hand-off round-trips PNM (``jpeg2000.py:63-84``).
+    16 closed-form images rotate through eight routes — PNG gray
+    (per-row filters 0-4), PNG RGB, PNG RGBA (alpha dropped by the
+    front door, PIL-convert semantics), Adam7-interlaced gray, PNG
+    1-bit bilevel, P5 with maxval 1000 (2-byte big-endian raw +
+    scaling), P6 RGB, and P4 bilevel (ink bit = black) — then decode
+    back through ``decode_page_image`` (the imagestack front door,
+    so the magic dispatch itself is driver-verified).  Per-image
+    pixel sums and a position-weighted sum are compared against the
+    same closed form in SQL; every route is deterministic, so any
+    defect — scanline filters, Adam7 geometry, bit packing, maxval
+    scaling, PBM ink polarity, alpha handling, dispatch — corrupts
+    pixels and breaks the arithmetic match."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+
+        from .kernels.pngcodec import encode_png
+        from .kernels.pnmcodec import encode_pnm
+        from .operators.imagestack import decode_page_image
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].values:
+                i = int(i)
+                w = 8 + (i * 11) % 53
+                h = 8 + (i * 5) % 37
+                yy, xx = np.mgrid[0:h, 0:w]
+                base = 29 * i + 7 * xx + 13 * yy
+                gray = (base % 256).astype(np.uint8)
+                rgb = np.stack([(base + 85 * c) % 256
+                                for c in range(3)],
+                               axis=-1).astype(np.uint8)
+                ink = (base % 3) < 1
+                route = i % 8
+                if route == 0:      # PNG gray, rotating row filters
+                    data = encode_png(gray, filter_type=i % 5)
+                    exp = gray
+                elif route == 1:    # PNG RGB
+                    data = encode_png(rgb, filter_type=(i + 1) % 5)
+                    exp = rgb
+                elif route == 2:    # PNG RGBA -> front door drops A
+                    rgba = np.dstack(
+                        [rgb, ((base + 7) % 256).astype(np.uint8)])
+                    data = encode_png(rgba, filter_type=(i + 2) % 5)
+                    exp = rgb
+                elif route == 3:    # Adam7-interlaced gray
+                    data = encode_png(gray, filter_type=i % 5,
+                                      interlace=True)
+                    exp = gray
+                elif route == 4:    # PNG bilevel: nonzero -> white
+                    data = encode_png(
+                        ink.astype(np.uint8), bilevel=True,
+                        compress_level=0)
+                    exp = np.where(ink, 255, 0).astype(np.uint8)
+                elif route == 5:    # P5 maxval 1000, 2-byte BE raw
+                    v = (base % 1001).astype(">u2")
+                    data = (b"P5 %d %d 1000\n" % (w, h)) + v.tobytes()
+                    exp = (base % 1001 * 255 // 1000).astype(np.uint8)
+                elif route == 6:    # P6 RGB
+                    data = encode_pnm(rgb)
+                    exp = rgb
+                else:               # P4 bilevel: ink bit 1 = black
+                    data = encode_pnm(ink.astype(np.uint8),
+                                      bilevel=True)
+                    exp = np.where(ink, 0, 255).astype(np.uint8)
+                dec = decode_page_image(data)
+                if not np.array_equal(dec, exp):
+                    raise AssertionError(f"png/pnm violation {i}")
+                wgt = (xx + 2 * yy + 1)
+                if dec.ndim == 3:
+                    wsum = int((dec.astype(np.int64)
+                                * wgt[:, :, None]).sum())
+                else:
+                    wsum = int((dec.astype(np.int64) * wgt).sum())
+                rows.append((i, w, h,
+                             int(dec.astype(np.int64).sum()), wsum))
+            yield pd.DataFrame(rows, columns=[
+                "img_id", "width", "height", "px_sum", "wsum"])
+
+    base = spark.range(0, 16).repartition(4)
+    return base.mapInPandas(
+        gen, schema="img_id bigint, width int, height int, "
+                    "px_sum bigint, wsum bigint")
+
+
+SQL_PNG_DECODE = r"""
+WITH imgs AS (SELECT unnest(generate_series(0, 15)) AS i),
+dims AS (SELECT i, 8 + (i * 11) % 53 AS w, 8 + (i * 5) % 37 AS h
+         FROM imgs),
+pix AS (
+  SELECT d.i, d.w, d.h,
+         CASE
+           WHEN d.i % 8 IN (1, 2, 6) THEN      -- RGB: 3-channel sum
+             (29 * d.i + 7 * xs.x + 13 * ys.y) % 256
+             + (29 * d.i + 7 * xs.x + 13 * ys.y + 85) % 256
+             + (29 * d.i + 7 * xs.x + 13 * ys.y + 170) % 256
+           WHEN d.i % 8 = 4 THEN               -- PNG bilevel: ink white
+             CASE WHEN (29 * d.i + 7 * xs.x + 13 * ys.y) % 3 < 1
+                  THEN 255 ELSE 0 END
+           WHEN d.i % 8 = 7 THEN               -- P4: ink bit = black
+             CASE WHEN (29 * d.i + 7 * xs.x + 13 * ys.y) % 3 < 1
+                  THEN 0 ELSE 255 END
+           WHEN d.i % 8 = 5 THEN               -- maxval-1000 scaling
+             ((29 * d.i + 7 * xs.x + 13 * ys.y) % 1001 * 255) // 1000
+           ELSE (29 * d.i + 7 * xs.x + 13 * ys.y) % 256
+         END AS v,
+         xs.x + 2 * ys.y + 1 AS wgt
+  FROM dims d,
+       LATERAL (SELECT unnest(generate_series(0, d.w - 1)) AS x) xs,
+       LATERAL (SELECT unnest(generate_series(0, d.h - 1)) AS y) ys)
+SELECT i AS img_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS px_sum,
+       CAST(sum(v * wgt) AS BIGINT) AS wsum
+FROM pix GROUP BY i, w, h
+"""
+
+
 def q_jp2_lossy(spark, sf):
     """Irreversible JPEG2000 decode (9/7 float lifting + ICT + dead-zone
     scalar quantization, both QCD styles): 12 seeded smooth images
@@ -2683,7 +2807,6 @@ FROM counts
 QUERIES = {
     # relational / reference-derived
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
-    "stop_after": (q_stop_after, SQL_STOP),
     "positional_join": (q_positional_join, SQL_POSJOIN),
     "ratio_agg": (q_ratio_agg, SQL_RATIO),
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
@@ -2732,6 +2855,7 @@ QUERIES = {
     "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
     "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
     "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),     # new (r7 late)
+    "png_decode": (q_png_decode, SQL_PNG_DECODE),        # new (r7 late)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -2745,6 +2869,13 @@ QUERIES = {
     #   in-window extract_metrics VALUES oracle, and the added
     #   groupBy-sum shape is the same aggregate construct
     #   pricing_summary/ratio_agg drive in-window.
+    # - stop_after (rotated out r7 late for png_decode, driver-green
+    #   r1-r7, the most-verified row in the registry): positional_join
+    #   (in-window) drives the identical row_number-over-(partition,
+    #   order) window construct against the same oracle family, and
+    #   the pipeline's real stop-after limit (operators/extract.py:299)
+    #   is driver-verified by the pinned extract_resume row via its
+    #   stop_after_shards protocol.
     # - skip_filter (rotated out r7, driver-green r1-r6):
     #   skip_anti_join (in-window since r7) consumes the same scandata
     #   skip list with the same anti-join semantics — a skip-list
@@ -2807,6 +2938,7 @@ QUERIES = {
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
     "media_resize": (q_media_resize, None),
     "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
+    "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

@@ -19,10 +19,12 @@ def _page(seed: int, gray: bool = True) -> bytes:
 
 
 def test_decode_page_image_dispatch():
-    """Magic-based dispatch: TIFF, JPEG and JP2 page files all decode;
-    junk raises the typed error."""
+    """Magic-based dispatch: TIFF, JPEG, JP2, PNG and PNM page files
+    all decode; junk raises the typed error."""
     from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
     from archive_pdf_tools_spark.kernels.jpegcodec import encode_baseline
+    from archive_pdf_tools_spark.kernels.pngcodec import encode_png
+    from archive_pdf_tools_spark.kernels.pnmcodec import encode_pnm
     from archive_pdf_tools_spark.kernels.tiffcodec import TiffError
     rng = np.random.default_rng(8)
     img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
@@ -30,6 +32,18 @@ def test_decode_page_image_dispatch():
         decode_page_image(encode_tiff(img, compression="lzw")), img)
     assert np.array_equal(decode_page_image(encode_jp2(img)), img)
     assert decode_page_image(encode_baseline(img)).shape == img.shape
+    assert np.array_equal(decode_page_image(encode_png(img)), img)
+    assert np.array_equal(decode_page_image(encode_pnm(img)), img)
+    rgb = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    assert np.array_equal(decode_page_image(encode_pnm(rgb)), rgb)
+    # PNG alpha lands on the MRC raster contract: RGBA -> RGB,
+    # gray+alpha -> gray (PIL convert semantics, mrc.py:361)
+    rgba = np.dstack([rgb, img[:, :, None] // 2 + 1])
+    dec = decode_page_image(encode_png(rgba))
+    assert dec.shape == (16, 24, 3) and np.array_equal(dec, rgb)
+    ga = np.dstack([img, 255 - img])
+    dec = decode_page_image(encode_png(ga))
+    assert dec.shape == (16, 24) and np.array_equal(dec, img)
     with pytest.raises(TiffError, match="unrecognized"):
         decode_page_image(b"\x00\x01\x02junk")
 
