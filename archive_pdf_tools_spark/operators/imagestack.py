@@ -57,6 +57,38 @@ def decode_page_image(blob: bytes) -> np.ndarray:
     raise TiffError("unrecognized page-image format")
 
 
+_ZIP_ENTRY_CAP = 256 * 1024 * 1024       # per-page inflate bound
+
+
+def _zip_pages(blob: bytes) -> list[tuple]:
+    """Archival ZIP item -> [(page_idx, page bytes)] in lexicographic
+    entry-name order (``recode.py:597``: ``sorted(glob(...))``, so the
+    zero-padded ``_NNNN`` names define page position).  Directory
+    entries and dotfiles are skipped; a per-entry inflate cap bounds
+    memory ahead of the codecs' own pixel bomb guards."""
+    import io
+    import zipfile
+
+    from ..kernels.tiffcodec import TiffError
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(blob))
+        infos = [zi for zi in zf.infolist()
+                 if not zi.is_dir()
+                 and not zi.filename.rsplit("/", 1)[-1].startswith(".")]
+        infos.sort(key=lambda zi: zi.filename)
+        pages = []
+        for k, zi in enumerate(infos):
+            if zi.file_size > _ZIP_ENTRY_CAP:
+                raise TiffError(
+                    f"zip entry {zi.filename!r} exceeds inflate cap")
+            pages.append((k, zf.read(zi)))
+    except zipfile.BadZipFile as exc:
+        raise TiffError(f"bad imagestack zip: {exc}") from exc
+    if not pages:
+        raise TiffError("imagestack zip has no page entries")
+    return pages
+
+
 def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
     """pages: [(page_idx, image bytes)] sorted by page_idx -> ordered
     (kind, text, media_ref) spans, mirroring the PDF front door's
@@ -71,12 +103,20 @@ def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
         for idx, page in enumerate(iter_pages(hocr)):
             word_data_by_page[idx] = page_word_data(page)
     if len(pages) == 1 and int(pages[0][0]) < 0:
-        # whole-document row (page_idx = -1): a MULTI-PAGE TIFF whose
-        # next-IFD chain carries the book — expand it to page decodes
-        from ..kernels.tiffcodec import decode_tiff, tiff_page_count
+        # whole-document row (page_idx = -1): either the archival ZIP
+        # item itself (``<id>_tif.zip`` with ``<id>_tif/<id>_NNNN.tif``
+        # entries — ``bin/pdf-to-imagestack:33-58`` writes it, and
+        # ``recode.py:597`` reads pages back via sorted(glob(...)), so
+        # position = LEXICOGRAPHIC entry order), or a MULTI-PAGE TIFF
+        # whose next-IFD chain carries the book
         blob = bytes(pages[0][1])
-        pages = [(k, blob) for k in range(tiff_page_count(blob))]
-        decode = lambda b, k: decode_tiff(b, page=k)  # noqa: E731
+        if blob[:4] == b"PK\x03\x04":
+            pages = _zip_pages(blob)
+            decode = lambda b, _k: decode_page_image(b)  # noqa: E731
+        else:
+            from ..kernels.tiffcodec import decode_tiff, tiff_page_count
+            pages = [(k, blob) for k in range(tiff_page_count(blob))]
+            decode = lambda b, k: decode_tiff(b, page=k)  # noqa: E731
     else:
         decode = lambda b, _k: decode_page_image(b)   # noqa: E731
     spans: list[tuple] = []
@@ -103,8 +143,9 @@ def imagestack_to_spans(df, image_col: str = "image",
     spans) in the engine's output span contract.  ``hocr_col`` (when
     present) carries the document's hOCR markup on any of its rows
     (typically page 0); pages assemble in ``page_idx`` order.  A doc
-    whose single row has ``page_idx = -1`` is a WHOLE-DOCUMENT
-    multi-page TIFF: its next-IFD chain supplies the pages."""
+    whose single row has ``page_idx = -1`` is a WHOLE-DOCUMENT blob:
+    the archival ``*_tif.zip`` item (pages = lexicographic entry
+    order) or a multi-page TIFF (pages = next-IFD chain order)."""
     import pandas as pd
 
     from ..operators.extract import OUTPUT_SCHEMA_DDL

@@ -35,8 +35,10 @@ def main(argv=None):
                          "recoded to spans via operators/pdfcomp.py "
                          "(the bin/pdfcomp entry point as a cluster job); "
                          "'imagestack' = (doc_id, page_idx, image "
-                         "binary [, hocr]) table of TIFF/JP2/JPEG page "
-                         "files, the reference's primary input shape "
+                         "binary [, hocr]) table of TIFF/JP2/JPEG/PNG/"
+                         "PNM page files (page_idx = -1: the whole "
+                         "*_tif.zip item or a multi-page TIFF), the "
+                         "reference's primary input shape "
                          "(operators/imagestack.py)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)

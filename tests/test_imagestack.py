@@ -101,6 +101,53 @@ def test_imagestack_multipage_tiff_doc(spark):
     assert len([s for s in out["plain"] if s["kind"] == "media"]) == 1
 
 
+def test_imagestack_zip_item_doc(spark):
+    """A page_idx=-1 row carrying the archival ``*_tif.zip`` item
+    (``bin/pdf-to-imagestack:33-58`` writes ``<id>_tif/<id>_NNNN.tif``
+    entries; ``recode.py:597`` reads pages back via sorted(glob)):
+    pages assemble in LEXICOGRAPHIC entry order regardless of archive
+    insertion order, mixed page formats dispatch by magic, directory/
+    dotfile entries are skipped, and a non-zip/corrupt item poisons
+    only its own doc."""
+    import io
+    import zipfile
+
+    from archive_pdf_tools_spark.kernels.pngcodec import encode_png
+    rng = np.random.default_rng(21)
+    imgs = [rng.integers(0, 256, (18, 26), dtype=np.uint8)
+            for _ in range(3)]
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w") as zf:
+        zf.writestr("it_tif/", b"")                   # dir entry
+        # inserted OUT of page order; names define the order
+        zf.writestr("it_tif/it_0002.tif",
+                    encode_tiff(imgs[2], compression="lzw"))
+        zf.writestr("it_tif/it_0000.tif",
+                    encode_tiff(imgs[0], compression="packbits"))
+        zf.writestr("it_tif/it_0001.png", encode_png(imgs[1]))
+        zf.writestr("it_tif/.DS_Store", b"junk")      # dotfile
+    rows = [("zipdoc", -1, bytearray(bio.getvalue())),
+            ("baddoc", -1, bytearray(b"PK\x03\x04corrupt"))]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_idx int, image binary")
+    out = {r["doc_id"]: r["spans"]
+           for r in imagestack_to_spans(df, hocr_col=None).collect()}
+    media = [s for s in out["zipdoc"] if s["kind"] == "media"]
+    assert [m["media_ref"].split("/p")[1].split("#")[0]
+            for m in media] == ["0", "1", "2"]
+    # page content follows entry-name order: re-derive the refs
+    from archive_pdf_tools_spark.kernels.mrc import create_mrc_components
+    from archive_pdf_tools_spark.operators.extract import _sha12
+    for k, img in enumerate(imgs):
+        res = create_mrc_components(img, [])
+        assert media[k]["media_ref"].endswith(
+            f"#mrc={_sha12(res.mask)}-{_sha12(res.foreground)}-"
+            f"{_sha12(res.background)}"), k
+    bad = out["baddoc"]
+    assert len(bad) == 1 and bad[0]["kind"] == "stack_error"
+    assert "zip" in bad[0]["text"].lower()
+
+
 def test_imagestack_hocr_text_lines(spark):
     """With hOCR attached, accepted MRC text lines appear before the
     page's media span — the flagship imagestack+hOCR pairing."""
