@@ -345,6 +345,8 @@ def decode_png(data: bytes, max_pixels: int = 64_000_000
             raise PngError("palette index out of range")
         rgb = plte[idx]
         if trns is not None:
+            if len(trns) > len(plte):
+                raise PngError("tRNS longer than the palette")
             alpha = np.full(len(plte), 255, np.uint8)
             alpha[:len(trns)] = np.frombuffer(trns, np.uint8)
             return np.dstack([rgb, alpha[idx]])

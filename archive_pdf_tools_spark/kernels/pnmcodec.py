@@ -99,6 +99,11 @@ def decode_pnm(data: bytes, max_pixels: int = 64_000_000
             flat = np.array(bits, np.uint8)
         else:
             vals, pos = _tokens(data, w * h * channels, pos)
+            # bound-check as Python ints BEFORE the uint32 conversion:
+            # a huge ASCII token would otherwise wrap (or raise an
+            # untyped OverflowError) instead of PnmError
+            if max(vals) > maxval:
+                raise PnmError("sample exceeds maxval")
             flat = np.array(vals, np.uint32)
     else:                                  # raw: one whitespace byte
         if pos > len(data):

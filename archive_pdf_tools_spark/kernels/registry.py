@@ -44,7 +44,16 @@ JBIG2      ``fn(raw: bytes, globals_data: bytes) -> np.ndarray``
 CCITT      ``fn(raw, columns, rows, *, k, byte_align, end_of_line)
            -> np.ndarray`` (0/1 uint8 ink mask; ``rows=None`` =
            self-delimiting /EndOfBlock stream — decode to EOFB/RTC)
+TIFF       ``fn(raw: bytes, page: int = 0) -> np.ndarray`` (uint8;
+           ``page`` walks the next-IFD chain)
+PNG        ``fn(raw: bytes) -> np.ndarray`` (uint8 gray / gray+alpha
+           / RGB / RGBA — alpha handling is the CALLER's job)
+PNM        ``fn(raw: bytes) -> np.ndarray`` (uint8 gray or RGB)
 =========  =========================================================
+
+The imagestack front door (``operators/imagestack.py``) routes its
+page formats through the same seam, so a native swap covers stacks
+and PDFs alike.
 
 Reference parity: the reference engine delegates exactly these
 decodes to external binaries/libraries (kakadu/openjpeg subprocess
@@ -62,17 +71,25 @@ from .jbig2codec import (Jbig2Error, decode_jbig2, encode_jbig2,
                          encode_jbig2_symbols)
 from .jp2codec import Jp2Error, decode_jp2, encode_jp2
 from .jpegcodec import JpegError, decode_baseline, encode_baseline
+from .pngcodec import PngError, decode_png, encode_png
+from .pnmcodec import PnmError, decode_pnm, encode_pnm
+from .tiffcodec import (TiffError, decode_tiff, encode_tiff,
+                        encode_tiff_multi)
 
-FORMATS = ("JPEG", "JPEG2000", "JBIG2", "CCITT")
+FORMATS = ("JPEG", "JPEG2000", "JBIG2", "CCITT", "TIFF", "PNG", "PNM")
 
 _ERROR_CLASS = {"JPEG": JpegError, "JPEG2000": Jp2Error,
-                "JBIG2": Jbig2Error, "CCITT": CcittError}
+                "JBIG2": Jbig2Error, "CCITT": CcittError,
+                "TIFF": TiffError, "PNG": PngError, "PNM": PnmError}
 
 _BUILTINS = {
     "JPEG": decode_baseline,
     "JPEG2000": decode_jp2,
     "JBIG2": decode_jbig2,
     "CCITT": decode_g3,
+    "TIFF": decode_tiff,
+    "PNG": decode_png,
+    "PNM": decode_pnm,
 }
 
 _decoders = dict(_BUILTINS)
@@ -204,6 +221,42 @@ def contract_cases(fmt: str):
         bm = (((7 * xx + 5 * yy) % 11) < 4).astype(np.uint8)
         yield ((encode_g4(bm), 40, None), {"k": -1}, bm)
         yield ((encode_g3(bm, k=2, rtc=True), 40, None), {"k": 2}, bm)
+    elif fmt == "TIFF":
+        yy, xx = np.mgrid[0:21, 0:34]
+        gray = ((5 * xx + 11 * yy) % 256).astype(np.uint8)
+        rgb = np.stack([(gray.astype(int) + 85 * c) % 256
+                        for c in range(3)], axis=-1).astype(np.uint8)
+        mask = np.where((3 * xx + 7 * yy) % 9 < 4, 0, 255
+                        ).astype(np.uint8)
+        yield ((encode_tiff(gray, compression="lzw_predictor",
+                            rows_per_strip=6),), {}, gray)
+        yield ((encode_tiff(rgb, compression="packbits"),), {}, rgb)
+        yield ((encode_tiff(mask, compression="g4", bilevel=True),),
+               {}, mask)
+        # next-IFD chain: a drop-in must honor the page kwarg
+        yield ((encode_tiff_multi([gray, mask], compression="lzw"),),
+               {"page": 1}, mask)
+    elif fmt == "PNG":
+        yy, xx = np.mgrid[0:19, 0:27]
+        gray = ((7 * xx + 13 * yy) % 256).astype(np.uint8)
+        rgba = np.stack([(gray.astype(int) + 60 * c) % 256
+                         for c in range(4)], axis=-1).astype(np.uint8)
+        yield ((encode_png(gray, filter_type=4, interlace=True),),
+               {}, gray)
+        yield ((encode_png(rgba, filter_type=3),), {}, rgba)
+        ink = ((3 * xx + 5 * yy) % 7) < 3
+        yield ((encode_png(ink.astype(np.uint8), bilevel=True),),
+               {}, np.where(ink, 255, 0).astype(np.uint8))
+    elif fmt == "PNM":
+        yy, xx = np.mgrid[0:17, 0:23]
+        gray = ((11 * xx + 3 * yy) % 256).astype(np.uint8)
+        rgb = np.stack([(gray.astype(int) + 85 * c) % 256
+                        for c in range(3)], axis=-1).astype(np.uint8)
+        ink = ((5 * xx + 7 * yy) % 8) < 3
+        yield ((encode_pnm(gray),), {}, gray)
+        yield ((encode_pnm(rgb),), {}, rgb)
+        yield ((encode_pnm(ink.astype(np.uint8), bilevel=True),),
+               {}, np.where(ink, 0, 255).astype(np.uint8))
     else:
         raise KeyError(fmt)
 
@@ -235,7 +288,7 @@ def maybe_register_native() -> list[str]:
     built-ins in place.  (This container ships none of them, so the
     path is exercised in tests through fake drop-ins.)"""
     swapped = []
-    try:  # Pillow: libjpeg-backed JPEG decode
+    try:  # Pillow: libjpeg/libpng/libtiff-backed decodes
         import io
 
         from PIL import Image  # type: ignore
@@ -243,9 +296,32 @@ def maybe_register_native() -> list[str]:
         def _pil_jpeg(raw: bytes):
             return np.asarray(Image.open(io.BytesIO(raw)))
 
-        register_decoder("JPEG", _pil_jpeg)
-        swapped.append("JPEG")
-    except (ImportError, ContractViolation):
+        def _pil_png(raw: bytes):
+            im = Image.open(io.BytesIO(raw))
+            if im.mode == "P":      # registry contract: samples, not
+                im = im.convert(    # palette indices
+                    "RGBA" if "transparency" in im.info else "RGB")
+            arr = np.asarray(im)
+            if arr.dtype == bool:   # mode '1': True = white
+                arr = np.where(arr, 255, 0).astype(np.uint8)
+            return arr
+
+        def _pil_tiff(raw: bytes, page: int = 0):
+            im = Image.open(io.BytesIO(raw))
+            im.seek(page)
+            arr = np.asarray(im)
+            if arr.dtype == bool:
+                arr = np.where(arr, 255, 0).astype(np.uint8)
+            return arr
+
+        for _fmt, _fn in (("JPEG", _pil_jpeg), ("PNG", _pil_png),
+                          ("PNM", _pil_png), ("TIFF", _pil_tiff)):
+            try:
+                register_decoder(_fmt, _fn)
+                swapped.append(_fmt)
+            except ContractViolation:
+                pass
+    except ImportError:
         pass
     try:  # PyMuPDF: JP2 + JBIG2 + CCITT via MuPDF
         import fitz  # type: ignore  # noqa: F401

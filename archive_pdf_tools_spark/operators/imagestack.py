@@ -37,22 +37,19 @@ def decode_page_image(blob: bytes) -> np.ndarray:
     lands on the MRC raster contract ((h, w) or (h, w, 3))."""
     from ..kernels.registry import get_decoder
     if blob[:4] in (b"II*\x00", b"MM\x00*"):
-        from ..kernels.tiffcodec import decode_tiff
-        return decode_tiff(bytes(blob))
+        return get_decoder("TIFF")(bytes(blob))
     if blob[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" \
             or blob[:4] == b"\xff\x4f\xff\x51":
         return get_decoder("JPEG2000")(bytes(blob))
     if blob[:2] == b"\xff\xd8":
         return get_decoder("JPEG")(bytes(blob))
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
-        from ..kernels.pngcodec import decode_png
-        img = decode_png(bytes(blob))
+        img = get_decoder("PNG")(bytes(blob))
         if img.ndim == 3 and img.shape[2] in (2, 4):
             img = img[:, :, 0] if img.shape[2] == 2 else img[:, :, :3]
         return img
     if blob[:1] == b"P" and blob[1:2] in b"123456":
-        from ..kernels.pnmcodec import decode_pnm
-        return decode_pnm(bytes(blob))
+        return get_decoder("PNM")(bytes(blob))
     from ..kernels.tiffcodec import TiffError
     raise TiffError("unrecognized page-image format")
 
@@ -60,12 +57,14 @@ def decode_page_image(blob: bytes) -> np.ndarray:
 _ZIP_ENTRY_CAP = 256 * 1024 * 1024       # per-page inflate bound
 
 
-def _zip_pages(blob: bytes) -> list[tuple]:
-    """Archival ZIP item -> [(page_idx, page bytes)] in lexicographic
-    entry-name order (``recode.py:597``: ``sorted(glob(...))``, so the
-    zero-padded ``_NNNN`` names define page position).  Directory
-    entries and dotfiles are skipped; a per-entry inflate cap bounds
-    memory ahead of the codecs' own pixel bomb guards."""
+def _zip_open(blob: bytes):
+    """Archival ZIP item -> (ZipFile, [ZipInfo]) with the page entries
+    in lexicographic entry-name order (``recode.py:597``:
+    ``sorted(glob(...))``, so the zero-padded ``_NNNN`` names define
+    page position).  Directory entries and dotfiles are skipped.
+    Entries are NOT inflated here — the page loop reads them one at a
+    time, so resident memory is bounded by a single page regardless of
+    the archive's total uncompressed size."""
     import io
     import zipfile
 
@@ -75,18 +74,27 @@ def _zip_pages(blob: bytes) -> list[tuple]:
         infos = [zi for zi in zf.infolist()
                  if not zi.is_dir()
                  and not zi.filename.rsplit("/", 1)[-1].startswith(".")]
-        infos.sort(key=lambda zi: zi.filename)
-        pages = []
-        for k, zi in enumerate(infos):
-            if zi.file_size > _ZIP_ENTRY_CAP:
-                raise TiffError(
-                    f"zip entry {zi.filename!r} exceeds inflate cap")
-            pages.append((k, zf.read(zi)))
     except zipfile.BadZipFile as exc:
         raise TiffError(f"bad imagestack zip: {exc}") from exc
-    if not pages:
+    infos.sort(key=lambda zi: zi.filename)
+    if not infos:
         raise TiffError("imagestack zip has no page entries")
-    return pages
+    return zf, infos
+
+
+def _zip_read(zf, zi) -> bytes:
+    """Inflate ONE page entry, bounding it ahead of the codecs' own
+    pixel bomb guards (a lying local header can't overrun the declared
+    size: ZipExtFile truncates at ``file_size``)."""
+    from ..kernels.tiffcodec import TiffError
+    if zi.file_size > _ZIP_ENTRY_CAP:
+        raise TiffError(
+            f"zip entry {zi.filename!r} exceeds inflate cap")
+    try:
+        return zf.read(zi)
+    except Exception as exc:  # zlib/BadZipFile on corrupt entry data
+        raise TiffError(
+            f"bad imagestack zip entry {zi.filename!r}: {exc}") from exc
 
 
 def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
@@ -111,17 +119,22 @@ def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
         # whose next-IFD chain carries the book
         blob = bytes(pages[0][1])
         if blob[:4] == b"PK\x03\x04":
-            pages = _zip_pages(blob)
-            decode = lambda b, _k: decode_page_image(b)  # noqa: E731
+            zf, infos = _zip_open(blob)
+            pages = list(enumerate(infos))
+            decode = lambda zi, _k: decode_page_image(  # noqa: E731
+                _zip_read(zf, zi))
         else:
-            from ..kernels.tiffcodec import decode_tiff, tiff_page_count
+            from ..kernels.registry import get_decoder
+            from ..kernels.tiffcodec import tiff_page_count
             pages = [(k, blob) for k in range(tiff_page_count(blob))]
-            decode = lambda b, k: decode_tiff(b, page=k)  # noqa: E731
+            decode = lambda b, k: get_decoder("TIFF")(  # noqa: E731
+                bytes(b), page=k)
     else:
-        decode = lambda b, _k: decode_page_image(b)   # noqa: E731
+        decode = lambda b, _k: decode_page_image(     # noqa: E731
+            bytes(b))
     spans: list[tuple] = []
-    for pidx, blob in pages:
-        raster = decode(bytes(blob), pidx)
+    for pidx, payload in pages:   # payload: page bytes, or a ZipInfo
+        raster = decode(payload, pidx)
         words = word_data_by_page.get(pidx, [])
         res = create_mrc_components(raster, words)
         for dec in res.line_decisions:

@@ -148,6 +148,42 @@ def test_imagestack_zip_item_doc(spark):
     assert "zip" in bad[0]["text"].lower()
 
 
+def test_imagestack_zip_inflate_cap_and_laziness():
+    """Review-finding pins: (a) an entry declaring an over-cap
+    uncompressed size raises the typed error (poisons one doc) instead
+    of inflating; (b) entries inflate ONE AT A TIME — resident memory
+    is bounded by a single page, not the archive's total uncompressed
+    size (a 1000x-deflatable multi-GB stack must not materialize)."""
+    import io
+    import zipfile
+
+    from archive_pdf_tools_spark.kernels.tiffcodec import TiffError
+    from archive_pdf_tools_spark.operators.imagestack import (
+        _ZIP_ENTRY_CAP, _zip_open, _zip_read)
+
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a_tif/a_0000.bin", b"\x00" * 4096)
+    blob = bytearray(bio.getvalue())
+    # forge the central-directory uncompressed size over the cap
+    big = (_ZIP_ENTRY_CAP + 1).to_bytes(4, "little")
+    cd = blob.rindex(b"PK\x01\x02")
+    blob[cd + 24:cd + 28] = big
+    zf2, infos = _zip_open(bytes(blob))
+    assert infos[0].file_size > _ZIP_ENTRY_CAP
+    with pytest.raises(TiffError, match="inflate cap"):
+        _zip_read(zf2, infos[0])
+    # laziness: opening a many-entry archive inflates nothing — reads
+    # happen per entry, on demand
+    bio = io.BytesIO()
+    with zipfile.ZipFile(bio, "w", zipfile.ZIP_DEFLATED) as zf:
+        for k in range(50):
+            zf.writestr(f"b_tif/b_{k:04d}.bin", b"\x07" * 100_000)
+    zf3, infos = _zip_open(bio.getvalue())
+    assert len(infos) == 50
+    assert _zip_read(zf3, infos[7]) == b"\x07" * 100_000
+
+
 def test_imagestack_hocr_text_lines(spark):
     """With hOCR attached, accepted MRC text lines appear before the
     page's media span — the flagship imagestack+hOCR pairing."""

@@ -142,6 +142,9 @@ def test_error_contract():
         decode_png(_build(2, 1, 8, 3, b"\x00\x09\x00", plte=plte))
     with pytest.raises(PngError):              # no PLTE for color 3
         decode_png(_build(2, 1, 8, 3, b"\x00\x00\x00"))
+    with pytest.raises(PngError):              # tRNS > palette (review
+        decode_png(_build(2, 1, 8, 3, b"\x00\x00\x01",  # finding pin)
+                          plte=bytes(6), trns=bytes(4)))
     with pytest.raises(PngError):              # decompression bomb
         decode_png(_build(100000, 100000, 8, 0, b""))
     with pytest.raises(PngError):              # short IDAT

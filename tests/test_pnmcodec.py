@@ -63,6 +63,11 @@ def test_error_contract():
         decode_pnm(b"P5 2 2 255\n\x00\x00")    # truncated samples
     with pytest.raises(PnmError):
         decode_pnm(b"P2 2 1 255\n300 0")       # sample > maxval
+    with pytest.raises(PnmError):              # review-finding pin: a
+        # >=2^32 ASCII token must raise, not wrap through uint32 to a
+        # silently-wrong pixel (4294967296 % 2^32 == 0 passes the
+        # post-conversion maxval check)
+        decode_pnm(b"P2 1 1 255\n4294967296")
     with pytest.raises(PnmError):
         decode_pnm(b"P5 0 4 255\n")            # zero dimension
     with pytest.raises(PnmError):

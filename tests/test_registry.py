@@ -111,6 +111,30 @@ def test_extract_page_images_uses_registry(monkeypatch):
     assert np.array_equal(again[0][1], base[0][1])
 
 
+def test_imagestack_front_door_uses_registry():
+    """The imagestack page dispatch IS the registry too (round-7-late
+    review fix): swapping the PNG/TIFF decoders changes decoded page
+    pixels with no imagestack edit — one native swap covers stacks
+    and PDFs alike."""
+    from archive_pdf_tools_spark.kernels.pngcodec import encode_png
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    from archive_pdf_tools_spark.operators.imagestack import \
+        decode_page_image
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (12, 18)).astype(np.uint8)
+    marker = np.full((12, 18), 9, dtype=np.uint8)
+    for fmt, blob in (("PNG", encode_png(img)),
+                      ("TIFF", encode_tiff(img, compression="lzw"))):
+        assert np.array_equal(decode_page_image(blob), img)
+        register_decoder(fmt, lambda *a, **kw: marker, verify=False)
+        try:
+            assert np.array_equal(decode_page_image(blob), marker)
+        finally:
+            reset_decoder(fmt)
+        assert np.array_equal(decode_page_image(blob), img)
+
+
 def test_maybe_register_native_is_safe_without_libraries():
     """In this container no native codec library exists: the opt-in
     returns empty and leaves the built-ins installed."""
