@@ -113,14 +113,22 @@ def iter_pages(markup: bytes | str) -> Iterator:
     Each page is yielded fully parsed and *detached* from the document
     tree, so the tree never accumulates processed pages — memory stays
     O(page) plus whatever the consumer still references (a 1000-page
-    book's markup parses page-at-a-time)."""
+    book's markup parses page-at-a-time).
+
+    Gzipped markup (the archival item ships hOCR as ``*_hocr.html.gz``)
+    is transparently inflated by magic; the stream stays wrapped, so
+    decompression is incremental with the parse."""
     from xml.etree import ElementTree as ET
 
     if isinstance(markup, str):
         markup = markup.encode("utf-8")
+    markup = bytes(markup)
+    src = io.BytesIO(markup)
+    if markup[:2] == b"\x1f\x8b":
+        import gzip
+        src = gzip.GzipFile(fileobj=src)
     ancestors: list = []
-    for event, el in ET.iterparse(io.BytesIO(markup),
-                                  events=("start", "end")):
+    for event, el in ET.iterparse(src, events=("start", "end")):
         if event == "start":
             ancestors.append(el)
             continue

@@ -50,6 +50,24 @@ def test_multi_page_streaming():
     assert all(w == 1000 for w, _h in dims)
 
 
+def test_gzipped_hocr_transparent():
+    """The archival item ships hOCR as ``*_hocr.html.gz``: gzipped
+    markup streams identically to plain markup (magic-sniffed,
+    inflated incrementally alongside the parse)."""
+    import gzip
+    import json
+
+    from archive_pdf_tools_spark.sources.hocr import page_payload
+
+    markup = synth_hocr(PROSE * 20, words_per_page=80)
+    plain = [json.dumps(page_payload(p), sort_keys=True)
+             for p in iter_pages(markup)]
+    raw = markup.encode("utf-8") if isinstance(markup, str) else markup
+    zipped = [json.dumps(page_payload(p), sort_keys=True)
+              for p in iter_pages(gzip.compress(raw))]
+    assert plain == zipped and len(plain) == 5
+
+
 def test_scan_res_and_dimensions():
     payload = json.loads(layout_text("alpha beta"))
     payload["page"]["scan_res"] = 240
