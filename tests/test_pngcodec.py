@@ -159,6 +159,29 @@ def test_error_contract():
         encode_png(np.zeros((0, 4), np.uint8))
 
 
+def test_roundtrip_property():
+    """Hypothesis search over (dims, channels, filter, interlace,
+    compress level): encode/decode is identity everywhere — the same
+    property model as the other codecs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           ch=st.sampled_from([1, 2, 3, 4]), ft=st.integers(0, 4),
+           inter=st.booleans(), level=st.sampled_from([0, 1, 6]),
+           seed=st.integers(0, 2**31))
+    def check(h, w, ch, ft, inter, level, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, ch) if ch > 1 else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        data = encode_png(img, filter_type=ft, interlace=inter,
+                          compress_level=level)
+        assert np.array_equal(decode_png(data), img)
+
+    check()
+
+
 def test_truncation_fuzz_never_escapes_typed_error():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)

@@ -82,6 +82,30 @@ def test_error_contract():
         encode_pnm(np.zeros((2, 2), np.int32))
 
 
+def test_roundtrip_property():
+    """Hypothesis search over (dims, mode): P4/P5/P6 encode/decode is
+    identity (P4 through the documented ink inversion)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(h=st.integers(1, 40), w=st.integers(1, 40),
+           mode=st.sampled_from(["gray", "rgb", "bilevel"]),
+           seed=st.integers(0, 2**31))
+    def check(h, w, mode, seed):
+        rng = np.random.default_rng(seed)
+        if mode == "bilevel":
+            img = (rng.integers(0, 2, (h, w)) * 255).astype(np.uint8)
+            dec = decode_pnm(encode_pnm(img, bilevel=True))
+            assert np.array_equal(dec, np.where(img != 0, 0, 255))
+        else:
+            shape = (h, w, 3) if mode == "rgb" else (h, w)
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            assert np.array_equal(decode_pnm(encode_pnm(img)), img)
+
+    check()
+
+
 def test_truncation_fuzz():
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (7, 11, 3), dtype=np.uint8)
