@@ -236,6 +236,11 @@ def contract_cases(fmt: str):
         # next-IFD chain: a drop-in must honor the page kwarg
         yield ((encode_tiff_multi([gray, mask], compression="lzw"),),
                {"page": 1}, mask)
+        # tile organization and BigTIFF: drop-ins must honor both
+        yield ((encode_tiff(rgb, compression="packbits",
+                            tile=(16, 16)),), {}, rgb)
+        yield ((encode_tiff(gray, compression="lzw",
+                            bigtiff=True),), {}, gray)
     elif fmt == "PNG":
         yy, xx = np.mgrid[0:19, 0:27]
         gray = ((7 * xx + 13 * yy) % 256).astype(np.uint8)

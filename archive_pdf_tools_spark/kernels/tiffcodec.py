@@ -12,9 +12,12 @@ byte-oriented TIFF schemes (LZW with horizontal predictor, PackBits)
 are implemented here — all algorithmic structure from the public
 TIFF 6.0 specification, no tables transcribed.
 
-Scope (raised as ``TiffError``, honestly): classic (non-Big) TIFF,
-first IFD, chunky planar configuration, strip-organized data (tiled
-TIFFs raise), 1-bit bilevel and 8-bit gray/RGB samples.  The LZW
+Scope (raised as ``TiffError``, honestly): classic AND BigTIFF
+(version 43, 8-byte offsets — the >4 GB book-scan shape), next-IFD
+multi-page chains, strip- AND tile-organized data (§15), chunky and
+planar (PlanarConfiguration=2, byte-scheme RGB strips) sample
+layouts, 1-bit bilevel and 8-bit gray/RGB samples; fax/JPEG planes,
+planar tiles and old-style JPEG (compression 6) raise.  The LZW
 coder implements the spec's EARLY-CHANGE code-width schedule (the
 variant every conforming writer emits); no foreign TIFF exists
 in-container to cross-check, so the evidence model is bit-exact
@@ -44,47 +47,87 @@ _T_STRIP_OFF, _T_SPP, _T_ROWS, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PREDICTOR, _T_PLANAR = 317, 284
 _T_T4OPTS, _T_T6OPTS = 292, 293
 _T_TILE_W, _T_TILE_H = 322, 323
+_T_TILE_OFF, _T_TILE_CNT = 324, 325
 _T_JPEGTABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
-              9: 4, 10: 8, 11: 4, 12: 8}
+              9: 4, 10: 8, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}           # BigTIFF LONG8/SLONG8/IFD8
 
 
-def _read_ifd(data: bytes, lt: str, page: int = 0):
-    """IFD ``page`` (next-IFD chain walk) -> {tag: [values]} (classic
-    TIFF only)."""
+def _header(data: bytes):
+    """TIFF header -> (lt, big, first-IFD offset).  Classic (version
+    42, 4-byte offsets) and BigTIFF (version 43, 8-byte offsets — the
+    >4 GB book-scan layout)."""
     if len(data) < 8:
         raise TiffError("truncated TIFF header")
-    off = struct.unpack(lt + "I", data[4:8])[0]
+    if data[:1] == b"I" and data[1:2] == b"I":
+        lt = "<"
+    elif data[:2] == b"MM":
+        lt = ">"
+    else:
+        raise TiffError("not a TIFF (II*/MM* magic)")
+    ver = struct.unpack(lt + "H", data[2:4])[0]
+    if ver == 42:
+        return lt, False, struct.unpack(lt + "I", data[4:8])[0]
+    if ver == 43:
+        if len(data) < 16:
+            raise TiffError("truncated BigTIFF header")
+        bytesize, zero = struct.unpack(lt + "HH", data[4:8])
+        if bytesize != 8 or zero != 0:
+            raise TiffError("bad BigTIFF header constants")
+        return lt, True, struct.unpack(lt + "Q", data[8:16])[0]
+    raise TiffError("not a TIFF (II*/MM* magic)")
+
+
+def _ifd_geometry(big: bool):
+    """(count size, entry size, pointer size, inline value capacity)."""
+    return (8, 20, 8, 8) if big else (2, 12, 4, 4)
+
+
+def _ifd_count(data: bytes, lt: str, big: bool, off: int) -> int:
+    cs = 8 if big else 2
+    if off + cs > len(data):
+        raise TiffError("IFD offset out of range")
+    return struct.unpack(lt + ("Q" if big else "H"),
+                         data[off:off + cs])[0]
+
+
+def _read_ifd(data: bytes, page: int = 0):
+    """IFD ``page`` (next-IFD chain walk) -> {tag: [values]}."""
+    lt, big, off = _header(data)
+    cs, es, ps, cap = _ifd_geometry(big)
+    pfmt = "Q" if big else "I"
     for _ in range(page):
-        if off + 2 > len(data):
-            raise TiffError("IFD offset out of range")
-        cnt0 = struct.unpack(lt + "H", data[off:off + 2])[0]
-        nxt = off + 2 + 12 * cnt0
-        if nxt + 4 > len(data):
+        cnt0 = _ifd_count(data, lt, big, off)
+        nxt = off + cs + es * cnt0
+        if nxt + ps > len(data):
             raise TiffError("truncated IFD chain")
-        off = struct.unpack(lt + "I", data[nxt:nxt + 4])[0]
+        off = struct.unpack(lt + pfmt, data[nxt:nxt + ps])[0]
         if off == 0:
             raise TiffError("page beyond IFD chain")
-    if off + 2 > len(data):
-        raise TiffError("IFD offset out of range")
-    n = struct.unpack(lt + "H", data[off:off + 2])[0]
+    n = _ifd_count(data, lt, big, off)
     if n == 0 or n > 512:
         raise TiffError("implausible IFD entry count")
+    if off + cs + es * n > len(data):
+        raise TiffError("truncated IFD")
     tags = {}
     for k in range(n):
-        e = off + 2 + 12 * k
-        if e + 12 > len(data):
-            raise TiffError("truncated IFD")
-        tag, typ, cnt = struct.unpack(lt + "HHI", data[e:e + 8])
+        e = off + cs + es * k
+        tag, typ = struct.unpack(lt + "HH", data[e:e + 4])
+        cnt = struct.unpack(lt + ("Q" if big else "I"),
+                            data[e + 4:e + 4 + (8 if big else 4)])[0]
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue                         # unknown type: skip tag
+        vbase = e + 4 + (8 if big else 4)
         total = size * cnt
-        if total <= 4:
-            raw = data[e + 8:e + 8 + total]
+        if total > 1 << 31:
+            raise TiffError("implausible tag value size")
+        if total <= cap:
+            raw = data[vbase:vbase + total]
         else:
-            voff = struct.unpack(lt + "I", data[e + 8:e + 12])[0]
+            voff = struct.unpack(lt + pfmt, data[vbase:vbase + ps])[0]
             if voff + total > len(data):
                 raise TiffError("tag value out of range")
             raw = data[voff:voff + total]
@@ -94,6 +137,9 @@ def _read_ifd(data: bytes, lt: str, page: int = 0):
             vals = list(struct.unpack(lt + "%dH" % cnt, raw))
         elif typ in (4, 9, 11):
             fmt = {4: "I", 9: "i", 11: "f"}[typ]
+            vals = list(struct.unpack(lt + "%d%s" % (cnt, fmt), raw))
+        elif typ in (16, 17, 18):
+            fmt = "q" if typ == 17 else "Q"
             vals = list(struct.unpack(lt + "%d%s" % (cnt, fmt), raw))
         else:
             vals = [raw]                     # rationals etc: opaque
@@ -278,39 +324,23 @@ def decode_tiff(data: bytes, max_pixels: int = 64_000_000,
 
 def tiff_page_count(data: bytes) -> int:
     """Number of IFDs on the next-IFD chain (pages)."""
-    if data[:2] == b"II" and data[2:4] == b"*\x00":
-        lt = "<"
-    elif data[:2] == b"MM" and data[2:4] == b"\x00*":
-        lt = ">"
-    else:
-        raise TiffError("not a classic TIFF (II*/MM* magic)")
-    if len(data) < 8:
-        raise TiffError("truncated TIFF header")
-    off = struct.unpack(lt + "I", data[4:8])[0]
+    lt, big, off = _header(data)
+    cs, es, ps, _cap = _ifd_geometry(big)
+    pfmt = "Q" if big else "I"
     n = 0
     while off and n < 65536:
-        if off + 2 > len(data):
-            raise TiffError("IFD offset out of range")
-        cnt = struct.unpack(lt + "H", data[off:off + 2])[0]
-        nxt = off + 2 + 12 * cnt
-        if nxt + 4 > len(data):
+        cnt = _ifd_count(data, lt, big, off)
+        nxt = off + cs + es * cnt
+        if nxt + ps > len(data):
             raise TiffError("truncated IFD chain")
-        off = struct.unpack(lt + "I", data[nxt:nxt + 4])[0]
+        off = struct.unpack(lt + pfmt, data[nxt:nxt + ps])[0]
         n += 1
     return n
 
 
 def _decode_tiff(data: bytes, max_pixels: int,
                  page: int = 0) -> np.ndarray:
-    if data[:2] == b"II" and data[2:4] == b"*\x00":
-        lt = "<"
-    elif data[:2] == b"MM" and data[2:4] == b"\x00*":
-        lt = ">"
-    else:
-        raise TiffError("not a classic TIFF (II*/MM* magic)")
-    tags = _read_ifd(data, lt, page)
-    if _T_TILE_W in tags or _T_TILE_H in tags:
-        raise TiffError("tiled TIFF unsupported")
+    tags = _read_ifd(data, page)
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -327,8 +357,14 @@ def _decode_tiff(data: bytes, max_pixels: int,
     photo = one(_T_PHOTO, 1)
     spp = one(_T_SPP, 1)
     bps = tags.get(_T_BPS, [1])
-    if one(_T_PLANAR, 1) != 1:
-        raise TiffError("planar configuration unsupported")
+    planar = one(_T_PLANAR, 1)
+    tiled = _T_TILE_W in tags or _T_TILE_H in tags
+    if planar not in (1, 2):
+        raise TiffError("bad planar configuration")
+    if planar == 2 and (spp == 1 or tiled or comp in (2, 3, 4, 6, 7)):
+        # planar is only meaningful for multi-sample byte schemes;
+        # fax/JPEG planes and planar tiles are out of scope (honest)
+        raise TiffError("unsupported planar layout")
     if spp == 1 and all(int(b) == 1 for b in bps):
         depth = 1
     elif spp in (1, 3) and all(int(b) == 8 for b in bps):
@@ -340,112 +376,157 @@ def _decode_tiff(data: bytes, max_pixels: int,
         # YCbCr is only in scope where JPEG converts it internally —
         # raw YCbCr samples must not masquerade as RGB
         raise TiffError("unsupported photometric interpretation")
-
-    offs = tags.get(_T_STRIP_OFF)
-    cnts = tags.get(_T_STRIP_CNT)
-    if not offs or not cnts or len(offs) != len(cnts):
-        raise TiffError("missing strip layout")
-    rows_per = one(_T_ROWS, h)
-    if rows_per <= 0:
-        raise TiffError("bad RowsPerStrip")
-
     if comp == 7 and photo == 6:
         photo = 1                            # JPEG handles YCbCr itself
-    row_bytes = (w + 7) // 8 if depth == 1 else w * spp
-    out_rows: list[np.ndarray] = []
-    y = 0
-    for off, cnt in zip(offs, cnts):
-        off, cnt = int(off), int(cnt)
-        if off + cnt > len(data):
-            raise TiffError("strip out of range")
-        strip = data[off:off + cnt]
-        nrows = min(rows_per, h - y)
-        if nrows <= 0:
-            break
+    predictor = one(_T_PREDICTOR, 1)
+    jpegtables = tags.get(_T_JPEGTABLES)
+
+    def segment(blob: bytes, nrows: int, width: int,
+                seg_spp: int) -> np.ndarray:
+        """Decode ONE strip or tile to its sample array: depth-1 ->
+        0/1 bits, depth-8 -> raw bytes; photometric applied by the
+        caller on the assembled image."""
+        row_bytes = (width + 7) // 8 if depth == 1 else width * seg_spp
         expected = row_bytes * nrows
         if comp == 1:
-            raw = strip[:expected]
+            raw = blob[:expected]
             if len(raw) < expected:
-                raise TiffError("uncompressed strip underrun")
-            arr = _raster(raw, nrows, w, spp, depth)
-        elif comp == 32773:
-            arr = _raster(packbits_decode(strip, expected),
-                          nrows, w, spp, depth)
-        elif comp == 5:
-            raw = lzw_decode(strip, expected)
-            arr = _raster(raw, nrows, w, spp, depth)
-            if one(_T_PREDICTOR, 1) == 2:
+                raise TiffError("uncompressed segment underrun")
+            return _raster(raw, nrows, width, seg_spp, depth)
+        if comp == 32773:
+            return _raster(packbits_decode(blob, expected),
+                           nrows, width, seg_spp, depth)
+        if comp == 5:
+            arr = _raster(lzw_decode(blob, expected),
+                          nrows, width, seg_spp, depth)
+            if predictor == 2:
                 # horizontal differencing, per SAMPLE CHANNEL against
-                # the previous pixel (§14) — mod-256 prefix sum
+                # the previous pixel (§14) — mod-256 prefix sum; rows
+                # reset, so it is segment-local by construction
                 if depth != 8:
                     raise TiffError("predictor on non-8-bit samples")
                 arr = (np.cumsum(arr.astype(np.int64), axis=1)
                        & 0xFF).astype(np.uint8)
-        elif comp in (2, 3, 4):
+            return arr
+        if comp in (2, 3, 4):
             from .ccittcodec import CcittError, decode_g3, decode_g4
             if depth != 1:
                 raise TiffError("CCITT on non-bilevel samples")
             try:
                 if comp == 4:
-                    bits = decode_g4(strip, w, nrows)
-                elif comp == 2:
+                    return decode_g4(blob, width, nrows)
+                if comp == 2:
                     # modified Huffman: 1D rows, each byte-aligned,
                     # no EOLs (§ Compression=2)
-                    bits = decode_g3(strip, w, nrows, k=0,
+                    return decode_g3(blob, width, nrows, k=0,
                                      byte_align=True)
-                else:
-                    t4 = one(_T_T4OPTS, 0)
-                    bits = decode_g3(strip, w, nrows,
-                                     k=4 if t4 & 1 else 0,
-                                     end_of_line=True,
-                                     byte_align=bool(t4 & 4))
+                t4 = one(_T_T4OPTS, 0)
+                return decode_g3(blob, width, nrows,
+                                 k=4 if t4 & 1 else 0,
+                                 end_of_line=True,
+                                 byte_align=bool(t4 & 4))
             except CcittError as exc:
-                raise TiffError(f"bad CCITT strip: {exc}") from exc
-            # CCITT 1 = black; photometric 0 (the fax norm) = min is
-            # white, so black renders 0
-            arr = np.where(bits != 0, 0, 255).astype(np.uint8)
-            if photo == 1:
-                arr = 255 - arr
-            out_rows.append(arr)
-            y += nrows
-            continue
-        elif comp == 6:
+                raise TiffError(f"bad CCITT segment: {exc}") from exc
+        if comp == 6:
             raise TiffError("old-style JPEG-in-TIFF unsupported")
-        elif comp == 7:
+        if comp == 7:
             from .jpegcodec import JpegError
             from .registry import get_decoder
-            jt = tags.get(_T_JPEGTABLES)
-            blob = strip
-            if jt:
-                tbl = bytes(jt)
+            if jpegtables:
+                tbl = bytes(jpegtables)
                 if tbl[:2] == b"\xff\xd8" and tbl[-2:] == b"\xff\xd9" \
                         and blob[:2] == b"\xff\xd8":
                     blob = tbl[:-2] + blob[2:]
             try:
                 arr = get_decoder("JPEG")(blob)
             except JpegError as exc:
-                raise TiffError(f"bad JPEG strip: {exc}") from exc
-            if (arr.ndim == 2) != (spp == 1):
-                raise TiffError("JPEG strip component mismatch")
-            # validate against the IFD-claimed geometry: y advances by
-            # IFD rows, so a lying strip must raise, not silently
-            # return a wrong-sized raster (review finding)
-            if arr.shape[1] != w or arr.shape[0] < nrows:
-                raise TiffError("JPEG strip dimensions mismatch")
-            arr = arr[:nrows]
+                raise TiffError(f"bad JPEG segment: {exc}") from exc
+            if (arr.ndim == 2) != (seg_spp == 1):
+                raise TiffError("JPEG segment component mismatch")
+            # validate against the IFD-claimed geometry: a lying
+            # segment must raise, not silently return a wrong-sized
+            # raster (review finding)
+            if arr.shape[1] != width or arr.shape[0] < nrows:
+                raise TiffError("JPEG segment dimensions mismatch")
+            return arr[:nrows]
+        raise TiffError(f"compression {comp} unsupported")
+
+    def read_seg(off, cnt) -> bytes:
+        off, cnt = int(off), int(cnt)
+        if off < 0 or cnt < 0 or off + cnt > len(data):
+            raise TiffError("segment out of range")
+        return data[off:off + cnt]
+
+    if tiled:
+        # tile-organized data (§15): a grid of fixed-size tiles, each
+        # compressed independently; edge tiles are full-size with
+        # padding the decoder crops
+        tw, th = one(_T_TILE_W), one(_T_TILE_H)
+        if tw <= 0 or th <= 0 or tw * th > max_pixels:
+            raise TiffError("bad tile dimensions")
+        offs = tags.get(_T_TILE_OFF)
+        cnts = tags.get(_T_TILE_CNT)
+        across = -(-w // tw)
+        down = -(-h // th)
+        if not offs or not cnts or len(offs) != len(cnts) \
+                or len(offs) < across * down:
+            raise TiffError("missing tile layout")
+        shape = (h, w, spp) if spp == 3 else (h, w)
+        img = np.zeros(shape, np.uint8)
+        for ty in range(down):
+            for tx in range(across):
+                blob = read_seg(*[
+                    v[ty * across + tx] for v in (offs, cnts)])
+                arr = segment(blob, th, tw, spp)
+                y0, x0 = ty * th, tx * tw
+                img[y0:y0 + th, x0:x0 + tw] = \
+                    arr[:h - y0, :w - x0]
+    else:
+        offs = tags.get(_T_STRIP_OFF)
+        cnts = tags.get(_T_STRIP_CNT)
+        if not offs or not cnts or len(offs) != len(cnts):
+            raise TiffError("missing strip layout")
+        rows_per = one(_T_ROWS, h)
+        if rows_per <= 0:
+            raise TiffError("bad RowsPerStrip")
+        strips_per_plane = -(-h // rows_per)
+        planes = spp if planar == 2 else 1
+
+        def plane_rows(p: int, seg_spp: int):
+            out_rows, y = [], 0
+            for k in range(strips_per_plane):
+                idx = p * strips_per_plane + k
+                if idx >= len(offs):
+                    raise TiffError("strip index out of range")
+                nrows = min(rows_per, h - y)
+                if nrows <= 0:
+                    break
+                out_rows.append(segment(read_seg(offs[idx], cnts[idx]),
+                                        nrows, w, seg_spp))
+                y += nrows
+            if y < h:
+                raise TiffError("strips cover fewer rows than "
+                                "ImageLength")
+            return np.concatenate(out_rows, axis=0)[:h]
+
+        if planar == 2:
+            if len(offs) < planes * strips_per_plane:
+                raise TiffError("missing strip layout")
+            img = np.stack([plane_rows(p, 1) for p in range(planes)],
+                           axis=-1)
         else:
-            raise TiffError(f"compression {comp} unsupported")
-        if depth == 1:
-            arr = np.where(arr != 0,
-                           0 if photo == 0 else 255,
-                           255 if photo == 0 else 0).astype(np.uint8)
-        elif photo == 0:
-            arr = (255 - arr).astype(np.uint8)
-        out_rows.append(arr)
-        y += nrows
-    if y < h:
-        raise TiffError("strips cover fewer rows than ImageLength")
-    img = np.concatenate(out_rows, axis=0)[:h]
+            img = plane_rows(0, spp)
+
+    # photometric rendering, applied once on the assembled samples:
+    # depth 1 -> sample 1 is black under min-is-white (photo 0, the
+    # fax norm; T.4's black bit has the same sample-1 identity),
+    # white under min-is-black; depth 8 photo 0 inverts
+    if depth == 1:
+        img = np.where(img != 0,
+                       0 if photo == 0 else 255,
+                       255 if photo == 0 else 0).astype(np.uint8)
+    elif photo == 0:
+        img = (255 - img).astype(np.uint8)
     return img if spp == 3 else img.reshape(h, w)
 
 
@@ -465,10 +546,44 @@ def _raster(raw: bytes, nrows: int, w: int, spp: int,
 
 # ------------------------------------------------------------- encoder
 
+def _encode_block(block: np.ndarray, compression: str,
+                  bilevel: bool) -> bytes:
+    """Compress one strip/tile worth of samples."""
+    if compression == "g4":
+        from .ccittcodec import encode_g4
+        return encode_g4(block)
+    if compression == "g3":
+        from .ccittcodec import encode_g3
+        return encode_g3(block, k=0, end_of_line=True)
+    if compression == "jpeg":
+        from .jpegcodec import encode_baseline
+        return encode_baseline(block)
+    if bilevel:
+        raw = np.packbits(block, axis=1).tobytes()
+    elif compression == "lzw_predictor":
+        b16 = block.astype(np.int16)
+        diff = np.empty_like(b16)
+        diff[:, 0] = b16[:, 0]
+        diff[:, 1:] = b16[:, 1:] - b16[:, :-1]
+        raw = (diff & 0xFF).astype(np.uint8).tobytes()
+    else:
+        raw = np.ascontiguousarray(block).tobytes()
+    if compression == "none":
+        return raw
+    if compression == "packbits":
+        return packbits_encode(raw)
+    if compression in ("lzw", "lzw_predictor"):
+        return lzw_encode(raw)
+    raise ValueError(f"unknown compression {compression}")
+
+
 def _page_parts(img: np.ndarray, compression: str,
-                rows_per_strip: int | None, bilevel: bool):
-    """One page's (IFD entries, strips) — shared by the single- and
-    multi-page writers."""
+                rows_per_strip: int | None, bilevel: bool,
+                tile: tuple | None = None, planar: bool = False):
+    """One page's (IFD entries, segments) — shared by the single- and
+    multi-page writers.  ``tile=(tw, th)`` writes tile organization
+    (each dimension a multiple of 16, §15); ``planar=True`` writes
+    RGB as three separate sample planes (PlanarConfiguration=2)."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("expected uint8 (h, w) or (h, w, 3)")
@@ -479,63 +594,66 @@ def _page_parts(img: np.ndarray, compression: str,
         raise ValueError("CCITT compressions require bilevel=True")
     if compression == "jpeg" and bilevel:
         raise ValueError("jpeg compression is 8-bit only")
+    if planar and (not rgb or tile is not None
+                   or compression in ("g3", "g4", "jpeg")):
+        raise ValueError("planar requires RGB strips with a "
+                         "byte-oriented compression")
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if rows_per_strip is None:
-        rows_per_strip = h if compression in ("g3", "g4", "jpeg") \
-            else max(1, min(h, 8192 // max(1, w // 64)))
-
-    strips: list[bytes] = []
-    photo = 2 if rgb else 1
+    src = img
     if bilevel:
-        bits = (img < 128).astype(np.uint8)  # 1 = black
-        photo = 0                            # min-is-white, fax norm
-    for y0 in range(0, h, rows_per_strip):
-        y1 = min(y0 + rows_per_strip, h)
-        if compression == "g4":
-            from .ccittcodec import encode_g4
-            strips.append(encode_g4(bits[y0:y1]))
-        elif compression == "g3":
-            from .ccittcodec import encode_g3
-            strips.append(encode_g3(bits[y0:y1], k=0,
-                                    end_of_line=True))
-        elif compression == "jpeg":
-            from .jpegcodec import encode_baseline
-            strips.append(encode_baseline(img[y0:y1]))
-        else:
-            if bilevel:
-                raw = np.packbits(bits[y0:y1], axis=1).tobytes()
-            else:
-                raw = np.ascontiguousarray(img[y0:y1]).tobytes()
-            if compression == "none":
-                strips.append(raw)
-            elif compression == "packbits":
-                strips.append(packbits_encode(raw))
-            elif compression == "lzw":
-                strips.append(lzw_encode(raw))
-            elif compression == "lzw_predictor":
-                if bilevel:
-                    raise ValueError("predictor needs 8-bit samples")
-                block = img[y0:y1].astype(np.int16)
-                diff = np.empty_like(block)
-                diff[:, 0] = block[:, 0]
-                diff[:, 1:] = block[:, 1:] - block[:, :-1]
-                strips.append(lzw_encode(
-                    (diff & 0xFF).astype(np.uint8).tobytes()))
-            else:
-                raise ValueError(f"unknown compression {compression}")
+        src = (img < 128).astype(np.uint8)   # 1 = black
 
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5,
                "lzw_predictor": 5, "g3": 3, "g4": 4, "jpeg": 7}[
         compression]
     spp = 3 if rgb else 1
     bps = [1] if bilevel else [8] * spp
+    photo = 0 if bilevel else (2 if rgb else 1)
 
-    entries = []                             # (tag, type, count, values)
+    entries = []                             # (tag, type, values)
 
     def ent(tag, typ, vals):
         entries.append((tag, typ, vals))
+
+    segs: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tile dims must be positive multiples "
+                             "of 16")
+        if compression == "g3":
+            raise ValueError("G3 tiles unsupported (EOL framing is "
+                             "strip-shaped)")
+        # pad to full tiles (decoder crops); edge padding = 0
+        ph, pw = -(-h // th) * th, -(-w // tw) * tw
+        pad = [(0, ph - h), (0, pw - w)] + \
+            ([(0, 0)] if rgb else [])
+        padded = np.pad(src, pad)
+        for y0 in range(0, ph, th):
+            for x0 in range(0, pw, tw):
+                segs.append(_encode_block(
+                    padded[y0:y0 + th, x0:x0 + tw], compression,
+                    bilevel))
+        ent(_T_TILE_W, 4, [tw])
+        ent(_T_TILE_H, 4, [th])
+        ent(_T_TILE_CNT, 4, [len(s) for s in segs])
+        ent(_T_TILE_OFF, 4, [0] * len(segs))   # patched below
+    else:
+        if rows_per_strip is None:
+            rows_per_strip = h if compression in ("g3", "g4", "jpeg") \
+                else max(1, min(h, 8192 // max(1, w // 64)))
+        planes = ([src[:, :, c] for c in range(3)] if planar
+                  else [src])
+        for plane in planes:
+            for y0 in range(0, h, rows_per_strip):
+                segs.append(_encode_block(
+                    plane[y0:y0 + rows_per_strip], compression,
+                    bilevel))
+        ent(_T_ROWS, 4, [rows_per_strip])
+        ent(_T_STRIP_CNT, 4, [len(s) for s in segs])
+        ent(_T_STRIP_OFF, 4, [0] * len(segs))  # patched below
 
     ent(_T_WIDTH, 4, [w])
     ent(_T_HEIGHT, 4, [h])
@@ -543,88 +661,124 @@ def _page_parts(img: np.ndarray, compression: str,
     ent(_T_COMP, 3, [comp_id])
     ent(_T_PHOTO, 3, [photo])
     ent(_T_SPP, 3, [spp])
-    ent(_T_ROWS, 4, [rows_per_strip])
-    ent(_T_STRIP_CNT, 4, [len(s) for s in strips])
-    ent(_T_STRIP_OFF, 4, [0] * len(strips))  # patched below
+    if planar:
+        ent(_T_PLANAR, 3, [2])
     if compression == "lzw_predictor":
         ent(_T_PREDICTOR, 3, [2])
     if compression == "g3":
         ent(_T_T4OPTS, 4, [0])
     entries.sort()
 
-    return entries, strips
+    return entries, segs
 
 
 def _val_bytes(typ, vals):
-    fmt = {3: "H", 4: "I"}[typ]
+    fmt = {3: "H", 4: "I", 16: "Q"}[typ]
     return b"".join(struct.pack("<" + fmt, v) for v in vals)
 
 
-def _block_len(entries, strips) -> int:
-    """Byte length of one [IFD][out-of-line values][strips] block."""
+def _wire_entries(entries, n_segs: int, big: bool):
+    """Entries as they go on the wire: segment offsets get a
+    placeholder list of the right width (LONG8 under BigTIFF, so
+    >4 GB files stay addressable)."""
+    out = []
+    for tag, typ, vals in entries:
+        if tag in (_T_STRIP_OFF, _T_TILE_OFF):
+            typ = 16 if big else 4
+            vals = [0] * n_segs
+        elif big and tag in (_T_STRIP_CNT, _T_TILE_CNT):
+            typ = 16
+        out.append((tag, typ, vals))
+    return out
+
+
+def _block_len(entries, segs, big: bool = False) -> int:
+    """Byte length of one [IFD][out-of-line values][segments] block."""
+    cs, es, ps, cap = _ifd_geometry(big)
     tail = 0
-    for _tag, typ, vals in entries:
+    for _tag, typ, vals in _wire_entries(entries, len(segs), big):
         b = _val_bytes(typ, vals)
-        if len(b) > 4:
+        if len(b) > cap:
             tail += len(b)
-    return (2 + 12 * len(entries) + 4) + tail \
-        + sum(len(s) for s in strips)
+    return (cs + es * len(entries) + ps) + tail \
+        + sum(len(s) for s in segs)
 
 
-def _emit_ifd_block(entries, strips, base: int,
-                    next_ifd: int) -> bytes:
+def _emit_ifd_block(entries, segs, base: int, next_ifd: int,
+                    big: bool = False) -> bytes:
     """One page block at absolute offset ``base``: IFD (next-IFD
-    pointer = ``next_ifd``), out-of-line tag values, strip data —
+    pointer = ``next_ifd``), out-of-line tag values, segment data —
     every offset absolute, so blocks chain into multi-page files."""
-    ifd_size = 2 + 12 * len(entries) + 4
+    cs, es, ps, cap = _ifd_geometry(big)
+    cfmt = "Q" if big else "H"
+    pfmt = "Q" if big else "I"
+    wire = _wire_entries(entries, len(segs), big)
+    ifd_size = cs + es * len(wire) + ps
     tail_base = base + ifd_size
-    # first pass measures the out-of-line tail so strip offsets are
+    # first pass measures the out-of-line tail so segment offsets are
     # known before the IFD is emitted
     tail_len = 0
-    for _tag, typ, vals in entries:
+    for _tag, typ, vals in wire:
         b = _val_bytes(typ, vals)
-        if len(b) > 4:
+        if len(b) > cap:
             tail_len += len(b)
     data_off = tail_base + tail_len
-    strip_offs = []
+    seg_offs = []
     pos = data_off
-    for s in strips:
-        strip_offs.append(pos)
+    for s in segs:
+        seg_offs.append(pos)
         pos += len(s)
     out = bytearray()
-    out += struct.pack("<H", len(entries))
+    out += struct.pack("<" + cfmt, len(wire))
     tail = bytearray()
     voff = tail_base
-    for tag, typ, vals in entries:
-        if tag == _T_STRIP_OFF:
-            vals = strip_offs
+    for tag, typ, vals in wire:
+        if tag in (_T_STRIP_OFF, _T_TILE_OFF):
+            vals = seg_offs
         b = _val_bytes(typ, vals)
-        out += struct.pack("<HHI", tag, typ, len(vals))
-        if len(b) <= 4:
-            out += b + b"\x00" * (4 - len(b))
+        out += struct.pack("<HH" + pfmt, tag, typ, len(vals))
+        if len(b) <= cap:
+            out += b + b"\x00" * (cap - len(b))
         else:
-            out += struct.pack("<I", voff)
+            out += struct.pack("<" + pfmt, voff)
             tail += b
             voff += len(b)
-    out += struct.pack("<I", next_ifd)
+    out += struct.pack("<" + pfmt, next_ifd)
     out += tail
-    for s in strips:
+    for s in segs:
         out += s
     return bytes(out)
 
 
 def encode_tiff(img: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None,
-                bilevel: bool = False) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB -> classic little-endian TIFF.
+                bilevel: bool = False, tile: tuple | None = None,
+                bigtiff: bool = False) -> bytes:
+    """uint8 (h, w) gray / (h, w, 3) RGB -> little-endian TIFF.
     ``compression``: none | packbits | lzw | lzw_predictor | g4 | g3 |
     jpeg.  ``bilevel=True`` thresholds gray at 128 and writes a 1-bit
-    fax-style page (required for g3/g4).  Lossless for every scheme
-    except jpeg (which uses the baseline encoder's default quality)."""
-    entries, strips = _page_parts(img, compression, rows_per_strip,
-                                  bilevel)
+    fax-style page (required for g3/g4).  ``tile=(tw, th)`` writes
+    tile organization (multiples of 16, §15); ``bigtiff=True`` writes
+    the version-43 layout (8-byte offsets — the >4 GB shape).
+    Lossless for every scheme except jpeg (which uses the baseline
+    encoder's default quality)."""
+    entries, segs = _page_parts(img, compression, rows_per_strip,
+                                bilevel, tile=tile)
+    if bigtiff:
+        hdr = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+        return hdr + _emit_ifd_block(entries, segs, 16, 0, big=True)
     return (b"II*\x00" + struct.pack("<I", 8)
-            + _emit_ifd_block(entries, strips, 8, 0))
+            + _emit_ifd_block(entries, segs, 8, 0))
+
+
+def encode_tiff_planar(img: np.ndarray, compression: str = "lzw",
+                       rows_per_strip: int | None = None) -> bytes:
+    """(h, w, 3) RGB -> classic TIFF with PlanarConfiguration=2
+    (three separate sample planes, each its own strip sequence)."""
+    entries, segs = _page_parts(img, compression, rows_per_strip,
+                                False, planar=True)
+    return (b"II*\x00" + struct.pack("<I", 8)
+            + _emit_ifd_block(entries, segs, 8, 0))
 
 
 def encode_tiff_multi(imgs, compression: str = "none",

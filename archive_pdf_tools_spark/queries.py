@@ -2270,16 +2270,22 @@ def q_tiff_decode(spark, sf):
     and CCITT G4 / G3 bilevel fax pages at photometric 0) with
     multi-strip layouts, then decode back; per-image pixel sums and a
     position-weighted sum are compared against the same closed form
-    in SQL.  Every scheme is lossless, so any defect — IFD walk,
-    strip layout, LZW early-change widths, predictor prefix sums,
-    PackBits runs, the CCITT handoff, photometric rendering —
-    corrupts pixels and breaks the arithmetic match."""
+    in SQL.  The ORGANIZATION rotates independently of the pixel
+    content (round-7 late): strips / 16x16 tiles / BigTIFF
+    (version 43, 8-byte offsets) by i%3, and PlanarConfiguration=2
+    for one RGB residue class — the SQL oracle is unchanged because
+    layout must be pixel-transparent, so any defect — IFD walk
+    (classic or Big), strip/tile layout, planar reassembly, LZW
+    early-change widths, predictor prefix sums, PackBits runs, the
+    CCITT handoff, photometric rendering — corrupts pixels and
+    breaks the arithmetic match."""
     import pandas as pd
 
     def gen(batches):
         import numpy as np
 
-        from .kernels.tiffcodec import decode_tiff, encode_tiff
+        from .kernels.tiffcodec import (decode_tiff, encode_tiff,
+                                        encode_tiff_planar)
         for pdf in batches:
             rows = []
             for i in pdf["id"].values:
@@ -2288,12 +2294,17 @@ def q_tiff_decode(spark, sf):
                 h = 8 + (i * 9) % 41
                 yy, xx = np.mgrid[0:h, 0:w]
                 route = i % 6
+                org = i % 3                  # strips / tiles / BigTIFF
                 if route >= 4:               # bilevel fax routes
                     black = (((3 * i + 7 * xx + 5 * yy) % 11) < 4)
                     img = np.where(black, 0, 255).astype(np.uint8)
                     comp = "g4" if route == 4 else "g3"
-                    data = encode_tiff(img, compression=comp,
-                                       bilevel=True)
+                    # G3's EOL framing is strip-shaped: tiles are G4-only
+                    data = encode_tiff(
+                        img, compression=comp, bilevel=True,
+                        tile=(16, 16) if org == 1 and comp == "g4"
+                        else None,
+                        bigtiff=(org == 2))
                     exp = img
                 else:
                     comp = ["none", "packbits", "lzw",
@@ -2305,8 +2316,16 @@ def q_tiff_decode(spark, sf):
                                        axis=-1).astype(np.uint8)
                     else:
                         img = (base % 256).astype(np.uint8)
-                    data = encode_tiff(img, compression=comp,
-                                       rows_per_strip=5 + i % 7)
+                    if i % 2 and i % 4 == 3 and org == 0:
+                        data = encode_tiff_planar(
+                            img, compression=comp,
+                            rows_per_strip=5 + i % 7)
+                    else:
+                        data = encode_tiff(
+                            img, compression=comp,
+                            rows_per_strip=5 + i % 7,
+                            tile=(16, 16) if org == 1 else None,
+                            bigtiff=(org == 2))
                     exp = img
                 dec = decode_tiff(data)
                 if not np.array_equal(dec, exp):

@@ -277,3 +277,109 @@ def test_fuzz_typed_errors_only():
                 decode_tiff(bytes(d), max_pixels=64 * 64)
             except TiffError:
                 pass
+
+
+def test_tiled_roundtrips():
+    """Tile organization (§15): every byte-oriented scheme plus G4
+    and lossy JPEG round-trip through a tile grid with edge cropping;
+    tile dims must be positive multiples of 16."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    rng = np.random.default_rng(17)
+    for comp in ("none", "packbits", "lzw", "lzw_predictor"):
+        for shape in ((31, 45), (70, 33, 3)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            t = encode_tiff(img, compression=comp, tile=(16, 16))
+            assert np.array_equal(decode_tiff(t), img), (comp, shape)
+    mask = (rng.integers(0, 2, (40, 60)) * 255).astype(np.uint8)
+    t = encode_tiff(mask, compression="g4", bilevel=True,
+                    tile=(32, 16))
+    assert np.array_equal(decode_tiff(t), mask)
+    # lossy JPEG tiles: geometry exact, content close
+    img = (np.add.outer(np.arange(48), np.arange(64)) % 200
+           + 20).astype(np.uint8)
+    d = decode_tiff(encode_tiff(img, compression="jpeg",
+                                tile=(32, 16)))
+    assert d.shape == img.shape
+    assert abs(int(d.astype(int).mean()) - int(img.astype(int).mean())) < 8
+    with pytest.raises(ValueError, match="16"):
+        encode_tiff(img, tile=(15, 16))
+    with pytest.raises(ValueError, match="strip-shaped"):
+        encode_tiff(mask, compression="g3", bilevel=True,
+                    tile=(16, 16))
+
+
+def test_planar_roundtrips():
+    """PlanarConfiguration=2: RGB as three separate strip-sequenced
+    sample planes, byte-oriented schemes incl. the per-plane
+    horizontal predictor."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff_planar)
+    rng = np.random.default_rng(18)
+    img = rng.integers(0, 256, (29, 37, 3), dtype=np.uint8)
+    for comp in ("none", "packbits", "lzw", "lzw_predictor"):
+        t = encode_tiff_planar(img, compression=comp,
+                               rows_per_strip=6)
+        assert np.array_equal(decode_tiff(t), img), comp
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff_planar(img[:, :, 0])
+    with pytest.raises(ValueError, match="planar"):
+        encode_tiff_planar(img, compression="jpeg")
+
+
+def test_bigtiff_roundtrips():
+    """BigTIFF (version 43, 8-byte offsets — the >4 GB book-scan
+    shape): strips, tiles, bilevel G4 and multi-strip RGB all
+    round-trip; LONG8 segment offsets on the wire; header constants
+    validated."""
+    import struct as _s
+
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff, tiff_page_count)
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (25, 41, 3), dtype=np.uint8)
+    t = encode_tiff(img, compression="lzw", rows_per_strip=9,
+                    bigtiff=True)
+    assert t[:4] == b"II+\x00" and _s.unpack("<H", t[4:6])[0] == 8
+    assert np.array_equal(decode_tiff(t), img)
+    assert tiff_page_count(t) == 1
+    mask = (rng.integers(0, 2, (30, 50)) * 255).astype(np.uint8)
+    t = encode_tiff(mask, compression="g4", bilevel=True,
+                    bigtiff=True)
+    assert np.array_equal(decode_tiff(t), mask)
+    gray = rng.integers(0, 256, (40, 50), dtype=np.uint8)
+    t = encode_tiff(gray, compression="lzw", tile=(16, 32),
+                    bigtiff=True)
+    assert np.array_equal(decode_tiff(t), gray)
+    # corrupt header constants raise typed
+    bad = bytearray(t)
+    bad[4] = 4                               # bytesize must be 8
+    with pytest.raises(TiffError, match="BigTIFF"):
+        decode_tiff(bytes(bad))
+
+
+def test_tiled_planar_bigtiff_fuzz():
+    """The new layouts hold the typed-error contract under mutation."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff, encode_tiff_planar)
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (33, 47, 3), dtype=np.uint8)
+    streams = [encode_tiff(img, compression="lzw", tile=(16, 16)),
+               encode_tiff_planar(img, compression="packbits",
+                                  rows_per_strip=7),
+               encode_tiff(img, compression="lzw", rows_per_strip=9,
+                           bigtiff=True)]
+    for base in streams:
+        b = bytearray(base)
+        for i in range(0, len(b), 17):
+            try:
+                decode_tiff(bytes(b[:i]), max_pixels=64 * 64)
+            except TiffError:
+                pass
+        for _ in range(150):
+            d = bytearray(b)
+            d[int(rng.integers(0, len(d)))] = int(rng.integers(0, 256))
+            try:
+                out = decode_tiff(bytes(d), max_pixels=64 * 64)
+                assert out.dtype == np.uint8
+            except TiffError:
+                pass
