@@ -16,8 +16,10 @@ Scope (raised as ``TiffError``, honestly): classic AND BigTIFF
 (version 43, 8-byte offsets — the >4 GB book-scan shape), next-IFD
 multi-page chains, strip- AND tile-organized data (§15), chunky and
 planar (PlanarConfiguration=2, byte-scheme RGB strips) sample
-layouts, 1-bit bilevel and 8-bit gray/RGB samples; fax/JPEG planes,
-planar tiles and old-style JPEG (compression 6) raise.  The LZW
+layouts, 1-bit bilevel and 8-bit gray/RGB samples, and old-style
+JPEG (compression 6) in its common JPEGInterchangeFormat shape;
+fax/JPEG planes, planar tiles and per-strip old-style JPEG
+(JPEGProc tables) raise.  The LZW
 coder implements the spec's EARLY-CHANGE code-width schedule (the
 variant every conforming writer emits); no foreign TIFF exists
 in-container to cross-check, so the evidence model is bit-exact
@@ -48,6 +50,7 @@ _T_PREDICTOR, _T_PLANAR = 317, 284
 _T_T4OPTS, _T_T6OPTS = 292, 293
 _T_TILE_W, _T_TILE_H = 322, 323
 _T_TILE_OFF, _T_TILE_CNT = 324, 325
+_T_JPEG_IF, _T_JPEG_IF_LEN = 513, 514       # old-style JPEG pointer
 _T_JPEGTABLES = 347
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2,
@@ -376,10 +379,37 @@ def _decode_tiff(data: bytes, max_pixels: int,
         # YCbCr is only in scope where JPEG converts it internally —
         # raw YCbCr samples must not masquerade as RGB
         raise TiffError("unsupported photometric interpretation")
-    if comp == 7 and photo == 6:
+    if comp in (6, 7) and photo == 6:
         photo = 1                            # JPEG handles YCbCr itself
     predictor = one(_T_PREDICTOR, 1)
     jpegtables = tags.get(_T_JPEGTABLES)
+
+    if comp == 6:
+        # old-style JPEG (TIFF 6.0 §22, deprecated): only the common
+        # JPEGInterchangeFormat shape — tags 513/514 point at ONE
+        # whole JFIF stream — is in scope; the per-strip
+        # JPEGProc/QTables machinery stays gated (no conformant
+        # writer survives that emits it)
+        if _T_JPEG_IF not in tags:
+            raise TiffError("old-style JPEG without "
+                            "JPEGInterchangeFormat unsupported")
+        from .jpegcodec import JpegError
+        from .registry import get_decoder
+        joff = one(_T_JPEG_IF)
+        jlen = one(_T_JPEG_IF_LEN, len(data) - joff)
+        if joff < 0 or jlen <= 0 or joff + jlen > len(data):
+            raise TiffError("JPEGInterchangeFormat out of range")
+        try:
+            arr = get_decoder("JPEG")(data[joff:joff + jlen])
+        except JpegError as exc:
+            raise TiffError(f"bad old-style JPEG: {exc}") from exc
+        if (arr.ndim == 2) != (spp == 1) or arr.shape[0] < h \
+                or arr.shape[1] != w:
+            raise TiffError("old-style JPEG dimensions mismatch")
+        img = arr[:h]
+        if photo == 0:
+            img = (255 - img).astype(np.uint8)
+        return img if spp == 3 else img.reshape(h, w)
 
     def segment(blob: bytes, nrows: int, width: int,
                 seg_spp: int) -> np.ndarray:

@@ -383,3 +383,46 @@ def test_tiled_planar_bigtiff_fuzz():
                 assert out.dtype == np.uint8
             except TiffError:
                 pass
+
+
+def test_old_style_jpeg_interchange():
+    """Old-style JPEG (compression 6, §22 deprecated): the common
+    JPEGInterchangeFormat shape — tags 513/514 pointing at one whole
+    JFIF stream — decodes; the per-strip JPEGProc machinery stays
+    gated with a typed error."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import (
+        decode_baseline, encode_baseline)
+
+    img = (np.add.outer(np.arange(24), np.arange(40)) % 200
+           + 20).astype(np.uint8)
+    jpg = encode_baseline(img)
+    exp = decode_baseline(jpg)
+
+    def build(with_ptr=True, jlen=None):
+        entries = [(256, 4, [40]), (257, 4, [24]), (258, 3, [8]),
+                   (259, 3, [6]), (262, 3, [1]), (277, 3, [1])]
+        if with_ptr:
+            entries += [(513, 4, [0]),        # patched below
+                        (514, 4, [jlen if jlen is not None
+                                  else len(jpg)])]
+        entries.sort()
+        ifd_size = 2 + 12 * len(entries) + 4
+        joff = 8 + ifd_size
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", len(entries))
+        for tag, typ, vals in entries:
+            if tag == 513:
+                vals = [joff]
+            fmt = {3: "H", 4: "I"}[typ]
+            b = b"".join(struct.pack("<" + fmt, v) for v in vals)
+            out += struct.pack("<HHI", tag, typ, len(vals))
+            out += b + b"\x00" * (4 - len(b))
+        out += struct.pack("<I", 0)
+        out += jpg
+        return bytes(out)
+
+    assert np.array_equal(decode_tiff(build()), exp)
+    with pytest.raises(TiffError, match="JPEGInterchangeFormat"):
+        decode_tiff(build(with_ptr=False))
+    with pytest.raises(TiffError, match="range"):
+        decode_tiff(build(jlen=10_000_000))
