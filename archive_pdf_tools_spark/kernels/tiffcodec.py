@@ -375,7 +375,7 @@ def _decode_tiff(data: bytes, max_pixels: int,
     else:
         raise TiffError("unsupported sample layout")
     if photo not in (0, 1) and not (photo == 2 and spp == 3) \
-            and not (photo == 6 and spp == 3 and comp == 7):
+            and not (photo == 6 and spp == 3 and comp in (6, 7)):
         # YCbCr is only in scope where JPEG converts it internally —
         # raw YCbCr samples must not masquerade as RGB
         raise TiffError("unsupported photometric interpretation")
@@ -498,6 +498,13 @@ def _decode_tiff(data: bytes, max_pixels: int,
         cnts = tags.get(_T_TILE_CNT)
         across = -(-w // tw)
         down = -(-h // th)
+        # bound the AGGREGATE decode work, not just one tile: the
+        # padded grid of a legitimate file is < 4x the image area, so
+        # a grid whose total pixel work exceeds that is a
+        # decompression-amplification shape (e.g. w=1 with tw=4000),
+        # not a real layout (review finding)
+        if across * tw * down * th > 4 * max_pixels:
+            raise TiffError("tile grid exceeds max_pixels")
         if not offs or not cnts or len(offs) != len(cnts) \
                 or len(offs) < across * down:
             raise TiffError("missing tile layout")

@@ -2272,8 +2272,10 @@ def q_tiff_decode(spark, sf):
     position-weighted sum are compared against the same closed form
     in SQL.  The ORGANIZATION rotates independently of the pixel
     content (round-7 late): strips / 16x16 tiles / BigTIFF
-    (version 43, 8-byte offsets) by i%3, and PlanarConfiguration=2
-    for one RGB residue class — the SQL oracle is unchanged because
+    (version 43, 8-byte offsets) by i//6 — the full route-by-
+    organization cross product over the 18 images — and
+    PlanarConfiguration=2 for one RGB cell — the SQL oracle is
+    unchanged because
     layout must be pixel-transparent, so any defect — IFD walk
     (classic or Big), strip/tile layout, planar reassembly, LZW
     early-change widths, predictor prefix sums, PackBits runs, the
@@ -2294,7 +2296,10 @@ def q_tiff_decode(spark, sf):
                 h = 8 + (i * 9) % 41
                 yy, xx = np.mgrid[0:h, 0:w]
                 route = i % 6
-                org = i % 3                  # strips / tiles / BigTIFF
+                # org decoupled from route (review finding: i%3 is
+                # determined by i%6): i//6 gives the full 6x3
+                # route-by-organization cross product over 18 images
+                org = (i // 6) % 3           # strips / tiles / BigTIFF
                 if route >= 4:               # bilevel fax routes
                     black = (((3 * i + 7 * xx + 5 * yy) % 11) < 4)
                     img = np.where(black, 0, 255).astype(np.uint8)
@@ -2316,7 +2321,7 @@ def q_tiff_decode(spark, sf):
                                        axis=-1).astype(np.uint8)
                     else:
                         img = (base % 256).astype(np.uint8)
-                    if i % 2 and i % 4 == 3 and org == 0:
+                    if i % 4 == 3 and org == 0:
                         data = encode_tiff_planar(
                             img, compression=comp,
                             rows_per_strip=5 + i % 7)

@@ -426,3 +426,69 @@ def test_old_style_jpeg_interchange():
         decode_tiff(build(with_ptr=False))
     with pytest.raises(TiffError, match="range"):
         decode_tiff(build(jlen=10_000_000))
+
+
+def test_color_old_style_jpeg_ycbcr():
+    """Review-finding pin: Compression=6 with PhotometricInterp=6
+    (the standard color old-style scanner shape) passes the
+    photometric gate and decodes through the JPEG handoff."""
+    from archive_pdf_tools_spark.kernels.jpegcodec import (
+        decode_baseline, encode_baseline)
+
+    rgb = np.stack([(np.add.outer(np.arange(24), np.arange(40))
+                     * (c + 1)) % 200 + 20 for c in range(3)],
+                   axis=-1).astype(np.uint8)
+    jpg = encode_baseline(rgb)
+    exp = decode_baseline(jpg)
+    entries = [(256, 4, [40]), (257, 4, [24]), (258, 3, [8, 8, 8]),
+               (259, 3, [6]), (262, 3, [6]), (277, 3, [3]),
+               (513, 4, [0]), (514, 4, [len(jpg)])]
+    entries.sort()
+    ifd_size = 2 + 12 * len(entries) + 4
+    tail = b""
+    voff = 8 + ifd_size
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, typ, vals in entries:
+        if tag == 513:
+            vals = [8 + ifd_size + 6]        # after the one tail value
+        fmt = {3: "H", 4: "I"}[typ]
+        b = b"".join(struct.pack("<" + fmt, v) for v in vals)
+        out += struct.pack("<HHI", tag, typ, len(vals))
+        if len(b) <= 4:
+            out += b + b"\x00" * (4 - len(b))
+        else:
+            out += struct.pack("<I", voff)
+            tail += b
+            voff += len(b)
+    out += struct.pack("<I", 0)
+    out += tail + jpg
+    assert np.array_equal(decode_tiff(bytes(out)), exp)
+
+
+def test_tile_grid_amplification_guard():
+    """Review-finding pin: a tile grid whose aggregate pixel work
+    dwarfs the image area (w=1 but TileWidth=4000, every tile offset
+    aliasing one span) is rejected up front — the per-tile cap alone
+    admitted 2500x max_pixels of decode work."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+
+    base = bytearray(encode_tiff(
+        np.zeros((16, 16), np.uint8), compression="none",
+        tile=(16, 16)))
+    # forge ImageWidth=1, ImageLength=40000, TileWidth=4000: walk the
+    # IFD and patch tag values in place
+    n = struct.unpack("<H", base[8:10])[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        tag = struct.unpack("<H", base[e:e + 2])[0]
+        if tag == 256:
+            base[e + 8:e + 12] = struct.pack("<I", 1)
+        elif tag == 257:
+            base[e + 8:e + 12] = struct.pack("<I", 40000)
+        elif tag == 322:
+            base[e + 8:e + 12] = struct.pack("<I", 4000)
+        elif tag == 323:
+            base[e + 8:e + 12] = struct.pack("<I", 1)
+    with pytest.raises(TiffError, match="grid exceeds"):
+        decode_tiff(bytes(base), max_pixels=64_000)
