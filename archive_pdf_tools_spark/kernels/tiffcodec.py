@@ -16,7 +16,9 @@ Scope (raised as ``TiffError``, honestly): classic AND BigTIFF
 (version 43, 8-byte offsets — the >4 GB book-scan shape), next-IFD
 multi-page chains, strip- AND tile-organized data (§15), chunky and
 planar (PlanarConfiguration=2, byte-scheme RGB strips) sample
-layouts, 1-bit bilevel and 8-bit gray/RGB samples, and old-style
+layouts, 1-bit bilevel, 8-bit gray/RGB and 16-bit scan-master
+samples (reduced to the high byte, the PNG codec's convention; the
+predictor differences at native width first), and old-style
 JPEG (compression 6) in its common JPEGInterchangeFormat shape;
 fax/JPEG planes, planar tiles and per-strip old-style JPEG
 (JPEGProc tables) raise.  The LZW
@@ -372,8 +374,16 @@ def _decode_tiff(data: bytes, max_pixels: int,
         depth = 1
     elif spp in (1, 3) and all(int(b) == 8 for b in bps):
         depth = 8
+    elif spp in (1, 3) and all(int(b) == 16 for b in bps):
+        # 16-bit scan masters: reduced to the high byte (the same
+        # convention as the PNG codec — the engine raster is uint8)
+        depth = 16
+        if comp in (2, 3, 4, 6, 7):
+            raise TiffError("16-bit samples with fax/JPEG "
+                            "compression unsupported")
     else:
         raise TiffError("unsupported sample layout")
+    lt = _header(data)[0]                    # byte order for 16-bit
     if photo not in (0, 1) and not (photo == 2 and spp == 3) \
             and not (photo == 6 and spp == 3 and comp in (6, 7)):
         # YCbCr is only in scope where JPEG converts it internally —
@@ -413,31 +423,45 @@ def _decode_tiff(data: bytes, max_pixels: int,
 
     def segment(blob: bytes, nrows: int, width: int,
                 seg_spp: int) -> np.ndarray:
-        """Decode ONE strip or tile to its sample array: depth-1 ->
-        0/1 bits, depth-8 -> raw bytes; photometric applied by the
-        caller on the assembled image."""
-        row_bytes = (width + 7) // 8 if depth == 1 else width * seg_spp
+        """Decode ONE strip or tile to its uint8 sample array:
+        depth-1 -> 0/1 bits, depth-8 -> raw bytes, depth-16 -> high
+        byte (after any predictor, which works at native width);
+        photometric applied by the caller on the assembled image."""
+        if depth == 1:
+            row_bytes = (width + 7) // 8
+        else:
+            row_bytes = width * seg_spp * (depth // 8)
         expected = row_bytes * nrows
+
+        def finish(arr):
+            if predictor == 2 and comp == 5:
+                # horizontal differencing, per SAMPLE CHANNEL against
+                # the previous pixel (§14) — prefix sum at the NATIVE
+                # sample width; rows reset, so segment-local
+                if depth == 8:
+                    arr = (np.cumsum(arr.astype(np.int64), axis=1)
+                           & 0xFF).astype(np.uint8)
+                elif depth == 16:
+                    arr = (np.cumsum(arr.astype(np.int64), axis=1)
+                           & 0xFFFF).astype(np.uint16)
+                else:
+                    raise TiffError("predictor on bilevel samples")
+            if depth == 16:
+                arr = (arr >> 8).astype(np.uint8)
+            return arr
+
         if comp == 1:
             raw = blob[:expected]
             if len(raw) < expected:
                 raise TiffError("uncompressed segment underrun")
-            return _raster(raw, nrows, width, seg_spp, depth)
+            return finish(_raster(raw, nrows, width, seg_spp, depth,
+                                  lt))
         if comp == 32773:
-            return _raster(packbits_decode(blob, expected),
-                           nrows, width, seg_spp, depth)
+            return finish(_raster(packbits_decode(blob, expected),
+                                  nrows, width, seg_spp, depth, lt))
         if comp == 5:
-            arr = _raster(lzw_decode(blob, expected),
-                          nrows, width, seg_spp, depth)
-            if predictor == 2:
-                # horizontal differencing, per SAMPLE CHANNEL against
-                # the previous pixel (§14) — mod-256 prefix sum; rows
-                # reset, so it is segment-local by construction
-                if depth != 8:
-                    raise TiffError("predictor on non-8-bit samples")
-                arr = (np.cumsum(arr.astype(np.int64), axis=1)
-                       & 0xFF).astype(np.uint8)
-            return arr
+            return finish(_raster(lzw_decode(blob, expected),
+                                  nrows, width, seg_spp, depth, lt))
         if comp in (2, 3, 4):
             from .ccittcodec import CcittError, decode_g3, decode_g4
             if depth != 1:
@@ -568,14 +592,17 @@ def _decode_tiff(data: bytes, max_pixels: int,
 
 
 def _raster(raw: bytes, nrows: int, w: int, spp: int,
-            depth: int) -> np.ndarray:
+            depth: int, lt: str = "<") -> np.ndarray:
     if depth == 1:
         rb = (w + 7) // 8
         bits = np.unpackbits(
             np.frombuffer(raw[:rb * nrows], np.uint8).reshape(nrows, rb),
             axis=1)[:, :w]
         return bits
-    a = np.frombuffer(raw[:w * spp * nrows], np.uint8)
+    if depth == 16:
+        a = np.frombuffer(raw[:w * spp * nrows * 2], lt + "u2")
+    else:
+        a = np.frombuffer(raw[:w * spp * nrows], np.uint8)
     if spp == 3:
         return a.reshape(nrows, w, 3)
     return a.reshape(nrows, w)
@@ -595,14 +622,20 @@ def _encode_block(block: np.ndarray, compression: str,
     if compression == "jpeg":
         from .jpegcodec import encode_baseline
         return encode_baseline(block)
+    wide = block.dtype == np.uint16
     if bilevel:
         raw = np.packbits(block, axis=1).tobytes()
     elif compression == "lzw_predictor":
-        b16 = block.astype(np.int16)
-        diff = np.empty_like(b16)
-        diff[:, 0] = b16[:, 0]
-        diff[:, 1:] = b16[:, 1:] - b16[:, :-1]
-        raw = (diff & 0xFF).astype(np.uint8).tobytes()
+        bi = block.astype(np.int64)
+        diff = np.empty_like(bi)
+        diff[:, 0] = bi[:, 0]
+        diff[:, 1:] = bi[:, 1:] - bi[:, :-1]
+        if wide:
+            raw = (diff & 0xFFFF).astype("<u2").tobytes()
+        else:
+            raw = (diff & 0xFF).astype(np.uint8).tobytes()
+    elif wide:
+        raw = np.ascontiguousarray(block.astype("<u2")).tobytes()
     else:
         raw = np.ascontiguousarray(block).tobytes()
     if compression == "none":
@@ -622,15 +655,19 @@ def _page_parts(img: np.ndarray, compression: str,
     (each dimension a multiple of 16, §15); ``planar=True`` writes
     RGB as three separate sample planes (PlanarConfiguration=2)."""
     img = np.asarray(img)
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
-        raise ValueError("expected uint8 (h, w) or (h, w, 3)")
+    if img.dtype not in (np.uint8, np.uint16) or \
+            img.ndim not in (2, 3):
+        raise ValueError("expected uint8/uint16 (h, w) or (h, w, 3)")
+    wide = img.dtype == np.uint16
     rgb = img.ndim == 3
     if rgb and (img.shape[2] != 3 or bilevel):
-        raise ValueError("RGB must be (h, w, 3) and 8-bit")
+        raise ValueError("RGB must be (h, w, 3)")
     if compression in ("g3", "g4") and not bilevel:
         raise ValueError("CCITT compressions require bilevel=True")
-    if compression == "jpeg" and bilevel:
+    if compression == "jpeg" and (bilevel or wide):
         raise ValueError("jpeg compression is 8-bit only")
+    if wide and bilevel:
+        raise ValueError("bilevel thresholding expects uint8")
     if planar and (not rgb or tile is not None
                    or compression in ("g3", "g4", "jpeg")):
         raise ValueError("planar requires RGB strips with a "
@@ -646,7 +683,7 @@ def _page_parts(img: np.ndarray, compression: str,
                "lzw_predictor": 5, "g3": 3, "g4": 4, "jpeg": 7}[
         compression]
     spp = 3 if rgb else 1
-    bps = [1] if bilevel else [8] * spp
+    bps = [1] if bilevel else [16 if wide else 8] * spp
     photo = 0 if bilevel else (2 if rgb else 1)
 
     entries = []                             # (tag, type, values)

@@ -492,3 +492,42 @@ def test_tile_grid_amplification_guard():
             base[e + 8:e + 12] = struct.pack("<I", 1)
     with pytest.raises(TiffError, match="grid exceeds"):
         decode_tiff(bytes(base), max_pixels=64_000)
+
+
+def test_16bit_scan_masters():
+    """16-bit samples (archival scan masters) reduce to the high byte
+    — the PNG codec's convention — across strips/tiles/BigTIFF and
+    the predictor, which must difference at the NATIVE 16-bit width
+    before the reduction; big-endian sample order honored."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    rng = np.random.default_rng(29)
+    for shape in ((21, 34), (21, 34, 3)):
+        img16 = rng.integers(0, 65536, shape, dtype=np.uint16)
+        exp = (img16 >> 8).astype(np.uint8)
+        for comp in ("none", "packbits", "lzw", "lzw_predictor"):
+            for kw in ({}, {"tile": (16, 16)}, {"bigtiff": True}):
+                t = encode_tiff(img16, compression=comp,
+                                rows_per_strip=6, **kw)
+                assert np.array_equal(decode_tiff(t), exp), (comp, kw)
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff(np.zeros((8, 8), np.uint16), compression="jpeg")
+    # big-endian 16-bit: flip the encoder's little-endian stream to MM
+    # by hand-building one uncompressed sample
+    vals = np.array([[0x12AB, 0xFF01]], dtype=np.uint16)
+    raw = vals.astype(">u2").tobytes()
+    entries = [(256, 4, [2]), (257, 4, [1]), (258, 3, [16]),
+               (259, 3, [1]), (262, 3, [1]), (277, 3, [1]),
+               (278, 4, [1]), (273, 4, [0]), (279, 4, [len(raw)])]
+    entries.sort()
+    ifd = 2 + 12 * len(entries) + 4
+    out = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    out += struct.pack(">H", len(entries))
+    for tag, typ, v in entries:
+        if tag == 273:
+            v = [8 + ifd]
+        fmt = {3: "H", 4: "I"}[typ]
+        b = b"".join(struct.pack(">" + fmt, x) for x in v)
+        out += struct.pack(">HHI", tag, typ, len(v))
+        out += b + b"\x00" * (4 - len(b))
+    out += struct.pack(">I", 0) + raw
+    assert list(decode_tiff(bytes(out))[0]) == [0x12, 0xFF]
