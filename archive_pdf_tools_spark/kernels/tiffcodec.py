@@ -8,8 +8,9 @@ scans).  This module re-derives that ingest capability on the
 engine's own codecs: the CCITT tags decode through
 ``kernels/ccittcodec`` (the same T.4/T.6 machinery the PDF scan
 uses), new-style JPEG (tag 7) through ``kernels/jpegcodec``, and the
-byte-oriented TIFF schemes (LZW with horizontal predictor, PackBits)
-are implemented here — all algorithmic structure from the public
+byte-oriented TIFF schemes (LZW with horizontal predictor,
+PackBits, and Deflate via the stdlib zlib — codes 8 and 32946) are
+implemented here — all algorithmic structure from the public
 TIFF 6.0 specification, no tables transcribed.
 
 Scope (raised as ``TiffError``, honestly): classic AND BigTIFF
@@ -434,7 +435,7 @@ def _decode_tiff(data: bytes, max_pixels: int,
         expected = row_bytes * nrows
 
         def finish(arr):
-            if predictor == 2 and comp == 5:
+            if predictor == 2 and comp in (5, 8, 32946):
                 # horizontal differencing, per SAMPLE CHANNEL against
                 # the previous pixel (§14) — prefix sum at the NATIVE
                 # sample width; rows reset, so segment-local
@@ -462,6 +463,19 @@ def _decode_tiff(data: bytes, max_pixels: int,
         if comp == 5:
             return finish(_raster(lzw_decode(blob, expected),
                                   nrows, width, seg_spp, depth, lt))
+        if comp in (8, 32946):
+            # Deflate (8 = the TIFF-F/Adobe code, 32946 = the
+            # original assignment) — stdlib zlib with an exact bound
+            import zlib
+            try:
+                dec = zlib.decompressobj()
+                raw = dec.decompress(blob, expected)
+            except zlib.error as exc:
+                raise TiffError(f"bad deflate segment: {exc}") from exc
+            if len(raw) < expected:
+                raise TiffError("deflate segment underrun")
+            return finish(_raster(raw, nrows, width, seg_spp, depth,
+                                  lt))
         if comp in (2, 3, 4):
             from .ccittcodec import CcittError, decode_g3, decode_g4
             if depth != 1:
@@ -625,7 +639,7 @@ def _encode_block(block: np.ndarray, compression: str,
     wide = block.dtype == np.uint16
     if bilevel:
         raw = np.packbits(block, axis=1).tobytes()
-    elif compression == "lzw_predictor":
+    elif compression in ("lzw_predictor", "deflate_predictor"):
         bi = block.astype(np.int64)
         diff = np.empty_like(bi)
         diff[:, 0] = bi[:, 0]
@@ -644,6 +658,9 @@ def _encode_block(block: np.ndarray, compression: str,
         return packbits_encode(raw)
     if compression in ("lzw", "lzw_predictor"):
         return lzw_encode(raw)
+    if compression in ("deflate", "deflate_predictor"):
+        import zlib
+        return zlib.compress(raw, 6)
     raise ValueError(f"unknown compression {compression}")
 
 
@@ -680,7 +697,8 @@ def _page_parts(img: np.ndarray, compression: str,
         src = (img < 128).astype(np.uint8)   # 1 = black
 
     comp_id = {"none": 1, "packbits": 32773, "lzw": 5,
-               "lzw_predictor": 5, "g3": 3, "g4": 4, "jpeg": 7}[
+               "lzw_predictor": 5, "deflate": 8,
+               "deflate_predictor": 8, "g3": 3, "g4": 4, "jpeg": 7}[
         compression]
     spp = 3 if rgb else 1
     bps = [1] if bilevel else [16 if wide else 8] * spp
@@ -737,7 +755,7 @@ def _page_parts(img: np.ndarray, compression: str,
     ent(_T_SPP, 3, [spp])
     if planar:
         ent(_T_PLANAR, 3, [2])
-    if compression == "lzw_predictor":
+    if compression in ("lzw_predictor", "deflate_predictor"):
         ent(_T_PREDICTOR, 3, [2])
     if compression == "g3":
         ent(_T_T4OPTS, 4, [0])

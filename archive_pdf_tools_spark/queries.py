@@ -2314,6 +2314,9 @@ def q_tiff_decode(spark, sf):
                 else:
                     comp = ["none", "packbits", "lzw",
                             "lzw_predictor"][route]
+                    if route == 0 and org:   # deflate rides the
+                        comp = ["deflate",   # uncompressed cells
+                                "deflate_predictor"][org - 1]
                     base = (37 * i + 5 * xx + 11 * yy)
                     if i % 2:                # RGB
                         img = np.stack([(base + 85 * c) % 256

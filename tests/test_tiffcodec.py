@@ -531,3 +531,38 @@ def test_16bit_scan_masters():
         out += b + b"\x00" * (4 - len(b))
     out += struct.pack(">I", 0) + raw
     assert list(decode_tiff(bytes(out))[0]) == [0x12, 0xFF]
+
+
+def test_deflate_roundtrips():
+    """Deflate (compression 8, and the original 32946 assignment):
+    stdlib-zlib strips/tiles/BigTIFF with the shared predictor at
+    both sample widths; code 32946 decodes via a patched comp tag."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    rng = np.random.default_rng(31)
+    for comp in ("deflate", "deflate_predictor"):
+        for shape in ((23, 37), (23, 37, 3)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            for kw in ({}, {"tile": (16, 16)}, {"bigtiff": True}):
+                t = encode_tiff(img, compression=comp,
+                                rows_per_strip=7, **kw)
+                assert np.array_equal(decode_tiff(t), img), (comp, kw)
+        img16 = rng.integers(0, 65536, (23, 37), dtype=np.uint16)
+        t = encode_tiff(img16, compression=comp, rows_per_strip=7)
+        assert np.array_equal(decode_tiff(t),
+                              (img16 >> 8).astype(np.uint8))
+    # legacy code 32946 aliases 8: patch the comp tag in place
+    img = rng.integers(0, 256, (23, 37), dtype=np.uint8)
+    t = bytearray(encode_tiff(img, compression="deflate",
+                              rows_per_strip=7))
+    n = struct.unpack("<H", t[8:10])[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        if struct.unpack("<H", t[e:e + 2])[0] == 259:
+            assert struct.unpack("<H", t[e + 8:e + 10])[0] == 8
+            t[e + 8:e + 10] = struct.pack("<H", 32946)
+    assert np.array_equal(decode_tiff(bytes(t)), img)
+    # corrupt deflate stream raises typed
+    bad = bytearray(encode_tiff(img, compression="deflate"))
+    bad[-8] ^= 0xFF
+    with pytest.raises(TiffError):
+        decode_tiff(bytes(bad))
