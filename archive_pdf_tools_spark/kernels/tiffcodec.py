@@ -875,12 +875,14 @@ def encode_tiff_planar(img: np.ndarray, compression: str = "lzw",
 
 def encode_tiff_multi(imgs, compression: str = "none",
                       rows_per_strip: int | None = None,
-                      bilevel: bool = False) -> bytes:
+                      bilevel: bool = False,
+                      bigtiff: bool = False) -> bytes:
     """Multi-page TIFF (next-IFD chain — the multi-page book-scan
     layout): one IFD block per image, each pointing at the next.
     ``compression``/``bilevel`` may be single values or per-page
-    lists.  Pages decode back with ``decode_tiff(data, page=k)`` /
-    ``tiff_page_count``."""
+    lists; ``bigtiff=True`` writes version 43 (8-byte offsets — the
+    shape a >4 GB multi-page master actually needs).  Pages decode
+    back with ``decode_tiff(data, page=k)`` / ``tiff_page_count``."""
     imgs = list(imgs)
     if not imgs:
         raise ValueError("no pages")
@@ -897,13 +899,19 @@ def encode_tiff_multi(imgs, compression: str = "none",
     bils = per_page(bilevel, "bilevel")
     parts = [_page_parts(im, c, rows_per_strip, b)
              for im, c, b in zip(imgs, comps, bils)]
+    hdr_len = 16 if bigtiff else 8
     bases = []
-    pos = 8
+    pos = hdr_len
     for entries, strips in parts:
         bases.append(pos)
-        pos += _block_len(entries, strips)
-    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        pos += _block_len(entries, strips, big=bigtiff)
+    if bigtiff:
+        out = bytearray(b"II+\x00" + struct.pack("<HHQ", 8, 0,
+                                                 hdr_len))
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", hdr_len))
     for k, (entries, strips) in enumerate(parts):
         nxt = bases[k + 1] if k + 1 < n else 0
-        out += _emit_ifd_block(entries, strips, bases[k], nxt)
+        out += _emit_ifd_block(entries, strips, bases[k], nxt,
+                               big=bigtiff)
     return bytes(out)

@@ -16,6 +16,14 @@ Scale shape: the only shuffle is the per-doc regroup
 flagship extraction reuses; page decode + MRC run inside the grouped
 UDF with no driver-side state, and the checkpoint protocol is the
 shared ``checkpoint.run_sharded``.
+
+Whole-item rows (``page_idx = -1``: a ``*_tif.zip`` or multi-page
+TIFF as ONE binary cell) are bounded by Arrow/Parquet single-value
+limits (~2 GB): items beyond that — BigTIFF masters especially —
+must enter through the per-page row path (split upstream, e.g. one
+zip entry per row), which has no per-item bound; the zip expansion
+already inflates lazily so the in-memory bound is one page either
+way.
 """
 
 from __future__ import annotations

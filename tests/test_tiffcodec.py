@@ -566,3 +566,21 @@ def test_deflate_roundtrips():
     bad[-8] ^= 0xFF
     with pytest.raises(TiffError):
         decode_tiff(bytes(bad))
+
+
+def test_bigtiff_multipage_book():
+    """A multi-page BigTIFF book (version-43 next-IFD chain — the
+    shape a >4 GB master actually needs) round-trips page-by-page
+    with mixed per-page compressions."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (
+        encode_tiff_multi, tiff_page_count)
+    rng = np.random.default_rng(37)
+    imgs = [rng.integers(0, 256, (18, 26), dtype=np.uint8)
+            for _ in range(4)]
+    book = encode_tiff_multi(
+        imgs, compression=["none", "lzw", "deflate", "packbits"],
+        bigtiff=True)
+    assert book[:4] == b"II+\x00"
+    assert tiff_page_count(book) == 4
+    for k, im in enumerate(imgs):
+        assert np.array_equal(decode_tiff(book, page=k), im), k
