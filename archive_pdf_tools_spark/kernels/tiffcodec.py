@@ -100,7 +100,8 @@ def _ifd_count(data: bytes, lt: str, big: bool, off: int) -> int:
 
 
 def _read_ifd(data: bytes, page: int = 0):
-    """IFD ``page`` (next-IFD chain walk) -> {tag: [values]}."""
+    """IFD ``page`` (next-IFD chain walk) -> (byte order, {tag:
+    [values]})."""
     lt, big, off = _header(data)
     cs, es, ps, cap = _ifd_geometry(big)
     pfmt = "Q" if big else "I"
@@ -150,7 +151,7 @@ def _read_ifd(data: bytes, page: int = 0):
         else:
             vals = [raw]                     # rationals etc: opaque
         tags[tag] = vals
-    return tags
+    return lt, tags
 
 
 # ------------------------------------------------------------ PackBits
@@ -346,7 +347,7 @@ def tiff_page_count(data: bytes) -> int:
 
 def _decode_tiff(data: bytes, max_pixels: int,
                  page: int = 0) -> np.ndarray:
-    tags = _read_ifd(data, page)
+    lt, tags = _read_ifd(data, page)
 
     def one(tag, default=None):
         v = tags.get(tag)
@@ -384,7 +385,6 @@ def _decode_tiff(data: bytes, max_pixels: int,
                             "compression unsupported")
     else:
         raise TiffError("unsupported sample layout")
-    lt = _header(data)[0]                    # byte order for 16-bit
     if photo not in (0, 1) and not (photo == 2 and spp == 3) \
             and not (photo == 6 and spp == 3 and comp in (6, 7)):
         # YCbCr is only in scope where JPEG converts it internally —
@@ -393,6 +393,10 @@ def _decode_tiff(data: bytes, max_pixels: int,
     if comp in (6, 7) and photo == 6:
         photo = 1                            # JPEG handles YCbCr itself
     predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        # an unknown predictor would return still-differenced garbage
+        # (review finding) — the module contract is typed errors only
+        raise TiffError(f"predictor {predictor} unsupported")
     jpegtables = tags.get(_T_JPEGTABLES)
 
     if comp == 6:
@@ -846,9 +850,11 @@ def encode_tiff(img: np.ndarray, compression: str = "none",
                 rows_per_strip: int | None = None,
                 bilevel: bool = False, tile: tuple | None = None,
                 bigtiff: bool = False) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB -> little-endian TIFF.
-    ``compression``: none | packbits | lzw | lzw_predictor | g4 | g3 |
-    jpeg.  ``bilevel=True`` thresholds gray at 128 and writes a 1-bit
+    """uint8 or uint16 (h, w) gray / (h, w, 3) RGB -> little-endian
+    TIFF (16-bit input writes BitsPerSample=16; our decoder reduces
+    it to the high byte).  ``compression``: none | packbits | lzw |
+    lzw_predictor | deflate | deflate_predictor | g4 | g3 | jpeg.
+    ``bilevel=True`` thresholds uint8 gray at 128 and writes a 1-bit
     fax-style page (required for g3/g4).  ``tile=(tw, th)`` writes
     tile organization (multiples of 16, §15); ``bigtiff=True`` writes
     the version-43 layout (8-byte offsets — the >4 GB shape).

@@ -2266,8 +2266,10 @@ def q_tiff_decode(spark, sf):
     (round 7 late — the imagestack page format the reference hands to
     PIL, ``recode.py:595-597`` / ``bin/pdf-to-imagestack``): 18
     closed-form images encode rotating through the strip compressions
-    (none / PackBits / LZW / LZW+predictor over 8-bit gray or RGB,
-    and CCITT G4 / G3 bilevel fax pages at photometric 0) with
+    (none / PackBits / LZW / LZW+predictor over 8-bit gray or RGB —
+    with Deflate / Deflate+predictor riding the route-0 tile and
+    BigTIFF cells — and CCITT G4 / G3 bilevel fax pages at
+    photometric 0) with
     multi-strip layouts, then decode back; per-image pixel sums and a
     position-weighted sum are compared against the same closed form
     in SQL.  The ORGANIZATION rotates independently of the pixel

@@ -584,3 +584,21 @@ def test_bigtiff_multipage_book():
     assert tiff_page_count(book) == 4
     for k, im in enumerate(imgs):
         assert np.array_equal(decode_tiff(book, page=k), im), k
+
+
+def test_unknown_predictor_raises():
+    """Review-finding pin: Predictor values other than 1/2 must raise
+    (the floating-point predictor 3 is out of scope) — silently
+    returning still-differenced pixels violates the module's
+    no-garbage contract."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    t = bytearray(encode_tiff(img, compression="lzw_predictor"))
+    n = struct.unpack("<H", t[8:10])[0]
+    for k in range(n):
+        e = 10 + 12 * k
+        if struct.unpack("<H", t[e:e + 2])[0] == 317:
+            t[e + 8:e + 10] = struct.pack("<H", 3)
+    with pytest.raises(TiffError, match="predictor 3"):
+        decode_tiff(bytes(t))
