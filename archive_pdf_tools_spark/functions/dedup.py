@@ -41,7 +41,8 @@ from .textstats import fingerprint
 __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "band_buckets", "minhash_lsh_pairs",
            "simhash", "winnow_fingerprints", "winnow_pairs",
-           "duplicate_components", "embedding_near_dups"]
+           "duplicate_components", "embedding_near_dups",
+           "positional_grams", "substring_dup_stats"]
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
@@ -551,3 +552,85 @@ def embedding_near_dups(embeddings: DataFrame, tau: float = 0.9,
                     F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 4)
                      .alias("cosine"))
             .where(F.col("cosine") >= tau))
+
+
+def positional_grams(documents: DataFrame, k: int = 5) -> DataFrame:
+    """POSITIONAL token k-grams: (doc_id, n_toks, i, gram) — one row
+    per gram start (1-based), duplicates kept (unlike ``shingles_df``,
+    which is a distinct set).  The substring-dedup relation.
+
+    Same vectorized-UDF tokenization as the other dedup entry points
+    (lowercased, java/RE2 ``\\s`` split, mirroring the SQL oracles);
+    docs shorter than ``k`` tokens emit nothing."""
+    import re as _re
+
+    import pandas as pd
+
+    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _gram_batches(batches):
+        for pdf in batches:
+            ids, ns, pos, grams = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"].values,
+                                    pdf["text"].values):
+                if not isinstance(text, str):
+                    continue
+                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                n = len(toks)
+                if n < k:
+                    continue
+                for i in range(n - k + 1):
+                    ids.append(doc_id)
+                    ns.append(n)
+                    pos.append(i + 1)            # 1-based like SQL
+                    grams.append(" ".join(toks[i:i + k]))
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "n_toks": ns,
+                                    "i": pos, "gram": grams})
+
+    src = documents.select("doc_id", "text")
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    return src.mapInPandas(
+        _gram_batches,
+        schema=f"doc_id {id_type}, n_toks int, i int, gram string")
+
+
+def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Cross-document SUBSTRING-level dedup statistics (the Lee et
+    al. "Deduplicating Training Data" exact-substring family, sized
+    to token k-grams): a gram is DUPLICATED when it occurs >= 2 times
+    anywhere in the corpus (across docs or repeated within one), and
+    each doc reports its gram total, duplicated-gram count, and the
+    number of distinct token positions covered by the union of its
+    duplicated grams' [i, i+k) spans — the quantity a span-removal
+    pass would delete.
+
+    Plan shape: one vectorized map stage emits the positional-gram
+    relation, then ONE shuffle — a count window partitioned by the
+    gram — tags every occurrence with its corpus frequency (an
+    aggregate+join would shuffle the same relation twice).  The
+    coverage union is exact via sequence-explode + countDistinct.
+    All four per-doc metrics aggregate in ONE pass over the exploded
+    relation (distinct-on-position for gram counts, distinct-on-
+    covered-position for the union) — a two-branch formulation
+    recomputes the tokenize+gram shuffle twice because column pruning
+    defeats exchange reuse.  The gram KEY here is the string itself
+    so the DuckDB oracle can join on gram identity; at 100 TB you key
+    the window on a 128-bit hash of the gram instead (xxhash64 pair /
+    md5 halves) to shrink shuffle bytes — same plan, narrower rows."""
+    from pyspark.sql import Window
+
+    grams = positional_grams(documents, k)
+    w = Window.partitionBy("gram")
+    g2 = grams.withColumn("c", F.count("*").over(w))
+    pos = g2.select(
+        "doc_id", "n_toks", "i", "c",
+        F.explode(F.sequence(F.col("i"),
+                             F.col("i") + F.lit(k - 1))).alias("t"))
+    return pos.groupBy("doc_id").agg(
+        F.max("n_toks").alias("n_tokens"),
+        F.countDistinct("i").alias("n_grams"),
+        F.countDistinct(F.when(F.col("c") >= 2, F.col("i")))
+         .alias("dup_grams"),
+        F.countDistinct(F.when(F.col("c") >= 2, F.col("t")))
+         .alias("covered_tokens"))

@@ -567,6 +567,51 @@ FROM documents WHERE doc_id % 10 = 0
 """
 
 
+def q_substring_dedup(spark, sf):
+    """Substring-level dedup statistics (the Lee et al. exact-
+    substring family over token 5-grams; ``functions/dedup.py::
+    substring_dup_stats``): every gram occurring >= 2 times anywhere
+    in the seeded corpus is duplicated; per doc the oracle verifies
+    the gram total, the duplicated-gram count, and the EXACT token
+    coverage of the union of duplicated-gram spans — the quantity a
+    span-removal pass deletes.  Seeded copies (same parquet rows on
+    both engines) guarantee real cross-doc duplicate substrings; the
+    synthetic corpus's small vocabulary adds organic ones.  One
+    shuffle tags occurrences with corpus frequency (count window
+    keyed by the gram); the oracle joins on gram identity in SQL."""
+    return D.substring_dup_stats(_seeded_documents(spark, sf), k=5)
+
+
+SQL_SUBSTRING_DEDUP = rf"""
+WITH seeded AS ({{seed}}),
+base AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM seeded WHERE text IS NOT NULL),
+grams AS (
+  SELECT doc_id, len(toks) AS n, g.i,
+         array_to_string(toks[g.i:g.i + 4], ' ') AS gram
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) g
+  WHERE len(toks) >= 5),
+cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+g2 AS (SELECT g.doc_id, g.n, g.i, c.c
+       FROM grams g JOIN cnt c USING (gram)),
+cov AS (
+  SELECT doc_id, count(DISTINCT t.t) AS covered
+  FROM g2, LATERAL (SELECT unnest(generate_series(g2.i, g2.i + 4)) AS t) t
+  WHERE g2.c >= 2 GROUP BY doc_id)
+SELECT g2.doc_id,
+       CAST(max(g2.n) AS INTEGER) AS n_tokens,
+       count(*) AS n_grams,
+       CAST(sum(CASE WHEN g2.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS dup_grams,
+       CAST(coalesce(max(cov.covered), 0) AS BIGINT) AS covered_tokens
+FROM g2 LEFT JOIN cov USING (doc_id)
+GROUP BY g2.doc_id
+"""
+
+
 def q_exact_dups(spark, sf):
     return D.exact_duplicates(_seeded_documents(spark, sf))
 
@@ -2849,9 +2894,11 @@ QUERIES = {
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "repetition": (q_repetition, SQL_REPETITION),            # in (r7)
     "lang_guess": (q_lang_guess, SQL_LANG),                  # in (r6)
-    "fingerprints": (q_fingerprints, SQL_FP),
     # dedup
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),            # in (r6)
+    "substring_dedup": (q_substring_dedup,                   # new (r7
+                        SQL_SUBSTRING_DEDUP.format(          #  late)
+                            seed=SEED_DOCS_SQL)),
     "simhash": (q_simhash, SQL_SIMHASH),
     "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
@@ -2898,6 +2945,11 @@ QUERIES = {
     #   in-window extract_metrics VALUES oracle, and the added
     #   groupBy-sum shape is the same aggregate construct
     #   pricing_summary/ratio_agg drive in-window.
+    # - fingerprints (rotated out r7 late for substring_dedup,
+    #   driver-green r1-r7): exact_dups (in-window since r6) computes
+    #   the IDENTICAL md5 normalized-text fingerprint per doc and
+    #   groups the seeded corpus on it — a wrong fingerprint changes
+    #   exact_dups' in-window duplicate groups first.
     # - stop_after (rotated out r7 late for png_decode, driver-green
     #   r1-r7, the most-verified row in the registry): positional_join
     #   (in-window) drives the identical row_number-over-(partition,
@@ -2968,6 +3020,7 @@ QUERIES = {
     "media_resize": (q_media_resize, None),
     "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
     "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
+    "fingerprints": (q_fingerprints, SQL_FP),          # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

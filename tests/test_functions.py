@@ -358,3 +358,36 @@ def test_kmeans_corpus_smaller_than_k(spark):
     assert assigned.count() == 3
     assert C.shape == (3, 2)
     assert all(b >= a - 1e-12 for a, b in zip(objs, objs[1:]))
+
+
+def test_substring_dup_stats_hand_computed(spark):
+    """Lee-et-al substring dedup over token k-grams, verified against
+    a corpus small enough to work by hand: with k=3,
+    doc A = 'a b c d e', doc B = 'x a b c y', doc C = 'p q r s' —
+    the only duplicated gram is 'a b c' (A@1, B@2), so A and B each
+    have 1 dup gram covering tokens 1-3 (A) / 2-4 (B), C has none;
+    a doc shorter than k emits nothing."""
+    from archive_pdf_tools_spark.functions.dedup import (
+        substring_dup_stats)
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x a b c y"), (3, "p q r s"),
+         (4, "t u")],                        # < k tokens: no rows
+        "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict()
+           for r in substring_dup_stats(df, k=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1] == {"doc_id": 1, "n_tokens": 5, "n_grams": 3,
+                      "dup_grams": 1, "covered_tokens": 3}
+    assert out[2] == {"doc_id": 2, "n_tokens": 5, "n_grams": 3,
+                      "dup_grams": 1, "covered_tokens": 3}
+    assert out[3]["dup_grams"] == 0 and out[3]["covered_tokens"] == 0
+    # within-doc repetition counts too, and overlapping dup spans
+    # union (not sum): 'a b a b a b' with k=3 has grams
+    # (a b a)@1, (b a b)@2, (a b a)@3, (b a b)@4 — all duplicated,
+    # union covers all 6 tokens
+    df2 = spark.createDataFrame([(9, "a b a b a b")],
+                                "doc_id long, text string")
+    r = substring_dup_stats(df2, k=3).collect()[0]
+    assert (r["n_grams"], r["dup_grams"], r["covered_tokens"]) == \
+        (4, 4, 6)
