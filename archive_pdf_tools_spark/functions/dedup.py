@@ -617,20 +617,38 @@ def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
     defeats exchange reuse.  The gram KEY here is the string itself
     so the DuckDB oracle can join on gram identity; at 100 TB you key
     the window on a 128-bit hash of the gram instead (xxhash64 pair /
-    md5 halves) to shrink shuffle bytes — same plan, narrower rows."""
+    md5 halves) to shrink shuffle bytes — same plan, narrower rows.
+
+    The APPLY step rides the same shuffle: occurrences of each
+    duplicated gram rank by (doc_id, i) — the row_number shares the
+    count window's partition, so one sort serves both — and a token
+    position is REMOVED when any NON-FIRST duplicated occurrence
+    covers it (the all-but-one-span removal the Lee et al. tool
+    performs; a kept span that overlaps a removed one still loses the
+    shared tokens, matching byte-range removal semantics).
+    ``removed_tokens``/``kept_tokens`` report it per doc."""
     from pyspark.sql import Window
 
     grams = positional_grams(documents, k)
     w = Window.partitionBy("gram")
-    g2 = grams.withColumn("c", F.count("*").over(w))
+    wo = w.orderBy("doc_id", "i")
+    g2 = grams.withColumn(
+        "c", F.count("*").over(
+            w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    ).withColumn("rn", F.row_number().over(wo))
     pos = g2.select(
-        "doc_id", "n_toks", "i", "c",
+        "doc_id", "n_toks", "i", "c", "rn",
         F.explode(F.sequence(F.col("i"),
                              F.col("i") + F.lit(k - 1))).alias("t"))
-    return pos.groupBy("doc_id").agg(
+    dup = F.col("c") >= 2
+    out = pos.groupBy("doc_id").agg(
         F.max("n_toks").alias("n_tokens"),
         F.countDistinct("i").alias("n_grams"),
-        F.countDistinct(F.when(F.col("c") >= 2, F.col("i")))
-         .alias("dup_grams"),
-        F.countDistinct(F.when(F.col("c") >= 2, F.col("t")))
-         .alias("covered_tokens"))
+        F.countDistinct(F.when(dup, F.col("i"))).alias("dup_grams"),
+        F.countDistinct(F.when(dup, F.col("t")))
+         .alias("covered_tokens"),
+        F.countDistinct(F.when(dup & (F.col("rn") >= 2), F.col("t")))
+         .alias("removed_tokens"))
+    return out.withColumn(
+        "kept_tokens", F.col("n_tokens") - F.col("removed_tokens"))

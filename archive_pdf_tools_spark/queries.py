@@ -572,9 +572,11 @@ def q_substring_dedup(spark, sf):
     substring family over token 5-grams; ``functions/dedup.py::
     substring_dup_stats``): every gram occurring >= 2 times anywhere
     in the seeded corpus is duplicated; per doc the oracle verifies
-    the gram total, the duplicated-gram count, and the EXACT token
-    coverage of the union of duplicated-gram spans — the quantity a
-    span-removal pass deletes.  Seeded copies (same parquet rows on
+    the gram total, the duplicated-gram count, the EXACT token
+    coverage of the union of duplicated-gram spans, AND the apply
+    step — tokens removed by non-first occurrences (rank-first over
+    (doc_id, i), the all-but-one-span removal) with the surviving
+    count.  Seeded copies (same parquet rows on
     both engines) guarantee real cross-doc duplicate substrings; the
     synthetic corpus's small vocabulary adds organic ones.  One
     shuffle tags occurrences with corpus frequency (count window
@@ -594,19 +596,28 @@ grams AS (
   FROM base,
        LATERAL (SELECT unnest(generate_series(1, len(toks) - 4)) AS i) g
   WHERE len(toks) >= 5),
-cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
-g2 AS (SELECT g.doc_id, g.n, g.i, c.c
-       FROM grams g JOIN cnt c USING (gram)),
+g2 AS (
+  SELECT doc_id, n, i,
+         count(*) OVER (PARTITION BY gram) AS c,
+         row_number() OVER (PARTITION BY gram
+                            ORDER BY doc_id, i) AS rn
+  FROM grams),
 cov AS (
-  SELECT doc_id, count(DISTINCT t.t) AS covered
+  SELECT doc_id,
+         count(DISTINCT CASE WHEN c >= 2 THEN t.t END) AS covered,
+         count(DISTINCT CASE WHEN c >= 2 AND rn >= 2
+                             THEN t.t END) AS removed
   FROM g2, LATERAL (SELECT unnest(generate_series(g2.i, g2.i + 4)) AS t) t
-  WHERE g2.c >= 2 GROUP BY doc_id)
+  GROUP BY doc_id)
 SELECT g2.doc_id,
        CAST(max(g2.n) AS INTEGER) AS n_tokens,
        count(*) AS n_grams,
        CAST(sum(CASE WHEN g2.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
          AS dup_grams,
-       CAST(coalesce(max(cov.covered), 0) AS BIGINT) AS covered_tokens
+       CAST(coalesce(max(cov.covered), 0) AS BIGINT) AS covered_tokens,
+       CAST(coalesce(max(cov.removed), 0) AS BIGINT) AS removed_tokens,
+       CAST(max(g2.n) - coalesce(max(cov.removed), 0) AS BIGINT)
+         AS kept_tokens
 FROM g2 LEFT JOIN cov USING (doc_id)
 GROUP BY g2.doc_id
 """

@@ -377,17 +377,23 @@ def test_substring_dup_stats_hand_computed(spark):
     out = {r["doc_id"]: r.asDict()
            for r in substring_dup_stats(df, k=3).collect()}
     assert set(out) == {1, 2, 3}
+    # doc 1 holds the FIRST 'a b c' occurrence: covered but KEPT;
+    # doc 2's occurrence is non-first: its 3 covered tokens removed
     assert out[1] == {"doc_id": 1, "n_tokens": 5, "n_grams": 3,
-                      "dup_grams": 1, "covered_tokens": 3}
+                      "dup_grams": 1, "covered_tokens": 3,
+                      "removed_tokens": 0, "kept_tokens": 5}
     assert out[2] == {"doc_id": 2, "n_tokens": 5, "n_grams": 3,
-                      "dup_grams": 1, "covered_tokens": 3}
+                      "dup_grams": 1, "covered_tokens": 3,
+                      "removed_tokens": 3, "kept_tokens": 2}
     assert out[3]["dup_grams"] == 0 and out[3]["covered_tokens"] == 0
+    assert out[3]["kept_tokens"] == 4
     # within-doc repetition counts too, and overlapping dup spans
     # union (not sum): 'a b a b a b' with k=3 has grams
-    # (a b a)@1, (b a b)@2, (a b a)@3, (b a b)@4 — all duplicated,
-    # union covers all 6 tokens
+    # (a b a)@1, (b a b)@2, (a b a)@3, (b a b)@4 — all duplicated;
+    # the union covers all 6 tokens, the non-first occurrences
+    # (@3, @4) remove positions {3,4,5} ∪ {4,5,6} = 4 tokens
     df2 = spark.createDataFrame([(9, "a b a b a b")],
                                 "doc_id long, text string")
     r = substring_dup_stats(df2, k=3).collect()[0]
-    assert (r["n_grams"], r["dup_grams"], r["covered_tokens"]) == \
-        (4, 4, 6)
+    assert (r["n_grams"], r["dup_grams"], r["covered_tokens"],
+            r["removed_tokens"], r["kept_tokens"]) == (4, 4, 6, 4, 2)
