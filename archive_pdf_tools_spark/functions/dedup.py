@@ -45,6 +45,29 @@ __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "positional_grams", "substring_dup_stats"]
 
 
+# Shared word tokenizer for the shingle/minhash/simhash/substring
+# families (winnowing normalizes differently and keeps its own): java/
+# RE2 ``\\s`` class, NOT unicode ``\\s``, mirroring the SQL oracles'
+# regexp_split_to_array(lower(trim(text)), '\\s+').  Known-latent
+# cross-engine edge (verified absent from the testdata): SQL trim()
+# strips only ASCII spaces while this strip set covers the full class,
+# so text with LEADING/TRAILING tab/newline would tokenize differently
+# on the two engines.  One definition so a future tuning lands in every
+# family at once.
+_WS_RE = None
+
+
+def _ws_tokens(text):
+    """``text`` -> lowercase word tokens, or None for non-string."""
+    global _WS_RE
+    if _WS_RE is None:
+        import re as _re
+        _WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+    if not isinstance(text, str):
+        return None
+    return _WS_RE.split(text.strip(" \t\n\x0b\f\r").lower())
+
+
 def exact_duplicates(documents: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) texts with >1 member."""
     return (documents
@@ -61,20 +84,18 @@ def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
     Vectorized-UDF tokenization (java/RE2 ``\\s`` semantics, mirroring
     the SQL oracles) — Catalyst's transform/slice higher-order functions
     are interpreted and measured several times slower."""
-    import re as _re
 
     import pandas as pd
 
-    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _sh_batches(batches):
         for pdf in batches:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
-                if not isinstance(text, str):   # NULL text -> no rows,
+                toks = _ws_tokens(text)
+                if toks is None:                # NULL text -> no rows,
                     continue                    # mirroring SQL semantics
-                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
                 if len(toks) < n:
                     continue
                 for s in {" ".join(toks[i:i + n])
@@ -171,7 +192,6 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
     at any scale; the oracle SQL (explode+GROUP BY in DuckDB) checks
     results, not the plan."""
     import hashlib
-    import re as _re
 
     import pandas as pd
 
@@ -180,7 +200,6 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
     bv = np.asarray(b, dtype=np.int64)[None, :]
     cv = np.asarray(c, dtype=np.int64)[None, :]
     mask28 = np.int64((1 << 28) - 1)
-    ws = _re.compile(r"[ \t\n\x0b\f\r]+")     # java/RE2 \s, not unicode \s
 
     def _sig_batches(batches):
         md5 = hashlib.md5
@@ -188,9 +207,9 @@ def minhash_signatures(documents: DataFrame, n: int = 3, k: int = 32,
             out_ids, out_sigs = [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
-                if not isinstance(text, str):   # NULL -> absent (SQL parity)
+                toks = _ws_tokens(text)
+                if toks is None:      # NULL -> absent (SQL parity)
                     continue
-                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
                 if len(toks) < n:
                     continue          # no shingles -> absent (oracle parity)
                 shingles = {" ".join(toks[i:i + n])
@@ -300,11 +319,9 @@ def simhash(documents: DataFrame) -> DataFrame:
     DuckDB oracle uses the explode+GROUP BY formulation; results are
     identical."""
     import hashlib
-    import re as _re
 
     import pandas as pd
 
-    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _sim_batches(batches):
         md5 = hashlib.md5
@@ -317,7 +334,7 @@ def simhash(documents: DataFrame) -> DataFrame:
             lens = np.empty(len(texts), dtype=np.int64)
             chunks = []
             for i, text in enumerate(texts):
-                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
+                toks = _ws_tokens(text)
                 lens[i] = len(toks)
                 chunks.append(np.fromiter(
                     (int(md5(t.encode("utf-8")).hexdigest()[:14], 16)
@@ -562,20 +579,18 @@ def positional_grams(documents: DataFrame, k: int = 5) -> DataFrame:
     Same vectorized-UDF tokenization as the other dedup entry points
     (lowercased, java/RE2 ``\\s`` split, mirroring the SQL oracles);
     docs shorter than ``k`` tokens emit nothing."""
-    import re as _re
 
     import pandas as pd
 
-    ws = _re.compile(r"[ \t\n\x0b\f\r]+")
 
     def _gram_batches(batches):
         for pdf in batches:
             ids, ns, pos, grams = [], [], [], []
             for doc_id, text in zip(pdf["doc_id"].values,
                                     pdf["text"].values):
-                if not isinstance(text, str):
+                toks = _ws_tokens(text)
+                if toks is None:
                     continue
-                toks = ws.split(text.strip(" \t\n\x0b\f\r").lower())
                 n = len(toks)
                 if n < k:
                     continue
