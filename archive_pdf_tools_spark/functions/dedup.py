@@ -610,7 +610,8 @@ def positional_grams(documents: DataFrame, k: int = 5) -> DataFrame:
         schema=f"doc_id {id_type}, n_toks int, i int, gram string")
 
 
-def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
+def substring_dup_stats(documents: DataFrame, k: int = 5,
+                        key: str = "string") -> DataFrame:
     """Cross-document SUBSTRING-level dedup statistics (the Lee et
     al. "Deduplicating Training Data" exact-substring family, sized
     to token k-grams): a gram is DUPLICATED when it occurs >= 2 times
@@ -630,9 +631,13 @@ def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
     covered-position for the union) — a two-branch formulation
     recomputes the tokenize+gram shuffle twice because column pruning
     defeats exchange reuse.  The gram KEY here is the string itself
-    so the DuckDB oracle can join on gram identity; at 100 TB you key
-    the window on a 128-bit hash of the gram instead (xxhash64 pair /
-    md5 halves) to shrink shuffle bytes — same plan, narrower rows.
+    so the DuckDB oracle can join on gram identity; ``key="hash"``
+    is the 100 TB shuffle shape — the windows key on an xxhash64 PAIR
+    (two seeds, 128 collision bits) instead of the gram string, so
+    shuffle rows carry 16 bytes per key instead of the full k-token
+    text.  Same plan, same results (tested equal on the corpus);
+    string keying stays the default because the SQL oracle joins on
+    gram identity.
 
     The APPLY step rides the same shuffle: occurrences of each
     duplicated gram rank by (doc_id, i) — the row_number shares the
@@ -645,7 +650,16 @@ def substring_dup_stats(documents: DataFrame, k: int = 5) -> DataFrame:
     from pyspark.sql import Window
 
     grams = positional_grams(documents, k)
-    w = Window.partitionBy("gram")
+    if key == "hash":
+        grams = grams.select(
+            "doc_id", "n_toks", "i",
+            F.xxhash64("gram").alias("gk1"),
+            F.xxhash64(F.lit("s2"), F.col("gram")).alias("gk2"))
+        w = Window.partitionBy("gk1", "gk2")
+    elif key == "string":
+        w = Window.partitionBy("gram")
+    else:
+        raise ValueError("key must be 'string' or 'hash'")
     wo = w.orderBy("doc_id", "i")
     g2 = grams.withColumn(
         "c", F.count("*").over(

@@ -397,3 +397,13 @@ def test_substring_dup_stats_hand_computed(spark):
     r = substring_dup_stats(df2, k=3).collect()[0]
     assert (r["n_grams"], r["dup_grams"], r["covered_tokens"],
             r["removed_tokens"], r["kept_tokens"]) == (4, 4, 6, 4, 2)
+    # the 100-TB shuffle shape (xxhash64-pair gram keys) computes the
+    # same result as string keying
+    both = df.unionByName(df2)
+    a = substring_dup_stats(both, k=3).orderBy("doc_id").collect()
+    h = substring_dup_stats(both, k=3, key="hash") \
+        .orderBy("doc_id").collect()
+    assert a == h
+    import pytest as _pt
+    with _pt.raises(ValueError, match="key"):
+        substring_dup_stats(both, k=3, key="md5")
