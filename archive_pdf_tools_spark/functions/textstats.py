@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 __all__ = ["tokens", "token_count", "stopword_ratio", "quality_score",
-           "lang_guess", "fingerprint", "h56", "STOPWORDS"]
+           "lang_guess", "fingerprint", "h56", "STOPWORDS",
+           "bigram_nll"]
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -85,3 +86,55 @@ def h56(col_or_expr) -> Column:
     """Cross-engine 56-bit hash (see module docstring)."""
     c = F.col(col_or_expr) if isinstance(col_or_expr, str) else col_or_expr
     return F.conv(F.substring(F.md5(c), 1, 14), 16, 10).cast("bigint")
+
+
+def bigram_nll(documents):
+    """CCNet-style language-model quality scoring: an add-one-smoothed
+    BIGRAM LM trained on the corpus itself scores every document by
+    average negative log-likelihood — the perplexity signal a
+    CCNet/Gopher-style pipeline buckets documents with (high avg_nll =
+    unusual/low-quality text relative to the corpus).
+
+    Deterministic and fully engine-side: posexplode(split) builds the
+    token relation (no UDF), lag() supplies the bigram context, the
+    unigram/bigram count tables broadcast back onto the tokens (vocab-
+    bounded — at open-web scale pre-filter counts to c >= 2 or switch
+    the join to shuffle), and the first token of each doc scores
+    against the smoothed unigram.  P(cur|prev) = (c2+1)/(c1(prev)+V);
+    P(first) = (c1+1)/(N+V).  Output: (doc_id, n_tokens, avg_nll
+    rounded to 4 — both engines sum IEEE doubles, so rounding absorbs
+    association-order noise)."""
+    from pyspark.sql import Window
+
+    tok = (documents.where(F.col("text").isNotNull())
+           .select("doc_id",
+                   F.posexplode(
+                       F.split(F.lower(F.trim(F.col("text"))),
+                               r"\s+")).alias("i0", "cur")))
+    w = Window.partitionBy("doc_id").orderBy("i0")
+    tok = tok.withColumn("prev", F.lag("cur").over(w))
+    uni = tok.groupBy(F.col("cur").alias("w")) \
+             .agg(F.count("*").alias("c1"))
+    big = (tok.where(F.col("prev").isNotNull())
+           .groupBy(F.col("prev").alias("bp"), F.col("cur").alias("bc"))
+           .agg(F.count("*").alias("c2")))
+    consts = tok.agg(F.count("*").alias("n"),
+                     F.countDistinct("cur").alias("v"))
+    unip = uni.select(F.col("w").alias("wp"), F.col("c1").alias("c1p"))
+    t = (tok
+         .join(F.broadcast(uni), tok["cur"] == uni["w"])
+         .join(F.broadcast(unip), tok["prev"] == unip["wp"], "left")
+         .join(F.broadcast(big),
+               (tok["prev"] == big["bp"]) & (tok["cur"] == big["bc"]),
+               "left")
+         .crossJoin(F.broadcast(consts)))
+    nll = F.when(
+        F.col("prev").isNull(),
+        -F.log((F.col("c1") + F.lit(1.0))
+               / (F.col("n") + F.col("v")))
+    ).otherwise(
+        -F.log((F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1.0))
+               / (F.col("c1p") + F.col("v"))))
+    return (t.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.avg(nll), 4).alias("avg_nll")))

@@ -533,6 +533,48 @@ FROM documents GROUP BY 1
 """
 
 
+def q_lm_perplexity(spark, sf):
+    """CCNet-style LM quality scoring (round 7 late;
+    ``functions/textstats.py::bigram_nll``): an add-one-smoothed
+    bigram LM trained on the corpus itself scores every document by
+    average negative log-likelihood — the perplexity bucketing signal
+    of a CCNet/Gopher-style pipeline.  All engine-side (posexplode +
+    lag window + vocab-bounded broadcast joins, zero UDFs); the
+    oracle restates the identical smoothed probabilities in SQL, and
+    round-4 on the per-doc mean absorbs IEEE association-order noise
+    between the engines."""
+    return T.bigram_nll(_spread(load_table(spark, sf, "documents")))
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+  FROM documents WHERE text IS NOT NULL),
+tok AS (
+  SELECT doc_id, g.i, toks[g.i] AS cur,
+         CASE WHEN g.i > 1 THEN toks[g.i - 1] END AS prev
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) g),
+uni AS (SELECT cur AS w, count(*) AS c1 FROM tok GROUP BY cur),
+big AS (SELECT prev, cur, count(*) AS c2 FROM tok
+        WHERE prev IS NOT NULL GROUP BY prev, cur),
+consts AS (SELECT count(*) AS n, count(DISTINCT cur) AS v FROM tok),
+scored AS (
+  SELECT t.doc_id,
+         CASE WHEN t.prev IS NULL
+              THEN -ln((u.c1 + 1.0) / (c.n + c.v))
+              ELSE -ln((coalesce(b.c2, 0) + 1.0) / (up.c1 + c.v))
+         END AS nll
+  FROM tok t
+  JOIN uni u ON u.w = t.cur
+  LEFT JOIN uni up ON up.w = t.prev
+  LEFT JOIN big b ON b.prev = t.prev AND b.cur = t.cur
+  CROSS JOIN consts c)
+SELECT doc_id, count(*) AS n_tokens, round(avg(nll), 4) AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_fingerprints(spark, sf):
     doc = _spread(load_table(spark, sf, "documents"))
     return doc.select("doc_id", T.fingerprint("text").alias("fp"))
@@ -2893,7 +2935,6 @@ QUERIES = {
     # relational / reference-derived
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
     "positional_join": (q_positional_join, SQL_POSJOIN),
-    "ratio_agg": (q_ratio_agg, SQL_RATIO),
     "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
     "hq_flag": (q_hq_flag, SQL_HQ),
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
@@ -2904,6 +2945,8 @@ QUERIES = {
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
     "repetition": (q_repetition, SQL_REPETITION),            # in (r7)
+    "lm_perplexity": (q_lm_perplexity,                       # new (r7
+                      SQL_LM_PERPLEXITY),                    #  late)
     "lang_guess": (q_lang_guess, SQL_LANG),                  # in (r6)
     # dedup
     "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),            # in (r6)
@@ -2956,6 +2999,10 @@ QUERIES = {
     #   in-window extract_metrics VALUES oracle, and the added
     #   groupBy-sum shape is the same aggregate construct
     #   pricing_summary/ratio_agg drive in-window.
+    # - ratio_agg (rotated out r7 late for lm_perplexity, driver-
+    #   green r1-r7): its groupBy-avg-over-parquet-columns construct
+    #   is the same aggregate shape pricing_summary / table_profile /
+    #   nation_revenue drive in-window on the same tables.
     # - fingerprints (rotated out r7 late for substring_dedup,
     #   driver-green r1-r7): exact_dups (in-window since r6) computes
     #   the IDENTICAL md5 normalized-text fingerprint per doc and
@@ -3032,6 +3079,7 @@ QUERIES = {
     "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
     "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
     "fingerprints": (q_fingerprints, SQL_FP),          # tail (r7 late)
+    "ratio_agg": (q_ratio_agg, SQL_RATIO),             # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

@@ -407,3 +407,34 @@ def test_substring_dup_stats_hand_computed(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="key"):
         substring_dup_stats(both, k=3, key="md5")
+
+
+def test_bigram_nll_hand_computed(spark):
+    """Add-one-smoothed bigram LM on a corpus small enough to work by
+    hand: docs 'a a b' and 'a b' give N=5, V=2, c1(a)=3, c1(b)=2,
+    c2(a,a)=1, c2(a,b)=2; first tokens score against the smoothed
+    unigram, the rest against P(cur|prev)=(c2+1)/(c1(prev)+V)."""
+    import math
+
+    from archive_pdf_tools_spark.functions.textstats import bigram_nll
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_nll(df).collect()}
+    assert set(out) == {1, 2}                # NULL text absent
+    p_first_a = 4.0 / 7.0                    # (3+1)/(5+2)
+    p_a_a = 2.0 / 5.0                        # (1+1)/(3+2)
+    p_b_a = 3.0 / 5.0                        # (2+1)/(3+2)
+    exp1 = round(-(math.log(p_first_a) + math.log(p_a_a)
+                   + math.log(p_b_a)) / 3, 4)
+    exp2 = round(-(math.log(p_first_a) + math.log(p_b_a)) / 2, 4)
+    assert out[1]["n_tokens"] == 3 and out[1]["avg_nll"] == exp1
+    assert out[2]["n_tokens"] == 2 and out[2]["avg_nll"] == exp2
+    # an unusual doc scores higher nll than a corpus-typical one
+    df2 = spark.createDataFrame(
+        [(k, "the cat sat on the mat") for k in range(5)]
+        + [(9, "zyx wvu tsr qpo nml kji")],
+        "doc_id long, text string")
+    r = {x["doc_id"]: x["avg_nll"] for x in bigram_nll(df2).collect()}
+    assert r[9] > r[0]
