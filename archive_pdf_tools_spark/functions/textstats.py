@@ -95,24 +95,28 @@ def bigram_nll(documents):
     CCNet/Gopher-style pipeline buckets documents with (high avg_nll =
     unusual/low-quality text relative to the corpus).
 
-    Deterministic and fully engine-side: posexplode(split) builds the
-    token relation (no UDF), lag() supplies the bigram context, the
-    unigram/bigram count tables broadcast back onto the tokens (vocab-
-    bounded — at open-web scale pre-filter counts to c >= 2 or switch
-    the join to shuffle), and the first token of each doc scores
-    against the smoothed unigram.  P(cur|prev) = (c2+1)/(c1(prev)+V);
+    Deterministic and fully engine-side: the bigram context zips
+    MAP-SIDE (``arrays_zip(toks, shift(toks))`` before the explode, so
+    the token relation needs NO doc-keyed window shuffle — a lag()
+    formulation shuffles the exploded corpus by doc_id), the unigram/
+    bigram count tables broadcast back onto the tokens (vocab-bounded
+    — at open-web scale pre-filter counts to c >= 2 or switch the
+    join to shuffle), and the first token of each doc scores against
+    the smoothed unigram.  P(cur|prev) = (c2+1)/(c1(prev)+V);
     P(first) = (c1+1)/(N+V).  Output: (doc_id, n_tokens, avg_nll
     rounded to 4 — both engines sum IEEE doubles, so rounding absorbs
     association-order noise)."""
-    from pyspark.sql import Window
-
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    prevs = F.concat(F.array(F.lit(None).cast("string")),
+                     F.slice(toks, 1, F.greatest(F.size(toks) - 1,
+                                                 F.lit(0))))
     tok = (documents.where(F.col("text").isNotNull())
            .select("doc_id",
-                   F.posexplode(
-                       F.split(F.lower(F.trim(F.col("text"))),
-                               r"\s+")).alias("i0", "cur")))
-    w = Window.partitionBy("doc_id").orderBy("i0")
-    tok = tok.withColumn("prev", F.lag("cur").over(w))
+                   F.explode(F.arrays_zip(toks.alias("cur"),
+                                          prevs.alias("prev")))
+                    .alias("z"))
+           .select("doc_id", F.col("z.cur").alias("cur"),
+                   F.col("z.prev").alias("prev")))
     uni = tok.groupBy(F.col("cur").alias("w")) \
              .agg(F.count("*").alias("c1"))
     big = (tok.where(F.col("prev").isNotNull())
