@@ -106,7 +106,10 @@ def bigram_nll(documents):
     P(first) = (c1+1)/(N+V).  Output: (doc_id, n_tokens, avg_nll
     rounded to 4 — both engines sum IEEE doubles, so rounding absorbs
     association-order noise)."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # the module's shared tokenizer expression (token_stats parity);
+    # like every \s+ oracle pair this relies on the corpus carrying
+    # no \x0B (Java \s matches it, RE2/DuckDB \s does not)
+    toks = tokens(F.lower(F.col("text")))
     prevs = F.concat(F.array(F.lit(None).cast("string")),
                      F.slice(toks, 1, F.greatest(F.size(toks) - 1,
                                                  F.lit(0))))
@@ -122,8 +125,9 @@ def bigram_nll(documents):
     big = (tok.where(F.col("prev").isNotNull())
            .groupBy(F.col("prev").alias("bp"), F.col("cur").alias("bc"))
            .agg(F.count("*").alias("c2")))
-    consts = tok.agg(F.count("*").alias("n"),
-                     F.countDistinct("cur").alias("v"))
+    # n/v derive from the vocab-sized unigram table — re-aggregating
+    # the exploded corpus would be a whole extra pass at scale
+    consts = uni.agg(F.sum("c1").alias("n"), F.count("*").alias("v"))
     unip = uni.select(F.col("w").alias("wp"), F.col("c1").alias("c1p"))
     t = (tok
          .join(F.broadcast(uni), tok["cur"] == uni["w"])

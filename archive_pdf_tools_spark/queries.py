@@ -538,8 +538,10 @@ def q_lm_perplexity(spark, sf):
     ``functions/textstats.py::bigram_nll``): an add-one-smoothed
     bigram LM trained on the corpus itself scores every document by
     average negative log-likelihood — the perplexity bucketing signal
-    of a CCNet/Gopher-style pipeline.  All engine-side (posexplode +
-    lag window + vocab-bounded broadcast joins, zero UDFs); the
+    of a CCNet/Gopher-style pipeline.  All engine-side and map-only
+    until the count aggregates (the bigram context zips inside the
+    token array before the explode — no doc-keyed window shuffle —
+    then vocab-bounded broadcast joins; zero UDFs); the
     oracle restates the identical smoothed probabilities in SQL, and
     round-4 on the per-doc mean absorbs IEEE association-order noise
     between the engines."""
@@ -2998,7 +3000,7 @@ QUERIES = {
     #   driver-green r1-r7): its metrics input rows are the pinned
     #   in-window extract_metrics VALUES oracle, and the added
     #   groupBy-sum shape is the same aggregate construct
-    #   pricing_summary/ratio_agg drive in-window.
+    #   pricing_summary drives in-window.
     # - ratio_agg (rotated out r7 late for lm_perplexity, driver-
     #   green r1-r7): its groupBy-avg-over-parquet-columns construct
     #   is the same aggregate shape pricing_summary / table_profile /
