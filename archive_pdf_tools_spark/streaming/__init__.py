@@ -1,3 +1,5 @@
-"""Structured Streaming variant of the extraction pipeline."""
+"""Structured Streaming variants of the extraction + imagestack
+pipelines."""
 
-from .extract_stream import stream_extraction  # noqa: F401
+from .extract_stream import (stream_extraction,  # noqa: F401
+                             stream_imagestack)

@@ -46,3 +46,55 @@ def test_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
     for i in (0, 7):
         want = extract_document_local(make_doc(i, max_spans=8))
         assert rows[want["doc_id"]] == want["spans"]
+
+
+def test_stream_imagestack_matches_batch_exactly_once(spark, tmp_path):
+    """Streaming imagestack ingest: per-page TIFF/PNG rows land as
+    parquet files, stream restarts with the same checkpoint process
+    only new files, and spans match the batch operator exactly."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels.pngcodec import encode_png
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    from archive_pdf_tools_spark.operators.imagestack import (
+        imagestack_to_spans)
+    from archive_pdf_tools_spark.streaming import stream_imagestack
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    rng = np.random.default_rng(41)
+
+    def rows_for(docs):
+        rows = []
+        for d in docs:
+            for p in range(2):
+                img = rng.integers(0, 256, (14, 20), dtype=np.uint8)
+                blob = encode_tiff(img, compression="lzw") \
+                    if p == 0 else encode_png(img)
+                rows.append((f"d{d}", p, bytearray(blob)))
+        return rows
+
+    first = rows_for(range(3))
+    df1 = spark.createDataFrame(
+        first, "doc_id string, page_idx int, image binary")
+    df1.write.mode("append").parquet(in_dir)
+    q = stream_imagestack(spark, in_dir, out_dir, hocr_col=None)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert got1.count() == 3
+
+    second = rows_for(range(3, 5))
+    spark.createDataFrame(
+        second, "doc_id string, page_idx int, image binary") \
+        .write.mode("append").parquet(in_dir)
+    q2 = stream_imagestack(spark, in_dir, out_dir, hocr_col=None)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(os.path.join(out_dir, "spans"))
+    assert got.count() == 5                  # exactly once
+
+    # batch/stream parity on the first wave
+    want = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in imagestack_to_spans(df1, hocr_col=None).collect()}
+    rows = {r["doc_id"]: [s.asDict() for s in r["spans"]]
+            for r in got.where(got.doc_id < "d3").collect()}
+    assert rows == want
