@@ -64,6 +64,24 @@ COMMENT = {
         "HTML front door: two map-only vectorized stages (fixture synth, "
         "boilerplate-strip parse) + the tiny spread exchange; per-doc "
         "span analytics stay array-level (no explode shuffle)."),
+    "substring_dedup": (
+        "Lee-et-al substring dedup: ONE gram-keyed Exchange serves both "
+        "the corpus-frequency count window and the rank-first "
+        "row_number (same partition, one Sort); all per-doc metrics — "
+        "incl. the span-union coverage and the apply-step removal — "
+        "fold into a single Expand+distinct aggregate pass over the "
+        "exploded positions (narrow int rows), so the wide gram "
+        "relation shuffles exactly once.  key='hash' swaps the string "
+        "key for an xxhash64 pair (16-byte shuffle keys) — the 100-TB "
+        "shape, tested equal."),
+    "lm_perplexity": (
+        "Corpus-trained bigram-LM scoring: the bigram context zips "
+        "inside the token array BEFORE the explode (no doc-keyed "
+        "window shuffle — a lag() formulation shuffles the exploded "
+        "corpus twice); unigram/bigram count tables are vocab-bounded "
+        "and broadcast back (3 BroadcastHashJoin, 0 SortMergeJoin), "
+        "and the LM constants derive from the unigram aggregate, not "
+        "another corpus pass."),
 }
 
 
