@@ -64,6 +64,12 @@ COMMENT = {
         "HTML front door: two map-only vectorized stages (fixture synth, "
         "boilerplate-strip parse) + the tiny spread exchange; per-doc "
         "span analytics stay array-level (no explode shuffle)."),
+    "pii_scrub": (
+        "The 100-TB shape: a 3-column pruned scan, ONE codegen Project "
+        "carrying every regexp_count/regexp_replace, partial "
+        "aggregation (map-side combine) before the single Exchange, "
+        "which moves only 5 longs per language.  No Python, no second "
+        "pass over the text."),
     "substring_dedup": (
         "Lee-et-al substring dedup: ONE gram-keyed Exchange serves both "
         "the corpus-frequency count window and the rank-first "
@@ -112,10 +118,11 @@ def main():
                      COMMENT["extraction"],
                      plan_of(reassemble(extract_spans(docs,
                                                       num_partitions=4)))))
-    for name in ("nation_revenue", "pricing_summary", "simhash",
-                 "minhash_sigs", "minhash_lsh_pairs", "winnow_fp",
-                 "decontaminate", "token_pack", "embedding_dups",
-                 "html_extract"):
+    # every COMMENT entry renders — a hardcoded list silently dropped
+    # sections when the dict grew
+    for name in COMMENT:
+        if name == "extraction":
+            continue
         fn, _sql = QUERIES[name]
         sections.append((name, COMMENT[name], plan_of(fn(spark, SF))))
 
