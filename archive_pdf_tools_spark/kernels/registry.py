@@ -338,3 +338,15 @@ def maybe_register_native() -> list[str]:
     except ImportError:
         pass
     return swapped
+
+
+# Deploy-time opt-in (job.py --native-codecs): registration must
+# happen in EVERY python worker process, not just the driver — codecs
+# run inside mapInPandas — so the switch is an env var the driver
+# propagates via spark.executorEnv and this module honors at import.
+# Contract-verified as always: a native decoder that fails the oracle
+# suite is silently skipped and the built-in stays.
+import os as _os  # noqa: E402
+
+if _os.environ.get("SPARK_GRAFT_NATIVE_CODECS") == "1":
+    maybe_register_native()

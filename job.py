@@ -50,15 +50,33 @@ def main(argv=None):
                          "inputs (--input-format pdf); one corpus-wide "
                          "password, per-doc failures degrade to "
                          "pdf_error spans")
+    ap.add_argument("--native-codecs", action="store_true",
+                    help="swap contract-verified native image decoders "
+                         "(Pillow etc., kernels/registry.py) in on "
+                         "every executor; absent libraries or a "
+                         "failed oracle suite leave the built-ins")
     args = ap.parse_args(argv)
+
+    import os as _os
 
     from pyspark.sql import SparkSession
 
-    spark = (SparkSession.builder
-             .appName("archive-pdf-tools-spark-extract")
-             .config("spark.sql.adaptive.enabled", "true")
-             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
-             .getOrCreate())
+    builder = (SparkSession.builder
+               .appName("archive-pdf-tools-spark-extract")
+               .config("spark.sql.adaptive.enabled", "true")
+               .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                       "64"))
+    if args.native_codecs:
+        # registry.py honors this at import in every python worker
+        _os.environ["SPARK_GRAFT_NATIVE_CODECS"] = "1"
+        builder = builder.config(
+            "spark.executorEnv.SPARK_GRAFT_NATIVE_CODECS", "1")
+    spark = builder.getOrCreate()
+    if args.native_codecs:
+        from archive_pdf_tools_spark.kernels.registry import (
+            maybe_register_native)
+        print(json.dumps({"native_codecs_swapped":
+                          maybe_register_native()}))
 
     from archive_pdf_tools_spark.operators.checkpoint import run_with_checkpoint
     from archive_pdf_tools_spark.sources import synthetic_documents

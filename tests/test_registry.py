@@ -142,3 +142,25 @@ def test_maybe_register_native_is_safe_without_libraries():
     for fmt in FORMATS:
         if fmt not in swapped:
             assert get_decoder(fmt) is builtin_decoder(fmt)
+
+
+def test_native_codecs_env_opt_in_is_safe():
+    """SPARK_GRAFT_NATIVE_CODECS=1 at import time (the job.py
+    --native-codecs deploy switch, propagated to executors via
+    spark.executorEnv) runs maybe_register_native in every worker;
+    with no native libraries in this container the built-ins stay
+    installed and import does not crash.  Subprocess so the module
+    reload cannot disturb this process's registry identity."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os; os.environ['SPARK_GRAFT_NATIVE_CODECS'] = '1'\n"
+        "from archive_pdf_tools_spark.kernels import registry as r\n"
+        "for fmt in r.FORMATS:\n"
+        "    assert r.get_decoder(fmt) is r.builtin_decoder(fmt), fmt\n"
+        "print('OK')\n")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "OK"
