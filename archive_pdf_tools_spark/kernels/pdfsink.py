@@ -1,0 +1,244 @@
+"""MRC PDF sink — the reference's actual end product, written by us.
+
+The reference engine's output is a recoded PDF: per page, a JPEG2000
+background drawn first, a JPEG2000 foreground painted through a JBIG2
+mask, and an invisible text layer over both (``recode.py:440-483``
+inserts the streams via PyMuPDF / the ``fast_insert_image`` raw-xref
+path ``pdfhacks.py:106-177``; the text layer is the Tesseract-derived
+renderer ``pdfrenderer.py:209-443``).  This module assembles the SAME
+document structure from the engine's own codecs and text-op kernel —
+no PDF library:
+
+* background image XObject: ``/JPXDecode`` (``kernels/jp2codec``);
+* foreground image XObject: ``/JPXDecode`` with ``/SMask`` pointing
+  at a 1-bit ``/JBIG2Decode`` XObject (``kernels/jbig2codec``) — the
+  exact object linkage ``pdfhacks.py:159-174`` builds, so ink pixels
+  (JBIG2 sample 1) are where the foreground shows;
+* text layer: the byte-exact ``Tm/Td/Tf/Tz/TJ`` stream from
+  ``kernels/textlayer`` under a ``GlyphLessFont``-shaped Type0 font
+  (Identity-H, CIDFontType2, identity ``/ToUnicode`` CMap — the
+  public Tesseract PDF-renderer structure; render mode 3 never paints
+  glyphs, so the font file itself is not embedded);
+* optional ``/PageLabels`` number tree on the catalog (the
+  ``write_page_labels`` feature, ``pdfhacks.py:212-228``).
+
+Only public PDF 1.5 structure is used (ISO 32000: classic xref,
+pages tree, image XObjects, Type0 fonts).  Every byte written here is
+readable back by the engine's own ``sources/pdf_meta.py`` — the
+round-trip (mask bit-exact, fg/bg through the JP2 decoder, text-op
+digest) is the test contract.
+
+Scale shape: one document = one PDF assembled inside the per-doc
+``applyInPandas`` group (``operators/recode.py``) — no driver-side
+state, no cross-document coordination.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+__all__ = ["build_mrc_pdf", "MRC_FONT_NAME"]
+
+MRC_FONT_NAME = b"f-0-0"        # the name the textlayer ops reference
+
+# Identity /ToUnicode CMap: CIDs ARE UTF-16BE code units (the
+# textlayer payload writes codepoints as UTF-16BE), so one bfrange
+# covers the BMP.  Structure per ISO 32000 §9.10.3 / the public
+# Tesseract renderer.
+_TOUNICODE_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) /Supplement 0 >> def
+/CMapName /Adobe-Identity-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfrange
+<0000> <FFFF> <0000>
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def _jp2_dims_of(img: np.ndarray):
+    h, w = img.shape[:2]
+    gray = img.ndim == 2
+    return w, h, gray
+
+
+def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
+                  "tools-spark") -> bytes:
+    """Assemble one MRC PDF.
+
+    ``pages``: one dict per page —
+
+    * ``mask``: (h, w) bool/0-1 — the text mask (full page size);
+    * ``fg`` / ``bg``: uint8 rasters (gray or RGB; may be downsampled
+      relative to the mask — PDF image placement rescales);
+    * ``fg_jp2`` / ``bg_jp2`` / ``mask_jbig2`` (optional): already-
+      encoded streams (skips the encoders — the operator encodes once
+      and reuses);
+    * ``text_ops`` (optional): the textlayer op stream bytes;
+    * ``ppi`` (default 72): pixels per inch — MediaBox scales to
+      points.
+
+    Optional top-level keys on the FIRST page dict:
+
+    * ``page_labels``: pre-rendered ``/PageLabels`` dictionary bytes
+      (e.g. from ``page_labels_pdf``).
+    """
+    from .jbig2codec import encode_jbig2
+    from .jp2codec import encode_jp2
+
+    objects: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    def stream_obj(dict_head: bytes, data: bytes) -> int:
+        return add(dict_head + b" /Length " + str(len(data)).encode()
+                   + b" >>\nstream\n" + data + b"\nendstream")
+
+    # ---- font chain (one per document; ops reference /f-0-0) ----
+    tounicode_id = stream_obj(b"<<", _TOUNICODE_CMAP)
+    desc_id = add(b"<< /Type /FontDescriptor /FontName /GlyphLessFont"
+                  b" /Flags 5 /ItalicAngle 0 /Ascent 1000 /Descent -1"
+                  b" /CapHeight 1000 /StemV 80"
+                  b" /FontBBox [0 0 500 1000] >>")
+    cidfont_id = add(b"<< /Type /Font /Subtype /CIDFontType2"
+                     b" /BaseFont /GlyphLessFont /CIDToGIDMap /Identity"
+                     b" /CIDSystemInfo << /Registry (Adobe)"
+                     b" /Ordering (Identity) /Supplement 0 >>"
+                     b" /FontDescriptor " + str(desc_id).encode()
+                     + b" 0 R /DW 500 >>")
+    font_id = add(b"<< /Type /Font /Subtype /Type0"
+                  b" /BaseFont /GlyphLessFont /Encoding /Identity-H"
+                  b" /DescendantFonts [" + str(cidfont_id).encode()
+                  + b" 0 R] /ToUnicode " + str(tounicode_id).encode()
+                  + b" 0 R >>")
+
+    def image_obj(data: bytes, w: int, h: int, gray: bool,
+                  filt: bytes, bpc: int, smask: int | None = None,
+                  decode_parms: bytes = b"") -> int:
+        cs = b"/DeviceGray" if gray else b"/DeviceRGB"
+        head = (b"<< /Type /XObject /Subtype /Image /Width "
+                + str(w).encode() + b" /Height " + str(h).encode()
+                + b" /ColorSpace " + cs + b" /BitsPerComponent "
+                + str(bpc).encode() + b" /Filter " + filt
+                + decode_parms
+                + (b" /SMask " + str(smask).encode() + b" 0 R"
+                   if smask else b""))
+        return stream_obj(head, data)
+
+    pending = []
+    for page in pages:
+        mask = np.asarray(page["mask"])
+        if mask.ndim != 2:
+            raise ValueError("mask must be 2-D")
+        ph, pw = mask.shape
+        ppi = float(page.get("ppi", 72.0))
+        W = pw * 72.0 / ppi
+        H = ph * 72.0 / ppi
+
+        bg = page["bg"]
+        fg = page["fg"]
+        bg_jp2 = page.get("bg_jp2") or encode_jp2(
+            np.asarray(bg), irreversible=True)
+        fg_jp2 = page.get("fg_jp2") or encode_jp2(
+            np.asarray(fg), irreversible=True)
+        mask_jbig2 = page.get("mask_jbig2") or encode_jbig2(
+            (mask != 0).astype(np.uint8))
+
+        bw, bh, bgray = _jp2_dims_of(np.asarray(bg))
+        fw, fh, fgray = _jp2_dims_of(np.asarray(fg))
+        # mask as SMask: JBIG2 sample 1 (ink) = gray 1 = alpha 1 =
+        # foreground paints exactly at ink (pdfhacks.py:159-174)
+        mask_id = image_obj(mask_jbig2, pw, ph, True,
+                            b"/JBIG2Decode", 1)
+        bg_id = image_obj(bg_jp2, bw, bh, bgray, b"/JPXDecode", 8)
+        fg_id = image_obj(fg_jp2, fw, fh, fgray, b"/JPXDecode", 8,
+                          smask=mask_id)
+
+        def cm(v: float) -> bytes:
+            return (b"%.4f" % v).rstrip(b"0").rstrip(b".")
+
+        ops = [b"q " + cm(W) + b" 0 0 " + cm(H) + b" 0 0 cm /Im0 Do Q",
+               b"q " + cm(W) + b" 0 0 " + cm(H) + b" 0 0 cm /Im1 Do Q"]
+        if page.get("text_ops"):
+            ops.append(bytes(page["text_ops"]))
+        content = zlib.compress(b"\n".join(ops), 6)
+        content_id = stream_obj(b"<< /Filter /FlateDecode", content)
+        pending.append((W, H, bg_id, fg_id, content_id))
+
+    page_ids_start = len(objects) + 1
+    tree_id = page_ids_start + len(pending)
+    for W, H, bg_id, fg_id, content_id in pending:
+        add(b"<< /Type /Page /Parent " + str(tree_id).encode()
+            + b" 0 R /MediaBox [0 0 " + (b"%.4f %.4f" % (W, H))
+            + b"] /Resources << /XObject << /Im0 "
+            + str(bg_id).encode() + b" 0 R /Im1 "
+            + str(fg_id).encode() + b" 0 R >> /Font << /"
+            + MRC_FONT_NAME + b" " + str(font_id).encode()
+            + b" 0 R >> >> /Contents " + str(content_id).encode()
+            + b" 0 R >>")
+    kids = b" ".join(b"%d 0 R" % (page_ids_start + k)
+                     for k in range(len(pending)))
+    got_tree = add(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+                   + str(len(pending)).encode() + b" >>")
+    assert got_tree == tree_id
+    labels = pages[0].get("page_labels") if pages else None
+    catalog_id = add(b"<< /Type /Catalog /Pages " + str(tree_id).encode()
+                     + b" 0 R"
+                     + ((b" /PageLabels " + labels) if labels else b"")
+                     + b" >>")
+
+    out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (len(objects) + 1, catalog_id, xref_pos))
+    return bytes(out)
+
+
+def page_labels_pdf(series: list) -> bytes:
+    """Page-number series -> ``/PageLabels`` dictionary bytes (the
+    ``write_page_labels`` feature, ``pdfhacks.py:212-228`` /
+    ``series_to_pdf``): runs of decimal numbering become
+    ``/S /D /St`` entries in a ``/Nums`` number tree; unnumbered runs
+    get bare empty-prefix entries.
+
+    ``series``: the per-page parsed numbers (ints or None), e.g. from
+    ``kernels/pagenumbers.parse_series``."""
+    nums: list[bytes] = []
+    k = 0
+    n = len(series)
+    while k < n:
+        v = series[k]
+        if v is None:
+            nums.append(b"%d << >>" % k)
+            k += 1
+            while k < n and series[k] is None:
+                k += 1
+            continue
+        start = k
+        expect = int(v)
+        while k < n and series[k] is not None \
+                and int(series[k]) == expect:
+            k += 1
+            expect += 1
+        nums.append(b"%d << /S /D /St %d >>" % (start, int(v)))
+    return b"<< /Nums [" + b" ".join(nums) + b"] >>"

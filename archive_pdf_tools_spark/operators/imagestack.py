@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["imagestack_to_spans", "run_imagestack_checkpoint",
-           "decode_page_image"]
+           "decode_page_image", "expand_item_pages"]
 
 
 def decode_page_image(blob: bytes) -> np.ndarray:
@@ -105,26 +105,13 @@ def _zip_read(zf, zi) -> bytes:
             f"bad imagestack zip entry {zi.filename!r}: {exc}") from exc
 
 
-def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
-    """pages: [(page_idx, image bytes)] sorted by page_idx -> ordered
-    (kind, text, media_ref) spans, mirroring the PDF front door's
-    per-image contract (hOCR-accepted MRC text lines + one
-    content-addressed media span per page)."""
-    from ..kernels.mrc import create_mrc_components
-    from ..sources.hocr import iter_pages, page_word_data
-    from .extract import _sha12
-
-    word_data_by_page: dict[int, list] = {}
-    if hocr:
-        for idx, page in enumerate(iter_pages(hocr)):
-            word_data_by_page[idx] = page_word_data(page)
+def expand_item_pages(pages: list):
+    """Shared front-door page expansion: ``pages`` =
+    [(page_idx, payload)] sorted — a single ``page_idx = -1`` row is
+    a WHOLE-DOCUMENT item (archival ``*_tif.zip`` or multi-page TIFF)
+    and expands; per-page rows pass through.  Returns
+    ``(pages, decode)`` where ``decode(payload, k) -> raster``."""
     if len(pages) == 1 and int(pages[0][0]) < 0:
-        # whole-document row (page_idx = -1): either the archival ZIP
-        # item itself (``<id>_tif.zip`` with ``<id>_tif/<id>_NNNN.tif``
-        # entries — ``bin/pdf-to-imagestack:33-58`` writes it, and
-        # ``recode.py:597`` reads pages back via sorted(glob(...)), so
-        # position = LEXICOGRAPHIC entry order), or a MULTI-PAGE TIFF
-        # whose next-IFD chain carries the book
         blob = bytes(pages[0][1])
         if blob[:4] == b"PK\x03\x04":
             zf, infos = _zip_open(blob)
@@ -140,6 +127,23 @@ def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
     else:
         decode = lambda b, _k: decode_page_image(     # noqa: E731
             bytes(b))
+    return pages, decode
+
+
+def _doc_rows(doc_id: str, pages: list, hocr) -> list[tuple]:
+    """pages: [(page_idx, image bytes)] sorted by page_idx -> ordered
+    (kind, text, media_ref) spans, mirroring the PDF front door's
+    per-image contract (hOCR-accepted MRC text lines + one
+    content-addressed media span per page)."""
+    from ..kernels.mrc import create_mrc_components
+    from ..sources.hocr import iter_pages, page_word_data
+    from .extract import _sha12
+
+    word_data_by_page: dict[int, list] = {}
+    if hocr:
+        for idx, page in enumerate(iter_pages(hocr)):
+            word_data_by_page[idx] = page_word_data(page)
+    pages, decode = expand_item_pages(pages)
     spans: list[tuple] = []
     for pidx, payload in pages:   # payload: page bytes, or a ZipInfo
         raster = decode(payload, pidx)

@@ -1273,6 +1273,109 @@ FROM base
 """
 
 
+def q_recode_pdf(spark, sf):
+    """Entry point 1 — the reference's WHOLE PURPOSE as one row
+    family (``recode.py:595-716``): imagestack pages + hOCR in,
+    finished MRC PDF out (``operators/recode.py`` ->
+    ``kernels/pdfsink.py``).  12 deterministic documents (1-3 pages,
+    gray/RGB, TIFF/PNG page files, every other doc with an hOCR text
+    layer) recode to complete PDFs; each row reports page/text-line
+    counts, the PDF byte size, an md5-12 of the ENTIRE pdf byte
+    stream — the strongest possible pin, freezing the whole sink
+    (object layout, JBIG2/JP2 streams, text ops, xref) — plus a
+    full-circle check computed by RE-READING the pdf through the
+    engine's own reader: per-page image count, text detection, and a
+    bit-exact /SMask mask round-trip (a single flipped mask pixel
+    flips ``masks_exact``).  Oracle = pinned value table
+    (tools/pin_oracles.py); rightness of the pinned bytes is
+    established by tests/test_pdfsink.py's structural round-trips."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+
+        from .corpus.hocrgen import synth_hocr
+        from .kernels.jbig2codec import decode_jbig2
+        from .kernels.pngcodec import encode_png
+        from .kernels.tiffcodec import encode_tiff
+        from .operators.recode import recode_document
+        from .sources.pdf_meta import (_Reader, _stream_data,
+                                       parse_pdf)
+        import re as _re
+
+        for pdf_rows in batches:
+            rows = []
+            for i in pdf_rows["id"].values:
+                i = int(i)
+                n_pages = 1 + i % 3
+                pages = []
+                for p in range(n_pages):
+                    w, h = 64 + 8 * (p % 3), 48 + 8 * (p % 2)
+                    img = np.full((h, w), 232, np.uint8)
+                    img[6 + p:14 + p, 6:w - 6] = 20 + 3 * p
+                    if i % 3 == 2:
+                        img = np.stack(
+                            [img, 255 - img, np.roll(img, 2, 1)],
+                            axis=-1).astype(np.uint8)
+                    blob = (encode_tiff(img, compression="lzw")
+                            if p % 2 == 0 else encode_png(img))
+                    pages.append((p, blob))
+                hocr = None
+                if i % 2 == 0:
+                    h_ = synth_hocr(f"doc {i} alpha beta gamma",
+                                    words_per_page=5)
+                    hocr = h_.encode() if isinstance(h_, str) else h_
+                pdf, got_pages, n_lines = recode_document(pages, hocr)
+                meta = parse_pdf(pdf)
+                rd = _Reader(pdf)
+                imgs_per_page = [pg["n_images"]
+                                 for pg in meta["pages"]]
+                text_pages = sum(1 for pg in meta["pages"]
+                                 if pg["has_text"])
+                masks_exact = True
+                for pidx, pg in enumerate(meta["pages"]):
+                    fg_xref = pg["images"][1]["xref"]
+                    fd = rd.obj(fg_xref)[1]
+                    mid = int(_re.search(
+                        rb"/SMask\s+(\d+)\s+\d+\s+R", fd).group(1))
+                    mb, md = rd.obj(mid)
+                    bits = decode_jbig2(
+                        _stream_data(mb, md, rd._decrypter(mid)), b"")
+                    # recompute the expected mask from the source page
+                    from .kernels.mrc import create_mrc_components
+                    from .operators.imagestack import decode_page_image
+                    from .sources.hocr import iter_pages, page_word_data
+                    wd = []
+                    if hocr:
+                        for k2, hp in enumerate(iter_pages(hocr)):
+                            if k2 == pidx:
+                                wd = page_word_data(hp)
+                                break
+                    raster = decode_page_image(bytes(pages[pidx][1]))
+                    res = create_mrc_components(
+                        raster, wd, fg_downsample=3, bg_downsample=3)
+                    if not np.array_equal(bits != 0, res.mask != 0):
+                        masks_exact = False
+                rows.append((
+                    i, got_pages, n_lines, len(pdf),
+                    hashlib.md5(pdf).hexdigest()[:12],
+                    min(imgs_per_page), max(imgs_per_page),
+                    text_pages, masks_exact))
+            yield pd.DataFrame(rows, columns=[
+                "doc_i", "n_pages", "n_text_lines", "pdf_bytes",
+                "pdf_md5", "min_images", "max_images", "text_pages",
+                "masks_exact"])
+
+    base = spark.range(0, 12).repartition(4)
+    return base.mapInPandas(
+        gen, schema="doc_i bigint, n_pages int, n_text_lines int, "
+                    "pdf_bytes int, pdf_md5 string, min_images int, "
+                    "max_images int, text_pages int, "
+                    "masks_exact boolean")
+
+
 def q_pdfcomp(spark, sf):
     """Entry point 2 (bin/pdfcomp) — recode images inside existing PDFs:
     structural parse (classic + 1.5 forms alternating) -> raw image
@@ -2978,7 +3081,6 @@ QUERIES = {
     "extract_resume": (q_extract_resume, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
-    "frame_sample": (q_frame_sample, None),
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
@@ -2988,6 +3090,7 @@ QUERIES = {
     "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
     "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),     # new (r7 late)
     "png_decode": (q_png_decode, SQL_PNG_DECODE),        # new (r7 late)
+    "recode_pdf": (q_recode_pdf, None),              # new (r7 late)
     "pdfcomp": (q_pdfcomp, None),
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
@@ -3001,6 +3104,11 @@ QUERIES = {
     #   in-window extract_metrics VALUES oracle, and the added
     #   groupBy-sum shape is the same aggregate construct
     #   pricing_summary drives in-window.
+    # - frame_sample (rotated out r7 late for recode_pdf, pinned,
+    #   driver-green r3-r7): media_features (pinned, in-window) drives
+    #   the same multimodal binary/metadata plumbing over the same
+    #   fixture corpus; the frame-stride selection arithmetic is
+    #   pytest-pinned (tests/test_functions.py).
     # - ratio_agg (rotated out r7 late for lm_perplexity, driver-
     #   green r1-r7): its groupBy-avg-over-parquet-columns construct
     #   is the same aggregate shape pricing_summary / table_profile /
@@ -3082,6 +3190,7 @@ QUERIES = {
     "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
     "fingerprints": (q_fingerprints, SQL_FP),          # tail (r7 late)
     "ratio_agg": (q_ratio_agg, SQL_RATIO),             # tail (r7 late)
+    "frame_sample": (q_frame_sample, None),            # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):

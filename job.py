@@ -50,6 +50,14 @@ def main(argv=None):
                          "inputs (--input-format pdf); one corpus-wide "
                          "password, per-doc failures degrade to "
                          "pdf_error spans")
+    ap.add_argument("--output-format", default="spans",
+                    choices=("spans", "pdf"),
+                    help="'spans' = the interleaved spans table; "
+                         "'pdf' (imagestack input only) = one finished "
+                         "MRC PDF per document (operators/recode.py -> "
+                         "kernels/pdfsink.py: JP2 bg + JP2 fg through "
+                         "a JBIG2 /SMask + invisible text layer), "
+                         "committed via the same sharded checkpoint")
     ap.add_argument("--native-codecs", action="store_true",
                     help="swap contract-verified native image decoders "
                          "(Pillow etc., kernels/registry.py) in on "
@@ -87,11 +95,18 @@ def main(argv=None):
     elif args.input:
         docs = spark.read.parquet(args.input)
         if args.input_format == "imagestack":
-            from archive_pdf_tools_spark.operators.imagestack import (
-                run_imagestack_checkpoint)
-            manifest = run_imagestack_checkpoint(spark, docs,
+            if args.output_format == "pdf":
+                from archive_pdf_tools_spark.operators.recode import (
+                    run_recode_checkpoint)
+                manifest = run_recode_checkpoint(spark, docs,
                                                  args.output,
                                                  shards=args.shards)
+            else:
+                from archive_pdf_tools_spark.operators.imagestack import (
+                    run_imagestack_checkpoint)
+                manifest = run_imagestack_checkpoint(spark, docs,
+                                                     args.output,
+                                                     shards=args.shards)
             print(json.dumps(manifest))
             spark.stop()
             return
