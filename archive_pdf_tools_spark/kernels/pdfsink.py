@@ -82,8 +82,9 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     * ``fg`` / ``bg``: uint8 rasters (gray or RGB; may be downsampled
       relative to the mask — PDF image placement rescales);
     * ``fg_jp2`` / ``bg_jp2`` / ``mask_jbig2`` (optional): already-
-      encoded streams (skips the encoders — the operator encodes once
-      and reuses);
+      encoded streams (skips the encoders); a supplied ``mask_jbig2``
+      must already carry SMASK POLARITY (ink = JBIG2 bit 0, see
+      below);
     * ``text_ops`` (optional): the textlayer op stream bytes;
     * ``ppi`` (default 72): pixels per inch — MediaBox scales to
       points.
@@ -125,14 +126,13 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
                   + b" 0 R >>")
 
     def image_obj(data: bytes, w: int, h: int, gray: bool,
-                  filt: bytes, bpc: int, smask: int | None = None,
-                  decode_parms: bytes = b"") -> int:
+                  filt: bytes, bpc: int,
+                  smask: int | None = None) -> int:
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         head = (b"<< /Type /XObject /Subtype /Image /Width "
                 + str(w).encode() + b" /Height " + str(h).encode()
                 + b" /ColorSpace " + cs + b" /BitsPerComponent "
                 + str(bpc).encode() + b" /Filter " + filt
-                + decode_parms
                 + (b" /SMask " + str(smask).encode() + b" 0 R"
                    if smask else b""))
         return stream_obj(head, data)
@@ -153,13 +153,18 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
             np.asarray(bg), irreversible=True)
         fg_jp2 = page.get("fg_jp2") or encode_jp2(
             np.asarray(fg), irreversible=True)
+        # SMask polarity: viewers map JBIG2 bit 1 (black) to gray
+        # sample 0 = alpha 0, so the TEXT pixels must be encoded as
+        # bit 0 for the foreground to paint at ink.  The reference
+        # gets this implicitly (its mask PNG renders text WHITE and
+        # jbig2enc encodes black as 1, mrc.py:493-499 +
+        # pdfhacks.py:60-68 — no /Decode override in its dict);
+        # we encode the inverted mask for the same wire polarity.
         mask_jbig2 = page.get("mask_jbig2") or encode_jbig2(
-            (mask != 0).astype(np.uint8))
+            (mask == 0).astype(np.uint8))
 
         bw, bh, bgray = _jp2_dims_of(np.asarray(bg))
         fw, fh, fgray = _jp2_dims_of(np.asarray(fg))
-        # mask as SMask: JBIG2 sample 1 (ink) = gray 1 = alpha 1 =
-        # foreground paints exactly at ink (pdfhacks.py:159-174)
         mask_id = image_obj(mask_jbig2, pw, ph, True,
                             b"/JBIG2Decode", 1)
         bg_id = image_obj(bg_jp2, bw, bh, bgray, b"/JPXDecode", 8)

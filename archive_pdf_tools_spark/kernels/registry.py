@@ -348,5 +348,6 @@ def maybe_register_native() -> list[str]:
 # suite is silently skipped and the built-in stays.
 import os as _os  # noqa: E402
 
+ENV_SWAPPED: list[str] = []
 if _os.environ.get("SPARK_GRAFT_NATIVE_CODECS") == "1":
-    maybe_register_native()
+    ENV_SWAPPED = maybe_register_native()

@@ -52,7 +52,11 @@ def recode_document(pages: list, hocr, fg_downsample=3,
         text_ops = b""
         if words:
             h, w = raster.shape[:2]
-            tl = render_text_layer(words, float(w), float(h), ppi)
+            # textlayer expects PAGE dims in PDF POINTS (extract.py
+            # passes page_geometry output) — scale pixels by 72/ppi
+            # so text placement tracks the MediaBox (review finding)
+            tl = render_text_layer(words, w * 72.0 / ppi,
+                                   h * 72.0 / ppi, ppi)
             text_ops = tl.text_ops
             n_lines += len(tl.lines)
         sink_pages.append({"mask": res.mask, "fg": res.foreground,

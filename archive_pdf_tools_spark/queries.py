@@ -1356,7 +1356,8 @@ def q_recode_pdf(spark, sf):
                     raster = decode_page_image(bytes(pages[pidx][1]))
                     res = create_mrc_components(
                         raster, wd, fg_downsample=3, bg_downsample=3)
-                    if not np.array_equal(bits != 0, res.mask != 0):
+                    # SMask wire polarity: text = JBIG2 bit 0
+                    if not np.array_equal(bits == 0, res.mask != 0):
                         masks_exact = False
                 rows.append((
                     i, got_pages, n_lines, len(pdf),

@@ -64,6 +64,9 @@ def main(argv=None):
                          "every executor; absent libraries or a "
                          "failed oracle suite leave the built-ins")
     args = ap.parse_args(argv)
+    if args.output_format == "pdf" and args.input_format != "imagestack":
+        ap.error("--output-format pdf requires --input-format "
+                 "imagestack")
 
     import os as _os
 
@@ -81,10 +84,11 @@ def main(argv=None):
             "spark.executorEnv.SPARK_GRAFT_NATIVE_CODECS", "1")
     spark = builder.getOrCreate()
     if args.native_codecs:
-        from archive_pdf_tools_spark.kernels.registry import (
-            maybe_register_native)
+        # the env hook already ran the (contract-verifying) swap at
+        # registry import — report its record, don't verify twice
+        from archive_pdf_tools_spark.kernels import registry
         print(json.dumps({"native_codecs_swapped":
-                          maybe_register_native()}))
+                          registry.ENV_SWAPPED}))
 
     from archive_pdf_tools_spark.operators.checkpoint import run_with_checkpoint
     from archive_pdf_tools_spark.sources import synthetic_documents

@@ -71,10 +71,13 @@ def test_full_circle_single_page():
     # decoded fg/bg come back at full dims through our own reader
     imgs = dict(extract_page_images(pdf, 0))
     assert all(a.shape == (60, 80) for a in imgs.values())
-    # mask round-trips bit-exactly through the /SMask link
+    # mask round-trips bit-exactly through the /SMask link — in
+    # SMASK POLARITY: viewers map JBIG2 bit 1 (black) to gray 0 =
+    # alpha 0, so TEXT pixels are encoded as bit 0 (the reference's
+    # implicit wire polarity via its white-text mask PNG + jbig2enc)
     fg_xref = p0["images"][1]["xref"]
     bits = _smask_bits(pdf, fg_xref)
-    assert np.array_equal(bits != 0, res.mask != 0)
+    assert np.array_equal(bits == 0, res.mask != 0)
     # the embedded content stream carries the EXACT textlayer bytes
     rd = _Reader(pdf)
     cid = int(re.search(rb"/Contents\s+(\d+)\s+\d+\s+R",
@@ -105,7 +108,7 @@ def test_downsampled_components_and_rgb():
     assert {i["mode"] for i in p0["images"]} == {"RGB"}
     bits = _smask_bits(pdf, p0["images"][1]["xref"])
     assert bits.shape == (60, 80)           # mask full size
-    assert np.array_equal(bits != 0, res.mask != 0)
+    assert np.array_equal(bits == 0, res.mask != 0)
 
 
 def test_multipage_and_page_labels():
@@ -127,7 +130,7 @@ def test_multipage_and_page_labels():
     for k in range(3):
         p = meta["pages"][k]
         bits = _smask_bits(pdf, p["images"][1]["xref"])
-        assert np.array_equal(bits != 0, masks[k] != 0), k
+        assert np.array_equal(bits == 0, masks[k] != 0), k
 
 
 def test_page_labels_series_shapes():
