@@ -97,6 +97,9 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     from .jbig2codec import encode_jbig2
     from .jp2codec import encode_jp2
 
+    if not pages:
+        raise ValueError("build_mrc_pdf needs at least one page")
+
     objects: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -149,10 +152,18 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
 
         bg = page["bg"]
         fg = page["fg"]
-        bg_jp2 = page.get("bg_jp2") or encode_jp2(
-            np.asarray(bg), irreversible=True)
-        fg_jp2 = page.get("fg_jp2") or encode_jp2(
-            np.asarray(fg), irreversible=True)
+        # Explicit None checks: a supplied-but-empty stream (b"") is a
+        # caller bug and must surface, not silently re-encode.
+        bg_jp2 = page.get("bg_jp2")
+        if bg_jp2 is None:
+            bg_jp2 = encode_jp2(np.asarray(bg), irreversible=True)
+        elif not bg_jp2:
+            raise ValueError("empty bg_jp2 stream supplied")
+        fg_jp2 = page.get("fg_jp2")
+        if fg_jp2 is None:
+            fg_jp2 = encode_jp2(np.asarray(fg), irreversible=True)
+        elif not fg_jp2:
+            raise ValueError("empty fg_jp2 stream supplied")
         # SMask polarity: viewers map JBIG2 bit 1 (black) to gray
         # sample 0 = alpha 0, so the TEXT pixels must be encoded as
         # bit 0 for the foreground to paint at ink.  The reference
@@ -160,8 +171,11 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
         # jbig2enc encodes black as 1, mrc.py:493-499 +
         # pdfhacks.py:60-68 — no /Decode override in its dict);
         # we encode the inverted mask for the same wire polarity.
-        mask_jbig2 = page.get("mask_jbig2") or encode_jbig2(
-            (mask == 0).astype(np.uint8))
+        mask_jbig2 = page.get("mask_jbig2")
+        if mask_jbig2 is None:
+            mask_jbig2 = encode_jbig2((mask == 0).astype(np.uint8))
+        elif not mask_jbig2:
+            raise ValueError("empty mask_jbig2 stream supplied")
 
         bw, bh, bgray = _jp2_dims_of(np.asarray(bg))
         fw, fh, fgray = _jp2_dims_of(np.asarray(fg))

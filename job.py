@@ -64,9 +64,14 @@ def main(argv=None):
                          "every executor; absent libraries or a "
                          "failed oracle suite leave the built-ins")
     args = ap.parse_args(argv)
-    if args.output_format == "pdf" and args.input_format != "imagestack":
-        ap.error("--output-format pdf requires --input-format "
-                 "imagestack")
+    if args.output_format == "pdf":
+        if args.input_format not in ("imagestack", "pdf"):
+            ap.error("--output-format pdf requires --input-format "
+                     "imagestack (recode) or pdf (recompress)")
+        if args.synthetic or not args.input:
+            ap.error("--output-format pdf needs a real --input table "
+                     "(--synthetic generates interleaved span docs, "
+                     "not page images)")
 
     import os as _os
 
