@@ -198,7 +198,7 @@ def test_pack_sequences_invariants(spark):
 
 
 def test_pack_sequences_derives_shards_from_input_size(spark):
-    """With shards=None the shard count scales with the corpus (ceil of
+    """shards='auto': the shard count scales with the corpus (ceil of
     n_docs / docs_per_shard) instead of a fixed default that would make
     every (lang, shard) window group a monster sort at 10^12 docs; the
     derived layout stays deterministic and keeps the window invariants
@@ -208,7 +208,7 @@ def test_pack_sequences_derives_shards_from_input_size(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     small = docs.limit(40)
     for src, dps, want_shards in ((small, 10, 4), (docs, 100, None)):
-        out = pack_sequences(src, max_tokens=256, shards=None,
+        out = pack_sequences(src, max_tokens=256, shards="auto",
                              docs_per_shard=dps)
         rows = out.collect()
         n_docs = src.count()
@@ -222,10 +222,29 @@ def test_pack_sequences_derives_shards_from_input_size(spark):
         assert all(0 <= r["tok_offset"] < 256 for r in rows)
         # deterministic: same input -> identical layout
         again = {(r["doc_id"], r["seq_idx"], r["tok_offset"])
-                 for r in pack_sequences(src, max_tokens=256, shards=None,
+                 for r in pack_sequences(src, max_tokens=256,
+                                         shards="auto",
                                          docs_per_shard=dps).collect()}
         assert again == {(r["doc_id"], r["seq_idx"], r["tok_offset"])
                          for r in rows}
+
+
+def test_pack_sequences_default_is_lazy(spark):
+    """shards=None (the default) must not run a hidden job at plan
+    construction: no Spark job may start before an action is called
+    (VERDICT r7 ask #6)."""
+    from archive_pdf_tools_spark.functions.pipeline import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = tracker.getJobIdsForGroup(None) or []
+    n_before = len(before)
+    out = pack_sequences(docs, max_tokens=512)     # plan only
+    after = tracker.getJobIdsForGroup(None) or []
+    assert len(after) == n_before, "plan construction launched a job"
+    rows = out.limit(5).collect()                  # action works
+    assert rows and all(r["shard"] >= 0 for r in rows)
 
 
 def test_kmeans_update_stage_partial_aggregates(spark):
