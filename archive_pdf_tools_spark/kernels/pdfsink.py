@@ -72,9 +72,166 @@ def _jp2_dims_of(img: np.ndarray):
     return w, h, gray
 
 
+def _pdf_string(s) -> bytes:
+    """Text -> PDF string object: escaped literal for ASCII, else a
+    UTF-16BE hex string with BOM (ISO 32000 §7.9.2.2)."""
+    if isinstance(s, bytes):
+        b = s
+    else:
+        try:
+            b = str(s).encode("ascii")
+        except UnicodeEncodeError:
+            return (b"<FEFF" + str(s).encode("utf-16-be").hex()
+                    .upper().encode("ascii") + b">")
+    b = (b.replace(b"\\", b"\\\\").replace(b"(", b"\\(")
+         .replace(b")", b"\\)"))
+    return b"(" + b + b")"
+
+
+def _xmp_packet(md: dict, created: str, producer: str) -> bytes:
+    """XMP metadata stream: the reference's field set
+    (``write_metadata``, ``pdfhacks.py:456-527`` — xmp dates +
+    CreatorTool, pdf:Producer, dc:title/creator/language, pdfaid
+    part 3 conformance B), rebuilt with stdlib escaping."""
+    from xml.sax.saxutils import escape
+
+    e = escape
+    parts = ['<?xpacket begin="\ufeff" id="W5M0MpCehiHzreSzNTczkc9d"?>',
+             '<x:xmpmeta xmlns:x="adobe:ns:meta/">',
+             '<rdf:RDF xmlns:rdf='
+             '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">',
+             '<rdf:Description rdf:about="" '
+             'xmlns:xmp="http://ns.adobe.com/xap/1.0/">',
+             f'<xmp:CreateDate>{e(created)}</xmp:CreateDate>',
+             f'<xmp:MetadataDate>{e(created)}</xmp:MetadataDate>',
+             f'<xmp:ModifyDate>{e(created)}</xmp:ModifyDate>',
+             '<xmp:CreatorTool>'
+             + e(md.get("creatortool", producer))
+             + '</xmp:CreatorTool>',
+             '</rdf:Description>',
+             '<rdf:Description rdf:about="" '
+             'xmlns:pdf="http://ns.adobe.com/pdf/1.3/">']
+    if md.get("keywords"):
+        parts.append(f'<pdf:Keywords>{e(md["keywords"])}'
+                     '</pdf:Keywords>')
+    parts += [f'<pdf:Producer>{e(producer)}</pdf:Producer>',
+              '</rdf:Description>',
+              '<rdf:Description rdf:about="" '
+              'xmlns:dc="http://purl.org/dc/elements/1.1/">']
+    if md.get("title"):
+        parts.append('<dc:title><rdf:Alt>'
+                     f'<rdf:li xml:lang="x-default">{e(md["title"])}'
+                     '</rdf:li></rdf:Alt></dc:title>')
+    if md.get("author"):
+        parts.append('<dc:creator><rdf:Seq>'
+                     f'<rdf:li>{e(md["author"])}</rdf:li>'
+                     '</rdf:Seq></dc:creator>')
+    langs = md.get("language")
+    if langs:
+        if isinstance(langs, str):
+            langs = [langs]
+        parts.append('<dc:language><rdf:Bag>'
+                     + "".join(f'<rdf:li>{e(v)}</rdf:li>'
+                               for v in langs)
+                     + '</rdf:Bag></dc:language>')
+    parts += ['</rdf:Description>',
+              '<rdf:Description rdf:about="" '
+              'xmlns:pdfaid="http://www.aiim.org/pdfa/ns/id/">',
+              '<pdfaid:part>3</pdfaid:part>',
+              '<pdfaid:conformance>B</pdfaid:conformance>',
+              '</rdf:Description>',
+              '</rdf:RDF>',
+              '</x:xmpmeta>',
+              '<?xpacket end="r"?>']
+    return "\n".join(parts).encode("utf-8")
+
+
+def _write_outlines(add, next_id, entries, page_oid: list[int]) -> int:
+    """Outline (bookmark) tree from TOC entries [(level, title,
+    page_idx)] — the ``write_pdf_toc`` feature.  Levels nest by the
+    usual stack walk (an entry at level L+1 becomes a child of the
+    most recent level-L entry; jumps clamp); every node destination
+    is its page at default zoom.  Returns the /Outlines root id."""
+    nodes = []                  # (level, title, page_idx, children[])
+    stack = []                  # indices into nodes of the open chain
+    roots = []
+    for level, title, pidx in entries:
+        level = max(1, int(level))
+        pidx = min(max(int(pidx), 0), len(page_oid) - 1)
+        nodes.append({"title": title, "page": pidx, "kids": []})
+        idx = len(nodes) - 1
+        while len(stack) >= level:
+            stack.pop()
+        if stack:
+            nodes[stack[-1]]["kids"].append(idx)
+        else:
+            roots.append(idx)
+        stack.append(idx)
+
+    first_id = next_id()
+    ids = [first_id + i for i in range(len(nodes))]
+    root_id = first_id + len(nodes)
+
+    def count(idx) -> int:      # open descendants (ISO 32000 §12.3.3)
+        return len(nodes[idx]["kids"]) + sum(
+            count(k) for k in nodes[idx]["kids"])
+
+    def emit(idx, parent_id, siblings):
+        n = nodes[idx]
+        pos = siblings.index(idx)
+        body = (b"<< /Title " + _pdf_string(n["title"])
+                + b" /Parent " + str(parent_id).encode() + b" 0 R"
+                + b" /Dest [" + str(page_oid[n["page"]]).encode()
+                + b" 0 R /XYZ null null null]")
+        if pos > 0:
+            body += b" /Prev " + str(ids[siblings[pos - 1]]).encode() \
+                + b" 0 R"
+        if pos + 1 < len(siblings):
+            body += b" /Next " + str(ids[siblings[pos + 1]]).encode() \
+                + b" 0 R"
+        if n["kids"]:
+            body += (b" /First " + str(ids[n["kids"][0]]).encode()
+                     + b" 0 R /Last " + str(ids[n["kids"][-1]]).encode()
+                     + b" 0 R /Count " + str(count(idx)).encode())
+        got = add(body + b" >>")
+        assert got == ids[idx], (got, ids[idx])
+        for k in n["kids"]:
+            emit(k, ids[idx], n["kids"])
+
+    for r in roots:
+        emit(r, root_id, roots)
+    total = len(roots) + sum(count(r) for r in roots)
+    got_root = add(b"<< /Type /Outlines /First "
+                   + str(ids[roots[0]]).encode() + b" 0 R /Last "
+                   + str(ids[roots[-1]]).encode() + b" 0 R /Count "
+                   + str(total).encode() + b" >>")
+    assert got_root == root_id, (got_root, root_id)
+    return root_id
+
+
 def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
-                  "tools-spark") -> bytes:
-    """Assemble one MRC PDF.
+                  "tools-spark", metadata: dict | None = None,
+                  outline: list | None = None, lang: str | None = None,
+                  pdfa: bool = True, ua: bool = True) -> bytes:
+    """Assemble one MRC PDF — archival-grade by default:
+
+    * ``pdfa=True``: sRGB OutputIntent with a DERIVED ICC profile
+      (``kernels/iccsrgb``), an uncompressed XMP ``/Metadata`` stream
+      declaring pdfaid part 3 conformance B, and a document-info
+      dictionary — the ``write_pdfa`` + ``write_metadata`` features
+      (``pdfhacks.py:181-209, 403-529``);
+    * ``ua=True``: basic structure tree — per-page ``/Figure``
+      StructElems, ``/ParentTree``, ``/StructParents``, ``/MarkInfo``,
+      ``/ViewerPreferences`` (``write_basic_ua``,
+      ``pdfhacks.py:240-400``);
+    * ``outline``: [(level>=1, title, page_idx)] -> ``/Outlines``
+      bookmark tree (``write_pdf_toc``, ``pdfhacks.py:227-238`` —
+      entries come from the scandata TOC, ``sources/scandata.py``);
+    * ``metadata``: title/author/subject/keywords/creatortool/created
+      (ISO 8601); the default ``created`` is a FIXED timestamp so the
+      output stays byte-deterministic (the pinned-md5 test contract —
+      the reference stamps utcnow, a deliberate determinism deviation);
+    * ``lang``: document language for ``/Lang``.
 
     ``pages``: one dict per page —
 
@@ -198,10 +355,15 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
 
     page_ids_start = len(objects) + 1
     tree_id = page_ids_start + len(pending)
-    for W, H, bg_id, fg_id, content_id in pending:
+    for k, (W, H, bg_id, fg_id, content_id) in enumerate(pending):
+        # /StructParents + /Tabs + explicit /CropBox//Rotate are the
+        # basic-UA page keys (write_basic_ua, pdfhacks.py:355-374).
         add(b"<< /Type /Page /Parent " + str(tree_id).encode()
             + b" 0 R /MediaBox [0 0 " + (b"%.4f %.4f" % (W, H))
-            + b"] /Resources << /XObject << /Im0 "
+            + b"] /CropBox [0 0 " + (b"%.4f %.4f" % (W, H))
+            + b"] /Rotate 0 /Tabs /S /StructParents "
+            + str(k).encode()
+            + b" /Resources << /XObject << /Im0 "
             + str(bg_id).encode() + b" 0 R /Im1 "
             + str(fg_id).encode() + b" 0 R >> /Font << /"
             + MRC_FONT_NAME + b" " + str(font_id).encode()
@@ -212,10 +374,113 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     got_tree = add(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
                    + str(len(pending)).encode() + b" >>")
     assert got_tree == tree_id
-    labels = pages[0].get("page_labels") if pages else None
+    page_oid = [page_ids_start + k for k in range(len(pending))]
+
+    catalog_extra = b""
+
+    # ---- PDF/A finalization (write_pdfa, pdfhacks.py:181-209) ----
+    # sRGB OutputIntent with a DERIVED ICC profile (kernels/iccsrgb),
+    # uncompressed XMP /Metadata (PDF/A requires it filter-free), and
+    # the document-information dictionary.  Deterministic timestamps
+    # by default (the pinned-md5 test contract; the reference stamps
+    # utcnow — production callers pass real time via ``metadata``).
+    md = dict(metadata or {})
+    created = md.get("created", "2020-01-01T00:00:00Z")
+    pdf_date = (b"D:" + created.replace("-", "").replace(":", "")
+                .replace("T", "").encode("ascii"))
+    if pdfa:
+        from .iccsrgb import srgb_icc_profile
+        icc_id = stream_obj(b"<< /N 3 /Alternate /DeviceRGB",
+                            srgb_icc_profile())
+        intent_id = add(b"<< /Type /OutputIntent /S /GTS_PDFA1"
+                        b" /OutputConditionIdentifier (Custom)"
+                        b" /Info (sRGB IEC61966-2.1)"
+                        b" /DestOutputProfile "
+                        + str(icc_id).encode() + b" 0 R >>")
+        catalog_extra += (b" /OutputIntents [" + str(intent_id).encode()
+                          + b" 0 R]")
+        xmp_id = stream_obj(
+            b"<< /Type /Metadata /Subtype /XML",
+            _xmp_packet(md, created, creator))
+        catalog_extra += b" /Metadata " + str(xmp_id).encode() + b" 0 R"
+
+    # ---- basic UA structure tree (write_basic_ua, pdfhacks:240+) ----
+    # One /Figure StructElem per page (the MRC image is the page's
+    # content), a /ParentTree number tree chunked <=32 entries per kid
+    # node, /MarkInfo and /ViewerPreferences on the catalog.  The
+    # ParentTree maps each page's /StructParents to [the StructElem]
+    # — the ISO 32000 §14.7.4.4 shape (deliberate fix of the
+    # reference's linkage, which points the Nums entries at the
+    # attribute objects instead of the elements).
+    if ua:
+        attr_ids, elem_ids, nums_ids = [], [], []
+        # forward reference: the root lands after 3 objects per page
+        # (attr, elem, nums array), the <=32-entry kid nodes, and the
+        # ParentTree node
+        struct_root_id_ref = (len(objects) + 3 * len(pending)
+                              + -(-len(pending) // 32) + 2)
+        for k, (W, H, *_rest) in enumerate(pending):
+            attr_ids.append(add(
+                b"<< /O /Layout /Placement /Block /InlineAlign /Center"
+                b" /BBox [0 0 " + (b"%.4f %.4f" % (W, H)) + b"] >>"))
+            elem_ids.append(add(
+                b"<< /Type /StructElem /S /Figure /K 0 /A "
+                + str(attr_ids[-1]).encode() + b" 0 R /P "
+                + str(struct_root_id_ref).encode() + b" 0 R /Pg "
+                + str(page_oid[k]).encode() + b" 0 R >>"))
+            nums_ids.append(add(b"[" + str(elem_ids[-1]).encode()
+                                + b" 0 R]"))
+        kid_ids = []
+        for c in range(0, len(pending), 32):
+            chunk = range(c, min(c + 32, len(pending)))
+            kid_ids.append(add(
+                b"<< /Limits [" + str(chunk[0]).encode() + b" "
+                + str(chunk[-1]).encode() + b"] /Nums ["
+                + b" ".join(b"%d %d 0 R" % (k, nums_ids[k])
+                            for k in chunk) + b"] >>"))
+        ptree_id = add(b"<< /Kids [" + b" ".join(
+            b"%d 0 R" % i for i in kid_ids) + b"] >>")
+        struct_root_id = add(
+            b"<< /Type /StructTreeRoot /ParentTree "
+            + str(ptree_id).encode() + b" 0 R /ParentTreeNextKey "
+            + str(len(pending)).encode() + b" /K ["
+            + b" ".join(b"%d 0 R" % i for i in elem_ids) + b"] >>")
+        assert struct_root_id == struct_root_id_ref, \
+            (struct_root_id, struct_root_id_ref)
+        catalog_extra += (b" /StructTreeRoot " + str(struct_root_id)
+                          .encode() + b" 0 R"
+                          b" /MarkInfo << /Marked true >>"
+                          b" /ViewerPreferences << /FitWindow true"
+                          b" /DisplayDocTitle true >>")
+        if lang:
+            catalog_extra += (b" /Lang " + _pdf_string(lang))
+
+    # ---- TOC outlines (write_pdf_toc, pdfhacks.py:227-238) ----
+    if outline:
+        outlines_id = _write_outlines(add, lambda: len(objects) + 1,
+                                      outline, page_oid)
+        catalog_extra += (b" /Outlines " + str(outlines_id).encode()
+                          + b" 0 R")
+
+    # ---- document information dictionary ----
+    info_id = None
+    info = b""
+    for key, name in ((b"/Title", "title"), (b"/Author", "author"),
+                      (b"/Subject", "subject"),
+                      (b"/Keywords", "keywords")):
+        if md.get(name):
+            info += b" " + key + b" " + _pdf_string(md[name])
+    info += (b" /Creator " + _pdf_string(md.get("creatortool", creator))
+             + b" /Producer " + _pdf_string(creator)
+             + b" /CreationDate (" + pdf_date + b")"
+             + b" /ModDate (" + pdf_date + b")")
+    info_id = add(b"<<" + info + b" >>")
+
+    labels = pages[0].get("page_labels")
     catalog_id = add(b"<< /Type /Catalog /Pages " + str(tree_id).encode()
                      + b" 0 R"
                      + ((b" /PageLabels " + labels) if labels else b"")
+                     + catalog_extra
                      + b" >>")
 
     out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
@@ -228,8 +493,10 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     out += b"0000000000 65535 f \n"
     for off in offsets[1:]:
         out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n"
-            b"%%%%EOF\n" % (len(objects) + 1, catalog_id, xref_pos))
+    out += (b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R >>\n"
+            b"startxref\n%d\n"
+            b"%%%%EOF\n" % (len(objects) + 1, catalog_id, info_id,
+                            xref_pos))
     return bytes(out)
 
 

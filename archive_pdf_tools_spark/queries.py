@@ -1286,9 +1286,15 @@ def q_recode_pdf(spark, sf):
     full-circle check computed by RE-READING the pdf through the
     engine's own reader: per-page image count, text detection, and a
     bit-exact /SMask mask round-trip (a single flipped mask pixel
-    flips ``masks_exact``).  Oracle = pinned value table
-    (tools/pin_oracles.py); rightness of the pinned bytes is
-    established by tests/test_pdfsink.py's structural round-trips."""
+    flips ``masks_exact``).  Round 8 adds the archival finalization
+    checks: ``pdfa_ok`` asserts the PDF/A catalog chain (OutputIntents
+    with a structurally-valid derived ICC stream, uncompressed XMP
+    /Metadata declaring pdfaid part 3/B, StructTreeRoot + MarkInfo,
+    trailer /Info) and every third doc carries a scandata XML whose
+    TOC must come back as the /Outlines tree (``toc_count``) and whose
+    page numbers as /PageLabels (``has_labels``).  Oracle = pinned
+    value table (tools/pin_oracles.py); rightness of the pinned bytes
+    is established by tests/test_pdfsink.py's structural round-trips."""
     import pandas as pd
 
     def gen(batches):
@@ -1327,7 +1333,24 @@ def q_recode_pdf(spark, sf):
                     h_ = synth_hocr(f"doc {i} alpha beta gamma",
                                     words_per_page=5)
                     hocr = h_.encode() if isinstance(h_, str) else h_
-                pdf, got_pages, n_lines = recode_document(pages, hocr)
+                scandata = None
+                if i % 3 != 0:
+                    # multi-page docs (n_pages 2-3): every page gets a
+                    # TOC entry, interior pages at level 2 — drives
+                    # NESTED outline trees through the driver window
+                    sd_pages = "".join(
+                        f'<page leafNum="{p}"><addToAccessFormats>true'
+                        f'</addToAccessFormats><pageNumber>{3 + i + p}'
+                        '</pageNumber>'
+                        f'<pageType title="Ch {p} of doc {i}" level='
+                        f'"{1 if p in (0, n_pages - 1) else 2}">'
+                        'Chapter</pageType></page>'
+                        for p in range(n_pages))
+                    scandata = (f"<book><pageData>{sd_pages}"
+                                "</pageData></book>")
+                pdf, got_pages, n_lines = recode_document(
+                    pages, hocr, scandata=scandata,
+                    metadata={"title": f"doc {i}"}, lang="en")
                 meta = parse_pdf(pdf)
                 rd = _Reader(pdf)
                 imgs_per_page = [pg["n_images"]
@@ -1359,22 +1382,59 @@ def q_recode_pdf(spark, sf):
                     # SMask wire polarity: text = JBIG2 bit 0
                     if not np.array_equal(bits == 0, res.mask != 0):
                         masks_exact = False
+
+                # ---- archival finalization full-circle (round 8) ----
+                cat = rd.obj(rd.root_id())[1]
+                pdfa_ok = all(k in cat for k in (
+                    b"/OutputIntents", b"/Metadata",
+                    b"/StructTreeRoot", b"/MarkInfo"))
+                if pdfa_ok:
+                    mid = int(_re.search(
+                        rb"/Metadata\s+(\d+)\s+\d+\s+R", cat).group(1))
+                    mb2, md2 = rd.obj(mid)
+                    xmp = _stream_data(mb2, md2)
+                    pdfa_ok = (b"<pdfaid:part>3</pdfaid:part>" in xmp
+                               and b"/FlateDecode" not in md2)
+                if pdfa_ok:      # derived ICC stream: valid container
+                    iid = int(_re.search(
+                        rb"/OutputIntents\s*\[\s*(\d+)", cat).group(1))
+                    pid2 = int(_re.search(
+                        rb"/DestOutputProfile\s+(\d+)",
+                        rd.obj(iid)[1]).group(1))
+                    pb2, pd2 = rd.obj(pid2)
+                    icc = _stream_data(pb2, pd2)
+                    pdfa_ok = (len(icc) > 132
+                               and icc[36:40] == b"acsp"
+                               and int.from_bytes(icc[:4], "big")
+                               == len(icc))
+                pdfa_ok = bool(pdfa_ok
+                               and b"/Info" in pdf[pdf.rfind(b"trailer"):])
+                toc_count = 0
+                mo = _re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R", cat)
+                if mo:
+                    od = rd.obj(int(mo.group(1)))[1]
+                    mc = _re.search(rb"/Count\s+(\d+)", od)
+                    toc_count = int(mc.group(1)) if mc else 0
+                has_labels = b"/PageLabels" in cat
+
                 rows.append((
                     i, got_pages, n_lines, len(pdf),
                     hashlib.md5(pdf).hexdigest()[:12],
                     min(imgs_per_page), max(imgs_per_page),
-                    text_pages, masks_exact))
+                    text_pages, masks_exact, pdfa_ok, toc_count,
+                    has_labels))
             yield pd.DataFrame(rows, columns=[
                 "doc_i", "n_pages", "n_text_lines", "pdf_bytes",
                 "pdf_md5", "min_images", "max_images", "text_pages",
-                "masks_exact"])
+                "masks_exact", "pdfa_ok", "toc_count", "has_labels"])
 
     base = spark.range(0, 12).repartition(4)
     return base.mapInPandas(
         gen, schema="doc_i bigint, n_pages int, n_text_lines int, "
                     "pdf_bytes int, pdf_md5 string, min_images int, "
                     "max_images int, text_pages int, "
-                    "masks_exact boolean")
+                    "masks_exact boolean, pdfa_ok boolean, "
+                    "toc_count int, has_labels boolean")
 
 
 def q_pdfcomp(spark, sf):

@@ -177,3 +177,207 @@ def test_recode_operator_end_to_end(spark):
 def test_sink_input_validation():
     with pytest.raises(ValueError, match="2-D"):
         build_mrc_pdf([{"mask": np.zeros((4, 4, 3)), "fg": 0, "bg": 0}])
+
+
+# ---- round 8: PDF/A + XMP + UA + outlines -----------------------------
+
+def _catalog(pdf):
+    from archive_pdf_tools_spark.sources.pdf_meta import _Reader
+    rd = _Reader(pdf)
+    return rd, rd.obj(rd.root_id())[1]
+
+
+def _mrc_pages(n=2):
+    mask = np.zeros((40, 56), np.uint8)
+    mask[8:16, 6:50] = 1
+    gray = np.full((40, 56), 210, np.uint8)
+    return [{"mask": mask, "bg": gray, "fg": 255 - gray}
+            for _ in range(n)]
+
+
+def test_icc_profile_is_valid_and_derived():
+    """The sRGB OutputIntent profile: structurally valid ICC v2 (header
+    size, acsp signature, in-bounds tag table), the DERIVED primaries
+    sum to the D50 white point (the matrix-profile invariant), and the
+    tone curve is the published sRGB EOTF (monotone, correct
+    endpoints, linear-segment value spot-checked)."""
+    import struct
+
+    from archive_pdf_tools_spark.kernels.iccsrgb import srgb_icc_profile
+
+    p = srgb_icc_profile()
+    assert struct.unpack(">I", p[:4])[0] == len(p)
+    assert p[36:40] == b"acsp"
+    assert p[12:16] == b"mntr" and p[16:20] == b"RGB "
+    n = struct.unpack(">I", p[128:132])[0]
+    tags = {}
+    for i in range(n):
+        sig, off, ln = struct.unpack(">4sII", p[132 + 12 * i:144 + 12 * i])
+        assert off + ln <= len(p)
+        tags[sig] = (off, ln)
+    for req in (b"desc", b"wtpt", b"cprt", b"rXYZ", b"gXYZ", b"bXYZ",
+                b"rTRC", b"gTRC", b"bTRC"):
+        assert req in tags, req
+
+    def xyz(sig):
+        off, _ = tags[sig]
+        return np.array(struct.unpack(">3i", p[off + 8:off + 20])) / 65536.0
+
+    # matrix-profile invariant: R+G+B = white point (D50)
+    total = xyz(b"rXYZ") + xyz(b"gXYZ") + xyz(b"bXYZ")
+    assert np.allclose(total, xyz(b"wtpt"), atol=2e-4)
+    # D50 white from its published chromaticity
+    assert np.allclose(xyz(b"wtpt"), [0.9642, 1.0, 0.8252], atol=2e-4)
+
+    off, ln = tags[b"rTRC"]
+    cnt = struct.unpack(">I", p[off + 8:off + 12])[0]
+    curve = np.frombuffer(p[off + 12:off + 12 + 2 * cnt], dtype=">u2")
+    assert curve[0] == 0 and curve[-1] == 65535
+    assert np.all(np.diff(curve.astype(np.int64)) >= 0)
+    # sRGB linear segment: c=1/1023 (well under 0.04045) -> c/12.92
+    c = 1.0 / (cnt - 1)
+    assert abs(curve[1] / 65535.0 - c / 12.92) < 1e-4
+
+
+def test_pdfa_catalog_and_xmp():
+    from archive_pdf_tools_spark.kernels.pdfsink import build_mrc_pdf
+    from archive_pdf_tools_spark.sources.pdf_meta import _stream_data
+
+    pdf = build_mrc_pdf(_mrc_pages(), metadata={
+        "title": "T<&>le", "author": "A", "keywords": "https://x"},
+        lang="en")
+    rd, cat = _catalog(pdf)
+    for key in (b"/OutputIntents", b"/Metadata", b"/StructTreeRoot",
+                b"/MarkInfo", b"/ViewerPreferences", b"/Lang"):
+        assert key in cat, key
+    mid = int(re.search(rb"/Metadata\s+(\d+)\s+\d+\s+R", cat).group(1))
+    mb, md = rd.obj(mid)
+    assert b"/FlateDecode" not in md       # PDF/A: metadata unfiltered
+    xmp = _stream_data(mb, md)
+    assert b"<pdfaid:part>3</pdfaid:part>" in xmp
+    assert b"<pdfaid:conformance>B</pdfaid:conformance>" in xmp
+    assert b"T&lt;&amp;&gt;le" in xmp      # escaped title
+    assert b"https://x" in xmp
+    # docinfo in the trailer
+    m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", pdf)
+    assert m
+    _, info = rd.obj(int(m.group(1)))
+    assert b"/CreationDate (D:20200101000000Z)" in info
+    assert b"/Title (T<&>le)" in info
+
+    # determinism: identical input -> identical bytes (the pin contract)
+    again = build_mrc_pdf(_mrc_pages(), metadata={
+        "title": "T<&>le", "author": "A", "keywords": "https://x"},
+        lang="en")
+    assert again == pdf
+
+    # opt-out keeps the plain catalog
+    plain = build_mrc_pdf(_mrc_pages(), pdfa=False, ua=False)
+    _, cat2 = _catalog(plain)
+    assert b"/OutputIntents" not in cat2
+    assert b"/StructTreeRoot" not in cat2
+
+
+def test_ua_structure_tree_linkage():
+    """Every page carries /StructParents k; the ParentTree maps k to
+    [the page's /Figure StructElem]; the elem points back at the page
+    and at the root (ISO 32000 §14.7 — the spec-correct linkage, a
+    documented fix of the reference's attr-object Nums entries)."""
+    from archive_pdf_tools_spark.kernels.pdfsink import build_mrc_pdf
+    from archive_pdf_tools_spark.sources.pdf_meta import parse_pdf
+
+    pdf = build_mrc_pdf(_mrc_pages(3))
+    rd, cat = _catalog(pdf)
+    root_id = int(re.search(
+        rb"/StructTreeRoot\s+(\d+)\s+\d+\s+R", cat).group(1))
+    _, rootd = rd.obj(root_id)
+    ptree = int(re.search(rb"/ParentTree\s+(\d+)\s+\d+\s+R",
+                          rootd).group(1))
+    _, ptd = rd.obj(ptree)
+    kid = int(re.search(rb"/Kids\s*\[\s*(\d+)", ptd).group(1))
+    _, kd = rd.obj(kid)
+    nums = re.findall(rb"(\d+)\s+(\d+)\s+0\s+R", kd.split(b"/Nums")[1])
+    assert [int(a) for a, _b in nums] == [0, 1, 2]
+    meta = parse_pdf(pdf)
+    for k, (_sp, arr_id) in enumerate(nums):
+        arr = rd.body(int(arr_id))
+        elem_id = int(re.search(rb"(\d+)\s+0\s+R", arr).group(1))
+        _, ed = rd.obj(elem_id)
+        assert b"/S /Figure" in ed
+        assert (b"/P %d 0 R" % root_id) in ed
+        page_oid = meta["pages"][k]["oid"]
+        assert (b"/Pg %d 0 R" % page_oid) in ed
+        _, pd = rd.obj(page_oid)
+        assert (b"/StructParents %d" % k) in pd
+
+
+def test_outline_tree_nesting_and_counts():
+    from archive_pdf_tools_spark.kernels.pdfsink import build_mrc_pdf
+
+    pdf = build_mrc_pdf(_mrc_pages(4), outline=[
+        (1, "Front", 0), (1, "Chapter 1", 1), (2, "Sec 1.1", 1),
+        (2, "Sec 1.2", 2), (1, "Chapter 2", 3)])
+    rd, cat = _catalog(pdf)
+    oid = int(re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R", cat).group(1))
+    _, od = rd.obj(oid)
+    assert b"/Count 5" in od             # all open
+    first = int(re.search(rb"/First\s+(\d+)", od).group(1))
+    last = int(re.search(rb"/Last\s+(\d+)", od).group(1))
+    _, fd = rd.obj(first)
+    assert b"/Title (Front)" in fd and b"/Prev" not in fd
+    nxt = int(re.search(rb"/Next\s+(\d+)", fd).group(1))
+    _, ch1 = rd.obj(nxt)
+    assert b"/Title (Chapter 1)" in ch1 and b"/Count 2" in ch1
+    c_first = int(re.search(rb"/First\s+(\d+)", ch1).group(1))
+    c_last = int(re.search(rb"/Last\s+(\d+)", ch1).group(1))
+    _, s11 = rd.obj(c_first)
+    _, s12 = rd.obj(c_last)
+    assert b"/Title (Sec 1.1)" in s11
+    assert (b"/Next %d 0 R" % c_last) in s11
+    assert (b"/Prev %d 0 R" % c_first) in s12
+    assert (b"/Parent %d 0 R" % nxt) in s11
+    _, ch2 = rd.obj(last)
+    assert b"/Title (Chapter 2)" in ch2 and b"/Next" not in ch2
+    # dest pages resolve
+    from archive_pdf_tools_spark.sources.pdf_meta import parse_pdf
+    meta = parse_pdf(pdf)
+    want_oid = meta["pages"][3]["oid"]
+    assert (b"/Dest [%d 0 R /XYZ null null null]" % want_oid) in ch2
+
+
+def test_recode_document_scandata_toc_and_labels():
+    """scandata XML -> outlines + /PageLabels in the finished MRC PDF
+    (write_pdf_toc + write_page_labels parity, driven through the
+    per-doc recode kernel)."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    from archive_pdf_tools_spark.operators.recode import recode_document
+
+    img = np.full((32, 44), 200, np.uint8)
+    img[8:14, 6:38] = 30
+    pages = [(p, encode_tiff(img, compression="packbits"))
+             for p in range(3)]
+    scandata = """<book><pageData>
+      <page leafNum="0"><addToAccessFormats>true</addToAccessFormats>
+        <pageNumber>7</pageNumber>
+        <pageType title="Title Page" level="1">Title</pageType></page>
+      <page leafNum="1"><addToAccessFormats>true</addToAccessFormats>
+        <pageNumber>8</pageNumber></page>
+      <page leafNum="2"><addToAccessFormats>true</addToAccessFormats>
+        <pageNumber>9</pageNumber>
+        <pageType title="Index" level="1">Index</pageType></page>
+    </pageData></book>"""
+    pdf, n_pages, _ = recode_document(pages, None, scandata=scandata,
+                                      metadata={"title": "Book"},
+                                      lang="en")
+    assert n_pages == 3
+    rd, cat = _catalog(pdf)
+    assert b"/Outlines" in cat
+    assert b"/PageLabels" in cat
+    m = re.search(rb"/PageLabels\s*<<\s*/Nums\s*\[(.*?)\]", cat, re.S)
+    assert m and b"/S /D /St 7" in m.group(0)
+    oid = int(re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R", cat).group(1))
+    _, od = rd.obj(oid)
+    assert b"/Count 2" in od
+    first = int(re.search(rb"/First\s+(\d+)", od).group(1))
+    _, fd = rd.obj(first)
+    assert b"/Title (Title Page)" in fd
