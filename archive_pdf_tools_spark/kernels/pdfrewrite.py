@@ -1,0 +1,310 @@
+"""Recompress the images inside an EXISTING PDF into MRC — the actual
+product of the reference's second entry point.
+
+``bin/compress-pdf-images:26-152`` takes a finished PDF (+ optional
+hOCR), and per page: extracts each image XObject, runs the MRC
+decomposition, re-encodes (JP2 bg + JP2 fg + JBIG2 mask), strips the
+old ``/ImN Do`` operator from the content stream, and inserts the bg
+and masked-fg pair at the old image's place, finally saving with
+garbage collection (``doc.save(..., garbage=2)``) so the original
+image bytes leave the file.  The original text layer, fonts, and
+document structure are preserved untouched.
+
+This module is that transform without a PDF library, built on the
+engine's own reader (``sources/pdf_meta``) and codecs:
+
+* every reachable object is copied VERBATIM (same object number, same
+  generation, raw stream bytes) except the ones the recompression
+  touches — replaced image XObjects are dropped (their xref slots
+  become free entries: the garbage-collection step), page /Resources
+  gain the new names, and the page content stream is rewritten;
+* the content rewrite substitutes ``/ImN Do`` with
+  ``/ImN_b Do /ImN_f Do`` IN PLACE, so the two new XObjects paint
+  under the exact CTM the old image used — a deliberate simplification
+  of the reference's remove-then-reinsert-at-bbox dance
+  (``compress-pdf-images:25-33, 119-125``) that cannot drift the
+  placement and needs no matrix recovery;
+* new objects (bg /JPXDecode, fg /JPXDecode with /SMask, 1-bit
+  /JBIG2Decode mask — the ``fast_insert_image`` linkage,
+  ``pdfhacks.py:106-177``) append at fresh object numbers;
+* the output is a clean classic-xref PDF 1.5 file; objects that lived
+  in 1.5 object streams are hoisted to top level (the /ObjStm and
+  /XRef containers themselves are infrastructure and never copied).
+
+Encrypted inputs are rejected: the output would need re-encryption of
+every copied string/stream to stay consistent, which is a different
+tool (the reference's chain does not handle encrypted inputs either —
+PyMuPDF refuses to save an authenticated encrypted doc unencrypted
+without an explicit decrypt pass).
+
+Scale shape: one document per call inside ``mapInPandas`` — same
+partitioning as every other per-doc kernel, no driver state.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+
+__all__ = ["recompress_pdf", "RecompressResult"]
+
+
+class RecompressResult:
+    """The recompressed bytes plus per-image accounting."""
+
+    __slots__ = ("pdf", "n_images", "n_pages", "orig_image_bytes",
+                 "new_image_bytes", "skipped")
+
+    def __init__(self, pdf, n_images, n_pages, orig_image_bytes,
+                 new_image_bytes, skipped):
+        self.pdf = pdf
+        self.n_images = n_images
+        self.n_pages = n_pages
+        self.orig_image_bytes = orig_image_bytes
+        self.new_image_bytes = new_image_bytes
+        self.skipped = skipped
+
+
+def _xobject_names(rd, page_dict):
+    """The page's /XObject image entries as [(name bytes, oid,
+    container_oid)] where ``container_oid`` is the indirect object
+    whose body holds the name->ref entry (None = the page object
+    itself).  Handles /Resources and /XObject being inline or
+    indirect, one level each (the shapes PDF writers emit)."""
+    from ..sources.pdf_meta import _dict_region
+
+    res_container = None
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_dict)
+    if m:
+        res_container = int(m.group(1))
+        res_region = rd.obj(res_container)[1]
+    else:
+        split = page_dict.split(b"/Resources", 1)
+        if len(split) < 2:
+            return []
+        res_region = _dict_region(split[1])
+
+    xo_container = res_container
+    m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", res_region)
+    if m:
+        xo_container = int(m.group(1))
+        xo_region = rd.obj(xo_container)[1]
+    else:
+        split = res_region.split(b"/XObject", 1)
+        if len(split) < 2:
+            return []
+        xo_region = _dict_region(split[1])
+
+    out = []
+    for nm, oid in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
+                              xo_region):
+        out.append((nm, int(oid), xo_container))
+    return out
+
+
+def _img_obj(w, h, gray, filt, bpc, data, smask=None):
+    head = (b"<< /Type /XObject /Subtype /Image /Width "
+            + str(w).encode() + b" /Height " + str(h).encode()
+            + b" /ColorSpace "
+            + (b"/DeviceGray" if gray else b"/DeviceRGB")
+            + b" /BitsPerComponent " + str(bpc).encode()
+            + b" /Filter " + filt
+            + (b" /SMask %d 0 R" % smask if smask else b"")
+            + b" /Length " + str(len(data)).encode() + b" >>")
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
+def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
+                   bg_downsample: int = 3) -> RecompressResult:
+    """One PDF in, the MRC-recompressed PDF out (see module
+    docstring).  ``hocr``: the document's hOCR markup — its word boxes
+    steer the text/media mask exactly as in the flagship recode path;
+    without it the threshold mask drives the split
+    (``compress-pdf-images:66-70`` passes word data the same way).
+
+    Pages whose images cannot decode (gated codec profiles) keep those
+    images untouched; their count lands in ``skipped``."""
+    from ..sources.hocr import iter_pages, page_word_data
+    from ..sources.pdf_meta import (PdfError, _Reader, _dict_region,
+                                    _get_ref, _stream_data,
+                                    extract_page_images, parse_pdf)
+    from .jbig2codec import encode_jbig2
+    from .jp2codec import encode_jp2
+    from .mrc import create_mrc_components
+
+    meta = parse_pdf(pdf)
+    rd = _Reader(pdf)
+    if rd.crypt is not None:
+        raise PdfError("recompress_pdf: encrypted input — decrypt-"
+                       "and-rewrite is out of scope (module docstring)")
+
+    word_data_by_page: dict[int, list] = {}
+    if hocr:
+        for idx, hp in enumerate(iter_pages(hocr)):
+            word_data_by_page[idx] = page_word_data(hp)
+
+    # oid -> replacement body; dropped image oids; appended new bodies
+    rewritten: dict[int, bytes] = {}
+    dropped: set[int] = set()
+    appended: list[bytes] = []
+    next_id = max(rd.entries) + 1
+    n_images = 0
+    skipped = 0
+    orig_bytes = 0
+    new_bytes = 0
+
+    def alloc(body: bytes) -> int:
+        nonlocal next_id
+        appended.append(body)
+        next_id += 1
+        return next_id - 1
+
+    for page in meta["pages"]:
+        pidx = page["page_idx"]
+        pid = page["oid"]
+        page_body = rewritten.get(pid, rd.body(pid))
+        page_dict = _dict_region(page_body)
+
+        rasters = dict(extract_page_images(pdf, pidx, meta=meta, rd=rd))
+        entries = _xobject_names(rd, page_dict)
+        img_oids = {im["xref"] for im in page["images"]}
+        todo = [(nm, oid, cont) for nm, oid, cont in entries
+                if oid in img_oids]
+        skipped += sum(1 for _nm, oid, _c in todo if oid not in rasters)
+        todo = [(nm, oid, cont) for nm, oid, cont in todo
+                if oid in rasters]
+        if not todo:
+            continue
+
+        content_id = _get_ref(page_dict, b"/Contents")
+        if content_id is None or not rd.has(content_id):
+            continue                      # imageless/odd page: keep
+        cbody = rewritten.get(content_id) or rd.body(content_id)
+        ops = _stream_data(cbody, _dict_region(cbody))
+
+        words = word_data_by_page.get(pidx, [])
+        for nm, oid, cont in todo:
+            raster = rasters[oid]
+            res = create_mrc_components(
+                raster, words, fg_downsample=fg_downsample,
+                bg_downsample=bg_downsample)
+            bg_jp2 = encode_jp2(np.asarray(res.background),
+                                irreversible=True)
+            fg_jp2 = encode_jp2(np.asarray(res.foreground),
+                                irreversible=True)
+            # SMask wire polarity: text pixels = JBIG2 bit 0
+            # (kernels/pdfsink.py — same contract)
+            mask_jbig2 = encode_jbig2((res.mask == 0).astype(np.uint8))
+            mh, mw = res.mask.shape
+            bh, bw = res.background.shape[:2]
+            fh, fw = res.foreground.shape[:2]
+            mask_id = alloc(_img_obj(mw, mh, True, b"/JBIG2Decode", 1,
+                                     mask_jbig2))
+            bg_id = alloc(_img_obj(
+                bw, bh, res.background.ndim == 2, b"/JPXDecode", 8,
+                bg_jp2))
+            fg_id = alloc(_img_obj(
+                fw, fh, res.foreground.ndim == 2, b"/JPXDecode", 8,
+                fg_jp2, smask=mask_id))
+
+            # content stream: /Name Do -> bg then masked fg, same CTM.
+            # New names are /Im<objid> — object ids are unique, and
+            # the pure Im\d+ shape keeps the engine's own image scan
+            # (parse_pdf resources regex) seeing them on re-read.
+            bg_nm = b"Im%d" % bg_id
+            fg_nm = b"Im%d" % fg_id
+            pat = re.compile(rb"/" + re.escape(nm) + rb"\s+Do\b")
+            repl = b"/" + bg_nm + b" Do /" + fg_nm + b" Do"
+            ops, n_subs = pat.subn(repl, ops)
+
+            # container dict: the old name entry becomes the two new
+            # ones (the container is the page object, the resources
+            # object, or the xobject dict object — whichever holds it)
+            entry_pat = re.compile(
+                rb"/" + re.escape(nm) + rb"\s+\d+\s+\d+\s+R")
+            entry_repl = (b"/" + bg_nm + b" %d 0 R /" % bg_id
+                          + fg_nm + b" %d 0 R" % fg_id)
+            target = cont if cont is not None else pid
+            tbody = rewritten.get(target, rd.body(target))
+            tbody, n_entry = entry_pat.subn(entry_repl, tbody, count=1)
+            if n_subs == 0 or n_entry == 0:
+                # name never drawn / entry not found: leave the page
+                # untouched for this image (roll back the appends)
+                del appended[-3:]
+                next_id -= 3
+                skipped += 1
+                continue
+            rewritten[target] = tbody
+            dropped.add(oid)
+            n_images += 1
+            orig_bytes += len(_stream_data(rd.body(oid),
+                                           rd.obj(oid)[1]))
+            new_bytes += len(bg_jp2) + len(fg_jp2) + len(mask_jbig2)
+
+        new_ops = zlib.compress(ops, 6)
+        rewritten[content_id] = (
+            b"<< /Filter /FlateDecode /Length "
+            + str(len(new_ops)).encode() + b" >>\nstream\n"
+            + new_ops + b"\nendstream")
+
+    out = _assemble(pdf, rd, rewritten, dropped, appended)
+    return RecompressResult(out, n_images, meta["n_pages"],
+                            orig_bytes, new_bytes, skipped)
+
+
+def _assemble(pdf: bytes, rd, rewritten: dict[int, bytes],
+              dropped: set[int], appended: list[bytes]) -> bytes:
+    """Write the clean full file: kept objects verbatim (original
+    number + generation), rewritten bodies in place, dropped slots as
+    free xref entries, appended objects at the tail."""
+    bodies: dict[int, tuple[int, bytes]] = {}   # oid -> (gen, body)
+    for oid, e in rd.entries.items():
+        if oid == 0 or e[0] == 0 or oid in dropped:
+            continue
+        if e[0] == 1:
+            gen = e[2] if len(e) > 2 else 0
+            body = rd.body(oid)
+        else:                       # hoisted from an object stream
+            gen = 0
+            body = rd.body(oid)
+        d = body[:512]
+        # infrastructure objects never survive a clean rewrite
+        if re.search(rb"/Type\s*/(ObjStm|XRef)\b", d) \
+                or b"/Linearized" in d:
+            continue
+        bodies[oid] = (gen, rewritten.get(oid, body))
+    for i, body in enumerate(appended):
+        bodies[max(rd.entries) + 1 + i] = (0, body)
+
+    size = max(bodies) + 1
+    out = bytearray(b"%PDF-1.5\n%\xde\xad\xbe\xef\n")
+    offsets: dict[int, tuple[int, int]] = {}
+    for oid in sorted(bodies):
+        gen, body = bodies[oid]
+        offsets[oid] = (len(out), gen)
+        out += b"%d %d obj\n" % (oid, gen) + body.strip() + b"\nendobj\n"
+
+    xref_pos = len(out)
+    out += b"xref\n0 %d\n" % size
+    out += b"0000000000 65535 f \n"
+    for oid in range(1, size):
+        if oid in offsets:
+            off, gen = offsets[oid]
+            out += b"%010d %05d n \n" % (off, gen)
+        else:
+            out += b"0000000000 65535 f \n"
+
+    root_id = rd.root_id()
+    info_id = None
+    for t in rd.trailers:
+        m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", t)
+        if m and int(m.group(1)) in bodies:
+            info_id = int(m.group(1))
+            break
+    trailer = b"trailer\n<< /Size %d /Root %d 0 R" % (size, root_id)
+    if info_id is not None:
+        trailer += b" /Info %d 0 R" % info_id
+    out += trailer + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos
+    return bytes(out)

@@ -28,8 +28,9 @@ from typing import Iterable, Iterator
 
 import numpy as np
 
-__all__ = ["recode_existing_pdfs", "pdfs_to_spans",
-           "run_pdf_checkpoint", "PDFCOMP_SCHEMA_DDL"]
+__all__ = ["recode_existing_pdfs", "pdfs_to_spans", "recompress_pdfs",
+           "run_pdf_checkpoint", "run_recompress_checkpoint",
+           "PDFCOMP_SCHEMA_DDL", "RECOMPRESS_SCHEMA_DDL"]
 
 PDFCOMP_SCHEMA_DDL = (
     "doc_id string, page_idx int, xref int, src_w int, src_h int, "
@@ -204,3 +205,97 @@ def recode_existing_pdfs(df, pdf_col: str = "pdf", hocr_col: str = "hocr"):
 
     return df.select("doc_id", pdf_col, hocr_col).mapInPandas(
         gen, schema=PDFCOMP_SCHEMA_DDL)
+
+
+RECOMPRESS_SCHEMA_DDL = (
+    "doc_id string, pdf binary, n_pages int, n_images int, "
+    "skipped int, orig_image_bytes bigint, new_image_bytes bigint, "
+    "error string")
+
+
+def recompress_pdfs(df, pdf_col: str = "pdf",
+                    hocr_col: str | None = "hocr",
+                    fg_downsample: int = 3, bg_downsample: int = 3):
+    """(doc_id, pdf binary[, hocr]) -> (doc_id, recompressed pdf, ...)
+    — the reference's second entry point's ACTUAL PRODUCT
+    (``bin/compress-pdf-images:130-150``): per document, every image
+    XObject is MRC-decomposed and re-encoded (JP2 bg + JP2 fg through
+    a JBIG2 /SMask) inside the EXISTING document, preserving its text
+    layer and structure (``kernels/pdfrewrite.recompress_pdf``).
+
+    Scale shape: one ``mapInPandas`` stage (the document row already
+    holds everything the rewrite needs — no shuffle at all); a poison
+    document (encrypted, malformed) degrades to a NULL pdf with the
+    error recorded, never a failed task."""
+    import pandas as pd
+
+    from ..kernels.pdfrewrite import recompress_pdf
+
+    has_hocr = hocr_col is not None and hocr_col in df.columns
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdfb in batches:
+            rows = []
+            hocrs = (pdfb[hocr_col].values if has_hocr
+                     else [None] * len(pdfb))
+            for doc_id, blob, hocr in zip(pdfb["doc_id"].values,
+                                          pdfb[pdf_col].values, hocrs):
+                try:
+                    r = recompress_pdf(
+                        bytes(blob), hocr,
+                        fg_downsample=fg_downsample,
+                        bg_downsample=bg_downsample)
+                    rows.append((doc_id, bytearray(r.pdf),
+                                 np.int32(r.n_pages),
+                                 np.int32(r.n_images),
+                                 np.int32(r.skipped),
+                                 r.orig_image_bytes,
+                                 r.new_image_bytes, None))
+                except Exception as exc:  # noqa: BLE001 — poison guard
+                    rows.append((doc_id, None, np.int32(0),
+                                 np.int32(0), np.int32(0), 0, 0,
+                                 f"{type(exc).__name__}: {exc}"[:200]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "pdf", "n_pages", "n_images", "skipped",
+                "orig_image_bytes", "new_image_bytes", "error"])
+
+    cols = ["doc_id", pdf_col] + ([hocr_col] if has_hocr else [])
+    return df.select(*cols).mapInPandas(gen,
+                                        schema=RECOMPRESS_SCHEMA_DDL)
+
+
+def run_recompress_checkpoint(spark, pdf_df, out_dir: str,
+                              shards: int = 16,
+                              stop_after_shards: int | None = None,
+                              hocr_col: str | None = "hocr") -> dict:
+    """Sharded snapshot commits for the PDF-recompress sink: finished
+    PDFs land in ``<out>/pdfs/shard=k`` with a per-shard metrics row —
+    the same crash-safe protocol as ``run_recode_checkpoint``."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .checkpoint import run_sharded
+
+    def write_shard(shard_df, k: int):
+        out = recompress_pdfs(shard_df, hocr_col=hocr_col).persist()
+        try:
+            out.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "pdfs", f"shard={k}"))
+            (out.select(
+                F.count("*").alias("doc_count"),
+                F.sum("n_pages").alias("page_count"),
+                F.sum("n_images").alias("image_count"),
+                F.sum("orig_image_bytes").alias("orig_image_bytes"),
+                F.sum("new_image_bytes").alias("new_image_bytes"),
+                F.sum(F.length("pdf")).alias("pdf_bytes"),
+                F.sum(F.col("error").isNotNull().cast("long"))
+                 .alias("error_count"))
+             .withColumn("shard", F.lit(k))
+             .write.mode("overwrite").parquet(
+                 os.path.join(out_dir, "metrics", f"shard={k}")))
+        finally:
+            out.unpersist()
+
+    return run_sharded(pdf_df, out_dir, shards, write_shard,
+                       stop_after_shards=stop_after_shards)

@@ -1520,6 +1520,121 @@ def q_pdfcomp(spark, sf):
     return recode_existing_pdfs(docs)
 
 
+def q_pdfcomp_pdf(spark, sf):
+    """Entry point 2's ACTUAL PRODUCT (bin/compress-pdf-images:130-150)
+    — recompress an EXISTING PDF into an MRC PDF: per image XObject,
+    MRC-decompose and re-encode (JP2 bg + JP2 fg through a JBIG2
+    /SMask), strip the old image op from the content stream, draw the
+    pair under the SAME CTM, garbage-collect the old image bytes, and
+    PRESERVE the original text layer (``kernels/pdfrewrite.py``).
+
+    10 synth_pdf fixtures (classic + 1.5 xref forms, raw/Flate/DCT/JPX
+    images, embedded text layers; every 7th is ENCRYPTED and must
+    degrade to a deterministic error row, never a failed task).  Each
+    row pins an md5-12 of the ENTIRE output file plus a full circle
+    computed by RE-READING the output through the engine's own reader:
+    page count preserved, text-layer pages preserved exactly, every
+    recompressed image replaced by a decodable bg/fg pair, and a
+    bit-exact /SMask mask round-trip against the mask RECOMPUTED from
+    the original raster (one flipped pixel flips ``smask_exact``).
+    Oracle = pinned value table (tools/pin_oracles.py)."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import re as _re
+
+        from .corpus.hocrgen import synth_hocr
+        from .corpus.pdfgen import synth_pdf
+        from .kernels.jbig2codec import decode_jbig2
+        from .kernels.mrc import create_mrc_components
+        from .kernels.pdfrewrite import recompress_pdf
+        from .sources.hocr import iter_pages, page_word_data
+        from .sources.pdf_meta import (_Reader, _stream_data,
+                                       extract_page_images, parse_pdf)
+
+        for pdf_rows in batches:
+            rows = []
+            for i in pdf_rows["id"].values:
+                i = int(i)
+                pdf = synth_pdf(i)
+                hocr = None
+                if i % 2 == 1:
+                    h_ = synth_hocr(f"doc {i} alpha beta gamma",
+                                    words_per_page=4)
+                    hocr = h_.encode() if isinstance(h_, str) else h_
+                try:
+                    r = recompress_pdf(pdf, hocr)
+                except Exception as exc:  # noqa: BLE001
+                    rows.append((i, 0, 0, 0, 0, "",
+                                 0, -1, -1, False,
+                                 f"{type(exc).__name__}"))
+                    continue
+
+                # -------- full circle over the OUTPUT file --------
+                meta_in = parse_pdf(pdf)
+                meta_out = parse_pdf(r.pdf)
+                rd_in = _Reader(pdf)
+                rd_out = _Reader(r.pdf)
+                text_in = sum(1 for p in meta_in["pages"]
+                              if p["has_text"])
+                text_out = sum(1 for p in meta_out["pages"]
+                               if p["has_text"])
+                words_by_page: dict[int, list] = {}
+                if hocr:
+                    for k2, hp in enumerate(iter_pages(hocr)):
+                        words_by_page[k2] = page_word_data(hp)
+                imgs_out = 0
+                smask_exact = True
+                for p in meta_out["pages"]:
+                    pidx = p["page_idx"]
+                    orig = extract_page_images(pdf, pidx,
+                                               meta=meta_in,
+                                               rd=rd_in)
+                    got = extract_page_images(r.pdf, pidx,
+                                              meta=meta_out,
+                                              rd=rd_out)
+                    imgs_out += len(got)
+                    # fg images in resources order pair 1:1 with the
+                    # original decodable images (in-place replacement)
+                    fg_ids = []
+                    for im in p["images"]:
+                        d = rd_out.obj(im["xref"])[1]
+                        m = _re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", d)
+                        if m:
+                            fg_ids.append(int(m.group(1)))
+                    if len(fg_ids) != len(orig):
+                        smask_exact = False
+                        continue
+                    words = words_by_page.get(pidx, [])
+                    for mid, (_x, raster) in zip(fg_ids, orig):
+                        mb, md = rd_out.obj(mid)
+                        bits = decode_jbig2(_stream_data(mb, md), b"")
+                        want = create_mrc_components(raster, words).mask
+                        if not np.array_equal(bits == 0, want != 0):
+                            smask_exact = False
+                rows.append((
+                    i, r.n_pages, r.n_images, r.skipped, len(r.pdf),
+                    hashlib.md5(r.pdf).hexdigest()[:12],
+                    imgs_out, text_in, text_out,
+                    bool(smask_exact and text_in == text_out
+                         and imgs_out == 2 * r.n_images),
+                    None))
+            yield pd.DataFrame(rows, columns=[
+                "doc_i", "n_pages", "n_images", "skipped",
+                "pdf_bytes", "pdf_md5", "imgs_out", "text_in",
+                "text_out", "roundtrip_ok", "error"])
+
+    base = spark.range(0, 10).repartition(4)
+    return base.mapInPandas(
+        gen, schema="doc_i bigint, n_pages int, n_images int, "
+                    "skipped int, pdf_bytes int, pdf_md5 string, "
+                    "imgs_out int, text_in int, text_out int, "
+                    "roundtrip_ok boolean, error string")
+
+
 def q_page_series(spark, sf):
     """W1 full parser as a grouped-map Pandas UDF over per-customer label
     sequences synthesized from orders (roman/arabic mix).
@@ -3097,6 +3212,17 @@ FROM counts
 # the pair join equi-joins on), scandata (page_series re-parses the
 # same XML through the same source; skip_anti_join consumes its skip
 # list).
+#
+# r8 rotated IN (VERDICT r7 ask #4 — the stalest tail oracles):
+# scale_estimate (last driver-verified r3), minhash_sigs and
+# quality_scores (r4), ngram_jaccard, dedup_keep, gaps_islands,
+# lang_stopwords, top_terms, ann_lsh_recall, media_resize (all r5);
+# plus the NEW pdfcomp_pdf (the recompress product, pinned).  Rotated
+# OUT — every one driver-green in r7, the round it left — with the
+# covering in-window row named at each tail entry: pdfcomp,
+# pdf_poison, repetition, minhash_lsh_pairs, exact_dups,
+# dedup_clusters, table_profile, lang_guess, ann_ivf_recall,
+# jp2_lossy, hocr_parse.
 QUERIES = {
     # relational / reference-derived
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
@@ -3106,22 +3232,23 @@ QUERIES = {
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),     # in (r6)
     "nation_revenue": (q_nation_revenue, SQL_NATION_REV),    # in (r6)
-    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),   # in (r6)
+    "top_terms": (q_top_terms, SQL_TOP_TERMS),               # in (r8)
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
     "bpe_tokens": (q_bpe_tokens, SQL_BPE),
-    "repetition": (q_repetition, SQL_REPETITION),            # in (r7)
+    "quality_scores": (q_quality_scores, SQL_QUALITY),       # in (r8)
     "lm_perplexity": (q_lm_perplexity,                       # new (r7
                       SQL_LM_PERPLEXITY),                    #  late)
-    "lang_guess": (q_lang_guess, SQL_LANG),                  # in (r6)
+    "lang_stopwords": (q_lang_stopwords,                     # in (r8)
+                       _lang_stopwords_sql()),
     # dedup
-    "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),            # in (r6)
+    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),            # in (r8)
     "substring_dedup": (q_substring_dedup,                   # new (r7
                         SQL_SUBSTRING_DEDUP.format(          #  late)
                             seed=SEED_DOCS_SQL)),
     "simhash": (q_simhash, SQL_SIMHASH),
-    "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),
-    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),         # in (r8)
+    "minhash_sigs": (q_minhash, _minhash_sql()),             # in (r8)
     "near_dedup_keep": (q_near_dedup_keep, SQL_NEAR_DEDUP_KEEP.format(
         seed=SEED_DOCS_SQL, shingles=_SEEDED_SHINGLES_SQL.format(n=3))),
     "winnow_fp": (q_winnow_fp, SQL_WINNOW),                  # in (r7)
@@ -3134,7 +3261,7 @@ QUERIES = {
     # similarity
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "kmeans_quality": (q_kmeans_quality, SQL_KMEANS),
-    "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),   # in (r8)
     "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),
     # extraction pipeline + document sources (pinned/value oracles)
     "extract_digest": (q_extract_digest, None),
@@ -3146,17 +3273,17 @@ QUERIES = {
     "pdf_metadata": (q_pdf_metadata, None),
     "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jp2_decode": (q_jp2_decode, SQL_JP2_DECODE),    # new (r5)
-    "jp2_lossy": (q_jp2_lossy, None),                # new (r5, pinned)
+    "media_resize": (q_media_resize, None),          # in (r8, pinned)
     "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
     "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
     "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),     # new (r7 late)
     "png_decode": (q_png_decode, SQL_PNG_DECODE),        # new (r7 late)
     "recode_pdf": (q_recode_pdf, None),              # new (r7 late)
-    "pdfcomp": (q_pdfcomp, None),
+    "pdfcomp_pdf": (q_pdfcomp_pdf, None),            # NEW (r8, pinned)
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
-    "pdf_poison": (q_pdf_poison, SQL_PDF_POISON),            # in (r7)
-    "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),
+    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),           # in (r8)
+    "scale_estimate": (q_scale_estimate, SQL_SCALE),         # in (r8)
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
     # oracle-paired, behaviour covered by the NAMED in-window row:
@@ -3172,13 +3299,13 @@ QUERIES = {
     #   pytest-pinned (tests/test_functions.py).
     # - ratio_agg (rotated out r7 late for lm_perplexity, driver-
     #   green r1-r7): its groupBy-avg-over-parquet-columns construct
-    #   is the same aggregate shape pricing_summary / table_profile /
-    #   nation_revenue drive in-window on the same tables.
+    #   is the same aggregate shape pricing_summary / nation_revenue
+    #   drive in-window on the same tables.
     # - fingerprints (rotated out r7 late for substring_dedup,
-    #   driver-green r1-r7): exact_dups (in-window since r6) computes
-    #   the IDENTICAL md5 normalized-text fingerprint per doc and
-    #   groups the seeded corpus on it — a wrong fingerprint changes
-    #   exact_dups' in-window duplicate groups first.
+    #   driver-green r1-r7): dedup_keep (in-window r8) computes the
+    #   IDENTICAL md5 normalized-text fingerprint per doc and groups
+    #   the seeded corpus on it — a wrong fingerprint changes its
+    #   in-window keep groups first.
     # - stop_after (rotated out r7 late for png_decode, driver-green
     #   r1-r7, the most-verified row in the registry): positional_join
     #   (in-window) drives the identical row_number-over-(partition,
@@ -3190,10 +3317,10 @@ QUERIES = {
     #   skip_anti_join (in-window since r7) consumes the same scandata
     #   skip list with the same anti-join semantics — a skip-list
     #   defect breaks that in-window row first.
-    # - quality_keep (rotated out r7, driver-green r1-r6): repetition
-    #   (in-window since r7) verifies the embedded {rep} CTE; the
-    #   quality-score side is quality_scores' SQL_QUALITY (tail) plus
-    #   pytest kernel oracles.
+    # - quality_keep (rotated out r7, driver-green r1-r6):
+    #   quality_scores (in-window r8) verifies the embedded {qual}
+    #   CTE; the {rep} side is repetition's SQL (tail, driver-green
+    #   r7, gate-swept) plus pytest kernel oracles.
     # - winnow_pairs (rotated out r7, driver-green r2-r6): winnow_fp
     #   (in-window since r7) emits the exact fingerprint sets the pair
     #   query equi-joins; the join construct is exercised by multiple
@@ -3202,51 +3329,64 @@ QUERIES = {
     #   re-parses the same scandata XML through the same source
     #   (kernels/pagenumbers.py downstream) and skip_anti_join consumes
     #   its skip list — both in-window.
-    # - minhash_sigs (rotated out r5): minhash_lsh_pairs bucket-joins on
-    #   these exact signatures and verifies candidates vs the exact-
-    #   Jaccard oracle — a signature defect changes its in-window pairs.
-    # - quality_scores (rotated out r5): quality_keep's oracle embeds
-    #   SQL_QUALITY as its {qual} CTE — per-doc scores are verified there.
-    # - scale_estimate: the same scale column is driver-verified inside
-    #   pdf_metadata (pinned value oracle, column `scale`).
-    # - ngram_jaccard (rotated out r6, driver-green r2-r5):
-    #   minhash_lsh_pairs' oracle verifies its candidate pairs against
-    #   the SAME exact-Jaccard SQL on identical shingle inputs — a
-    #   Jaccard defect breaks that in-window row.
-    # - dedup_keep (rotated out r6, driver-green r1-r5): exact_dups
-    #   (in-window since r6) groups by the same content fingerprint on
-    #   the same corpus; the keep-list is the same group structure.
-    # - gaps_islands (rotated out r6, driver-verified green in r5):
-    #   page_series re-derives the same scandata page-number sequence
-    #   and its islands through the kernel against a SQL oracle.
-    # - lang_stopwords (rotated out r6, driver-green r2-r5): lang_guess
-    #   (in-window since r6) emits the per-doc lang assignment this row
-    #   aggregates — a misclassification changes lang_guess rows first.
-    # - top_terms (rotated out r6, driver-green r2-r5): token_stats
-    #   shares the exact tokenizer; the groupBy-count construct is
-    #   exercised by multiple in-window relational rows.
-    # - ann_lsh_recall (rotated out r6, driver-green r3-r5): the row is
-    #   self-verifying (in-query exact-vs-approx recall); the identical
-    #   construct stays driver-checked via ann_ivf_recall/ann_pq_recall.
-    # - media_resize (rotated out r6 late for ccitt_decode, driver-green
-    #   r3-r5): the resize kernels are pytest-verified against exact-int
-    #   box + Lanczos re-derivations (kernels/pages.py), and the raster/
-    #   decode plumbing it shares is driver-checked via media_features.
+    # ---- r8 rotations OUT (VERDICT r7 ask #4 swaps; every row below
+    # was driver-green in r7, the round it left the window) ----
+    # - pdfcomp (driver-green r1-r7): SUPERSEDED by pdfcomp_pdf
+    #   (in-window r8) — the same structural parse -> raster decode ->
+    #   MRC decomposition dataflow, but asserting the finished
+    #   recompressed FILE (whole-file md5 + full-circle re-read)
+    #   instead of component hashes + size estimates.
+    # - pdf_poison (driver-green r7): the poison-degradation contract
+    #   is in-window via pdf_spans (pdf_error spans) and pdfcomp_pdf
+    #   (encrypted-input deterministic error rows); the specific parse
+    #   guards are pytest-covered (tests/test_pdf_meta.py).
+    # - repetition (driver-green r7): its {rep} arithmetic is embedded
+    #   verbatim in quality_keep's oracle (tail, gate-swept) and the
+    #   tokenizer is shared with in-window token_stats/bpe_tokens.
+    # - minhash_lsh_pairs (driver-green r3-r7): minhash_sigs (in-window
+    #   r8) verifies the exact signatures its bucket join consumes, and
+    #   ngram_jaccard (in-window r8) drives the same exact-Jaccard SQL
+    #   its candidate verification used.
+    # - exact_dups (driver-green r6-r7): dedup_keep (in-window r8)
+    #   groups the same corpus by the same md5 fingerprint — the keep
+    #   list IS the group structure.
+    # - dedup_clusters (driver-green r4-r7): near_dedup_keep (in-window)
+    #   consumes the same hash-min connected-components clustering; a
+    #   wrong cluster changes its keep rows first.
+    # - table_profile (driver-green r6-r7): the groupBy-aggregate
+    #   construct is the same shape pricing_summary / nation_revenue
+    #   drive in-window on the same tables.
+    # - lang_guess (driver-green r6-r7): lang_stopwords (in-window r8)
+    #   aggregates the same per-doc lang assignments — a
+    #   misclassification shifts those aggregates.
+    # - ann_ivf_recall (driver-green r4-r7): ann_lsh_recall (in-window
+    #   r8) + ann_pq_recall (in-window) drive the identical
+    #   self-verifying recall-row construct; the IVF quantizer
+    #   determinism/pruning internals are pytest-covered.
+    # - jp2_lossy (driver-green r5-r7): the irreversible encoder is
+    #   consumed in-window by recode_pdf + pdfcomp_pdf full circles
+    #   (encode_jp2(irreversible=True) -> own-decoder re-read); the
+    #   rate arithmetic is pytest-covered.
+    # - hocr_parse (driver-green r1-r7): extract_digest + recode_pdf
+    #   (in-window, pinned) parse the same hOCR source for their word
+    #   data; the iterparse/gzip streaming is pytest-covered.
+    # ---- earlier rotations (cover still in-window) ----
     "skip_filter": (q_skip_filter, SQL_SKIP),
     "quality_keep": (q_quality_keep, SQL_QUALITY_KEEP.format(
         rep=SQL_REPETITION, qual=SQL_QUALITY)),
     "winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
     "scandata": (q_scandata, SQL_SCANDATA),
-    "minhash_sigs": (q_minhash, _minhash_sql()),
-    "quality_scores": (q_quality_scores, SQL_QUALITY),
-    "scale_estimate": (q_scale_estimate, SQL_SCALE),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_JACCARD),
-    "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),
-    "gaps_islands": (q_gaps_islands, SQL_ISLANDS),
-    "lang_stopwords": (q_lang_stopwords, _lang_stopwords_sql()),
-    "top_terms": (q_top_terms, SQL_TOP_TERMS),
-    "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),
-    "media_resize": (q_media_resize, None),
+    "pdfcomp": (q_pdfcomp, None),                      # tail (r8)
+    "pdf_poison": (q_pdf_poison, SQL_PDF_POISON),      # tail (r8)
+    "repetition": (q_repetition, SQL_REPETITION),      # tail (r8)
+    "minhash_lsh_pairs": (q_minhash_lsh, SQL_MINHASH_LSH),  # tail (r8)
+    "exact_dups": (q_exact_dups, SQL_EXACT_DUPS),      # tail (r8)
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),  # t (r8)
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),  # tail (r8)
+    "lang_guess": (q_lang_guess, SQL_LANG),            # tail (r8)
+    "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),  # tail (r8)
+    "jp2_lossy": (q_jp2_lossy, None),                  # tail (r8)
+    "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),      # tail (r8)
     "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
     "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
     "fingerprints": (q_fingerprints, SQL_FP),          # tail (r7 late)

@@ -53,11 +53,17 @@ def main(argv=None):
     ap.add_argument("--output-format", default="spans",
                     choices=("spans", "pdf"),
                     help="'spans' = the interleaved spans table; "
-                         "'pdf' (imagestack input only) = one finished "
-                         "MRC PDF per document (operators/recode.py -> "
+                         "'pdf' = one finished MRC PDF per document, "
+                         "committed via the same sharded checkpoint: "
+                         "with --input-format imagestack a NEW PDF is "
+                         "assembled (operators/recode.py -> "
                          "kernels/pdfsink.py: JP2 bg + JP2 fg through "
-                         "a JBIG2 /SMask + invisible text layer), "
-                         "committed via the same sharded checkpoint")
+                         "a JBIG2 /SMask + invisible text layer); "
+                         "with --input-format pdf the EXISTING PDFs "
+                         "are recompressed in place (kernels/"
+                         "pdfrewrite.py: image XObjects swapped for "
+                         "MRC bg/fg/mask, text layer preserved — the "
+                         "bin/compress-pdf-images entry point)")
     ap.add_argument("--native-codecs", action="store_true",
                     help="swap contract-verified native image decoders "
                          "(Pillow etc., kernels/registry.py) in on "
@@ -120,6 +126,16 @@ def main(argv=None):
             spark.stop()
             return
         if args.input_format == "pdf":
+            if args.output_format == "pdf":
+                # Recompress: the MRC-recoded PDF itself is the
+                # product (bin/compress-pdf-images as a cluster job).
+                from archive_pdf_tools_spark.operators.pdfcomp import (
+                    run_recompress_checkpoint)
+                manifest = run_recompress_checkpoint(
+                    spark, docs, args.output, shards=args.shards)
+                print(json.dumps(manifest))
+                spark.stop()
+                return
             # The conversion IS the extraction for PDFs (content-stream
             # text + MRC-recoded images): shard-committed directly.
             from archive_pdf_tools_spark.operators.pdfcomp import (

@@ -1,0 +1,106 @@
+"""recompress_pdf: the bin/compress-pdf-images product — image XObjects
+swapped for MRC bg/fg/mask inside the EXISTING document, text layer and
+structure preserved, old image bytes garbage-collected."""
+
+import re
+
+import numpy as np
+import pytest
+
+from archive_pdf_tools_spark.corpus.hocrgen import synth_hocr
+from archive_pdf_tools_spark.corpus.pdfgen import synth_pdf
+from archive_pdf_tools_spark.kernels.pdfrewrite import recompress_pdf
+from archive_pdf_tools_spark.sources.pdf_meta import (
+    PdfError, _Reader, _stream_data, extract_page_images,
+    extract_text_strings, _get_ref, parse_pdf)
+
+
+def _hocr(i):
+    h = synth_hocr(f"doc {i} alpha beta", words_per_page=4)
+    return h.encode() if isinstance(h, str) else h
+
+
+def _page_text(pdf, meta, pidx):
+    rd = _Reader(pdf)
+    page = meta["pages"][pidx]
+    cid = _get_ref(rd.obj(page["oid"])[1], b"/Contents")
+    body, d = rd.obj(cid)
+    return [s for s in extract_text_strings(_stream_data(body, d))
+            if s.strip()]
+
+
+@pytest.mark.parametrize("i", [1, 2, 3, 10])
+def test_recompress_full_circle(i):
+    pdf = synth_pdf(i)
+    meta_in = parse_pdf(pdf)
+    r = recompress_pdf(pdf, _hocr(i))
+    meta_out = parse_pdf(r.pdf)
+
+    assert meta_out["n_pages"] == meta_in["n_pages"]
+    assert r.n_images > 0 and r.skipped == 0
+    rd = _Reader(r.pdf)
+    for p_in, p_out in zip(meta_in["pages"], meta_out["pages"]):
+        # text layer preserved: the exact shown strings survive
+        assert p_out["has_text"] == p_in["has_text"]
+        if p_in["has_text"]:
+            assert _page_text(r.pdf, meta_out, p_out["page_idx"]) == \
+                _page_text(pdf, meta_in, p_in["page_idx"])
+        # every recompressed image became a decodable bg/fg pair
+        got = extract_page_images(r.pdf, p_out["page_idx"],
+                                  meta=meta_out, rd=rd)
+        orig = extract_page_images(pdf, p_in["page_idx"], meta=meta_in)
+        assert len(got) == 2 * len(orig)
+        # fg carries a JBIG2 /SMask
+        n_fg = 0
+        for im in p_out["images"]:
+            if re.search(rb"/SMask\s+\d+", rd.obj(im["xref"])[1]):
+                n_fg += 1
+        assert n_fg == len(orig)
+
+
+def test_recompress_drops_old_image_bytes():
+    """The old image XObject numbers become FREE xref entries in the
+    output (the garbage-collection half of doc.save(garbage=2))."""
+    pdf = synth_pdf(1)
+    meta_in = parse_pdf(pdf)
+    old_imgs = {im["xref"] for pg in meta_in["pages"]
+                for im in pg["images"]}
+    r = recompress_pdf(pdf, None)
+    assert r.n_images == len(old_imgs)
+    rd_out = _Reader(r.pdf)
+    for oid in old_imgs:
+        e = rd_out.entries.get(oid)
+        assert e is None or e[0] == 0, f"old image {oid} still live"
+    assert len(r.pdf) > 0
+
+
+def test_recompress_rejects_encrypted():
+    with pytest.raises(PdfError, match="encrypted"):
+        recompress_pdf(synth_pdf(0), None)   # every 7th fixture
+
+
+def test_recompress_operator_and_checkpoint(spark, tmp_path):
+    from archive_pdf_tools_spark.operators.pdfcomp import (
+        recompress_pdfs, run_recompress_checkpoint)
+
+    rows = [(f"d{i}", bytearray(synth_pdf(i)),
+             _hocr(i) if i % 2 else None) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, pdf binary, hocr binary")
+    out = {r["doc_id"]: r for r in recompress_pdfs(df).collect()}
+    assert len(out) == 4
+    assert out["d0"]["error"] and out["d0"]["pdf"] is None  # encrypted
+    for d in ("d1", "d2", "d3"):
+        r = out[d]
+        assert r["error"] is None
+        meta = parse_pdf(bytes(r["pdf"]))
+        assert meta["n_pages"] == r["n_pages"]
+
+    man = run_recompress_checkpoint(spark, df, str(tmp_path / "o"),
+                                    shards=2)
+    assert sorted(man["committed_shards"]) == [0, 1]
+    got = spark.read.parquet(str(tmp_path / "o" / "pdfs"))
+    assert got.count() == 4
+    mx = spark.read.parquet(str(tmp_path / "o" / "metrics"))
+    agg = mx.groupBy().sum("doc_count", "error_count").collect()[0]
+    assert agg[0] == 4 and agg[1] == 1
