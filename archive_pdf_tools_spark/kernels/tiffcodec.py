@@ -231,6 +231,11 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            # keep only the unconsumed low bits: an unmasked
+            # accumulator grows into an O(stream)-digit bignum and
+            # every shift turns quadratic (measured 0.04 -> ~4 Mpx/s
+            # on a 3.7 Mpx page, BENCH/codec_swap_r8.md)
+            acc &= (1 << nbits) - 1
             if code == 256:                  # Clear
                 reset()
                 width = 9
@@ -277,6 +282,7 @@ def lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        acc &= (1 << nbits) - 1          # same bignum guard as decode
 
     table = {bytes([i]): i for i in range(256)}
     next_code = 258

@@ -602,3 +602,24 @@ def test_unknown_predictor_raises():
             t[e + 8:e + 10] = struct.pack("<H", 3)
     with pytest.raises(TiffError, match="predictor 3"):
         decode_tiff(bytes(t))
+
+
+def test_lzw_long_stream_table_resets():
+    """Page-size LZW round-trip: noisy content fills the 12-bit code
+    table repeatedly (the next_code==4094 Clear/reset path small
+    fixtures never reach), and the masked bit-accumulator keeps the
+    decode linear — the r8 quadratic-bignum regression guard (0.04 ->
+    4.6 Mpx/s/core at 3.7 Mpx, BENCH/codec_swap_r8.md)."""
+    import time
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (600, 800), dtype=np.uint8)
+    blob = encode_tiff(img, compression="lzw")
+    t0 = time.perf_counter()
+    out = decode_tiff(blob)
+    elapsed = time.perf_counter() - t0
+    assert np.array_equal(out, img)
+    # 0.48 Mpx of worst-case noise: linear decode lands well under a
+    # second even on a throttled burst window; the quadratic bug took
+    # ~12 s here.  Generous 10x margin.
+    assert elapsed < 10.0, f"LZW decode non-linear? {elapsed:.1f}s"
