@@ -104,6 +104,17 @@ def _xobject_names(rd, page_dict):
     return out
 
 
+def _content_ids(page_dict: bytes) -> list[int]:
+    """The page's content-stream object ids: ``/Contents N 0 R`` or
+    the array form ``/Contents [N 0 R M 0 R ...]``."""
+    m = re.search(rb"/Contents\s*\[([^\]]*)\]", page_dict)
+    if m:
+        return [int(g) for g in
+                re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", page_dict)
+    return [int(m.group(1))] if m else []
+
+
 def _img_obj(w, h, gray, filt, bpc, data, smask=None):
     head = (b"<< /Type /XObject /Subtype /Image /Width "
             + str(w).encode() + b" /Height " + str(h).encode()
@@ -128,7 +139,7 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
     images untouched; their count lands in ``skipped``."""
     from ..sources.hocr import iter_pages, page_word_data
     from ..sources.pdf_meta import (PdfError, _Reader, _dict_region,
-                                    _get_ref, _stream_data,
+                                    _stream_data,
                                     extract_page_images, parse_pdf)
     from .jbig2codec import encode_jbig2
     from .jp2codec import encode_jp2
@@ -161,6 +172,12 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
         next_id += 1
         return next_id - 1
 
+    # content streams shared between pages must never be dropped
+    content_use: dict[int, int] = {}
+    for page in meta["pages"]:
+        for cid in _content_ids(_dict_region(rd.body(page["oid"]))):
+            content_use[cid] = content_use.get(cid, 0) + 1
+
     for page in meta["pages"]:
         pidx = page["page_idx"]
         pid = page["oid"]
@@ -178,11 +195,17 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
         if not todo:
             continue
 
-        content_id = _get_ref(page_dict, b"/Contents")
-        if content_id is None or not rd.has(content_id):
+        # /Contents: a single ref or an ARRAY of stream parts (parts
+        # concatenate with implied whitespace, ISO 32000 §7.8.2)
+        content_ids = _content_ids(page_dict)
+        if not content_ids or not all(rd.has(c) for c in content_ids):
             continue                      # imageless/odd page: keep
-        cbody = rewritten.get(content_id) or rd.body(content_id)
-        ops = _stream_data(cbody, _dict_region(cbody))
+        parts = []
+        for cid in content_ids:
+            cb = rewritten.get(cid) or rd.body(cid)
+            parts.append(_stream_data(cb, _dict_region(cb)))
+        ops = b"\n".join(parts)
+        page_changed = False
 
         words = word_data_by_page.get(pidx, [])
         for nm, oid, cont in todo:
@@ -217,7 +240,7 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             fg_nm = b"Im%d" % fg_id
             pat = re.compile(rb"/" + re.escape(nm) + rb"\s+Do\b")
             repl = b"/" + bg_nm + b" Do /" + fg_nm + b" Do"
-            ops, n_subs = pat.subn(repl, ops)
+            new_ops, n_subs = pat.subn(repl, ops)
 
             # container dict: the old name entry becomes the two new
             # ones (the container is the page object, the resources
@@ -231,11 +254,14 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             tbody, n_entry = entry_pat.subn(entry_repl, tbody, count=1)
             if n_subs == 0 or n_entry == 0:
                 # name never drawn / entry not found: leave the page
-                # untouched for this image (roll back the appends)
+                # untouched for this image (roll back the appends;
+                # ops stays unmutated — new_ops is discarded)
                 del appended[-3:]
                 next_id -= 3
                 skipped += 1
                 continue
+            ops = new_ops
+            page_changed = True
             rewritten[target] = tbody
             dropped.add(oid)
             n_images += 1
@@ -243,11 +269,29 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
                                            rd.obj(oid)[1]))
             new_bytes += len(bg_jp2) + len(fg_jp2) + len(mask_jbig2)
 
-        new_ops = zlib.compress(ops, 6)
-        rewritten[content_id] = (
-            b"<< /Filter /FlateDecode /Length "
-            + str(len(new_ops)).encode() + b" >>\nstream\n"
-            + new_ops + b"\nendstream")
+        if not page_changed:
+            continue
+        flate = zlib.compress(ops, 6)
+        new_body = (b"<< /Filter /FlateDecode /Length "
+                    + str(len(flate)).encode() + b" >>\nstream\n"
+                    + flate + b"\nendstream")
+        if len(content_ids) == 1:
+            rewritten[content_ids[0]] = new_body
+        else:
+            # array form: ONE merged stream replaces the parts; the
+            # page's /Contents array entry becomes the new ref, and
+            # parts no other page shares are garbage-collected
+            new_cid = alloc(new_body)
+            pb = rewritten.get(pid, rd.body(pid))
+            pb, n_c = re.subn(rb"/Contents\s*\[[^\]]*\]",
+                              b"/Contents %d 0 R" % new_cid, pb,
+                              count=1)
+            if n_c == 0:
+                raise PdfError("could not rewrite /Contents array")
+            rewritten[pid] = pb
+            for cid in content_ids:
+                if content_use.get(cid, 0) <= 1:
+                    dropped.add(cid)
 
     out = _assemble(pdf, rd, rewritten, dropped, appended)
     return RecompressResult(out, n_images, meta["n_pages"],

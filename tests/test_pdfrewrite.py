@@ -104,3 +104,68 @@ def test_recompress_operator_and_checkpoint(spark, tmp_path):
     mx = spark.read.parquet(str(tmp_path / "o" / "metrics"))
     agg = mx.groupBy().sum("doc_count", "error_count").collect()[0]
     assert agg[0] == 4 and agg[1] == 1
+
+
+def _manual_array_contents_pdf():
+    """Minimal classic-xref PDF whose page draws text (part 1) and an
+    image under a CTM split ACROSS two content parts (the /Contents
+    array form, ISO 32000 §7.8.2)."""
+    import zlib
+
+    img = np.full((40, 60), 200, np.uint8)
+    img[10:20, 10:50] = 40
+    raw = zlib.compress(img.tobytes())
+    p1 = b"BT /F1 12 Tf 72 700 Td (hello split) Tj ET\nq 120 0 0 80 36 500 cm"
+    p2 = b"/Im0 Do Q"
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /XObject << /Im0 4 0 R >>"
+        b" /Font << /F1 7 0 R >> >>"
+        b" /Contents [5 0 R 6 0 R] >>",
+        b"<< /Type /XObject /Subtype /Image /Width 60 /Height 40"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+        b" /Filter /FlateDecode /Length " + str(len(raw)).encode()
+        + b" >>\nstream\n" + raw + b"\nendstream",
+        b"<< /Length " + str(len(p1)).encode() + b" >>\nstream\n"
+        + p1 + b"\nendstream",
+        b"<< /Length " + str(len(p2)).encode() + b" >>\nstream\n"
+        + p2 + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    offs = []
+    for i, body in enumerate(objs, 1):
+        offs.append(len(out))
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    xref = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for o in offs:
+        out += b"%010d 00000 n \n" % o
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF\n" % (len(objs) + 1, xref))
+    return bytes(out)
+
+
+def test_recompress_contents_array():
+    """A page whose /Contents is an ARRAY of parts (the draw op split
+    across parts) recompresses: parts merge into one stream, the image
+    becomes a decodable bg/fg pair, the text survives, and the old
+    parts + image are garbage-collected."""
+    pdf = _manual_array_contents_pdf()
+    meta_in = parse_pdf(pdf)
+    assert meta_in["pages"][0]["n_images"] == 1
+    r = recompress_pdf(pdf, None)
+    assert r.n_images == 1 and r.skipped == 0
+    meta_out = parse_pdf(r.pdf)
+    assert meta_out["n_pages"] == 1
+    assert meta_out["pages"][0]["has_text"]
+    assert _page_text(r.pdf, meta_out, 0) == ["hello split"]
+    got = extract_page_images(r.pdf, 0, meta=meta_out)
+    assert len(got) == 2                       # bg + fg decode
+    rd = _Reader(r.pdf)
+    # old image (4) and both old content parts (5, 6) are free slots
+    for oid in (4, 5, 6):
+        e = rd.entries.get(oid)
+        assert e is None or e[0] == 0, oid

@@ -1,0 +1,112 @@
+#!/usr/bin/env python
+"""Strong-scaling measurement of the MRC PDF sink (--output-format pdf).
+
+Round-8 VERDICT ask #8: the sink adds encoder-heavy per-doc work (JP2
+bg/fg + JBIG2 mask per page); show strong 1->4 and 2->8 efficiency stay
+>= 0.8.  Probe-gated like every scaling write (bench.probe_window);
+--force overrides.  Writes BENCH/scaling_r8_recode.json.
+
+Workload: 48 docs x 2 pages of 400x300 paper-like rasters (TIFF-LZW +
+PNG page files, hOCR on every other doc) through operators/recode.py
+::recode_to_pdf — the exact job.py --input-format imagestack
+--output-format pdf dataflow, one per-doc shuffle, all encode work
+inside the grouped UDF.
+"""
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_rows():
+    import numpy as np
+
+    from archive_pdf_tools_spark.corpus.hocrgen import synth_hocr
+    from archive_pdf_tools_spark.kernels.pngcodec import encode_png
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for d in range(48):
+        hocr = None
+        if d % 2 == 0:
+            h = synth_hocr(f"doc {d} alpha beta gamma", words_per_page=5)
+            hocr = h.encode() if isinstance(h, str) else h
+        for p in range(2):
+            img = np.full((300, 400), 232, np.uint8)
+            for r in range(20, 280, 24):
+                img[r:r + 10, 20:380] = rng.integers(15, 60)
+            img = np.clip(img.astype(np.int16)
+                          + rng.integers(-5, 6, (300, 400)),
+                          0, 255).astype(np.uint8)
+            blob = (encode_tiff(img, compression="lzw") if p == 0
+                    else encode_png(img))
+            rows.append((f"d{d:03d}", p, bytearray(blob),
+                         hocr if p == 0 else None))
+    return rows
+
+
+def run_at(cores: int, rows) -> float:
+    from bench import make_spark
+
+    from archive_pdf_tools_spark.operators.recode import recode_to_pdf
+
+    spark = make_spark(cores, f"recode-scale-{cores}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        df = spark.createDataFrame(
+            rows, "doc_id string, page_idx int, image binary, "
+                  "hocr binary").repartition(max(cores * 2, 4)).cache()
+        df.count()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = recode_to_pdf(df).select("n_pages", "error").collect()
+            dt = time.perf_counter() - t0
+            assert sum(r["n_pages"] for r in out) == 96
+            assert all(r["error"] is None for r in out)
+            best = dt if best is None else min(best, dt)
+        return best
+    finally:
+        spark.stop()
+
+
+def main():
+    from bench import probe_window
+
+    force = "--force" in sys.argv
+    probe = probe_window()
+    print(json.dumps({"probe": probe}))
+    if not probe["clean"] and not force:
+        print("window dirty; refusing to record (--force overrides)")
+        return 1
+
+    rows = build_rows()
+    walls = {}
+    for cores in (1, 2, 4, 8):
+        walls[cores] = run_at(cores, rows)
+        print(f"local[{cores}]: {walls[cores]:.2f}s")
+    report = {
+        "workload": "recode_to_pdf 48 docs x 2 pages 400x300 "
+                    "(JP2 bg/fg + JBIG2 mask + text layer per page)",
+        "walls_sec": {str(k): round(v, 3) for k, v in walls.items()},
+        "pages_per_sec": {str(k): round(96 / v, 2)
+                          for k, v in walls.items()},
+        "strong_1_4": round(walls[1] / (4 * walls[4]), 3),
+        "strong_2_8": round(walls[2] / (8 * walls[8]), 3),
+        "probe": probe,
+    }
+    out = os.path.join(REPO, "BENCH", "scaling_r8_recode.json")
+    with open(out, "w") as fh:
+        json.dump(report, fh, indent=1)
+    print(json.dumps(report))
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
