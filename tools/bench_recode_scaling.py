@@ -56,6 +56,13 @@ def run_at(cores: int, rows) -> float:
     from archive_pdf_tools_spark.operators.recode import recode_to_pdf
 
     spark = make_spark(cores, f"recode-scale-{cores}")
+    # Task granularity must be finer than the doc/core ratio: with the
+    # default 2x-cores shuffle partitions, 48 doc GROUPS hash into 8-16
+    # bins and balls-in-bins skew (max ~2x mean) caps strong efficiency
+    # at ~0.5-0.65 regardless of the operator.  Production runs have
+    # partitions >> cores by the same rule (AQE coalesces excess); here
+    # ~1 doc per task lets the scheduler balance dynamically.
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
     spark.sparkContext.setLogLevel("ERROR")
     try:
         df = spark.createDataFrame(
@@ -96,8 +103,9 @@ def main():
         "walls_sec": {str(k): round(v, 3) for k, v in walls.items()},
         "pages_per_sec": {str(k): round(96 / v, 2)
                           for k, v in walls.items()},
-        "strong_1_4": round(walls[1] / (4 * walls[4]), 3),
-        "strong_2_8": round(walls[2] / (8 * walls[8]), 3),
+        # strong efficiency = measured speedup / ideal core ratio
+        "strong_1_4": round((walls[1] / walls[4]) / 4, 3),
+        "strong_2_8": round((walls[2] / walls[8]) / 4, 3),
         "probe": probe,
     }
     out = os.path.join(REPO, "BENCH", "scaling_r8_recode.json")
