@@ -141,9 +141,12 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
     from ..sources.pdf_meta import (PdfError, _Reader, _dict_region,
                                     _stream_data,
                                     extract_page_images, parse_pdf)
-    from .jbig2codec import encode_jbig2
-    from .jp2codec import encode_jp2
     from .mrc import create_mrc_components
+    from .registry import get_encoder
+    # encoder seam: same contract-verified swap point as the sink
+    # (kernels/registry.py round 8) — built-ins by default
+    encode_jp2 = get_encoder("JPEG2000")
+    encode_jbig2 = get_encoder("JBIG2")
 
     meta = parse_pdf(pdf)
     rd = _Reader(pdf)

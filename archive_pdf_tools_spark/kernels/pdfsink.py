@@ -251,8 +251,14 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     * ``page_labels``: pre-rendered ``/PageLabels`` dictionary bytes
       (e.g. from ``page_labels_pdf``).
     """
-    from .jbig2codec import encode_jbig2
-    from .jp2codec import encode_jp2
+    # encoder seam (round 8): the sink's JP2/JBIG2 streams go through
+    # the registry, so a contract-verified native encoder swap
+    # (kernels/registry.py::register_encoder — the sink-side analogue
+    # of the decode swap) changes THIS call site without touching the
+    # Spark plan.  Built-ins by default; byte-identical output.
+    from .registry import get_encoder
+    encode_jp2 = get_encoder("JPEG2000")
+    encode_jbig2 = get_encoder("JBIG2")
 
     if not pages:
         raise ValueError("build_mrc_pdf needs at least one page")

@@ -284,6 +284,161 @@ def verify_decoder(fmt: str, fn):
                 f"oracle (shape {got.shape} vs {expected.shape})")
 
 
+# ------------------------------------------------------------------
+# Encoder seam (round 8).  The MRC PDF SINKS are encode-bound the way
+# the scan is decode-bound: every output page pays two JP2 encodes
+# (bg + fg, ~0.19 Mpx/s/core built-in) and one JBIG2 encode — at
+# 100 TB the sink's wall-time is the JP2 encoder, exactly as the
+# decode side's was the JP2 decoder.  The reference pays kakadu for
+# this (``jpeg2000.py:63-84``, ``mrc.py:502-509`` jbig2enc); this is
+# the same delegation as a verified plug point.  ``kernels/pdfsink``
+# and ``kernels/pdfrewrite`` route every stream they emit through
+# ``get_encoder``.
+#
+# Encoder call signatures (normalized to the built-ins):
+#
+# =========  ======================================================
+# JPEG2000   ``fn(img: np.ndarray, *, irreversible: bool) -> bytes``
+#            (uint8 gray or RGB in; a JP2 stream the engine's OWN
+#            decoder can read back)
+# JBIG2      ``fn(bitmap: np.ndarray) -> bytes`` (0/1 ink mask in; an
+#            embeddable generic-region JBIG2 stream)
+# =========  ======================================================
+#
+# Contract (``verify_encoder``): the candidate's output must decode
+# through the BUILT-IN (trusted-arithmetic) decoder with the right
+# shape/channels; bit-exact for JBIG2 and reversible JP2 (both
+# lossless by definition), and within a mean-absolute-error bound for
+# irreversible JP2 (encoders legitimately differ in rate allocation;
+# a candidate that distorts the contract images beyond archival
+# tolerance is rejected).
+
+ENCODER_FORMATS = ("JPEG2000", "JBIG2")
+
+_ENC_BUILTINS = {
+    "JPEG2000": lambda img, *, irreversible=False: encode_jp2(
+        np.asarray(img), irreversible=irreversible),
+    "JBIG2": lambda bitmap: encode_jbig2(np.asarray(bitmap)),
+}
+
+_encoders = dict(_ENC_BUILTINS)
+
+_ENCODE_ERRORS = {
+    fmt: type(f"{fmt.title()}EncodeError", (_ERROR_CLASS[fmt],), {})
+    for fmt in ENCODER_FORMATS
+}
+
+
+def get_encoder(fmt: str):
+    """The encode callable the MRC sinks must use for ``fmt`` (one of
+    ``ENCODER_FORMATS``)."""
+    return _encoders[fmt]
+
+
+def builtin_encoder(fmt: str):
+    return _ENC_BUILTINS[fmt]
+
+
+def register_encoder(fmt: str, fn, *, verify: bool = True):
+    """Install a drop-in encoder for ``fmt``; ``verify=True`` runs
+    ``verify_encoder`` first (round-trip through the built-in decoder)
+    and rejects with ``ContractViolation`` on failure.  The installed
+    callable is exception-wrapped into the format's typed error."""
+    if fmt not in ENCODER_FORMATS:
+        raise KeyError(fmt)
+    if verify:
+        verify_encoder(fmt, fn)
+    err = _ENCODE_ERRORS[fmt]
+
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except Exception as exc:  # noqa: BLE001 — typed-error contract
+            raise err(f"drop-in {fmt} encoder failed: "
+                      f"{type(exc).__name__}: {exc}") from exc
+
+    wrapped.__wrapped__ = fn
+    _encoders[fmt] = wrapped
+    return wrapped
+
+
+def reset_encoder(fmt: str | None = None):
+    """Restore the built-in encoder(s)."""
+    if fmt is None:
+        _encoders.update(_ENC_BUILTINS)
+    else:
+        _encoders[fmt] = _ENC_BUILTINS[fmt]
+
+
+def encoder_contract_images(fmt: str):
+    """Deterministic contract inputs for ``fmt`` encoders: the smooth
+    paper-like and textured shapes the MRC components actually feed
+    the sink (gray and RGB for JP2; sparse and dense ink for JBIG2)."""
+    if fmt == "JPEG2000":
+        yy, xx = np.mgrid[0:40, 0:56]
+        smooth = (180 + 30 * np.sin(xx / 9.0)
+                  + 20 * np.cos(yy / 7.0)).astype(np.uint8)
+        yield smooth, False
+        yield smooth, True
+        rgb = np.stack([(smooth.astype(int) + 40 * c) % 256
+                        for c in range(3)], axis=-1).astype(np.uint8)
+        yield rgb, True
+    elif fmt == "JBIG2":
+        yy, xx = np.mgrid[0:33, 0:47]
+        yield (((7 * xx + 5 * yy) % 13) < 4).astype(np.uint8), None
+        yield (((3 * xx + 11 * yy) % 5) < 3).astype(np.uint8), None
+    else:
+        raise KeyError(fmt)
+
+
+def verify_encoder(fmt: str, fn):
+    """Round-trip ``fn`` through the BUILT-IN decoder; raise
+    ``ContractViolation`` on shape mismatch, lossless mismatch, or
+    irreversible error beyond tolerance."""
+    if fmt == "JPEG2000":
+        dec = _BUILTINS["JPEG2000"]
+        for img, irreversible in encoder_contract_images(fmt):
+            try:
+                stream = fn(img, irreversible=irreversible)
+                got = dec(bytes(stream))
+            except Exception as exc:  # noqa: BLE001
+                raise ContractViolation(
+                    f"JPEG2000 candidate failed round-trip: "
+                    f"{type(exc).__name__}: {exc}") from exc
+            got = np.asarray(got)
+            if got.shape != img.shape:
+                raise ContractViolation(
+                    f"JPEG2000 candidate changed shape "
+                    f"{img.shape} -> {got.shape}")
+            if not irreversible:
+                if not np.array_equal(got, img):
+                    raise ContractViolation(
+                        "JPEG2000 candidate not lossless in "
+                        "reversible mode")
+            else:
+                mae = float(np.mean(np.abs(
+                    got.astype(np.int16) - img.astype(np.int16))))
+                if mae > 8.0:
+                    raise ContractViolation(
+                        f"JPEG2000 candidate too lossy (MAE {mae:.1f} "
+                        "> 8.0 on smooth contract content)")
+    elif fmt == "JBIG2":
+        dec = _BUILTINS["JBIG2"]
+        for bm, _ in encoder_contract_images(fmt):
+            try:
+                got = np.asarray(dec(bytes(fn(bm)), b""))
+            except Exception as exc:  # noqa: BLE001
+                raise ContractViolation(
+                    f"JBIG2 candidate failed round-trip: "
+                    f"{type(exc).__name__}: {exc}") from exc
+            if got.shape != bm.shape or not np.array_equal(got, bm):
+                raise ContractViolation(
+                    "JBIG2 candidate is not bit-exact (JBIG2 generic "
+                    "coding is lossless by definition)")
+    else:
+        raise KeyError(fmt)
+
+
 def maybe_register_native() -> list[str]:
     """Best-effort native-codec registration (opt-in at deploy time).
 
@@ -326,6 +481,19 @@ def maybe_register_native() -> list[str]:
                 swapped.append(_fmt)
             except ContractViolation:
                 pass
+
+        def _pil_jp2_encode(img, *, irreversible=False):
+            buf = io.BytesIO()
+            Image.fromarray(np.asarray(img)).save(
+                buf, format="JPEG2000",
+                irreversible=bool(irreversible))
+            return buf.getvalue()
+
+        try:  # needs Pillow built against openjpeg; verify rejects
+            register_encoder("JPEG2000", _pil_jp2_encode)
+            swapped.append("JPEG2000-encode")
+        except ContractViolation:
+            pass
     except ImportError:
         pass
     try:  # PyMuPDF: JP2 + JBIG2 + CCITT via MuPDF

@@ -164,3 +164,107 @@ def test_native_codecs_env_opt_in_is_safe():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "OK"
+
+
+# ---- round 8: encoder seam -------------------------------------------
+
+def test_builtin_encoders_pass_their_own_contract():
+    from archive_pdf_tools_spark.kernels import registry as R
+
+    for fmt in R.ENCODER_FORMATS:
+        R.verify_encoder(fmt, R.builtin_encoder(fmt))
+
+
+def test_encoder_dropin_accepted_and_dispatched_by_sink():
+    """A faithful drop-in encoder installs and the MRC sink actually
+    calls it (marker side effect), with byte-identical output when the
+    drop-in wraps the built-in."""
+    import numpy as np
+
+    from archive_pdf_tools_spark.kernels import registry as R
+    from archive_pdf_tools_spark.kernels.pdfsink import build_mrc_pdf
+
+    mask = np.zeros((24, 32), np.uint8)
+    mask[6:12, 4:28] = 1
+    gray = np.full((24, 32), 210, np.uint8)
+    page = {"mask": mask, "bg": gray, "fg": 255 - gray}
+    want = build_mrc_pdf([dict(page)])
+
+    calls = {"jp2": 0, "jbig2": 0}
+
+    def jp2_dropin(img, *, irreversible=False):
+        calls["jp2"] += 1
+        return R.builtin_encoder("JPEG2000")(img,
+                                             irreversible=irreversible)
+
+    def jbig2_dropin(bitmap):
+        calls["jbig2"] += 1
+        return R.builtin_encoder("JBIG2")(bitmap)
+
+    try:
+        R.register_encoder("JPEG2000", jp2_dropin)
+        R.register_encoder("JBIG2", jbig2_dropin)
+        calls["jp2"] = calls["jbig2"] = 0      # verify suite called it
+        got = build_mrc_pdf([dict(page)])
+        assert calls["jp2"] == 2 and calls["jbig2"] == 1
+        assert got == want                     # faithful wrap: same bytes
+    finally:
+        R.reset_encoder()
+    assert R.get_encoder("JPEG2000") is R.builtin_encoder("JPEG2000")
+
+
+def test_encoder_dropin_rejected_when_corrupt_or_too_lossy():
+    import numpy as np
+    import pytest as _pytest
+
+    from archive_pdf_tools_spark.kernels import registry as R
+
+    # JBIG2: one flipped pixel on re-decode -> rejected
+    def bad_jbig2(bitmap):
+        bm = np.asarray(bitmap).copy()
+        bm[0, 0] ^= 1
+        return R.builtin_encoder("JBIG2")(bm)
+
+    with _pytest.raises(R.ContractViolation, match="bit-exact"):
+        R.register_encoder("JBIG2", bad_jbig2)
+
+    # JP2: an encoder that throws away the image -> too lossy
+    def flat_jp2(img, *, irreversible=False):
+        return R.builtin_encoder("JPEG2000")(
+            np.zeros_like(np.asarray(img)), irreversible=irreversible)
+
+    with _pytest.raises(R.ContractViolation):
+        R.register_encoder("JPEG2000", flat_jp2)
+
+    # a crashing candidate reports, registry untouched
+    def crash(img, *, irreversible=False):
+        raise RuntimeError("boom")
+
+    with _pytest.raises(R.ContractViolation, match="round-trip"):
+        R.register_encoder("JPEG2000", crash)
+    assert R.get_encoder("JPEG2000") is R.builtin_encoder("JPEG2000")
+
+
+def test_encoder_exception_wrapping_is_typed():
+    """An installed drop-in that later fails raises the format's typed
+    error (a Jp2Error subclass), not a foreign exception."""
+    from archive_pdf_tools_spark.kernels import registry as R
+    from archive_pdf_tools_spark.kernels.jp2codec import Jp2Error
+
+    state = {"armed": False}
+
+    def flaky(img, *, irreversible=False):
+        if state["armed"]:
+            raise ValueError("transient")
+        return R.builtin_encoder("JPEG2000")(img,
+                                             irreversible=irreversible)
+
+    try:
+        R.register_encoder("JPEG2000", flaky)
+        state["armed"] = True
+        import numpy as np
+        import pytest as _pytest
+        with _pytest.raises(Jp2Error, match="drop-in"):
+            R.get_encoder("JPEG2000")(np.zeros((8, 8), np.uint8))
+    finally:
+        R.reset_encoder()
