@@ -31,11 +31,18 @@ engine's own reader (``sources/pdf_meta``) and codecs:
   in 1.5 object streams are hoisted to top level (the /ObjStm and
   /XRef containers themselves are infrastructure and never copied).
 
-Encrypted inputs are rejected: the output would need re-encryption of
-every copied string/stream to stay consistent, which is a different
-tool (the reference's chain does not handle encrypted inputs either —
-PyMuPDF refuses to save an authenticated encrypted doc unencrypted
-without an explicit decrypt pass).
+Encrypted inputs DECRYPT-AND-REWRITE (round 8): every kept stream
+re-emits as plaintext (exact ciphertext recovered by the reader's own
+/Length rules, ``/Length`` rewritten to the plain byte count), every
+string in a kept type-1 body decrypts and re-encodes as a hex string,
+objstm residents arrive plaintext with their container, the /Encrypt
+dictionary is dropped, and the output trailer carries no /Encrypt —
+an ordinary unencrypted PDF.  Encryption-exempt strings (the /XRef
+stream's /ID, the /Encrypt dict's own entries) never reach the
+decrypt pass because those objects are discarded first.  This goes
+one step past the reference, whose chain fails on encrypted inputs
+(PyMuPDF will not save an authenticated doc unencrypted without an
+explicit decrypt pass).
 
 Scale shape: one document per call inside ``mapInPandas`` — same
 partitioning as every other per-doc kernel, no driver state.
@@ -115,6 +122,94 @@ def _content_ids(page_dict: bytes) -> list[int]:
     return [int(m.group(1))] if m else []
 
 
+def _hex_string(data: bytes) -> bytes:
+    return b"<" + data.hex().upper().encode("ascii") + b">"
+
+
+def _decrypt_strings(head: bytes, oid: int, gen: int, crypt) -> bytes:
+    """Decrypt every PDF string object in a (non-stream) body region:
+    literal ``(...)`` strings (escapes honored via the reader's own
+    parser) and hex ``<...>`` strings.  Decrypted strings re-emit as
+    hex strings — unambiguous for arbitrary plaintext bytes."""
+    from ..sources.pdf_meta import _parse_literal_string
+
+    out = bytearray()
+    i = 0
+    n = len(head)
+    while i < n:
+        c = head[i:i + 1]
+        if c == b"(":
+            raw, end = _parse_literal_string(head, i)
+            out += _hex_string(crypt.decrypt(raw, oid, gen))
+            i = end
+        elif c == b"<" and head[i + 1:i + 2] != b"<":
+            j = head.find(b">", i)
+            if j < 0:
+                out += head[i:]
+                break
+            hx = re.sub(rb"\s", b"", head[i + 1:j])
+            if len(hx) % 2:
+                hx += b"0"
+            try:
+                raw = bytes.fromhex(hx.decode("ascii"))
+            except ValueError:
+                out += head[i:j + 1]
+                i = j + 1
+                continue
+            out += _hex_string(crypt.decrypt(raw, oid, gen))
+            i = j + 1
+        elif c == b"<" and head[i + 1:i + 2] == b"<":
+            out += b"<<"
+            i += 2
+        else:
+            out += c
+            i += 1
+    return bytes(out)
+
+
+def _decrypt_object_body(body: bytes, oid: int, gen: int, rd) -> bytes:
+    """One raw type-1 object body -> its decrypted equivalent: strings
+    decrypted in the dictionary region, stream ciphertext replaced by
+    plaintext with /Length rewritten to the plain byte count (an
+    indirect /Length collapses to the direct value — the referenced
+    length object may stay as an unreferenced leftover)."""
+    from ..sources.pdf_meta import _get_int, _get_ref
+
+    s = body.find(b"stream")
+    head = body if s < 0 else body[:s]
+    head = _decrypt_strings(head, oid, gen, rd.crypt)
+    if s < 0:
+        return head
+
+    # exact ciphertext: /Length when direct (ciphertext length is
+    # exact), else the single-EOL trim — the reader's own rules
+    # (sources/pdf_meta.py::_stream_data decrypt branch)
+    p = s + len(b"stream")
+    if body[p:p + 2] == b"\r\n":
+        p += 2
+    elif body[p:p + 1] == b"\n":
+        p += 1
+    e = body.find(b"endstream", p)
+    raw = body[p:e]
+    d = body[:s]
+    nlen = (_get_int(d, b"/Length")
+            if _get_ref(d, b"/Length") is None else None)
+    if nlen is not None and 0 <= nlen <= len(raw):
+        raw = raw[:nlen]
+    elif raw.endswith(b"\r\n"):
+        raw = raw[:-2]
+    elif raw.endswith((b"\n", b"\r")):
+        raw = raw[:-1]
+    plain = rd.crypt.decrypt(raw, oid, gen)
+    head, n_len = re.subn(rb"/Length\s+\d+(?:\s+\d+\s+R)?",
+                          b"/Length %d" % len(plain), head, count=1)
+    if n_len == 0:
+        head = head.rstrip()
+        if head.endswith(b">>"):
+            head = head[:-2] + b" /Length %d >>" % len(plain)
+    return head + b"stream\n" + plain + b"\nendstream"
+
+
 def _img_obj(w, h, gray, filt, bpc, data, smask=None):
     head = (b"<< /Type /XObject /Subtype /Image /Width "
             + str(w).encode() + b" /Height " + str(h).encode()
@@ -128,12 +223,17 @@ def _img_obj(w, h, gray, filt, bpc, data, smask=None):
 
 
 def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
-                   bg_downsample: int = 3) -> RecompressResult:
+                   bg_downsample: int = 3,
+                   password: bytes | str = b"") -> RecompressResult:
     """One PDF in, the MRC-recompressed PDF out (see module
     docstring).  ``hocr``: the document's hOCR markup — its word boxes
     steer the text/media mask exactly as in the flagship recode path;
     without it the threshold mask drives the split
     (``compress-pdf-images:66-70`` passes word data the same way).
+
+    Encrypted inputs decrypt-and-rewrite: the output is an ordinary
+    unencrypted PDF (``password`` opens user/owner-protected files;
+    the empty default handles the owner-locked archival shape).
 
     Pages whose images cannot decode (gated codec profiles) keep those
     images untouched; their count lands in ``skipped``."""
@@ -148,11 +248,15 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
     encode_jp2 = get_encoder("JPEG2000")
     encode_jbig2 = get_encoder("JBIG2")
 
-    meta = parse_pdf(pdf)
-    rd = _Reader(pdf)
-    if rd.crypt is not None:
-        raise PdfError("recompress_pdf: encrypted input — decrypt-"
-                       "and-rewrite is out of scope (module docstring)")
+    meta = parse_pdf(pdf, password)
+    rd = _Reader(pdf, password)
+    # Encrypted input -> DECRYPT-AND-REWRITE (round 8): the clean full
+    # rewrite re-emits every kept stream as plaintext and every string
+    # re-encoded from its decrypted bytes, and drops the /Encrypt
+    # dictionary — the output is an ordinary unencrypted PDF.  (The
+    # reference's chain simply fails on encrypted inputs: PyMuPDF will
+    # not save an authenticated doc decrypted without its own decrypt
+    # pass — this goes one step further than parity.)
 
     word_data_by_page: dict[int, list] = {}
     if hocr:
@@ -174,6 +278,22 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
         appended.append(body)
         next_id += 1
         return next_id - 1
+
+    def work_body(oid: int) -> bytes:
+        """A body about to be MUTATED into ``rewritten``: already-
+        rewritten bodies are plaintext by construction; raw type-1
+        bodies of an encrypted file get their strings decrypted first
+        (the dict-only page/resources objects this path touches carry
+        no streams)."""
+        got = rewritten.get(oid)
+        if got is not None:
+            return got
+        b = rd.body(oid)
+        e = rd.entries.get(oid)
+        if rd.crypt is not None and e and e[0] == 1:
+            b = _decrypt_strings(b, oid,
+                                 e[2] if len(e) > 2 else 0, rd.crypt)
+        return b
 
     # content streams shared between pages must never be dropped
     content_use: dict[int, int] = {}
@@ -205,8 +325,13 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             continue                      # imageless/odd page: keep
         parts = []
         for cid in content_ids:
-            cb = rewritten.get(cid) or rd.body(cid)
-            parts.append(_stream_data(cb, _dict_region(cb)))
+            cb = rewritten.get(cid)
+            if cb is not None:        # already rebuilt: plaintext
+                parts.append(_stream_data(cb, _dict_region(cb)))
+            else:
+                cb = rd.body(cid)
+                parts.append(_stream_data(cb, _dict_region(cb),
+                                          rd._decrypter(cid)))
         ops = b"\n".join(parts)
         page_changed = False
 
@@ -253,7 +378,7 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             entry_repl = (b"/" + bg_nm + b" %d 0 R /" % bg_id
                           + fg_nm + b" %d 0 R" % fg_id)
             target = cont if cont is not None else pid
-            tbody = rewritten.get(target, rd.body(target))
+            tbody = work_body(target)
             tbody, n_entry = entry_pat.subn(entry_repl, tbody, count=1)
             if n_subs == 0 or n_entry == 0:
                 # name never drawn / entry not found: leave the page
@@ -269,7 +394,8 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             dropped.add(oid)
             n_images += 1
             orig_bytes += len(_stream_data(rd.body(oid),
-                                           rd.obj(oid)[1]))
+                                           rd.obj(oid)[1],
+                                           rd._decrypter(oid)))
             new_bytes += len(bg_jp2) + len(fg_jp2) + len(mask_jbig2)
 
         if not page_changed:
@@ -285,7 +411,7 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             # page's /Contents array entry becomes the new ref, and
             # parts no other page shares are garbage-collected
             new_cid = alloc(new_body)
-            pb = rewritten.get(pid, rd.body(pid))
+            pb = work_body(pid)
             pb, n_c = re.subn(rb"/Contents\s*\[[^\]]*\]",
                               b"/Contents %d 0 R" % new_cid, pb,
                               count=1)
@@ -306,9 +432,20 @@ def _assemble(pdf: bytes, rd, rewritten: dict[int, bytes],
     """Write the clean full file: kept objects verbatim (original
     number + generation), rewritten bodies in place, dropped slots as
     free xref entries, appended objects at the tail."""
+    from ..sources.pdf_meta import _get_ref
+
+    # the security-handler dictionary never survives: the output is
+    # plaintext (decrypt-and-rewrite) and its trailer has no /Encrypt
+    enc_oid = None
+    if rd.crypt is not None:
+        for t in rd.trailers:
+            enc_oid = _get_ref(t, b"/Encrypt")
+            if enc_oid is not None:
+                break
+
     bodies: dict[int, tuple[int, bytes]] = {}   # oid -> (gen, body)
     for oid, e in rd.entries.items():
-        if oid == 0 or e[0] == 0 or oid in dropped:
+        if oid == 0 or e[0] == 0 or oid in dropped or oid == enc_oid:
             continue
         if e[0] == 1:
             gen = e[2] if len(e) > 2 else 0
@@ -317,10 +454,18 @@ def _assemble(pdf: bytes, rd, rewritten: dict[int, bytes],
             gen = 0
             body = rd.body(oid)
         d = body[:512]
-        # infrastructure objects never survive a clean rewrite
+        # infrastructure objects never survive a clean rewrite — and
+        # must be discarded BEFORE the decrypt pass: an /XRef stream's
+        # /ID strings are encryption-EXEMPT (ISO 32000 §7.6.2), so
+        # "decrypting" them would garble or reject
         if re.search(rb"/Type\s*/(ObjStm|XRef)\b", d) \
                 or b"/Linearized" in d:
             continue
+        if rd.crypt is not None and e[0] == 1 \
+                and oid not in rewritten:
+            # objstm residents arrive plaintext (their container
+            # decrypted whole); type-1 bodies decrypt here
+            body = _decrypt_object_body(body, oid, gen, rd)
         bodies[oid] = (gen, rewritten.get(oid, body))
     for i, body in enumerate(appended):
         bodies[max(rd.entries) + 1 + i] = (0, body)

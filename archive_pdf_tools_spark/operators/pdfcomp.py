@@ -215,18 +215,21 @@ RECOMPRESS_SCHEMA_DDL = (
 
 def recompress_pdfs(df, pdf_col: str = "pdf",
                     hocr_col: str | None = "hocr",
-                    fg_downsample: int = 3, bg_downsample: int = 3):
+                    fg_downsample: int = 3, bg_downsample: int = 3,
+                    password: bytes | str = b""):
     """(doc_id, pdf binary[, hocr]) -> (doc_id, recompressed pdf, ...)
     — the reference's second entry point's ACTUAL PRODUCT
     (``bin/compress-pdf-images:130-150``): per document, every image
     XObject is MRC-decomposed and re-encoded (JP2 bg + JP2 fg through
     a JBIG2 /SMask) inside the EXISTING document, preserving its text
     layer and structure (``kernels/pdfrewrite.recompress_pdf``).
+    Encrypted inputs decrypt-and-rewrite into plain PDFs
+    (``password`` opens user/owner-protected corpora).
 
     Scale shape: one ``mapInPandas`` stage (the document row already
     holds everything the rewrite needs — no shuffle at all); a poison
-    document (encrypted, malformed) degrades to a NULL pdf with the
-    error recorded, never a failed task."""
+    document (wrong password, malformed) degrades to a NULL pdf with
+    the error recorded, never a failed task."""
     import pandas as pd
 
     from ..kernels.pdfrewrite import recompress_pdf
@@ -244,7 +247,8 @@ def recompress_pdfs(df, pdf_col: str = "pdf",
                     r = recompress_pdf(
                         bytes(blob), hocr,
                         fg_downsample=fg_downsample,
-                        bg_downsample=bg_downsample)
+                        bg_downsample=bg_downsample,
+                        password=password)
                     rows.append((doc_id, bytearray(r.pdf),
                                  np.int32(r.n_pages),
                                  np.int32(r.n_images),
@@ -267,7 +271,8 @@ def recompress_pdfs(df, pdf_col: str = "pdf",
 def run_recompress_checkpoint(spark, pdf_df, out_dir: str,
                               shards: int = 16,
                               stop_after_shards: int | None = None,
-                              hocr_col: str | None = "hocr") -> dict:
+                              hocr_col: str | None = "hocr",
+                              password: bytes | str = b"") -> dict:
     """Sharded snapshot commits for the PDF-recompress sink: finished
     PDFs land in ``<out>/pdfs/shard=k`` with a per-shard metrics row —
     the same crash-safe protocol as ``run_recode_checkpoint``."""
@@ -278,7 +283,8 @@ def run_recompress_checkpoint(spark, pdf_df, out_dir: str,
     from .checkpoint import run_sharded
 
     def write_shard(shard_df, k: int):
-        out = recompress_pdfs(shard_df, hocr_col=hocr_col).persist()
+        out = recompress_pdfs(shard_df, hocr_col=hocr_col,
+                              password=password).persist()
         try:
             out.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "pdfs", f"shard={k}"))

@@ -1528,16 +1528,21 @@ def q_pdfcomp_pdf(spark, sf):
     pair under the SAME CTM, garbage-collect the old image bytes, and
     PRESERVE the original text layer (``kernels/pdfrewrite.py``).
 
-    10 synth_pdf fixtures (classic + 1.5 xref forms, raw/Flate/DCT/JPX
-    images, embedded text layers; every 7th is ENCRYPTED and must
-    degrade to a deterministic error row, never a failed task).  Each
-    row pins an md5-12 of the ENTIRE output file plus a full circle
-    computed by RE-READING the output through the engine's own reader:
-    page count preserved, text-layer pages preserved exactly, every
-    recompressed image replaced by a decodable bg/fg pair, and a
-    bit-exact /SMask mask round-trip against the mask RECOMPUTED from
-    the original raster (one flipped pixel flips ``smask_exact``).
-    Oracle = pinned value table (tools/pin_oracles.py)."""
+    11 fixtures: 10 synth_pdf docs (classic + 1.5 xref forms,
+    raw/Flate/DCT/JPX images, embedded text layers; every 7th is
+    ENCRYPTED and now DECRYPT-AND-REWRITES into an ordinary plain PDF
+    — the full-circle columns hold for those rows like any other, and
+    the pinned md5 freezes the decrypted output bytes) plus one
+    password-protected doc recompressed WITHOUT its password, which
+    must degrade to a deterministic error row, never a failed task.
+    Each row pins an md5-12 of the ENTIRE output file plus a full
+    circle computed by RE-READING the output through the engine's own
+    reader: page count preserved, text-layer pages preserved exactly
+    (decrypted where the input was encrypted), every recompressed
+    image replaced by a decodable bg/fg pair, and a bit-exact /SMask
+    mask round-trip against the mask RECOMPUTED from the original
+    raster (one flipped pixel flips the roundtrip flag).  Oracle =
+    pinned value table (tools/pin_oracles.py)."""
     import pandas as pd
 
     def gen(batches):
@@ -1547,7 +1552,7 @@ def q_pdfcomp_pdf(spark, sf):
         import re as _re
 
         from .corpus.hocrgen import synth_hocr
-        from .corpus.pdfgen import synth_pdf
+        from .corpus.pdfgen import build_pdf, synth_pdf
         from .kernels.jbig2codec import decode_jbig2
         from .kernels.mrc import create_mrc_components
         from .kernels.pdfrewrite import recompress_pdf
@@ -1559,9 +1564,17 @@ def q_pdfcomp_pdf(spark, sf):
             rows = []
             for i in pdf_rows["id"].values:
                 i = int(i)
-                pdf = synth_pdf(i)
+                if i == 10:
+                    # wrong-password degradation row: user-password
+                    # file, no password supplied
+                    pdf = build_pdf(
+                        [{"width": 612, "height": 792, "images": [],
+                          "text": "locked"}],
+                        encrypt="aes", encrypt_password=b"pw")
+                else:
+                    pdf = synth_pdf(i)
                 hocr = None
-                if i % 2 == 1:
+                if i % 2 == 1 and i != 10:
                     h_ = synth_hocr(f"doc {i} alpha beta gamma",
                                     words_per_page=4)
                     hocr = h_.encode() if isinstance(h_, str) else h_
@@ -1627,7 +1640,7 @@ def q_pdfcomp_pdf(spark, sf):
                 "pdf_bytes", "pdf_md5", "imgs_out", "text_in",
                 "text_out", "roundtrip_ok", "error"])
 
-    base = spark.range(0, 10).repartition(4)
+    base = spark.range(0, 11).repartition(4)
     return base.mapInPandas(
         gen, schema="doc_i bigint, n_pages int, n_images int, "
                     "skipped int, pdf_bytes int, pdf_md5 string, "

@@ -132,7 +132,8 @@ def main(argv=None):
                 from archive_pdf_tools_spark.operators.pdfcomp import (
                     run_recompress_checkpoint)
                 manifest = run_recompress_checkpoint(
-                    spark, docs, args.output, shards=args.shards)
+                    spark, docs, args.output, shards=args.shards,
+                    password=args.pdf_password)
                 print(json.dumps(manifest))
                 spark.stop()
                 return

@@ -74,9 +74,54 @@ def test_recompress_drops_old_image_bytes():
     assert len(r.pdf) > 0
 
 
-def test_recompress_rejects_encrypted():
-    with pytest.raises(PdfError, match="encrypted"):
-        recompress_pdf(synth_pdf(0), None)   # every 7th fixture
+@pytest.mark.parametrize("i", [0, 7])   # every 7th fixture: encrypted
+def test_recompress_decrypts_and_rewrites(i):
+    """Encrypted inputs produce ordinary UNENCRYPTED recompressed
+    PDFs: no /Encrypt in the output, the /Encrypt object's slot freed,
+    text strings equal the decrypted originals, every image a
+    decodable bg/fg pair."""
+    pdf = synth_pdf(i)
+    meta_in = parse_pdf(pdf)
+    rd_in = _Reader(pdf)
+    assert rd_in.crypt is not None       # fixture really is encrypted
+    r = recompress_pdf(pdf, _hocr(i))
+    rd_out = _Reader(r.pdf)
+    assert rd_out.crypt is None
+    assert b"/Encrypt" not in r.pdf[r.pdf.rfind(b"trailer"):]
+    meta_out = parse_pdf(r.pdf)
+    assert meta_out["n_pages"] == meta_in["n_pages"]
+    for p_in, p_out in zip(meta_in["pages"], meta_out["pages"]):
+        assert p_out["has_text"] == p_in["has_text"]
+        if p_in["has_text"]:
+            assert _page_text(r.pdf, meta_out, p_out["page_idx"]) == \
+                _enc_page_text(pdf, meta_in, p_in["page_idx"])
+        got = extract_page_images(r.pdf, p_out["page_idx"],
+                                  meta=meta_out, rd=rd_out)
+        orig = extract_page_images(pdf, p_in["page_idx"],
+                                   meta=meta_in, rd=rd_in)
+        assert len(got) == 2 * len(orig)
+
+
+def _enc_page_text(pdf, meta, pidx):
+    rd = _Reader(pdf)
+    page = meta["pages"][pidx]
+    cid = _get_ref(rd.obj(page["oid"])[1], b"/Contents")
+    body, d = rd.obj(cid)
+    return [s for s in extract_text_strings(
+        _stream_data(body, d, rd._decrypter(cid))) if s.strip()]
+
+
+def test_recompress_password_protected():
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+
+    pg = [{"width": 612, "height": 792, "images": [],
+           "text": "secret text"}]
+    enc = build_pdf(pg, encrypt="aes256", encrypt_password=b"pw")
+    with pytest.raises(PdfError):          # wrong password still fails
+        recompress_pdf(enc, None)
+    r = recompress_pdf(enc, None, password=b"pw")
+    meta = parse_pdf(r.pdf)
+    assert _page_text(r.pdf, meta, 0) == ["secret text"]
 
 
 def test_recompress_operator_and_checkpoint(spark, tmp_path):
@@ -89,8 +134,7 @@ def test_recompress_operator_and_checkpoint(spark, tmp_path):
         rows, "doc_id string, pdf binary, hocr binary")
     out = {r["doc_id"]: r for r in recompress_pdfs(df).collect()}
     assert len(out) == 4
-    assert out["d0"]["error"] and out["d0"]["pdf"] is None  # encrypted
-    for d in ("d1", "d2", "d3"):
+    for d in ("d0", "d1", "d2", "d3"):   # d0 encrypted: decrypts now
         r = out[d]
         assert r["error"] is None
         meta = parse_pdf(bytes(r["pdf"]))
@@ -103,7 +147,7 @@ def test_recompress_operator_and_checkpoint(spark, tmp_path):
     assert got.count() == 4
     mx = spark.read.parquet(str(tmp_path / "o" / "metrics"))
     agg = mx.groupBy().sum("doc_count", "error_count").collect()[0]
-    assert agg[0] == 4 and agg[1] == 1
+    assert agg[0] == 4 and agg[1] == 0
 
 
 def _manual_array_contents_pdf():
