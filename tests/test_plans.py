@@ -265,3 +265,17 @@ def test_kmeans_update_stage_partial_aggregates(spark):
     assert "partial_sum" in p and "partial_count" in p
     # the partial aggregate sits upstream (after Exchange in the listing)
     assert "HashAggregate" in pre_exchange
+
+
+def test_recompress_is_map_only(spark):
+    """The PDF recompress front door never shuffles: the document row
+    already holds everything the rewrite needs (one mapInPandas over
+    the scan — the 100-TB shape for a per-doc transform)."""
+    from archive_pdf_tools_spark.operators.pdfcomp import recompress_pdfs
+
+    df = spark.createDataFrame(
+        [("d", bytearray(b"%PDF-"), None)],
+        "doc_id string, pdf binary, hocr binary")
+    p = plan_str(recompress_pdfs(df))
+    assert "Exchange" not in p
+    assert "MapInPandas" in p

@@ -88,6 +88,14 @@ COMMENT = {
         "and broadcast back (3 BroadcastHashJoin, 0 SortMergeJoin), "
         "and the LM constants derive from the unigram aggregate, not "
         "another corpus pass."),
+    "pdfcomp_pdf": (
+        "PDF recompress front door (r8): ZERO Exchange — the document "
+        "row already carries everything the rewrite needs (parse, "
+        "image decode, MRC, re-encode, content-stream rewrite, xref "
+        "assembly all inside one MapInPandas over the scan), so 10^12 "
+        "documents recompress with no shuffle at all; crash safety "
+        "comes from the shared shard-manifest checkpoint, not from "
+        "any cross-doc coordination."),
 }
 
 
