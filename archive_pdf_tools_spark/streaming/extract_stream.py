@@ -124,17 +124,18 @@ def _make_assemble(hocr_col, expected_col, idle_flush_ms):
             return
 
         for pdf in pdf_iter:
-            for _, row in pdf.iterrows():
-                idxs.append(int(row["page_idx"]))
-                blobs.append(bytes(row["image"]))
-                if hocr_col and hocr_col in pdf.columns \
-                        and row[hocr_col] is not None:
-                    hocr = bytes(row[hocr_col])
-                if expected_col in pdf.columns \
-                        and row[expected_col] is not None:
-                    expected = int(row[expected_col])
-                if int(row["page_idx"]) < 0:
-                    expected = len(idxs)     # whole-item row: complete
+            idxs.extend(int(v) for v in pdf["page_idx"].values)
+            blobs.extend(bytes(v) for v in pdf["image"].values)
+            if hocr_col and hocr_col in pdf.columns:
+                hv = pdf[hocr_col].dropna()
+                if len(hv):
+                    hocr = bytes(hv.iloc[-1])
+            if expected_col in pdf.columns:
+                ev = pdf[expected_col].dropna()
+                if len(ev):
+                    expected = int(ev.iloc[-1])
+        if any(i < 0 for i in idxs):
+            expected = len(idxs)             # whole-item row: complete
 
         if expected >= 0 and len(idxs) >= expected:
             state.remove()
