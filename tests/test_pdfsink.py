@@ -381,3 +381,36 @@ def test_recode_document_scandata_toc_and_labels():
     first = int(re.search(rb"/First\s+(\d+)", od).group(1))
     _, fd = rd.obj(first)
     assert b"/Title (Title Page)" in fd
+
+
+def test_recode_operator_scandata_column(spark):
+    """The cluster operator carries scandata per doc: its TOC becomes
+    the output PDF's /Outlines and its page numbers the /PageLabels —
+    the operator-surface twin of the kernel-level test above."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import encode_tiff
+    from archive_pdf_tools_spark.operators.recode import recode_to_pdf
+
+    img = np.full((30, 42), 205, np.uint8)
+    img[8:14, 6:36] = 35
+    sd = """<book><pageData>
+      <page leafNum="0"><addToAccessFormats>true</addToAccessFormats>
+        <pageNumber>5</pageNumber>
+        <pageType title="Start" level="1">T</pageType></page>
+      <page leafNum="1"><addToAccessFormats>true</addToAccessFormats>
+        <pageNumber>6</pageNumber></page>
+    </pageData></book>"""
+    rows = [("d0", 0, bytearray(encode_tiff(img, compression="lzw")),
+             None, bytearray(sd.encode())),
+            ("d0", 1, bytearray(encode_tiff(img, compression="lzw")),
+             None, None),
+            ("d1", 0, bytearray(encode_tiff(img, compression="lzw")),
+             None, None)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_idx int, image binary, "
+              "hocr binary, scandata binary")
+    out = {r["doc_id"]: r for r in recode_to_pdf(df).collect()}
+    rd, cat = _catalog(bytes(out["d0"]["pdf"]))
+    assert b"/Outlines" in cat and b"/PageLabels" in cat
+    assert b"/S /D /St 5" in cat.split(b"/PageLabels")[1][:120]
+    rd1, cat1 = _catalog(bytes(out["d1"]["pdf"]))
+    assert b"/Outlines" not in cat1            # no scandata: no TOC
