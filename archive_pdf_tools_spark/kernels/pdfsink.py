@@ -233,15 +233,41 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
       the reference stamps utcnow, a deliberate determinism deviation);
     * ``lang``: document language for ``/Lang``.
 
-    ``pages``: one dict per page —
+    ``pages``: one dict per page.  ``kind`` selects the page shape
+    (the reference's ``--image-mode``, ``bin/recode_pdf:95-98``):
+
+    ``kind="mrc"`` (default — IMAGE_MODE_MRC):
 
     * ``mask``: (h, w) bool/0-1 — the text mask (full page size);
     * ``fg`` / ``bg``: uint8 rasters (gray or RGB; may be downsampled
       relative to the mask — PDF image placement rescales);
-    * ``fg_jp2`` / ``bg_jp2`` / ``mask_jbig2`` (optional): already-
-      encoded streams (skips the encoders); a supplied ``mask_jbig2``
-      must already carry SMASK POLARITY (ink = JBIG2 bit 0, see
-      below);
+    * ``image_format``: ``"jp2"`` (default) or ``"jpeg"`` — the
+      ``--mrc-image-format`` knob: bg/fg as /JPXDecode or /DCTDecode;
+    * ``mask_format``: ``"jbig2"`` (default) or ``"ccitt"`` — the
+      ``--mask-compression`` knob (CCITT = pure T.6 /CCITTFaxDecode,
+      /K -1);
+    * ``jp2_step`` / ``jpeg_quality`` (optional): encoder quality
+      (the ``--hq-pages`` / compression-flags path — smaller step or
+      higher quality = better fidelity);
+    * ``fg_jp2`` / ``bg_jp2`` / ``mask_jbig2`` (optional, jp2/jbig2
+      formats only): already-encoded streams (skips the encoders); a
+      supplied ``mask_jbig2`` must already carry SMASK POLARITY
+      (ink = JBIG2 bit 0, see below);
+
+    ``kind="image"`` (IMAGE_MODE_PIXMAP / PASSTHROUGH):
+
+    * ``image``: uint8 raster re-encoded per ``image_format`` —
+      the pixmap mode; or
+    * ``raw``: dict ``{data, w, h, gray, filter, bpc[, parms]}`` — an
+      already-PDF-embeddable stream inserted verbatim (the
+      fast_insert_image path, ``pdfhacks.py:106-177``): passthrough;
+
+    ``kind="text"`` (IMAGE_MODE_SKIP):
+
+    * ``size``: (w, h) pixels — the page box; no image XObjects.
+
+    Common keys:
+
     * ``text_ops`` (optional): the textlayer op stream bytes;
     * ``ppi`` (default 72): pixels per inch — MediaBox scales to
       points.
@@ -259,6 +285,8 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     from .registry import get_encoder
     encode_jp2 = get_encoder("JPEG2000")
     encode_jbig2 = get_encoder("JBIG2")
+    encode_jpeg = get_encoder("JPEG")
+    encode_ccitt = get_encoder("CCITT")
 
     if not pages:
         raise ValueError("build_mrc_pdf needs at least one page")
@@ -293,40 +321,127 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
 
     def image_obj(data: bytes, w: int, h: int, gray: bool,
                   filt: bytes, bpc: int,
-                  smask: int | None = None) -> int:
+                  smask: int | None = None,
+                  parms: bytes | None = None) -> int:
         cs = b"/DeviceGray" if gray else b"/DeviceRGB"
         head = (b"<< /Type /XObject /Subtype /Image /Width "
                 + str(w).encode() + b" /Height " + str(h).encode()
                 + b" /ColorSpace " + cs + b" /BitsPerComponent "
                 + str(bpc).encode() + b" /Filter " + filt
+                + (b" /DecodeParms " + parms if parms else b"")
                 + (b" /SMask " + str(smask).encode() + b" 0 R"
                    if smask else b""))
         return stream_obj(head, data)
 
+    def cm(v: float) -> bytes:
+        return (b"%.4f" % v).rstrip(b"0").rstrip(b".")
+
+    def encode_raster(img: np.ndarray, fmt: str, *, step=None,
+                      quality=None):
+        """(stream bytes, /Filter name) for a continuous-tone raster
+        under the chosen --mrc-image-format."""
+        if fmt == "jpeg":
+            data = (encode_jpeg(img, quality=quality)
+                    if quality is not None else encode_jpeg(img))
+            return data, b"/DCTDecode"
+        if fmt != "jp2":
+            raise ValueError(f"unknown image format {fmt!r}")
+        data = (encode_jp2(img, irreversible=True, step=step)
+                if step is not None
+                else encode_jp2(img, irreversible=True))
+        return data, b"/JPXDecode"
+
     pending = []
     for page in pages:
+        kind = page.get("kind", "mrc")
+        ppi = float(page.get("ppi", 72.0))
+        text_ops = (bytes(page["text_ops"])
+                    if page.get("text_ops") else None)
+
+        if kind == "text":
+            # --image-mode 3 (IMAGE_MODE_SKIP): text layer only, no
+            # image XObjects — the text-only sink as a page shape.
+            pw, ph = page["size"]
+            W, H = pw * 72.0 / ppi, ph * 72.0 / ppi
+            ops = [text_ops] if text_ops else [b""]
+            content = zlib.compress(b"\n".join(ops), 6)
+            content_id = stream_obj(b"<< /Filter /FlateDecode", content)
+            pending.append((W, H, [], content_id))
+            continue
+
+        if kind == "image":
+            # --image-mode 1 (PIXMAP: ``image`` raster re-encoded) or
+            # 0 (PASSTHROUGH: ``raw`` = already-PDF-embeddable stream
+            # inserted verbatim — the fast_insert_image raw-xref path,
+            # pdfhacks.py:106-177).
+            raw = page.get("raw")
+            if raw is not None:
+                iw, ih = int(raw["w"]), int(raw["h"])
+                img_id = image_obj(
+                    raw["data"], iw, ih, bool(raw.get("gray", True)),
+                    b"/" + raw["filter"].encode("ascii"),
+                    int(raw.get("bpc", 8)),
+                    parms=raw.get("parms"))
+            else:
+                img = np.asarray(page["image"])
+                iw, ih, igray = _jp2_dims_of(img)
+                data, filt = encode_raster(
+                    img, page.get("image_format", "jp2"),
+                    step=page.get("jp2_step"),
+                    quality=page.get("jpeg_quality"))
+                img_id = image_obj(data, iw, ih, igray, filt, 8)
+            W, H = iw * 72.0 / ppi, ih * 72.0 / ppi
+            ops = [b"q " + cm(W) + b" 0 0 " + cm(H)
+                   + b" 0 0 cm /Im0 Do Q"]
+            if text_ops:
+                ops.append(text_ops)
+            content = zlib.compress(b"\n".join(ops), 6)
+            content_id = stream_obj(b"<< /Filter /FlateDecode", content)
+            pending.append((W, H, [img_id], content_id))
+            continue
+
+        if kind != "mrc":
+            raise ValueError(f"unknown page kind {kind!r}")
+
         mask = np.asarray(page["mask"])
         if mask.ndim != 2:
             raise ValueError("mask must be 2-D")
         ph, pw = mask.shape
-        ppi = float(page.get("ppi", 72.0))
         W = pw * 72.0 / ppi
         H = ph * 72.0 / ppi
+        img_fmt = page.get("image_format", "jp2")
+        jp2_step = page.get("jp2_step")
+        jpeg_q = page.get("jpeg_quality")
 
         bg = page["bg"]
         fg = page["fg"]
         # Explicit None checks: a supplied-but-empty stream (b"") is a
-        # caller bug and must surface, not silently re-encode.
+        # caller bug and must surface, not silently re-encode.  The
+        # pre-encoded keys are JP2-only (their historical contract).
         bg_jp2 = page.get("bg_jp2")
-        if bg_jp2 is None:
-            bg_jp2 = encode_jp2(np.asarray(bg), irreversible=True)
-        elif not bg_jp2:
-            raise ValueError("empty bg_jp2 stream supplied")
         fg_jp2 = page.get("fg_jp2")
-        if fg_jp2 is None:
-            fg_jp2 = encode_jp2(np.asarray(fg), irreversible=True)
-        elif not fg_jp2:
-            raise ValueError("empty fg_jp2 stream supplied")
+        if img_fmt == "jp2" and bg_jp2 is not None:
+            if not bg_jp2:
+                raise ValueError("empty bg_jp2 stream supplied")
+            bg_data, bg_filt = bg_jp2, b"/JPXDecode"
+        else:
+            if jp2_step is not None and img_fmt == "jp2":
+                bg_data, bg_filt = encode_raster(
+                    np.asarray(bg), img_fmt, step=jp2_step)
+            else:
+                bg_data, bg_filt = encode_raster(
+                    np.asarray(bg), img_fmt, quality=jpeg_q)
+        if img_fmt == "jp2" and fg_jp2 is not None:
+            if not fg_jp2:
+                raise ValueError("empty fg_jp2 stream supplied")
+            fg_data, fg_filt = fg_jp2, b"/JPXDecode"
+        else:
+            if jp2_step is not None and img_fmt == "jp2":
+                fg_data, fg_filt = encode_raster(
+                    np.asarray(fg), img_fmt, step=jp2_step)
+            else:
+                fg_data, fg_filt = encode_raster(
+                    np.asarray(fg), img_fmt, quality=jpeg_q)
         # SMask polarity: viewers map JBIG2 bit 1 (black) to gray
         # sample 0 = alpha 0, so the TEXT pixels must be encoded as
         # bit 0 for the foreground to paint at ink.  The reference
@@ -334,44 +449,61 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
         # jbig2enc encodes black as 1, mrc.py:493-499 +
         # pdfhacks.py:60-68 — no /Decode override in its dict);
         # we encode the inverted mask for the same wire polarity.
+        # CCITT G4 (--mask-compression ccitt) shares it exactly:
+        # /BlackIs1 false (default) maps black runs to sample 0, so
+        # the same inverted bitmap gives the same alpha wire sense.
+        mask_fmt = page.get("mask_format", "jbig2")
         mask_jbig2 = page.get("mask_jbig2")
-        if mask_jbig2 is None:
-            mask_jbig2 = encode_jbig2((mask == 0).astype(np.uint8))
-        elif not mask_jbig2:
-            raise ValueError("empty mask_jbig2 stream supplied")
+        mask_parms = None
+        if mask_fmt == "ccitt":
+            if mask_jbig2 is not None:
+                raise ValueError("mask_jbig2 supplied with ccitt mask")
+            mask_data = encode_ccitt((mask == 0).astype(np.uint8))
+            mask_filt = b"/CCITTFaxDecode"
+            mask_parms = (b"<< /K -1 /Columns " + str(pw).encode()
+                          + b" /Rows " + str(ph).encode() + b" >>")
+        elif mask_fmt == "jbig2":
+            if mask_jbig2 is None:
+                mask_jbig2 = encode_jbig2((mask == 0).astype(np.uint8))
+            elif not mask_jbig2:
+                raise ValueError("empty mask_jbig2 stream supplied")
+            mask_data, mask_filt = mask_jbig2, b"/JBIG2Decode"
+        else:
+            raise ValueError(f"unknown mask format {mask_fmt!r}")
 
         bw, bh, bgray = _jp2_dims_of(np.asarray(bg))
         fw, fh, fgray = _jp2_dims_of(np.asarray(fg))
-        mask_id = image_obj(mask_jbig2, pw, ph, True,
-                            b"/JBIG2Decode", 1)
-        bg_id = image_obj(bg_jp2, bw, bh, bgray, b"/JPXDecode", 8)
-        fg_id = image_obj(fg_jp2, fw, fh, fgray, b"/JPXDecode", 8,
+        mask_id = image_obj(mask_data, pw, ph, True,
+                            mask_filt, 1, parms=mask_parms)
+        bg_id = image_obj(bg_data, bw, bh, bgray, bg_filt, 8)
+        fg_id = image_obj(fg_data, fw, fh, fgray, fg_filt, 8,
                           smask=mask_id)
-
-        def cm(v: float) -> bytes:
-            return (b"%.4f" % v).rstrip(b"0").rstrip(b".")
 
         ops = [b"q " + cm(W) + b" 0 0 " + cm(H) + b" 0 0 cm /Im0 Do Q",
                b"q " + cm(W) + b" 0 0 " + cm(H) + b" 0 0 cm /Im1 Do Q"]
-        if page.get("text_ops"):
-            ops.append(bytes(page["text_ops"]))
+        if text_ops:
+            ops.append(text_ops)
         content = zlib.compress(b"\n".join(ops), 6)
         content_id = stream_obj(b"<< /Filter /FlateDecode", content)
-        pending.append((W, H, bg_id, fg_id, content_id))
+        pending.append((W, H, [bg_id, fg_id], content_id))
 
     page_ids_start = len(objects) + 1
     tree_id = page_ids_start + len(pending)
-    for k, (W, H, bg_id, fg_id, content_id) in enumerate(pending):
+    for k, (W, H, xobj_ids, content_id) in enumerate(pending):
         # /StructParents + /Tabs + explicit /CropBox//Rotate are the
         # basic-UA page keys (write_basic_ua, pdfhacks.py:355-374).
+        xobj = b""
+        if xobj_ids:
+            xobj = (b"/XObject << "
+                    + b" ".join(b"/Im%d %d 0 R" % (n, oid)
+                                for n, oid in enumerate(xobj_ids))
+                    + b" >> ")
         add(b"<< /Type /Page /Parent " + str(tree_id).encode()
             + b" 0 R /MediaBox [0 0 " + (b"%.4f %.4f" % (W, H))
             + b"] /CropBox [0 0 " + (b"%.4f %.4f" % (W, H))
             + b"] /Rotate 0 /Tabs /S /StructParents "
             + str(k).encode()
-            + b" /Resources << /XObject << /Im0 "
-            + str(bg_id).encode() + b" 0 R /Im1 "
-            + str(fg_id).encode() + b" 0 R >> /Font << /"
+            + b" /Resources << " + xobj + b"/Font << /"
             + MRC_FONT_NAME + b" " + str(font_id).encode()
             + b" 0 R >> >> /Contents " + str(content_id).encode()
             + b" 0 R >>")

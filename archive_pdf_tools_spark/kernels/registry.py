@@ -313,12 +313,20 @@ def verify_decoder(fmt: str, fn):
 # a candidate that distorts the contract images beyond archival
 # tolerance is rejected).
 
-ENCODER_FORMATS = ("JPEG2000", "JBIG2")
+ENCODER_FORMATS = ("JPEG2000", "JBIG2", "JPEG", "CCITT")
 
 _ENC_BUILTINS = {
-    "JPEG2000": lambda img, *, irreversible=False: encode_jp2(
-        np.asarray(img), irreversible=irreversible),
+    # ``step`` tunes the 9/7 quantizer for the --hq-pages path (smaller
+    # = higher quality, default matches the historical sink output);
+    # ignored in reversible mode.
+    "JPEG2000": lambda img, *, irreversible=False, step=0.5: encode_jp2(
+        np.asarray(img), irreversible=irreversible, step=step),
     "JBIG2": lambda bitmap: encode_jbig2(np.asarray(bitmap)),
+    # --mrc-image-format jpeg: bg/fg as baseline DCT streams
+    "JPEG": lambda img, *, quality=75: encode_baseline(
+        np.asarray(img), quality=quality),
+    # --mask-compression ccitt: pure 2-D T.6 (Group 4) + EOFB
+    "CCITT": lambda bitmap: encode_g4(np.asarray(bitmap)),
 }
 
 _encoders = dict(_ENC_BUILTINS)
@@ -383,10 +391,18 @@ def encoder_contract_images(fmt: str):
         rgb = np.stack([(smooth.astype(int) + 40 * c) % 256
                         for c in range(3)], axis=-1).astype(np.uint8)
         yield rgb, True
-    elif fmt == "JBIG2":
+    elif fmt in ("JBIG2", "CCITT"):
         yy, xx = np.mgrid[0:33, 0:47]
         yield (((7 * xx + 5 * yy) % 13) < 4).astype(np.uint8), None
         yield (((3 * xx + 11 * yy) % 5) < 3).astype(np.uint8), None
+    elif fmt == "JPEG":
+        yy, xx = np.mgrid[0:40, 0:56]
+        smooth = (180 + 30 * np.sin(xx / 9.0)
+                  + 20 * np.cos(yy / 7.0)).astype(np.uint8)
+        yield smooth, None
+        rgb = np.stack([(smooth.astype(int) + 40 * c) % 256
+                        for c in range(3)], axis=-1).astype(np.uint8)
+        yield rgb, None
     else:
         raise KeyError(fmt)
 
@@ -435,6 +451,39 @@ def verify_encoder(fmt: str, fn):
                 raise ContractViolation(
                     "JBIG2 candidate is not bit-exact (JBIG2 generic "
                     "coding is lossless by definition)")
+    elif fmt == "CCITT":
+        dec = _BUILTINS["CCITT"]
+        for bm, _ in encoder_contract_images(fmt):
+            h, w = bm.shape
+            try:
+                got = np.asarray(dec(bytes(fn(bm)), w, h, k=-1))
+            except Exception as exc:  # noqa: BLE001
+                raise ContractViolation(
+                    f"CCITT candidate failed round-trip: "
+                    f"{type(exc).__name__}: {exc}") from exc
+            if got.shape != bm.shape or not np.array_equal(got, bm):
+                raise ContractViolation(
+                    "CCITT candidate is not bit-exact (T.6 is "
+                    "lossless by definition)")
+    elif fmt == "JPEG":
+        dec = _BUILTINS["JPEG"]
+        for img, _ in encoder_contract_images(fmt):
+            try:
+                got = np.asarray(dec(bytes(fn(img))))
+            except Exception as exc:  # noqa: BLE001
+                raise ContractViolation(
+                    f"JPEG candidate failed round-trip: "
+                    f"{type(exc).__name__}: {exc}") from exc
+            if got.shape != img.shape:
+                raise ContractViolation(
+                    f"JPEG candidate changed shape "
+                    f"{img.shape} -> {got.shape}")
+            mae = float(np.mean(np.abs(
+                got.astype(np.int16) - img.astype(np.int16))))
+            if mae > 8.0:
+                raise ContractViolation(
+                    f"JPEG candidate too lossy (MAE {mae:.1f} > 8.0 "
+                    "on smooth contract content)")
     else:
         raise KeyError(fmt)
 

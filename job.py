@@ -64,6 +64,41 @@ def main(argv=None):
                          "pdfrewrite.py: image XObjects swapped for "
                          "MRC bg/fg/mask, text layer preserved — the "
                          "bin/compress-pdf-images entry point)")
+    comp = ap.add_argument_group(
+        "recode compression", "the reference recode_pdf CLI surface "
+        "(bin/recode_pdf:95-190) — applies to --output-format pdf "
+        "with --input-format imagestack")
+    comp.add_argument("-m", "--image-mode", type=int, default=2,
+                      choices=(0, 1, 2, 3),
+                      help="0 passthrough, 1 pixmap, 2 MRC (default), "
+                           "3 skip images (text-only PDF)")
+    comp.add_argument("--mrc-image-format", choices=("jp2", "jpeg"),
+                      default="jp2", help="bg/fg codec inside MRC")
+    comp.add_argument("--mask-compression", choices=("jbig2", "ccitt"),
+                      default="jbig2", help="mask (lossless) codec")
+    comp.add_argument("--grayscale-pdf", action="store_true",
+                      help="special_gray_convert input before recode")
+    comp.add_argument("--bw-pdf", action="store_true",
+                      help="1-bit output: the MRC text mask is the "
+                           "page image")
+    comp.add_argument("-D", "--dpi", type=int, default=None,
+                      help="override page DPI (skips guessing)")
+    comp.add_argument("--downsample", type=int, default=None,
+                      help="downsample full image before processing")
+    comp.add_argument("--bg-downsample", type=int, default=3)
+    comp.add_argument("--fg-downsample", type=int, default=3)
+    comp.add_argument("--denoise-mask", default=None,
+                      choices=("none", "fast", "bregman"),
+                      help="mask denoise algorithm (default: fast)")
+    comp.add_argument("--hq-pages", default=None,
+                      help="comma list of 1-indexed pages (negatives "
+                           "from the end) rendered at high quality")
+    comp.add_argument("--jpeg-quality", type=int, default=None,
+                      help="bg/fg quality for --mrc-image-format jpeg")
+    meta = ap.add_argument_group("metadata")
+    for f in ("title", "author", "subject", "keywords", "creatortool",
+              "language"):
+        meta.add_argument(f"--metadata-{f}", default=None)
     ap.add_argument("--native-codecs", action="store_true",
                     help="swap contract-verified native image decoders "
                          "(Pillow etc., kernels/registry.py) in on "
@@ -113,9 +148,27 @@ def main(argv=None):
             if args.output_format == "pdf":
                 from archive_pdf_tools_spark.operators.recode import (
                     run_recode_checkpoint)
+                md = {f: getattr(args, f"metadata_{f}")
+                      for f in ("title", "author", "subject",
+                                "keywords", "creatortool")
+                      if getattr(args, f"metadata_{f}")}
+                recode_opts = dict(
+                    image_mode=args.image_mode,
+                    mrc_image_format=args.mrc_image_format,
+                    mask_compression=args.mask_compression,
+                    grayscale=args.grayscale_pdf, bw=args.bw_pdf,
+                    dpi=args.dpi, downsample=args.downsample,
+                    fg_downsample=args.fg_downsample,
+                    bg_downsample=args.bg_downsample,
+                    denoise_mask=args.denoise_mask,
+                    hq_pages=args.hq_pages,
+                    jpeg_quality=args.jpeg_quality,
+                    metadata=md or None,
+                    lang=args.metadata_language)
                 manifest = run_recode_checkpoint(spark, docs,
                                                  args.output,
-                                                 shards=args.shards)
+                                                 shards=args.shards,
+                                                 **recode_opts)
             else:
                 from archive_pdf_tools_spark.operators.imagestack import (
                     run_imagestack_checkpoint)
