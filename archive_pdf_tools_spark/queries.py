@@ -1437,6 +1437,102 @@ def q_recode_pdf(spark, sf):
                     "toc_count int, has_labels boolean")
 
 
+def q_recode_modes(spark, sf):
+    """The recode CLI's compression-knob surface as one row family
+    (``bin/recode_pdf:95-190`` -> ``recode_document`` options): each
+    row runs ONE knob configuration — image modes 0/1/3
+    (``recode.py:546-563,679-716``), ``--mrc-image-format jpeg``,
+    ``--mask-compression ccitt``, ``--grayscale-pdf``
+    (``recode.py:360-364``), ``--bw-pdf`` (``force_1bit_output``,
+    ``recode.py:400-430``), ``--hq-pages`` (``recode.py:366,657-675``)
+    — over the same deterministic 2-page document (gray TIFF +
+    RGB PNG pages, hOCR text layer) and reports the full-circle
+    re-read: image count and formats per the engine's own reader, the
+    fg /SMask's mask filter, text presence, and an md5-12 of the
+    whole PDF byte stream (the ``recode_pdf`` pin discipline).
+    Oracle = pinned value table (tools/pin_oracles.py)."""
+    import pandas as pd
+
+    MODES = ["default", "mrc_jpeg", "mrc_ccitt", "hq", "grayscale",
+             "bw_ccitt", "pixmap_jpeg", "passthrough", "skip"]
+
+    def gen(batches):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+
+        from .corpus.hocrgen import synth_hocr
+        from .kernels.jpegcodec import encode_baseline
+        from .kernels.pngcodec import encode_png
+        from .kernels.tiffcodec import encode_tiff
+        from .operators.recode import recode_document
+        from .sources.pdf_meta import _Reader, parse_pdf
+
+        def pages_for(mode):
+            g = np.full((48, 64), 232, np.uint8)
+            g[8:16, 6:58] = 22
+            rgb = np.stack([g, np.roll(g, 3, 0), np.roll(g, 2, 1)],
+                           axis=-1).astype(np.uint8)
+            if mode == "passthrough":
+                # passthrough wants already-embeddable page streams
+                return [(0, encode_baseline(g, quality=92)),
+                        (1, encode_baseline(rgb, quality=92))]
+            return [(0, encode_tiff(g, compression="lzw")),
+                    (1, encode_png(rgb))]
+
+        KW = {"default": {},
+              "mrc_jpeg": {"mrc_image_format": "jpeg"},
+              "mrc_ccitt": {"mask_compression": "ccitt"},
+              "hq": {"hq_pages": "1,-1"},
+              "grayscale": {"grayscale": True},
+              "bw_ccitt": {"bw": True, "mask_compression": "ccitt"},
+              "pixmap_jpeg": {"image_mode": 1,
+                              "mrc_image_format": "jpeg"},
+              "passthrough": {"image_mode": 0},
+              "skip": {"image_mode": 3}}
+
+        for pdf_rows in batches:
+            rows = []
+            for i in pdf_rows["id"].values:
+                mode = MODES[int(i) % len(MODES)]
+                h_ = synth_hocr(f"mode {mode} alpha beta",
+                                words_per_page=4)
+                hocr = h_.encode() if isinstance(h_, str) else h_
+                pdf, n_pages, n_lines = recode_document(
+                    pages_for(mode), hocr, **KW[mode])
+                meta = parse_pdf(pdf)
+                rd = _Reader(pdf)
+                fmts = ",".join(im["format"]
+                                for pg in meta["pages"]
+                                for im in pg["images"])
+                mask_filter = ""
+                p0 = meta["pages"][0]
+                if p0["n_images"] == 2:      # MRC page: fg carries SMask
+                    fd = rd.obj(p0["images"][1]["xref"])[1]
+                    mo = _re.search(rb"/SMask\s+(\d+)\s+\d+\s+R", fd)
+                    if mo:
+                        md = rd.obj(int(mo.group(1)))[1]
+                        fm = _re.search(rb"/Filter\s*/(\w+)", md)
+                        mask_filter = fm.group(1).decode() if fm else ""
+                rows.append((
+                    mode, n_pages, n_lines,
+                    sum(pg["n_images"] for pg in meta["pages"]),
+                    fmts, mask_filter,
+                    sum(1 for pg in meta["pages"] if pg["has_text"]),
+                    hashlib.md5(pdf).hexdigest()[:12]))
+            yield pd.DataFrame(rows, columns=[
+                "mode", "n_pages", "n_text_lines", "n_images",
+                "img_formats", "mask_filter", "text_pages", "pdf_md5"])
+
+    base = spark.range(0, len(MODES)).repartition(3)
+    return base.mapInPandas(
+        gen, schema="mode string, n_pages int, n_text_lines int, "
+                    "n_images int, img_formats string, "
+                    "mask_filter string, text_pages int, "
+                    "pdf_md5 string")
+
+
 def q_pdfcomp(spark, sf):
     """Entry point 2 (bin/pdfcomp) — recode images inside existing PDFs:
     structural parse (classic + 1.5 forms alternating) -> raw image
@@ -3413,6 +3509,10 @@ QUERIES = {
     "ann_pq": (q_ann_pq, None),
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
+    # tail (r8 late): the recode compression-knob surface, pinned —
+    # the sink constructs it exercises (MRC page kinds, CCITT masks,
+    # JPEG bg/fg) are in-window via recode_pdf's full circle
+    "recode_modes": (q_recode_modes, None),
 }
 
 # Fixture queries with pinned value-table oracles (tools/pin_oracles.py;
