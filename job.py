@@ -42,6 +42,11 @@ def main(argv=None):
                          "(operators/imagestack.py)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("-t", "--stop-after-shards", type=int, default=None,
+                    help="commit at most N shards this run, then stop "
+                         "cleanly (the reference's -t/--stop-after as a "
+                         "checkpoint-protocol knob; a later run resumes "
+                         "from the next uncommitted shard)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--synthetic", type=int, default=None,
                     help="generate N synthetic docs instead of --input")
@@ -165,16 +170,16 @@ def main(argv=None):
                     jpeg_quality=args.jpeg_quality,
                     metadata=md or None,
                     lang=args.metadata_language)
-                manifest = run_recode_checkpoint(spark, docs,
-                                                 args.output,
-                                                 shards=args.shards,
-                                                 **recode_opts)
+                manifest = run_recode_checkpoint(
+                    spark, docs, args.output, shards=args.shards,
+                    stop_after_shards=args.stop_after_shards,
+                    **recode_opts)
             else:
                 from archive_pdf_tools_spark.operators.imagestack import (
                     run_imagestack_checkpoint)
-                manifest = run_imagestack_checkpoint(spark, docs,
-                                                     args.output,
-                                                     shards=args.shards)
+                manifest = run_imagestack_checkpoint(
+                    spark, docs, args.output, shards=args.shards,
+                    stop_after_shards=args.stop_after_shards)
             print(json.dumps(manifest))
             spark.stop()
             return
@@ -186,6 +191,7 @@ def main(argv=None):
                     run_recompress_checkpoint)
                 manifest = run_recompress_checkpoint(
                     spark, docs, args.output, shards=args.shards,
+                    stop_after_shards=args.stop_after_shards,
                     password=args.pdf_password)
                 print(json.dumps(manifest))
                 spark.stop()
@@ -196,6 +202,7 @@ def main(argv=None):
                 run_pdf_checkpoint)
             manifest = run_pdf_checkpoint(
                 spark, docs, args.output, shards=args.shards,
+                stop_after_shards=args.stop_after_shards,
                 password=args.pdf_password)
             print(json.dumps(manifest))
             spark.stop()
@@ -211,9 +218,10 @@ def main(argv=None):
     else:
         ap.error("one of --input / --synthetic is required")
 
-    manifest = run_with_checkpoint(spark, docs, args.output,
-                                   shards=args.shards,
-                                   num_partitions=args.partitions)
+    manifest = run_with_checkpoint(
+        spark, docs, args.output, shards=args.shards,
+        num_partitions=args.partitions,
+        stop_after_shards=args.stop_after_shards)
     print(json.dumps(manifest))
     spark.stop()
 
