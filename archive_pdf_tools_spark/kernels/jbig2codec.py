@@ -88,6 +88,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import native as _cnative
 from .jp2codec import _mq_decode_fn, _mq_encode_fns
 
 
@@ -243,6 +244,40 @@ def _decode_generic(decode, w: int, h: int, template: int, at,
             row[x] = decode(ctx)
         bitmap[y] = row
     return bitmap
+
+
+def _generic_region(data: bytes, w: int, h: int, template: int, at,
+                    tpgdon: bool, skip=None) -> np.ndarray:
+    """One-shot generic region decode: compiled kernel when available
+    (kernels/native — bit-identical by self-test, fuzz and pin tests),
+    else the Python `_decode_generic` path (the oracle)."""
+    ses = _cnative.generic_session(data)
+    if ses is not None:
+        try:
+            return ses.decode_generic(w, h, template, at, tpgdon, skip)
+        except _cnative.NativeError:
+            pass
+    states = [0] * 65536                     # §6.2.5.7 step 2: all-zero
+    mps = [0] * 65536
+    return _decode_generic(_mq_decode_fn(data, states, mps), w, h,
+                           template, at, tpgdon, skip=skip)
+
+
+def _refinement_region(data: bytes, w: int, h: int, template: int,
+                       rat, ref: np.ndarray, tpgron: bool) -> np.ndarray:
+    """One-shot refinement region decode (segment-level, dx=dy=0):
+    compiled kernel when available, else the Python path."""
+    ses = _cnative.generic_session(data)
+    if ses is not None:
+        try:
+            return ses.decode_refinement(w, h, template, rat, ref,
+                                         0, 0, tpgron)
+        except _cnative.NativeError:
+            pass
+    states = [0] * _REF_CTX_SIZE
+    mps = [0] * _REF_CTX_SIZE
+    return _decode_refinement(_mq_decode_fn(data, states, mps), w, h,
+                              template, rat, ref, 0, 0, tpgron)
 
 
 def _init_window(r, a: int, b: int) -> int:
@@ -588,10 +623,7 @@ def _decode_pattern_dict(seg: bytes, max_pixels: int):
         except CcittError as exc:
             raise Jbig2Error(f"bad MMR pattern dict: {exc}") from exc
     else:
-        states = [0] * 65536
-        mps = [0] * 65536
-        decode = _mq_decode_fn(seg[7:], states, mps)
-        coll = _decode_generic(decode, cw, hdph, template,
+        coll = _generic_region(seg[7:], cw, hdph, template,
                                _pattern_dict_at(template, hdpw),
                                False)
     return [coll[:, k * hdpw:(k + 1) * hdpw].copy()
@@ -648,17 +680,29 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
         except CcittError as exc:
             raise Jbig2Error(f"bad MMR grayscale: {exc}") from exc
     else:
-        states = [0] * 65536
-        mps = [0] * 65536
-        decode = _mq_decode_fn(seg[38:], states, mps)
         at = _NOMINAL_AT[template]
         hph_, hpw_ = patterns[0].shape
         hskip = (_halftone_skip(hgw, hgh, hgx, hgy, hrx, hry,
                                 hpw_, hph_, rw, rh)
                  if enable_skip else None)
-        planes = [_decode_generic(decode, hgw, hgh, template, at,
-                                  False, skip=hskip)
-                  for _ in range(bits)]      # MSB first (C.5)
+        # all planes share one MQ coder + context (C.5, MSB first):
+        # the compiled session carries the coder state across planes
+        planes = None
+        ses = _cnative.generic_session(seg[38:])
+        if ses is not None:
+            try:
+                planes = [ses.decode_generic(hgw, hgh, template, at,
+                                             False, skip=hskip)
+                          for _ in range(bits)]
+            except _cnative.NativeError:
+                planes = None
+        if planes is None:
+            states = [0] * 65536
+            mps = [0] * 65536
+            decode = _mq_decode_fn(seg[38:], states, mps)
+            planes = [_decode_generic(decode, hgw, hgh, template, at,
+                                      False, skip=hskip)
+                      for _ in range(bits)]
     # Gray decode: bit_j = plane_j ^ bit_{j+1}
     value = np.zeros((hgh, hgw), dtype=np.int64)
     bit = np.zeros((hgh, hgw), dtype=np.uint8)
@@ -1535,10 +1579,7 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                     i += 2
                 if rw * rh > max_pixels:
                     raise Jbig2Error("region exceeds max_pixels bound")
-                states = [0] * 65536         # §6.2.5.7 step 2: all-zero
-                mps = [0] * 65536
-                decode = _mq_decode_fn(seg[i:], states, mps)
-                region = _decode_generic(decode, rw, rh, template, at,
+                region = _generic_region(seg[i:], rw, rh, template, at,
                                          tpgdon)
                 if seg_type == 36:           # intermediate: retained
                     aux_store[segnum] = (region, rx, ry, comb)
@@ -1588,11 +1629,8 @@ def _decode_jbig2(data: bytes, globals_data: bytes,
                         # which must already cover the region
                         raise Jbig2Error("refinement outside page")
                     ref = bitmap[ry:ry + rh, rx:rx + rw].copy()
-                states = [0] * _REF_CTX_SIZE
-                mps = [0] * _REF_CTX_SIZE
-                decode = _mq_decode_fn(seg[j:], states, mps)
-                region = _decode_refinement(decode, rw, rh, template,
-                                            rat, ref, 0, 0, tpgron)
+                region = _refinement_region(seg[j:], rw, rh, template,
+                                            rat, ref, tpgron)
                 if seg_type == 40:           # intermediate: retained
                     aux_store[segnum] = (region, rx, ry, comb)
                 else:

@@ -859,8 +859,15 @@ _QE16 = [q << 16 for q in _QE]
 
 
 def t1_decode(data: bytes, npasses: int, numbps: int, w: int, h: int,
-              band: str, segments: list | None = None) -> np.ndarray:
+              band: str, segments: list | None = None,
+              _native: bool = True) -> np.ndarray:
     """Decode one code-block back to signed int32 coefficients.
+
+    When the compiled kernel is available (``kernels/native``), the
+    block decodes through the C transcription of this same walk —
+    bit-identical by self-test, fuzz tests and the full fixture-pin
+    suite; ``_native=False`` (or SPARK_GRAFT_CKERN=0) forces this
+    Python path, which remains the oracle.
 
     Round-6 throughput shape, decision-for-decision identical to the
     spec walk (equality-fuzzed against the encoder round-trip):
@@ -879,6 +886,13 @@ def t1_decode(data: bytes, npasses: int, numbps: int, w: int, h: int,
       passes read bits from a list unstuffed once per segment with
       numpy — one list index per raw decision.
     """
+    if _native:
+        from . import native as _ckern
+
+        res = _ckern.t1_native(data, npasses, numbps, w, h, band,
+                               segments=segments)
+        if res is not None:
+            return res
     zc = _ZC_TABS[_BAND_CLASS[band]]
     sc = _SC_TAB
     stride = w + 2
@@ -1580,6 +1594,11 @@ def dwt53_inverse(a: np.ndarray, levels: int) -> np.ndarray:
     a = a.astype(np.int64).copy()
     if levels <= 0:
         return a
+    from . import native as _ckern
+
+    res = _ckern.dwt53_inverse_native(a, levels)
+    if res is not None:
+        return res
     h, w = a.shape
     dims = [(h, w)]
     for _ in range(levels - 1):
@@ -1678,6 +1697,12 @@ def dwt97_inverse(a: np.ndarray, levels: int) -> np.ndarray:
     a = a.astype(np.float64).copy()
     if levels <= 0:
         return a
+    from . import native as _ckern
+
+    res = _ckern.dwt97_inverse_native(a, levels, _A97, _B97, _G97,
+                                      _D97, _K97)
+    if res is not None:
+        return res
     h, w = a.shape
     dims = [(h, w)]
     for _ in range(levels - 1):

@@ -1,0 +1,368 @@
+"""Compiled-kernel loader: builds ``extkern.c`` with the system C
+compiler at first use and exposes ctypes wrappers for the arithmetic
+-coded decode hot loops (JBIG2 generic/refinement regions, JPEG2000
+Tier-1).
+
+Why this exists: the reference project ships compiled Cython kernels
+for its per-pixel hot loops (``cython/sauvola.pyx``,
+``cython/optimize_gray.pyx``) and shells out to native codecs
+(kakadu/jbig2) for decode speed.  This module plays the same role for
+our from-scratch codecs — the C file is a transcription of OUR OWN
+Python inner loops (see extkern.c's header), built in-process so
+nothing needs to be installed.
+
+Safety posture:
+
+* the Python paths remain the oracle — ``tests/test_native.py`` fuzzes
+  both paths against each other, and every pinned fixture in the suite
+  exercises the compiled path by default;
+* a build- or load-time failure (no compiler, read-only tmp, …) or a
+  failed self-test silently falls back to pure Python — behaviour is
+  identical either way, only throughput changes;
+* ``SPARK_GRAFT_CKERN=0`` forces pure Python (used by the parity
+  tests and available as an operational kill switch).
+
+On a multi-executor cluster each executor compiles once per source
+hash into its local temp dir (~200 ms) and memoizes the ``.so``; the
+source travels inside ``engine.zip`` (``importlib.resources`` reads it
+through zipimport), so ``spark-submit --py-files engine.zip`` needs no
+extra deployment step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+__all__ = [
+    "available",
+    "status",
+    "generic_session",
+    "t1_native",
+    "NativeError",
+]
+
+
+class NativeError(Exception):
+    """Compiled kernel reported an error; caller must fall back."""
+
+
+_lib = None
+_tried = False
+_status = "not loaded"
+
+_U8P = ctypes.POINTER(ctypes.c_uint8)
+_I8P = ctypes.POINTER(ctypes.c_int8)
+_I32P = ctypes.POINTER(ctypes.c_int32)
+_I64P = ctypes.POINTER(ctypes.c_int64)
+_U16P = ctypes.POINTER(ctypes.c_uint16)
+
+
+def _source() -> str:
+    from importlib import resources
+
+    return (resources.files(__package__) / "extkern.c").read_text()
+
+
+def _compile(src: str) -> str:
+    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    cache = (os.environ.get("SPARK_GRAFT_NATIVE_CACHE")
+             or tempfile.gettempdir())
+    so = os.path.join(cache, f"apts_ckern_{tag}.so")
+    if os.path.exists(so):
+        return so
+    fd, cpath = tempfile.mkstemp(suffix=".c", dir=cache)
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(src)
+        tmp_so = f"{so}.build{os.getpid()}"
+        # -ffp-contract=off: no FMA fusion, so the 9/7 float64 lifting
+        # matches numpy's unfused expression trees bit-for-bit
+        subprocess.run(
+            ["gcc", "-O2", "-shared", "-fPIC", "-fvisibility=hidden",
+             "-ffp-contract=off", "-o", tmp_so, cpath],
+            check=True, capture_output=True, timeout=300)
+        os.replace(tmp_so, so)   # atomic: concurrent builders race safely
+    finally:
+        try:
+            os.unlink(cpath)
+        except OSError:
+            pass
+    return so
+
+
+def _bind(lib) -> None:
+    lib.apts_set_mq_tables.argtypes = [_U16P, _U8P, _U8P, _U8P,
+                                       ctypes.c_int32]
+    lib.apts_set_mq_tables.restype = None
+    lib.apts_jb2_generic.argtypes = [
+        _U8P, ctypes.c_int64, _I64P, ctypes.c_int32, _U8P, _U8P,
+        ctypes.c_int32, ctypes.c_int32, _I8P, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
+    ]
+    lib.apts_jb2_generic.restype = ctypes.c_int32
+    lib.apts_jb2_refine.argtypes = [
+        _U8P, ctypes.c_int64, _I64P, ctypes.c_int32, _U8P, _U8P,
+        ctypes.c_int32, ctypes.c_int32, _I8P, ctypes.c_int32, _I8P,
+        ctypes.c_int32, _U8P, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _U8P,
+    ]
+    lib.apts_jb2_refine.restype = ctypes.c_int32
+    lib.apts_t1_decode.argtypes = [
+        _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
+        _U8P, _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _I32P,
+    ]
+    lib.apts_t1_decode.restype = ctypes.c_int32
+    lib.apts_dwt53_inv.argtypes = [_I64P, ctypes.c_int32,
+                                   ctypes.c_int32, ctypes.c_int32]
+    lib.apts_dwt53_inv.restype = ctypes.c_int32
+    lib.apts_dwt97_inv.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double,
+    ]
+    lib.apts_dwt97_inv.restype = ctypes.c_int32
+
+
+def _u8(a: np.ndarray):
+    return a.ctypes.data_as(_U8P)
+
+
+def _self_test(lib) -> bool:
+    """Round-trip a small block through both coders; any mismatch
+    disables the compiled path for the process."""
+    from ..jp2codec import t1_decode, t1_encode
+
+    rng = np.random.default_rng(20260818)
+    coefs = rng.integers(-900, 900, size=(23, 17)).astype(np.int64)
+    coefs[rng.random((23, 17)) < 0.6] = 0
+    for band in ("LL", "HH"):
+        for bypass in (False, True):
+            data, npasses, numbps = t1_encode(coefs, band, bypass=bypass)
+            segs = data if bypass else None
+            raw = b"" if bypass else data
+            py = t1_decode(raw, npasses, numbps, 17, 23, band,
+                           segments=segs, _native=False)
+            nat = t1_native(raw, npasses, numbps, 17, 23, band,
+                            segments=segs, _lib=lib)
+            if nat is None or not np.array_equal(py, nat):
+                return False
+    return True
+
+
+def _load():
+    global _lib, _tried, _status
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("SPARK_GRAFT_CKERN", "1").lower() in ("0", "false"):
+        _status = "disabled by SPARK_GRAFT_CKERN"
+        return None
+    try:
+        lib = ctypes.CDLL(_compile(_source()))
+        _bind(lib)
+        from ..jp2codec import _NLPS, _NMPS, _QE, _SWITCH
+
+        qe = np.array(_QE, dtype=np.uint16)
+        nmps = np.array(_NMPS, dtype=np.uint8)
+        nlps = np.array(_NLPS, dtype=np.uint8)
+        sw = np.array(_SWITCH, dtype=np.uint8)
+        lib.apts_set_mq_tables(
+            qe.ctypes.data_as(_U16P), _u8(nmps), _u8(nlps), _u8(sw),
+            len(qe))
+        if not _self_test(lib):
+            _status = "self-test mismatch; pure Python"
+            return None
+        _lib = lib
+        _status = "compiled kernels active"
+    except Exception as exc:            # no gcc, sandboxed tmp, …
+        _status = f"build failed ({type(exc).__name__}); pure Python"
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def status() -> str:
+    _load()
+    return _status
+
+
+# ------------------------------------------------------------- JBIG2
+
+class GenericSession:
+    """One MQ-coder session over a JBIG2 segment's data slice, shared
+    across the generic/refinement regions it codes (the halftone
+    bitplane case).  Mirrors the `_mq_decode_fn(data, states, mps)` +
+    `_decode_generic(...)` pairing in jbig2codec."""
+
+    __slots__ = ("_lib", "_data", "_n", "_regs", "_started", "_states",
+                 "_mps")
+
+    def __init__(self, lib, data: bytes):
+        self._lib = lib
+        # one pad byte so an empty slice still yields a valid pointer;
+        # the C side never reads at or past index _n
+        self._data = np.frombuffer(data + b"\x00", dtype=np.uint8)
+        self._n = len(data)
+        self._regs = np.zeros(4, dtype=np.int64)
+        self._started = 0
+        self._states = np.zeros(65536, dtype=np.uint8)
+        self._mps = np.zeros(65536, dtype=np.uint8)
+
+    def _dp(self):
+        return _u8(self._data)
+
+    def decode_generic(self, w: int, h: int, template: int, at,
+                       tpgdon: bool, skip=None) -> np.ndarray:
+        from ..jbig2codec import _TPGDON_CTX, _sorted_template
+
+        pix = np.array(_sorted_template(template, at),
+                       dtype=np.int8).ravel()
+        out = np.zeros((h, w), dtype=np.uint8)
+        skip_p = ctypes.cast(None, _U8P)
+        if skip is not None:
+            skip = np.ascontiguousarray(skip, dtype=np.uint8)
+            skip_p = _u8(skip)
+        rc = self._lib.apts_jb2_generic(
+            self._dp(), self._n, self._regs.ctypes.data_as(_I64P),
+            self._started, _u8(self._states), _u8(self._mps), w, h,
+            pix.ctypes.data_as(_I8P), len(pix) // 2,
+            1 if tpgdon else 0, _TPGDON_CTX[template], skip_p,
+            _u8(out))
+        if rc:
+            raise NativeError(f"jb2_generic rc={rc}")
+        self._started = 1
+        return out
+
+    def decode_refinement(self, w: int, h: int, template: int, at,
+                          ref: np.ndarray, dx: int, dy: int,
+                          tpgron: bool) -> np.ndarray:
+        from ..jbig2codec import (_REF_CODING, _REF_REFERENCE,
+                                  _TPGRON_CTX)
+
+        coding = list(_REF_CODING[template])
+        refpix = list(_REF_REFERENCE[template])
+        if template == 0:
+            coding.append(tuple(at[0]))
+            refpix.append(tuple(at[1]))
+        cod = np.array(coding, dtype=np.int8).ravel()
+        rp = np.array(refpix, dtype=np.int8).ravel()
+        ref = np.ascontiguousarray(ref, dtype=np.uint8)
+        rh, rw = ref.shape
+        out = np.zeros((h, w), dtype=np.uint8)
+        rc = self._lib.apts_jb2_refine(
+            self._dp(), self._n, self._regs.ctypes.data_as(_I64P),
+            self._started, _u8(self._states), _u8(self._mps), w, h,
+            cod.ctypes.data_as(_I8P), len(cod) // 2,
+            rp.ctypes.data_as(_I8P), len(rp) // 2, _u8(ref), rh, rw,
+            dx, dy, 1 if tpgron else 0, _TPGRON_CTX[template], 0,
+            _u8(out))
+        if rc:
+            raise NativeError(f"jb2_refine rc={rc}")
+        self._started = 1
+        return out
+
+
+def generic_session(data: bytes):
+    """A compiled-kernel session for one segment, or None (pure
+    Python) when the kernels are unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return GenericSession(lib, data)
+
+
+# ---------------------------------------------------------- JPEG2000
+
+def t1_native(data: bytes, npasses: int, numbps: int, w: int, h: int,
+              band: str, segments=None, _lib=None):
+    """Compiled T1 block decode; None means 'use the Python path'
+    (kernel unavailable, unsupported shape, or the C walk reported an
+    anomaly whose exception behaviour belongs to Python)."""
+    lib = _lib if _lib is not None else _load()
+    if lib is None or not 1 <= numbps <= 31:
+        return None
+    zc, sc_ctx, sc_xor, init, ctx_run, ctx_uni = _t1_tables(band)
+    if segments is None:
+        segbuf = np.frombuffer(data + b"\x00", dtype=np.uint8)
+        offs = np.array([0, len(data)], dtype=np.int64)
+        nseg, bypass = 1, 0
+    else:
+        segbuf = np.frombuffer(b"".join(segments) + b"\x00",
+                               dtype=np.uint8)
+        offs = np.zeros(len(segments) + 1, dtype=np.int64)
+        if segments:
+            offs[1:] = np.cumsum([len(s) for s in segments])
+        nseg, bypass = len(segments), 1
+    out = np.empty((h, w), dtype=np.int32)
+    rc = lib.apts_t1_decode(
+        _u8(segbuf), offs.ctypes.data_as(_I64P), nseg, bypass,
+        npasses, numbps, w, h, _u8(zc), _u8(sc_ctx), _u8(sc_xor),
+        _u8(init), len(init), ctx_run, ctx_uni,
+        out.ctypes.data_as(_I32P))
+    if rc:
+        return None
+    return out
+
+
+def dwt53_inverse_native(a: np.ndarray, levels: int):
+    """In-place multi-level inverse 5/3 on an int64 Mallat array;
+    None means 'use the Python path'."""
+    lib = _load()
+    if lib is None or levels <= 0:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    h, w = a.shape
+    rc = lib.apts_dwt53_inv(a.ctypes.data_as(_I64P), h, w, levels)
+    if rc:
+        return None
+    return a
+
+
+def dwt97_inverse_native(a: np.ndarray, levels: int, ka: float,
+                         kb: float, kg: float, kd: float, kk: float):
+    """In-place multi-level inverse 9/7 on a float64 Mallat array;
+    None means 'use the Python path'."""
+    lib = _load()
+    if lib is None or levels <= 0:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    h, w = a.shape
+    rc = lib.apts_dwt97_inv(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), h, w,
+        levels, ka, kb, kg, kd, kk)
+    if rc:
+        return None
+    return a
+
+
+_T1_TABS: dict = {}
+
+
+def _t1_tables(band: str):
+    """Per-band-class context LUTs as uint8 arrays, built once from
+    the jp2codec source-of-truth tables."""
+    t = _T1_TABS.get(band)
+    if t is None:
+        from ..jp2codec import (_BAND_CLASS, _SC_TAB, _ZC_TABS,
+                                CTX_RUN, CTX_UNI, _init_ctx)
+
+        zc = np.array(_ZC_TABS[_BAND_CLASS[band]], dtype=np.uint8)
+        sc_ctx = np.array([s[0] for s in _SC_TAB], dtype=np.uint8)
+        sc_xor = np.array([s[1] for s in _SC_TAB], dtype=np.uint8)
+        init = np.array(_init_ctx()[0], dtype=np.uint8)
+        t = (zc, sc_ctx, sc_xor, init, CTX_RUN, CTX_UNI)
+        _T1_TABS[band] = t
+    return t

@@ -1,0 +1,895 @@
+/* Compiled hot loops for the arithmetic-coded image codecs.
+ *
+ * This is a C re-expression of the per-decision inner loops of our own
+ * Python kernels — `kernels/jp2codec.py::_mq_decode_fn` / `t1_decode`
+ * and `kernels/jbig2codec.py::_decode_generic` / `_decode_refinement` —
+ * NOT of any external codec.  Decision-for-decision it follows the same
+ * walk the Python code documents (the Python path remains the oracle:
+ * tests assert bit-identical output on fuzzed round-trips and on every
+ * pinned fixture).  The reference project ships compiled Cython kernels
+ * for exactly this reason (cython/sauvola.pyx, cython/optimize_gray.pyx);
+ * this file plays the same role for the decode side.
+ *
+ * No probability/state tables live here: the MQ-coder state machine
+ * (Qe/NMPS/NLPS/SWITCH), the T1 context LUTs and the JBIG2 template
+ * pixel lists are all owned by the Python modules and passed in as
+ * arrays, so there is a single source of truth.
+ *
+ * Every entry point returns 0 on success and a nonzero error code on
+ * anything unexpected; callers fall back to the Python path so error
+ * behaviour (exceptions) stays byte-for-byte the Python kernels'.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EXPORT __attribute__((visibility("default")))
+
+/* ------------------------------------------------------------------ MQ */
+
+static uint16_t g_qe[64];
+static uint8_t g_nmps[64], g_nlps[64], g_sw[64];
+
+EXPORT void apts_set_mq_tables(const uint16_t *qe, const uint8_t *nmps,
+                               const uint8_t *nlps, const uint8_t *sw,
+                               int32_t n) {
+    if (n > 64) n = 64;
+    memcpy(g_qe, qe, (size_t)n * sizeof(uint16_t));
+    memcpy(g_nmps, nmps, (size_t)n);
+    memcpy(g_nlps, nlps, (size_t)n);
+    memcpy(g_sw, sw, (size_t)n);
+}
+
+typedef struct {
+    const uint8_t *data;
+    int64_t n;
+    int64_t bp;
+    uint32_t c;
+    int32_t a;
+    int32_t ct;
+} MQ;
+
+/* INITDEC (mirrors jp2codec._mq_decode_fn's closure prologue). */
+static void mq_start(MQ *mq) {
+    const uint8_t *d = mq->data;
+    int64_t n = mq->n;
+    int64_t bp = 0;
+    uint8_t b = n ? d[0] : 0xFF;
+    uint32_t c = (uint32_t)b << 16;
+    int ct;
+    if (b == 0xFF) {
+        uint8_t b1 = n > 1 ? d[1] : 0xFF;
+        if (b1 > 0x8F) {
+            c += 0xFF00;
+            ct = 8;
+        } else {
+            bp = 1;
+            c += (uint32_t)b1 << 9;
+            ct = 7;
+        }
+    } else {
+        bp = 1;
+        c += (uint32_t)(n > 1 ? d[1] : 0xFF) << 8;
+        ct = 8;
+    }
+    mq->c = c << 7;
+    mq->ct = ct - 7;
+    mq->bp = bp;
+    mq->a = 0x8000;
+}
+
+/* DECODE with RENORMD+BYTEIN inlined (mirrors the Python closure). */
+static inline int mq_decode(MQ *mq, uint8_t *states, uint8_t *mps,
+                            uint32_t ctx) {
+    int i = states[ctx];
+    uint32_t qe = g_qe[i];
+    int d;
+    mq->a -= (int32_t)qe;
+    if ((mq->c >> 16) < qe) {
+        if ((uint32_t)mq->a < qe) {
+            d = mps[ctx];
+            states[ctx] = g_nmps[i];
+        } else {
+            d = 1 - mps[ctx];
+            if (g_sw[i]) mps[ctx] = (uint8_t)d;
+            states[ctx] = g_nlps[i];
+        }
+        mq->a = (int32_t)qe;
+    } else {
+        mq->c -= qe << 16;
+        if (mq->a & 0x8000) return mps[ctx];
+        if ((uint32_t)mq->a < qe) {
+            d = 1 - mps[ctx];
+            if (g_sw[i]) mps[ctx] = (uint8_t)d;
+            states[ctx] = g_nlps[i];
+        } else {
+            d = mps[ctx];
+            states[ctx] = g_nmps[i];
+        }
+    }
+    do {
+        if (mq->ct == 0) {
+            uint8_t b = mq->bp < mq->n ? mq->data[mq->bp] : 0xFF;
+            if (b == 0xFF) {
+                uint8_t b1 =
+                    mq->bp + 1 < mq->n ? mq->data[mq->bp + 1] : 0xFF;
+                if (b1 > 0x8F) {
+                    mq->c += 0xFF00;
+                    mq->ct = 8;
+                } else {
+                    mq->bp += 1;
+                    mq->c += (uint32_t)b1 << 9;
+                    mq->ct = 7;
+                }
+            } else {
+                mq->bp += 1;
+                mq->c += (uint32_t)(mq->bp < mq->n ? mq->data[mq->bp]
+                                                   : 0xFF)
+                         << 8;
+                mq->ct = 8;
+            }
+        }
+        mq->a = (mq->a << 1) & 0xFFFF;
+        mq->c = mq->c << 1;
+        mq->ct -= 1;
+    } while (!(mq->a & 0x8000));
+    return d;
+}
+
+static void mq_load(MQ *mq, const uint8_t *data, int64_t n,
+                    const int64_t *regs) {
+    mq->data = data;
+    mq->n = n;
+    mq->a = (int32_t)regs[0];
+    mq->c = (uint32_t)regs[1];
+    mq->ct = (int32_t)regs[2];
+    mq->bp = regs[3];
+}
+
+static void mq_store(const MQ *mq, int64_t *regs) {
+    regs[0] = mq->a;
+    regs[1] = (int64_t)mq->c;
+    regs[2] = mq->ct;
+    regs[3] = mq->bp;
+}
+
+/* --------------------------------------------- JBIG2 generic region
+ *
+ * General-template walk (mirrors jbig2codec._decode_generic's general
+ * path, which the nominal fast path is an optimisation of): per pixel,
+ * gather the (dy, dx)-sorted template pixels MSB-first from the bitmap
+ * under construction; out-of-bounds reads are 0.  `regs`/`started`
+ * carry the MQ session so multi-region segments (halftone bitplanes)
+ * share one coder.
+ */
+EXPORT int apts_jb2_generic(const uint8_t *data, int64_t n, int64_t *regs,
+                            int32_t started, uint8_t *states, uint8_t *mps,
+                            int32_t w, int32_t h, const int8_t *pix,
+                            int32_t npix, int32_t tpgdon, int32_t tp_ctx,
+                            const uint8_t *skip, uint8_t *out) {
+    MQ mq;
+    int ltp = 0;
+    int32_t y, x, t;
+    if (w <= 0 || h <= 0 || npix <= 0 || npix > 16) return 3;
+    mq_load(&mq, data, n, regs);
+    if (!started) mq_start(&mq);
+    for (y = 0; y < h; y++) {
+        uint8_t *row = out + (int64_t)y * w;
+        if (tpgdon) {
+            ltp ^= mq_decode(&mq, states, mps, (uint32_t)tp_ctx);
+            if (ltp) {
+                if (y) memcpy(row, row - w, (size_t)w);
+                continue;
+            }
+        }
+        for (x = 0; x < w; x++) {
+            uint32_t ctx = 0;
+            int bit;
+            if (skip && skip[(int64_t)y * w + x]) {
+                row[x] = 0;
+                continue;
+            }
+            for (t = 0; t < npix; t++) {
+                int32_t yy = y + pix[2 * t];
+                int32_t xx = x + pix[2 * t + 1];
+                int v = (yy >= 0 && yy < h && xx >= 0 && xx < w)
+                            ? out[(int64_t)yy * w + xx]
+                            : 0;
+                ctx = (ctx << 1) | (uint32_t)v;
+            }
+            bit = mq_decode(&mq, states, mps, ctx);
+            row[x] = (uint8_t)bit;
+        }
+    }
+    mq_store(&mq, regs);
+    return 0;
+}
+
+/* ------------------------------------------ JBIG2 refinement region
+ *
+ * Mirrors jbig2codec._decode_refinement: context = coding pixels over
+ * the output (bounds-checked against h, w) then reference pixels over
+ * `ref` at (y - dy + dy', x - dx + dx') (bounds-checked against rh,
+ * rw); TPGRON typicality reads the 3x3 reference window.
+ */
+EXPORT int apts_jb2_refine(const uint8_t *data, int64_t n, int64_t *regs,
+                           int32_t started, uint8_t *states, uint8_t *mps,
+                           int32_t w, int32_t h, const int8_t *coding,
+                           int32_t ncoding, const int8_t *refpix,
+                           int32_t nref, const uint8_t *ref, int32_t rh,
+                           int32_t rw, int32_t dx, int32_t dy,
+                           int32_t tpgron, int32_t tp_ctx, int32_t base,
+                           uint8_t *out) {
+    MQ mq;
+    int ltp = 0;
+    int32_t y, x, t;
+    if (w <= 0 || h <= 0 || ncoding <= 0 || ncoding > 8 || nref <= 0 ||
+        nref > 9)
+        return 3;
+    mq_load(&mq, data, n, regs);
+    if (!started) mq_start(&mq);
+    for (y = 0; y < h; y++) {
+        uint8_t *row = out + (int64_t)y * w;
+        if (tpgron) ltp ^= mq_decode(&mq, states, mps, (uint32_t)tp_ctx);
+        for (x = 0; x < w; x++) {
+            uint32_t ctx = 0;
+            if (ltp) {
+                /* typicality: count of set pixels in the in-bounds part
+                 * of the 3x3 reference window centred at (ry, rx) */
+                int32_t ry = y - dy, rx = x - dx;
+                int total = 0, yy, xx;
+                for (yy = ry - 1; yy <= ry + 1; yy++)
+                    if (yy >= 0 && yy < rh)
+                        for (xx = rx - 1; xx <= rx + 1; xx++)
+                            if (xx >= 0 && xx < rw &&
+                                ref[(int64_t)yy * rw + xx])
+                                total++;
+                if (total == 0) {
+                    row[x] = 0;
+                    continue;
+                }
+                if (total == 9) {
+                    row[x] = 1;
+                    continue;
+                }
+            }
+            for (t = 0; t < ncoding; t++) {
+                int32_t yy = y + coding[2 * t];
+                int32_t xx = x + coding[2 * t + 1];
+                int v = (yy >= 0 && yy < h && xx >= 0 && xx < w)
+                            ? out[(int64_t)yy * w + xx]
+                            : 0;
+                ctx = (ctx << 1) | (uint32_t)v;
+            }
+            for (t = 0; t < nref; t++) {
+                int32_t yy = y - dy + refpix[2 * t];
+                int32_t xx = x - dx + refpix[2 * t + 1];
+                int v = (yy >= 0 && yy < rh && xx >= 0 && xx < rw)
+                            ? ref[(int64_t)yy * rw + xx]
+                            : 0;
+                ctx = (ctx << 1) | (uint32_t)v;
+            }
+            row[x] = (uint8_t)mq_decode(&mq, states, mps,
+                                        (uint32_t)base + ctx);
+        }
+    }
+    mq_store(&mq, regs);
+    return 0;
+}
+
+/* ------------------------------------------------------ JPEG2000 T1
+ *
+ * Plain spec-walk port of jp2codec.t1_decode (whose vectorised
+ * candidate/heap structure is documented decision-for-decision
+ * identical to this walk).  Flag-word layout and context tables come
+ * from the Python module.
+ */
+
+#define F_SIG 256
+#define F_VISIT 512
+#define F_REF 1024
+#define NB_MASK 0xFF
+/* neighbour bits (same layout as jp2codec): W=1 E=2 N=4 S=8
+ * NW=16 NE=32 SW=64 SE=128; sign bits WNEG=2048 ENEG=4096 NNEG=8192
+ * SNEG=16384 */
+
+typedef struct {
+    int32_t *f;      /* (w+2) * (h+2) flag words */
+    uint32_t *mag;
+    uint8_t *neg;
+    int32_t w, h, stride;
+    const uint8_t *zc;      /* 256 */
+    const uint8_t *sc_ctx;  /* 256 */
+    const uint8_t *sc_xor;  /* 256 */
+    uint8_t *states;        /* n_ctx */
+    uint8_t *mps;
+    int32_t ctx_run, ctx_uni;
+    MQ mq;
+    /* raw (bypass) bit reader */
+    const uint8_t *rd;
+    int64_t rn_;
+    int64_t rbyte;
+    int32_t rbit;
+} T1;
+
+static inline void t1_set_sig(T1 *t, int64_t i, int neg) {
+    int32_t *f = t->f;
+    int32_t s = t->stride;
+    f[i] |= F_SIG;
+    if (neg) {
+        f[i - 1] |= 2 | 4096;      /* E | ENEG */
+        f[i + 1] |= 1 | 2048;      /* W | WNEG */
+        f[i - s] |= 8 | 16384;     /* S | SNEG */
+        f[i + s] |= 4 | 8192;      /* N | NNEG */
+    } else {
+        f[i - 1] |= 2;
+        f[i + 1] |= 1;
+        f[i - s] |= 8;
+        f[i + s] |= 4;
+    }
+    f[i - s - 1] |= 128; /* SE */
+    f[i - s + 1] |= 64;  /* SW */
+    f[i + s - 1] |= 32;  /* NE */
+    f[i + s + 1] |= 16;  /* NW */
+}
+
+/* Load a raw codeword segment; validate the B.10.1 stuffing rule for
+ * the whole segment up front (mirrors load_raw's eager check). */
+static int t1_load_raw(T1 *t, const uint8_t *d, int64_t n) {
+    int64_t i;
+    for (i = 1; i < n; i++)
+        if (d[i - 1] == 0xFF && (d[i] & 0x80)) return 1;
+    t->rd = d;
+    t->rn_ = n;
+    t->rbyte = 0;
+    t->rbit = 0;
+    return 0;
+}
+
+/* Read one raw bit; *err set on overrun (Python would IndexError). */
+static inline int t1_raw_bit(T1 *t, int *err) {
+    int bit;
+    if (t->rbyte >= t->rn_) {
+        *err = 1;
+        return 0;
+    }
+    bit = (t->rd[t->rbyte] >> (7 - t->rbit)) & 1;
+    t->rbit++;
+    if (t->rbit == 8) {
+        t->rbyte++;
+        t->rbit = (t->rbyte < t->rn_ && t->rd[t->rbyte - 1] == 0xFF) ? 1
+                                                                     : 0;
+        /* after 0xFF the next byte's MSB is the (already validated)
+         * stuffed 0 — skip it, as load_raw's keep-mask does */
+    }
+    return bit;
+}
+
+static void t1_spp(T1 *t, int p) {
+    uint32_t bit = 1u << p;
+    int32_t w = t->w, h = t->h, s = t->stride;
+    int32_t y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            for (k = 0; k < rows; k++) {
+                int64_t i = (int64_t)(y0 + 1 + k) * s + x + 1;
+                int32_t fl = t->f[i];
+                int d, sg;
+                uint32_t key;
+                if (fl & (F_SIG | F_VISIT)) continue;
+                if (!(fl & NB_MASK)) continue;
+                t->f[i] = fl | F_VISIT;
+                d = mq_decode(&t->mq, t->states, t->mps,
+                              t->zc[fl & NB_MASK]);
+                if (!d) continue;
+                key = (uint32_t)((fl & 0xF) | ((fl >> 7) & 0xF0));
+                d = mq_decode(&t->mq, t->states, t->mps, t->sc_ctx[key]);
+                sg = d ^ t->sc_xor[key];
+                t1_set_sig(t, i, sg);
+                {
+                    int64_t j = (int64_t)(y0 + k) * w + x;
+                    t->mag[j] |= bit;
+                    t->neg[j] = (uint8_t)sg;
+                }
+            }
+        }
+    }
+}
+
+static int t1_spp_raw(T1 *t, int p) {
+    uint32_t bit = 1u << p;
+    int32_t w = t->w, h = t->h, s = t->stride;
+    int32_t y0, x, k;
+    int err = 0;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            for (k = 0; k < rows; k++) {
+                int64_t i = (int64_t)(y0 + 1 + k) * s + x + 1;
+                int32_t fl = t->f[i];
+                int sg;
+                if (fl & (F_SIG | F_VISIT)) continue;
+                if (!(fl & NB_MASK)) continue;
+                t->f[i] = fl | F_VISIT;
+                if (!t1_raw_bit(t, &err)) {
+                    if (err) return 1;
+                    continue;
+                }
+                sg = t1_raw_bit(t, &err); /* raw sign: no ctx, no XOR */
+                if (err) return 1;
+                t1_set_sig(t, i, sg);
+                {
+                    int64_t j = (int64_t)(y0 + k) * w + x;
+                    t->mag[j] |= bit;
+                    t->neg[j] = (uint8_t)sg;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
+static void t1_mrp(T1 *t, int p) {
+    uint32_t bit = 1u << p;
+    int32_t w = t->w, h = t->h, s = t->stride;
+    int32_t y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            for (k = 0; k < rows; k++) {
+                int64_t i = (int64_t)(y0 + 1 + k) * s + x + 1;
+                int32_t fl = t->f[i];
+                uint32_t ctx;
+                if (!(fl & F_SIG) || (fl & F_VISIT)) continue;
+                ctx = (fl & F_REF) ? (uint32_t)16
+                                   : ((fl & NB_MASK) ? 15u : 14u);
+                if (mq_decode(&t->mq, t->states, t->mps, ctx))
+                    t->mag[(int64_t)(y0 + k) * w + x] |= bit;
+                t->f[i] = fl | F_REF;
+            }
+        }
+    }
+}
+
+static int t1_mrp_raw(T1 *t, int p) {
+    uint32_t bit = 1u << p;
+    int32_t w = t->w, h = t->h, s = t->stride;
+    int32_t y0, x, k;
+    int err = 0;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            for (k = 0; k < rows; k++) {
+                int64_t i = (int64_t)(y0 + 1 + k) * s + x + 1;
+                int32_t fl = t->f[i];
+                if (!(fl & F_SIG) || (fl & F_VISIT)) continue;
+                if (t1_raw_bit(t, &err))
+                    t->mag[(int64_t)(y0 + k) * w + x] |= bit;
+                if (err) return 1;
+                t->f[i] = fl | F_REF;
+            }
+        }
+    }
+    return 0;
+}
+
+static void t1_cup(T1 *t, int p) {
+    uint32_t bit = 1u << p;
+    int32_t w = t->w, h = t->h, s = t->stride;
+    int32_t y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        int full = rows == 4;
+        int64_t i0 = (int64_t)(y0 + 1) * s + 1;
+        int64_t j0 = (int64_t)y0 * w;
+        for (x = 0; x < w; x++) {
+            int32_t kstart = 0;
+            if (full &&
+                !((t->f[i0] | t->f[i0 + s] | t->f[i0 + 2 * s] |
+                   t->f[i0 + 3 * s]) &
+                  (NB_MASK | F_SIG | F_VISIT))) {
+                int d = mq_decode(&t->mq, t->states, t->mps,
+                                  (uint32_t)t->ctx_run);
+                int first;
+                if (!d) {
+                    i0 += 1;
+                    j0 += 1;
+                    continue;
+                }
+                first = mq_decode(&t->mq, t->states, t->mps,
+                                  (uint32_t)t->ctx_uni);
+                first = (first << 1) | mq_decode(&t->mq, t->states,
+                                                 t->mps,
+                                                 (uint32_t)t->ctx_uni);
+                {
+                    int64_t i = i0 + (int64_t)first * s;
+                    int64_t j = j0 + (int64_t)first * w;
+                    int32_t fl = t->f[i];
+                    uint32_t key =
+                        (uint32_t)((fl & 0xF) | ((fl >> 7) & 0xF0));
+                    int sg = mq_decode(&t->mq, t->states, t->mps,
+                                       t->sc_ctx[key]) ^
+                             t->sc_xor[key];
+                    t1_set_sig(t, i, sg);
+                    t->mag[j] |= bit;
+                    t->neg[j] = (uint8_t)sg;
+                }
+                kstart = first + 1;
+            }
+            for (k = kstart; k < rows; k++) {
+                int64_t i = i0 + (int64_t)k * s;
+                int32_t fl = t->f[i];
+                int d, sg;
+                uint32_t key;
+                if (fl & F_VISIT) {
+                    t->f[i] = fl & ~F_VISIT;
+                    continue;
+                }
+                if (fl & F_SIG) continue;
+                d = mq_decode(&t->mq, t->states, t->mps,
+                              t->zc[fl & NB_MASK]);
+                if (!d) continue;
+                key = (uint32_t)((fl & 0xF) | ((fl >> 7) & 0xF0));
+                sg = mq_decode(&t->mq, t->states, t->mps,
+                               t->sc_ctx[key]) ^
+                     t->sc_xor[key];
+                t1_set_sig(t, i, sg);
+                {
+                    int64_t j = j0 + (int64_t)k * w;
+                    t->mag[j] |= bit;
+                    t->neg[j] = (uint8_t)sg;
+                }
+            }
+            i0 += 1;
+            j0 += 1;
+        }
+    }
+}
+
+/* Codeword-segment index of 1-based pass tt under the bypass schedule
+ * (mirrors jp2codec._seg_id_bypass). */
+static int t1_seg_id(int tt) {
+    int k;
+    if (tt <= 10) return 0;
+    k = tt - 11;
+    return 1 + (k / 3) * 2 + (k % 3 == 2 ? 1 : 0);
+}
+
+/* segoff: nseg+1 offsets into segbuf (segment i = [segoff[i],
+ * segoff[i+1])).  bypass=0 means one plain MQ codeword (nseg==1). */
+EXPORT int apts_t1_decode(const uint8_t *segbuf, const int64_t *segoff,
+                          int32_t nseg, int32_t bypass, int32_t npasses,
+                          int32_t numbps, int32_t w, int32_t h,
+                          const uint8_t *zc, const uint8_t *sc_ctx,
+                          const uint8_t *sc_xor,
+                          const uint8_t *init_states, int32_t n_ctx,
+                          int32_t ctx_run, int32_t ctx_uni,
+                          int32_t *out) {
+    T1 t;
+    int32_t stride = w + 2;
+    int64_t fsz = (int64_t)stride * (h + 2);
+    int64_t wh = (int64_t)w * h, j;
+    int rc = 0;
+    uint8_t states[64], mps[64];
+    if (w <= 0 || h <= 0 || numbps < 1 || numbps > 31 || n_ctx > 64)
+        return 3;
+    t.f = (int32_t *)calloc((size_t)fsz, sizeof(int32_t));
+    t.mag = (uint32_t *)calloc((size_t)wh, sizeof(uint32_t));
+    t.neg = (uint8_t *)calloc((size_t)wh, 1);
+    if (!t.f || !t.mag || !t.neg) {
+        free(t.f);
+        free(t.mag);
+        free(t.neg);
+        return 4;
+    }
+    t.w = w;
+    t.h = h;
+    t.stride = stride;
+    t.zc = zc;
+    t.sc_ctx = sc_ctx;
+    t.sc_xor = sc_xor;
+    memcpy(states, init_states, (size_t)n_ctx);
+    memset(mps, 0, (size_t)n_ctx);
+    t.states = states;
+    t.mps = mps;
+    t.ctx_run = ctx_run;
+    t.ctx_uni = ctx_uni;
+    t.rd = NULL;
+    t.rn_ = 0;
+    t.rbyte = 0;
+    t.rbit = 0;
+
+    if (!bypass) {
+        int left = npasses, p = numbps - 1;
+        t.mq.data = segbuf + segoff[0];
+        t.mq.n = segoff[1] - segoff[0];
+        mq_start(&t.mq);
+        if (left > 0) {
+            t1_cup(&t, p);
+            left--;
+        }
+        while (left > 0 && p > 0) {
+            p--;
+            t1_spp(&t, p);
+            left--;
+            if (left > 0) {
+                t1_mrp(&t, p);
+                left--;
+            }
+            if (left > 0) {
+                t1_cup(&t, p);
+                left--;
+            }
+        }
+    } else {
+        int cur_sid = 0, tt;
+        t.mq.data = nseg ? segbuf + segoff[0] : segbuf;
+        t.mq.n = nseg ? segoff[1] - segoff[0] : 0;
+        mq_start(&t.mq);
+        for (tt = 1; tt <= npasses; tt++) {
+            int p, kind, sid, raw;
+            if (tt == 1) {
+                p = numbps - 1;
+                kind = 2;
+            } else {
+                int trip = (tt - 2) / 3;
+                kind = (tt - 2) % 3;
+                p = numbps - 2 - trip;
+            }
+            if (p < 0) break;
+            sid = t1_seg_id(tt);
+            if (sid != cur_sid) {
+                if (sid >= nseg) {
+                    rc = 2;
+                    goto done;
+                }
+                if (sid % 2) {
+                    if (t1_load_raw(&t, segbuf + segoff[sid],
+                                    segoff[sid + 1] - segoff[sid])) {
+                        rc = 1;
+                        goto done;
+                    }
+                } else {
+                    t.mq.data = segbuf + segoff[sid];
+                    t.mq.n = segoff[sid + 1] - segoff[sid];
+                    mq_start(&t.mq);
+                }
+                cur_sid = sid;
+            }
+            raw = cur_sid % 2 == 1;
+            if (kind == 0) {
+                if (raw) {
+                    if (t1_spp_raw(&t, p)) {
+                        rc = 1;
+                        goto done;
+                    }
+                } else
+                    t1_spp(&t, p);
+            } else if (kind == 1) {
+                if (raw) {
+                    if (t1_mrp_raw(&t, p)) {
+                        rc = 1;
+                        goto done;
+                    }
+                } else
+                    t1_mrp(&t, p);
+            } else
+                t1_cup(&t, p);
+        }
+    }
+    for (j = 0; j < wh; j++)
+        out[j] = t.neg[j] ? -(int32_t)t.mag[j] : (int32_t)t.mag[j];
+done:
+    free(t.f);
+    free(t.mag);
+    free(t.neg);
+    return rc;
+}
+
+/* --------------------------------------------------- inverse DWTs
+ *
+ * Mirrors jp2codec.dwt53_inverse / dwt97_inverse (Mallat layout,
+ * horizontal reconstruction then vertical per level).  The 9/7 path
+ * is float64 with the exact numpy expression trees; the build uses
+ * -ffp-contract=off so gcc cannot fuse them into FMAs and drift from
+ * the Python results.
+ */
+
+/* One horizontal 5/3 line: row[0..sw) = s, row[sw..n) = d. */
+static void inv53_row(int64_t *row, int32_t n, int64_t *ev) {
+    int32_t sw = (n + 1) / 2, nd = n - sw, i;
+    if (n == 1) return;
+    for (i = 0; i < sw; i++) {
+        int64_t dl = row[sw + (i > 0 ? i - 1 : 0)];
+        int64_t dr = row[sw + (i < nd ? i : nd - 1)];
+        ev[i] = row[i] - ((dl + dr + 2) >> 2);
+    }
+    /* ascending is load-bearing: row[2i+1] writes may land on d cells
+     * (indices >= sw), but only ones already consumed (2i+1 == sw+j
+     * implies j <= i for all i < nd <= sw) */
+    for (i = 0; i < nd; i++) {
+        int64_t er = ev[i + 1 < sw ? i + 1 : sw - 1];
+        row[2 * i + 1] = row[sw + i] + ((ev[i] + er) >> 1);
+    }
+    for (i = 0; i < sw; i++) row[2 * i] = ev[i];
+}
+
+EXPORT int apts_dwt53_inv(int64_t *a, int32_t H, int32_t W,
+                          int32_t levels) {
+    int32_t dims_h[64], dims_w[64], nd = 0, lv, y, x, i;
+    int64_t *tmp, *line;
+    int32_t ch = H, cw = W;
+    if (H <= 0 || W <= 0 || levels <= 0 || levels > 48) return 3;
+    for (lv = 0; lv < levels; lv++) {
+        dims_h[nd] = ch;
+        dims_w[nd] = cw;
+        nd++;
+        ch = (ch + 1) / 2;
+        cw = (cw + 1) / 2;
+    }
+    tmp = (int64_t *)malloc((size_t)H * W * sizeof(int64_t));
+    line = (int64_t *)malloc((size_t)(H > W ? H : W) * sizeof(int64_t));
+    if (!tmp || !line) {
+        free(tmp);
+        free(line);
+        return 4;
+    }
+    for (lv = nd - 1; lv >= 0; lv--) {
+        ch = dims_h[lv];
+        cw = dims_w[lv];
+        if (ch == 1 && cw == 1) continue;
+        if (cw > 1)
+            for (y = 0; y < ch; y++)
+                inv53_row(a + (int64_t)y * W, cw, line);
+        if (ch > 1) {
+            int32_t sh = (ch + 1) / 2, vn = ch - sh;
+            for (i = 0; i < sh; i++) {
+                const int64_t *s = a + (int64_t)i * W;
+                const int64_t *dl =
+                    a + (int64_t)(sh + (i > 0 ? i - 1 : 0)) * W;
+                const int64_t *dr =
+                    a + (int64_t)(sh + (i < vn ? i : vn - 1)) * W;
+                int64_t *o = tmp + (int64_t)(2 * i) * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = s[x] - ((dl[x] + dr[x] + 2) >> 2);
+            }
+            for (i = 0; i < vn; i++) {
+                const int64_t *d = a + (int64_t)(sh + i) * W;
+                const int64_t *e0 = tmp + (int64_t)(2 * i) * cw;
+                const int64_t *e1 =
+                    tmp + (int64_t)(2 * (i + 1 < sh ? i + 1 : sh - 1)) *
+                              cw;
+                int64_t *o = tmp + (int64_t)(2 * i + 1) * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = d[x] + ((e0[x] + e1[x]) >> 1);
+            }
+            for (y = 0; y < ch; y++)
+                memcpy(a + (int64_t)y * W, tmp + (int64_t)y * cw,
+                       (size_t)cw * sizeof(int64_t));
+        }
+    }
+    free(tmp);
+    free(line);
+    return 0;
+}
+
+/* One horizontal 9/7 line; work holds 2*n doubles (s then od). */
+static void inv97_row(double *row, int32_t n, double ka, double kb,
+                      double kg, double kd, double kk, double *work) {
+    int32_t sw = (n + 1) / 2, ndd = n - sw, i;
+    double *s = work, *d = work + sw;
+    if (n == 1) return;
+    for (i = 0; i < sw; i++) s[i] = row[i] * kk;
+    for (i = 0; i < ndd; i++) d[i] = row[sw + i] / kk;
+    for (i = 0; i < sw; i++) {
+        double dl = d[i > 0 ? i - 1 : 0];
+        double dr = d[i < ndd ? i : ndd - 1];
+        s[i] = s[i] - kd * (dl + dr);
+    }
+    for (i = 0; i < ndd; i++) {
+        double sr = s[i + 1 < sw ? i + 1 : sw - 1];
+        d[i] = d[i] - kg * (s[i] + sr);
+    }
+    for (i = 0; i < sw; i++) {
+        double dl = d[i > 0 ? i - 1 : 0];
+        double dr = d[i < ndd ? i : ndd - 1];
+        s[i] = s[i] - kb * (dl + dr);
+    }
+    for (i = 0; i < ndd; i++) {
+        double sr = s[i + 1 < sw ? i + 1 : sw - 1];
+        row[2 * i + 1] = d[i] - ka * (s[i] + sr);
+    }
+    for (i = 0; i < sw; i++) row[2 * i] = s[i];
+}
+
+EXPORT int apts_dwt97_inv(double *a, int32_t H, int32_t W,
+                          int32_t levels, double ka, double kb,
+                          double kg, double kd, double kk) {
+    int32_t dims_h[64], dims_w[64], nd = 0, lv, y, x, i;
+    double *tmp, *line;
+    int32_t ch = H, cw = W;
+    if (H <= 0 || W <= 0 || levels <= 0 || levels > 48) return 3;
+    for (lv = 0; lv < levels; lv++) {
+        dims_h[nd] = ch;
+        dims_w[nd] = cw;
+        nd++;
+        ch = (ch + 1) / 2;
+        cw = (cw + 1) / 2;
+    }
+    tmp = (double *)malloc((size_t)H * W * sizeof(double));
+    line = (double *)malloc(2 * (size_t)(H > W ? H : W) *
+                            sizeof(double));
+    if (!tmp || !line) {
+        free(tmp);
+        free(line);
+        return 4;
+    }
+    for (lv = nd - 1; lv >= 0; lv--) {
+        ch = dims_h[lv];
+        cw = dims_w[lv];
+        if (ch == 1 && cw == 1) continue;
+        if (cw > 1)
+            for (y = 0; y < ch; y++)
+                inv97_row(a + (int64_t)y * W, cw, ka, kb, kg, kd, kk,
+                          line);
+        if (ch > 1) {
+            /* vertical: same lifting with whole-row operations so the
+             * float64 expression per element matches the row path */
+            int32_t sh = (ch + 1) / 2, vn = ch - sh;
+            double *sv = tmp, *dv = tmp + (int64_t)sh * cw;
+            for (i = 0; i < sh; i++) {
+                const double *r = a + (int64_t)i * W;
+                double *o = sv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++) o[x] = r[x] * kk;
+            }
+            for (i = 0; i < vn; i++) {
+                const double *r = a + (int64_t)(sh + i) * W;
+                double *o = dv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++) o[x] = r[x] / kk;
+            }
+            for (i = 0; i < sh; i++) {
+                const double *dl = dv + (int64_t)(i > 0 ? i - 1 : 0) * cw;
+                const double *dr =
+                    dv + (int64_t)(i < vn ? i : vn - 1) * cw;
+                double *o = sv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = o[x] - kd * (dl[x] + dr[x]);
+            }
+            for (i = 0; i < vn; i++) {
+                const double *s0 = sv + (int64_t)i * cw;
+                const double *s1 =
+                    sv + (int64_t)(i + 1 < sh ? i + 1 : sh - 1) * cw;
+                double *o = dv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = o[x] - kg * (s0[x] + s1[x]);
+            }
+            for (i = 0; i < sh; i++) {
+                const double *dl = dv + (int64_t)(i > 0 ? i - 1 : 0) * cw;
+                const double *dr =
+                    dv + (int64_t)(i < vn ? i : vn - 1) * cw;
+                double *o = sv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = o[x] - kb * (dl[x] + dr[x]);
+            }
+            for (i = 0; i < vn; i++) {
+                const double *s0 = sv + (int64_t)i * cw;
+                const double *s1 =
+                    sv + (int64_t)(i + 1 < sh ? i + 1 : sh - 1) * cw;
+                double *o = a + (int64_t)(2 * i + 1) * W;
+                const double *dd = dv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = dd[x] - ka * (s0[x] + s1[x]);
+            }
+            for (i = 0; i < sh; i++) {
+                const double *s0 = sv + (int64_t)i * cw;
+                double *o = a + (int64_t)(2 * i) * W;
+                for (x = 0; x < cw; x++) o[x] = s0[x];
+            }
+        }
+    }
+    free(tmp);
+    free(line);
+    return 0;
+}

@@ -221,6 +221,11 @@ def test_refinement_tpgron_skips_typical_pixels(monkeypatch):
     with_tp = encode_jbig2_refinement(base, refined, tpgron=True)
     without = encode_jbig2_refinement(base, refined, tpgron=False)
 
+    # decision counting instruments the Python closure — force the
+    # Python path (the compiled kernel skips the same pixels but
+    # can't be counted from here)
+    monkeypatch.setattr(jb._cnative, "generic_session",
+                        lambda data: None)
     counts = []
     real = jb._mq_decode_fn
 

@@ -1,0 +1,198 @@
+"""Compiled-kernel (kernels/native) parity: the Python decode paths
+are the oracle; the C transcription must match them bit-for-bit on
+fuzzed inputs, including the awkward shapes (non-nominal AT pixels,
+TPGDON/TPGRON, USESKIP, bypass segments, 1-pixel-wide blocks)."""
+
+import numpy as np
+import pytest
+
+import archive_pdf_tools_spark.kernels.jbig2codec as jb
+from archive_pdf_tools_spark.kernels import native
+from archive_pdf_tools_spark.kernels.jp2codec import (_mq_decode_fn,
+                                                      t1_decode,
+                                                      t1_encode)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no C compiler in environment")
+
+
+def test_kernels_active_in_container():
+    assert native.status() == "compiled kernels active"
+
+
+def _py_generic(data, w, h, template, at, tpgdon, skip=None):
+    states = [0] * 65536
+    mps = [0] * 65536
+    return jb._decode_generic(_mq_decode_fn(data, states, mps), w, h,
+                              template, at, tpgdon, skip=skip)
+
+
+@pytest.mark.parametrize("template", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_generic_parity_nominal(template, tpgdon):
+    rng = np.random.default_rng(template * 10 + tpgdon)
+    for shape in [(57, 83), (4, 4), (1, 40), (33, 1)]:
+        bm = (rng.random(shape) < 0.35).astype(np.uint8)
+        stream = jb.encode_jbig2(bm, template=template, tpgdon=tpgdon)
+        # pull the embedded generic-region data out by decoding the
+        # whole file both ways instead of re-parsing segment headers
+        nat = jb.decode_jbig2(stream)
+        try:
+            native_save, native._lib = native._lib, None
+            py = jb.decode_jbig2(stream)
+        finally:
+            native._lib = native_save
+        assert np.array_equal(nat, py)
+        assert np.array_equal(nat, bm)
+
+
+def test_generic_parity_arbitrary_at():
+    """Foreign encoders may move AT pixels anywhere causal — the C
+    walk must agree with the Python general path, not just the
+    nominal fast path."""
+    rng = np.random.default_rng(99)
+    w, h = 61, 47
+    bm = (rng.random((h, w)) < 0.4).astype(np.uint8)
+    from archive_pdf_tools_spark.kernels.jp2codec import _mq_encode_fns
+    for at in [((-2, 5), (-1, -3), (-2, 2), (-2, -2)),
+               ((0, -2), (-1, -3), (-2, 2), (-2, -2)),
+               ((-1, 127), (-1, -3), (-2, 2), (-2, -2))]:
+        states = [0] * 65536
+        mps = [0] * 65536
+        encode, flush = _mq_encode_fns(states, mps)
+        jb._encode_generic_at(encode, bm, 0, at)
+        data = flush()
+        ses = native.generic_session(data)
+        assert ses is not None
+        nat = ses.decode_generic(w, h, 0, at, False)
+        py = _py_generic(data, w, h, 0, at, False)
+        assert np.array_equal(nat, py)
+        assert np.array_equal(nat, bm)
+
+
+def test_generic_parity_skip_and_shared_state():
+    """Halftone shape: several planes share one coder, with USESKIP."""
+    rng = np.random.default_rng(7)
+    w, h = 37, 29
+    planes = [(rng.random((h, w)) < 0.3).astype(np.uint8)
+              for _ in range(4)]
+    skip = (rng.random((h, w)) < 0.2).astype(np.uint8)
+    for p in planes:
+        p[skip == 1] = 0                     # skipped pixels carry 0
+    from archive_pdf_tools_spark.kernels.jp2codec import _mq_encode_fns
+    states = [0] * 65536
+    mps = [0] * 65536
+    encode, flush = _mq_encode_fns(states, mps)
+    at = jb._NOMINAL_AT[0]
+    for p in planes:
+        jb._encode_generic(encode, p, 0, False, skip=skip)
+    data = flush()
+
+    ses = native.generic_session(data)
+    nat = [ses.decode_generic(w, h, 0, at, False, skip=skip)
+           for _ in planes]
+    st = [0] * 65536
+    mp = [0] * 65536
+    dec = _mq_decode_fn(data, st, mp)
+    py = [jb._decode_generic(dec, w, h, 0, at, False, skip=skip)
+          for _ in planes]
+    for a, b, want in zip(nat, py, planes):
+        assert np.array_equal(a, b)
+        assert np.array_equal(a, want)
+
+
+@pytest.mark.parametrize("template", [0, 1])
+@pytest.mark.parametrize("tpgron", [False, True])
+def test_refinement_parity(template, tpgron):
+    rng = np.random.default_rng(template * 2 + tpgron)
+    base = (rng.random((44, 70)) < 0.5).astype(np.uint8)
+    refined = base.copy()
+    refined[rng.random((44, 70)) < 0.05] ^= 1
+    stream = jb.encode_jbig2_refinement(base, refined,
+                                        template=template,
+                                        tpgron=tpgron)
+    nat = jb.decode_jbig2(stream)
+    try:
+        native_save, native._lib = native._lib, None
+        py = jb.decode_jbig2(stream)
+    finally:
+        native._lib = native_save
+    assert np.array_equal(nat, py)
+    assert np.array_equal(nat, refined)
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "HH"])
+@pytest.mark.parametrize("bypass", [False, True])
+def test_t1_parity_fuzz(band, bypass):
+    rng = np.random.default_rng(hash((band, bypass)) % 2**32)
+    for shape in [(64, 64), (64, 1), (1, 64), (3, 5), (13, 64)]:
+        h, w = shape
+        for density in (0.05, 0.5, 0.95):
+            coefs = rng.integers(-2**14, 2**14, size=shape)
+            coefs[rng.random(shape) >= density] = 0
+            coefs = coefs.astype(np.int64)
+            data, npasses, numbps = t1_encode(coefs, band,
+                                              bypass=bypass)
+            if numbps == 0:
+                continue
+            segs = data if bypass else None
+            raw = b"" if bypass else data
+            py = t1_decode(raw, npasses, numbps, w, h, band,
+                           segments=segs, _native=False)
+            nat = t1_decode(raw, npasses, numbps, w, h, band,
+                            segments=segs)
+            assert np.array_equal(py, nat), (shape, density)
+
+
+def test_t1_truncated_passes_parity():
+    """Partial decode (fewer passes than encoded) — the progressive /
+    lossy path."""
+    rng = np.random.default_rng(5)
+    coefs = rng.integers(-4000, 4000, size=(32, 32)).astype(np.int64)
+    coefs[rng.random((32, 32)) < 0.5] = 0
+    data, npasses, numbps = t1_encode(coefs, "LL")
+    for n in range(1, npasses):
+        py = t1_decode(data, n, numbps, 32, 32, "LL", _native=False)
+        nat = t1_decode(data, n, numbps, 32, 32, "LL")
+        assert np.array_equal(py, nat), n
+
+
+@pytest.mark.parametrize("levels", [1, 2, 3, 5])
+def test_dwt_parity(levels):
+    """Inverse DWTs: int64 5/3 and float64 9/7 must be bit-identical
+    to the numpy lifting (the C build pins -ffp-contract=off so gcc
+    cannot fuse the 9/7 multiplies into FMAs)."""
+    from archive_pdf_tools_spark.kernels import jp2codec as jp
+
+    rng = np.random.default_rng(levels)
+    for dims in [(64, 64), (63, 61), (1, 50), (50, 1), (2, 3),
+                 (255, 129)]:
+        a = rng.integers(-10000, 10000, size=dims).astype(np.int64)
+        f = jp.dwt53_forward(a, levels)
+        nat = jp.dwt53_inverse(f, levels)
+        af = rng.normal(0, 1000, size=dims)
+        f97 = jp.dwt97_forward(af, levels)
+        nat97 = jp.dwt97_inverse(f97, levels)
+        try:
+            save, native._lib = native._lib, None
+            py = jp.dwt53_inverse(f, levels)
+            py97 = jp.dwt97_inverse(f97, levels)
+        finally:
+            native._lib = save
+        assert np.array_equal(nat, py)
+        assert np.array_equal(nat, a)        # perfect reconstruction
+        assert np.array_equal(nat97, py97)   # bit parity, not allclose
+
+
+def test_t1_numbps_out_of_range_falls_back():
+    """numbps > 31 exceeds the C kernel's uint32 magnitudes — the
+    wrapper must hand the call back to Python, not truncate."""
+    assert native.t1_native(b"\x00", 1, 32, 2, 2, "LL") is None
+
+
+def test_native_kill_switch(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CKERN", "0")
+    monkeypatch.setattr(native, "_tried", False)
+    monkeypatch.setattr(native, "_lib", None)
+    assert not native.available()
+    assert "disabled" in native.status()

@@ -15,7 +15,9 @@ def main(out="engine.zip"):
             if "__pycache__" in dirpath:
                 continue
             for fn in files:
-                if fn.endswith(".py"):
+                # .c: compiled-kernel source (kernels/native) — read
+                # through zipimport + importlib.resources on executors
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, ROOT))
     print(out_path)
