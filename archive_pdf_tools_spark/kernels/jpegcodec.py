@@ -493,6 +493,15 @@ def _decode_scan(data, scan_start, sos, frame, qtbl, hufftab,
         plan.append((comp, dsym, dlen, asym, alen))
 
     dcmax = 11 if frame.get("precision", 8) == 8 else 15
+    from . import native as _ckern
+
+    if _ckern.jpeg_scan_native(segments, comps, hufftab,
+                               restart_interval, n_mcus, mcus_x,
+                               dcmax):
+        # compiled kernel filled the coefficient stores (bit-identical
+        # walk; False falls through to the Python paths, which also
+        # own all error/exception behaviour)
+        return _assemble(frame, qtbl, fancy)
     if restart_interval and n_mcus > restart_interval * (_VEC_MIN_LANES - 1):
         # enough independent restart segments: vectorized lane decode
         expect = -(-n_mcus // restart_interval)
@@ -783,6 +792,11 @@ def _ycc_rgb_libjpeg(y, cb, cr) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
 
 
+def _ckern_mod():
+    from . import native
+    return native
+
+
 def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
     """Vectorized dequantize + IDCT per component, plane assembly,
     chroma upsample and colour conversion — shared by the baseline and
@@ -813,10 +827,14 @@ def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
         coefs *= q[None, :]
         blocks = coefs.reshape(-1, 8, 8)
         pix = np.ascontiguousarray(_blocks_mul(blocks, DCT_A.T, DCT_A))
-        np.round(pix, out=pix)
-        pix += shift
-        np.clip(pix, 0, maxv, out=pix)
-        pix = pix.astype(dtype)
+        fin = _ckern_mod().idct_finish_native(pix, shift, maxv, dtype)
+        if fin is not None:                  # fused C rint+shift+clip
+            pix = fin
+        else:
+            np.round(pix, out=pix)
+            pix += shift
+            np.clip(pix, 0, maxv, out=pix)
+            pix = pix.astype(dtype)
         bh, bw = comp["bh"], comp["bw"]
         plane = (pix.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
@@ -838,6 +856,10 @@ def _assemble(frame, qtbl, fancy: bool = False) -> np.ndarray:
         return planes[0]
     if fancy:
         return _ycc_rgb_libjpeg(planes[0], planes[1], planes[2])
+    out = _ckern_mod().ycc_rgb_native(planes[0], planes[1], planes[2],
+                                      shift, maxv, dtype)
+    if out is not None:                      # fused C conversion
+        return out
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - float(shift)
     cr = planes[2].astype(np.float64) - float(shift)

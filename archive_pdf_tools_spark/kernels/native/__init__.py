@@ -121,6 +121,26 @@ def _bind(lib) -> None:
         _I32P,
     ]
     lib.apts_t1_decode.restype = ctypes.c_int32
+    lib.apts_jpeg_scan.argtypes = [
+        _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, _I32P, _I32P, _I32P,
+        ctypes.POINTER(ctypes.c_int16), _I8P,
+        ctypes.POINTER(ctypes.c_int16), _I8P, _I32P, ctypes.c_int32,
+        _I32P, _I64P,
+    ]
+    lib.apts_jpeg_scan.restype = ctypes.c_int32
+    _DP = ctypes.POINTER(ctypes.c_double)
+    _U16 = ctypes.POINTER(ctypes.c_uint16)
+    lib.apts_idct_finish.argtypes = [_DP, ctypes.c_int64,
+                                     ctypes.c_int32, ctypes.c_int32,
+                                     _U8P, _U16]
+    lib.apts_idct_finish.restype = None
+    lib.apts_ycc_rgb.argtypes = [
+        _U16, _U16, _U16, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, _U8P, _U16,
+    ]
+    lib.apts_ycc_rgb.restype = None
     lib.apts_dwt53_inv.argtypes = [_I64P, ctypes.c_int32,
                                    ctypes.c_int32, ctypes.c_int32]
     lib.apts_dwt53_inv.restype = ctypes.c_int32
@@ -314,6 +334,97 @@ def t1_native(data: bytes, npasses: int, numbps: int, w: int, h: int,
         out.ctypes.data_as(_I32P))
     if rc:
         return None
+    return out
+
+
+def jpeg_scan_native(segments, comps, hufftab, restart_interval: int,
+                     n_mcus: int, mcus_x: int, dcmax: int) -> bool:
+    """Baseline Huffman scan walk through the compiled kernel.
+    Fills each comp's already-allocated int32 ``coef`` store in place
+    and returns True; False means 'run the Python walk' (kernel
+    unavailable or the C walk hit an error site whose exception
+    belongs to Python)."""
+    lib = _load()
+    if lib is None or len(comps) > 4:
+        return False
+    keys = []
+    for comp in comps:
+        for key in ((0, comp["td"]), (1, comp["ta"])):
+            if key not in keys:
+                keys.append(key)
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    dsym = np.concatenate([np.ascontiguousarray(hufftab[k][0],
+                                                dtype=np.int16)
+                           for k in keys])
+    dlen = np.concatenate([np.ascontiguousarray(hufftab[k][1],
+                                                dtype=np.int8)
+                           for k in keys])
+    tab_idx = np.array(
+        [[keys.index((0, c["td"])), keys.index((1, c["ta"]))]
+         for c in comps], dtype=np.int32).ravel()
+    segbuf = np.frombuffer(b"".join(segments) + b"\x00", dtype=np.uint8)
+    offs = np.zeros(len(segments) + 1, dtype=np.int64)
+    if segments:
+        offs[1:] = np.cumsum([len(s) for s in segments])
+    sizes = [c["coef"].size for c in comps]
+    coef_off = np.zeros(len(comps), dtype=np.int64)
+    coef_off[1:] = np.cumsum(sizes[:-1])
+    coef = np.zeros(int(sum(sizes)), dtype=np.int32)
+    cv = np.array([c["v"] for c in comps], dtype=np.int32)
+    ch = np.array([c["h"] for c in comps], dtype=np.int32)
+    cbw = np.array([c["bw"] for c in comps], dtype=np.int32)
+    rc = lib.apts_jpeg_scan(
+        _u8(segbuf), offs.ctypes.data_as(_I64P), len(segments),
+        restart_interval, n_mcus, mcus_x, len(comps),
+        cv.ctypes.data_as(_I32P), ch.ctypes.data_as(_I32P),
+        cbw.ctypes.data_as(_I32P), dsym.ctypes.data_as(i16),
+        dlen.ctypes.data_as(_I8P), dsym.ctypes.data_as(i16),
+        dlen.ctypes.data_as(_I8P), tab_idx.ctypes.data_as(_I32P),
+        dcmax, coef.ctypes.data_as(_I32P),
+        coef_off.ctypes.data_as(_I64P))
+    if rc:
+        return False
+    for c, off, size in zip(comps, coef_off, sizes):
+        c["coef"][...] = coef[off:off + size].reshape(c["coef"].shape)
+    return True
+
+
+def idct_finish_native(pix: np.ndarray, shift: int, maxv: int, dtype):
+    """clip(round(pix) + shift, 0, maxv).astype(dtype) fused in C;
+    None means 'do it in numpy'."""
+    lib = _load()
+    if lib is None:
+        return None
+    pix = np.ascontiguousarray(pix, dtype=np.float64)
+    out = np.empty(pix.shape, dtype=dtype)
+    p8 = _u8(out) if dtype == np.uint8 else None
+    p16 = (out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+           if dtype != np.uint8 else None)
+    lib.apts_idct_finish(
+        pix.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), pix.size,
+        shift, maxv, p8, p16)
+    return out
+
+
+def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                   shift: int, maxv: int, dtype, k=(1.402, 0.344136,
+                                                   0.714136, 1.772)):
+    """Interleaved RGB from Y/Cb/Cr planes (the default BT.601 float
+    conversion in jpegcodec._assemble), fused rint+clip+cast in C;
+    None means 'do it in numpy'."""
+    lib = _load()
+    if lib is None:
+        return None
+    u16 = ctypes.POINTER(ctypes.c_uint16)
+    y = np.ascontiguousarray(y, dtype=np.uint16)
+    cb = np.ascontiguousarray(cb, dtype=np.uint16)
+    cr = np.ascontiguousarray(cr, dtype=np.uint16)
+    out = np.empty(y.shape + (3,), dtype=dtype)
+    p8 = _u8(out) if dtype == np.uint8 else None
+    p16 = out.ctypes.data_as(u16) if dtype != np.uint8 else None
+    lib.apts_ycc_rgb(y.ctypes.data_as(u16), cb.ctypes.data_as(u16),
+                     cr.ctypes.data_as(u16), y.size, shift, maxv,
+                     k[0], k[1], k[2], k[3], p8, p16)
     return out
 
 

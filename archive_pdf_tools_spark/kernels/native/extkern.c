@@ -688,6 +688,211 @@ done:
     return rc;
 }
 
+/* ------------------------------------------------ JPEG baseline scan
+ *
+ * Mirrors jpegcodec._decode_scan's hand-flattened scalar Huffman walk
+ * (40-bit accumulator, zero-fed tail with pad counting, per-MCU
+ * restart resets).  Tables are the Python module's 2^16-peek arrays
+ * (sym int16 with -1 invalid, len int8), stacked per component by the
+ * wrapper.  Error codes mirror the Python raise sites; the caller
+ * falls back to Python for the exact exception.
+ */
+EXPORT int apts_jpeg_scan(
+    const uint8_t *segbuf, const int64_t *segoff, int32_t nseg,
+    int32_t ri, int64_t n_mcus, int32_t mcus_x, int32_t ncomp,
+    const int32_t *cv, const int32_t *ch, const int32_t *cbw,
+    const int16_t *dsym_stack, const int8_t *dlen_stack,
+    const int16_t *asym_stack, const int8_t *alen_stack,
+    const int32_t *tab_idx,     /* per comp: (dc_tab, ac_tab) pairs */
+    int32_t dcmax, int32_t *coef, const int64_t *coef_off) {
+    uint64_t buf = 0;
+    int32_t cnt = 0, pad = 0;
+    int64_t pos = 0, mcu;
+    int32_t seg_idx = 0, c;
+    const uint8_t *seg = segbuf + segoff[0];
+    int64_t seglen = segoff[1] - segoff[0];
+    int32_t pred[8] = {0};
+    if (ncomp < 1 || ncomp > 4) return 3;
+    for (mcu = 0; mcu < n_mcus; mcu++) {
+        int64_t my, mx;
+        if (ri && mcu && mcu % ri == 0) {
+            seg_idx++;
+            if (seg_idx >= nseg) return 5; /* truncated restart seg */
+            seg = segbuf + segoff[seg_idx];
+            seglen = segoff[seg_idx + 1] - segoff[seg_idx];
+            pos = 0;
+            buf = 0;
+            cnt = 0;
+            pad = 0;
+            memset(pred, 0, sizeof(pred));
+        }
+        my = mcu / mcus_x;
+        mx = mcu % mcus_x;
+        for (c = 0; c < ncomp; c++) {
+            const int16_t *dsym =
+                dsym_stack + (int64_t)tab_idx[2 * c] * 65536;
+            const int8_t *dlen =
+                dlen_stack + (int64_t)tab_idx[2 * c] * 65536;
+            const int16_t *asym =
+                asym_stack + (int64_t)tab_idx[2 * c + 1] * 65536;
+            const int8_t *alen =
+                alen_stack + (int64_t)tab_idx[2 * c + 1] * 65536;
+            int32_t cvv = cv[c], chh = ch[c], cbww = cbw[c];
+            int32_t *flat = coef + coef_off[c];
+            int32_t p = pred[c], by, bx;
+            for (by = 0; by < cvv; by++) {
+                for (bx = 0; bx < chh; bx++) {
+                    int64_t base =
+                        (((my * cvv + by) * cbww) + mx * chh + bx) * 64;
+                    int32_t peek, t, k;
+                    /* --- DC --- */
+                    if (cnt < 16) {
+                        while (cnt <= 24) {
+                            buf = (buf << 8) |
+                                  (pos < seglen ? seg[pos] : 0);
+                            pad += pos >= seglen;
+                            pos++;
+                            cnt += 8;
+                        }
+                        buf &= 0xFFFFFFFFFFull;
+                    }
+                    peek = (int32_t)((buf >> (cnt - 16)) & 0xFFFF);
+                    t = dsym[peek];
+                    if (t < 0 || t > dcmax) return 6; /* bad DC code */
+                    cnt -= dlen[peek];
+                    if (t) {
+                        int32_t v;
+                        if (cnt < t) {
+                            while (cnt <= 24) {
+                                buf = (buf << 8) |
+                                      (pos < seglen ? seg[pos] : 0);
+                                pad += pos >= seglen;
+                                pos++;
+                                cnt += 8;
+                            }
+                            buf &= 0xFFFFFFFFFFull;
+                        }
+                        cnt -= t;
+                        v = (int32_t)((buf >> cnt) &
+                                      ((1u << t) - 1));
+                        p += (v >> (t - 1)) ? v : v - (1 << t) + 1;
+                        if (!(-(1 << 20) < p && p < (1 << 20)))
+                            return 7;        /* DC accumulator range */
+                    }
+                    flat[base] = p;
+                    /* --- AC --- */
+                    k = 1;
+                    while (k < 64) {
+                        int32_t rs, s;
+                        if (cnt < 16) {
+                            while (cnt <= 24) {
+                                buf = (buf << 8) |
+                                      (pos < seglen ? seg[pos] : 0);
+                                pad += pos >= seglen;
+                                pos++;
+                                cnt += 8;
+                            }
+                            buf &= 0xFFFFFFFFFFull;
+                        }
+                        peek = (int32_t)((buf >> (cnt - 16)) & 0xFFFF);
+                        rs = asym[peek];
+                        if (rs < 0) return 8; /* invalid Huffman code */
+                        cnt -= alen[peek];
+                        s = rs & 0x0F;
+                        if (s == 0) {
+                            if (rs == 0xF0) {
+                                k += 16;
+                                continue;
+                            }
+                            break;           /* EOB */
+                        }
+                        k += rs >> 4;
+                        if (k > 63) return 9; /* AC index overflow */
+                        {
+                            int32_t v;
+                            if (cnt < s) {
+                                while (cnt <= 24) {
+                                    buf = (buf << 8) |
+                                          (pos < seglen ? seg[pos] : 0);
+                                    pad += pos >= seglen;
+                                    pos++;
+                                    cnt += 8;
+                                }
+                                buf &= 0xFFFFFFFFFFull;
+                            }
+                            cnt -= s;
+                            v = (int32_t)((buf >> cnt) &
+                                          ((1u << s) - 1));
+                            flat[base + k] =
+                                (v >> (s - 1)) ? v : v - (1 << s) + 1;
+                        }
+                        k++;
+                    }
+                }
+            }
+            pred[c] = p;
+        }
+        if (pad > 8) return 10;              /* entropy exhausted */
+    }
+    return 0;
+}
+
+/* ----------------------------------------------- JPEG pixel finish
+ *
+ * Fused elementwise tails of jpegcodec._assemble, bit-identical to
+ * the numpy expression trees (rint = banker's rounding, exactly
+ * np.round(decimals=0); -ffp-contract=off build).
+ */
+#include <math.h>
+
+/* pix = clip(round(pix) + shift, 0, maxv) cast to u8/u16 */
+EXPORT void apts_idct_finish(const double *pix, int64_t n, int32_t shift,
+                             int32_t maxv, uint8_t *out8,
+                             uint16_t *out16) {
+    int64_t i;
+    if (out8) {
+        for (i = 0; i < n; i++) {
+            double v = rint(pix[i]) + shift;
+            out8[i] = (uint8_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+        }
+    } else {
+        for (i = 0; i < n; i++) {
+            double v = rint(pix[i]) + shift;
+            out16[i] = (uint16_t)(v < 0 ? 0 : (v > maxv ? maxv : v));
+        }
+    }
+}
+
+/* interleaved RGB from u8/u16 planes: float64 BT.601 floats, rint,
+ * clip — mirrors the default (non-fancy) conversion in _assemble */
+EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
+                         const uint16_t *cr, int64_t n, int32_t shift,
+                         int32_t maxv, double kcr, double kcbg,
+                         double kcrg, double kcb, uint8_t *out8,
+                         uint16_t *out16) {
+    int64_t i;
+    for (i = 0; i < n; i++) {
+        double yf = (double)y[i];
+        double cbf = (double)cb[i] - (double)shift;
+        double crf = (double)cr[i] - (double)shift;
+        double r = rint(yf + kcr * crf);
+        double g = rint(yf - kcbg * cbf - kcrg * crf);
+        double b = rint(yf + kcb * cbf);
+        r = r < 0 ? 0 : (r > maxv ? maxv : r);
+        g = g < 0 ? 0 : (g > maxv ? maxv : g);
+        b = b < 0 ? 0 : (b > maxv ? maxv : b);
+        if (out8) {
+            out8[3 * i] = (uint8_t)r;
+            out8[3 * i + 1] = (uint8_t)g;
+            out8[3 * i + 2] = (uint8_t)b;
+        } else {
+            out16[3 * i] = (uint16_t)r;
+            out16[3 * i + 1] = (uint16_t)g;
+            out16[3 * i + 2] = (uint16_t)b;
+        }
+    }
+}
+
 /* --------------------------------------------------- inverse DWTs
  *
  * Mirrors jp2codec.dwt53_inverse / dwt97_inverse (Mallat layout,

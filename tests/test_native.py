@@ -157,6 +157,56 @@ def test_t1_truncated_passes_parity():
         assert np.array_equal(py, nat), n
 
 
+def test_jpeg_scan_and_finish_parity():
+    """Baseline Huffman walk + fused IDCT/YCbCr finishers: gray, RGB
+    4:2:0/4:4:4, restart intervals, 12-bit extended — all byte-equal
+    to the Python paths."""
+    from archive_pdf_tools_spark.kernels import jpegcodec as jc
+
+    rng = np.random.default_rng(77)
+    gray = np.clip(rng.normal(180, 40, (120, 88)), 0, 255).astype(
+        np.uint8)
+    rgb = np.stack([gray, 255 - gray,
+                    np.roll(gray, 7, axis=1)], axis=-1)
+    streams = [
+        jc.encode_baseline(gray, quality=85),
+        jc.encode_baseline(rgb, quality=85),
+        jc.encode_baseline(rgb, quality=40, subsample=(2, 2)),
+        jc.encode_baseline(rgb, quality=85, restart_interval=4),
+        jc.encode_extended(
+            rng.integers(0, 4096, (56, 40, 3)).astype(np.uint16),
+            quality=90),
+    ]
+    for i, data in enumerate(streams):
+        nat = jc.decode_baseline(data)
+        try:
+            save, native._lib = native._lib, None
+            py = jc.decode_baseline(data)
+        finally:
+            native._lib = save
+        assert np.array_equal(nat, py), i
+
+
+def test_jpeg_truncated_stream_matches_python():
+    """A truncated entropy segment must raise the same JpegError
+    whether the C walk or the Python walk sees it first (the C kernel
+    reports an error code and Python re-raises from its own walk)."""
+    from archive_pdf_tools_spark.kernels import jpegcodec as jc
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    data = jc.encode_baseline(img, quality=85)
+    bad = data[:len(data) // 2] + b"\xff\xd9"
+    with pytest.raises(jc.JpegError):
+        jc.decode_baseline(bad)
+    try:
+        save, native._lib = native._lib, None
+        with pytest.raises(jc.JpegError):
+            jc.decode_baseline(bad)
+    finally:
+        native._lib = save
+
+
 @pytest.mark.parametrize("levels", [1, 2, 3, 5])
 def test_dwt_parity(levels):
     """Inverse DWTs: int64 5/3 and float64 9/7 must be bit-identical
