@@ -280,6 +280,37 @@ def _refinement_region(data: bytes, w: int, h: int, template: int,
                               template, rat, ref, 0, 0, tpgron)
 
 
+def _mq_region_codeword(regions) -> bytes:
+    """Encode a sequence of generic regions through ONE shared MQ
+    coder and flush — compiled kernel when available, else the Python
+    encoders.  ``regions``: iterable of (bitmap, template, at, tpgdon,
+    skip); ``at=None`` means nominal (the Python fast path); explicit
+    ``at`` implies tpgdon=False/skip=None (the pattern-dictionary
+    shape)."""
+    regions = list(regions)
+    cap = sum(int(np.asarray(bm).size) for bm, *_ in regions) // 2 \
+        + 2048
+    ses = _cnative.generic_encode_session(cap)
+    if ses is not None:
+        try:
+            for bm, template, at, tpgdon, skip in regions:
+                ses.encode_generic(bm, template, at, tpgdon, skip)
+            return ses.flush()
+        except _cnative.NativeError:
+            pass
+    states = [0] * 65536
+    mps = [0] * 65536
+    encode, flush = _mq_encode_fns(states, mps)
+    for bm, template, at, tpgdon, skip in regions:
+        if at is None:
+            _encode_generic(encode, np.asarray(bm, dtype=np.uint8),
+                            template, tpgdon, skip=skip)
+        else:
+            _encode_generic_at(encode, np.asarray(bm, dtype=np.uint8),
+                               template, at)
+    return flush()
+
+
 def _init_window(r, a: int, b: int) -> int:
     """Window [x-a .. x+b] value at x=0 (pixels left of the image = 0)."""
     c = 0
@@ -970,12 +1001,9 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
         pd_data = encode_g4(coll)
         pd_flags = 1
     else:
-        states = [0] * 65536
-        mps = [0] * 65536
-        enc, flush = _mq_encode_fns(states, mps)
-        _encode_generic_at(enc, coll, template,
-                           _pattern_dict_at(template, hpw))
-        pd_data = flush()
+        pd_data = _mq_region_codeword(
+            [(coll, template, _pattern_dict_at(template, hpw), False,
+              None)])
         pd_flags = template << 1
     pd_payload = (bytes((pd_flags,)) + bytes((hpw, hph))
                   + graymax.to_bytes(4, "big") + pd_data)
@@ -1000,12 +1028,9 @@ def encode_jbig2_halftone(gray, patterns, template: int = 0,
         from .ccittcodec import encode_g4_planes
         gray_data = encode_g4_planes(planes)
     else:
-        st2 = [0] * 65536
-        mp2 = [0] * 65536
-        enc2, flush2 = _mq_encode_fns(st2, mp2)
-        for plane in planes:
-            _encode_generic(enc2, plane, template, False, skip=hskip)
-        gray_data = flush2()
+        gray_data = _mq_region_codeword(
+            [(plane, template, None, False, hskip)
+             for plane in planes])
     ht_flags = ((1 if mmr else 0) | (template << 1)
                 | ((1 << 3) if enable_skip else 0))
     ht_payload = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
@@ -1715,11 +1740,7 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
     bm = (bm != 0).astype(np.uint8)
     h, w = bm.shape
 
-    states = [0] * 65536
-    mps = [0] * 65536
-    encode, flush = _mq_encode_fns(states, mps)
-    _encode_generic(encode, bm, template, tpgdon)
-    mq = flush()
+    mq = _mq_region_codeword([(bm, template, None, tpgdon, None)])
 
     at = _NOMINAL_AT[template]
     gflags = (template << 1) | (8 if tpgdon else 0)
@@ -1759,11 +1780,7 @@ def encode_jbig2_refinement(base: np.ndarray, refined: np.ndarray,
         raise ValueError("refinement template must be 0 or 1")
     h, w = bb.shape
 
-    states = [0] * 65536
-    mps = [0] * 65536
-    encode, flush = _mq_encode_fns(states, mps)
-    _encode_generic(encode, bb, 0, True)
-    base_mq = flush()
+    base_mq = _mq_region_codeword([(bb, 0, None, True, None)])
     base_region = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
                    + bytes(8) + b"\x00"
                    + bytes(((0 << 1) | 8,)))

@@ -660,6 +660,13 @@ def t1_encode(coefs: np.ndarray, band: str, bypass: bool = False):
     numbps = int(mags.max()).bit_length()
     if numbps == 0:
         return ([] if bypass else b""), 0, 0
+    from . import native as _ckern
+
+    segs = _ckern.t1_encode_native(
+        mags, np.asarray(coefs) < 0, w, h, numbps, bypass, band)
+    if segs is not None:                     # byte-identical C walk
+        npasses = 3 * numbps - 2
+        return (segs if bypass else segs[0]), npasses, numbps
     zc = _ZC_TABS[_BAND_CLASS[band]]
     sc = _SC_TAB
     stride = w + 2
@@ -1575,6 +1582,12 @@ def dwt53_forward(a: np.ndarray, levels: int) -> np.ndarray:
     """Multi-level forward reversible 5/3 DWT, Mallat (in-place) layout.
     Per level: vertical split then horizontal (the inverse mirrors)."""
     a = a.astype(np.int64).copy()
+    if levels > 0:
+        from . import native as _ckern
+
+        res = _ckern.dwt53_forward_native(a, levels)
+        if res is not None:
+            return res
     h, w = a.shape
     ch, cw = h, w
     for _ in range(levels):
@@ -1678,6 +1691,13 @@ def _inv97_axis0(s: np.ndarray, d: np.ndarray, n: int) -> np.ndarray:
 
 def dwt97_forward(a: np.ndarray, levels: int) -> np.ndarray:
     a = a.astype(np.float64).copy()
+    if levels > 0:
+        from . import native as _ckern
+
+        res = _ckern.dwt97_forward_native(a, levels, _A97, _B97, _G97,
+                                          _D97, _K97)
+        if res is not None:
+            return res
     h, w = a.shape
     ch, cw = h, w
     for _ in range(levels):

@@ -151,6 +151,26 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    lib.apts_dwt53_fwd.argtypes = lib.apts_dwt53_inv.argtypes
+    lib.apts_dwt53_fwd.restype = ctypes.c_int32
+    lib.apts_dwt97_fwd.argtypes = lib.apts_dwt97_inv.argtypes
+    lib.apts_dwt97_fwd.restype = ctypes.c_int32
+    lib.apts_t1_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), _U8P, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, _U8P, _U8P,
+        _U8P, _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _U8P, ctypes.c_int64, _I64P, _I32P,
+    ]
+    lib.apts_t1_encode.restype = ctypes.c_int32
+    lib.apts_jb2_encode_generic.argtypes = [
+        _U8P, ctypes.c_int32, ctypes.c_int32, _I8P, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, _U8P, _U8P, _U8P, _I64P,
+        _U8P, ctypes.c_int64,
+    ]
+    lib.apts_jb2_encode_generic.restype = ctypes.c_int32
+    lib.apts_jb2_encode_flush.argtypes = [_I64P, _U8P,
+                                          ctypes.c_int64, _I64P]
+    lib.apts_jb2_encode_flush.restype = ctypes.c_int32
 
 
 def _u8(a: np.ndarray):
@@ -337,6 +357,90 @@ def t1_native(data: bytes, npasses: int, numbps: int, w: int, h: int,
     return out
 
 
+def t1_encode_native(mags: np.ndarray, signs: np.ndarray, w: int,
+                     h: int, numbps: int, bypass: bool, band: str):
+    """Compiled T1 block encode; returns the list of codeword
+    segments (one element when a single coder serves all passes), or
+    None meaning 'use the Python encoder'."""
+    lib = _load()
+    if lib is None or not 1 <= numbps <= 31:
+        return None
+    zc, sc_ctx, sc_xor, init, ctx_run, ctx_uni = _t1_tables(band)
+    fm = np.ascontiguousarray(mags, dtype=np.uint32).ravel()
+    fs = np.ascontiguousarray(signs, dtype=np.uint8).ravel()
+    npasses = 3 * numbps - 2
+    cap = int(fm.size) * numbps // 2 + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    segoff = np.zeros(npasses + 2, dtype=np.int64)
+    nseg = ctypes.c_int32(0)
+    rc = lib.apts_t1_encode(
+        fm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), _u8(fs),
+        w, h, numbps, 1 if bypass else 0, _u8(zc), _u8(sc_ctx),
+        _u8(sc_xor), _u8(init), len(init), ctx_run, ctx_uni, _u8(out),
+        cap, segoff.ctypes.data_as(_I64P), ctypes.byref(nseg))
+    if rc:
+        return None
+    return [out[segoff[k]:segoff[k + 1]].tobytes()
+            for k in range(nseg.value)]
+
+
+class GenericEncodeSession:
+    """One MQ-coder ENCODE session shared across the generic regions
+    of a JBIG2 segment (mirror of the decode-side GenericSession)."""
+
+    __slots__ = ("_lib", "_regs", "_states", "_mps", "_buf", "_cap")
+
+    def __init__(self, lib, cap: int):
+        self._lib = lib
+        self._regs = np.zeros(4, dtype=np.int64)   # olen=0: fresh
+        self._states = np.zeros(65536, dtype=np.uint8)
+        self._mps = np.zeros(65536, dtype=np.uint8)
+        self._cap = int(cap)
+        self._buf = np.empty(self._cap, dtype=np.uint8)
+
+    def encode_generic(self, bitmap: np.ndarray, template: int, at,
+                       tpgdon: bool, skip=None) -> None:
+        from ..jbig2codec import (_NOMINAL_AT, _TPGDON_CTX,
+                                  _sorted_template)
+
+        if at is None:
+            at = _NOMINAL_AT[template]
+        pix = np.array(_sorted_template(template, at),
+                       dtype=np.int8).ravel()
+        bm = np.ascontiguousarray(bitmap, dtype=np.uint8)
+        h, w = bm.shape
+        skip_p = ctypes.cast(None, _U8P)
+        if skip is not None:
+            skip = np.ascontiguousarray(skip, dtype=np.uint8)
+            skip_p = _u8(skip)
+        rc = self._lib.apts_jb2_encode_generic(
+            _u8(bm), w, h, pix.ctypes.data_as(_I8P), len(pix) // 2,
+            1 if tpgdon else 0, _TPGDON_CTX[template], skip_p,
+            _u8(self._states), _u8(self._mps),
+            self._regs.ctypes.data_as(_I64P), _u8(self._buf),
+            self._cap)
+        if rc:
+            raise NativeError(f"jb2_encode_generic rc={rc}")
+
+    def flush(self) -> bytes:
+        start = ctypes.c_int64(0)
+        rc = self._lib.apts_jb2_encode_flush(
+            self._regs.ctypes.data_as(_I64P), _u8(self._buf),
+            self._cap, ctypes.byref(start))
+        if rc:
+            raise NativeError(f"jb2_encode_flush rc={rc}")
+        return self._buf[start.value:self._regs[3]].tobytes()
+
+
+def generic_encode_session(cap: int):
+    """A compiled-kernel MQ encode session (capacity in bytes), or
+    None (pure Python) when the kernels are unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    return GenericEncodeSession(lib, cap)
+
+
 def jpeg_scan_native(segments, comps, hufftab, restart_interval: int,
                      n_mcus: int, mcus_x: int, dcmax: int) -> bool:
     """Baseline Huffman scan walk through the compiled kernel.
@@ -426,6 +530,35 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+def dwt53_forward_native(a: np.ndarray, levels: int):
+    """In-place multi-level forward 5/3; None = use Python."""
+    lib = _load()
+    if lib is None or levels <= 0:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    h, w = a.shape
+    rc = lib.apts_dwt53_fwd(a.ctypes.data_as(_I64P), h, w, levels)
+    if rc:
+        return None
+    return a
+
+
+def dwt97_forward_native(a: np.ndarray, levels: int, ka: float,
+                         kb: float, kg: float, kd: float, kk: float):
+    """In-place multi-level forward 9/7; None = use Python."""
+    lib = _load()
+    if lib is None or levels <= 0:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    h, w = a.shape
+    rc = lib.apts_dwt97_fwd(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), h, w,
+        levels, ka, kb, kg, kd, kk)
+    if rc:
+        return None
+    return a
 
 
 def dwt53_inverse_native(a: np.ndarray, levels: int):

@@ -313,9 +313,8 @@ typedef struct {
     int32_t rbit;
 } T1;
 
-static inline void t1_set_sig(T1 *t, int64_t i, int neg) {
-    int32_t *f = t->f;
-    int32_t s = t->stride;
+static inline void t1_set_sig(int32_t *f, int32_t s, int64_t i,
+                              int neg) {
     f[i] |= F_SIG;
     if (neg) {
         f[i - 1] |= 2 | 4096;      /* E | ENEG */
@@ -387,7 +386,7 @@ static void t1_spp(T1 *t, int p) {
                 key = (uint32_t)((fl & 0xF) | ((fl >> 7) & 0xF0));
                 d = mq_decode(&t->mq, t->states, t->mps, t->sc_ctx[key]);
                 sg = d ^ t->sc_xor[key];
-                t1_set_sig(t, i, sg);
+                t1_set_sig(t->f, t->stride, i, sg);
                 {
                     int64_t j = (int64_t)(y0 + k) * w + x;
                     t->mag[j] |= bit;
@@ -419,7 +418,7 @@ static int t1_spp_raw(T1 *t, int p) {
                 }
                 sg = t1_raw_bit(t, &err); /* raw sign: no ctx, no XOR */
                 if (err) return 1;
-                t1_set_sig(t, i, sg);
+                t1_set_sig(t->f, t->stride, i, sg);
                 {
                     int64_t j = (int64_t)(y0 + k) * w + x;
                     t->mag[j] |= bit;
@@ -512,7 +511,7 @@ static void t1_cup(T1 *t, int p) {
                     int sg = mq_decode(&t->mq, t->states, t->mps,
                                        t->sc_ctx[key]) ^
                              t->sc_xor[key];
-                    t1_set_sig(t, i, sg);
+                    t1_set_sig(t->f, t->stride, i, sg);
                     t->mag[j] |= bit;
                     t->neg[j] = (uint8_t)sg;
                 }
@@ -535,7 +534,7 @@ static void t1_cup(T1 *t, int p) {
                 sg = mq_decode(&t->mq, t->states, t->mps,
                                t->sc_ctx[key]) ^
                      t->sc_xor[key];
-                t1_set_sig(t, i, sg);
+                t1_set_sig(t->f, t->stride, i, sg);
                 {
                     int64_t j = j0 + (int64_t)k * w;
                     t->mag[j] |= bit;
@@ -686,6 +685,561 @@ done:
     free(t.mag);
     free(t.neg);
     return rc;
+}
+
+/* ------------------------------------------------------ MQ encoder
+ *
+ * Mirrors jp2codec._mq_encode_fns (software conventions, carry into
+ * the emitted bytes, scratch byte at out[0] dropped unless a carry
+ * reached it).  State travels as regs = {a, c, ct, olen} so a Python
+ * session can interleave calls (halftone planes, bypass segments).
+ */
+typedef struct {
+    uint8_t *out;
+    int64_t olen, cap;
+    uint32_t c;
+    int32_t a, ct;
+    int err;
+} MQE;
+
+static void mqe_byteout(MQE *e) {
+    if (e->olen >= e->cap) {
+        e->err = 1;
+        return;
+    }
+    if (e->out[e->olen - 1] == 0xFF) {
+        e->out[e->olen++] = (uint8_t)((e->c >> 20) & 0xFF);
+        e->c &= 0xFFFFF;
+        e->ct = 7;
+    } else {
+        if (e->c & 0x8000000) {
+            e->out[e->olen - 1] += 1;
+            e->c &= 0x7FFFFFF;
+            if (e->out[e->olen - 1] == 0xFF) {
+                e->out[e->olen++] = (uint8_t)((e->c >> 20) & 0xFF);
+                e->c &= 0xFFFFF;
+                e->ct = 7;
+                return;
+            }
+        }
+        e->out[e->olen++] = (uint8_t)((e->c >> 19) & 0xFF);
+        e->c &= 0x7FFFF;
+        e->ct = 8;
+    }
+}
+
+static void mqe_encode(MQE *e, uint8_t *states, uint8_t *mps,
+                       uint32_t ctx, int d) {
+    int i = states[ctx];
+    uint32_t qe = g_qe[i];
+    if (d == mps[ctx]) {
+        e->a -= (int32_t)qe;
+        if (e->a & 0x8000) {
+            e->c += qe;
+            return;
+        }
+        if ((uint32_t)e->a < qe)
+            e->a = (int32_t)qe;
+        else
+            e->c += qe;
+        states[ctx] = g_nmps[i];
+    } else {
+        e->a -= (int32_t)qe;
+        if ((uint32_t)e->a < qe)
+            e->c += qe;
+        else
+            e->a = (int32_t)qe;
+        if (g_sw[i]) mps[ctx] = (uint8_t)(1 - mps[ctx]);
+        states[ctx] = g_nlps[i];
+    }
+    do {
+        e->a = (e->a << 1) & 0xFFFF;
+        e->c <<= 1;
+        e->ct -= 1;
+        if (e->ct == 0) mqe_byteout(e);
+    } while (!(e->a & 0x8000));
+}
+
+/* SETBITS + final byteouts; returns [start, olen) as the codeword. */
+static void mqe_flush(MQE *e, int64_t *start) {
+    uint32_t tempc = e->c + (uint32_t)e->a;
+    e->c |= 0xFFFF;
+    if (e->c >= tempc) e->c -= 0x8000;
+    e->c <<= e->ct;
+    mqe_byteout(e);
+    e->c <<= e->ct;
+    mqe_byteout(e);
+    if (e->olen && e->out[e->olen - 1] == 0xFF) e->olen--;
+    *start = (e->out[0] == 0) ? 1 : 0;
+}
+
+static void mqe_init(MQE *e, uint8_t *out, int64_t cap) {
+    e->out = out;
+    e->cap = cap;
+    e->out[0] = 0;
+    e->olen = 1;
+    e->a = 0x8000;
+    e->c = 0;
+    e->ct = 12;
+    e->err = 0;
+}
+
+/* Raw bit writer (B.10.1 stuffing), mirrors jp2codec._BioWriter. */
+typedef struct {
+    uint8_t *out;
+    int64_t olen, cap;
+    uint32_t buf;
+    int32_t ct;
+    int err;
+} BIOW;
+
+static void biow_init(BIOW *b, uint8_t *out, int64_t cap) {
+    b->out = out;
+    b->olen = 0;
+    b->cap = cap;
+    b->buf = 0;
+    b->ct = 8;
+    b->err = 0;
+}
+
+static void biow_write(BIOW *b, int bit) {
+    b->buf = (b->buf << 1) | (uint32_t)(bit & 1);
+    b->ct -= 1;
+    if (b->ct == 0) {
+        if (b->olen >= b->cap) {
+            b->err = 1;
+            return;
+        }
+        b->out[b->olen++] = (uint8_t)b->buf;
+        b->ct = (b->buf == 0xFF) ? 7 : 8;
+        b->buf = 0;
+    }
+}
+
+static void biow_flush(BIOW *b) {
+    while (!(b->ct == 8 || b->ct == 7) || b->buf) biow_write(b, 0);
+    if (b->ct == 7) {
+        biow_write(b, 0);
+        while (b->buf || b->ct != 8) biow_write(b, 0);
+    }
+    if (b->olen && b->out[b->olen - 1] == 0xFF) {
+        if (b->olen >= b->cap) {
+            b->err = 1;
+            return;
+        }
+        b->out[b->olen++] = 0;
+    }
+}
+
+/* ------------------------------------------------------ T1 encoder
+ *
+ * Plain-walk mirror of jp2codec.t1_encode (whose passes are already
+ * plain walks).  Emits the codeword segments concatenated into out
+ * with segoff boundaries; non-bypass emits one segment.
+ */
+typedef struct {
+    int32_t *f;
+    const uint32_t *fm;
+    const uint8_t *fs;
+    int32_t w, h, stride;
+    const uint8_t *zc, *sc_ctx, *sc_xor;
+    uint8_t *states, *mps;
+    int32_t ctx_run, ctx_uni;
+} T1E;
+
+static void t1e_spp(T1E *t, int p, MQE *e) {
+    int32_t w = t->w, h = t->h, s = t->stride, y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            int64_t i = (int64_t)(y0 + 1) * s + x + 1;
+            int64_t j = (int64_t)y0 * w + x;
+            for (k = 0; k < rows; k++) {
+                int32_t fl = t->f[i];
+                if (!(fl & F_SIG) && (fl & NB_MASK)) {
+                    int bit = (int)((t->fm[j] >> p) & 1);
+                    mqe_encode(e, t->states, t->mps,
+                               t->zc[fl & NB_MASK], bit);
+                    t->f[i] = fl | F_VISIT;
+                    if (bit) {
+                        uint32_t key = (uint32_t)((fl & 0xF) |
+                                                  ((fl >> 7) & 0xF0));
+                        mqe_encode(e, t->states, t->mps,
+                                   t->sc_ctx[key],
+                                   t->fs[j] ^ t->sc_xor[key]);
+                        t1_set_sig(t->f, t->stride, i, t->fs[j]);
+                    }
+                }
+                i += s;
+                j += w;
+            }
+        }
+    }
+}
+
+static void t1e_spp_raw(T1E *t, int p, BIOW *b) {
+    int32_t w = t->w, h = t->h, s = t->stride, y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            int64_t i = (int64_t)(y0 + 1) * s + x + 1;
+            int64_t j = (int64_t)y0 * w + x;
+            for (k = 0; k < rows; k++) {
+                int32_t fl = t->f[i];
+                if (!(fl & F_SIG) && (fl & NB_MASK)) {
+                    int bit = (int)((t->fm[j] >> p) & 1);
+                    biow_write(b, bit);
+                    t->f[i] = fl | F_VISIT;
+                    if (bit) {
+                        biow_write(b, t->fs[j]);
+                        t1_set_sig(t->f, t->stride, i, t->fs[j]);
+                    }
+                }
+                i += s;
+                j += w;
+            }
+        }
+    }
+}
+
+static void t1e_mrp(T1E *t, int p, MQE *e) {
+    int32_t w = t->w, h = t->h, s = t->stride, y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            int64_t i = (int64_t)(y0 + 1) * s + x + 1;
+            int64_t j = (int64_t)y0 * w + x;
+            for (k = 0; k < rows; k++) {
+                int32_t fl = t->f[i];
+                if ((fl & F_SIG) && !(fl & F_VISIT)) {
+                    uint32_t ctx = (fl & F_REF)
+                                       ? 16u
+                                       : ((fl & NB_MASK) ? 15u : 14u);
+                    mqe_encode(e, t->states, t->mps, ctx,
+                               (int)((t->fm[j] >> p) & 1));
+                    t->f[i] = fl | F_REF;
+                }
+                i += s;
+                j += w;
+            }
+        }
+    }
+}
+
+static void t1e_mrp_raw(T1E *t, int p, BIOW *b) {
+    int32_t w = t->w, h = t->h, s = t->stride, y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            int64_t i = (int64_t)(y0 + 1) * s + x + 1;
+            int64_t j = (int64_t)y0 * w + x;
+            for (k = 0; k < rows; k++) {
+                int32_t fl = t->f[i];
+                if ((fl & F_SIG) && !(fl & F_VISIT)) {
+                    biow_write(b, (int)((t->fm[j] >> p) & 1));
+                    t->f[i] = fl | F_REF;
+                }
+                i += s;
+                j += w;
+            }
+        }
+    }
+}
+
+static void t1e_cup(T1E *t, int p, MQE *e) {
+    int32_t w = t->w, h = t->h, s = t->stride, y0, x, k;
+    for (y0 = 0; y0 < h; y0 += 4) {
+        int32_t rows = h - y0 < 4 ? h - y0 : 4;
+        for (x = 0; x < w; x++) {
+            int64_t i0 = (int64_t)(y0 + 1) * s + x + 1;
+            int64_t j0 = (int64_t)y0 * w + x;
+            int32_t kstart = 0;
+            if (rows == 4 &&
+                !((t->f[i0] | t->f[i0 + s] | t->f[i0 + 2 * s] |
+                   t->f[i0 + 3 * s]) &
+                  (NB_MASK | F_SIG | F_VISIT))) {
+                int32_t first = -1;
+                for (k = 0; k < 4; k++)
+                    if ((t->fm[j0 + (int64_t)k * w] >> p) & 1) {
+                        first = k;
+                        break;
+                    }
+                if (first < 0) {
+                    mqe_encode(e, t->states, t->mps,
+                               (uint32_t)t->ctx_run, 0);
+                    continue;
+                }
+                mqe_encode(e, t->states, t->mps, (uint32_t)t->ctx_run,
+                           1);
+                mqe_encode(e, t->states, t->mps, (uint32_t)t->ctx_uni,
+                           (first >> 1) & 1);
+                mqe_encode(e, t->states, t->mps, (uint32_t)t->ctx_uni,
+                           first & 1);
+                {
+                    int64_t i = i0 + (int64_t)first * s;
+                    int64_t j = j0 + (int64_t)first * w;
+                    int32_t fl = t->f[i];
+                    uint32_t key = (uint32_t)((fl & 0xF) |
+                                              ((fl >> 7) & 0xF0));
+                    mqe_encode(e, t->states, t->mps, t->sc_ctx[key],
+                               t->fs[j] ^ t->sc_xor[key]);
+                    t1_set_sig(t->f, t->stride, i, t->fs[j]);
+                }
+                kstart = first + 1;
+            }
+            for (k = kstart; k < rows; k++) {
+                int64_t i = i0 + (int64_t)k * s;
+                int32_t fl = t->f[i];
+                int bit;
+                if (fl & F_VISIT) {
+                    t->f[i] = fl & ~F_VISIT;
+                    continue;
+                }
+                if (fl & F_SIG) continue;
+                {
+                    int64_t j = j0 + (int64_t)k * w;
+                    bit = (int)((t->fm[j] >> p) & 1);
+                    mqe_encode(e, t->states, t->mps,
+                               t->zc[fl & NB_MASK], bit);
+                    if (bit) {
+                        uint32_t key = (uint32_t)((fl & 0xF) |
+                                                  ((fl >> 7) & 0xF0));
+                        mqe_encode(e, t->states, t->mps,
+                                   t->sc_ctx[key],
+                                   t->fs[j] ^ t->sc_xor[key]);
+                        t1_set_sig(t->f, t->stride, i, t->fs[j]);
+                    }
+                }
+            }
+        }
+    }
+}
+
+/* Emits segments packed back-to-back at out; segoff[k] = start of
+ * segment k relative to out, segoff[nseg] = total.  For non-bypass
+ * nseg==1.  Caller sizes out generously; 5 = capacity exceeded. */
+EXPORT int apts_t1_encode(const uint32_t *fm, const uint8_t *fs,
+                          int32_t w, int32_t h, int32_t numbps,
+                          int32_t bypass, const uint8_t *zc,
+                          const uint8_t *sc_ctx, const uint8_t *sc_xor,
+                          const uint8_t *init_states, int32_t n_ctx,
+                          int32_t ctx_run, int32_t ctx_uni,
+                          uint8_t *out, int64_t cap, int64_t *segoff,
+                          int32_t *nseg_out) {
+    T1E t;
+    uint8_t states[64], mps[64];
+    int32_t stride = w + 2, npasses;
+    int64_t base = 0;
+    MQE e;
+    BIOW bio;
+    int p;
+    if (w <= 0 || h <= 0 || numbps < 1 || numbps > 31 || n_ctx > 64)
+        return 3;
+    bio.err = 0;       /* read before the first raw segment opens */
+    bio.olen = 0;
+    t.f = (int32_t *)calloc((size_t)stride * (h + 2), sizeof(int32_t));
+    if (!t.f) return 4;
+    t.fm = fm;
+    t.fs = fs;
+    t.w = w;
+    t.h = h;
+    t.stride = stride;
+    t.zc = zc;
+    t.sc_ctx = sc_ctx;
+    t.sc_xor = sc_xor;
+    memcpy(states, init_states, (size_t)n_ctx);
+    memset(mps, 0, (size_t)n_ctx);
+    t.states = states;
+    t.mps = mps;
+    t.ctx_run = ctx_run;
+    t.ctx_uni = ctx_uni;
+    npasses = 3 * numbps - 2;
+    if (!bypass || npasses <= 10) {
+        int64_t start;
+        mqe_init(&e, out, cap);
+        t1e_cup(&t, numbps - 1, &e);
+        for (p = numbps - 2; p >= 0; p--) {
+            t1e_spp(&t, p, &e);
+            t1e_mrp(&t, p, &e);
+            t1e_cup(&t, p, &e);
+        }
+        mqe_flush(&e, &start);
+        free(t.f);
+        if (e.err) return 5;
+        if (start)
+            memmove(out, out + 1, (size_t)(e.olen - start));
+        segoff[0] = 0;
+        segoff[1] = e.olen - start;
+        *nseg_out = 1;
+        return 0;
+    }
+    {
+        int cur_sid = 0, tt, raw = 0;
+        int64_t start;
+        int nseg = 0;
+        mqe_init(&e, out + base, cap - base);
+        for (tt = 1; tt <= npasses; tt++) {
+            int sid = t1_seg_id(tt), kind;
+            if (sid != cur_sid) {
+                /* close old coder, open new */
+                if (cur_sid % 2) {
+                    biow_flush(&bio);
+                    if (bio.err) goto full;
+                    segoff[nseg++] = base;
+                    base += bio.olen;
+                } else {
+                    mqe_flush(&e, &start);
+                    if (e.err) goto full;
+                    if (start)
+                        memmove(out + base, out + base + 1,
+                                (size_t)(e.olen - start));
+                    segoff[nseg++] = base;
+                    base += e.olen - start;
+                }
+                if (sid % 2)
+                    biow_init(&bio, out + base, cap - base);
+                else
+                    mqe_init(&e, out + base, cap - base);
+                cur_sid = sid;
+            }
+            if (tt == 1) {
+                p = numbps - 1;
+                kind = 2;
+            } else {
+                int trip = (tt - 2) / 3;
+                kind = (tt - 2) % 3;
+                p = numbps - 2 - trip;
+            }
+            raw = cur_sid % 2 == 1;
+            if (kind == 0) {
+                if (raw)
+                    t1e_spp_raw(&t, p, &bio);
+                else
+                    t1e_spp(&t, p, &e);
+            } else if (kind == 1) {
+                if (raw)
+                    t1e_mrp_raw(&t, p, &bio);
+                else
+                    t1e_mrp(&t, p, &e);
+            } else
+                t1e_cup(&t, p, &e);
+            if (e.err || bio.err) goto full;
+        }
+        if (cur_sid % 2) {
+            biow_flush(&bio);
+            if (bio.err) goto full;
+            segoff[nseg++] = base;
+            base += bio.olen;
+        } else {
+            mqe_flush(&e, &start);
+            if (e.err) goto full;
+            if (start)
+                memmove(out + base, out + base + 1,
+                        (size_t)(e.olen - start));
+            segoff[nseg++] = base;
+            base += e.olen - start;
+        }
+        segoff[nseg] = base;
+        *nseg_out = nseg;
+        free(t.f);
+        return 0;
+    full:
+        free(t.f);
+        return 5;
+    }
+}
+
+/* -------------------------------------------- JBIG2 generic encoder
+ *
+ * Sorted-template mirror of jbig2codec._encode_generic's decision
+ * sequence (the nominal window path emits the identical (ctx, bit)
+ * stream); TPGDON typical-row logic per the Python encoder.  Shares
+ * the MQE session through regs so halftone planes can interleave.
+ */
+EXPORT int apts_jb2_encode_generic(const uint8_t *bitmap, int32_t w,
+                                   int32_t h, const int8_t *pix,
+                                   int32_t npix, int32_t tpgdon,
+                                   int32_t tp_ctx, const uint8_t *skip,
+                                   uint8_t *states, uint8_t *mps,
+                                   int64_t *regs, uint8_t *out,
+                                   int64_t cap) {
+    MQE e;
+    int32_t y, x, t;
+    int ltp = 0, have_prev = 0;
+    if (w <= 0 || h <= 0 || npix <= 0 || npix > 16) return 3;
+    e.out = out;
+    e.cap = cap;
+    e.a = (int32_t)regs[0];
+    e.c = (uint32_t)regs[1];
+    e.ct = (int32_t)regs[2];
+    e.olen = regs[3];
+    e.err = 0;
+    if (e.olen == 0) {                       /* fresh session */
+        e.out[0] = 0;
+        e.olen = 1;
+        e.a = 0x8000;
+        e.c = 0;
+        e.ct = 12;
+    }
+    for (y = 0; y < h; y++) {
+        const uint8_t *row = bitmap + (int64_t)y * w;
+        if (tpgdon) {
+            int typical;
+            if (y == 0) {
+                typical = 1;
+                for (x = 0; x < w; x++)
+                    if (row[x]) {
+                        typical = 0;
+                        break;
+                    }
+            } else {
+                typical = memcmp(row, row - w, (size_t)w) == 0;
+            }
+            (void)have_prev;
+            mqe_encode(&e, states, mps, (uint32_t)tp_ctx,
+                       typical ^ ltp);
+            ltp = typical;
+            if (typical) continue;
+        }
+        for (x = 0; x < w; x++) {
+            int bit = row[x];
+            if (!(skip && skip[(int64_t)y * w + x])) {
+                uint32_t ctx = 0;
+                for (t = 0; t < npix; t++) {
+                    int32_t yy = y + pix[2 * t];
+                    int32_t xx = x + pix[2 * t + 1];
+                    int v = (yy >= 0 && yy < h && xx >= 0 && xx < w)
+                                ? bitmap[(int64_t)yy * w + xx]
+                                : 0;
+                    ctx = (ctx << 1) | (uint32_t)v;
+                }
+                mqe_encode(&e, states, mps, ctx, bit);
+            }
+        }
+        if (e.err) return 5;
+    }
+    regs[0] = e.a;
+    regs[1] = (int64_t)e.c;
+    regs[2] = e.ct;
+    regs[3] = e.olen;
+    return e.err ? 5 : 0;
+}
+
+/* Flush a JBIG2 encode session; returns start offset via *start. */
+EXPORT int apts_jb2_encode_flush(int64_t *regs, uint8_t *out,
+                                 int64_t cap, int64_t *start) {
+    MQE e;
+    e.out = out;
+    e.cap = cap;
+    e.a = (int32_t)regs[0];
+    e.c = (uint32_t)regs[1];
+    e.ct = (int32_t)regs[2];
+    e.olen = regs[3];
+    e.err = 0;
+    mqe_flush(&e, start);
+    if (e.err) return 5;
+    regs[3] = e.olen;
+    return 0;
 }
 
 /* ------------------------------------------------ JPEG baseline scan
@@ -974,6 +1528,187 @@ EXPORT int apts_dwt53_inv(int64_t *a, int32_t H, int32_t W,
                 memcpy(a + (int64_t)y * W, tmp + (int64_t)y * cw,
                        (size_t)cw * sizeof(int64_t));
         }
+    }
+    free(tmp);
+    free(line);
+    return 0;
+}
+
+/* One horizontal forward 5/3 line: interleaved row -> [s | d]. */
+static void fwd53_row(int64_t *row, int32_t n, int64_t *work) {
+    int32_t sw = (n + 1) / 2, nd = n - sw, i;
+    int64_t *ev = work, *d = work + sw;
+    if (n == 1) return;
+    for (i = 0; i < sw; i++) ev[i] = row[2 * i];
+    for (i = 0; i < nd; i++) {
+        int64_t er = ev[i + 1 < sw ? i + 1 : sw - 1];
+        d[i] = row[2 * i + 1] - ((ev[i] + er) >> 1);
+    }
+    for (i = 0; i < sw; i++) {
+        int64_t dl = d[i > 0 ? i - 1 : 0];
+        int64_t dr = d[i < nd ? i : nd - 1];
+        row[i] = ev[i] + ((dl + dr + 2) >> 2);
+    }
+    memcpy(row + sw, d, (size_t)nd * sizeof(int64_t));
+}
+
+EXPORT int apts_dwt53_fwd(int64_t *a, int32_t H, int32_t W,
+                          int32_t levels) {
+    int32_t ch = H, cw = W, lv, y, x, i;
+    int64_t *tmp, *line;
+    if (H <= 0 || W <= 0 || levels <= 0 || levels > 48) return 3;
+    tmp = (int64_t *)malloc((size_t)H * W * sizeof(int64_t));
+    line = (int64_t *)malloc(2 * (size_t)(H > W ? H : W) *
+                             sizeof(int64_t));
+    if (!tmp || !line) {
+        free(tmp);
+        free(line);
+        return 4;
+    }
+    for (lv = 0; lv < levels; lv++) {
+        if (ch == 1 && cw == 1) break;
+        /* vertical split first (mirrors _fwd53_axis0 on the block) */
+        if (ch > 1) {
+            int32_t sh = (ch + 1) / 2, vn = ch - sh;
+            for (i = 0; i < vn; i++) {
+                const int64_t *od = a + (int64_t)(2 * i + 1) * W;
+                const int64_t *e0 = a + (int64_t)(2 * i) * W;
+                const int64_t *e1 =
+                    a + (int64_t)(2 * (i + 1) < ch ? 2 * (i + 1)
+                                                   : 2 * (sh - 1)) *
+                            W;
+                int64_t *o = tmp + (int64_t)(sh + i) * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = od[x] - ((e0[x] + e1[x]) >> 1);
+            }
+            for (i = 0; i < sh; i++) {
+                const int64_t *ev = a + (int64_t)(2 * i) * W;
+                const int64_t *dl =
+                    tmp + (int64_t)(sh + (i > 0 ? i - 1 : 0)) * cw;
+                const int64_t *dr =
+                    tmp + (int64_t)(sh + (i < vn ? i : vn - 1)) * cw;
+                int64_t *o = tmp + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = ev[x] + ((dl[x] + dr[x] + 2) >> 2);
+            }
+            for (y = 0; y < ch; y++)
+                memcpy(a + (int64_t)y * W, tmp + (int64_t)y * cw,
+                       (size_t)cw * sizeof(int64_t));
+        }
+        if (cw > 1)
+            for (y = 0; y < ch; y++)
+                fwd53_row(a + (int64_t)y * W, cw, line);
+        ch = (ch + 1) / 2;
+        cw = (cw + 1) / 2;
+    }
+    free(tmp);
+    free(line);
+    return 0;
+}
+
+/* One horizontal forward 9/7 line: interleaved row -> [s | d]. */
+static void fwd97_row(double *row, int32_t n, double ka, double kb,
+                      double kg, double kd, double kk, double *work) {
+    int32_t sw = (n + 1) / 2, nd = n - sw, i;
+    double *s = work, *d = work + sw;
+    if (n == 1) return;
+    for (i = 0; i < sw; i++) s[i] = row[2 * i];
+    for (i = 0; i < nd; i++) {
+        double er = s[i + 1 < sw ? i + 1 : sw - 1];
+        d[i] = row[2 * i + 1] + ka * (s[i] + er);
+    }
+    for (i = 0; i < sw; i++) {
+        double dl = d[i > 0 ? i - 1 : 0];
+        double dr = d[i < nd ? i : nd - 1];
+        s[i] = s[i] + kb * (dl + dr);
+    }
+    for (i = 0; i < nd; i++) {
+        double sr = s[i + 1 < sw ? i + 1 : sw - 1];
+        d[i] = d[i] + kg * (s[i] + sr);
+    }
+    for (i = 0; i < sw; i++) {
+        double dl = d[i > 0 ? i - 1 : 0];
+        double dr = d[i < nd ? i : nd - 1];
+        s[i] = s[i] + kd * (dl + dr);
+    }
+    for (i = 0; i < sw; i++) row[i] = s[i] / kk;
+    for (i = 0; i < nd; i++) row[sw + i] = d[i] * kk;
+}
+
+EXPORT int apts_dwt97_fwd(double *a, int32_t H, int32_t W,
+                          int32_t levels, double ka, double kb,
+                          double kg, double kd, double kk) {
+    int32_t ch = H, cw = W, lv, y, x, i;
+    double *tmp, *line;
+    if (H <= 0 || W <= 0 || levels <= 0 || levels > 48) return 3;
+    tmp = (double *)malloc((size_t)H * W * sizeof(double));
+    line = (double *)malloc(2 * (size_t)(H > W ? H : W) *
+                            sizeof(double));
+    if (!tmp || !line) {
+        free(tmp);
+        free(line);
+        return 4;
+    }
+    for (lv = 0; lv < levels; lv++) {
+        if (ch == 1 && cw == 1) break;
+        if (ch > 1) {
+            int32_t sh = (ch + 1) / 2, vn = ch - sh;
+            double *sv = tmp, *dv = tmp + (int64_t)sh * cw;
+            for (i = 0; i < vn; i++) {
+                const double *od = a + (int64_t)(2 * i + 1) * W;
+                const double *e0 = a + (int64_t)(2 * i) * W;
+                const double *e1 =
+                    a + (int64_t)(2 * (i + 1) < ch ? 2 * (i + 1)
+                                                   : 2 * (sh - 1)) *
+                            W;
+                double *o = dv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = od[x] + ka * (e0[x] + e1[x]);
+            }
+            for (i = 0; i < sh; i++) {
+                const double *ev = a + (int64_t)(2 * i) * W;
+                const double *dl =
+                    dv + (int64_t)(i > 0 ? i - 1 : 0) * cw;
+                const double *dr =
+                    dv + (int64_t)(i < vn ? i : vn - 1) * cw;
+                double *o = sv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = ev[x] + kb * (dl[x] + dr[x]);
+            }
+            for (i = 0; i < vn; i++) {
+                const double *s0 = sv + (int64_t)i * cw;
+                const double *s1 =
+                    sv + (int64_t)(i + 1 < sh ? i + 1 : sh - 1) * cw;
+                double *o = dv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = o[x] + kg * (s0[x] + s1[x]);
+            }
+            for (i = 0; i < sh; i++) {
+                const double *dl =
+                    dv + (int64_t)(i > 0 ? i - 1 : 0) * cw;
+                const double *dr =
+                    dv + (int64_t)(i < vn ? i : vn - 1) * cw;
+                double *o = sv + (int64_t)i * cw;
+                for (x = 0; x < cw; x++)
+                    o[x] = o[x] + kd * (dl[x] + dr[x]);
+            }
+            for (i = 0; i < sh; i++) {
+                const double *s0 = sv + (int64_t)i * cw;
+                double *o = a + (int64_t)i * W;
+                for (x = 0; x < cw; x++) o[x] = s0[x] / kk;
+            }
+            for (i = 0; i < vn; i++) {
+                const double *d0 = dv + (int64_t)i * cw;
+                double *o = a + (int64_t)(sh + i) * W;
+                for (x = 0; x < cw; x++) o[x] = d0[x] * kk;
+            }
+        }
+        if (cw > 1)
+            for (y = 0; y < ch; y++)
+                fwd97_row(a + (int64_t)y * W, cw, ka, kb, kg, kd, kk,
+                          line);
+        ch = (ch + 1) / 2;
+        cw = (cw + 1) / 2;
     }
     free(tmp);
     free(line);

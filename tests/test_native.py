@@ -234,6 +234,82 @@ def test_dwt_parity(levels):
         assert np.array_equal(nat97, py97)   # bit parity, not allclose
 
 
+@pytest.mark.parametrize("bypass", [False, True])
+def test_t1_encode_byte_parity(bypass):
+    """Compiled T1 ENCODER must emit byte-identical codeword segments
+    (the pinned whole-PDF md5s depend on it)."""
+    rng = np.random.default_rng(13 + bypass)
+    for shape in [(64, 64), (61, 33), (1, 7), (64, 1), (13, 21)]:
+        h, w = shape
+        for dens in (0.1, 0.7):
+            coefs = rng.integers(-20000, 20000, size=shape)
+            coefs[rng.random(shape) >= dens] = 0
+            coefs = coefs.astype(np.int64)
+            for band in ("LL", "HL", "HH"):
+                nat = t1_encode(coefs, band, bypass=bypass)
+                try:
+                    save, native._lib = native._lib, None
+                    py = t1_encode(coefs, band, bypass=bypass)
+                finally:
+                    native._lib = save
+                assert nat == py, (shape, dens, band)
+
+
+def test_jbig2_encode_byte_parity():
+    """Generic / halftone / refinement-base encoders through the
+    shared-session MQ encode kernel: byte-identical streams."""
+    rng = np.random.default_rng(9)
+    bm = (rng.random((70, 90)) < 0.4).astype(np.uint8)
+    bm[10:20] = 0
+    pats = [np.full((6, 5), v % 2, np.uint8) for v in range(4)]
+    gray = rng.integers(0, 4, (9, 11))
+    base = (rng.random((40, 60)) < 0.5).astype(np.uint8)
+    ref = base.copy()
+    ref[5:9, 7:20] ^= 1
+
+    def everything():
+        out = []
+        for tmpl in range(4):
+            for tpgdon in (False, True):
+                out.append(jb.encode_jbig2(bm, template=tmpl,
+                                           tpgdon=tpgdon))
+        for skip in (False, True):
+            out.append(jb.encode_jbig2_halftone(gray, pats,
+                                                enable_skip=skip))
+        out.append(jb.encode_jbig2_refinement(base, ref))
+        return out
+
+    nat = everything()
+    try:
+        save, native._lib = native._lib, None
+        py = everything()
+    finally:
+        native._lib = save
+    assert nat == py
+    assert np.array_equal(jb.decode_jbig2(nat[1]), bm)
+
+
+@pytest.mark.parametrize("levels", [1, 3])
+def test_dwt_forward_parity(levels):
+    from archive_pdf_tools_spark.kernels import jp2codec as jp
+
+    rng = np.random.default_rng(levels + 40)
+    for dims in [(64, 64), (63, 61), (1, 50), (50, 1), (255, 129)]:
+        a = rng.integers(-10000, 10000, size=dims).astype(np.int64)
+        nat = jp.dwt53_forward(a, levels)
+        af = rng.normal(0, 1000, size=dims)
+        nat97 = jp.dwt97_forward(af, levels)
+        try:
+            save, native._lib = native._lib, None
+            py = jp.dwt53_forward(a, levels)
+            py97 = jp.dwt97_forward(af, levels)
+        finally:
+            native._lib = save
+        assert np.array_equal(nat, py)
+        assert np.array_equal(nat97, py97)
+        assert np.array_equal(jp.dwt53_inverse(nat, levels), a)
+
+
 def test_t1_numbps_out_of_range_falls_back():
     """numbps > 31 exceeds the C kernel's uint32 magnitudes — the
     wrapper must hand the call back to Python, not truncate."""
