@@ -136,7 +136,7 @@ class _Bits:
     """MSB-first bit reader with a 13-bit peek; past end feeds 0s and
     counts the overrun so truncation raises instead of spinning."""
 
-    __slots__ = ("data", "n", "pos", "over")
+    __slots__ = ("data", "n", "pos", "over", "_lastnz")
 
     def __init__(self, data: bytes):
         # 4 zero pad bytes let peek13 read one 32-bit window
@@ -145,6 +145,11 @@ class _Bits:
         self.n = len(data) * 8
         self.pos = 0
         self.over = 0
+        # last nonzero byte index, found once: makes the per-row
+        # only_padding_left() O(1) instead of an O(stream) rescan
+        # (quadratic over a self-delimited decode)
+        nz = np.nonzero(np.frombuffer(data, dtype=np.uint8))[0]
+        self._lastnz = int(nz[-1]) if nz.size else -1
 
     def peek13(self) -> int:
         # one 4-byte window instead of 13 single-bit reads — this is
@@ -180,10 +185,12 @@ class _Bits:
         if p >= self.n:
             return True
         first = p >> 3
-        # mask the consumed high bits of the first partial byte
-        if self.data[first] & (0xFF >> (p & 7)):
+        if first > self._lastnz:
+            return True
+        if first < self._lastnz:
             return False
-        return not any(self.data[first + 1:(self.n + 7) >> 3])
+        # the last nonzero byte: mask the consumed high bits
+        return not (self.data[first] & (0xFF >> (p & 7)))
 
     def at_eofb(self) -> bool:
         """Peek (no consume): two EOLs in a row from here?  At an
@@ -246,17 +253,19 @@ def _decode_2d_row(bits: _Bits, ref: list, w: int) -> list:
     cur: list = []
     a0 = -1                                  # imaginary start element
     color = 0
-    while a0 < w:
+    ri0 = 0                                  # monotone: a0 only grows,
+    nref = len(ref)                          # so the b1 scan resumes
+    while a0 < w:                            # (O(changes) per row, not
         # b1: first reference change STRICTLY right of a0 whose index
         # parity flips to the opposite of the current color (even
-        # index = white->black transition)
-        ri = 0
-        while ri < len(ref) and ref[ri] <= a0:
-            ri += 1
+        # index = white->black transition)   # O(changes^2))
+        while ri0 < nref and ref[ri0] <= a0:
+            ri0 += 1
+        ri = ri0
         if (ri & 1) != color:
             ri += 1
-        b1 = ref[ri] if ri < len(ref) else w
-        b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+        b1 = ref[ri] if ri < nref else w
+        b2 = ref[ri + 1] if ri + 1 < nref else w
         if bits.read():                      # 1 -> V0
             a1 = b1
         elif bits.read():                    # 01x -> VR1 / VL1
@@ -508,6 +517,10 @@ class _BitWriter:
         while self.nb >= 8:
             self.nb -= 8
             self.out.append((self.buf >> self.nb) & 0xFF)
+        # mask the drained bits or buf grows into an O(stream)-digit
+        # bignum and every shift turns O(stream) — the same quadratic
+        # the round-8 LZW fix closed (tiffcodec.py lzw_encode)
+        self.buf &= (1 << self.nb) - 1
 
     def put_run(self, run: int, color: int):
         table = _ENC_BLACK if color else _ENC_WHITE
@@ -544,21 +557,23 @@ def _row_changes(row, w: int) -> list:
 def _encode_2d_row(bw: _BitWriter, cur: list, ref: list, w: int):
     a0 = -1
     color = 0
+    ci0 = ri0 = 0                            # monotone scan pointers
+    ncur, nref = len(cur), len(ref)          # (a0 only grows)
     while a0 < w:
-        ci = 0
-        while ci < len(cur) and cur[ci] <= a0:
-            ci += 1
+        while ci0 < ncur and cur[ci0] <= a0:
+            ci0 += 1
+        ci = ci0
         if (ci & 1) != color:
             ci += 1
-        a1 = cur[ci] if ci < len(cur) else w
-        a2 = cur[ci + 1] if ci + 1 < len(cur) else w
-        ri = 0
-        while ri < len(ref) and ref[ri] <= a0:
-            ri += 1
+        a1 = cur[ci] if ci < ncur else w
+        a2 = cur[ci + 1] if ci + 1 < ncur else w
+        while ri0 < nref and ref[ri0] <= a0:
+            ri0 += 1
+        ri = ri0
         if (ri & 1) != color:
             ri += 1
-        b1 = ref[ri] if ri < len(ref) else w
-        b2 = ref[ri + 1] if ri + 1 < len(ref) else w
+        b1 = ref[ri] if ri < nref else w
+        b2 = ref[ri + 1] if ri + 1 < nref else w
         if b2 < a1:
             bw.put(0b0001, 4)                # pass
             a0 = b2
