@@ -353,6 +353,12 @@ def decode_g4(data: bytes, w: int, h: int | None,
     data runs out; the decoded row count defines the height."""
     if w <= 0 or (h is not None and (h <= 0 or w * h > 64_000_000)):
         raise CcittError("bad dimensions")
+    if h is not None:
+        from . import native as _ckern
+
+        res = _ckern.g4_decode_native(bytes(data), w, h, byte_align)
+        if res is not None:                  # bit-identical C walk
+            return res
     bits = _Bits(data)
     if h is not None:
         rows = np.zeros((h, w), dtype=np.uint8)
@@ -625,6 +631,11 @@ def encode_g4(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
     bm = (np.asarray(bitmap) != 0).astype(np.uint8)
     if bm.ndim != 2 or 0 in bm.shape:
         raise ValueError("bad bitmap shape")
+    from . import native as _ckern
+
+    res = _ckern.g4_encode_native(bm, byte_align)
+    if res is not None:                      # byte-identical C walk
+        return res
     bw = _BitWriter()
     _encode_g4_plane(bw, bm, byte_align)
     if byte_align:

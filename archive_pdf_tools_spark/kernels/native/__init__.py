@@ -151,6 +151,18 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    lib.apts_g4_decode.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, i16, _I8P, i16, _I8P, _U8P,
+    ]
+    lib.apts_g4_decode.restype = ctypes.c_int32
+    lib.apts_g4_encode.argtypes = [
+        _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        _I8P, i16, _I8P, i16, _I8P, i16, _I8P, i16,
+        _U8P, ctypes.c_int64, _I64P,
+    ]
+    lib.apts_g4_encode.restype = ctypes.c_int32
     lib.apts_dwt53_fwd.argtypes = lib.apts_dwt53_inv.argtypes
     lib.apts_dwt53_fwd.restype = ctypes.c_int32
     lib.apts_dwt97_fwd.argtypes = lib.apts_dwt97_inv.argtypes
@@ -530,6 +542,85 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+_G4_TABS = None
+
+
+def _g4_tables():
+    """Decode LUTs + encode tables as C arrays, built once from the
+    ccittcodec source-of-truth tables."""
+    global _G4_TABS
+    if _G4_TABS is None:
+        from ..ccittcodec import (_BLACK_LUT, _ENC_BLACK, _ENC_WHITE,
+                                  _WHITE_LUT)
+
+        def lut(py):
+            run = np.full(len(py), -1, dtype=np.int16)
+            ln = np.zeros(len(py), dtype=np.int8)
+            for i, ent in enumerate(py):
+                if ent is not None:
+                    run[i], ln[i] = ent
+            return run, ln
+
+        def enc(d):
+            tl = np.zeros(64, dtype=np.int8)
+            tv = np.zeros(64, dtype=np.int16)
+            for r in range(64):
+                tl[r], tv[r] = d[r]
+            mks = sorted(r for r in d if r >= 64)
+            ml = np.zeros(len(mks), dtype=np.int8)
+            mv = np.zeros(len(mks), dtype=np.int16)
+            for i, r in enumerate(mks):
+                assert r == 64 * (i + 1)
+                ml[i], mv[i] = d[r]
+            return tl, tv, ml, mv
+
+        _G4_TABS = (lut(_WHITE_LUT), lut(_BLACK_LUT),
+                    enc(_ENC_WHITE), enc(_ENC_BLACK))
+    return _G4_TABS
+
+
+def g4_decode_native(data: bytes, w: int, h: int, byte_align: bool):
+    """Pure-2D T.6 decode of a known row count; None = use Python."""
+    lib = _load()
+    if lib is None or h <= 0:
+        return None
+    (wr, wl), (br, bl), _, _ = _g4_tables()
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    buf = np.frombuffer(data + b"\x00\x00\x00\x00", dtype=np.uint8)
+    out = np.zeros((h, w), dtype=np.uint8)
+    rc = lib.apts_g4_decode(
+        _u8(buf), len(data), w, h, 1 if byte_align else 0,
+        wr.ctypes.data_as(i16), wl.ctypes.data_as(_I8P),
+        br.ctypes.data_as(i16), bl.ctypes.data_as(_I8P), _u8(out))
+    if rc:
+        return None
+    return out
+
+
+def g4_encode_native(bm: np.ndarray, byte_align: bool):
+    """Pure-2D T.6 encode + EOFB; None = use Python."""
+    lib = _load()
+    if lib is None:
+        return None
+    _, _, (wtl, wtv, wml, wmv), (btl, btv, bml, bmv) = _g4_tables()
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    bm = np.ascontiguousarray(bm, dtype=np.uint8)
+    h, w = bm.shape
+    cap = int(h) * (w + 32) + 64
+    out = np.empty(cap, dtype=np.uint8)
+    olen = ctypes.c_int64(0)
+    rc = lib.apts_g4_encode(
+        _u8(bm), w, h, 1 if byte_align else 0,
+        wtl.ctypes.data_as(_I8P), wtv.ctypes.data_as(i16),
+        btl.ctypes.data_as(_I8P), btv.ctypes.data_as(i16),
+        wml.ctypes.data_as(_I8P), wmv.ctypes.data_as(i16),
+        bml.ctypes.data_as(_I8P), bmv.ctypes.data_as(i16),
+        _u8(out), cap, ctypes.byref(olen))
+    if rc:
+        return None
+    return out[:olen.value].tobytes()
 
 
 def dwt53_forward_native(a: np.ndarray, levels: int):

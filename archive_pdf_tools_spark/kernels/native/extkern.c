@@ -1447,6 +1447,308 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
     }
 }
 
+/* -------------------------------------------------- CCITT G4 (T.6)
+ *
+ * Mirrors ccittcodec's pure-2D path: _Bits/_BitWriter semantics,
+ * _decode_2d_row / _encode_2d_row with monotone scan pointers,
+ * EOFB trailer on encode.  Run LUTs (8192-entry 13-bit peek) and the
+ * T.4 code tables are passed in from the Python module.  Error codes
+ * mirror the Python raise sites; callers fall back for exceptions.
+ */
+typedef struct {
+    const uint8_t *d;  /* padded with >= 4 zero bytes by the caller */
+    int64_t n;         /* bit count of the REAL data */
+    int64_t pos;
+    int64_t over;
+    int err;
+} GBITS;
+
+static inline int gb_skip(GBITS *b, int k) {
+    b->pos += k;
+    if (b->pos > b->n) {
+        b->over += b->pos - b->n;
+        if (b->over > 64) {
+            b->err = 15; /* truncated CCITT stream */
+            return 1;
+        }
+    }
+    return 0;
+}
+
+static inline int gb_read(GBITS *b) {
+    int bit;
+    if (b->pos >= b->n) {
+        gb_skip(b, 1);
+        return 0;
+    }
+    bit = (b->d[b->pos >> 3] >> (7 - (b->pos & 7))) & 1;
+    b->pos += 1;
+    return bit;
+}
+
+static inline uint32_t gb_peek13(const GBITS *b) {
+    int64_t p = b->pos;
+    int64_t byte = p >> 3;
+    uint32_t v = ((uint32_t)b->d[byte] << 24) |
+                 ((uint32_t)b->d[byte + 1] << 16) |
+                 ((uint32_t)b->d[byte + 2] << 8) |
+                 (uint32_t)b->d[byte + 3];
+    return (v >> (19 - (p & 7))) & 0x1FFF;
+}
+
+static int gb_read_run(GBITS *b, int color, const int16_t *wrun,
+                       const int8_t *wlen, const int16_t *brun,
+                       const int8_t *blen, int32_t *out) {
+    int32_t total = 0;
+    const int16_t *rt = color ? brun : wrun;
+    const int8_t *lt = color ? blen : wlen;
+    for (;;) {
+        uint32_t peek = gb_peek13(b);
+        int32_t run = rt[peek];
+        if (run < 0) return 11; /* bad run-length code */
+        if (gb_skip(b, lt[peek])) return 15;
+        total += run;
+        if (run < 64) {
+            *out = total;
+            return 0;
+        }
+    }
+}
+
+/* one 2D coding line; cur gets ncur entries (no sentinels) */
+static int g4_decode_row(GBITS *bits, const int32_t *ref, int32_t nref,
+                         int32_t w, int32_t *cur, int32_t *ncur_out,
+                         const int16_t *wrun, const int8_t *wlen,
+                         const int16_t *brun, const int8_t *blen) {
+    int32_t a0 = -1, color = 0, ncur = 0, ri0 = 0;
+    while (a0 < w) {
+        int32_t ri, b1, b2, a1;
+        while (ri0 < nref && ref[ri0] <= a0) ri0++;
+        ri = ri0;
+        if ((ri & 1) != color) ri++;
+        b1 = ri < nref ? ref[ri] : w;
+        b2 = ri + 1 < nref ? ref[ri + 1] : w;
+        if (gb_read(bits)) {                 /* V0 */
+            a1 = b1;
+        } else if (gb_read(bits)) {          /* VR1 / VL1 */
+            a1 = gb_read(bits) ? b1 + 1 : b1 - 1;
+        } else if (gb_read(bits)) {          /* horizontal */
+            int32_t a0c = a0 > 0 ? a0 : 0, r1, r2, a2;
+            int rc = gb_read_run(bits, color, wrun, wlen, brun, blen,
+                                 &r1);
+            if (rc) return rc;
+            rc = gb_read_run(bits, color ^ 1, wrun, wlen, brun, blen,
+                             &r2);
+            if (rc) return rc;
+            a1 = a0c + r1;
+            a2 = a1 + r2;
+            if (a2 > w || a1 < a0c) return 12; /* runs overrun line */
+            cur[ncur++] = a1 < w ? a1 : w;
+            cur[ncur++] = a2 < w ? a2 : w;
+            a0 = a2;
+            if (bits->err) return bits->err;
+            continue;
+        } else if (gb_read(bits)) {          /* pass */
+            a0 = b2;
+            if (bits->err) return bits->err;
+            continue;
+        } else if (gb_read(bits)) {          /* V2 */
+            a1 = gb_read(bits) ? b1 + 2 : b1 - 2;
+        } else if (gb_read(bits)) {          /* V3 */
+            a1 = gb_read(bits) ? b1 + 3 : b1 - 3;
+        } else {
+            return 14; /* EOL inside 2D line */
+        }
+        if (a1 <= a0 || a1 > w) return 13; /* vertical out of line */
+        cur[ncur++] = a1 < w ? a1 : w;
+        a0 = a1;
+        color ^= 1;
+        if (bits->err) return bits->err;
+    }
+    *ncur_out = ncur;
+    return 0;
+}
+
+EXPORT int apts_g4_decode(const uint8_t *data, int64_t nbytes,
+                          int32_t w, int32_t h, int32_t byte_align,
+                          const int16_t *wrun, const int8_t *wlen,
+                          const int16_t *brun, const int8_t *blen,
+                          uint8_t *out) {
+    GBITS bits;
+    int32_t *ref, *cur, nref, y, rc = 0;
+    if (w <= 0 || h <= 0) return 3;
+    bits.d = data;
+    bits.n = nbytes * 8;
+    bits.pos = 0;
+    bits.over = 0;
+    bits.err = 0;
+    ref = (int32_t *)malloc(2 * (size_t)(w + 4) * sizeof(int32_t));
+    if (!ref) return 4;
+    cur = ref + (w + 4);
+    ref[0] = w;
+    ref[1] = w;
+    nref = 2;
+    for (y = 0; y < h; y++) {
+        int32_t ncur = 0, k, pos = 0, col = 0;
+        uint8_t *row = out + (int64_t)y * w;
+        if (byte_align) bits.pos = (bits.pos + 7) & ~7;
+        rc = g4_decode_row(&bits, ref, nref, w, cur, &ncur, wrun,
+                           wlen, brun, blen);
+        if (rc) break;
+        /* fill row from changing elements */
+        memset(row, 0, (size_t)w);
+        for (k = 0; k <= ncur; k++) {
+            int32_t c = k < ncur ? cur[k] : w;
+            if (c > pos && col) memset(row + pos, 1, (size_t)(c - pos));
+            pos = c;
+            col ^= 1;
+            if (pos >= w) break;
+        }
+        /* cur becomes ref (+ sentinels) */
+        memcpy(ref, cur, (size_t)ncur * sizeof(int32_t));
+        ref[ncur] = w;
+        ref[ncur + 1] = w;
+        nref = ncur + 2;
+    }
+    free(ref);
+    return rc;
+}
+
+typedef struct {
+    uint8_t *out;
+    int64_t olen, cap;
+    uint32_t buf;
+    int32_t nb;
+    int err;
+} GBW;
+
+static inline void gbw_put(GBW *b, uint32_t val, int ln) {
+    b->buf = (b->buf << ln) | val;
+    b->nb += ln;
+    while (b->nb >= 8) {
+        b->nb -= 8;
+        if (b->olen >= b->cap) {
+            b->err = 5;
+            return;
+        }
+        b->out[b->olen++] = (uint8_t)((b->buf >> b->nb) & 0xFF);
+    }
+    b->buf &= (1u << b->nb) - 1;
+}
+
+static void gbw_put_run(GBW *b, int32_t run, int color,
+                        const int8_t *wt_len, const int16_t *wt_val,
+                        const int8_t *bt_len, const int16_t *bt_val,
+                        const int8_t *wm_len, const int16_t *wm_val,
+                        const int8_t *bm_len, const int16_t *bm_val) {
+    const int8_t *tl = color ? bt_len : wt_len;
+    const int16_t *tv = color ? bt_val : wt_val;
+    const int8_t *ml = color ? bm_len : wm_len;
+    const int16_t *mv = color ? bm_val : wm_val;
+    while (run >= 64) {
+        int32_t mk = run & ~63;
+        if (mk > 2560) mk = 2560;
+        gbw_put(b, (uint32_t)mv[mk / 64 - 1], ml[mk / 64 - 1]);
+        run -= mk;
+    }
+    gbw_put(b, (uint32_t)tv[run], tl[run]);
+}
+
+EXPORT int apts_g4_encode(const uint8_t *bitmap, int32_t w, int32_t h,
+                          int32_t byte_align, const int8_t *wt_len,
+                          const int16_t *wt_val, const int8_t *bt_len,
+                          const int16_t *bt_val, const int8_t *wm_len,
+                          const int16_t *wm_val, const int8_t *bm_len,
+                          const int16_t *bm_val, uint8_t *out,
+                          int64_t cap, int64_t *olen) {
+    GBW bw;
+    int32_t *ref, *cur, nref, ncur, y, x;
+    if (w <= 0 || h <= 0) return 3;
+    bw.out = out;
+    bw.olen = 0;
+    bw.cap = cap;
+    bw.buf = 0;
+    bw.nb = 0;
+    bw.err = 0;
+    ref = (int32_t *)malloc(2 * (size_t)(w + 4) * sizeof(int32_t));
+    if (!ref) return 4;
+    cur = ref + (w + 4);
+    ref[0] = w;
+    ref[1] = w;
+    nref = 2;
+    for (y = 0; y < h; y++) {
+        const uint8_t *row = bitmap + (int64_t)y * w;
+        int32_t a0 = -1, color = 0, ci0 = 0, ri0 = 0, prev = 0;
+        if (byte_align && bw.nb) gbw_put(&bw, 0, 8 - bw.nb);
+        /* changing elements of this row (+ [w, w] sentinels) */
+        ncur = 0;
+        for (x = 0; x < w; x++) {
+            if (row[x] != prev) {
+                cur[ncur++] = x;
+                prev = row[x];
+            }
+        }
+        cur[ncur] = w;
+        cur[ncur + 1] = w;
+        while (a0 < w) {
+            int32_t ci, ri, a1, a2, b1, b2, d;
+            while (ci0 < ncur + 2 && cur[ci0] <= a0) ci0++;
+            ci = ci0;
+            if ((ci & 1) != color) ci++;
+            a1 = ci < ncur + 2 ? cur[ci] : w;
+            a2 = ci + 1 < ncur + 2 ? cur[ci + 1] : w;
+            while (ri0 < nref && ref[ri0] <= a0) ri0++;
+            ri = ri0;
+            if ((ri & 1) != color) ri++;
+            b1 = ri < nref ? ref[ri] : w;
+            b2 = ri + 1 < nref ? ref[ri + 1] : w;
+            if (b2 < a1) {
+                gbw_put(&bw, 0x1, 4); /* pass */
+                a0 = b2;
+                continue;
+            }
+            d = a1 - b1;
+            if (d >= -3 && d <= 3) {
+                /* mirror of ccittcodec._VCODES: left moves end in 0,
+                 * right moves in 1, d=0 is the single 1 bit */
+                static const uint16_t vcode[7] = {0x02, 0x02, 0x02,
+                                                  0x1, 0x03, 0x03,
+                                                  0x03};
+                static const uint8_t vlen[7] = {7, 6, 3, 1, 3, 6, 7};
+                gbw_put(&bw, vcode[d + 3], vlen[d + 3]);
+                a0 = a1;
+                color ^= 1;
+                continue;
+            }
+            gbw_put(&bw, 0x1, 3); /* horizontal */
+            {
+                int32_t a0c = a0 > 0 ? a0 : 0;
+                gbw_put_run(&bw, a1 - a0c, color, wt_len, wt_val,
+                            bt_len, bt_val, wm_len, wm_val, bm_len,
+                            bm_val);
+                gbw_put_run(&bw, a2 - a1, color ^ 1, wt_len, wt_val,
+                            bt_len, bt_val, wm_len, wm_val, bm_len,
+                            bm_val);
+                a0 = a2;
+            }
+            if (bw.err) break;
+        }
+        if (bw.err) break;
+        memcpy(ref, cur, (size_t)(ncur + 2) * sizeof(int32_t));
+        nref = ncur + 2;
+    }
+    if (!bw.err) {
+        if (byte_align && bw.nb) gbw_put(&bw, 0, 8 - bw.nb);
+        gbw_put(&bw, 0x001, 12); /* EOFB = EOL + EOL */
+        gbw_put(&bw, 0x001, 12);
+        if (bw.nb) gbw_put(&bw, 0, 8 - bw.nb);
+    }
+    free(ref);
+    if (bw.err) return bw.err;
+    *olen = bw.olen;
+    return 0;
+}
+
 /* --------------------------------------------------- inverse DWTs
  *
  * Mirrors jp2codec.dwt53_inverse / dwt97_inverse (Mallat layout,

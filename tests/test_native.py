@@ -289,6 +289,43 @@ def test_jbig2_encode_byte_parity():
     assert np.array_equal(jb.decode_jbig2(nat[1]), bm)
 
 
+def test_g4_parity():
+    """T.6 pure-2D coder: byte-identical encode, pixel-identical
+    decode vs the Python changing-elements walk, across densities,
+    degenerate shapes and byte alignment."""
+    from archive_pdf_tools_spark.kernels.ccittcodec import (decode_g4,
+                                                            encode_g4)
+
+    rng = np.random.default_rng(6)
+    for (h, w) in [(1, 1), (3, 17), (64, 64), (100, 1), (31, 257)]:
+        for dens in (0.0, 0.05, 0.5, 1.0):
+            for ba in (False, True):
+                bm = (rng.random((h, w)) < dens).astype(np.uint8)
+                nat = encode_g4(bm, byte_align=ba)
+                out = decode_g4(nat, w, h, byte_align=ba)
+                try:
+                    save, native._lib = native._lib, None
+                    py = encode_g4(bm, byte_align=ba)
+                    out_py = decode_g4(nat, w, h, byte_align=ba)
+                finally:
+                    native._lib = save
+                assert nat == py
+                assert np.array_equal(out, out_py)
+                assert np.array_equal(out, bm)
+
+
+def test_g4_truncated_falls_back_to_python_error():
+    from archive_pdf_tools_spark.kernels.ccittcodec import (CcittError,
+                                                            decode_g4,
+                                                            encode_g4)
+
+    rng = np.random.default_rng(2)
+    bm = (rng.random((64, 64)) < 0.4).astype(np.uint8)
+    data = encode_g4(bm)
+    with pytest.raises(CcittError):
+        decode_g4(data[:len(data) // 4], 64, 64)
+
+
 @pytest.mark.parametrize("levels", [1, 3])
 def test_dwt_forward_parity(levels):
     from archive_pdf_tools_spark.kernels import jp2codec as jp
