@@ -151,6 +151,12 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    lib.apts_lzw_decode.argtypes = [_U8P, ctypes.c_int64, _U8P,
+                                    ctypes.c_int64, _I64P]
+    lib.apts_lzw_decode.restype = ctypes.c_int32
+    lib.apts_lzw_encode.argtypes = [_U8P, ctypes.c_int64, _U8P,
+                                    ctypes.c_int64, _I64P]
+    lib.apts_lzw_encode.restype = ctypes.c_int32
     i16 = ctypes.POINTER(ctypes.c_int16)
     lib.apts_g4_decode.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
@@ -542,6 +548,38 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+def lzw_decode_native(data: bytes, expected: int):
+    """TIFF-variant LZW decode; None = use Python (including for the
+    edge streams whose table outgrows the C arrays)."""
+    lib = _load()
+    if lib is None or expected < 0:
+        return None
+    buf = np.frombuffer(data + b"\x00", dtype=np.uint8)
+    out = np.empty(max(expected, 1), dtype=np.uint8)
+    written = ctypes.c_int64(0)
+    rc = lib.apts_lzw_decode(_u8(buf), len(data), _u8(out), expected,
+                             ctypes.byref(written))
+    if rc:
+        return None
+    return out[:written.value].tobytes()
+
+
+def lzw_encode_native(data: bytes):
+    """TIFF-variant LZW encode; None = use Python."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data + b"\x00", dtype=np.uint8)
+    cap = len(data) + len(data) // 2 + 64   # worst case ~12/8 bits/byte
+    out = np.empty(cap, dtype=np.uint8)
+    written = ctypes.c_int64(0)
+    rc = lib.apts_lzw_encode(_u8(buf), len(data), _u8(out), cap,
+                             ctypes.byref(written))
+    if rc:
+        return None
+    return out[:written.value].tobytes()
 
 
 _G4_TABS = None

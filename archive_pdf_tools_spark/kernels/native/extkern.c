@@ -1447,6 +1447,202 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
     }
 }
 
+/* --------------------------------------------------- TIFF LZW (§13)
+ *
+ * Mirrors tiffcodec.lzw_decode / lzw_encode: MSB-first codes from 9
+ * bits, Clear=256, EOI=257, EARLY code-width change.  Decode uses the
+ * parent-pointer table (prefix, append, first) instead of byte
+ * strings; output bytes are identical.
+ */
+EXPORT int apts_lzw_decode(const uint8_t *data, int64_t n,
+                           uint8_t *out, int64_t expected,
+                           int64_t *written) {
+    int32_t *prefix;
+    uint8_t *append, *first, *stack;
+    int32_t tlen, width = 9, prev = -1;
+    uint32_t acc = 0;
+    int32_t nbits = 0;
+    int64_t opos = 0, i;
+    int rc = 0;
+    prefix = (int32_t *)malloc(4096 * sizeof(int32_t));
+    append = (uint8_t *)malloc(4096);
+    first = (uint8_t *)malloc(4096);
+    stack = (uint8_t *)malloc(4100);
+    if (!prefix || !append || !first || !stack) {
+        rc = 4;
+        goto done;
+    }
+    for (i = 0; i < 258; i++) {
+        prefix[i] = -1;
+        append[i] = (uint8_t)(i < 256 ? i : 0);
+        first[i] = (uint8_t)(i < 256 ? i : 0);
+    }
+    tlen = 258;
+    for (i = 0; i < n; i++) {
+        acc = (acc << 8) | data[i];
+        nbits += 8;
+        while (nbits >= width) {
+            int32_t code =
+                (int32_t)((acc >> (nbits - width)) &
+                          ((1u << width) - 1));
+            nbits -= width;
+            acc &= (1u << nbits) - 1;
+            if (code == 256) {               /* Clear */
+                tlen = 258;
+                width = 9;
+                prev = -1;
+                continue;
+            }
+            if (code == 257) {               /* EOI */
+                if (opos < expected) {
+                    rc = 23; /* LZW underrun */
+                    goto done;
+                }
+                *written = expected;
+                goto done;
+            }
+            {
+                int32_t entry, sp = 0, c;
+                uint8_t fb;
+                if (prev < 0) {
+                    if (code >= tlen) {
+                        rc = 21; /* bad first LZW code */
+                        goto done;
+                    }
+                    entry = code;
+                } else if (code < tlen) {
+                    if (tlen >= 4096) {
+                        rc = 25; /* table overflow: Python handles */
+                        goto done;
+                    }
+                    entry = code;
+                    prefix[tlen] = prev;
+                    append[tlen] = first[code];
+                    first[tlen] = first[prev];
+                    tlen++;
+                } else if (code == tlen) {
+                    if (tlen >= 4096) {
+                        rc = 25;
+                        goto done;
+                    }
+                    prefix[tlen] = prev;
+                    append[tlen] = first[prev];
+                    first[tlen] = first[prev];
+                    entry = tlen;
+                    tlen++;
+                } else {
+                    rc = 22; /* LZW code out of range */
+                    goto done;
+                }
+                for (c = entry; c >= 0; c = prefix[c])
+                    stack[sp++] = append[c];
+                fb = 0;
+                (void)fb;
+                while (sp > 0 && opos < expected)
+                    out[opos++] = stack[--sp];
+                if (sp > 0) {                /* clipped at expected */
+                    opos = expected;
+                }
+                prev = entry;
+                if (tlen == (1 << width) - 1 && width < 12) width++;
+                if (opos >= expected) {
+                    *written = expected;
+                    goto done;
+                }
+            }
+        }
+    }
+    rc = 24; /* ended without EOI */
+done:
+    free(prefix);
+    free(append);
+    free(first);
+    free(stack);
+    return rc;
+}
+
+EXPORT int apts_lzw_encode(const uint8_t *data, int64_t n,
+                           uint8_t *out, int64_t cap,
+                           int64_t *written) {
+    /* open-addressed (prefix, byte) -> code map; 16384 slots for a
+     * <= 4094-entry table keeps probes short */
+#define LZW_HS 16384
+    int32_t *hkey, *hval;
+    uint32_t acc = 0;
+    int32_t nbits = 0, width = 9, next_code = 258, cur = -1;
+    int64_t opos = 0, i;
+    int rc = 0;
+#define LZW_PUT(codeval)                                              \
+    do {                                                              \
+        acc = (acc << width) | (uint32_t)(codeval);                   \
+        nbits += width;                                               \
+        while (nbits >= 8) {                                          \
+            if (opos >= cap) {                                        \
+                rc = 5;                                               \
+                goto done;                                            \
+            }                                                         \
+            out[opos++] = (uint8_t)((acc >> (nbits - 8)) & 0xFF);     \
+            nbits -= 8;                                               \
+        }                                                             \
+        acc &= (1u << nbits) - 1;                                     \
+    } while (0)
+    hkey = (int32_t *)malloc(LZW_HS * sizeof(int32_t));
+    hval = (int32_t *)malloc(LZW_HS * sizeof(int32_t));
+    if (!hkey || !hval) {
+        rc = 4;
+        goto done;
+    }
+    memset(hkey, 0xFF, LZW_HS * sizeof(int32_t));
+    LZW_PUT(256);                            /* leading Clear */
+    for (i = 0; i < n; i++) {
+        int32_t byte = data[i];
+        if (cur < 0) {
+            cur = byte;
+            continue;
+        }
+        {
+            int32_t key = (cur << 8) | byte;
+            uint32_t slot = ((uint32_t)key * 2654435761u) &
+                            (LZW_HS - 1);
+            while (hkey[slot] != -1 && hkey[slot] != key)
+                slot = (slot + 1) & (LZW_HS - 1);
+            if (hkey[slot] == key) {
+                cur = hval[slot];
+                continue;
+            }
+            LZW_PUT(cur);
+            hkey[slot] = key;
+            hval[slot] = next_code;
+            next_code++;
+            if (next_code == (1 << width) && width < 12) {
+                width++;
+            } else if (next_code == 4094) {  /* 2^12 - 2: reset */
+                LZW_PUT(256);
+                memset(hkey, 0xFF, LZW_HS * sizeof(int32_t));
+                next_code = 258;
+                width = 9;
+            }
+            cur = byte;
+        }
+    }
+    if (cur >= 0) LZW_PUT(cur);
+    LZW_PUT(257);                            /* EOI */
+    if (nbits) {
+        if (opos >= cap) {
+            rc = 5;
+            goto done;
+        }
+        out[opos++] = (uint8_t)((acc << (8 - nbits)) & 0xFF);
+    }
+    *written = opos;
+done:
+    free(hkey);
+    free(hval);
+    return rc;
+#undef LZW_PUT
+#undef LZW_HS
+}
+
 /* -------------------------------------------------- CCITT G4 (T.6)
  *
  * Mirrors ccittcodec's pure-2D path: _Bits/_BitWriter semantics,

@@ -214,6 +214,11 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
     """TIFF-variant LZW (§13): MSB-first codes from 9 bits, Clear=256,
     EOI=257, EARLY code-width change (width grows when the next table
     index reaches 2^w - 1, one entry before generic LZW would)."""
+    from . import native as _ckern
+
+    res = _ckern.lzw_decode_native(bytes(data), expected)
+    if res is not None:                      # byte-identical C walk
+        return res
     out = bytearray()
     table: list[bytes] = []
 
@@ -272,6 +277,11 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
 def lzw_encode(data: bytes) -> bytes:
     """Mirror of `lzw_decode` (early-change schedule, Clear emitted at
     start and on table overflow, EOI at the end)."""
+    from . import native as _ckern
+
+    res = _ckern.lzw_encode_native(bytes(data))
+    if res is not None:                      # byte-identical C walk
+        return res
     out = bytearray()
     acc = nbits = 0
 

@@ -289,6 +289,30 @@ def test_jbig2_encode_byte_parity():
     assert np.array_equal(jb.decode_jbig2(nat[1]), bm)
 
 
+def test_lzw_parity():
+    """TIFF-variant LZW: byte-identical encode, identical decode vs
+    the Python walk, across content mixes incl. table resets."""
+    from archive_pdf_tools_spark.kernels.tiffcodec import (lzw_decode,
+                                                           lzw_encode)
+
+    rng = np.random.default_rng(4)
+    cases = [b"", b"A", b"AAAA" * 100,
+             bytes(rng.integers(0, 256, 60000)),
+             bytes(rng.integers(0, 4, 200000)),  # resets exercised
+             b"pagepagepage" * 3000]
+    for i, d in enumerate(cases):
+        nat = lzw_encode(d)
+        out = lzw_decode(nat, len(d))
+        try:
+            save, native._lib = native._lib, None
+            py = lzw_encode(d)
+            out_py = lzw_decode(nat, len(d))
+        finally:
+            native._lib = save
+        assert nat == py, i
+        assert out == out_py == d, i
+
+
 def test_g4_parity():
     """T.6 pure-2D coder: byte-identical encode, pixel-identical
     decode vs the Python changing-elements walk, across densities,
