@@ -968,7 +968,8 @@ def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
     by_id = {c["id"]: c for c in comps}
     scan_comps = []
     tabs = {}
-    for c in range(ns):
+    tab_keys = []                            # per scan comp, for the
+    for c in range(ns):                      # compiled-kernel path
         cs, tdta = sos[1 + 2 * c], sos[2 + 2 * c]
         if cs not in by_id:
             raise JpegError("scan/frame component mismatch")
@@ -980,12 +981,16 @@ def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
                 raise JpegError("missing Huffman table")
             s_, l_ = hufftab[key]
             tabs[cs] = (s_.tolist(), l_.tolist())
+            tab_keys.append(key)
         elif ss > 0:                         # AC scans need an AC table
             key = (1, tdta & 0x0F)
             if key not in hufftab:
                 raise JpegError("missing Huffman table")
             s_, l_ = hufftab[key]
             tabs[cs] = (s_.tolist(), l_.tolist())
+            tab_keys.append(key)
+        else:
+            tab_keys.append(None)            # DC refinement: raw bits
     if ss == 0:
         if se != 0:
             raise JpegError("DC scan with nonzero Se")
@@ -1007,6 +1012,13 @@ def _decode_scan_prog(data, scan_start, sos, frame, qtbl, hufftab,
         comp = scan_comps[0]
         n_units = (comp["bw_ni"] * comp["bh_ni"] if ss > 0 or ns == 1
                    else frame["mcus_x"] * frame["mcus_y"])
+
+    if _ckern_mod().jpeg_prog_scan_native(
+            segments, scan_comps, hufftab, tab_keys, ss, se, ah, al,
+            restart_interval, n_units, interleaved,
+            frame["mcus_x"], 11 if frame.get("precision", 8) == 8
+            else 15):
+        return end                           # bit-identical C walk
 
     seg_idx = 0
     br = _BitReader(segments[0])

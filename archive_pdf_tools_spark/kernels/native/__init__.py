@@ -151,6 +151,15 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    lib.apts_jpeg_prog_scan.argtypes = [
+        _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _I32P, _I32P, _I32P, _I32P,
+        ctypes.POINTER(ctypes.c_int16), _I8P, _I32P, ctypes.c_int32,
+        ctypes.POINTER(_I32P),
+    ]
+    lib.apts_jpeg_prog_scan.restype = ctypes.c_int32
     lib.apts_lzw_decode.argtypes = [_U8P, ctypes.c_int64, _U8P,
                                     ctypes.c_int64, _I64P]
     lib.apts_lzw_decode.restype = ctypes.c_int32
@@ -548,6 +557,57 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,
+                          ss, se, ah, al, restart_interval, n_units,
+                          interleaved, mcus_x, dcmax) -> bool:
+    """One progressive scan through the compiled kernel, accumulating
+    into each scan comp's coef store in place.  False = run the Python
+    walk (kernel absent or a C error site — the stores are restored
+    from backup first, since AC refinement is not idempotent)."""
+    lib = _load()
+    if lib is None or not 1 <= len(scan_comps) <= 4:
+        return False
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    uniq = list(dict.fromkeys(k for k in tab_keys if k is not None))
+    if uniq:
+        sym = np.concatenate([np.ascontiguousarray(hufftab[k][0],
+                                                   dtype=np.int16)
+                              for k in uniq])
+        ln = np.concatenate([np.ascontiguousarray(hufftab[k][1],
+                                                  dtype=np.int8)
+                             for k in uniq])
+    else:                                    # DC refinement: no tables
+        sym = np.zeros(65536, dtype=np.int16)
+        ln = np.zeros(65536, dtype=np.int8)
+    tab_idx = np.array([uniq.index(k) if k is not None else 0
+                        for k in tab_keys], dtype=np.int32)
+    segbuf = np.frombuffer(b"".join(segments) + b"\x00",
+                           dtype=np.uint8)
+    offs = np.zeros(len(segments) + 1, dtype=np.int64)
+    if segments:
+        offs[1:] = np.cumsum([len(s) for s in segments])
+    cv = np.array([c["v"] for c in scan_comps], dtype=np.int32)
+    ch = np.array([c["h"] for c in scan_comps], dtype=np.int32)
+    cbw = np.array([c["bw"] for c in scan_comps], dtype=np.int32)
+    bw_ni = np.array([c["bw_ni"] for c in scan_comps], dtype=np.int32)
+    backups = [c["coef"].copy() for c in scan_comps]
+    flats = (_I32P * len(scan_comps))(
+        *[c["coef"].ctypes.data_as(_I32P) for c in scan_comps])
+    rc = lib.apts_jpeg_prog_scan(
+        _u8(segbuf), offs.ctypes.data_as(_I64P), len(segments),
+        restart_interval, n_units, ss, se, ah, al,
+        1 if interleaved else 0, mcus_x, len(scan_comps),
+        cv.ctypes.data_as(_I32P), ch.ctypes.data_as(_I32P),
+        cbw.ctypes.data_as(_I32P), bw_ni.ctypes.data_as(_I32P),
+        sym.ctypes.data_as(i16), ln.ctypes.data_as(_I8P),
+        tab_idx.ctypes.data_as(_I32P), dcmax, flats)
+    if rc:
+        for c, b in zip(scan_comps, backups):
+            c["coef"][...] = b
+        return False
+    return True
 
 
 def lzw_decode_native(data: bytes, expected: int):

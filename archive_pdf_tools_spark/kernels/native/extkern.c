@@ -1447,6 +1447,269 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
     }
 }
 
+/* ------------------------------------------- JPEG progressive scan
+ *
+ * Mirrors jpegcodec._decode_scan_prog (T.81 G.1.2): DC first and
+ * refinement scans (interleaved or single-component), AC first scans
+ * with EOBn runs, AC refinement with correction bits, restart
+ * markers.  The per-segment _BitReader semantics (zero-fed tail,
+ * pad > 4 raises) are reproduced; all SOS validation stays in Python.
+ */
+typedef struct {
+    const uint8_t *seg;
+    int64_t n, pos;
+    uint64_t buf;
+    int32_t cnt, pad;
+    int err;
+} PBR;
+
+static void pbr_init(PBR *b, const uint8_t *seg, int64_t n) {
+    b->seg = seg;
+    b->n = n;
+    b->pos = 0;
+    b->buf = 0;
+    b->cnt = 0;
+    b->pad = 0;
+    b->err = 0;
+}
+
+static inline void pbr_fill(PBR *b) {
+    while (b->cnt <= 24) {
+        uint32_t v;
+        if (b->pos < b->n) {
+            v = b->seg[b->pos];
+        } else {
+            v = 0;
+            b->pad += 1;
+        }
+        b->buf = ((b->buf << 8) | v) & 0xFFFFFFFFFFull;
+        b->pos += 1;
+        b->cnt += 8;
+    }
+}
+
+static inline int32_t pbr_bits(PBR *b, int k) {
+    if (b->cnt < k) pbr_fill(b);
+    if (b->pad > 4) {
+        b->err = 10; /* entropy data exhausted in scan */
+        return 0;
+    }
+    b->cnt -= k;
+    return (int32_t)((b->buf >> b->cnt) & ((1u << k) - 1));
+}
+
+static inline int32_t pbr_huff(PBR *b, const int16_t *sym,
+                               const int8_t *len) {
+    int32_t peek, s;
+    if (b->cnt < 16) pbr_fill(b);
+    if (b->pad > 4) {
+        b->err = 10;
+        return 0;
+    }
+    peek = (int32_t)((b->buf >> (b->cnt - 16)) & 0xFFFF);
+    s = sym[peek];
+    if (s < 0) {
+        b->err = 8; /* invalid Huffman code */
+        return 0;
+    }
+    b->cnt -= len[peek];
+    return s;
+}
+
+static inline int32_t jext(int32_t v, int t) {
+    return (v >> (t - 1)) ? v : v - (1 << t) + 1;
+}
+
+EXPORT int apts_jpeg_prog_scan(
+    const uint8_t *segbuf, const int64_t *segoff, int32_t nseg,
+    int32_t ri, int64_t n_units, int32_t ss, int32_t se, int32_t ah,
+    int32_t al, int32_t interleaved, int32_t mcus_x, int32_t ncomp,
+    const int32_t *cv, const int32_t *ch, const int32_t *cbw,
+    const int32_t *bw_ni, const int16_t *sym_stack,
+    const int8_t *len_stack, const int32_t *tab_idx, int32_t dcmax,
+    int32_t **flats) {
+    PBR br;
+    int32_t seg_idx = 0, c;
+    int64_t unit;
+    int32_t pred[8] = {0};
+    int64_t eobrun = 0;
+    if (ncomp < 1 || ncomp > 4) return 3;
+    pbr_init(&br, segbuf + segoff[0], segoff[1] - segoff[0]);
+    if (ss == 0) {
+        for (unit = 0; unit < n_units; unit++) {
+            if (ri && unit && unit % ri == 0) {
+                seg_idx++;
+                if (seg_idx >= nseg) return 5;
+                pbr_init(&br, segbuf + segoff[seg_idx],
+                         segoff[seg_idx + 1] - segoff[seg_idx]);
+                memset(pred, 0, sizeof(pred));
+                eobrun = 0;
+            }
+            for (c = 0; c < ncomp; c++) {
+                int32_t *flat = flats[c];
+                int32_t blocks[16];
+                int32_t nb = 0, bi;
+                if (interleaved) {
+                    int64_t my = unit / mcus_x, mx = unit % mcus_x;
+                    int32_t by, bx;
+                    for (by = 0; by < cv[c]; by++)
+                        for (bx = 0; bx < ch[c]; bx++)
+                            blocks[nb++] =
+                                (int32_t)(((my * cv[c] + by) * cbw[c] +
+                                           mx * ch[c] + bx));
+                } else {
+                    int64_t by = unit / bw_ni[c],
+                            bx = unit % bw_ni[c];
+                    blocks[nb++] = (int32_t)(by * cbw[c] + bx);
+                }
+                for (bi = 0; bi < nb; bi++) {
+                    int64_t base = (int64_t)blocks[bi] * 64;
+                    if (ah == 0) {
+                        const int16_t *ds =
+                            sym_stack +
+                            (int64_t)tab_idx[c] * 65536;
+                        const int8_t *dl =
+                            len_stack + (int64_t)tab_idx[c] * 65536;
+                        int32_t t = pbr_huff(&br, ds, dl);
+                        int32_t diff = 0;
+                        if (br.err) return br.err;
+                        if (t > dcmax) return 6;
+                        if (t) {
+                            diff = jext(pbr_bits(&br, t), t);
+                            if (br.err) return br.err;
+                        }
+                        pred[c] += diff;
+                        if (!(-(1 << 20) < pred[c] &&
+                              pred[c] < (1 << 20)))
+                            return 7;
+                        flat[base] = pred[c] << al;
+                    } else {
+                        if (pbr_bits(&br, 1))
+                            flat[base] |= 1 << al;
+                        if (br.err) return br.err;
+                    }
+                }
+            }
+        }
+        return 0;
+    }
+    /* AC scan: single component */
+    {
+        int32_t *flat = flats[0];
+        const int16_t *as = sym_stack + (int64_t)tab_idx[0] * 65536;
+        const int8_t *alen = len_stack + (int64_t)tab_idx[0] * 65536;
+        int32_t p1 = 1 << al, m1 = -(1 << al);
+        for (unit = 0; unit < n_units; unit++) {
+            int64_t base;
+            int32_t k;
+            if (ri && unit && unit % ri == 0) {
+                seg_idx++;
+                if (seg_idx >= nseg) return 5;
+                pbr_init(&br, segbuf + segoff[seg_idx],
+                         segoff[seg_idx + 1] - segoff[seg_idx]);
+                eobrun = 0;
+            }
+            {
+                int64_t by = unit / bw_ni[0], bx = unit % bw_ni[0];
+                base = (by * cbw[0] + bx) * 64;
+            }
+            if (ah == 0) {
+                if (eobrun) {
+                    eobrun--;
+                    continue;
+                }
+                k = ss;
+                while (k <= se) {
+                    int32_t rs = pbr_huff(&br, as, alen);
+                    int32_t r, s;
+                    if (br.err) return br.err;
+                    r = rs >> 4;
+                    s = rs & 0x0F;
+                    if (s) {
+                        k += r;
+                        if (k > se) return 9;
+                        flat[base + k] =
+                            jext(pbr_bits(&br, s), s) << al;
+                        if (br.err) return br.err;
+                        k++;
+                    } else {
+                        if (r != 15) {
+                            eobrun = ((int64_t)1 << r) - 1;
+                            if (r) {
+                                eobrun += pbr_bits(&br, r);
+                                if (br.err) return br.err;
+                            }
+                            break;
+                        }
+                        k += 16;
+                    }
+                }
+            } else {
+                k = ss;
+                if (eobrun == 0) {
+                    while (k <= se) {
+                        int32_t rs = pbr_huff(&br, as, alen);
+                        int32_t r, s, newval = 0, hit = 0;
+                        if (br.err) return br.err;
+                        r = rs >> 4;
+                        s = rs & 0x0F;
+                        if (s == 0) {
+                            if (r != 15) {
+                                eobrun = (int64_t)1 << r;
+                                if (r) {
+                                    eobrun += pbr_bits(&br, r);
+                                    if (br.err) return br.err;
+                                }
+                                break;
+                            }
+                        } else {
+                            if (s != 1) return 11;
+                            newval = pbr_bits(&br, 1) ? p1 : m1;
+                            if (br.err) return br.err;
+                        }
+                        while (k <= se) {
+                            int64_t idx = base + k;
+                            int32_t cur = flat[idx];
+                            if (cur) {
+                                int32_t bit = pbr_bits(&br, 1);
+                                if (br.err) return br.err;
+                                if (bit && !(cur & p1))
+                                    flat[idx] =
+                                        cur + (cur >= 0 ? p1 : m1);
+                            } else {
+                                r--;
+                                if (r < 0) {
+                                    hit = 1;
+                                    if (newval) flat[idx] = newval;
+                                    k++;
+                                    break;
+                                }
+                            }
+                            k++;
+                        }
+                        if (!hit && newval) return 9;
+                    }
+                }
+                if (eobrun) {
+                    while (k <= se) {
+                        int64_t idx = base + k;
+                        int32_t cur = flat[idx];
+                        if (cur) {
+                            int32_t bit = pbr_bits(&br, 1);
+                            if (br.err) return br.err;
+                            if (bit && !(cur & p1))
+                                flat[idx] = cur + (cur >= 0 ? p1 : m1);
+                        }
+                        k++;
+                    }
+                    eobrun--;
+                }
+            }
+        }
+    }
+    return 0;
+}
+
 /* --------------------------------------------------- TIFF LZW (§13)
  *
  * Mirrors tiffcodec.lzw_decode / lzw_encode: MSB-first codes from 9

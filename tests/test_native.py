@@ -187,6 +187,28 @@ def test_jpeg_scan_and_finish_parity():
         assert np.array_equal(nat, py), i
 
 
+def test_jpeg_progressive_parity():
+    """Progressive scans (DC first/refine, AC first with EOBn runs,
+    AC refinement correction bits, DRI) through the compiled walk."""
+    from archive_pdf_tools_spark.kernels import jpegcodec as jc
+
+    rng = np.random.default_rng(55)
+    cases = [((120, 200, 3), dict(quality=80, subsample=(2, 2))),
+             ((64, 64), dict(quality=90)),
+             ((97, 61, 3), dict(quality=40, subsample=(2, 1))),
+             ((120, 200, 3), dict(quality=80, restart_interval=4))]
+    for shape, kw in cases:
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        d = jc.encode_progressive(img, **kw)
+        nat = jc.decode_baseline(d)
+        try:
+            save, native._lib = native._lib, None
+            py = jc.decode_baseline(d)
+        finally:
+            native._lib = save
+        assert np.array_equal(nat, py), (shape, kw)
+
+
 def test_jpeg_truncated_stream_matches_python():
     """A truncated entropy segment must raise the same JpegError
     whether the C walk or the Python walk sees it first (the C kernel
