@@ -151,6 +151,11 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    lib.apts_sauvola.argtypes = [
+        _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double, _U8P,
+    ]
+    lib.apts_sauvola.restype = ctypes.c_int32
     lib.apts_jpeg_prog_scan.argtypes = [
         _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -557,6 +562,21 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+def sauvola_native(img: np.ndarray, ww: int, wh: int, k: float,
+                   R: float):
+    """Sauvola ink mask (bool, True on ink); None = use numpy."""
+    lib = _load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape
+    out = np.empty((h, w), dtype=np.uint8)
+    rc = lib.apts_sauvola(_u8(img), h, w, ww, wh, k, R, _u8(out))
+    if rc:
+        return None
+    return out.view(bool)
 
 
 def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,

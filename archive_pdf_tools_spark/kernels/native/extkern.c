@@ -1447,6 +1447,83 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
     }
 }
 
+/* -------------------------------------------------- Sauvola (MRC)
+ *
+ * Mirrors kernels/sauvola.py::sauvola_mask (itself a re-derivation of
+ * the reference's cython/sauvola.pyx): clamped-window sums via padded
+ * integral images, C-truncated integer division, and the float64
+ * decision with the exact operand order of the numpy expressions
+ * (build is -ffp-contract=off).  out: 1 = ink.
+ */
+EXPORT int apts_sauvola(const uint8_t *img, int32_t h, int32_t w,
+                        int32_t ww, int32_t wh, double k, double R,
+                        uint8_t *out) {
+    int64_t *I, *I2;
+    int32_t l = (ww + 1) / 2, r = ww / 2;
+    int32_t o = (wh + 1) / 2, u = wh / 2;
+    int64_t stride = w + 1;
+    int32_t y, x;
+    double k2 = k * k / R / R, km1 = k - 1.0;
+    if (h <= 0 || w <= 0) return 3;
+    I = (int64_t *)calloc((size_t)(h + 1) * stride, sizeof(int64_t));
+    I2 = (int64_t *)calloc((size_t)(h + 1) * stride, sizeof(int64_t));
+    if (!I || !I2) {
+        free(I);
+        free(I2);
+        return 4;
+    }
+    for (y = 0; y < h; y++) {
+        const uint8_t *row = img + (int64_t)y * w;
+        int64_t *ir = I + (int64_t)(y + 1) * stride;
+        int64_t *ir0 = I + (int64_t)y * stride;
+        int64_t *qr = I2 + (int64_t)(y + 1) * stride;
+        int64_t *qr0 = I2 + (int64_t)y * stride;
+        int64_t racc = 0, qacc = 0;
+        for (x = 0; x < w; x++) {
+            int64_t v = row[x];
+            racc += v;
+            qacc += v * v;
+            ir[x + 1] = racc + ir0[x + 1];
+            qr[x + 1] = qacc + qr0[x + 1];
+        }
+    }
+    for (y = 0; y < h; y++) {
+        int32_t r0 = y - o + 1 > 0 ? y - o + 1 : 0;
+        int32_t r1 = y + u < h - 1 ? y + u : h - 1;
+        const int64_t *top = I + (int64_t)r0 * stride;
+        const int64_t *bot = I + (int64_t)(r1 + 1) * stride;
+        const int64_t *top2 = I2 + (int64_t)r0 * stride;
+        const int64_t *bot2 = I2 + (int64_t)(r1 + 1) * stride;
+        const uint8_t *row = img + (int64_t)y * w;
+        uint8_t *orow = out + (int64_t)y * w;
+        int64_t rows_n = r1 - r0 + 1;
+        for (x = 0; x < w; x++) {
+            int32_t c0 = x - l + 1 > 0 ? x - l + 1 : 0;
+            int32_t c1 = x + r < w - 1 ? x + r : w - 1;
+            int64_t count = rows_n * (c1 - c0 + 1);
+            int64_t sum = bot[c1 + 1] - top[c1 + 1] - bot[c0] + top[c0];
+            int64_t sq =
+                bot2[c1 + 1] - top2[c1 + 1] - bot2[c0] + top2[c0];
+            int64_t mean_i = sum / count;
+            int64_t var_i = sq / count - mean_i * mean_i;
+            double mean = (double)mean_i;
+            double variance = (double)var_i;
+            double tmp = mean * km1 + (double)row[x];
+            double rhs = mean * mean * k2 * variance;
+            double t2 = tmp * tmp;
+            int ink;
+            if (k >= 0)
+                ink = (tmp <= 0) || (t2 <= rhs);
+            else
+                ink = (tmp <= 0) && (t2 >= rhs);
+            orow[x] = (uint8_t)ink;
+        }
+    }
+    free(I);
+    free(I2);
+    return 0;
+}
+
 /* ------------------------------------------- JPEG progressive scan
  *
  * Mirrors jpegcodec._decode_scan_prog (T.81 G.1.2): DC first and

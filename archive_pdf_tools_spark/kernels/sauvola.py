@@ -81,6 +81,12 @@ def sauvola_mask(img: np.ndarray, window_width: int, window_height: int,
     if h == 0 or w == 0:
         return np.zeros((h, w), dtype=bool)
 
+    from . import native as _ckern
+
+    res = _ckern.sauvola_native(img, window_width, window_height, k, R)
+    if res is not None:                      # bit-identical C kernel
+        return res
+
     from .optimise import _integral_dtype, _windowed_sum_2d
 
     # Page shapes repeat heavily across a corpus — memoize the clamped

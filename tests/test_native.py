@@ -311,6 +311,27 @@ def test_jbig2_encode_byte_parity():
     assert np.array_equal(jb.decode_jbig2(nat[1]), bm)
 
 
+def test_sauvola_parity():
+    """Sauvola C kernel vs the numpy expressions: same clamped-window
+    sums, same C-truncated divisions, same float64 operand order —
+    bit parity across windows (incl. > 2*width), signs of k, tiny
+    shapes."""
+    from archive_pdf_tools_spark.kernels.sauvola import sauvola_mask
+
+    rng = np.random.default_rng(12)
+    for (h, w) in [(1, 1), (5, 7), (64, 64), (31, 257)]:
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for (ww, wh) in [(3, 3), (51, 51), (15, 7), (2 * w + 3, 5)]:
+            for k in (0.34, -0.2, 0.0):
+                nat = sauvola_mask(img, ww, wh, k, 128.0)
+                try:
+                    save, native._lib = native._lib, None
+                    py = sauvola_mask(img, ww, wh, k, 128.0)
+                finally:
+                    native._lib = save
+                assert np.array_equal(nat, py), (h, w, ww, wh, k)
+
+
 def test_lzw_parity():
     """TIFF-variant LZW: byte-identical encode, identical decode vs
     the Python walk, across content mixes incl. table resets."""
