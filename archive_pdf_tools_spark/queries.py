@@ -3340,7 +3340,9 @@ def q_ckern_parity(spark, sf):
 
     kernels_df = spark.createDataFrame(
         [("dwt53",), ("dwt97",), ("jbig2_generic",), ("jbig2_refine",),
-         ("jp2_t1",)], "kernel string").repartition(5, "kernel")
+         ("jp2_t1",), ("jpeg_scan",), ("jpeg_progressive",),
+         ("ccitt_g4",), ("tiff_lzw",), ("sauvola",)],
+        "kernel string").repartition(5, "kernel")
 
     def gen(batches):
         import numpy as np
@@ -3358,6 +3360,11 @@ def q_ckern_parity(spark, sf):
                 native._lib = save
             return bool(np.array_equal(nat, py))
 
+        from .kernels import ccittcodec as cc
+        from .kernels import jpegcodec as jc
+        from .kernels import tiffcodec as tc
+        from .kernels.sauvola import sauvola_mask
+
         rng = np.random.default_rng(8)
         bm = (rng.random((40, 56)) < 0.4).astype(np.uint8)
         ref = bm.copy()
@@ -3369,6 +3376,14 @@ def q_ckern_parity(spark, sf):
         f97 = jp.dwt97_forward(coefs.astype(np.float64), 2)
         gstream = jb.encode_jbig2(bm, template=0, tpgdon=True)
         rstream = jb.encode_jbig2_refinement(bm, ref, tpgron=True)
+        gray = rng.integers(0, 256, (48, 40, 3)).astype(np.uint8)
+        jstream = jc.encode_baseline(gray, quality=85,
+                                     subsample=(2, 2))
+        pstream = jc.encode_progressive(gray, quality=80)
+        g4stream = cc.encode_g4(bm)
+        lzw_raw = bytes(rng.integers(0, 8, 5000).astype(np.uint8))
+        lstream = tc.lzw_encode(lzw_raw)
+        page = rng.integers(0, 256, (60, 80)).astype(np.uint8)
         checks = {
             "dwt53": lambda: jp.dwt53_inverse(f53, 2),
             "dwt97": lambda: jp.dwt97_inverse(f97, 2),
@@ -3376,6 +3391,12 @@ def q_ckern_parity(spark, sf):
             "jbig2_refine": lambda: jb.decode_jbig2(rstream),
             "jp2_t1": lambda: jp.t1_decode(t1data, t1n, t1bps, 17, 21,
                                            "HL"),
+            "jpeg_scan": lambda: jc.decode_baseline(jstream),
+            "jpeg_progressive": lambda: jc.decode_baseline(pstream),
+            "ccitt_g4": lambda: cc.decode_g4(g4stream, 56, 40),
+            "tiff_lzw": lambda: np.frombuffer(
+                tc.lzw_decode(lstream, len(lzw_raw)), dtype=np.uint8),
+            "sauvola": lambda: sauvola_mask(page, 15, 15, 0.34, 128.0),
         }
         for pdf in batches:
             rows = []
@@ -3393,9 +3414,11 @@ def q_ckern_parity(spark, sf):
 
 SQL_CKERN_PARITY = """
 SELECT * FROM (VALUES
-    ('dwt53', true, true), ('dwt97', true, true),
-    ('jbig2_generic', true, true), ('jbig2_refine', true, true),
-    ('jp2_t1', true, true))
+    ('ccitt_g4', true, true), ('dwt53', true, true),
+    ('dwt97', true, true), ('jbig2_generic', true, true),
+    ('jbig2_refine', true, true), ('jp2_t1', true, true),
+    ('jpeg_progressive', true, true), ('jpeg_scan', true, true),
+    ('sauvola', true, true), ('tiff_lzw', true, true))
     AS t(kernel, active, match)
 ORDER BY kernel
 """

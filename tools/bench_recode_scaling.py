@@ -115,13 +115,19 @@ def main():
     from bench import probe_window
 
     force = "--force" in sys.argv
+    # --docs N: scale the small-page workload (the compiled encode
+    # kernels made the original 192-doc sizing ~10x too small for the
+    # serial-constant budget documented in build_rows)
+    n_docs = 192
+    if "--docs" in sys.argv:
+        n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
     probe = probe_window()
     print(json.dumps({"probe": probe}))
     if not probe["clean"] and not force:
         print("window dirty; refusing to record (--force overrides)")
         return 1
 
-    rows = build_rows()
+    rows = build_rows(n_docs=n_docs)
     n_pages = len(rows)
     walls = {}
     for cores in (1, 2, 4, 8):
@@ -144,7 +150,8 @@ def main():
     # regime where the grouped-map task machinery (measured ~2 s
     # across 192 small tasks) stops mattering.  96 docs keeps the
     # pair inside the probe window.
-    big = build_rows(n_docs=96, page_wh=(600, 800))
+    big = build_rows(n_docs=96 * max(1, n_docs // 192),
+                     page_wh=(600, 800))
     bw = {}
     for cores in (2, 8):
         bw[cores] = run_at(cores, big, len(big))
