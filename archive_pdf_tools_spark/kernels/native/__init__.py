@@ -151,6 +151,11 @@ def _bind(lib) -> None:
         ctypes.c_double,
     ]
     lib.apts_dwt97_inv.restype = ctypes.c_int32
+    lib.apts_optimise2.argtypes = [
+        _U8P, _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, _U8P,
+    ]
+    lib.apts_optimise2.restype = ctypes.c_int32
     lib.apts_sauvola.argtypes = [
         _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, _U8P,
@@ -562,6 +567,24 @@ def ycc_rgb_native(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
                      cr.ctypes.data_as(u16), y.size, shift, maxv,
                      k[0], k[1], k[2], k[3], p8, p16)
     return out
+
+
+def optimise2_native(mask: np.ndarray, img: np.ndarray, n_size: int):
+    """MRC background/foreground fill (uint8, mask pixels keep their
+    img values); None = use the numpy path."""
+    lib = _load()
+    if lib is None:
+        return None
+    mask = np.ascontiguousarray(mask, dtype=np.uint8)
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = mask.shape
+    ch = 1 if img.ndim == 2 else img.shape[2]
+    out = img.reshape(h, w, ch).copy()
+    rc = lib.apts_optimise2(_u8(mask), _u8(img), h, w, ch, n_size,
+                            _u8(out))
+    if rc:
+        return None
+    return out.reshape(img.shape)
 
 
 def sauvola_native(img: np.ndarray, ww: int, wh: int, k: float,

@@ -1447,6 +1447,141 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
     }
 }
 
+/* ----------------------------------------------- optimise2 (MRC)
+ *
+ * Mirrors kernels/optimise.py::_optimise2 (itself the reference's
+ * optimiser.pyx re-derivation): background/foreground fill where
+ * mask==0 as (FIR + IIR) // count with the half-open clamped windows
+ * documented there.  All-integer; the IIR reads already-final output
+ * rows, so a plain row walk reproduces the vectorized result exactly.
+ */
+EXPORT int apts_optimise2(const uint8_t *mask, const uint8_t *img,
+                          int32_t h, int32_t w, int32_t ch, int32_t n,
+                          uint8_t *out) {
+    int64_t stride = w + 1;
+    int64_t *icnt, *ival, *col_sums, *P;
+    int32_t *fir_cnt, *fir_val;
+    int32_t y, x, c;
+    int32_t iys_prev = 0, iye_prev = 0;
+    if (h <= 0 || w <= 0 || ch < 1 || ch > 4 || n < 0 || n > 4096)
+        return 3;
+    icnt = (int64_t *)calloc((size_t)(h + 1) * stride, 8);
+    ival = (int64_t *)calloc((size_t)(h + 1) * stride, 8);
+    fir_cnt = (int32_t *)malloc((size_t)h * w * 4);
+    fir_val = (int32_t *)malloc((size_t)h * w * ch * 4);
+    col_sums = (int64_t *)calloc((size_t)w * ch, 8);
+    P = (int64_t *)malloc(((size_t)w + 1) * ch * 8);
+    if (!icnt || !ival || !fir_cnt || !fir_val || !col_sums || !P) {
+        free(icnt);
+        free(ival);
+        free(fir_cnt);
+        free(fir_val);
+        free(col_sums);
+        free(P);
+        return 4;
+    }
+    /* mask-count integral + per-pixel FIR counts */
+    for (y = 0; y < h; y++) {
+        const uint8_t *mrow = mask + (int64_t)y * w;
+        int64_t *ir = icnt + (int64_t)(y + 1) * stride;
+        const int64_t *ir0 = icnt + (int64_t)y * stride;
+        int64_t acc = 0;
+        for (x = 0; x < w; x++) {
+            acc += mrow[x] ? 1 : 0;
+            ir[x + 1] = acc + ir0[x + 1];
+        }
+    }
+    for (y = 0; y < h; y++) {
+        int32_t r0 = y - n > 0 ? y - n : 0;
+        int32_t r1 = (y + n < h ? y + n : h) - 1;
+        const int64_t *top = icnt + (int64_t)r0 * stride;
+        const int64_t *bot = icnt + (int64_t)(r1 + 1) * stride;
+        int32_t *orow = fir_cnt + (int64_t)y * w;
+        for (x = 0; x < w; x++) {
+            int32_t c0 = x - n > 0 ? x - n : 0;
+            int32_t c1 = (x + n < w ? x + n : w) - 1;
+            orow[x] = (int32_t)(bot[c1 + 1] - top[c1 + 1] - bot[c0] +
+                                top[c0]);
+        }
+    }
+    /* per-channel masked-value integral + per-pixel FIR sums */
+    for (c = 0; c < ch; c++) {
+        memset(ival, 0, (size_t)(h + 1) * stride * 8);
+        for (y = 0; y < h; y++) {
+            const uint8_t *mrow = mask + (int64_t)y * w;
+            const uint8_t *irow = img + ((int64_t)y * w) * ch + c;
+            int64_t *ir = ival + (int64_t)(y + 1) * stride;
+            const int64_t *ir0 = ival + (int64_t)y * stride;
+            int64_t acc = 0;
+            for (x = 0; x < w; x++) {
+                acc += mrow[x] ? irow[(int64_t)x * ch] : 0;
+                ir[x + 1] = acc + ir0[x + 1];
+            }
+        }
+        for (y = 0; y < h; y++) {
+            int32_t r0 = y - n > 0 ? y - n : 0;
+            int32_t r1 = (y + n < h ? y + n : h) - 1;
+            const int64_t *top = ival + (int64_t)r0 * stride;
+            const int64_t *bot = ival + (int64_t)(r1 + 1) * stride;
+            int32_t *orow = fir_val + ((int64_t)y * w) * ch + c;
+            for (x = 0; x < w; x++) {
+                int32_t c0 = x - n > 0 ? x - n : 0;
+                int32_t c1 = (x + n < w ? x + n : w) - 1;
+                orow[(int64_t)x * ch] =
+                    (int32_t)(bot[c1 + 1] - top[c1 + 1] - bot[c0] +
+                              top[c0]);
+            }
+        }
+    }
+    /* IIR row walk over the output under construction */
+    for (y = 0; y < h; y++) {
+        int32_t ys = y - n > 0 ? y - n : 0;
+        int32_t ycnt = y < n ? y : n;
+        const uint8_t *mrow = mask + (int64_t)y * w;
+        uint8_t *orow = out + ((int64_t)y * w) * ch;
+        while (iys_prev < ys) {
+            const uint8_t *r = out + ((int64_t)iys_prev * w) * ch;
+            for (x = 0; x < w * ch; x++) col_sums[x] -= r[x];
+            iys_prev++;
+        }
+        while (iye_prev < y) {
+            const uint8_t *r = out + ((int64_t)iye_prev * w) * ch;
+            for (x = 0; x < w * ch; x++) col_sums[x] += r[x];
+            iye_prev++;
+        }
+        /* prefix over columns: P[x] = sum of col_sums cols [0, x) */
+        for (c = 0; c < ch; c++) P[c] = 0;
+        for (x = 0; x < w; x++)
+            for (c = 0; c < ch; c++)
+                P[(int64_t)(x + 1) * ch + c] =
+                    P[(int64_t)x * ch + c] +
+                    col_sums[(int64_t)x * ch + c];
+        for (x = 0; x < w; x++) {
+            int32_t xs, icount;
+            int64_t cnt;
+            if (mrow[x]) continue;           /* mask pixels unchanged */
+            xs = x - n > 0 ? x - n : 0;
+            icount = ycnt * (x - xs);
+            cnt = fir_cnt[(int64_t)y * w + x] + icount;
+            for (c = 0; c < ch; c++) {
+                int64_t val =
+                    fir_val[((int64_t)y * w + x) * ch + c] +
+                    (P[(int64_t)x * ch + c] -
+                     P[(int64_t)xs * ch + c]);
+                orow[(int64_t)x * ch + c] =
+                    (uint8_t)(cnt ? val / cnt : 0);
+            }
+        }
+    }
+    free(icnt);
+    free(ival);
+    free(fir_cnt);
+    free(fir_val);
+    free(col_sums);
+    free(P);
+    return 0;
+}
+
 /* -------------------------------------------------- Sauvola (MRC)
  *
  * Mirrors kernels/sauvola.py::sauvola_mask (itself a re-derivation of

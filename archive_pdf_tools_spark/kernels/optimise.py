@@ -100,6 +100,12 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
     The FIR term has no feedback, so it is computed for the whole page in
     one integral-image pass; only the IIR quadrant (which reads already-
     written output rows) iterates per row, fully vectorized along x."""
+    from . import native as _ckern
+
+    res = _ckern.optimise2_native(np.asarray(mask) != 0, img, n_size)
+    if res is not None:                      # bit-identical C kernel
+        return res
+
     mask_b = mask.astype(bool)
     img = np.ascontiguousarray(img, dtype=np.uint8)
     h, w = mask_b.shape
@@ -177,9 +183,19 @@ def _optimise2(mask: np.ndarray, img: np.ndarray, n_size: int) -> np.ndarray:
 def _optimise2_batch(masks: np.ndarray, imgs: np.ndarray,
                      n_size: int) -> np.ndarray:
     """Batched fast path: same per-page semantics as ``_optimise2`` with a
-    leading batch axis — the sequential IIR row loop runs once for the
+    leading batch axis — with the compiled kernel available the batch
+    simply loops per item through C (the batching existed to amortize
+    the Python IIR row loop, which the C walk replaces outright); the
     whole same-shape batch, amortizing NumPy dispatch (measured ~3x on
     the full kernel).  masks (B,h,w) bool-ish, imgs (B,h,w[,ch]) uint8."""
+    from . import native as _ckern
+
+    if _ckern.available() and len(masks):
+        outs = [_ckern.optimise2_native(np.asarray(m) != 0, im, n_size)
+                for m, im in zip(masks, imgs)]
+        if all(o is not None for o in outs):
+            return np.stack(outs).reshape(np.asarray(imgs).shape)
+
     masks_b = masks.astype(bool)
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     B, h, w = masks_b.shape

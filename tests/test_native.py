@@ -311,6 +311,34 @@ def test_jbig2_encode_byte_parity():
     assert np.array_equal(jb.decode_jbig2(nat[1]), bm)
 
 
+def test_optimise2_parity():
+    """MRC fill kernel (FIR+IIR windows, integer divisions): C vs the
+    vectorized numpy path, single and batch, gray and RGB."""
+    from archive_pdf_tools_spark.kernels.optimise import (
+        optimise_gray2, optimise_gray2_batch, optimise_rgb2)
+
+    rng = np.random.default_rng(19)
+    for (h, w) in [(1, 1), (5, 7), (64, 64), (31, 129)]:
+        for n in (1, 2, 10, 40):
+            mask = (rng.random((h, w)) < 0.3).astype(np.uint8)
+            g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            batch_m = np.stack([mask, 1 - mask])
+            batch_i = np.stack([g, 255 - g])
+            nat = (optimise_gray2(mask.copy(), g.copy(), n),
+                   optimise_rgb2(mask.copy(), rgb.copy(), n),
+                   optimise_gray2_batch(batch_m, batch_i, n))
+            try:
+                save, native._lib = native._lib, None
+                py = (optimise_gray2(mask.copy(), g.copy(), n),
+                      optimise_rgb2(mask.copy(), rgb.copy(), n),
+                      optimise_gray2_batch(batch_m, batch_i, n))
+            finally:
+                native._lib = save
+            for a, b in zip(nat, py):
+                assert np.array_equal(a, b), (h, w, n)
+
+
 def test_sauvola_parity():
     """Sauvola C kernel vs the numpy expressions: same clamped-window
     sums, same C-truncated divisions, same float64 operand order —
