@@ -2214,6 +2214,10 @@ static int g4_decode_row(GBITS *bits, const int32_t *ref, int32_t nref,
             a1 = a0c + r1;
             a2 = a1 + r2;
             if (a2 > w || a1 < a0c) return 12; /* runs overrun line */
+            /* zero-length-run streams can repeat entries without
+             * advancing a0 — Python's list just grows; the C buffer
+             * must hand such streams back instead of overflowing */
+            if (ncur + 2 > w + 2) return 16;
             cur[ncur++] = a1 < w ? a1 : w;
             cur[ncur++] = a2 < w ? a2 : w;
             a0 = a2;
@@ -2231,6 +2235,7 @@ static int g4_decode_row(GBITS *bits, const int32_t *ref, int32_t nref,
             return 14; /* EOL inside 2D line */
         }
         if (a1 <= a0 || a1 > w) return 13; /* vertical out of line */
+        if (ncur + 1 > w + 2) return 16;   /* see horizontal guard */
         cur[ncur++] = a1 < w ? a1 : w;
         a0 = a1;
         color ^= 1;

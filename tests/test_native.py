@@ -448,6 +448,48 @@ def test_t1_numbps_out_of_range_falls_back():
     assert native.t1_native(b"\x00", 1, 32, 2, 2, "LL") is None
 
 
+def test_garbage_streams_no_crash_and_match_python():
+    """Adversarial bytes through every C decode walk: either the same
+    decoded array as pure Python or the same typed error — and never
+    a crash (the zero-run G4 growth guard, LZW table overflow, MQ
+    tail feeds, truncated JPEG segments all funnel through here)."""
+    from archive_pdf_tools_spark.kernels import ccittcodec as cc
+    from archive_pdf_tools_spark.kernels import jpegcodec as jc
+    from archive_pdf_tools_spark.kernels import tiffcodec as tc
+
+    rng = np.random.default_rng(123)
+
+    def both(fn):
+        try:
+            a = ("ok", fn())
+        except Exception as e:
+            a = ("err", type(e).__name__)
+        try:
+            save, native._lib = native._lib, None
+            try:
+                b = ("ok", fn())
+            except Exception as e:
+                b = ("err", type(e).__name__)
+        finally:
+            native._lib = save
+        assert a[0] == b[0]
+        if a[0] == "ok":
+            va, vb = a[1], b[1]
+            if isinstance(va, np.ndarray):
+                assert np.array_equal(va, vb)
+            else:
+                assert va == vb
+        else:
+            assert a[1] == b[1]
+
+    for seed in range(12):
+        blob = bytes(rng.integers(0, 256, 400).astype(np.uint8))
+        both(lambda b=blob: cc.decode_g4(b, 64, 64))
+        both(lambda b=blob: jb.decode_jbig2(
+            jb.encode_jbig2(np.zeros((8, 8), np.uint8))[:40] + b[:80]))
+        both(lambda b=blob: tc.lzw_decode(b, 512))
+
+
 def test_native_kill_switch(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_CKERN", "0")
     monkeypatch.setattr(native, "_tried", False)
