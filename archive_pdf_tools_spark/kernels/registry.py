@@ -495,7 +495,15 @@ def maybe_register_native() -> list[str]:
     if it passes the contract suite; returns the formats swapped.
     Nothing here is required — absence of every library leaves the
     built-ins in place.  (This container ships none of them, so the
-    path is exercised in tests through fake drop-ins.)"""
+    path is exercised in tests through fake drop-ins.)
+
+    Orthogonal to this external-library seam, the BUILT-INS themselves
+    carry compiled hot loops since round 8 (``kernels/native``: the MQ
+    coder, JBIG2/JP2/JPEG/CCITT/LZW walks auto-compile with the system
+    gcc at first use, bit-exact with silent pure-Python fallback) — so
+    "no native library present" no longer means interpreter-speed
+    decode; this function remains the path to kakadu-class rates on
+    top of that."""
     swapped = []
     try:  # Pillow: libjpeg/libpng/libtiff-backed decodes
         import io
