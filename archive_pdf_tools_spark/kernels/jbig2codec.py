@@ -744,6 +744,36 @@ def _decode_halftone(seg: bytes, patterns: list, max_pixels: int):
         raise Jbig2Error("gray value beyond pattern dictionary")
     hph, hpw = patterns[0].shape
     bitmap = np.full((rh, rw), defpix, dtype=np.uint8)
+    # Fast path: the ubiquitous axis-aligned seamless grid (vector
+    # (pitch, 0) with pitch == the square pattern size, whole-pixel
+    # anchor).  Cells are disjoint and tile the grid block, so one
+    # array assembly + one clipped combine is cell-for-cell identical
+    # to the placement loop below (which remains the general path for
+    # skewed/overlapping grids).
+    if (hry == 0 and hrx == (hpw << 8) and hph == hpw
+            and hgx % 256 == 0 and hgy % 256 == 0):
+        pats_arr = np.stack(patterns)
+        tile = (pats_arr[value]                  # (hgh, hgw, ph, pw)
+                .transpose(0, 2, 1, 3)
+                .reshape(hgh * hph, hgw * hpw))
+        y0, x0 = hgy >> 8, hgx >> 8
+        ys, xs = max(y0, 0), max(x0, 0)
+        ye = min(y0 + tile.shape[0], rh)
+        xe = min(x0 + tile.shape[1], rw)
+        if ye > ys and xe > xs:
+            src = tile[ys - y0:ye - y0, xs - x0:xe - x0]
+            tgt = bitmap[ys:ye, xs:xe]
+            if combop == 0:
+                tgt |= src
+            elif combop == 1:
+                tgt &= src
+            elif combop == 2:
+                tgt ^= src
+            elif combop == 3:
+                tgt[...] = 1 - (tgt ^ src)
+            else:
+                tgt[...] = src
+        return bitmap, rx, ry, ext_comb
     for mg in range(hgh):
         for ng in range(hgw):
             # §6.6.5.1 grid placement, 1/256-pixel fixed point

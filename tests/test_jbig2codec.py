@@ -249,6 +249,25 @@ def test_refinement_tpgron_skips_typical_pixels(monkeypatch):
     assert tp_decisions < plain_decisions // 2
 
 
+def test_halftone_fast_tiling_matches_cellwise():
+    """The aligned-grid stamping fast path must be cell-for-cell the
+    placement loop: rebuild the expected page from the gray grid and
+    patterns directly."""
+    rng = np.random.default_rng(31)
+    pats = [((np.arange(16).reshape(4, 4) < v)).astype(np.uint8)
+            for v in range(17)]
+    for (gh, gw) in [(9, 11), (120, 90)]:
+        gray = rng.integers(0, 17, (gh, gw))
+        data = jb.encode_jbig2_halftone(gray, pats)
+        out = decode_jbig2(data)
+        want = np.zeros_like(out)
+        for mg in range(gh):
+            for ng in range(gw):
+                want[mg * 4:(mg + 1) * 4,
+                     ng * 4:(ng + 1) * 4] = pats[int(gray[mg, ng])]
+        assert np.array_equal(out, want), (gh, gw)
+
+
 def test_refinement_spec_structure_pins():
     """Pins entered from T.88 §6.3.5: template pixel counts (13-bit /
     10-bit contexts incl. AT), the reference set is the full 3x3
