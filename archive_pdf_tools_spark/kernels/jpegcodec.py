@@ -1205,6 +1205,13 @@ def _decode_scan_lossless(data, scan_start, sos, frame, hufftab,
     segments, end = _split_scan(data, scan_start)
     if len(segments) != 1:
         raise JpegError("restart intervals unsupported in lossless scans")
+    nat = _ckern_mod().jpeg_lossless_native(segments[0], w, h, scomps,
+                                            pred_sel, prec, pt)
+    if nat is not None:                      # bit-identical C walk
+        planes = frame.setdefault("planes", {})
+        for ci, (cid, _tab) in enumerate(scomps):
+            planes[cid] = nat[ci] << pt      # point transform (H.1.2.3)
+        return end
     br = _BitReader(segments[0])
     default = 1 << (prec - pt - 1)
     ncs = len(scomps)

@@ -170,6 +170,13 @@ def _bind(lib) -> None:
         ctypes.POINTER(_I32P),
     ]
     lib.apts_jpeg_prog_scan.restype = ctypes.c_int32
+    lib.apts_jpeg_lossless.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int16), _I8P, _I32P,
+        _I32P,
+    ]
+    lib.apts_jpeg_lossless.restype = ctypes.c_int32
     lib.apts_lzw_decode.argtypes = [_U8P, ctypes.c_int64, _U8P,
                                     ctypes.c_int64, _I64P]
     lib.apts_lzw_decode.restype = ctypes.c_int32
@@ -651,6 +658,33 @@ def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,
             c["coef"][...] = b
         return False
     return True
+
+
+def jpeg_lossless_native(segment: bytes, w: int, h: int, scomps,
+                         pred_sel: int, prec: int, pt: int):
+    """Lossless (SOF3) scan: per-sample diff walk + predictor
+    reconstruction; returns a list of (h, w) int64 planes
+    (pre-point-transform) or None for the Python walk."""
+    lib = _load()
+    if lib is None or not 1 <= len(scomps) <= 4:
+        return None
+    i16 = ctypes.POINTER(ctypes.c_int16)
+    tabs = []
+    for _cid, (sym, ln) in scomps:
+        tabs.append((np.ascontiguousarray(sym, dtype=np.int16),
+                     np.ascontiguousarray(ln, dtype=np.int8)))
+    sym_stack = np.concatenate([t[0] for t in tabs])
+    len_stack = np.concatenate([t[1] for t in tabs])
+    tab_idx = np.arange(len(scomps), dtype=np.int32)
+    seg = np.frombuffer(segment + b"\x00", dtype=np.uint8)
+    outs = np.zeros((len(scomps), h, w), dtype=np.int32)
+    rc = lib.apts_jpeg_lossless(
+        _u8(seg), len(segment), w, h, len(scomps), pred_sel, prec, pt,
+        sym_stack.ctypes.data_as(i16), len_stack.ctypes.data_as(_I8P),
+        tab_idx.ctypes.data_as(_I32P), outs.ctypes.data_as(_I32P))
+    if rc:
+        return None
+    return [o.astype(np.int64) for o in outs]
 
 
 def lzw_decode_native(data: bytes, expected: int):

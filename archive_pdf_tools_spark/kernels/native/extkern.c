@@ -1922,6 +1922,124 @@ EXPORT int apts_jpeg_prog_scan(
     return 0;
 }
 
+/* --------------------------------------------- JPEG lossless (SOF3)
+ *
+ * Mirrors jpegcodec._decode_scan_lossless: the per-sample Huffman
+ * difference walk plus the H.1 predictor reconstruction (predictors
+ * 1-7, mod-65536 at store, cumulative sums accumulated unmasked like
+ * the numpy expressions).  outs: ncs planes of h*w int32 samples
+ * (pre-point-transform).
+ */
+EXPORT int apts_jpeg_lossless(const uint8_t *seg, int64_t n,
+                              int32_t w, int32_t h, int32_t ncs,
+                              int32_t pred_sel, int32_t prec,
+                              int32_t pt, const int16_t *sym_stack,
+                              const int8_t *len_stack,
+                              const int32_t *tab_idx, int32_t *outs) {
+    PBR br;
+    int32_t *diff;
+    int64_t *acc;
+    int32_t y, x, ci;
+    int64_t dflt = (int64_t)1 << (prec - pt - 1);
+    if (w <= 0 || h <= 0 || ncs < 1 || ncs > 4) return 3;
+    diff = (int32_t *)malloc((size_t)ncs * w * sizeof(int32_t));
+    acc = (int64_t *)malloc((size_t)w * sizeof(int64_t));
+    if (!diff || !acc) {
+        free(diff);
+        free(acc);
+        return 4;
+    }
+    pbr_init(&br, seg, n);
+    for (y = 0; y < h; y++) {
+        for (x = 0; x < w; x++) {
+            for (ci = 0; ci < ncs; ci++) {
+                const int16_t *sy =
+                    sym_stack + (int64_t)tab_idx[ci] * 65536;
+                const int8_t *ln =
+                    len_stack + (int64_t)tab_idx[ci] * 65536;
+                int32_t t = pbr_huff(&br, sy, ln), d;
+                if (br.err) goto fail;
+                if (t == 0) {
+                    d = 0;
+                } else if (t == 16) {
+                    d = 32768;
+                } else if (t > 16) {
+                    br.err = 6; /* bad difference category */
+                    goto fail;
+                } else {
+                    d = jext(pbr_bits(&br, t), t);
+                    if (br.err) goto fail;
+                }
+                diff[(int64_t)ci * w + x] = d;
+            }
+        }
+        for (ci = 0; ci < ncs; ci++) {
+            int32_t *out = outs + (int64_t)ci * h * w;
+            int32_t *row = out + (int64_t)y * w;
+            const int32_t *prev = row - w;
+            const int32_t *d = diff + (int64_t)ci * w;
+            if (y == 0) {
+                int64_t run = 0;
+                for (x = 0; x < w; x++) {
+                    run += d[x];
+                    acc[x] = dflt + run;
+                }
+            } else if (pred_sel == 1) {
+                int64_t run = 0;
+                for (x = 0; x < w; x++) {
+                    run += d[x];
+                    acc[x] = prev[0] + run;
+                }
+            } else if (pred_sel == 2) {
+                for (x = 0; x < w; x++) acc[x] = (int64_t)prev[x] + d[x];
+            } else if (pred_sel == 3) {
+                acc[0] = (int64_t)prev[0] + d[0];
+                for (x = 1; x < w; x++)
+                    acc[x] = (int64_t)prev[x - 1] + d[x];
+            } else if (pred_sel == 4) {
+                int64_t run = 0;
+                for (x = 0; x < w; x++) {
+                    run += d[x];
+                    acc[x] = prev[x] + run;
+                }
+            } else if (pred_sel == 5) {
+                int64_t run = (int64_t)d[0];
+                acc[0] = prev[0] + run;
+                for (x = 1; x < w; x++) {
+                    run += d[x] +
+                           (((int64_t)prev[x] - prev[x - 1]) >> 1);
+                    acc[x] = prev[0] + run;
+                }
+            } else if (pred_sel == 6) {
+                row[0] = (int32_t)(((int64_t)prev[0] + d[0]) & 0xFFFF);
+                for (x = 1; x < w; x++) {
+                    int64_t px =
+                        prev[x] +
+                        (((int64_t)row[x - 1] - prev[x - 1]) >> 1);
+                    row[x] = (int32_t)((px + d[x]) & 0xFFFF);
+                }
+                continue;
+            } else { /* 7 */
+                row[0] = (int32_t)(((int64_t)prev[0] + d[0]) & 0xFFFF);
+                for (x = 1; x < w; x++) {
+                    int64_t px = ((int64_t)row[x - 1] + prev[x]) >> 1;
+                    row[x] = (int32_t)((px + d[x]) & 0xFFFF);
+                }
+                continue;
+            }
+            for (x = 0; x < w; x++)
+                row[x] = (int32_t)(acc[x] & 0xFFFF);
+        }
+    }
+    free(diff);
+    free(acc);
+    return 0;
+fail:
+    free(diff);
+    free(acc);
+    return br.err;
+}
+
 /* --------------------------------------------------- TIFF LZW (§13)
  *
  * Mirrors tiffcodec.lzw_decode / lzw_encode: MSB-first codes from 9

@@ -209,6 +209,33 @@ def test_jpeg_progressive_parity():
         assert np.array_equal(nat, py), (shape, kw)
 
 
+def test_jpeg_lossless_parity():
+    """SOF3: all seven predictors, 8/16-bit, point transform,
+    interleaved and multi-scan layouts through the compiled walk."""
+    from archive_pdf_tools_spark.kernels import jpegcodec as jc
+
+    rng = np.random.default_rng(66)
+    for pred in range(1, 8):
+        for shape, dtype in [((40, 56), np.uint8),
+                             ((24, 30, 3), np.uint8),
+                             ((20, 22), np.uint16)]:
+            hi = 256 if dtype == np.uint8 else 60000
+            img = rng.integers(0, hi, shape).astype(dtype)
+            for il in (True, False):
+                for pt in (0, 2):
+                    d = jc.encode_lossless(img, predictor=pred,
+                                           point_transform=pt,
+                                           interleave=il)
+                    nat = jc.decode_baseline(d)
+                    try:
+                        save, native._lib = native._lib, None
+                        py = jc.decode_baseline(d)
+                    finally:
+                        native._lib = save
+                    assert np.array_equal(nat, py), (pred, shape, il,
+                                                     pt)
+
+
 def test_jpeg_truncated_stream_matches_python():
     """A truncated entropy segment must raise the same JpegError
     whether the C walk or the Python walk sees it first (the C kernel
