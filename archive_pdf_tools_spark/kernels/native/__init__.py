@@ -170,6 +170,15 @@ def _bind(lib) -> None:
         ctypes.POINTER(_I32P),
     ]
     lib.apts_jpeg_prog_scan.restype = ctypes.c_int32
+    _U32 = ctypes.POINTER(ctypes.c_uint32)
+    lib.apts_aes_cbc.argtypes = [
+        _U8P, ctypes.c_int64, _U8P, _U32, _U32, ctypes.c_int32,
+        _U32, _U32, _U32, _U32, _U8P, ctypes.c_int32, _U8P,
+    ]
+    lib.apts_aes_cbc.restype = None
+    lib.apts_rc4.argtypes = [_U8P, ctypes.c_int32, _U8P,
+                             ctypes.c_int64, _U8P]
+    lib.apts_rc4.restype = None
     lib.apts_jpeg_lossless.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -658,6 +667,61 @@ def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,
             c["coef"][...] = b
         return False
     return True
+
+
+_AES_TABS = None
+
+
+def _aes_tables():
+    global _AES_TABS
+    if _AES_TABS is None:
+        from ..pdfcrypt import (_D0, _D1, _D2, _D3, _INV_SBOX, _SBOX,
+                                _T0, _T1, _T2, _T3)
+
+        u32 = lambda t: np.array(t, dtype=np.uint32)  # noqa: E731
+        u8 = lambda t: np.frombuffer(bytes(t),       # noqa: E731
+                                     dtype=np.uint8).copy()
+        _AES_TABS = {
+            "enc": ([u32(_T0), u32(_T1), u32(_T2), u32(_T3)],
+                    u8(_SBOX)),
+            "dec": ([u32(_D0), u32(_D1), u32(_D2), u32(_D3)],
+                    u8(_INV_SBOX)),
+        }
+    return _AES_TABS
+
+
+def aes_cbc_native(data: bytes, iv: bytes, kw, ikw, nr: int,
+                   decrypt: bool):
+    """Aligned CBC block work (padding stays in pdfcrypt); None =
+    use the Python/numpy paths."""
+    lib = _load()
+    if lib is None or len(data) % 16 or not data:
+        return None
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    tabs, sb = _aes_tables()["dec" if decrypt else "enc"]
+    kw_f = np.array([w for rk in kw for w in rk], dtype=np.uint32)
+    ikw_f = np.array([w for rk in ikw for w in rk], dtype=np.uint32)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    ivb = np.frombuffer(iv, dtype=np.uint8)
+    out = np.empty(len(data), dtype=np.uint8)
+    lib.apts_aes_cbc(
+        _u8(buf), len(data), _u8(ivb), kw_f.ctypes.data_as(u32p),
+        ikw_f.ctypes.data_as(u32p), nr,
+        tabs[0].ctypes.data_as(u32p), tabs[1].ctypes.data_as(u32p),
+        tabs[2].ctypes.data_as(u32p), tabs[3].ctypes.data_as(u32p),
+        _u8(sb), 1 if decrypt else 0, _u8(out))
+    return out.tobytes()
+
+
+def rc4_native(key: bytes, data: bytes):
+    lib = _load()
+    if lib is None or not key:
+        return None
+    kb = np.frombuffer(key, dtype=np.uint8)
+    buf = np.frombuffer(data + b"\x00", dtype=np.uint8)
+    out = np.empty(len(data), dtype=np.uint8)
+    lib.apts_rc4(_u8(kb), len(key), _u8(buf), len(data), _u8(out))
+    return out.tobytes()
 
 
 def jpeg_lossless_native(segment: bytes, w: int, h: int, scomps,

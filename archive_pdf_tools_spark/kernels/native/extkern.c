@@ -1922,6 +1922,126 @@ EXPORT int apts_jpeg_prog_scan(
     return 0;
 }
 
+/* ----------------------------------------------------- AES / RC4
+ *
+ * Mirrors kernels/pdfcrypt.py's T-table AES (tables derived in Python
+ * from field axioms and passed in — nothing transcribed here) and its
+ * RC4.  CBC chaining + PKCS#5 stay in the Python callers; these do
+ * the aligned block work.
+ */
+EXPORT void apts_aes_cbc(const uint8_t *in, int64_t nbytes,
+                         const uint8_t *iv, const uint32_t *kw,
+                         const uint32_t *ikw, int32_t nr,
+                         const uint32_t *t0, const uint32_t *t1,
+                         const uint32_t *t2, const uint32_t *t3,
+                         const uint8_t *sbox, int32_t decrypt,
+                         uint8_t *out) {
+    uint8_t prev[16];
+    int64_t i;
+    int32_t r, c;
+    memcpy(prev, iv, 16);
+    for (i = 0; i < nbytes; i += 16) {
+        const uint8_t *blk = in + i;
+        uint32_t a[4], b[4], v;
+        uint8_t tmp[16];
+        if (decrypt) {
+            for (c = 0; c < 4; c++)
+                a[c] = ((uint32_t)blk[4 * c] << 24 |
+                        (uint32_t)blk[4 * c + 1] << 16 |
+                        (uint32_t)blk[4 * c + 2] << 8 |
+                        blk[4 * c + 3]) ^
+                       kw[4 * nr + c];
+            for (r = nr - 1; r > 0; r--) {
+                const uint32_t *k = ikw + 4 * r;
+                b[0] = t0[a[0] >> 24] ^ t1[(a[3] >> 16) & 0xFF] ^
+                       t2[(a[2] >> 8) & 0xFF] ^ t3[a[1] & 0xFF] ^ k[0];
+                b[1] = t0[a[1] >> 24] ^ t1[(a[0] >> 16) & 0xFF] ^
+                       t2[(a[3] >> 8) & 0xFF] ^ t3[a[2] & 0xFF] ^ k[1];
+                b[2] = t0[a[2] >> 24] ^ t1[(a[1] >> 16) & 0xFF] ^
+                       t2[(a[0] >> 8) & 0xFF] ^ t3[a[3] & 0xFF] ^ k[2];
+                b[3] = t0[a[3] >> 24] ^ t1[(a[2] >> 16) & 0xFF] ^
+                       t2[(a[1] >> 8) & 0xFF] ^ t3[a[0] & 0xFF] ^ k[3];
+                memcpy(a, b, sizeof(a));
+            }
+            for (c = 0; c < 4; c++) {
+                uint32_t x = a[c], y = a[(c + 3) & 3],
+                         z = a[(c + 2) & 3], w_ = a[(c + 1) & 3];
+                v = ((uint32_t)sbox[x >> 24] << 24 |
+                     (uint32_t)sbox[(y >> 16) & 0xFF] << 16 |
+                     (uint32_t)sbox[(z >> 8) & 0xFF] << 8 |
+                     sbox[w_ & 0xFF]) ^
+                    kw[c];
+                tmp[4 * c] = (uint8_t)(v >> 24);
+                tmp[4 * c + 1] = (uint8_t)(v >> 16);
+                tmp[4 * c + 2] = (uint8_t)(v >> 8);
+                tmp[4 * c + 3] = (uint8_t)v;
+            }
+            for (c = 0; c < 16; c++) out[i + c] = tmp[c] ^ prev[c];
+            memcpy(prev, blk, 16);
+        } else {
+            for (c = 0; c < 16; c++) tmp[c] = blk[c] ^ prev[c];
+            for (c = 0; c < 4; c++)
+                a[c] = ((uint32_t)tmp[4 * c] << 24 |
+                        (uint32_t)tmp[4 * c + 1] << 16 |
+                        (uint32_t)tmp[4 * c + 2] << 8 |
+                        tmp[4 * c + 3]) ^
+                       kw[c];
+            for (r = 1; r < nr; r++) {
+                const uint32_t *k = kw + 4 * r;
+                b[0] = t0[a[0] >> 24] ^ t1[(a[1] >> 16) & 0xFF] ^
+                       t2[(a[2] >> 8) & 0xFF] ^ t3[a[3] & 0xFF] ^ k[0];
+                b[1] = t0[a[1] >> 24] ^ t1[(a[2] >> 16) & 0xFF] ^
+                       t2[(a[3] >> 8) & 0xFF] ^ t3[a[0] & 0xFF] ^ k[1];
+                b[2] = t0[a[2] >> 24] ^ t1[(a[3] >> 16) & 0xFF] ^
+                       t2[(a[0] >> 8) & 0xFF] ^ t3[a[1] & 0xFF] ^ k[2];
+                b[3] = t0[a[3] >> 24] ^ t1[(a[0] >> 16) & 0xFF] ^
+                       t2[(a[1] >> 8) & 0xFF] ^ t3[a[2] & 0xFF] ^ k[3];
+                memcpy(a, b, sizeof(a));
+            }
+            for (c = 0; c < 4; c++) {
+                uint32_t x = a[c], y = a[(c + 1) & 3],
+                         z = a[(c + 2) & 3], w_ = a[(c + 3) & 3];
+                v = ((uint32_t)sbox[x >> 24] << 24 |
+                     (uint32_t)sbox[(y >> 16) & 0xFF] << 16 |
+                     (uint32_t)sbox[(z >> 8) & 0xFF] << 8 |
+                     sbox[w_ & 0xFF]) ^
+                    kw[4 * nr + c];
+                out[i + 4 * c] = (uint8_t)(v >> 24);
+                out[i + 4 * c + 1] = (uint8_t)(v >> 16);
+                out[i + 4 * c + 2] = (uint8_t)(v >> 8);
+                out[i + 4 * c + 3] = (uint8_t)v;
+            }
+            memcpy(prev, out + i, 16);
+        }
+    }
+}
+
+EXPORT void apts_rc4(const uint8_t *key, int32_t klen,
+                     const uint8_t *in, int64_t n, uint8_t *out) {
+    uint8_t S[256];
+    int32_t i, j = 0;
+    int64_t t;
+    for (i = 0; i < 256; i++) S[i] = (uint8_t)i;
+    for (i = 0; i < 256; i++) {
+        uint8_t tmp;
+        j = (j + S[i] + key[i % klen]) & 0xFF;
+        tmp = S[i];
+        S[i] = S[j];
+        S[j] = tmp;
+    }
+    i = 0;
+    j = 0;
+    for (t = 0; t < n; t++) {
+        uint8_t tmp;
+        i = (i + 1) & 0xFF;
+        j = (j + S[i]) & 0xFF;
+        tmp = S[i];
+        S[i] = S[j];
+        S[j] = tmp;
+        out[t] = in[t] ^ S[(S[i] + S[j]) & 0xFF];
+    }
+}
+
 /* --------------------------------------------- JPEG lossless (SOF3)
  *
  * Mirrors jpegcodec._decode_scan_lossless: the per-sample Huffman

@@ -475,6 +475,38 @@ def test_t1_numbps_out_of_range_falls_back():
     assert native.t1_native(b"\x00", 1, 32, 2, 2, "LL") is None
 
 
+def test_aes_rc4_parity():
+    """AES-CBC both directions across key sizes / data sizes / pad
+    modes, and RC4, byte-identical to the Python/numpy paths."""
+    import archive_pdf_tools_spark.kernels.pdfcrypt as pc
+
+    rng = np.random.default_rng(8)
+    for klen in (16, 32):
+        key = bytes(rng.integers(0, 256, klen).astype(np.uint8))
+        for n in (0, 1, 16, 17, 1024):
+            data = bytes(rng.integers(0, 256, n).astype(np.uint8))
+            iv = bytes(rng.integers(0, 256, 16).astype(np.uint8))
+            enc = pc.aes_cbc_encrypt(key, iv, data)
+            dec = pc.aes_cbc_decrypt(key, enc)
+            try:
+                save, native._lib = native._lib, None
+                enc_py = pc.aes_cbc_encrypt(key, iv, data)
+                dec_py = pc.aes_cbc_decrypt(key, enc)
+            finally:
+                native._lib = save
+            assert enc == enc_py
+            assert dec == dec_py == data
+    key = b"\x01\x02\x03\x04\x05"
+    data = bytes(rng.integers(0, 256, 999).astype(np.uint8))
+    a = pc.rc4(key, data)
+    try:
+        save, native._lib = native._lib, None
+        b = pc.rc4(key, data)
+    finally:
+        native._lib = save
+    assert a == b
+
+
 def test_garbage_streams_no_crash_and_match_python():
     """Adversarial bytes through every C decode walk: either the same
     decoded array as pure Python or the same typed error — and never
