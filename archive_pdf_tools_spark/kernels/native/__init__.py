@@ -69,13 +69,39 @@ def _source() -> str:
     return (resources.files(__package__) / "extkern.c").read_text()
 
 
+def _cache_dir() -> str:
+    """Per-uid 0700 cache directory for built ``.so`` files.
+
+    The tag in the filename is the sha256 of *public* source, so on a
+    multi-user host a world-writable cache (e.g. bare /tmp) would let
+    another local user pre-plant a malicious ``apts_ckern_<tag>.so``
+    that ``ctypes.CDLL`` would then trust.  We therefore build and
+    reuse only under a directory we own with mode 0700; anything that
+    fails those checks is refused (caller falls back to a fresh dir).
+    """
+    base = (os.environ.get("SPARK_GRAFT_NATIVE_CACHE")
+            or tempfile.gettempdir())
+    d = os.path.join(base, f"apts_ckern_u{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    st = os.lstat(d)
+    if (st.st_uid != os.getuid() or not os.path.isdir(d)
+            or os.path.islink(d) or (st.st_mode & 0o077)):
+        raise NativeError(f"unsafe native cache dir {d!r} "
+                          f"(uid={st.st_uid}, mode={oct(st.st_mode)})")
+    return d
+
+
 def _compile(src: str) -> str:
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
-    cache = (os.environ.get("SPARK_GRAFT_NATIVE_CACHE")
-             or tempfile.gettempdir())
+    cache = _cache_dir()
     so = os.path.join(cache, f"apts_ckern_{tag}.so")
     if os.path.exists(so):
-        return so
+        st = os.lstat(so)
+        # reuse only regular files the current uid owns
+        if st.st_uid == os.getuid() and os.path.isfile(so) \
+                and not os.path.islink(so):
+            return so
+        os.unlink(so)
     fd, cpath = tempfile.mkstemp(suffix=".c", dir=cache)
     try:
         with os.fdopen(fd, "w") as f:

@@ -807,7 +807,11 @@ static void biow_write(BIOW *b, int bit) {
     b->ct -= 1;
     if (b->ct == 0) {
         if (b->olen >= b->cap) {
+            /* reset ct/buf so biow_flush terminates after a capacity
+             * error instead of driving ct negative forever */
             b->err = 1;
+            b->ct = 8;
+            b->buf = 0;
             return;
         }
         b->out[b->olen++] = (uint8_t)b->buf;
@@ -817,11 +821,13 @@ static void biow_write(BIOW *b, int bit) {
 }
 
 static void biow_flush(BIOW *b) {
-    while (!(b->ct == 8 || b->ct == 7) || b->buf) biow_write(b, 0);
-    if (b->ct == 7) {
+    while (!b->err && (!(b->ct == 8 || b->ct == 7) || b->buf))
         biow_write(b, 0);
-        while (b->buf || b->ct != 8) biow_write(b, 0);
+    if (!b->err && b->ct == 7) {
+        biow_write(b, 0);
+        while (!b->err && (b->buf || b->ct != 8)) biow_write(b, 0);
     }
+    if (b->err) return;
     if (b->olen && b->out[b->olen - 1] == 0xFF) {
         if (b->olen >= b->cap) {
             b->err = 1;

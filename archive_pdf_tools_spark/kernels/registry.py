@@ -438,6 +438,28 @@ def verify_encoder(fmt: str, fn):
                     raise ContractViolation(
                         f"JPEG2000 candidate too lossy (MAE {mae:.1f} "
                         "> 8.0 on smooth contract content)")
+        # the sink's hq-pages/--jp2-step lane calls
+        # fn(img, irreversible=True, step=...) — a candidate whose
+        # signature lacks step= must be rejected here, not explode at
+        # runtime inside an executor (round-8 ADVICE)
+        img = next(iter(encoder_contract_images(fmt)))[0]
+        try:
+            got = np.asarray(dec(bytes(
+                fn(img, irreversible=True, step=0.25))))
+        except Exception as exc:  # noqa: BLE001
+            raise ContractViolation(
+                f"JPEG2000 candidate failed the step= contract call "
+                f"(required by hq-pages): {type(exc).__name__}: "
+                f"{exc}") from exc
+        if got.shape != img.shape:
+            raise ContractViolation(
+                "JPEG2000 candidate changed shape under step=")
+        mae = float(np.mean(np.abs(
+            got.astype(np.int16) - img.astype(np.int16))))
+        if mae > 8.0:
+            raise ContractViolation(
+                f"JPEG2000 candidate too lossy under step=0.25 "
+                f"(MAE {mae:.1f} > 8.0)")
     elif fmt == "JBIG2":
         dec = _BUILTINS["JBIG2"]
         for bm, _ in encoder_contract_images(fmt):
@@ -484,6 +506,17 @@ def verify_encoder(fmt: str, fn):
                 raise ContractViolation(
                     f"JPEG candidate too lossy (MAE {mae:.1f} > 8.0 "
                     "on smooth contract content)")
+        # the sink's --jpeg-quality lane calls fn(img, quality=N)
+        img = next(iter(encoder_contract_images(fmt)))[0]
+        try:
+            got = np.asarray(dec(bytes(fn(img, quality=60))))
+        except Exception as exc:  # noqa: BLE001
+            raise ContractViolation(
+                f"JPEG candidate failed the quality= contract call: "
+                f"{type(exc).__name__}: {exc}") from exc
+        if got.shape != img.shape:
+            raise ContractViolation(
+                "JPEG candidate changed shape under quality=")
     else:
         raise KeyError(fmt)
 
@@ -539,11 +572,21 @@ def maybe_register_native() -> list[str]:
             except ContractViolation:
                 pass
 
-        def _pil_jp2_encode(img, *, irreversible=False):
+        def _pil_jp2_encode(img, *, irreversible=False, step=None):
+            # step= accepted so the hq-pages/--jp2-step lane works
+            # (round-8 ADVICE): PIL has no explicit quantizer-step
+            # knob, so map step onto its quality_layers dB scale —
+            # smaller step = higher fidelity.
             buf = io.BytesIO()
+            kw = {}
+            if irreversible and step is not None:
+                kw["quality_mode"] = "dB"
+                kw["quality_layers"] = [
+                    max(20.0, 50.0 - 10.0 * float(np.log2(
+                        max(float(step), 1e-6))))]
             Image.fromarray(np.asarray(img)).save(
                 buf, format="JPEG2000",
-                irreversible=bool(irreversible))
+                irreversible=bool(irreversible), **kw)
             return buf.getvalue()
 
         try:  # needs Pillow built against openjpeg; verify rejects

@@ -192,10 +192,11 @@ def test_encoder_dropin_accepted_and_dispatched_by_sink():
 
     calls = {"jp2": 0, "jbig2": 0}
 
-    def jp2_dropin(img, *, irreversible=False):
+    def jp2_dropin(img, *, irreversible=False, step=None):
         calls["jp2"] += 1
-        return R.builtin_encoder("JPEG2000")(img,
-                                             irreversible=irreversible)
+        kw = {} if step is None else {"step": step}
+        return R.builtin_encoder("JPEG2000")(
+            img, irreversible=irreversible, **kw)
 
     def jbig2_dropin(bitmap):
         calls["jbig2"] += 1
@@ -245,6 +246,31 @@ def test_encoder_dropin_rejected_when_corrupt_or_too_lossy():
     assert R.get_encoder("JPEG2000") is R.builtin_encoder("JPEG2000")
 
 
+def test_encoder_dropin_rejected_without_sink_kwargs():
+    """The sink's hq-pages lane calls the JP2 encoder with step= and
+    the --jpeg-quality lane calls the JPEG encoder with quality=; a
+    drop-in whose signature lacks the kwarg must fail registration,
+    not explode later inside an executor (round-8 ADVICE)."""
+    import pytest as _pytest
+
+    from archive_pdf_tools_spark.kernels import registry as R
+
+    def jp2_no_step(img, *, irreversible=False):
+        return R.builtin_encoder("JPEG2000")(img,
+                                             irreversible=irreversible)
+
+    with _pytest.raises(R.ContractViolation, match="step="):
+        R.register_encoder("JPEG2000", jp2_no_step)
+    assert R.get_encoder("JPEG2000") is R.builtin_encoder("JPEG2000")
+
+    def jpeg_no_quality(img):
+        return R.builtin_encoder("JPEG")(img)
+
+    with _pytest.raises(R.ContractViolation, match="quality="):
+        R.register_encoder("JPEG", jpeg_no_quality)
+    assert R.get_encoder("JPEG") is R.builtin_encoder("JPEG")
+
+
 def test_encoder_exception_wrapping_is_typed():
     """An installed drop-in that later fails raises the format's typed
     error (a Jp2Error subclass), not a foreign exception."""
@@ -253,11 +279,12 @@ def test_encoder_exception_wrapping_is_typed():
 
     state = {"armed": False}
 
-    def flaky(img, *, irreversible=False):
+    def flaky(img, *, irreversible=False, step=None):
         if state["armed"]:
             raise ValueError("transient")
-        return R.builtin_encoder("JPEG2000")(img,
-                                             irreversible=irreversible)
+        kw = {} if step is None else {"step": step}
+        return R.builtin_encoder("JPEG2000")(
+            img, irreversible=irreversible, **kw)
 
     try:
         R.register_encoder("JPEG2000", flaky)
