@@ -205,9 +205,23 @@ def synth_jpeg_real(w: int, h: int, gray: bool, seed: int = 0,
 def build_pdf(pages: list[dict], modern: bool = False,
               encrypt: str | None = None,
               encrypt_password: bytes = b"",
-              encrypt_owner_password: bytes | None = None) -> bytes:
+              encrypt_owner_password: bytes | None = None,
+              inherit_rotate: int | None = None) -> bytes:
     """pages: [{width, height, rotate, images: [{w, h, gray: bool,
-    data: bytes}], text: str | None}] -> PDF bytes.
+    data: bytes}], text: str | None, links: [{uri, rect}],
+    inherit: bool}] -> PDF bytes.
+
+    ``links`` emits /Subtype /Link annotations with /S /URI actions
+    (the field the reference surfaces as ``link_uri``,
+    ``bin/pdf-metadata-json:368-380``); even-indexed links inline the
+    /A action, odd-indexed ones make it an indirect object, and pages
+    at an odd page index store /Annots as an indirect array — so both
+    wire shapes are exercised.  ``inherit=True`` omits /MediaBox and
+    /Resources from the page dictionary: they move up to the /Pages
+    tree node (inheritable attributes, ISO 32000-1 §7.7.3.4; image
+    names switch to the globally-unique /Im<objnum> form since the
+    XObject dictionary is then shared).  ``inherit_rotate`` puts
+    /Rotate on the tree node the same way.
 
     ``modern=True`` emits the PDF 1.5 file structure: dictionary-only
     objects (pages tree, page dicts, catalog) packed into a compressed
@@ -303,10 +317,15 @@ def build_pdf(pages: list[dict], modern: bool = False,
                     + data + b"\nendstream")
             img_ids.append(add(body, stream=True))
 
+        # inherit pages share the tree node's XObject dict, so their
+        # image names must be globally unique: /Im<objnum>
+        names = ([b"Im%d" % oid for oid in img_ids]
+                 if page.get("inherit")
+                 else [b"Im%d" % i for i in range(len(img_ids))])
         ops = []
-        for i, img in enumerate(page.get("images", [])):
-            ops.append(b"q %d 0 0 %d 10 10 cm /Im%d Do Q"
-                       % (img["w"], img["h"], i))
+        for nm, img in zip(names, page.get("images", [])):
+            ops.append(b"q %d 0 0 %d 10 10 cm /%s Do Q"
+                       % (img["w"], img["h"], nm))
         if page.get("text"):
             ops.append(b"BT /F1 12 Tf 72 700 Td ("
                        + page["text"].encode("latin-1", "replace")
@@ -315,24 +334,73 @@ def build_pdf(pages: list[dict], modern: bool = False,
         content_id = add(b"<< /Filter /FlateDecode /Length "
                          + str(len(content)).encode() + b" >>\nstream\n"
                          + content + b"\nendstream", stream=True)
-        pending_pages.append((page, img_ids, content_id))
+
+        # /Link annotations: /A inline (even index) or indirect (odd)
+        annot_ids = []
+        for k, ln in enumerate(page.get("links", [])):
+            uri = ln["uri"].encode("ascii")
+            uri = (uri.replace(b"\\", rb"\\")
+                   .replace(b"(", rb"\(").replace(b")", rb"\)"))
+            action = b"<< /Type /Action /S /URI /URI (" + uri + b") >>"
+            if k % 2 == 1:
+                a_ref = b"%d 0 R" % add(action)
+            else:
+                a_ref = action
+            rect = b" ".join(_num(v) for v in ln["rect"])
+            annot_ids.append(add(
+                b"<< /Type /Annot /Subtype /Link /Rect [" + rect
+                + b"] /Border [0 0 0] /A " + a_ref + b" >>"))
+        annots_frag = b""
+        if annot_ids:
+            arr = (b"[" + b" ".join(b"%d 0 R" % a for a in annot_ids)
+                   + b"]")
+            if len(pending_pages) % 2 == 1:     # odd page index:
+                annots_frag = (b" /Annots %d 0 R"  # indirect array
+                               % add(arr))
+            else:
+                annots_frag = b" /Annots " + arr
+        pending_pages.append((page, img_ids, names, content_id,
+                              annots_frag))
 
     pages_tree_id = len(objects) + len(pending_pages) + 1
-    for page, img_ids, content_id in pending_pages:
-        xobj = b" ".join(b"/Im%d %d 0 R" % (i, oid)
-                         for i, oid in enumerate(img_ids))
+    tree_xobj: list[bytes] = []       # inherited entries (tree node)
+    tree_mediabox: bytes | None = None
+    for page, img_ids, names, content_id, annots_frag in pending_pages:
+        xobj = b" ".join(b"/%s %d 0 R" % (nm, oid)
+                         for nm, oid in zip(names, img_ids))
+        if page.get("inherit"):
+            # inheritable attributes live on the /Pages node
+            if xobj:
+                tree_xobj.append(xobj)
+            if tree_mediabox is None:
+                tree_mediabox = (b"[0 0 " + str(page["width"]).encode()
+                                 + b" " + str(page["height"]).encode()
+                                 + b"]")
+            attr = b""
+        else:
+            attr = (b" /MediaBox [0 0 " + str(page["width"]).encode()
+                    + b" " + str(page["height"]).encode() + b"]"
+                    + b" /Resources << /XObject << " + xobj + b" >> >>")
         body = (b"<< /Type /Page /Parent " + str(pages_tree_id).encode()
-                + b" 0 R /MediaBox [0 0 " + str(page["width"]).encode()
-                + b" " + str(page["height"]).encode() + b"]"
+                + b" 0 R" + attr
                 + (b" /Rotate " + str(page["rotate"]).encode()
                    if page.get("rotate") else b"")
-                + b" /Resources << /XObject << " + xobj + b" >> >>"
+                + annots_frag
                 + b" /Contents " + str(content_id).encode() + b" 0 R >>")
         page_obj_ids.append(add(body))
 
     kids = b" ".join(b"%d 0 R" % oid for oid in page_obj_ids)
+    tree_attrs = b""
+    if tree_mediabox is not None:
+        tree_attrs += b" /MediaBox " + tree_mediabox
+    if tree_xobj:
+        tree_attrs += (b" /Resources << /XObject << "
+                       + b" ".join(tree_xobj) + b" >> >>")
+    if inherit_rotate is not None:
+        tree_attrs += b" /Rotate " + str(inherit_rotate).encode()
     tree_id = add(b"<< /Type /Pages /Kids [" + kids + b"] /Count "
-                  + str(len(page_obj_ids)).encode() + b" >>")
+                  + str(len(page_obj_ids)).encode() + tree_attrs
+                  + b" >>")
     assert tree_id == pages_tree_id
     catalog_id = add(b"<< /Type /Catalog /Pages "
                      + str(tree_id).encode() + b" 0 R >>")
@@ -356,6 +424,12 @@ def build_pdf(pages: list[dict], modern: bool = False,
             if has_stream[k]:
                 objects[k] = _encrypt_stream_obj(objects[k], handler,
                                                  k + 1)
+            elif not modern and b"(" in objects[k]:
+                # classic form: strings in top-level objects (link
+                # URIs) encrypt per-object; the 1.5 form covers them
+                # via the encrypted /ObjStm container instead
+                objects[k] = _encrypt_strings_obj(objects[k], handler,
+                                                  k + 1)
 
         def hx(b):
             return b"<" + b.hex().encode() + b">"
@@ -396,6 +470,31 @@ def build_pdf(pages: list[dict], modern: bool = False,
             + trailer_extra
             + b" >>\nstartxref\n%d\n%%%%EOF\n" % xref_pos)
     return bytes(out)
+
+
+def _num(v) -> bytes:
+    """Compact PDF number token (int stays int, float trims zeros)."""
+    if isinstance(v, int) or float(v).is_integer():
+        return str(int(v)).encode()
+    return (b"%.4f" % float(v)).rstrip(b"0").rstrip(b".")
+
+
+def _encrypt_strings_obj(body: bytes, handler, num: int) -> bytes:
+    """Encrypt every literal string in a non-stream object body and
+    re-emit each as a hex string (classic-xref encrypted builds only:
+    in the 1.5 form these objects pack into the /ObjStm whose
+    container stream is encrypted whole, ISO 32000-1 §7.6.2)."""
+    pat = re.compile(rb"\((?:[^()\\]|\\.)*\)", re.S)
+
+    def enc(m: "re.Match[bytes]") -> bytes:
+        raw = (m.group(0)[1:-1]
+               .replace(rb"\(", b"(").replace(rb"\)", b")")
+               .replace(rb"\\", b"\\"))
+        ct = handler.encrypt(raw, num, 0,
+                             iv=num.to_bytes(8, "big") * 2)
+        return b"<" + ct.hex().upper().encode("ascii") + b">"
+
+    return pat.sub(enc, body)
 
 
 def _encrypt_stream_obj(body: bytes, handler, num: int) -> bytes:
@@ -538,11 +637,26 @@ def synth_pdf(seed: int, modern: bool | None = None) -> bytes:
             images.append({"w": w, "h": h, "gray": gray,
                            "data": rng.integers(0, 256, n,
                                                 dtype=np.uint8).tobytes()})
+        # ~40% of pages carry /Link URI annotations (round 9): the
+        # reference's analyse() surfaces these as `hyperlinks`
+        # (bin/pdf-metadata-json:367-380), and the recompress product
+        # must carry them through untouched
+        links = []
+        if rng.random() < 0.4:
+            for _k in range(int(rng.integers(1, 3))):
+                x0 = float(rng.integers(20, 400))
+                y0 = float(rng.integers(20, 600))
+                links.append({
+                    "uri": "https://archive.example/%d/%d"
+                           % (seed, rng.integers(10000)),
+                    "rect": [x0, y0, x0 + float(rng.integers(20, 160)),
+                             y0 + float(rng.integers(8, 24))]})
         pages.append({
             "width": int(rng.choice([612, 595, 842])),
             "height": int(rng.choice([792, 842, 1191])),
             "rotate": int(rng.choice([0, 0, 0, 90, 180, 270])),
             "images": images,
+            "links": links,
             "text": ("page text %d" % rng.integers(1000)
                      if rng.random() < 0.7 else None),
         })

@@ -79,18 +79,38 @@ def _xobject_names(rd, page_dict):
     container_oid)] where ``container_oid`` is the indirect object
     whose body holds the name->ref entry (None = the page object
     itself).  Handles /Resources and /XObject being inline or
-    indirect, one level each (the shapes PDF writers emit)."""
+    indirect, one level each (the shapes PDF writers emit), and
+    /Resources INHERITED from an ancestor /Pages node (ISO 32000-1
+    §7.7.3.4) — the container is then that ancestor, so the entry
+    rewrite lands on the shared node (the append-keep-original +
+    refcount discipline below keeps sibling pages consistent)."""
     from ..sources.pdf_meta import _dict_region
 
     res_container = None
-    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", page_dict)
+    # walk up /Parent for the nearest dict carrying /Resources; the
+    # owner_oid (None = the page itself) is the rewrite target when
+    # /Resources is inline
+    owner_oid = None
+    d = page_dict
+    for _depth in range(32):
+        if b"/Resources" in d:
+            break
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", d)
+        if pm is None or not rd.has(int(pm.group(1))):
+            return []
+        owner_oid = int(pm.group(1))
+        d = _dict_region(rd.body(owner_oid))
+    else:
+        return []
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", d)
     if m:
         res_container = int(m.group(1))
         res_region = rd.obj(res_container)[1]
     else:
-        split = page_dict.split(b"/Resources", 1)
+        split = d.split(b"/Resources", 1)
         if len(split) < 2:
             return []
+        res_container = owner_oid
         res_region = _dict_region(split[1])
 
     xo_container = res_container
@@ -295,11 +315,24 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
                                  e[2] if len(e) > 2 else 0, rd.crypt)
         return b
 
-    # content streams shared between pages must never be dropped
+    # content streams shared between pages must never be dropped;
+    # image XObjects are refcounted the same way (round-8 ADVICE): an
+    # image referenced from TWO pages' resources is dropped only when
+    # EVERY referencing entry was successfully rewritten — a rollback
+    # (or undecodable raster) on any one page keeps the object alive
+    # so that page's /ImN Do keeps painting.
     content_use: dict[int, int] = {}
+    img_use: dict[int, int] = {}
+    img_release: dict[int, int] = {}
+    img_replaced: dict[int, int] = {}
+    stale_entries: list[tuple[int, bytes, int]] = []
     for page in meta["pages"]:
-        for cid in _content_ids(_dict_region(rd.body(page["oid"]))):
+        body = rd.body(page["oid"])
+        page_dict = _dict_region(body)
+        for cid in _content_ids(page_dict):
             content_use[cid] = content_use.get(cid, 0) + 1
+        for _nm, oid, _cont in _xobject_names(rd, page_dict):
+            img_use[oid] = img_use.get(oid, 0) + 1
 
     for page in meta["pages"]:
         pidx = page["page_idx"]
@@ -337,6 +370,19 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
 
         words = word_data_by_page.get(pidx, [])
         for nm, oid, cont in todo:
+            pat = re.compile(rb"/" + re.escape(nm) + rb"\s+Do\b")
+            if not pat.search(ops):
+                # name never drawn on THIS page — the normal case for
+                # a SHARED resources dict (inherited /Resources list
+                # every sibling's images).  This page doesn't need the
+                # object: release its reference without encoding
+                # anything; the object drops once every referencing
+                # page released it and at least one really replaced it.
+                img_release[oid] = img_release.get(oid, 0) + 1
+                if (img_replaced.get(oid, 0) >= 1
+                        and img_release[oid] >= img_use.get(oid, 1)):
+                    dropped.add(oid)
+                continue
             raster = rasters[oid]
             res = create_mrc_components(
                 raster, words, fg_downsample=fg_downsample,
@@ -366,24 +412,31 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             # (parse_pdf resources regex) seeing them on re-read.
             bg_nm = b"Im%d" % bg_id
             fg_nm = b"Im%d" % fg_id
-            pat = re.compile(rb"/" + re.escape(nm) + rb"\s+Do\b")
             repl = b"/" + bg_nm + b" Do /" + fg_nm + b" Do"
             new_ops, n_subs = pat.subn(repl, ops)
 
-            # container dict: the old name entry becomes the two new
-            # ones (the container is the page object, the resources
-            # object, or the xobject dict object — whichever holds it)
+            # container dict: the two new names APPEND after the old
+            # entry (the container is the page object, the resources
+            # object, or the xobject dict object — whichever holds
+            # it).  The old entry is kept for now: when the container
+            # is SHARED between pages, another page may still need its
+            # /ImN Do to resolve; stale entries for fully-replaced
+            # images are stripped in the final pass below.
             entry_pat = re.compile(
-                rb"/" + re.escape(nm) + rb"\s+\d+\s+\d+\s+R")
-            entry_repl = (b"/" + bg_nm + b" %d 0 R /" % bg_id
-                          + fg_nm + b" %d 0 R" % fg_id)
+                rb"/" + re.escape(nm) + rb"\s+(\d+)\s+(\d+)\s+R")
+            entry_repl = (lambda m, _nm=nm, _b=bg_id, _f=fg_id:
+                          b"/%s %s %s R /Im%d %d 0 R /Im%d %d 0 R"
+                          % (_nm, m.group(1), m.group(2),
+                             _b, _b, _f, _f))
             target = cont if cont is not None else pid
             tbody = work_body(target)
             tbody, n_entry = entry_pat.subn(entry_repl, tbody, count=1)
-            if n_subs == 0 or n_entry == 0:
-                # name never drawn / entry not found: leave the page
-                # untouched for this image (roll back the appends;
-                # ops stays unmutated — new_ops is discarded)
+            if n_entry == 0:
+                # drawn but the name->ref entry is unlocatable: leave
+                # the page untouched for this image (roll back the
+                # appends; ops stays unmutated — new_ops is
+                # discarded).  No release either: this page keeps
+                # painting the ORIGINAL object, so it must stay live.
                 del appended[-3:]
                 next_id -= 3
                 skipped += 1
@@ -391,7 +444,11 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
             ops = new_ops
             page_changed = True
             rewritten[target] = tbody
-            dropped.add(oid)
+            img_replaced[oid] = img_replaced.get(oid, 0) + 1
+            img_release[oid] = img_release.get(oid, 0) + 1
+            if img_release[oid] >= img_use.get(oid, 1):
+                dropped.add(oid)
+            stale_entries.append((target, nm, oid))
             n_images += 1
             orig_bytes += len(_stream_data(rd.body(oid),
                                            rd.obj(oid)[1],
@@ -422,6 +479,16 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
                 if content_use.get(cid, 0) <= 1:
                     dropped.add(cid)
 
+    # strip the kept-for-sharing old name entries whose image object
+    # ended fully replaced (and therefore dropped) — a container entry
+    # pointing at a free xref slot is the dangling-reference bug the
+    # refcounting exists to prevent
+    for target, nm, oid in stale_entries:
+        if oid not in dropped or target not in rewritten:
+            continue
+        rewritten[target] = re.sub(
+            rb"/" + re.escape(nm) + rb"\s+%d\s+\d+\s+R" % oid,
+            b"", rewritten[target], count=1)
     out = _assemble(pdf, rd, rewritten, dropped, appended)
     return RecompressResult(out, n_images, meta["n_pages"],
                             orig_bytes, new_bytes, skipped)

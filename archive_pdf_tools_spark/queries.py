@@ -1212,9 +1212,19 @@ def q_pdf_metadata(spark, sf):
     base = spark.range(0, 12).repartition(4)
     docs = base.mapInPandas(gen, schema="doc_id string, pdf binary")
     meta = pdf_metadata(docs)
-    return meta.select("doc_id", "page_idx", "width", "height", "rotate",
-                       "n_images", "has_text", "recommended_format",
-                       "scale")
+    # hyperlinks (S3, round 9): n_links + a flattened uri#xref@rect
+    # digest string pins every captured annotation field — the VALUES
+    # oracle can't hold nested arrays, the flat form loses nothing
+    return meta.select(
+        "doc_id", "page_idx", "width", "height", "rotate",
+        "n_images", "has_text", "recommended_format", "scale",
+        F.size("links").alias("n_links"),
+        F.expr(
+            "concat_ws('|', transform(links, l -> concat("
+            "l.uri, '#', cast(l.xref as string), '@', "
+            "concat_ws(',', transform(l.bbox, "
+            "b -> cast(cast(b as int) as string))))))"
+        ).alias("links_flat"))
 
 
 def q_html_extract(spark, sf):
@@ -1624,20 +1634,27 @@ def q_pdfcomp_pdf(spark, sf):
     pair under the SAME CTM, garbage-collect the old image bytes, and
     PRESERVE the original text layer (``kernels/pdfrewrite.py``).
 
-    11 fixtures: 10 synth_pdf docs (classic + 1.5 xref forms,
-    raw/Flate/DCT/JPX images, embedded text layers; every 7th is
-    ENCRYPTED and now DECRYPT-AND-REWRITES into an ordinary plain PDF
-    — the full-circle columns hold for those rows like any other, and
-    the pinned md5 freezes the decrypted output bytes) plus one
-    password-protected doc recompressed WITHOUT its password, which
-    must degrade to a deterministic error row, never a failed task.
-    Each row pins an md5-12 of the ENTIRE output file plus a full
-    circle computed by RE-READING the output through the engine's own
-    reader: page count preserved, text-layer pages preserved exactly
-    (decrypted where the input was encrypted), every recompressed
-    image replaced by a decodable bg/fg pair, and a bit-exact /SMask
-    mask round-trip against the mask RECOMPUTED from the original
-    raster (one flipped pixel flips the roundtrip flag).  Oracle =
+    13 fixtures: 10 synth_pdf docs (classic + 1.5 xref forms,
+    raw/Flate/DCT/JPX images, embedded text layers, /Link URI
+    annotations on ~40% of pages; every 7th is ENCRYPTED and now
+    DECRYPT-AND-REWRITES into an ordinary plain PDF — the full-circle
+    columns hold for those rows like any other, and the pinned md5
+    freezes the decrypted output bytes) plus one password-protected
+    doc recompressed WITHOUT its password, which must degrade to a
+    deterministic error row, never a failed task; plus (round 9) an
+    INHERITED-attributes doc (/MediaBox, /Rotate and /Resources on the
+    /Pages tree node, ISO 32000-1 §7.7.3.4 — the two pages share ONE
+    XObject dict) and a rotated+linked doc.  Each row pins an md5-12
+    of the ENTIRE output file plus a full circle computed by
+    RE-READING the output through the engine's own reader: page count
+    preserved, text-layer pages preserved exactly (decrypted where the
+    input was encrypted), every recompressed image replaced by a
+    decodable bg/fg pair with DISTINCT xrefs and the old image objects
+    freed, a bit-exact /SMask mask round-trip against the mask
+    RECOMPUTED from the original raster (one flipped pixel flips the
+    roundtrip flag), and every /Link annotation (uri + /Rect) carried
+    through the rewrite (`links_in`/`links_ok` — the reference's
+    `hyperlinks` field, bin/pdf-metadata-json:367-380).  Oracle =
     pinned value table (tools/pin_oracles.py)."""
     import pandas as pd
 
@@ -1667,10 +1684,45 @@ def q_pdfcomp_pdf(spark, sf):
                         [{"width": 612, "height": 792, "images": [],
                           "text": "locked"}],
                         encrypt="aes", encrypt_password=b"pw")
+                elif i == 11:
+                    # inherited attributes: the two pages share the
+                    # tree node's /MediaBox, /Rotate and /Resources
+                    rng = np.random.default_rng(11)
+
+                    def _im(w, h):
+                        return {"w": w, "h": h, "gray": True,
+                                "data": rng.integers(
+                                    0, 256, w * h,
+                                    dtype=np.uint8).tobytes()}
+                    pdf = build_pdf([
+                        {"width": 612, "height": 792,
+                         "images": [_im(40, 30)], "text": "p0",
+                         "inherit": True,
+                         "links": [{"uri": "https://a.example/i11",
+                                    "rect": [8, 8, 88, 24]}]},
+                        {"width": 612, "height": 792,
+                         "images": [_im(32, 24)], "text": None,
+                         "inherit": True},
+                    ], inherit_rotate=90)
+                elif i == 12:
+                    rng = np.random.default_rng(12)
+                    pdf = build_pdf([
+                        {"width": 595, "height": 842, "rotate": 270,
+                         "images": [
+                             {"w": 36, "h": 28, "gray": False,
+                              "data": rng.integers(
+                                  0, 256, 36 * 28 * 3,
+                                  dtype=np.uint8).tobytes()}],
+                         "text": "rotated",
+                         "links": [
+                             {"uri": "https://a.example/i12",
+                              "rect": [12, 30, 140, 46]},
+                             {"uri": "https://a.example/i12b",
+                              "rect": [12.5, 60, 140.5, 76]}]}])
                 else:
                     pdf = synth_pdf(i)
                 hocr = None
-                if i % 2 == 1 and i != 10:
+                if i % 2 == 1 and i < 10:
                     h_ = synth_hocr(f"doc {i} alpha beta gamma",
                                     words_per_page=4)
                     hocr = h_.encode() if isinstance(h_, str) else h_
@@ -1678,7 +1730,7 @@ def q_pdfcomp_pdf(spark, sf):
                     r = recompress_pdf(pdf, hocr)
                 except Exception as exc:  # noqa: BLE001
                     rows.append((i, 0, 0, 0, 0, "",
-                                 0, -1, -1, False,
+                                 0, -1, -1, False, 0, False,
                                  f"{type(exc).__name__}"))
                     continue
 
@@ -1695,7 +1747,7 @@ def q_pdfcomp_pdf(spark, sf):
                 if hocr:
                     for k2, hp in enumerate(iter_pages(hocr)):
                         words_by_page[k2] = page_word_data(hp)
-                imgs_out = 0
+                out_xrefs: list[int] = []
                 smask_exact = True
                 for p in meta_out["pages"]:
                     pidx = p["page_idx"]
@@ -1705,7 +1757,7 @@ def q_pdfcomp_pdf(spark, sf):
                     got = extract_page_images(r.pdf, pidx,
                                               meta=meta_out,
                                               rd=rd_out)
-                    imgs_out += len(got)
+                    out_xrefs.extend(x for x, _a in got)
                     # fg images in resources order pair 1:1 with the
                     # original decodable images (in-place replacement)
                     fg_ids = []
@@ -1724,24 +1776,48 @@ def q_pdfcomp_pdf(spark, sf):
                         want = create_mrc_components(raster, words).mask
                         if not np.array_equal(bits == 0, want != 0):
                             smask_exact = False
+                # distinct-xref accounting: pages sharing a resources
+                # dict see each other's bg/fg pairs, so the per-page
+                # list double-counts — the DISTINCT set must be
+                # exactly 2 per recompressed image, and every replaced
+                # original must be a freed xref slot in the output
+                imgs_out = len(set(out_xrefs))
+                old_freed = all(
+                    (rd_out.entries.get(im["xref"]) is None
+                     or rd_out.entries[im["xref"]][0] == 0)
+                    for pg in meta_in["pages"] for im in pg["images"]
+                ) if r.skipped == 0 else True
+                # link round-trip: every /Link (page, uri, /Rect)
+                # carried through the rewrite, decrypted if needed
+                def _lnk(meta):
+                    return sorted(
+                        (pg["page_idx"], ln["uri"],
+                         tuple(round(b, 4) for b in ln["bbox"]))
+                        for pg in meta["pages"] for ln in pg["links"])
+                links_in = sum(len(pg["links"])
+                               for pg in meta_in["pages"])
+                links_ok = _lnk(meta_in) == _lnk(meta_out)
                 rows.append((
                     i, r.n_pages, r.n_images, r.skipped, len(r.pdf),
                     hashlib.md5(r.pdf).hexdigest()[:12],
                     imgs_out, text_in, text_out,
                     bool(smask_exact and text_in == text_out
-                         and imgs_out == 2 * r.n_images),
-                    None))
+                         and imgs_out == 2 * r.n_images
+                         and old_freed),
+                    links_in, bool(links_ok), None))
             yield pd.DataFrame(rows, columns=[
                 "doc_i", "n_pages", "n_images", "skipped",
                 "pdf_bytes", "pdf_md5", "imgs_out", "text_in",
-                "text_out", "roundtrip_ok", "error"])
+                "text_out", "roundtrip_ok", "links_in", "links_ok",
+                "error"])
 
-    base = spark.range(0, 11).repartition(4)
+    base = spark.range(0, 13).repartition(4)
     return base.mapInPandas(
         gen, schema="doc_i bigint, n_pages int, n_images int, "
                     "skipped int, pdf_bytes int, pdf_md5 string, "
                     "imgs_out int, text_in int, text_out int, "
-                    "roundtrip_ok boolean, error string")
+                    "roundtrip_ok boolean, links_in int, "
+                    "links_ok boolean, error string")
 
 
 def q_page_series(spark, sf):

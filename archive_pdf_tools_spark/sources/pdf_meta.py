@@ -385,6 +385,105 @@ def _get_refs_array(d: bytes, key: bytes):
     return [int(g) for g in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
 
 
+def _get_refs_array_or_ref(rd, d: bytes, key: bytes):
+    """``key [refs...]`` inline, or ``key N 0 R`` where object N is
+    the array (the /Annots wire shapes)."""
+    m = re.search(re.escape(key) + rb"\s+(\d+)\s+\d+\s+R", d)
+    if m:
+        oid = int(m.group(1))
+        if not rd.has(oid):
+            return []
+        return [int(g) for g in
+                re.findall(rb"(\d+)\s+\d+\s+R", rd.body(oid))]
+    return _get_refs_array(d, key)
+
+
+def _string_value(rd, d: bytes, key: bytes, oid: int):
+    """The PDF string after ``key`` in dict region ``d`` (literal or
+    hex form), decrypted through the document's handler when the
+    owning object ``oid`` is a top-level (type-1) object of an
+    encrypted file (objstm residents arrive plaintext with their
+    container).  Returns str or None."""
+    m = re.search(re.escape(key) + rb"\s*(\(|<)", d)
+    if not m:
+        return None
+    i = m.end() - 1
+    if d[i:i + 1] == b"(":
+        raw, _end = _parse_literal_string(d, i)
+    else:
+        j = d.find(b">", i)
+        hx = re.sub(rb"\s", b"", d[i + 1:j if j > 0 else len(d)])
+        if len(hx) % 2:
+            hx += b"0"
+        try:
+            raw = bytes.fromhex(hx.decode("ascii"))
+        except ValueError:
+            return None
+    e = rd.entries.get(oid)
+    if rd.crypt is not None and e and e[0] == 1:
+        raw = rd.crypt.decrypt(raw, oid, e[2] if len(e) > 2 else 0)
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace")
+    return raw.decode("utf-8", "replace")
+
+
+def _page_links(rd, page_dict: bytes) -> list[dict]:
+    """S3 hyperlink capture — the one ``analyse()`` field previously
+    missing (``bin/pdf-metadata-json:367-380``, the ``hyperlinks``
+    list): /Link annotations whose action is /S /URI, as
+    [{uri, xref, bbox}].  ``bbox`` is the annotation /Rect exactly as
+    stored ([llx lly urx ury], PDF user space, y up); the reference
+    reports the same box after PyMuPDF's top-left-origin flip — a
+    documented axis convention, not a different rectangle.  /A and the
+    /Annots array may each be inline or indirect."""
+    links = []
+    for aid in _get_refs_array_or_ref(rd, page_dict, b"/Annots"):
+        if not rd.has(aid):
+            continue
+        _abody, ad = rd.obj(aid)
+        if not re.search(rb"/Subtype\s*/Link\b", ad):
+            continue
+        act, act_oid = ad, aid
+        a_ref = _get_ref(ad, b"/A")
+        if a_ref is not None and rd.has(a_ref):
+            act = rd.obj(a_ref)[1]
+            act_oid = a_ref
+        if not re.search(rb"/S\s*/URI\b", act):
+            continue
+        uri = _string_value(rd, act, b"/URI", act_oid)
+        if uri is None:
+            continue
+        m = re.search(rb"/Rect\s*\[\s*([-+.\d eE]+?)\s*\]", ad)
+        bbox = ([float(v) for v in m.group(1).split()]
+                if m else [0.0, 0.0, 0.0, 0.0])
+        links.append({"uri": uri, "xref": aid, "bbox": bbox})
+    return links
+
+
+def _xobject_region(rd, d: bytes) -> bytes:
+    """The /XObject dictionary region reachable from a dict ``d`` that
+    carries /Resources — each of /Resources and /XObject may be inline
+    or an indirect reference (one level, the shapes PDF writers
+    emit)."""
+    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", d)
+    if m:
+        if not rd.has(int(m.group(1))):
+            return b""
+        res = rd.obj(int(m.group(1)))[1]
+    else:
+        split = d.split(b"/Resources", 1)
+        if len(split) < 2:
+            return b""
+        res = _dict_region(split[1])
+    m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", res)
+    if m:
+        if not rd.has(int(m.group(1))):
+            return b""
+        return rd.obj(int(m.group(1)))[1]
+    split = res.split(b"/XObject", 1)
+    return _dict_region(split[1]) if len(split) > 1 else b""
+
+
 def _crypt_string(d: bytes, key: bytes) -> bytes:
     """/O //U //OE //UE entries of an /Encrypt dictionary: hex or
     literal PDF strings holding arbitrary bytes (octal and two-char
@@ -710,33 +809,50 @@ def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
     _, catalog = obj(root_id)
     pages_id = _get_ref(catalog, b"/Pages")
 
-    page_ids: list[int] = []
+    # INHERITABLE page attributes (ISO 32000-1 §7.7.3.4): /Resources,
+    # /MediaBox and /Rotate declared on a /Pages tree node apply to
+    # every descendant page that doesn't override them — archival page
+    # trees use this to share one resources dict across a book.  The
+    # walk carries the nearest ancestor's values down.
+    page_ids: list[tuple[int, tuple]] = []
 
-    def walk(node_id: int):
+    def _inheritable(d: bytes, inh: tuple) -> tuple:
+        mb, rot, res_d = inh
+        m = re.search(rb"/MediaBox\s*\[\s*([\d.\- ]+?)\s*\]", d)
+        if m:
+            mb = [float(v) for v in m.group(1).split()]
+        r = _get_int(d, b"/Rotate")
+        if r is not None:
+            rot = r
+        if b"/Resources" in d:
+            res_d = d
+        return (mb, rot, res_d)
+
+    def walk(node_id: int, inh: tuple):
         body, d = obj(node_id)
+        inh = _inheritable(d, inh)
         if b"/Page" in d and b"/Pages" not in d.split(b"/Kids")[0][:64] and \
                 re.search(rb"/Type\s*/Page\b", d):
-            page_ids.append(node_id)
+            page_ids.append((node_id, inh))
             return
         for kid in _get_refs_array(d, b"/Kids"):
-            walk(kid)
+            walk(kid, inh)
 
-    walk(pages_id)
+    walk(pages_id, (None, None, None))
 
     pages = []
     mode_rank = 0          # A8 precedence: 3 RGB > 2 gray > 1 bitonal
     max_scale = None
-    for idx, pid in enumerate(page_ids):
+    for idx, (pid, inh) in enumerate(page_ids):
         body, d = obj(pid)
-        mb = re.search(rb"/MediaBox\s*\[\s*([\d.\- ]+?)\s*\]", d)
-        rect = [float(v) for v in mb.group(1).split()] if mb else [0, 0, 0, 0]
-        rotate = _get_int(d, b"/Rotate") or 0
+        rect = inh[0] if inh[0] is not None else [0, 0, 0, 0]
+        rotate = inh[1] or 0
 
         images = []
-        res = d.split(b"/Resources", 1)
         xobj_refs = []
-        if len(res) > 1:
-            xobj_refs = re.findall(rb"/Im\d+\s+(\d+)\s+\d+\s+R", res[1])
+        if inh[2] is not None:
+            xobj_refs = re.findall(rb"/Im\d+\s+(\d+)\s+\d+\s+R",
+                                   _xobject_region(rd, inh[2]))
         for xr in xobj_refs:
             oid = int(xr)
             _ibody, idict = obj(oid)
@@ -794,7 +910,8 @@ def parse_pdf(data: bytes, password: bytes | str = b"") -> dict:
                       "width": abs(rect[2] - rect[0]),
                       "height": abs(rect[3] - rect[1]), "rotate": rotate,
                       "n_images": len(images), "images": images,
-                      "has_text": has_text})
+                      "has_text": has_text,
+                      "links": _page_links(rd, d)})
 
     recommended = {0: "NONE", 1: "BITONAL", 2: "GRAYSCALE",
                    3: "RGB"}[mode_rank]
@@ -971,7 +1088,9 @@ PDF_META_SCHEMA_DDL = (
     "doc_id string, page_idx int, width double, height double, rotate int, "
     "n_images int, has_text boolean, recommended_format string, "
     "scale double, images array<struct<xref:int,width:int,height:int,"
-    "bits:int,mode:string,format:string>>, parse_error string"
+    "bits:int,mode:string,format:string>>, "
+    "links array<struct<uri:string,xref:int,bbox:array<double>>>, "
+    "parse_error string"
 )
 
 
@@ -988,7 +1107,7 @@ def pdf_metadata(df, pdf_col: str = "pdf", id_col: str = "doc_id"):
                     meta = parse_pdf(bytes(blob))
                 except (PdfError, Exception) as exc:  # noqa: BLE001
                     rows.append((doc_id, -1, 0.0, 0.0, 0, 0, False,
-                                 "NONE", 0.0, [], str(exc)[:200]))
+                                 "NONE", 0.0, [], [], str(exc)[:200]))
                     continue
                 for page in meta["pages"]:
                     rows.append((
@@ -998,11 +1117,13 @@ def pdf_metadata(df, pdf_col: str = "pdf", id_col: str = "doc_id"):
                         meta["recommended_format"], meta["scale"],
                         [(im["xref"], im["width"], im["height"], im["bits"],
                           im["mode"], im["format"])
-                         for im in page["images"]], None))
+                         for im in page["images"]],
+                        [(ln["uri"], ln["xref"], ln["bbox"])
+                         for ln in page["links"]], None))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "page_idx", "width", "height", "rotate",
                 "n_images", "has_text", "recommended_format", "scale",
-                "images", "parse_error"])
+                "images", "links", "parse_error"])
 
     return df.select(id_col, pdf_col).mapInPandas(
         _parse, schema=PDF_META_SCHEMA_DDL)

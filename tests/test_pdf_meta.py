@@ -439,3 +439,86 @@ def test_ccitt_decode_array_accepts_real_numbers():
     # out-of-range endpoints fall back to identity, never crash
     weird = pdf.replace(b"/Decode [1 0]", b"/Decode [3 7]")
     assert np.array_equal(run(weird), 255 - ink)
+
+
+# ---------------------------------------------------------------- links
+
+
+def _link_fixture_pdf(**kw):
+    """Two pages with /Link URI annotations: page 0 inline /A + inline
+    /Annots, page 1 indirect /A + indirect /Annots array (pdfgen
+    alternates both wire shapes by index)."""
+    img = {"w": 12, "h": 8, "gray": True, "data": bytes(96)}
+    return build_pdf([
+        {"width": 612, "height": 792, "images": [img], "text": "one",
+         "links": [{"uri": "https://example.org/a",
+                    "rect": [10, 20, 110, 36]},
+                   {"uri": "https://example.org/b(c)",
+                    "rect": [10, 40, 110, 56]}]},
+        {"width": 595, "height": 842, "images": [], "text": None,
+         "links": [{"uri": "https://example.org/d",
+                    "rect": [50.5, 60, 150.5, 76]}]},
+    ], **kw)
+
+
+def test_parse_pdf_hyperlinks():
+    """S3 hyperlink capture (reference analyse() `hyperlinks`,
+    bin/pdf-metadata-json:367-380): URI + /Rect, over inline and
+    indirect /A actions and /Annots arrays."""
+    meta = parse_pdf(_link_fixture_pdf())
+    p0, p1 = meta["pages"]
+    assert [ln["uri"] for ln in p0["links"]] == [
+        "https://example.org/a", "https://example.org/b(c)"]
+    assert p0["links"][0]["bbox"] == [10.0, 20.0, 110.0, 36.0]
+    assert p0["links"][1]["bbox"] == [10.0, 40.0, 110.0, 56.0]
+    assert [ln["uri"] for ln in p1["links"]] == ["https://example.org/d"]
+    assert p1["links"][0]["bbox"] == [50.5, 60.0, 150.5, 76.0]
+    assert all(ln["xref"] > 0 for ln in p0["links"] + p1["links"])
+
+
+@pytest.mark.parametrize("enc", ["rc4", "aes"])
+def test_parse_pdf_hyperlinks_encrypted(enc):
+    """Link URI strings in an encrypted classic-xref file are
+    per-object encrypted strings — the parse must decrypt them."""
+    pdf = _link_fixture_pdf(encrypt=enc, encrypt_password=b"")
+    meta = parse_pdf(pdf)
+    p0, p1 = meta["pages"]
+    assert [ln["uri"] for ln in p0["links"]] == [
+        "https://example.org/a", "https://example.org/b(c)"]
+    assert [ln["uri"] for ln in p1["links"]] == ["https://example.org/d"]
+
+
+def test_parse_pdf_inherited_page_attributes():
+    """ISO 32000-1 §7.7.3.4: /MediaBox, /Rotate and /Resources on the
+    /Pages tree node apply to descendant pages."""
+    img0 = {"w": 16, "h": 10, "gray": True, "data": bytes(160)}
+    img1 = {"w": 8, "h": 8, "gray": False, "data": bytes(192)}
+    pdf = build_pdf([
+        {"width": 612, "height": 792, "images": [img0], "text": "t",
+         "inherit": True},
+        {"width": 612, "height": 792, "images": [img1], "text": None,
+         "inherit": True},
+    ], inherit_rotate=270)
+    meta = parse_pdf(pdf)
+    assert meta["n_pages"] == 2
+    for p in meta["pages"]:
+        assert (p["width"], p["height"]) == (612, 792)
+        assert p["rotate"] == 270
+        # the shared XObject dict means every page sees both images
+        assert p["n_images"] == 2
+    dims = {(im["width"], im["height"])
+            for im in meta["pages"][0]["images"]}
+    assert dims == {(16, 10), (8, 8)}
+
+
+def test_page_override_beats_inherited_rotate():
+    """A page's own /Rotate overrides the tree node's."""
+    pdf = build_pdf([
+        {"width": 612, "height": 792, "images": [], "text": "a",
+         "inherit": True},
+        {"width": 612, "height": 792, "images": [], "text": "b",
+         "rotate": 90},
+    ], inherit_rotate=180)
+    meta = parse_pdf(pdf)
+    assert meta["pages"][0]["rotate"] == 180
+    assert meta["pages"][1]["rotate"] == 90
