@@ -61,6 +61,7 @@ _I8P = ctypes.POINTER(ctypes.c_int8)
 _I32P = ctypes.POINTER(ctypes.c_int32)
 _I64P = ctypes.POINTER(ctypes.c_int64)
 _U16P = ctypes.POINTER(ctypes.c_uint16)
+_F64P = ctypes.POINTER(ctypes.c_double)
 
 
 def _source() -> str:
@@ -187,6 +188,11 @@ def _bind(lib) -> None:
         ctypes.c_int32, ctypes.c_double, ctypes.c_double, _U8P,
     ]
     lib.apts_sauvola.restype = ctypes.c_int32
+    lib.apts_gauss_axis.argtypes = [
+        _DP, _DP, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        _DP, ctypes.c_int32,
+    ]
+    lib.apts_gauss_axis.restype = ctypes.c_int32
     lib.apts_jpeg_prog_scan.argtypes = [
         _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -642,6 +648,38 @@ def sauvola_native(img: np.ndarray, ww: int, wh: int, k: float,
     if rc:
         return None
     return out.view(bool)
+
+
+def gauss2d_native(img: np.ndarray, kern: np.ndarray):
+    """Separable Gaussian blur of a 2-D array, bit-exact mirror of
+    ``kernels/noise.py::gaussian_filter`` (np.pad-'reflect' boundary,
+    float64 accumulation in ascending-tap order, per-axis cast back to
+    the input dtype).  The numpy path pays two full ``np.pad`` copies
+    plus klen whole-image multiply-adds per axis — at the sink's 8 Mpx
+    pages that one stage was 60% of recode wall.  None = numpy path."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.asarray(img)
+    if a.ndim != 2 or a.shape[0] == 0 or a.shape[1] == 0:
+        return None
+    dtype = a.dtype
+    kern = np.ascontiguousarray(kern, dtype=np.float64)
+    if len(kern) % 2 == 0:
+        return None
+    kp = kern.ctypes.data_as(_F64P)
+    for axis in (0, 1):
+        src = np.ascontiguousarray(a, dtype=np.float64)
+        out = np.empty_like(src)
+        rc = lib.apts_gauss_axis(
+            src.ctypes.data_as(_F64P), out.ctypes.data_as(_F64P),
+            src.shape[0], src.shape[1], axis, kp, len(kern))
+        if rc:
+            return None
+        # the per-axis cast-back is the documented noise.py semantics
+        # (a float64 input makes it a no-op)
+        a = out.astype(dtype, copy=False)
+    return a
 
 
 def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,

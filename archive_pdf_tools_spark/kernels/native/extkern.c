@@ -3055,3 +3055,79 @@ EXPORT int apts_dwt97_inv(double *a, int32_t H, int32_t W,
     free(line);
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* Separable Gaussian correlation along one axis of a 2-D float64     */
+/* array — the hot stage of kernels/noise.py::gaussian_filter (the    */
+/* MRC sink's pre-blur, mrc.py:311).  Bit-exact mirror of the numpy   */
+/* formulation there: np.pad mode='reflect' boundary (period 2n-2     */
+/* folding, single-sample axes repeat), accumulation order k          */
+/* ascending per element starting from 0.0, no FMA (-ffp-contract=    */
+/* off).  axis 1 = along rows, axis 0 = down columns (both walk the   */
+/* array row-major; the column variant accumulates whole rows so the  */
+/* inner loop stays contiguous).  rc 3 = bad dims, 4 = alloc.         */
+
+static int64_t gauss_fold(int64_t j, int64_t n) {
+    if (n == 1) return 0;
+    while (j < 0 || j >= n) {
+        if (j < 0)
+            j = -j;
+        else
+            j = 2 * (n - 1) - j;
+    }
+    return j;
+}
+
+EXPORT int apts_gauss_axis(const double *in, double *out, int64_t h,
+                           int64_t w, int32_t axis,
+                           const double *kern, int32_t klen) {
+    int64_t r = (int64_t)(klen - 1) / 2, y, x, m;
+    int32_t k;
+    if (h <= 0 || w <= 0 || klen <= 0 || !(klen & 1)) return 3;
+    if (axis == 1) {
+        int64_t *idx = (int64_t *)malloc(
+            (size_t)(w + klen - 1) * sizeof(int64_t));
+        if (!idx) return 4;
+        for (m = 0; m < w + klen - 1; m++)
+            idx[m] = gauss_fold(m - r, w);
+        /* interior columns read contiguously (idx[m+k] == m+k-r
+         * there) — keep the folded-index walk only for the two
+         * boundary strips so the hot loop vectorizes */
+        int64_t lo = r < w ? r : w, hi = w - r > lo ? w - r : lo;
+        for (y = 0; y < h; y++) {
+            const double *row = in + y * w;
+            double *orow = out + y * w;
+            for (m = 0; m < lo; m++) {
+                double acc = 0.0;
+                for (k = 0; k < klen; k++)
+                    acc += kern[k] * row[idx[m + k]];
+                orow[m] = acc;
+            }
+            for (m = lo; m < hi; m++) {
+                const double *src = row + m - r;
+                double acc = 0.0;
+                for (k = 0; k < klen; k++) acc += kern[k] * src[k];
+                orow[m] = acc;
+            }
+            for (m = hi; m < w; m++) {
+                double acc = 0.0;
+                for (k = 0; k < klen; k++)
+                    acc += kern[k] * row[idx[m + k]];
+                orow[m] = acc;
+            }
+        }
+        free(idx);
+        return 0;
+    }
+    if (axis != 0) return 3;
+    for (y = 0; y < h; y++) {
+        double *orow = out + y * w;
+        for (x = 0; x < w; x++) orow[x] = 0.0;
+        for (k = 0; k < klen; k++) {
+            const double *src = in + gauss_fold(y + k - r, h) * w;
+            double coef = kern[k];
+            for (x = 0; x < w; x++) orow[x] += coef * src[x];
+        }
+    }
+    return 0;
+}

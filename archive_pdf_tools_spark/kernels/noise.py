@@ -104,6 +104,12 @@ def gaussian_filter(img: np.ndarray, sigma: float, truncate: float = 4.0) -> np.
     dtype = a.dtype
     kern = _gauss_kernel(sigma, truncate)
     radius = (len(kern) - 1) // 2
+    if radius > 0 and a.ndim == 2:
+        from . import native as _ckern
+
+        res = _ckern.gauss2d_native(a, kern)
+        if res is not None:              # bit-identical C kernel
+            return res
     for axis in range(a.ndim):
         if radius == 0:
             continue

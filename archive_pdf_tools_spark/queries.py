@@ -3405,7 +3405,8 @@ def q_ckern_parity(spark, sf):
     9/7 DWTs — a Python worker encodes a deterministic fixture with
     the Python encoder, decodes it through BOTH the compiled path and
     the forced-Python oracle path, and reports (active, match).  The
-    static oracle asserts active AND bit-exact match for all five, so
+    static oracle asserts active AND bit-exact match for every family
+    (eleven since round 9: + the separable-Gaussian pre-blur), so
     the driver gate proves the gcc-at-first-use build works inside
     Spark's Python workers (not just the driver) and that the C walk
     is decision-for-decision the Python one.  In-window cover for the
@@ -3417,7 +3418,7 @@ def q_ckern_parity(spark, sf):
     kernels_df = spark.createDataFrame(
         [("dwt53",), ("dwt97",), ("jbig2_generic",), ("jbig2_refine",),
          ("jp2_t1",), ("jpeg_scan",), ("jpeg_progressive",),
-         ("ccitt_g4",), ("tiff_lzw",), ("sauvola",)],
+         ("ccitt_g4",), ("tiff_lzw",), ("sauvola",), ("gauss",)],
         "kernel string").repartition(5, "kernel")
 
     def gen(batches):
@@ -3438,6 +3439,7 @@ def q_ckern_parity(spark, sf):
 
         from .kernels import ccittcodec as cc
         from .kernels import jpegcodec as jc
+        from .kernels import noise
         from .kernels import tiffcodec as tc
         from .kernels.sauvola import sauvola_mask
 
@@ -3473,6 +3475,8 @@ def q_ckern_parity(spark, sf):
             "tiff_lzw": lambda: np.frombuffer(
                 tc.lzw_decode(lstream, len(lzw_raw)), dtype=np.uint8),
             "sauvola": lambda: sauvola_mask(page, 15, 15, 0.34, 128.0),
+            "gauss": lambda: noise.gaussian_filter(
+                page.astype(np.float64), 1.7),
         }
         for pdf in batches:
             rows = []
@@ -3491,7 +3495,8 @@ def q_ckern_parity(spark, sf):
 SQL_CKERN_PARITY = """
 SELECT * FROM (VALUES
     ('ccitt_g4', true, true), ('dwt53', true, true),
-    ('dwt97', true, true), ('jbig2_generic', true, true),
+    ('dwt97', true, true), ('gauss', true, true),
+    ('jbig2_generic', true, true),
     ('jbig2_refine', true, true), ('jp2_t1', true, true),
     ('jpeg_progressive', true, true), ('jpeg_scan', true, true),
     ('sauvola', true, true), ('tiff_lzw', true, true))

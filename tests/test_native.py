@@ -555,3 +555,45 @@ def test_native_kill_switch(monkeypatch):
     monkeypatch.setattr(native, "_lib", None)
     assert not native.available()
     assert "disabled" in native.status()
+
+
+def test_gauss2d_parity():
+    """Separable-Gaussian C kernel vs the numpy path in
+    kernels/noise.py: np.pad-'reflect' boundary (incl. multi-fold when
+    the radius exceeds the axis, and single-sample axes), ascending-tap
+    float64 accumulation, per-axis cast-back — bit parity across
+    dtypes, sigmas and degenerate shapes."""
+    from archive_pdf_tools_spark.kernels.noise import gaussian_filter
+
+    rng = np.random.default_rng(9)
+    shapes = [(1, 1), (1, 23), (17, 1), (2, 2), (40, 56), (31, 257)]
+    for (h, w) in shapes:
+        for sigma in (0.3, 0.85, 2.4, 7.0):   # 7.0: radius > tiny axes
+            for dt in (np.float64, np.float32, np.uint8):
+                a = (rng.integers(0, 256, (h, w)).astype(np.uint8)
+                     if dt == np.uint8
+                     else rng.normal(100, 40, (h, w)).astype(dt))
+                nat = gaussian_filter(a, sigma)
+                try:
+                    save, native._lib = native._lib, None
+                    py = gaussian_filter(a, sigma)
+                finally:
+                    native._lib = save
+                assert nat.dtype == py.dtype
+                assert np.array_equal(nat, py), (h, w, sigma, dt)
+
+
+def test_gauss2d_non_2d_uses_python_path():
+    """1-D and 3-D inputs bypass the C kernel (it only serves 2-D) and
+    still produce the documented numpy result."""
+    from archive_pdf_tools_spark.kernels.noise import gaussian_filter
+
+    rng = np.random.default_rng(10)
+    a3 = rng.normal(100, 30, (9, 11, 3))
+    nat = gaussian_filter(a3, 1.2)
+    try:
+        save, native._lib = native._lib, None
+        py = gaussian_filter(a3, 1.2)
+    finally:
+        native._lib = save
+    assert np.array_equal(nat, py)
