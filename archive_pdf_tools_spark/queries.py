@@ -3505,25 +3505,31 @@ ORDER BY kernel
 """
 
 
-# r8 rotated IN (VERDICT r7 ask #4 — the stalest tail oracles):
-# scale_estimate (last driver-verified r3), minhash_sigs and
-# quality_scores (r4), ngram_jaccard, dedup_keep, gaps_islands,
-# lang_stopwords, top_terms, ann_lsh_recall, media_resize (all r5);
-# plus the NEW pdfcomp_pdf (the recompress product, pinned).  Rotated
-# OUT — every one driver-green in r7, the round it left — with the
-# covering in-window row named at each tail entry: pdfcomp,
-# pdf_poison, repetition, minhash_lsh_pairs, exact_dups,
-# dedup_clusters, table_profile, lang_guess, ann_ivf_recall,
-# jp2_lossy, hocr_parse.
+# r9 rotated IN (VERDICT r8 ask #4): ckern_parity and recode_modes
+# (new in r8, never driver-checked) plus the stalest covered tail rows
+# — timing_summary, frame_sample, ratio_agg, fingerprints, stop_after
+# (all last driver-green r6/r7).  Rotated OUT — every one driver-green
+# in r8, the round it left — with the covering in-window row named at
+# each tail entry: format_precedence, scale_estimate,
+# extract_text_oracle, jpeg_decode, ccitt_decode, tiff_decode,
+# ann_pq_recall.
+# (r8 rotation history: IN scale_estimate, minhash_sigs,
+# quality_scores, ngram_jaccard, dedup_keep, gaps_islands,
+# lang_stopwords, top_terms, ann_lsh_recall, media_resize,
+# pdfcomp_pdf; OUT pdfcomp, pdf_poison, repetition, minhash_lsh_pairs,
+# exact_dups, dedup_clusters, table_profile, lang_guess,
+# ann_ivf_recall, jp2_lossy, hocr_parse.)
 QUERIES = {
     # relational / reference-derived
     "skip_anti_join": (q_skip_anti_join, SQL_SKIP_ANTI),     # in (r7)
     "positional_join": (q_positional_join, SQL_POSJOIN),
-    "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
     "hq_flag": (q_hq_flag, SQL_HQ),
     "dpi_argmin": (q_dpi_argmin, SQL_DPI),
     "pricing_summary": (q_pricing_summary, SQL_PRICING),     # in (r6)
     "nation_revenue": (q_nation_revenue, SQL_NATION_REV),    # in (r6)
+    "timing_summary": (q_timing_summary, SQL_TIMING),        # in (r9)
+    "ratio_agg": (q_ratio_agg, SQL_RATIO),                   # in (r9)
+    "stop_after": (q_stop_after, SQL_STOP),                  # in (r9)
     "top_terms": (q_top_terms, SQL_TOP_TERMS),               # in (r8)
     # text analysis
     "token_stats": (q_token_stats, SQL_TOKENS),
@@ -3535,6 +3541,7 @@ QUERIES = {
                        _lang_stopwords_sql()),
     # dedup
     "dedup_keep": (q_dedup_keep, SQL_DEDUP_KEEP),            # in (r8)
+    "fingerprints": (q_fingerprints, SQL_FP),                # in (r9)
     "substring_dedup": (q_substring_dedup,                   # new (r7
                         SQL_SUBSTRING_DEDUP.format(          #  late)
                             seed=SEED_DOCS_SQL)),
@@ -3554,57 +3561,31 @@ QUERIES = {
     "ann_bruteforce": (q_ann_bruteforce, SQL_ANN),
     "kmeans_quality": (q_kmeans_quality, SQL_KMEANS),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_RECALL_ROWS),   # in (r8)
-    "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),
     # extraction pipeline + document sources (pinned/value oracles)
     "extract_digest": (q_extract_digest, None),
-    "extract_text_oracle": (q_extract_text_oracle, SQL_EXTRACT_TEXT),
     "extract_resume": (q_extract_resume, None),
     "extract_metrics": (q_extract_metrics, None),
     "media_features": (q_media_features, None),
+    "frame_sample": (q_frame_sample, None),          # in (r9, pinned)
     "page_series": (q_page_series, SQL_PAGE_SERIES),
     "pdf_metadata": (q_pdf_metadata, None),
-    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),
     "jp2_decode": (q_jp2_decode, SQL_JP2_DECODE),    # new (r5)
     "media_resize": (q_media_resize, None),          # in (r8, pinned)
     "jbig2_decode": (q_jbig2_decode, SQL_JBIG2_DECODE),  # new (r6)
-    "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # new (r6 late)
-    "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),     # new (r7 late)
     "png_decode": (q_png_decode, SQL_PNG_DECODE),        # new (r7 late)
     "recode_pdf": (q_recode_pdf, None),              # new (r7 late)
+    "recode_modes": (q_recode_modes, None),          # in (r9, pinned)
+    "ckern_parity": (q_ckern_parity, SQL_CKERN_PARITY),  # in (r9)
     "pdfcomp_pdf": (q_pdfcomp_pdf, None),            # NEW (r8, pinned)
     "pdf_spans": (q_pdf_spans, None),
     "stream_extract": (q_stream_extract, None),
     "gaps_islands": (q_gaps_islands, SQL_ISLANDS),           # in (r8)
-    "scale_estimate": (q_scale_estimate, SQL_SCALE),         # in (r8)
     "html_extract": (q_html_extract, SQL_HTML_EXTRACT),
     # ---- overflow tail (entries 51+): double-covered or raw rows ----
     # oracle-paired, behaviour covered by the NAMED in-window row:
-    # - timing_summary (rotated out r7 late for tiff_decode,
-    #   driver-green r1-r7): its metrics input rows are the pinned
-    #   in-window extract_metrics VALUES oracle, and the added
-    #   groupBy-sum shape is the same aggregate construct
-    #   pricing_summary drives in-window.
-    # - frame_sample (rotated out r7 late for recode_pdf, pinned,
-    #   driver-green r3-r7): media_features (pinned, in-window) drives
-    #   the same multimodal binary/metadata plumbing over the same
-    #   fixture corpus; the frame-stride selection arithmetic is
-    #   pytest-pinned (tests/test_functions.py).
-    # - ratio_agg (rotated out r7 late for lm_perplexity, driver-
-    #   green r1-r7): its groupBy-avg-over-parquet-columns construct
-    #   is the same aggregate shape pricing_summary / nation_revenue
-    #   drive in-window on the same tables.
-    # - fingerprints (rotated out r7 late for substring_dedup,
-    #   driver-green r1-r7): dedup_keep (in-window r8) computes the
-    #   IDENTICAL md5 normalized-text fingerprint per doc and groups
-    #   the seeded corpus on it — a wrong fingerprint changes its
-    #   in-window keep groups first.
-    # - stop_after (rotated out r7 late for png_decode, driver-green
-    #   r1-r7, the most-verified row in the registry): positional_join
-    #   (in-window) drives the identical row_number-over-(partition,
-    #   order) window construct against the same oracle family, and
-    #   the pipeline's real stop-after limit (operators/extract.py:299)
-    #   is driver-verified by the pinned extract_resume row via its
-    #   stop_after_shards protocol.
+    # (timing_summary / frame_sample / ratio_agg / fingerprints /
+    # stop_after sat here r7-r8 and rotated back IN for r9 — their
+    # former cover notes now live in git history.)
     # - skip_filter (rotated out r7, driver-green r1-r6):
     #   skip_anti_join (in-window since r7) consumes the same scandata
     #   skip list with the same anti-join semantics — a skip-list
@@ -3679,11 +3660,6 @@ QUERIES = {
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_RECALL_ROWS),  # tail (r8)
     "jp2_lossy": (q_jp2_lossy, None),                  # tail (r8)
     "hocr_parse": (q_hocr_parse, SQL_HOCR_PARSE),      # tail (r8)
-    "timing_summary": (q_timing_summary, SQL_TIMING),  # tail (r7 late)
-    "stop_after": (q_stop_after, SQL_STOP),            # tail (r7 late)
-    "fingerprints": (q_fingerprints, SQL_FP),          # tail (r7 late)
-    "ratio_agg": (q_ratio_agg, SQL_RATIO),             # tail (r7 late)
-    "frame_sample": (q_frame_sample, None),            # tail (r7 late)
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):
@@ -3692,14 +3668,49 @@ QUERIES = {
     "ann_pq": (q_ann_pq, None),
     "extract_flagship": (q_extract_flagship, None),
     "extract_testdata": (q_extract_testdata, None),
-    # tail (r8 late): the recode compression-knob surface, pinned —
-    # the sink constructs it exercises (MRC page kinds, CCITT masks,
-    # JPEG bg/fg) are in-window via recode_pdf's full circle
-    "recode_modes": (q_recode_modes, None),
-    # tail (r8 late): compiled-kernel dual-path parity on executors;
-    # the compiled decode path itself is in-window via jp2_decode /
-    # jbig2_decode / recode_pdf (their oracles flow through it)
-    "ckern_parity": (q_ckern_parity, SQL_CKERN_PARITY),
+    # ---- r9 rotations OUT (VERDICT r8 ask #4 swaps; every row below
+    # was driver-green in r8, the round it left the window) ----
+    # - format_precedence (driver-green r1-r8): pdf_metadata
+    #   (in-window, pinned) carries the identical A8 precedence fold
+    #   as its per-doc recommended_format column — a precedence defect
+    #   changes those pinned values first.
+    # - scale_estimate (driver-green r3, r8): pdf_metadata (in-window,
+    #   pinned) carries the same per-doc A9 scale estimate as its
+    #   pinned scale column.
+    # - extract_text_oracle (driver-green r1-r8): extract_digest
+    #   (in-window, pinned) digests the same extraction output
+    #   order-sensitively (md5 over reassembled spans) — strictly
+    #   stronger than the text-prefix compare this row does.
+    # - jpeg_decode (driver-green r4-r8): pdf_spans (in-window,
+    #   pinned) decodes /DCTDecode fixture pages through the same
+    #   baseline path inside MRC, and ckern_parity (in-window r9)
+    #   asserts jpeg_scan + jpeg_progressive dual-path bit parity;
+    #   the per-mode true-arithmetic oracles are pytest-covered
+    #   (tests/test_jpegcodec.py).
+    # - ccitt_decode (driver-green r6-r8): recode_modes (in-window r9,
+    #   pinned) full-circles the bw_ccitt / mrc_ccitt lanes through
+    #   encode_g4 and the engine's own re-read, and ckern_parity
+    #   (in-window r9) asserts ccitt_g4 encode->decode dual-path bit
+    #   parity; the G3/G4 true-arithmetic oracles are pytest-covered
+    #   (tests/test_ccittcodec.py).
+    # - tiff_decode (driver-green r7-r8): recode_pdf (in-window,
+    #   pinned) decodes an LZW TIFF on every even fixture page — a
+    #   TIFF decode drift changes its pinned whole-PDF md5s — and
+    #   ckern_parity (in-window r9) asserts tiff_lzw dual-path parity;
+    #   organization/compression rotations are pytest-covered
+    #   (tests/test_tiffcodec.py).
+    # - ann_pq_recall (driver-green r5-r8): ann_lsh_recall (in-window
+    #   r8/r9) drives the identical self-verifying recall-row
+    #   construct against the same corpus; the PQ codebook/ADC
+    #   internals are pytest-covered (tests/test_functions.py) — the
+    #   same cover shape ann_ivf_recall rotated out under in r8.
+    "format_precedence": (q_format_precedence, SQL_PRECEDENCE),
+    "scale_estimate": (q_scale_estimate, SQL_SCALE),   # tail (r9)
+    "extract_text_oracle": (q_extract_text_oracle, SQL_EXTRACT_TEXT),
+    "jpeg_decode": (q_jpeg_decode, SQL_JPEG_DECODE),   # tail (r9)
+    "ccitt_decode": (q_ccitt_decode, SQL_CCITT_DECODE),  # tail (r9)
+    "tiff_decode": (q_tiff_decode, SQL_TIFF_DECODE),   # tail (r9)
+    "ann_pq_recall": (q_ann_pq_recall, SQL_RECALL_ROWS),  # tail (r9)
 }
 
 # Fixture queries with pinned value-table oracles (tools/pin_oracles.py;

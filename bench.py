@@ -91,6 +91,19 @@ def extraction_workload(spark, sf: float, cpus: int,
 def run_bench(sf_dir: str, cpus: int) -> dict:
     from archive_pdf_tools_spark.queries import QUERIES
 
+    # The official per-round bench should measure the code, not the
+    # host: wait (bounded) for the stream probe to clear the
+    # clean-window thresholds before starting, and always record the
+    # probe readings next to the timings so a contended run is
+    # self-labelling.  SPARK_GRAFT_BENCH_WAIT_SEC=0 disables the wait.
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_SEC", "600"))
+    probe = probe_window()
+    waited = 0.0
+    while not probe["clean"] and waited < max_wait:
+        time.sleep(30)
+        waited += 30
+        probe = probe_window()
+
     sf = _sf_of(sf_dir)
     spark = make_spark(cpus, "bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,6 +144,7 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
             "pages": n_pages,
             "pages_per_sec": round(n_pages / ext_sec, 1),
             "cpus": cpus,
+            "window": dict(probe, waited_sec=waited),
         }
     finally:
         spark.stop()
