@@ -76,7 +76,21 @@ standard tables (T.88 Annex B.4-B.15) are NOT reconstructed from
 memory for the same reason the MQ conformance vector is not (see
 ``jp2codec``): a misremembered spec table decodes self-consistent
 fixtures while silently corrupting foreign streams — the worst
-failure mode a codec gate exists to prevent.  The refinement
+failure mode a codec gate exists to prevent.
+
+DECISION (round 9, revisited per review): the gate STAYS.  The
+published-spec-content posture that legitimized the derived ICC
+profile and AES S-box does not transfer here — those derive from
+compact published *axioms* (field arithmetic, colorimetry equations)
+whose correctness is self-checking, whereas the Annex B tables are
+~15 arbitrary line-by-line constant tables with no in-sandbox
+conformance stream to validate a transcription against.  An
+implementation whose only evidence is round-tripping its own
+fixtures would CLAIM foreign-stream coverage this repo cannot
+honestly assert; a hard, typed error that names the gap is the
+correct contract for the rare (no known encoder emits it by
+default) Huffman family.  Revisit if a conformance-stream corpus or
+the tables in machine-readable form enter the environment.  The refinement
 template pixel SETS and the halftone grid/gray-code procedures are
 algorithmic figure-level structure (same class as the generic
 templates, whose transcription reproduces the published TPGDON
