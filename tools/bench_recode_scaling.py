@@ -161,7 +161,9 @@ def main():
         "walls_sec": {str(k): round(v, 3) for k, v in bw.items()},
         "strong_2_8": round((bw[2] / bw[8]) / 4, 3),
     }
-    out = os.path.join(REPO, "BENCH", "scaling_r8_recode.json")
+    out = os.path.join(REPO, "BENCH",
+                       os.environ.get("SPARK_GRAFT_SCALING_OUT",
+                                      "scaling_r9_recode.json"))
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
