@@ -83,13 +83,20 @@ def _cache_dir() -> str:
     base = (os.environ.get("SPARK_GRAFT_NATIVE_CACHE")
             or tempfile.gettempdir())
     d = os.path.join(base, f"apts_ckern_u{os.getuid()}")
-    os.makedirs(d, mode=0o700, exist_ok=True)
-    st = os.lstat(d)
-    if (st.st_uid != os.getuid() or not os.path.isdir(d)
-            or os.path.islink(d) or (st.st_mode & 0o077)):
-        raise NativeError(f"unsafe native cache dir {d!r} "
-                          f"(uid={st.st_uid}, mode={oct(st.st_mode)})")
-    return d
+    try:
+        os.makedirs(d, mode=0o700, exist_ok=True)
+        st = os.lstat(d)
+        if (st.st_uid == os.getuid() and os.path.isdir(d)
+                and not os.path.islink(d) and not (st.st_mode & 0o077)):
+            return d
+    except OSError:
+        pass
+    # the fixed path is unusable (pre-planted by another uid, wrong
+    # perms, unwritable base): fall back to a fresh private dir — the
+    # kernels still compile, only cross-process memoization is lost.
+    # Anything else would let a local user DoS the compiled path by
+    # squatting the predictable name.
+    return tempfile.mkdtemp(prefix=f"apts_ckern_u{os.getuid()}_")
 
 
 def _compile(src: str) -> str:

@@ -84,9 +84,8 @@ def _xobject_names(rd, page_dict):
     §7.7.3.4) — the container is then that ancestor, so the entry
     rewrite lands on the shared node (the append-keep-original +
     refcount discipline below keeps sibling pages consistent)."""
-    from ..sources.pdf_meta import _dict_region
+    from ..sources.pdf_meta import _dict_region, _resources_xobject
 
-    res_container = None
     # walk up /Parent for the nearest dict carrying /Resources; the
     # owner_oid (None = the page itself) is the rewrite target when
     # /Resources is inline
@@ -102,27 +101,12 @@ def _xobject_names(rd, page_dict):
         d = _dict_region(rd.body(owner_oid))
     else:
         return []
-    m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", d)
-    if m:
-        res_container = int(m.group(1))
-        res_region = rd.obj(res_container)[1]
-    else:
-        split = d.split(b"/Resources", 1)
-        if len(split) < 2:
-            return []
-        res_container = owner_oid
-        res_region = _dict_region(split[1])
-
-    xo_container = res_container
-    m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", res_region)
-    if m:
-        xo_container = int(m.group(1))
-        xo_region = rd.obj(xo_container)[1]
-    else:
-        split = res_region.split(b"/XObject", 1)
-        if len(split) < 2:
-            return []
-        xo_region = _dict_region(split[1])
+    # shared resolver (sources/pdf_meta.py): the metadata scan and this
+    # rewriter must agree on which images a page has — the img_use
+    # refcounting depends on it
+    xo_region, xo_container = _resources_xobject(rd, d, owner_oid)
+    if not xo_region:
+        return []
 
     out = []
     for nm, oid in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R",
@@ -290,6 +274,7 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
     next_id = max(rd.entries) + 1
     n_images = 0
     skipped = 0
+    undecodable: set[int] = set()
     orig_bytes = 0
     new_bytes = 0
 
@@ -345,7 +330,11 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
         img_oids = {im["xref"] for im in page["images"]}
         todo = [(nm, oid, cont) for nm, oid, cont in entries
                 if oid in img_oids]
-        skipped += sum(1 for _nm, oid, _c in todo if oid not in rasters)
+        # distinct oids: with a SHARED resources dict every page lists
+        # every sibling's images, so per-page counting would report one
+        # bad image once per referencing page
+        undecodable.update(oid for _nm, oid, _c in todo
+                           if oid not in rasters)
         todo = [(nm, oid, cont) for nm, oid, cont in todo
                 if oid in rasters]
         if not todo:
@@ -378,7 +367,13 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
                 # object: release its reference without encoding
                 # anything; the object drops once every referencing
                 # page released it and at least one really replaced it.
+                # The entry still goes on the stale list: if the
+                # object DOES end up dropped, this page's container —
+                # which may be its own separate dict, not the shared
+                # one — must not keep a name pointing at a freed slot.
                 img_release[oid] = img_release.get(oid, 0) + 1
+                stale_entries.append((cont if cont is not None else pid,
+                                      nm, oid))
                 if (img_replaced.get(oid, 0) >= 1
                         and img_release[oid] >= img_use.get(oid, 1)):
                     dropped.add(oid)
@@ -484,14 +479,20 @@ def recompress_pdf(pdf: bytes, hocr=None, fg_downsample: int = 3,
     # pointing at a free xref slot is the dangling-reference bug the
     # refcounting exists to prevent
     for target, nm, oid in stale_entries:
-        if oid not in dropped or target not in rewritten:
+        if oid not in dropped:
             continue
-        rewritten[target] = re.sub(
+        # a released-not-drawn page's container may never have been
+        # rewritten — pull its (decrypted) body in so the strip lands
+        body = work_body(target)
+        new = re.sub(
             rb"/" + re.escape(nm) + rb"\s+%d\s+\d+\s+R" % oid,
-            b"", rewritten[target], count=1)
+            b"", body, count=1)
+        if new != body:
+            rewritten[target] = new
     out = _assemble(pdf, rd, rewritten, dropped, appended)
     return RecompressResult(out, n_images, meta["n_pages"],
-                            orig_bytes, new_bytes, skipped)
+                            orig_bytes, new_bytes,
+                            skipped + len(undecodable))
 
 
 def _assemble(pdf: bytes, rd, rewritten: dict[int, bytes],

@@ -460,28 +460,39 @@ def _page_links(rd, page_dict: bytes) -> list[dict]:
     return links
 
 
-def _xobject_region(rd, d: bytes) -> bytes:
-    """The /XObject dictionary region reachable from a dict ``d`` that
+def _resources_xobject(rd, d: bytes, owner_oid=None):
+    """Resolve the /XObject dictionary reachable from a dict ``d`` that
     carries /Resources — each of /Resources and /XObject may be inline
-    or an indirect reference (one level, the shapes PDF writers
-    emit)."""
+    or an indirect reference (one level, the shapes PDF writers emit).
+    Returns ``(region_bytes, container_oid)`` where ``container_oid``
+    is the indirect object whose body holds the name->ref entries
+    (``owner_oid`` — None = the caller's own object — when everything
+    is inline).  Shared by the metadata scan and the recompress
+    rewriter so both always agree on which images a page has."""
+    container = owner_oid
     m = re.search(rb"/Resources\s+(\d+)\s+\d+\s+R", d)
     if m:
         if not rd.has(int(m.group(1))):
-            return b""
-        res = rd.obj(int(m.group(1)))[1]
+            return b"", owner_oid
+        container = int(m.group(1))
+        res = rd.obj(container)[1]
     else:
         split = d.split(b"/Resources", 1)
         if len(split) < 2:
-            return b""
+            return b"", owner_oid
         res = _dict_region(split[1])
     m = re.search(rb"/XObject\s+(\d+)\s+\d+\s+R", res)
     if m:
         if not rd.has(int(m.group(1))):
-            return b""
-        return rd.obj(int(m.group(1)))[1]
+            return b"", container
+        container = int(m.group(1))
+        return rd.obj(container)[1], container
     split = res.split(b"/XObject", 1)
-    return _dict_region(split[1]) if len(split) > 1 else b""
+    return (_dict_region(split[1]) if len(split) > 1 else b""), container
+
+
+def _xobject_region(rd, d: bytes) -> bytes:
+    return _resources_xobject(rd, d)[0]
 
 
 def _crypt_string(d: bytes, key: bytes) -> bytes:

@@ -337,3 +337,96 @@ def test_recompress_same_image_drawn_on_two_pages():
         got = extract_page_images(r.pdf, pidx, meta=meta_out,
                                   rd=rd_out)
         assert len(got) == 2 and all(a.size > 0 for _x, a in got)
+
+
+def test_referenced_but_not_drawn_entry_stripped():
+    """An image object referenced from one page's resources but DRAWN
+    only on another page: after the drawing page's replacement drops
+    the object, the non-drawing page's name entry must be stripped too
+    — a dict entry pointing at a freed xref slot makes the engine's
+    own re-read reject the document."""
+    import zlib
+
+    rng = np.random.default_rng(17)
+    raster = rng.integers(0, 256, (30, 40), dtype=np.uint8)
+    img_stream = zlib.compress(raster.tobytes())
+    ops1 = b"q 40 0 0 30 10 10 cm /Im9 Do Q"
+    ops0 = b"BT ET"                        # references Im9, never draws
+
+    bodies = {}
+    bodies[1] = (b"<< /Type /XObject /Subtype /Image /Width 40 "
+                 b"/Height 30 /BitsPerComponent 8 /ColorSpace "
+                 b"/DeviceGray /Filter /FlateDecode /Length "
+                 + str(len(img_stream)).encode() + b" >>\nstream\n"
+                 + img_stream + b"\nendstream")
+    bodies[2] = (b"<< /Length " + str(len(ops0)).encode()
+                 + b" >>\nstream\n" + ops0 + b"\nendstream")
+    bodies[3] = (b"<< /Length " + str(len(ops1)).encode()
+                 + b" >>\nstream\n" + ops1 + b"\nendstream")
+    bodies[4] = (b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792]"
+                 b" /Resources << /XObject << /Im9 1 0 R >> >>"
+                 b" /Contents 2 0 R >>")
+    bodies[5] = (b"<< /Type /Page /Parent 6 0 R /MediaBox [0 0 612 792]"
+                 b" /Resources << /XObject << /Im9 1 0 R >> >>"
+                 b" /Contents 3 0 R >>")
+    bodies[6] = b"<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >>"
+    bodies[7] = b"<< /Type /Catalog /Pages 6 0 R >>"
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for k in range(1, 8):
+        offsets[k] = len(out)
+        out += b"%d 0 obj\n" % k + bodies[k] + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 8\n0000000000 65535 f \n"
+    for k in range(1, 8):
+        out += b"%010d 00000 n \n" % offsets[k]
+    out += (b"trailer\n<< /Size 8 /Root 7 0 R >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    pdf = bytes(out)
+
+    meta_in = parse_pdf(pdf)               # sanity: both pages see ImS
+    assert [p["n_images"] for p in meta_in["pages"]] == [1, 1]
+
+    r = recompress_pdf(pdf, None)
+    assert (r.n_images, r.skipped) == (1, 0)
+    # re-read must succeed — the dangling '/Im9 1 0 R' on page 0 would
+    # raise PdfError here before the fix
+    meta_out = parse_pdf(r.pdf)
+    rd_out = _Reader(r.pdf)
+    e = rd_out.entries.get(1)
+    assert e is None or e[0] == 0          # old image freed
+    # page 0 resources no longer reference the freed object
+    assert meta_out["pages"][0]["n_images"] == 0
+    got = extract_page_images(r.pdf, 1, meta=meta_out, rd=rd_out)
+    assert len(got) == 2 and all(a.size > 0 for _x, a in got)
+
+
+def test_shared_dict_undecodable_image_counts_skipped_once():
+    """One undecodable image in an inherited/shared resources dict must
+    count into RecompressResult.skipped ONCE, not once per page."""
+    from archive_pdf_tools_spark.corpus.pdfgen import build_pdf
+
+    rng = np.random.default_rng(19)
+    good = {"w": 32, "h": 24, "gray": True,
+            "data": rng.integers(0, 256, 32 * 24,
+                                 dtype=np.uint8).tobytes()}
+    # a JPX image whose header parses (dims from the ihdr box) but
+    # whose codestream is truncated: metadata sees it, decode fails
+    from archive_pdf_tools_spark.kernels.jp2codec import encode_jp2
+
+    jp2 = encode_jp2(np.full((16, 16), 128, np.uint8))
+    bad = {"w": 16, "h": 16, "gray": True, "jpx": True,
+           "data": jp2[:len(jp2) // 2]}
+    pages = [
+        {"width": 612, "height": 792, "images": [good], "text": "a",
+         "inherit": True},
+        {"width": 612, "height": 792, "images": [bad], "text": None,
+         "inherit": True},
+        {"width": 612, "height": 792, "images": [], "text": None,
+         "inherit": True},
+    ]
+    pdf = build_pdf(pages)
+    r = recompress_pdf(pdf, None)
+    assert r.skipped == 1
+    assert r.n_images == 1

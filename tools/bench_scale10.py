@@ -95,11 +95,18 @@ def build_imagestack_parquet(n_docs: int, out_dir: str) -> int:
             imgs.append(bytes(blob))
             hocrs.append(hocr if p == 0 else None)
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(pa.table({
+    table = pa.table({
         "doc_id": ids, "page_idx": pa.array(idxs, pa.int32()),
         "image": pa.array(imgs, pa.binary()),
-        "hocr": pa.array(hocrs, pa.binary())}),
-        os.path.join(out_dir, "part-0.parquet"))
+        "hocr": pa.array(hocrs, pa.binary())})
+    # several files + small row groups: one giant single-row-group
+    # binary file tripped parquet's vectored-IO future timeout under
+    # host contention at the 480-doc size (observed rc=1)
+    per_file = max(64, len(ids) // 8)
+    for k, start in enumerate(range(0, len(ids), per_file)):
+        pq.write_table(table.slice(start, per_file),
+                       os.path.join(out_dir, f"part-{k}.parquet"),
+                       row_group_size=32)
     return len(ids)
 
 
@@ -118,23 +125,38 @@ def run_pdf_sink(n_docs: int, cores: int = 8) -> dict:
                    PYSPARK_PYTHON=sys.executable,
                    SPARK_GRAFT_BENCH_WAIT_SEC="0")
         t0 = time.perf_counter()
-        proc = subprocess.Popen(
-            [sys.executable, os.path.join(REPO, "job.py"),
-             "--input", inp, "--input-format", "imagestack",
-             "--output-format", "pdf", "--output", out,
-             "--shards", "4", "--partitions", str(cores * 2)],
-            cwd=REPO, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            text=True)
-        peak_kb = 0
-        while proc.poll() is None:
-            peak_kb = max(peak_kb, _tree_rss_kb(proc.pid))
-            time.sleep(0.2)
+        # stdout goes to a file, not a PIPE: the sampling loop below
+        # never drains a pipe, and a chatty child would block on write
+        # and deadlock the poll loop
+        import pyspark
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__),
+                                    "bin", "spark-submit")
+        log = os.path.join(work, "job.stdout")
+        errlog = os.path.join(work, "job.stderr")
+        with open(log, "w") as lf, open(errlog, "w") as ef:
+            proc = subprocess.Popen(
+                [spark_submit, "--master", f"local[{cores}]",
+                 "--conf",
+                 "spark.hadoop.parquet.hadoop.vectored.io.enabled="
+                 "false",
+                 os.path.join(REPO, "job.py"),
+                 "--input", inp, "--input-format", "imagestack",
+                 "--output-format", "pdf", "--output", out,
+                 "--shards", "4", "--partitions", str(cores * 2)],
+                cwd=REPO, env=env,
+                stdout=lf, stderr=ef, text=True)
+            peak_kb = 0
+            while proc.poll() is None:
+                peak_kb = max(peak_kb, _tree_rss_kb(proc.pid))
+                time.sleep(0.2)
         wall = time.perf_counter() - t0
-        stdout = proc.stdout.read() if proc.stdout else ""
         if proc.returncode != 0:
-            raise RuntimeError(f"job.py failed rc={proc.returncode}")
-        manifest = json.loads(stdout.strip().splitlines()[-1])
+            with open(errlog) as ef:
+                tail = ef.read()[-1500:]
+            raise RuntimeError(
+                f"job.py failed rc={proc.returncode}\n{tail}")
+        with open(log) as lf:
+            manifest = json.loads(lf.read().strip().splitlines()[-1])
         return {"docs": n_docs, "pages": n_pages,
                 "wall_sec": round(wall, 2),
                 "pages_per_sec": round(n_pages / wall, 2),
