@@ -429,21 +429,40 @@ in-sandbox analogue of N -> 4N executors each receiving its share of a
 |---|---|---|---|---|
 {weak_rows}
 
-## Input linearity at fixed cores (10x corpus) — pinned historical run
+## Input linearity at fixed cores (10x corpus) — pinned runs
 
-Pinned one-off measurement with its own provenance (NOT re-measured by
---scaling runs): 2026-08-16 in a probed clean window (8.1 / 42.3 GB/s), same
-local[32] plan, input scaled 10x: wall grows 5.1x for 9.7x the pages —
-per-page throughput RISES with corpus size (1639 -> 3145 pages/s)
-because the bench-sized corpus under-fills the 128 partitions and fixed
-costs dominate.  The direction matters for the 100-TB claim: the job
-gets MORE efficient as the input grows.  (Reproduce:
-`python bench.py --extract-only 32 <sf_dir> 600` vs `... 6000`.)
+Pinned one-off measurements with their own provenance (NOT re-measured
+by --scaling runs), same local[32] plan, input scaled 10x: per-page
+throughput RISES with corpus size because the bench-sized corpus
+under-fills the 128 partitions and fixed costs dominate.  The direction
+matters for the 100-TB claim: the job gets MORE efficient as the input
+grows.  (Reproduce: `python bench.py --extract-only 32 <sf_dir> 600`
+vs `... 6000`; the round-9 re-run is `tools/bench_scale10.py`,
+probe-gated, full report in BENCH/scale10_r9.json.)
 
-| docs | pages | wall sec | pages/sec |
-|---|---|---|---|
-| 600 | 7932 | 4.84 | 1639 |
-| 6000 | 76973 | 24.48 | 3145 |
+| when | docs | pages | wall sec | pages/sec |
+|---|---|---|---|---|
+| r7 (2026-08-16, probe 8.1/42.3) | 600 | 7932 | 4.84 | 1639 |
+| r7 | 6000 | 76973 | 24.48 | 3145 |
+| r9 compiled kernels (2026-08-18, probe 7.0/31.3) | 600 | 7932 | 3.79 | 2093 |
+| r9 | 6000 | 76973 | 13.62 | **5652** |
+
+## PDF-sink memory boundedness — pinned round-9 run
+
+The full `job.py --input-format imagestack --output-format pdf` recode
+product (spark-submit local[8], 4 checkpointed shards), doc count
+scaled 1x/4x/8x in one probed clean window, peak RSS of the whole
+process tree (JVM + every Python worker) sampled from /proc: peak
+memory is a fixed ~2.9 GB pool that grows only 1.17x while the corpus
+grows 8x — the sink holds ONE document per grouped-map task, so
+executor memory is bounded by worker-pool size, not corpus size
+(the property that survives a 100-TB input).
+
+| docs | pages | wall sec | pages/sec | peak tree RSS MB |
+|---|---|---|---|---|
+| 60 | 120 | 31.96 | 3.8 | 2909 |
+| 240 | 480 | 33.65 | 14.3 | 3090 |
+| 480 | 960 | 45.50 | 21.1 | 3408 |
 
 ## Single-box caveat (why the pairs differ)
 

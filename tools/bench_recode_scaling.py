@@ -121,8 +121,15 @@ def main():
     n_docs = 192
     if "--docs" in sys.argv:
         n_docs = int(sys.argv[sys.argv.index("--docs") + 1])
+    max_wait = float(os.environ.get("SPARK_GRAFT_SCALE_WAIT_SEC",
+                                    "900"))
     probe = probe_window()
-    print(json.dumps({"probe": probe}))
+    waited = 0.0
+    while not probe["clean"] and not force and waited < max_wait:
+        time.sleep(60)
+        waited += 60
+        probe = probe_window()
+    print(json.dumps({"probe": probe, "waited_sec": waited}))
     if not probe["clean"] and not force:
         print("window dirty; refusing to record (--force overrides)")
         return 1
