@@ -200,6 +200,11 @@ def _bind(lib) -> None:
         _DP, ctypes.c_int32,
     ]
     lib.apts_gauss_axis.restype = ctypes.c_int32
+    lib.apts_png_unfilter.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, _U8P,
+    ]
+    lib.apts_png_unfilter.restype = ctypes.c_int32
     lib.apts_jpeg_prog_scan.argtypes = [
         _U8P, _I64P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -687,6 +692,25 @@ def gauss2d_native(img: np.ndarray, kern: np.ndarray):
         # (a float64 input makes it a no-op)
         a = out.astype(dtype, copy=False)
     return a
+
+
+def png_unfilter_native(raw: bytes, pos: int, h: int, rowbytes: int,
+                        bpp: int):
+    """Whole-sub-image PNG unfilter (pngcodec._unfilter_image
+    semantics, filters 0-4); returns (rows (h, rowbytes) uint8 array,
+    new pos) or None = use the Python path (kernel absent, input
+    short, or an unknown filter byte — Python then raises the typed
+    PngError)."""
+    lib = _load()
+    if lib is None or h < 0 or rowbytes <= 0 or bpp <= 0:
+        return None
+    buf = np.frombuffer(raw, dtype=np.uint8)
+    out = np.empty((h, rowbytes), dtype=np.uint8)
+    rc = lib.apts_png_unfilter(_u8(buf), len(buf), pos, h, rowbytes,
+                               bpp, _u8(out))
+    if rc:
+        return None
+    return out, pos + h * (1 + rowbytes)
 
 
 def jpeg_prog_scan_native(segments, scan_comps, hufftab, tab_keys,

@@ -3131,3 +3131,68 @@ EXPORT int apts_gauss_axis(const double *in, double *out, int64_t h,
     }
     return 0;
 }
+
+/* ------------------------------------------------------------------ */
+/* PNG scanline unfilter, whole sub-image per call — mirror of        */
+/* pngcodec._unfilter_image (published predictor algorithms; filters  */
+/* 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth).  The Average/Paeth   */
+/* rows are inherently sequential along x and sat at the CPython      */
+/* per-byte floor.  rc: 3 bad dims, 7 input short, 8 unknown filter   */
+/* (caller falls back to Python, which raises the typed PngError).    */
+
+EXPORT int apts_png_unfilter(const uint8_t *raw, int64_t rawlen,
+                             int64_t pos, int64_t h, int64_t rowbytes,
+                             int32_t bpp, uint8_t *out) {
+    int64_t y, i;
+    if (h < 0 || rowbytes <= 0 || bpp <= 0) return 3;
+    if (rawlen - pos < h * (1 + rowbytes)) return 7;
+    for (y = 0; y < h; y++) {
+        uint8_t ft = raw[pos];
+        const uint8_t *row = raw + pos + 1;
+        uint8_t *cur = out + y * rowbytes;
+        const uint8_t *pv = y ? out + (y - 1) * rowbytes : NULL;
+        pos += 1 + rowbytes;
+        switch (ft) {
+        case 0:
+            memcpy(cur, row, (size_t)rowbytes);
+            break;
+        case 1:
+            for (i = 0; i < (bpp < rowbytes ? bpp : rowbytes); i++)
+                cur[i] = row[i];
+            for (; i < rowbytes; i++)
+                cur[i] = (uint8_t)(row[i] + cur[i - bpp]);
+            break;
+        case 2:
+            if (pv)
+                for (i = 0; i < rowbytes; i++)
+                    cur[i] = (uint8_t)(row[i] + pv[i]);
+            else
+                memcpy(cur, row, (size_t)rowbytes);
+            break;
+        case 3:
+            for (i = 0; i < rowbytes; i++) {
+                int left = i >= bpp ? cur[i - bpp] : 0;
+                int up = pv ? pv[i] : 0;
+                cur[i] = (uint8_t)(row[i] + ((left + up) >> 1));
+            }
+            break;
+        case 4:
+            for (i = 0; i < rowbytes; i++) {
+                int a = i >= bpp ? cur[i - bpp] : 0;
+                int b = pv ? pv[i] : 0;
+                int c = (pv && i >= bpp) ? pv[i - bpp] : 0;
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pr = (pa <= pb && pa <= pc) ? a
+                                                : (pb <= pc ? b : c);
+                cur[i] = (uint8_t)(row[i] + pr);
+            }
+            break;
+        default:
+            return 8;
+        }
+    }
+    return 0;
+}

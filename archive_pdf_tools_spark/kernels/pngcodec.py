@@ -127,6 +127,12 @@ def _unfilter_image(raw: bytes, pos: int, w: int, h: int,
     need = h * (1 + rowbytes)
     if len(raw) - pos < need:
         raise PngError("IDAT too short for image dimensions")
+
+    from . import native as _ckern
+
+    res = _ckern.png_unfilter_native(raw, pos, h, rowbytes, bpp)
+    if res is not None:                  # byte-identical C kernel
+        return res
     out = np.empty((h, rowbytes), np.uint8) if h else \
         np.empty((0, rowbytes), np.uint8)
     prev = np.zeros(rowbytes, np.uint8)

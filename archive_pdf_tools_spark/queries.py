@@ -3406,7 +3406,8 @@ def q_ckern_parity(spark, sf):
     the Python encoder, decodes it through BOTH the compiled path and
     the forced-Python oracle path, and reports (active, match).  The
     static oracle asserts active AND bit-exact match for every family
-    (eleven since round 9: + the separable-Gaussian pre-blur), so
+    (twelve since round 9: + the separable-Gaussian pre-blur and
+    the PNG scanline unfilter), so
     the driver gate proves the gcc-at-first-use build works inside
     Spark's Python workers (not just the driver) and that the C walk
     is decision-for-decision the Python one.  In-window cover for the
@@ -3418,7 +3419,8 @@ def q_ckern_parity(spark, sf):
     kernels_df = spark.createDataFrame(
         [("dwt53",), ("dwt97",), ("jbig2_generic",), ("jbig2_refine",),
          ("jp2_t1",), ("jpeg_scan",), ("jpeg_progressive",),
-         ("ccitt_g4",), ("tiff_lzw",), ("sauvola",), ("gauss",)],
+         ("ccitt_g4",), ("tiff_lzw",), ("sauvola",), ("gauss",),
+         ("png",)],
         "kernel string").repartition(5, "kernel")
 
     def gen(batches):
@@ -3440,6 +3442,7 @@ def q_ckern_parity(spark, sf):
         from .kernels import ccittcodec as cc
         from .kernels import jpegcodec as jc
         from .kernels import noise
+        from .kernels import pngcodec as png
         from .kernels import tiffcodec as tc
         from .kernels.sauvola import sauvola_mask
 
@@ -3462,6 +3465,9 @@ def q_ckern_parity(spark, sf):
         lzw_raw = bytes(rng.integers(0, 8, 5000).astype(np.uint8))
         lstream = tc.lzw_encode(lzw_raw)
         page = rng.integers(0, 256, (60, 80)).astype(np.uint8)
+        png_blob = png.encode_png(
+            rng.integers(0, 256, (40, 50, 3), dtype=np.uint8),
+            filter_type=4)
         checks = {
             "dwt53": lambda: jp.dwt53_inverse(f53, 2),
             "dwt97": lambda: jp.dwt97_inverse(f97, 2),
@@ -3477,6 +3483,7 @@ def q_ckern_parity(spark, sf):
             "sauvola": lambda: sauvola_mask(page, 15, 15, 0.34, 128.0),
             "gauss": lambda: noise.gaussian_filter(
                 page.astype(np.float64), 1.7),
+            "png": lambda: png.decode_png(png_blob),
         }
         for pdf in batches:
             rows = []
@@ -3497,6 +3504,7 @@ SELECT * FROM (VALUES
     ('ccitt_g4', true, true), ('dwt53', true, true),
     ('dwt97', true, true), ('gauss', true, true),
     ('jbig2_generic', true, true),
+    ('png', true, true),
     ('jbig2_refine', true, true), ('jp2_t1', true, true),
     ('jpeg_progressive', true, true), ('jpeg_scan', true, true),
     ('sauvola', true, true), ('tiff_lzw', true, true))

@@ -597,3 +597,38 @@ def test_gauss2d_non_2d_uses_python_path():
     finally:
         native._lib = save
     assert np.array_equal(nat, py)
+
+
+def test_png_unfilter_parity():
+    """Whole-sub-image PNG unfilter C kernel vs the Python walk:
+    byte parity across filters 0-4, color types, bit depths and
+    degenerate shapes (the Average/Paeth rows are the sequential
+    CPython floor the kernel exists to lift)."""
+    from archive_pdf_tools_spark.kernels import pngcodec as P
+
+    rng = np.random.default_rng(21)
+    shapes = [(1, 1), (1, 17), (9, 1), (13, 19)]
+    for (h, w) in shapes:
+        for ch in (None, 2, 3, 4):       # gray / GA / RGB / RGBA
+            img = (rng.integers(0, 256, (h, w), dtype=np.uint8)
+                   if ch is None else
+                   rng.integers(0, 256, (h, w, ch), dtype=np.uint8))
+            for ft in range(5):
+                blob = P.encode_png(img, filter_type=ft)
+                nat = P.decode_png(blob)
+                try:
+                    save, native._lib = native._lib, None
+                    py = P.decode_png(blob)
+                finally:
+                    native._lib = save
+                assert np.array_equal(nat, py), (h, w, ch, ft)
+    # 1-bit bilevel masks (bpp=1 packed rows) through the same path
+    mask = (rng.random((23, 31)) < 0.4)
+    blob = P.encode_png(mask, bilevel=True)
+    nat = P.decode_png(blob)
+    try:
+        save, native._lib = native._lib, None
+        py = P.decode_png(blob)
+    finally:
+        native._lib = save
+    assert np.array_equal(nat, py)
