@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from .textstats import h56, token_count
 
 __all__ = ["decontaminate", "stratified_sample", "pack_sequences",
-           "scrub_pii", "PII_PATTERNS"]
+           "scrub_pii", "PII_PATTERNS", "normalize_url", "url_dedup"]
 
 
 def decontaminate(documents: DataFrame, benchmark: DataFrame,
@@ -147,3 +147,88 @@ def pack_sequences(documents: DataFrame, max_tokens: int = 1024,
         "doc_id", "lang", "shard", "n_tok",
         F.floor(start / max_tokens).cast("int").alias("seq_idx"),
         (start % max_tokens).cast("int").alias("tok_offset"))
+
+
+# Query params that never identify a resource: analytics/campaign
+# tracking.  Dropped by normalize_url (the standard web-pipeline
+# canonicalization set).
+TRACKING_PARAM_RE = "^(utm_[a-z]+|fbclid|gclid|ref)="
+
+
+def normalize_url(documents: DataFrame, url_col: str = "url",
+                  out_col: str = "norm_url") -> DataFrame:
+    """URL canonicalization for web-scale dedup — the step every
+    crawl-derived training pipeline runs BEFORE content dedup (most
+    duplicates are the same resource under a differently-spelled URL).
+
+    Rules (all pure JVM column expressions, zero shuffle, one linear
+    scan — the same 100-TB shape as ``scrub_pii``):
+
+    * scheme and host lowercase; missing scheme defaults to http
+    * leading ``www.`` stripped; default ports (:80 http, :443 https)
+      stripped
+    * fragment removed
+    * tracking params removed (``TRACKING_PARAM_RE``: utm_*, fbclid,
+      gclid, ref); surviving params sorted byte-wise so param order
+      never splits a group; empty query drops its ``?``
+    * trailing slashes stripped from the path; empty path becomes ``/``
+
+    The whole rule set is mirrored in ANSI SQL by ``SQL_URL_DEDUP``
+    (queries.py), so the driver verifies every rule end-to-end."""
+    u = f"trim(`{url_col}`)"
+    nofrag = f"regexp_replace({u}, '#.*$', '')"
+    scheme = (f"lower(nullif(regexp_extract({nofrag}, "
+              f"'^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''))")
+    rest = (f"regexp_replace({nofrag}, "
+            f"'^[A-Za-z][A-Za-z0-9+.-]*://', '')")
+    out = documents.withColumn(
+        "_u_scheme", F.expr(f"coalesce({scheme}, 'http')"))
+    out = out.withColumn("_u_rest", F.expr(rest))
+    out = out.withColumn(
+        "_u_hostport",
+        F.expr("lower(regexp_extract(_u_rest, '^([^/?]+)', 1))"))
+    out = out.withColumn(
+        "_u_host",
+        F.expr("regexp_replace(CASE WHEN _u_scheme = 'http' THEN "
+               "regexp_replace(_u_hostport, ':80$', '') "
+               "WHEN _u_scheme = 'https' THEN "
+               "regexp_replace(_u_hostport, ':443$', '') "
+               "ELSE _u_hostport END, '^www\\.', '')"))
+    out = out.withColumn(
+        "_u_pathq",
+        F.expr("substring(_u_rest, length(_u_hostport) + 1)"))
+    out = out.withColumn(
+        "_u_path",
+        F.expr("CASE WHEN regexp_replace("
+               "regexp_extract(_u_pathq, '^([^?]*)', 1), '/+$', '') "
+               "= '' THEN '/' ELSE regexp_replace("
+               "regexp_extract(_u_pathq, '^([^?]*)', 1), '/+$', '') "
+               "END"))
+    out = out.withColumn(
+        "_u_query",
+        F.expr("array_join(array_sort(filter(split("
+               "CASE WHEN instr(_u_pathq, '?') > 0 THEN "
+               "substring(_u_pathq, instr(_u_pathq, '?') + 1) "
+               "ELSE '' END, '&'), "
+               f"x -> x != '' AND NOT x rlike '{TRACKING_PARAM_RE}'"
+               ")), '&')"))
+    out = out.withColumn(
+        out_col,
+        F.expr("concat(_u_scheme, '://', _u_host, _u_path, "
+               "CASE WHEN _u_query = '' THEN '' "
+               "ELSE concat('?', _u_query) END)"))
+    return out.drop("_u_scheme", "_u_rest", "_u_hostport", "_u_pathq",
+                    "_u_path", "_u_query")
+
+
+def url_dedup(documents: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level exact dedup after canonicalization: one group per
+    normalized URL with its duplicate count and the kept (minimum) doc
+    id — the keep-list shape of ``functions/dedup.py``.  One hash
+    aggregation on the normalized key; at 100 TB the groupBy is the
+    only shuffle and it carries (norm_url, id) pairs, never text."""
+    return (normalize_url(documents, url_col=url_col)
+            .groupBy("norm_url")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min(id_col).alias("keep_doc")))

@@ -3398,6 +3398,114 @@ FROM counts
 # same XML through the same source; skip_anti_join consumes its skip
 # list).
 #
+def q_url_dedup(spark, sf):
+    """URL-level dedup after canonicalization (the step a crawl
+    pipeline runs BEFORE content dedup): deterministic messy URL
+    variants constructed from doc_id arithmetic — case-mangled
+    scheme/host, default :80/:443 ports, leading www., fragments,
+    tracking params (utm_*/fbclid/gclid), unsorted query params,
+    trailing slashes, and a scheme-less form (defaults http, so it
+    must NOT join the https group) — then ``normalize_url`` +
+    ``url_dedup`` (functions/pipeline.py).  Every rule is mirrored in
+    the DuckDB oracle, so a drift in any single canonicalization step
+    splits or merges a group and fails the value compare."""
+    from .functions.pipeline import url_dedup
+
+    doc = load_table(spark, sf, "documents")
+    urls = doc.withColumn("url", F.expr("""
+        CASE CAST(doc_id % 6 AS INT)
+          WHEN 0 THEN 'HTTP://Example.COM:80/item/'
+                      || CAST(doc_id div 6 AS STRING) || '/view/'
+          WHEN 1 THEN 'http://www.example.com/item/'
+                      || CAST(doc_id div 6 AS STRING)
+                      || '/view?utm_source=news&fbclid=abc'
+          WHEN 2 THEN 'http://example.com/item/'
+                      || CAST(doc_id div 6 AS STRING)
+                      || '/view#section-2'
+          WHEN 3 THEN 'https://Media.Example.ORG:443/f/'
+                      || CAST(doc_id div 6 AS STRING) || '?b=2&a=1'
+          WHEN 4 THEN 'https://media.example.org/f/'
+                      || CAST(doc_id div 6 AS STRING)
+                      || '/?a=1&b=2&gclid=xyz'
+          ELSE 'media.example.org/f/'
+               || CAST(doc_id div 6 AS STRING) || '?a=1&b=2'
+        END"""))
+    return url_dedup(urls)
+
+
+SQL_URL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 6 AS INT)
+           WHEN 0 THEN 'HTTP://Example.COM:80/item/'
+                       || CAST(doc_id // 6 AS VARCHAR) || '/view/'
+           WHEN 1 THEN 'http://www.example.com/item/'
+                       || CAST(doc_id // 6 AS VARCHAR)
+                       || '/view?utm_source=news&fbclid=abc'
+           WHEN 2 THEN 'http://example.com/item/'
+                       || CAST(doc_id // 6 AS VARCHAR)
+                       || '/view#section-2'
+           WHEN 3 THEN 'https://Media.Example.ORG:443/f/'
+                       || CAST(doc_id // 6 AS VARCHAR) || '?b=2&a=1'
+           WHEN 4 THEN 'https://media.example.org/f/'
+                       || CAST(doc_id // 6 AS VARCHAR)
+                       || '/?a=1&b=2&gclid=xyz'
+           ELSE 'media.example.org/f/'
+                || CAST(doc_id // 6 AS VARCHAR) || '?a=1&b=2'
+         END AS url
+  FROM documents),
+defrag AS (
+  SELECT doc_id, regexp_replace(trim(url), '#.*$', '') AS u
+  FROM urls),
+split1 AS (
+  SELECT doc_id,
+         lower(coalesce(nullif(regexp_extract(u,
+             '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''),
+             'http')) AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+  FROM defrag),
+split2 AS (
+  SELECT doc_id, scheme, rest,
+         lower(regexp_extract(rest, '^([^/?]+)', 1)) AS hostport
+  FROM split1),
+split3 AS (
+  SELECT doc_id, scheme,
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                ELSE hostport END, '^www\.', '') AS host,
+         substring(rest, length(hostport) + 1) AS pathq
+  FROM split2),
+split4 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN regexp_replace(
+                regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') = ''
+              THEN '/'
+              ELSE regexp_replace(
+                regexp_extract(pathq, '^([^?]*)', 1), '/+$', '')
+         END AS path,
+         CASE WHEN instr(pathq, '?') > 0
+              THEN substring(pathq, instr(pathq, '?') + 1)
+              ELSE '' END AS rawq
+  FROM split3),
+split5 AS (
+  SELECT doc_id, scheme, host, path,
+         coalesce(array_to_string(list_sort(list_filter(
+           string_split(rawq, '&'),
+           x -> x <> '' AND NOT regexp_matches(x,
+                '^(utm_[a-z]+|fbclid|gclid|ref)='))), '&'), '') AS q
+  FROM split4)
+SELECT scheme || '://' || host || path
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS norm_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM split5
+GROUP BY 1
+"""
+
+
 def q_ckern_parity(spark, sf):
     """Compiled-kernel (kernels/native) dual-path parity, run ON
     EXECUTORS: for each kernel family the C transcription serves —
@@ -3671,6 +3779,9 @@ QUERIES = {
     # deliberately oracle-less raws, value-verified by paired rows above
     # (ann_{lsh,ivf,pq} by ann_*_recall; extract_flagship /
     # extract_testdata by extract_digest / extract_text_oracle):
+    # new (r9 late): URL canonicalization + dedup — crawl pipelines
+    # dedup by URL before content; every rule mirrored in the oracle
+    "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "ann_pq": (q_ann_pq, None),

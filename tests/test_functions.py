@@ -438,3 +438,48 @@ def test_bigram_nll_hand_computed(spark):
         "doc_id long, text string")
     r = {x["doc_id"]: x["avg_nll"] for x in bigram_nll(df2).collect()}
     assert r[9] > r[0]
+
+
+def test_normalize_url_rules(spark):
+    """Each canonicalization rule in isolation: scheme/host case,
+    default ports, www., fragments, tracking params, param order,
+    trailing slashes, missing scheme, empty path."""
+    from archive_pdf_tools_spark.functions.pipeline import normalize_url
+
+    cases = [
+        ("HTTP://Example.COM:80/a/", "http://example.com/a"),
+        ("https://Host.ORG:443/x?b=2&a=1", "https://host.org/x?a=1&b=2"),
+        ("http://www.example.com/a?utm_source=n&fbclid=z&a=1",
+         "http://example.com/a?a=1"),
+        ("http://example.com/a#frag", "http://example.com/a"),
+        ("example.com/a?gclid=1", "http://example.com/a"),
+        ("https://example.com", "https://example.com/"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("http://example.com//deep///", "http://example.com//deep"),
+        ("http://example.com/?ref=x", "http://example.com/"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _w) in enumerate(cases)],
+                               "doc_id int, url string")
+    got = {r["doc_id"]: r["norm_url"]
+           for r in normalize_url(df).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_groups(spark):
+    """Variants of one resource collapse to one group with the min id
+    kept; a scheme change keeps groups apart."""
+    from archive_pdf_tools_spark.functions.pipeline import url_dedup
+
+    rows = [
+        (1, "HTTP://A.com:80/p/"),
+        (2, "http://www.a.com/p?utm_source=x"),
+        (3, "http://a.com/p#top"),
+        (4, "https://a.com/p"),           # different scheme: own group
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, url string")
+    out = {r["norm_url"]: (r["n_docs"], r["keep_doc"])
+           for r in url_dedup(df).collect()}
+    assert out["http://a.com/p"] == (3, 1)
+    assert out["https://a.com/p"] == (1, 4)
