@@ -42,7 +42,8 @@ __all__ = ["exact_duplicates", "shingles_df", "ngram_jaccard_pairs",
            "minhash_signatures", "band_buckets", "minhash_lsh_pairs",
            "simhash", "winnow_fingerprints", "winnow_pairs",
            "duplicate_components", "embedding_near_dups",
-           "positional_grams", "substring_dup_stats"]
+           "positional_grams", "substring_dup_stats",
+           "paragraph_dup_stats"]
 
 
 # Shared word tokenizer for the shingle/minhash/simhash/substring
@@ -681,3 +682,40 @@ def substring_dup_stats(documents: DataFrame, k: int = 5,
          .alias("removed_tokens"))
     return out.withColumn(
         "kept_tokens", F.col("n_tokens") - F.col("removed_tokens"))
+
+
+def paragraph_dup_stats(documents: DataFrame,
+                        paras_col: str = "paras",
+                        id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style PARAGRAPH-level dedup statistics: the granularity
+    most web-corpus cleaning actually removes at (boilerplate lines
+    and paragraphs repeat across documents far more than whole docs
+    do).  Input: one row per doc with an ``array<string>`` of
+    paragraphs.  A paragraph occurrence is DUPLICATED when the same
+    normalized paragraph (lower, whitespace-collapsed, 64-bit hash)
+    appeared earlier under the global first-occurrence order
+    (doc_id, position) — the keep-first rule of ``exact_duplicates``
+    applied per paragraph.  Per doc: paragraph count, duplicated
+    count, and the character count that survives removal.
+
+    Scale shape: posexplode (map-side), one hash-keyed shuffle for the
+    first-occurrence window (rows carry (hash, id, pos, length) — the
+    paragraph TEXT never crosses the shuffle), then a doc-keyed
+    aggregate; both keys are high-cardinality and unskewed by
+    construction."""
+    from pyspark.sql.window import Window
+
+    ex = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(paras_col).alias("pos", "para"))
+    ex = ex.select(
+        "doc_id", "pos", F.length("para").alias("chars"),
+        F.xxhash64(F.regexp_replace(
+            F.lower(F.trim(F.col("para"))), r"\s+", " ")).alias("ph"))
+    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+    ranked = ex.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_paras"),
+        F.sum(F.when(F.col("rn") == 1, F.col("chars"))
+              .otherwise(F.lit(0))).cast("long").alias("kept_chars")))

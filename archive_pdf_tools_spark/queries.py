@@ -3506,6 +3506,63 @@ GROUP BY 1
 """
 
 
+def q_paragraph_dedup(spark, sf):
+    """CCNet-style paragraph-level dedup over the documents table:
+    each doc carries three deterministic paragraphs — a boilerplate
+    one shared by its doc_id%7 class, a unique body, and a footer
+    whose CASE/WHITESPACE varies by doc (so the lower+collapse
+    normalization is what merges it) — then
+    ``functions/dedup.py::paragraph_dup_stats`` ranks global first
+    occurrences and reports per-doc paragraph/duplicate/kept-chars
+    counts.  The oracle rebuilds the same paragraphs and groups on the
+    normalized STRING (no hash), so a normalization drift or a
+    first-occurrence-order drift fails the value compare."""
+    from .functions.dedup import paragraph_dup_stats
+
+    doc = load_table(spark, sf, "documents")
+    paras = doc.select("doc_id", F.expr("""
+        array('shared boilerplate ' || CAST(doc_id % 7 AS STRING),
+              'unique body ' || CAST(doc_id AS STRING)
+                  || ' text segment',
+              CASE WHEN doc_id % 3 = 0 THEN 'Footer  Legal   Text'
+                   ELSE 'footer legal text' END)""").alias("paras"))
+    return paragraph_dup_stats(paras)
+
+
+SQL_PARAGRAPH_DEDUP = r"""
+WITH ex AS (
+  SELECT doc_id, 0 AS pos,
+         'shared boilerplate ' || CAST(doc_id % 7 AS VARCHAR) AS para
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 1,
+         'unique body ' || CAST(doc_id AS VARCHAR) || ' text segment'
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2,
+         CASE WHEN doc_id % 3 = 0 THEN 'Footer  Legal   Text'
+              ELSE 'footer legal text' END
+  FROM documents),
+norm AS (
+  SELECT doc_id, pos, length(para) AS chars,
+         regexp_replace(lower(trim(para)), '\s+', ' ', 'g') AS np
+  FROM ex),
+ranked AS (
+  SELECT doc_id, pos, chars,
+         row_number() OVER (PARTITION BY np
+                            ORDER BY doc_id, pos) AS rn
+  FROM norm)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_paras,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN chars ELSE 0 END) AS BIGINT)
+         AS kept_chars
+FROM ranked
+GROUP BY doc_id
+"""
+
+
 def q_ckern_parity(spark, sf):
     """Compiled-kernel (kernels/native) dual-path parity, run ON
     EXECUTORS: for each kernel family the C transcription serves —
@@ -3782,6 +3839,8 @@ QUERIES = {
     # new (r9 late): URL canonicalization + dedup — crawl pipelines
     # dedup by URL before content; every rule mirrored in the oracle
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
+    # new (r9 late): CCNet-style paragraph-level dedup stats
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "ann_pq": (q_ann_pq, None),

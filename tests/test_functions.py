@@ -483,3 +483,24 @@ def test_url_dedup_groups(spark):
            for r in url_dedup(df).collect()}
     assert out["http://a.com/p"] == (3, 1)
     assert out["https://a.com/p"] == (1, 4)
+
+
+def test_paragraph_dup_stats(spark):
+    """Keep-first paragraph dedup: the same normalized paragraph
+    (case + whitespace collapse) counts as duplicated everywhere but
+    its global (doc_id, pos) first occurrence."""
+    from archive_pdf_tools_spark.functions.dedup import (
+        paragraph_dup_stats)
+
+    rows = [
+        (0, ["alpha beta", "Shared  Footer"]),
+        (1, ["shared footer", "gamma delta"]),   # p0 dups doc0 p1
+        (2, ["alpha beta", "alpha beta"]),       # both dup doc0 p0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, paras array<string>")
+    got = {r["doc_id"]: (r["n_paras"], r["n_dup_paras"],
+                         r["kept_chars"])
+           for r in paragraph_dup_stats(df).collect()}
+    assert got[0] == (2, 0, len("alpha beta") + len("Shared  Footer"))
+    assert got[1] == (2, 1, len("gamma delta"))
+    assert got[2] == (2, 2, 0)
