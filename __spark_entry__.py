@@ -3,7 +3,7 @@
 ``entry`` runs the flagship extraction pipeline on a synthetic interleaved
 corpus (the BASELINE.json input_hint table shape, generated executor-side
 — no external data); ``queries``/``oracle_sql`` expose every implemented
-operator from SURVEY.md §2 (79 queries, 74 DuckDB-oracle-paired —
+operator from SURVEY.md §2 (80 queries, 75 DuckDB-oracle-paired —
 the first 50 registry entries are all oracle-paired and uniquely
 informative; the tail is double-covered/raw rows, each annotated with
 the in-window row that covers it —

@@ -352,6 +352,7 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
         return data, b"/JPXDecode"
 
     pending = []
+    page_links: dict[int, list] = {}
     for page in pages:
         kind = page.get("kind", "mrc")
         ppi = float(page.get("ppi", 72.0))
@@ -361,11 +362,17 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
         if kind == "text":
             # --image-mode 3 (IMAGE_MODE_SKIP): text layer only, no
             # image XObjects — the text-only sink as a page shape.
+            # ``links``: [(uri, (llx, lly, urx, ury))] -> /Link URI
+            # annotations (the epub-to-pdf front door's external
+            # links; annotation objects are emitted just before the
+            # page objects below).
             pw, ph = page["size"]
             W, H = pw * 72.0 / ppi, ph * 72.0 / ppi
             ops = [text_ops] if text_ops else [b""]
             content = zlib.compress(b"\n".join(ops), 6)
             content_id = stream_obj(b"<< /Filter /FlateDecode", content)
+            if page.get("links"):
+                page_links[len(pending)] = list(page["links"])
             pending.append((W, H, [], content_id))
             continue
 
@@ -487,6 +494,22 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
         content_id = stream_obj(b"<< /Filter /FlateDecode", content)
         pending.append((W, H, [bg_id, fg_id], content_id))
 
+    # /Link URI annotation objects (text pages' ``links``) — emitted
+    # before the page objects so the pages can reference them
+    annots_by_page: dict[int, list[int]] = {}
+    for idx, links in page_links.items():
+        ids = []
+        for uri, rect in links:
+            u = (uri.encode("ascii", "replace")
+                 .replace(b"\\", rb"\\\\")
+                 .replace(b"(", rb"\(").replace(b")", rb"\)"))
+            ids.append(add(
+                b"<< /Type /Annot /Subtype /Link /Rect ["
+                + b" ".join(b"%.2f" % float(v) for v in rect)
+                + b"] /Border [0 0 0] /A << /Type /Action /S /URI"
+                  b" /URI (" + u + b") >> >>"))
+        annots_by_page[idx] = ids
+
     page_ids_start = len(objects) + 1
     tree_id = page_ids_start + len(pending)
     for k, (W, H, xobj_ids, content_id) in enumerate(pending):
@@ -498,11 +521,17 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
                     + b" ".join(b"/Im%d %d 0 R" % (n, oid)
                                 for n, oid in enumerate(xobj_ids))
                     + b" >> ")
+        annots = b""
+        if annots_by_page.get(k):
+            annots = (b" /Annots ["
+                      + b" ".join(b"%d 0 R" % a
+                                  for a in annots_by_page[k]) + b"]")
         add(b"<< /Type /Page /Parent " + str(tree_id).encode()
             + b" 0 R /MediaBox [0 0 " + (b"%.4f %.4f" % (W, H))
             + b"] /CropBox [0 0 " + (b"%.4f %.4f" % (W, H))
             + b"] /Rotate 0 /Tabs /S /StructParents "
             + str(k).encode()
+            + annots
             + b" /Resources << " + xobj + b"/Font << /"
             + MRC_FONT_NAME + b" " + str(font_id).encode()
             + b" 0 R >> >> /Contents " + str(content_id).encode()

@@ -3563,6 +3563,82 @@ GROUP BY doc_id
 """
 
 
+def q_epub_pdf(spark, sf):
+    """The bin/epub-to-pdf surface end-to-end: 8 seeded EPUB fixtures
+    (2-4 chapters, nested toc.ncx on odd seeds / spine-fallback TOC on
+    even, external http links + internal named anchors) plus one
+    corrupt container, converted by ``sources/epub.py::epubs_to_pdf``
+    and FULL-CIRCLED through the engine's own PDF reader: page count,
+    text on every page, /Link URI annotations matching the chapters'
+    external links exactly, /Outlines root count matching the TOC, and
+    an md5-12 of the whole output file.  Internal anchors are skipped
+    and counted — the reference's LINK_NAMED behavior
+    (``bin/epub-to-pdf:63-76``).  Oracle = pinned value table
+    (tools/pin_oracles.py)."""
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re as _re
+
+        from .corpus.epubgen import synth_epub
+        from .sources.epub import epub_to_pdf, parse_epub
+        from .sources.pdf_meta import _Reader, parse_pdf
+
+        for rows in batches:
+            out = []
+            for i in rows["id"].values:
+                i = int(i)
+                if i == 8:
+                    blob = b"PK\x03\x04 broken epub"
+                else:
+                    blob = synth_epub(i)
+                try:
+                    pdf, st = epub_to_pdf(blob)
+                except Exception as exc:  # noqa: BLE001
+                    out.append((i, 0, 0, 0, 0, 0, 0, "",
+                                False, f"{type(exc).__name__}"))
+                    continue
+                want = parse_epub(blob)
+                meta = parse_pdf(pdf)
+                rd = _Reader(pdf)
+                m = _re.search(rb"/Root\s+(\d+)",
+                               pdf[pdf.rfind(b"trailer"):])
+                cat = rd.obj(int(m.group(1)))[1]
+                toc_back = 0
+                mo = _re.search(rb"/Outlines\s+(\d+)\s+\d+\s+R",
+                                cat)
+                if mo:
+                    mc = _re.search(rb"/Count\s+(\d+)",
+                                    rd.obj(int(mo.group(1)))[1])
+                    toc_back = int(mc.group(1)) if mc else 0
+                uris = sorted(ln["uri"] for p in meta["pages"]
+                              for ln in p["links"])
+                want_uris = sorted(u for ch in want["chapters"]
+                                   for u, _t in ch["links"])
+                ok = bool(
+                    meta["n_pages"] == st["n_pages"]
+                    and all(p["has_text"] for p in meta["pages"])
+                    and uris == want_uris
+                    and toc_back == st["toc_count"])
+                out.append((i, st["n_pages"], st["n_chapters"],
+                            st["toc_count"], st["ext_links"],
+                            st["skipped_links"], len(pdf),
+                            hashlib.md5(pdf).hexdigest()[:12],
+                            ok, None))
+            yield pd.DataFrame(out, columns=[
+                "doc_i", "n_pages", "n_chapters", "toc_count",
+                "ext_links", "skipped_links", "pdf_bytes", "pdf_md5",
+                "roundtrip_ok", "error"])
+
+    base = spark.range(0, 9).repartition(3)
+    return base.mapInPandas(
+        gen, schema="doc_i bigint, n_pages int, n_chapters int, "
+                    "toc_count int, ext_links int, skipped_links int, "
+                    "pdf_bytes int, pdf_md5 string, "
+                    "roundtrip_ok boolean, error string")
+
+
 def q_ckern_parity(spark, sf):
     """Compiled-kernel (kernels/native) dual-path parity, run ON
     EXECUTORS: for each kernel family the C transcription serves —
@@ -3841,6 +3917,8 @@ QUERIES = {
     "url_dedup": (q_url_dedup, SQL_URL_DEDUP),
     # new (r9 late): CCNet-style paragraph-level dedup stats
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    # new (r9 late): the bin/epub-to-pdf surface, pinned full circle
+    "epub_pdf": (q_epub_pdf, None),
     "ann_lsh": (q_ann_lsh, None),
     "ann_ivf": (q_ann_ivf, None),
     "ann_pq": (q_ann_pq, None),
