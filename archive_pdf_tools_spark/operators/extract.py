@@ -202,13 +202,35 @@ def _extract_batches(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     building, then fg/bg optimise *batched across same-shape pages* of
     the Arrow batch (the sequential IIR row loop runs once per shape
     group instead of once per page — measured ~3x on the optimise
-    kernel).  Results are bit-identical to the per-page path (tested)."""
+    kernel).  Results are bit-identical to the per-page path (tested).
+
+    Incoming Arrow batches are coalesced to >= ``min_batch_rows`` before
+    processing: under a small ``arrow.maxRecordsPerBatch`` (the session
+    keeps it low for the payload-heavy queries) the same-shape optimise/
+    denoise groups degenerate to ~1-2 pages each and their batch-
+    vectorized row loops stop amortizing (measured 1.7 pages/group at
+    64-row batches).  Coalescing is memory-safe here because span rows
+    are small (refs + hOCR payloads — rasters are rendered inside this
+    stage and never cross the boundary)."""
     cols = ["doc_id", "in_offset", "sub_idx", "kind", "text", "media_ref",
             "ops_sha", "warnings", "elapsed_ms"]
     # Cap the pixels stacked per optimise group (memory bound per worker).
     max_group_px = 4_000_000
+    min_batch_rows = 512
 
-    for pdf in batches:
+    def _coalesced(it):
+        pending = []
+        pending_rows = 0
+        for b in it:
+            pending.append(b)
+            pending_rows += len(b)
+            if pending_rows >= min_batch_rows:
+                yield pd.concat(pending) if len(pending) > 1 else pending[0]
+                pending, pending_rows = [], 0
+        if pending:
+            yield pd.concat(pending) if len(pending) > 1 else pending[0]
+
+    for pdf in _coalesced(batches):
         n = len(pdf)
         results: list = [None] * n          # slot -> (subs, ops_sha, warns)
         elapsed = [0.0] * n
