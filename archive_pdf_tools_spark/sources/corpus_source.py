@@ -21,6 +21,9 @@ import pandas as pd
 
 SPANS_JSON_SCHEMA = ("array<struct<kind:string,text:string,"
                      "media_ref:string,offset:int>>")
+# Same shape, used as a mapInPandas output schema when the span structs
+# cross the Python boundary as Arrow structs directly (no JSON detour).
+SPANS_STRUCT_DDL = SPANS_JSON_SCHEMA
 
 
 def _gen_batches(seed: int, max_spans: int, media_fraction: float):

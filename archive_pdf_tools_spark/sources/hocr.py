@@ -51,20 +51,25 @@ def parse_properties(title: str | None) -> dict:
         return props
     # Split on ';' only OUTSIDE double quotes — a quoted value may itself
     # contain semicolons (image "a;b.jp2"), which a naive split would
-    # tear apart and even inject bogus property names.
-    fields: list[str] = []
-    buf: list[str] = []
-    in_quotes = False
-    for ch in title:
-        if ch == '"':
-            in_quotes = not in_quotes
-            buf.append(ch)
-        elif ch == ";" and not in_quotes:
-            fields.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    fields.append("".join(buf))
+    # tear apart and even inject bogus property names.  Titles with no
+    # quotes at all (every word/line title) take the plain-split fast
+    # path; the character scan only runs for quoted titles.
+    if '"' not in title:
+        fields = title.split(";")
+    else:
+        fields = []
+        buf: list[str] = []
+        in_quotes = False
+        for ch in title:
+            if ch == '"':
+                in_quotes = not in_quotes
+                buf.append(ch)
+            elif ch == ";" and not in_quotes:
+                fields.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        fields.append("".join(buf))
     for field in fields:
         field = field.strip()
         if not field:
@@ -274,8 +279,8 @@ def _convert_batches(hocr_col: str, dpi_col):
                     spans.append({"kind": "hocr_error", "text": "",
                                   "media_ref": "", "offset": len(spans)})
                 out_ids.append(doc_id)
-                out_spans.append(json.dumps(spans, ensure_ascii=False))
-            yield pd.DataFrame({"doc_id": out_ids, "spans_json": out_spans})
+                out_spans.append(spans)
+            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
     return gen
 
 
@@ -285,16 +290,14 @@ def hocr_documents(df, hocr_col: str = "hocr", dpi_col: str | None = None):
     One text span per ``ocr_page`` in document order; payloads carry the
     parsed word data, so the result feeds ``run_extraction`` unchanged.
     Parsing happens executor-side inside one vectorized stage (map-only,
-    no shuffle)."""
-    from pyspark.sql import functions as F
-
-    from .corpus_source import SPANS_JSON_SCHEMA
+    no shuffle); the span structs cross the boundary as Arrow structs
+    directly — the old spans-JSON indirection paid a json.dumps per doc
+    in Python plus a corpus-sized Jackson ``from_json`` in the JVM."""
+    from .corpus_source import SPANS_STRUCT_DDL
 
     cols = ["doc_id", hocr_col] + ([dpi_col] if dpi_col else [])
     src = df.select(*cols)
     id_type = src.schema["doc_id"].dataType.simpleString()
-    raw = src.mapInPandas(
+    return src.mapInPandas(
         _convert_batches(hocr_col, dpi_col),
-        schema=f"doc_id {id_type}, spans_json string")
-    return raw.select(
-        "doc_id", F.from_json("spans_json", SPANS_JSON_SCHEMA).alias("spans"))
+        schema=f"doc_id {id_type}, spans {SPANS_STRUCT_DDL}")

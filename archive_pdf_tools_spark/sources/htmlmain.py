@@ -195,9 +195,7 @@ def html_documents(df, html_col: str = "html", payloads: bool = False):
     (the analysis-table shape the ``html_extract`` query checks)."""
     import pandas as pd
 
-    from pyspark.sql import functions as F
-
-    from .corpus_source import SPANS_JSON_SCHEMA
+    from .corpus_source import SPANS_STRUCT_DDL
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if payloads:
@@ -216,11 +214,10 @@ def html_documents(df, html_col: str = "html", payloads: bool = False):
                     spans = [{"kind": "html_error", "text": "",
                               "media_ref": "", "offset": 0}]
                 ids.append(doc_id)
-                out.append(json.dumps(spans, ensure_ascii=False))
-            yield pd.DataFrame({"doc_id": ids, "spans_json": out})
+                out.append(spans)
+            yield pd.DataFrame({"doc_id": ids, "spans": out})
 
     src = df.select("doc_id", html_col)
     id_type = src.schema["doc_id"].dataType.simpleString()
-    raw = src.mapInPandas(gen, schema=f"doc_id {id_type}, spans_json string")
-    return raw.select(
-        "doc_id", F.from_json("spans_json", SPANS_JSON_SCHEMA).alias("spans"))
+    return src.mapInPandas(
+        gen, schema=f"doc_id {id_type}, spans {SPANS_STRUCT_DDL}")
