@@ -113,6 +113,44 @@ def shingles_df(documents: DataFrame, n: int = 3) -> DataFrame:
                            schema=f"doc_id {id_type}, shingle string")
 
 
+def expand_id_pairs(grouped: DataFrame, id_type: str) -> DataFrame:
+    """(ids array) rows -> (doc_a, doc_b) rows: every ordered pair
+    (a < b) within each group, expanded by a vectorized NumPy map stage.
+
+    The group-then-expand shape replaces a relation self-join on the
+    group key: the upstream (signature/shingle) subtree executes ONCE
+    instead of once per join side, and pairs cross as plain id columns.
+    Pair order matches the engines' ``<``: numeric for numeric ids;
+    NumPy object-array sort = code-point order = UTF-8 byte order for
+    string ids."""
+    import pandas as pd
+
+    def _pair_batches(batches):
+        tri = {}
+        out_a, out_b, buffered = [], [], 0
+        for pdf in batches:
+            for ids in pdf["ids"].values:
+                a = np.sort(np.asarray(ids))
+                g = a.size
+                iu = tri.get(g)
+                if iu is None:
+                    iu = tri[g] = np.triu_indices(g, k=1)
+                out_a.append(a[iu[0]])
+                out_b.append(a[iu[1]])
+                buffered += iu[0].size
+                if buffered >= 2_000_000:
+                    yield pd.DataFrame({
+                        "doc_a": np.concatenate(out_a),
+                        "doc_b": np.concatenate(out_b)})
+                    out_a, out_b, buffered = [], [], 0
+        if buffered:
+            yield pd.DataFrame({"doc_a": np.concatenate(out_a),
+                                "doc_b": np.concatenate(out_b)})
+
+    return grouped.mapInPandas(
+        _pair_batches, schema=f"doc_a {id_type}, doc_b {id_type}")
+
+
 def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                         tau: float = 0.8, max_df: int = 100) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard.
@@ -143,8 +181,6 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     is deliberately NOT cached, so a direct call on a large corpus costs
     bounded recompute, never a corpus-sized cache pin.
     """
-    import pandas as pd
-
     spark = documents.sparkSession
     par = spark.sparkContext.defaultParallelism
     src = documents.select("doc_id", "text").repartition(par)
@@ -164,30 +200,7 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                # its pair output is quadratic in len(ids)
                .repartition(par))
 
-    def _pair_batches(batches):
-        tri = {}
-        out_a, out_b, buffered = [], [], 0
-        for pdf in batches:
-            for ids in pdf["ids"].values:
-                a = np.sort(np.asarray(ids))
-                g = a.size
-                iu = tri.get(g)
-                if iu is None:
-                    iu = tri[g] = np.triu_indices(g, k=1)
-                out_a.append(a[iu[0]])
-                out_b.append(a[iu[1]])
-                buffered += iu[0].size
-                if buffered >= 2_000_000:
-                    yield pd.DataFrame({
-                        "doc_a": np.concatenate(out_a),
-                        "doc_b": np.concatenate(out_b)})
-                    out_a, out_b, buffered = [], [], 0
-        if buffered:
-            yield pd.DataFrame({"doc_a": np.concatenate(out_a),
-                                "doc_b": np.concatenate(out_b)})
-
-    pairs = grouped.mapInPandas(
-        _pair_batches, schema=f"doc_a {id_type}, doc_b {id_type}")
+    pairs = expand_id_pairs(grouped, id_type)
     inter = (pairs.groupBy("doc_a", "doc_b")
              .agg(F.count("*").alias("n_inter")))
     sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
@@ -315,18 +328,23 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3, k: int = 32,
     """
     sig = minhash_signatures(documents, n=n, k=k, seed=seed)
     buckets = band_buckets(sig, k, bands)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    id_type = buckets.schema["doc_id"].dataType.simpleString()
+    # Candidate pairs via group-then-expand rather than a bucket
+    # self-join: the signature+banding subtree (the expensive stage)
+    # executes ONCE, one (band, bucket)-keyed shuffle builds the bucket
+    # membership lists, and a vectorized map stage expands each bucket's
+    # ordered pairs — identical candidate set (docs sharing any band
+    # bucket), still bounded by band width.
     # cand is cached: it feeds BOTH the semi-join that bounds the verify
     # tokenization and the final intersect join — without the cache the
-    # signature + banding + bucket self-join lineage (the expensive
-    # stages) would execute twice.  The cached rows are only the
-    # distinct candidate id pairs (bounded by band width), not shingles.
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
-                   (F.col("a.bucket") == F.col("b.bucket")) &
-                   (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+    # signature + banding lineage would execute twice.  The cached rows
+    # are only the distinct candidate id pairs (bounded by band width),
+    # not shingles.
+    members = (buckets.groupBy("band", "bucket")
+               .agg(F.collect_list("doc_id").alias("ids"))
+               .where(F.size("ids") >= 2)
+               .select("ids"))
+    cand = (expand_id_pairs(members, id_type)
             .distinct()
             .cache())
     # Verify is candidate-bounded: only documents that appear in some

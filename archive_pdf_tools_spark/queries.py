@@ -807,7 +807,11 @@ def q_minhash_lsh(spark, sf):
     exact duplicates; the testdata also carries 25 organic pairs at
     J >= 0.9 (and nothing in (0.07, 0.9), so tau=0.5 separates cleanly).
     """
-    return D.minhash_lsh_pairs(_seeded_documents(spark, sf),
+    # _spread: the seeded union arrives as 2 scan partitions, so the
+    # signature mapInPandas (md5 per shingle, the dominant stage at sf1)
+    # would run on 2 cores; the banding/verify joins downstream are
+    # shuffle-keyed either way.
+    return D.minhash_lsh_pairs(_spread(_seeded_documents(spark, sf)),
                                n=3, k=32, bands=8, tau=0.5)
 
 
@@ -1857,12 +1861,23 @@ def q_page_series(spark, sf):
                           F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets))))
 
     def parse(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # One whole-bucket sort + NumPy group boundaries: a per-customer
+        # pandas groupby/sort_values pays frame-construction overhead per
+        # tiny group (measured ~48% of the stage at sf1).
+        order = np.lexsort((pdf["pos"].values, pdf["o_custkey"].values))
+        custs = pdf["o_custkey"].values[order]
+        raw = pdf["label"].values[order]
+        labels = [None if lbl is None or
+                  (isinstance(lbl, float) and pd.isna(lbl))
+                  else str(lbl) for lbl in raw]
+        bounds = [0] + (np.flatnonzero(custs[1:] != custs[:-1]) + 1).tolist()
+        bounds.append(len(custs))
         out = []
-        for cust, g in pdf.groupby("o_custkey"):
-            g = g.sort_values("pos")
-            series = [None if lbl is None or
-                      (isinstance(lbl, float) and pd.isna(lbl))
-                      else str(lbl) for lbl in g["label"]]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            cust = int(custs[s])
+            series = labels[s:e]
             try:
                 runs, _ok = parse_series(series, ignore_invalid=True)
             except ValueError:
@@ -1873,7 +1888,7 @@ def q_page_series(spark, sf):
                 runs = [{"start": 0, "type": 0,
                          "values": series, "values_numeric": []}]
             out.extend(
-                (int(cust), r["start"], TYPE_NAMES[r["type"]],
+                (cust, r["start"], TYPE_NAMES[r["type"]],
                  len(r["values"]),
                  r["values_numeric"][0] if r["values_numeric"] and
                  r["values_numeric"][0] is not None else -1)
@@ -3149,7 +3164,10 @@ def q_pii_scrub(spark, sf):
     from .functions.pipeline import scrub_pii
     from .functions.textstats import h56
 
-    doc = load_table(spark, sf, "documents")
+    # map-dominated (three regexp_count + three regexp_replace scans +
+    # an md5 per doc): spread the single-file scan or the whole chain
+    # runs on one core (_spread docstring).
+    doc = _spread(load_table(spark, sf, "documents"))
     seeded = doc.withColumn(
         "text",
         F.when(
