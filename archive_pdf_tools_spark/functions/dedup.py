@@ -774,11 +774,19 @@ def paragraph_dup_stats(documents: DataFrame,
     ex = documents.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(paras_col).alias("pos", "para"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("para"))), r"\s+", " ")
+    # Two independent 64-bit hashes (second one salted) key the
+    # first-occurrence window: at ~1e11 paragraphs a bare 64-bit key
+    # takes birthday collisions that silently merge distinct paragraphs
+    # (r9 ADVICE); 128 effective bits pushes that out of reach while
+    # the shuffle still carries only hashes, never text.  (Keying on
+    # raw length instead would be WRONG: occurrences of the same
+    # normalized paragraph can differ in raw length.)
     ex = ex.select(
         "doc_id", "pos", F.length("para").alias("chars"),
-        F.xxhash64(F.regexp_replace(
-            F.lower(F.trim(F.col("para"))), r"\s+", " ")).alias("ph"))
-    w = Window.partitionBy("ph").orderBy("doc_id", "pos")
+        F.xxhash64(norm).alias("ph"),
+        F.xxhash64(F.lit("p2"), norm).alias("ph2"))
+    w = Window.partitionBy("ph", "ph2").orderBy("doc_id", "pos")
     ranked = ex.withColumn("rn", F.row_number().over(w))
     return (ranked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_paras"),

@@ -193,7 +193,12 @@ def normalize_url(documents: DataFrame, url_col: str = "url",
                "regexp_replace(_u_hostport, ':80$', '') "
                "WHEN _u_scheme = 'https' THEN "
                "regexp_replace(_u_hostport, ':443$', '') "
-               "ELSE _u_hostport END, '^www\\.', '')"))
+               # Spark SQL string literals unescape backslashes, so the
+               # regex \. needs \\. in the SQL text (four backslashes
+               # here).  A single \\ produced the regex '^www.' whose
+               # dot matched ANY character — www2.example.com lost its
+               # label and wwwhat.com lost 'wwwh' (r9 ADVICE, high).
+               "ELSE _u_hostport END, '^www\\\\.', '')"))
     out = out.withColumn(
         "_u_pathq",
         F.expr("substring(_u_rest, length(_u_hostport) + 1)"))

@@ -500,8 +500,11 @@ def build_mrc_pdf(pages: list[dict], creator: str = "archive-pdf-"
     for idx, links in page_links.items():
         ids = []
         for uri, rect in links:
+            # rb"\\" is TWO bytes on the wire (one escaped backslash);
+            # the old rb"\\\\" wrote four, so a URI backslash read back
+            # as two (r9 ADVICE; pdfgen.py:343 had it right).
             u = (uri.encode("ascii", "replace")
-                 .replace(b"\\", rb"\\\\")
+                 .replace(b"\\", rb"\\")
                  .replace(b"(", rb"\(").replace(b")", rb"\)"))
             ids.append(add(
                 b"<< /Type /Annot /Subtype /Link /Rect ["

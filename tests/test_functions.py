@@ -458,6 +458,11 @@ def test_normalize_url_rules(spark):
         ("https://example.com:80/a", "https://example.com:80/a"),
         ("http://example.com//deep///", "http://example.com//deep"),
         ("http://example.com/?ref=x", "http://example.com/"),
+        # www-strip must match a LITERAL dot: www2/wwwhat keep their
+        # hosts (r9 ADVICE: the under-escaped regex '^www.' corrupted
+        # both)
+        ("http://www2.example.com/a", "http://www2.example.com/a"),
+        ("http://wwwhat.com/a", "http://wwwhat.com/a"),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _w) in enumerate(cases)],
                                "doc_id int, url string")
