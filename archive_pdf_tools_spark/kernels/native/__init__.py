@@ -200,6 +200,15 @@ def _bind(lib) -> None:
         _DP, ctypes.c_int32,
     ]
     lib.apts_gauss_axis.restype = ctypes.c_int32
+    lib.apts_mask_denoise.argtypes = [
+        _U8P, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.apts_mask_denoise.restype = ctypes.c_int32
+    lib.apts_dwt2_hh.argtypes = [
+        _DP, ctypes.c_int64, ctypes.c_int64, _DP, ctypes.c_int32, _DP,
+    ]
+    lib.apts_dwt2_hh.restype = ctypes.c_int32
     lib.apts_png_unfilter.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, _U8P,
@@ -692,6 +701,50 @@ def gauss2d_native(img: np.ndarray, kern: np.ndarray):
         # (a float64 input makes it a no-op)
         a = out.astype(dtype, copy=False)
     return a
+
+
+def mask_denoise_native(masks: np.ndarray, mincnt: int, n_size: int):
+    """Batched raster-order mask denoise (B, h, w) -> denoised uint8
+    batch, bit-exact mirror of ``optimise.py::fast_mask_denoise_slow``
+    run per page (sequential same-window feedback included); None =
+    use the NumPy batch path."""
+    lib = _load()
+    if lib is None:
+        return None
+    if masks.ndim != 3 or n_size < 0 or n_size > 16384:
+        return None
+    m = masks.astype(np.uint8)          # always a fresh owned buffer
+    B, h, w = m.shape
+    if not (h and w):
+        return None
+    rc = lib.apts_mask_denoise(_u8(m), B, h, w, mincnt, n_size)
+    if rc:
+        return None
+    return m
+
+
+def dwt2_hh_native(a: np.ndarray, filt: np.ndarray):
+    """Single-level 2-D high-pass DWT band (rows then columns),
+    bit-exact mirror of ``noise.py::_dwt_axis`` applied per axis
+    (symmetric pad, ascending-tap float64 accumulation); None = NumPy
+    path."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, dtype=np.float64)
+    if a.ndim != 2 or a.shape[0] == 0 or a.shape[1] == 0:
+        return None
+    kern = np.ascontiguousarray(filt, dtype=np.float64)
+    L = len(kern)
+    oh = (a.shape[0] + L - 1) // 2
+    ow = (a.shape[1] + L - 1) // 2
+    out = np.empty((oh, ow), dtype=np.float64)
+    rc = lib.apts_dwt2_hh(a.ctypes.data_as(_F64P), a.shape[0],
+                          a.shape[1], kern.ctypes.data_as(_F64P), L,
+                          out.ctypes.data_as(_F64P))
+    if rc:
+        return None
+    return out
 
 
 def png_unfilter_native(raw: bytes, pos: int, h: int, rowbytes: int,

@@ -3196,3 +3196,109 @@ EXPORT int apts_png_unfilter(const uint8_t *raw, int64_t rawlen,
     }
     return 0;
 }
+
+/* ================= mask denoise (optimiser.pyx:436-472 semantics) ====
+ *
+ * Raster-order scan with feedback: a pixel is kept only when its
+ * (2n+1)^2 window holds >= mincnt OTHER set pixels, counted over the
+ * mask as already modified by earlier (raster-order) clears — the
+ * same sequential semantics as kernels/optimise.py::
+ * fast_mask_denoise_slow (the reference transcription).  Incremental
+ * column sums + a sliding row sum make it O(h*w); clears decrement
+ * both running sums so the feedback stays exact.  Operates on the
+ * whole (B, h, w) batch in one call.  */
+EXPORT int apts_mask_denoise(uint8_t *m, int32_t B, int32_t h,
+                             int32_t w, int32_t mincnt, int32_t n) {
+    int32_t b, y, x;
+    int32_t *colsum;
+    if (B <= 0 || h <= 0 || w <= 0 || n < 0 || n > 16384) return 3;
+    /* n == 0 is NOT a no-op: the window is the pixel itself, so every
+     * set pixel is kept iff 0 >= mincnt — the loop below handles it. */
+    if (h <= 2 * n || w <= 2 * n) return 0;
+    colsum = (int32_t *)malloc((size_t)w * 4);
+    if (!colsum) return 4;
+    for (b = 0; b < B; b++) {
+        uint8_t *pg = m + (int64_t)b * h * w;
+        for (x = 0; x < w; x++) {
+            int32_t s = 0;
+            for (y = 0; y <= 2 * n; y++) s += pg[(int64_t)y * w + x] ? 1 : 0;
+            colsum[x] = s;
+        }
+        for (y = n; y < h - n; y++) {
+            int64_t cnt = 0;
+            uint8_t *row = pg + (int64_t)y * w;
+            if (y > n) {
+                const uint8_t *add = pg + (int64_t)(y + n) * w;
+                const uint8_t *sub = pg + (int64_t)(y - n - 1) * w;
+                for (x = 0; x < w; x++)
+                    colsum[x] += (add[x] ? 1 : 0) - (sub[x] ? 1 : 0);
+            }
+            for (x = 0; x < 2 * n; x++) cnt += colsum[x];
+            for (x = n; x < w - n; x++) {
+                cnt += colsum[x + n];
+                if (row[x] && cnt - 1 < mincnt) {
+                    row[x] = 0;
+                    colsum[x] -= 1;
+                    cnt -= 1;
+                }
+                cnt -= colsum[x - n];
+            }
+        }
+    }
+    free(colsum);
+    return 0;
+}
+
+/* ============== Daubechies-2 HH band (noise.py::estimate_sigma) ======
+ *
+ * Single-level DWT high-pass along rows then columns, symmetric pad by
+ * klen-1, correlate, downsample by 2 starting at index 1 — the exact
+ * element/accumulation order of kernels/noise.py::_dwt_axis (taps
+ * ascending, float64), so results are bit-identical to the NumPy
+ * path.  out must hold ((h+klen-1)/2) * ((w+klen-1)/2) doubles.  */
+static inline int64_t dwt_fold(int64_t i, int64_t nn) {
+    /* np.pad mode='symmetric' (edge-inclusive reflection, repeated) */
+    while (i < 0 || i >= nn) {
+        if (i < 0) i = -1 - i;
+        if (i >= nn) i = 2 * nn - 1 - i;
+    }
+    return i;
+}
+
+EXPORT int apts_dwt2_hh(const double *in, int64_t h, int64_t w,
+                        const double *filt, int32_t klen, double *out) {
+    int64_t oh, ow, y, x, mm;
+    int32_t k;
+    double *tmp;
+    if (h <= 0 || w <= 0 || klen <= 1 || klen > 64) return 3;
+    oh = (h + klen - 1) / 2;
+    ow = (w + klen - 1) / 2;
+    tmp = (double *)malloc((size_t)(oh * w) * sizeof(double));
+    if (!tmp) return 4;
+    /* axis 0: out[m, x] = sum_k f[k] * in_pad[1 + 2m + k, x]
+     * (pad offset: padded index p maps to source index p - (klen-1)) */
+    for (mm = 0; mm < oh; mm++) {
+        double *orow = tmp + mm * w;
+        for (x = 0; x < w; x++) orow[x] = 0.0;
+        for (k = 0; k < klen; k++) {
+            const double *src =
+                in + dwt_fold(1 + 2 * mm + k - (klen - 1), h) * w;
+            double coef = filt[k];
+            for (x = 0; x < w; x++) orow[x] += coef * src[x];
+        }
+    }
+    /* axis 1 over tmp rows */
+    for (y = 0; y < oh; y++) {
+        const double *row = tmp + y * w;
+        double *orow = out + y * ow;
+        for (mm = 0; mm < ow; mm++) {
+            double acc = 0.0;
+            for (k = 0; k < klen; k++)
+                acc += filt[k] * row[dwt_fold(1 + 2 * mm + k - (klen - 1),
+                                              w)];
+            orow[mm] = acc;
+        }
+    }
+    free(tmp);
+    return 0;
+}

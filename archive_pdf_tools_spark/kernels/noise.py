@@ -62,11 +62,15 @@ def _dwt_axis(a: np.ndarray, filt: np.ndarray, axis: int) -> np.ndarray:
 
 def estimate_sigma(img: np.ndarray) -> float:
     """Wavelet-MAD noise sigma of a 2-D array (see module docstring)."""
+    from . import native as _ckern
+
     a = np.asarray(img, dtype=np.float64)
     if a.ndim != 2 or a.size == 0:
         return 0.0
-    hi_rows = _dwt_axis(a, _DB2_HI, 0)
-    dd = _dwt_axis(hi_rows, _DB2_HI, 1)
+    dd = _ckern.dwt2_hh_native(a, _DB2_HI)
+    if dd is None:
+        hi_rows = _dwt_axis(a, _DB2_HI, 0)
+        dd = _dwt_axis(hi_rows, _DB2_HI, 1)
     coeffs = np.abs(dd[dd != 0])
     if coeffs.size == 0:
         return 0.0

@@ -334,6 +334,11 @@ def fast_mask_denoise(mask: np.ndarray, mincnt: int = 4, n_size: int = 2) -> np.
     """Raster-order feedback denoise; semantics of ``optimiser.pyx:436-472``
     (call site ``mrc.py:386-390`` with mincnt=4, n_size=2).  Returns a new
     bool array (the reference mutates in place)."""
+    from . import native as _ckern
+
+    res = _ckern.mask_denoise_native(mask[None], mincnt, n_size)
+    if res is not None:
+        return res[0].view(bool)
     m = mask.astype(np.uint8).copy()
     h, w = m.shape
     if h <= 2 * n_size or w <= 2 * n_size:
@@ -377,6 +382,11 @@ def fast_mask_denoise_batch(masks: np.ndarray, mincnt: int = 4,
     per-row window sums vectorize across the batch; the rare sequential
     fix-up (same-row feedback) resolves per page.  Per-page results are
     bit-identical to the single-page kernel (tested)."""
+    from . import native as _ckern
+
+    res = _ckern.mask_denoise_native(masks, mincnt, n_size)
+    if res is not None:
+        return res.view(bool)
     m = masks.astype(np.uint8).copy()
     B, h, w = m.shape
     if h <= 2 * n_size or w <= 2 * n_size:

@@ -632,3 +632,48 @@ def test_png_unfilter_parity():
     finally:
         native._lib = save
     assert np.array_equal(nat, py)
+
+
+def test_mask_denoise_native_parity():
+    """apts_mask_denoise == fast_mask_denoise_slow per page, including
+    the sequential same-window feedback, n_size=0 (window = the pixel
+    itself, NOT a no-op), and degenerate/small shapes."""
+    from archive_pdf_tools_spark.kernels.native import mask_denoise_native
+    from archive_pdf_tools_spark.kernels.optimise import (
+        fast_mask_denoise_slow)
+
+    rng = np.random.default_rng(31)
+    for _ in range(60):
+        h, w = rng.integers(1, 48, 2)
+        n = int(rng.integers(0, 4))
+        mincnt = int(rng.integers(0, 8))
+        m = rng.random((h, w)) < rng.uniform(0.05, 0.9)
+        got = mask_denoise_native(m[None], mincnt, n)
+        if got is None:      # no compiler in this environment
+            return
+        assert np.array_equal(got[0].view(bool),
+                              fast_mask_denoise_slow(m, mincnt, n)), \
+            (h, w, n, mincnt)
+    batch = rng.random((7, 33, 29)) < 0.5
+    got = mask_denoise_native(batch, 4, 2)
+    for b in range(7):
+        assert np.array_equal(got[b].view(bool),
+                              fast_mask_denoise_slow(batch[b], 4, 2))
+
+
+def test_dwt2_hh_native_parity():
+    """apts_dwt2_hh is bit-identical to the NumPy _dwt_axis pair
+    (symmetric pad incl. repeated folds on tiny inputs, ascending-tap
+    accumulation)."""
+    from archive_pdf_tools_spark.kernels.native import dwt2_hh_native
+    from archive_pdf_tools_spark.kernels.noise import _dwt_axis, _DB2_HI
+
+    rng = np.random.default_rng(32)
+    for _ in range(60):
+        h, w = rng.integers(1, 70, 2)
+        a = rng.random((h, w)) * 255
+        got = dwt2_hh_native(a, _DB2_HI)
+        if got is None:
+            return
+        ref = _dwt_axis(_dwt_axis(a, _DB2_HI, 0), _DB2_HI, 1)
+        assert got.shape == ref.shape and np.array_equal(got, ref), (h, w)
