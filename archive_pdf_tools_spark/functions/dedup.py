@@ -200,9 +200,50 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                # its pair output is quadratic in len(ids)
                .repartition(par))
 
-    pairs = expand_id_pairs(grouped, id_type)
-    inter = (pairs.groupBy("doc_a", "doc_b")
-             .agg(F.count("*").alias("n_inter")))
+    # Packed pair keys: when doc ids are integral in [0, 2^31) (checked
+    # by a cheap pruned-scan bounds job), each ordered pair packs into
+    # ONE int64 (a << 31 | b, bijective) — half the bytes through the
+    # Arrow boundary and the exchange, one 8-byte key for the hash
+    # aggregate.  Any other id domain takes the generic two-column
+    # path; both are exact.
+    packable = False
+    if id_type in ("bigint", "int", "smallint", "tinyint"):
+        lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).head()
+        packable = lo is not None and lo >= 0 and hi < (1 << 31)
+    if packable:
+        import pandas as pd
+
+        def _pk_batches(batches):
+            tri = {}
+            out, buffered = [], 0
+            for pdf in batches:
+                for ids in pdf["ids"].values:
+                    a = np.sort(np.asarray(ids, dtype=np.int64))
+                    g = a.size
+                    iu = tri.get(g)
+                    if iu is None:
+                        iu = tri[g] = np.triu_indices(g, k=1)
+                    out.append((a[iu[0]] << np.int64(31)) | a[iu[1]])
+                    buffered += iu[0].size
+                    if buffered >= 2_000_000:
+                        yield pd.DataFrame({"pk": np.concatenate(out)})
+                        out, buffered = [], 0
+            if buffered:
+                yield pd.DataFrame({"pk": np.concatenate(out)})
+
+        pk = grouped.mapInPandas(_pk_batches, schema="pk bigint")
+        inter = (pk.groupBy("pk").agg(F.count("*").alias("n_inter"))
+                 .select(F.shiftright("pk", 31).alias("doc_a"),
+                         F.expr("pk & 2147483647").alias("doc_b"),
+                         "n_inter"))
+        if id_type != "bigint":
+            inter = inter.select(
+                F.col("doc_a").cast(id_type).alias("doc_a"),
+                F.col("doc_b").cast(id_type).alias("doc_b"), "n_inter")
+    else:
+        pairs = expand_id_pairs(grouped, id_type)
+        inter = (pairs.groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("n_inter")))
     sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"),
                                   F.col("n_sh").alias("n_a")))
     sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"),

@@ -209,6 +209,11 @@ def _bind(lib) -> None:
         _DP, ctypes.c_int64, ctypes.c_int64, _DP, ctypes.c_int32, _DP,
     ]
     lib.apts_dwt2_hh.restype = ctypes.c_int32
+    lib.apts_box_downsample.argtypes = [
+        _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int64, ctypes.c_int64, _U8P,
+    ]
+    lib.apts_box_downsample.restype = ctypes.c_int32
     lib.apts_png_unfilter.argtypes = [
         _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_int32, _U8P,
@@ -721,6 +726,27 @@ def mask_denoise_native(masks: np.ndarray, mincnt: int, n_size: int):
     if rc:
         return None
     return m
+
+
+def box_downsample_native(img: np.ndarray, h_t: int, w_t: int):
+    """Integer-area box-mean downsample of a uint8 (h, w[, ch]) image
+    to (h_t, w_t[, ch]); bit-exact mirror of the reduceat expression in
+    ``kernels/pages.py::downsample_box``; None = NumPy path."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(img)
+    if a.dtype != np.uint8 or a.ndim not in (2, 3):
+        return None
+    h, w = a.shape[:2]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    if not (0 < h_t <= h and 0 < w_t <= w and 1 <= ch <= 4):
+        return None
+    out = np.empty((h_t, w_t) + a.shape[2:], dtype=np.uint8)
+    rc = lib.apts_box_downsample(_u8(a), h, w, ch, h_t, w_t, _u8(out))
+    if rc:
+        return None
+    return out
 
 
 def dwt2_hh_native(a: np.ndarray, filt: np.ndarray):

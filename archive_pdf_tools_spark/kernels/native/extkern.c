@@ -1464,29 +1464,31 @@ EXPORT void apts_ycc_rgb(const uint16_t *y, const uint16_t *cb,
 EXPORT int apts_optimise2(const uint8_t *mask, const uint8_t *img,
                           int32_t h, int32_t w, int32_t ch, int32_t n,
                           uint8_t *out) {
+    /* Fused layout (r10): the FIR window sums are looked up straight
+     * from the integral images inside the fill walk instead of being
+     * materialized as whole-page fir_cnt/fir_val planes — two full
+     * write+read passes of h*w(*ch) intermediates gone.  Channels are
+     * fully independent (the IIR feedback reads only the channel being
+     * filled), so the walk runs once per channel.  All arithmetic,
+     * window clamping and traversal order are IDENTICAL to the
+     * previous form (and to kernels/optimise.py::_optimise2). */
     int64_t stride = w + 1;
     int64_t *icnt, *ival, *col_sums, *P;
-    int32_t *fir_cnt, *fir_val;
     int32_t y, x, c;
-    int32_t iys_prev = 0, iye_prev = 0;
     if (h <= 0 || w <= 0 || ch < 1 || ch > 4 || n < 0 || n > 4096)
         return 3;
     icnt = (int64_t *)calloc((size_t)(h + 1) * stride, 8);
-    ival = (int64_t *)calloc((size_t)(h + 1) * stride, 8);
-    fir_cnt = (int32_t *)malloc((size_t)h * w * 4);
-    fir_val = (int32_t *)malloc((size_t)h * w * ch * 4);
-    col_sums = (int64_t *)calloc((size_t)w * ch, 8);
-    P = (int64_t *)malloc(((size_t)w + 1) * ch * 8);
-    if (!icnt || !ival || !fir_cnt || !fir_val || !col_sums || !P) {
+    ival = (int64_t *)malloc((size_t)(h + 1) * stride * 8);
+    col_sums = (int64_t *)malloc((size_t)w * 8);
+    P = (int64_t *)malloc(((size_t)w + 1) * 8);
+    if (!icnt || !ival || !col_sums || !P) {
         free(icnt);
         free(ival);
-        free(fir_cnt);
-        free(fir_val);
         free(col_sums);
         free(P);
         return 4;
     }
-    /* mask-count integral + per-pixel FIR counts */
+    /* mask-count integral (shared by every channel) */
     for (y = 0; y < h; y++) {
         const uint8_t *mrow = mask + (int64_t)y * w;
         int64_t *ir = icnt + (int64_t)(y + 1) * stride;
@@ -1497,21 +1499,9 @@ EXPORT int apts_optimise2(const uint8_t *mask, const uint8_t *img,
             ir[x + 1] = acc + ir0[x + 1];
         }
     }
-    for (y = 0; y < h; y++) {
-        int32_t r0 = y - n > 0 ? y - n : 0;
-        int32_t r1 = (y + n < h ? y + n : h) - 1;
-        const int64_t *top = icnt + (int64_t)r0 * stride;
-        const int64_t *bot = icnt + (int64_t)(r1 + 1) * stride;
-        int32_t *orow = fir_cnt + (int64_t)y * w;
-        for (x = 0; x < w; x++) {
-            int32_t c0 = x - n > 0 ? x - n : 0;
-            int32_t c1 = (x + n < w ? x + n : w) - 1;
-            orow[x] = (int32_t)(bot[c1 + 1] - top[c1 + 1] - bot[c0] +
-                                top[c0]);
-        }
-    }
-    /* per-channel masked-value integral + per-pixel FIR sums */
     for (c = 0; c < ch; c++) {
+        int32_t iys_prev = 0, iye_prev = 0;
+        /* masked-value integral for this channel */
         memset(ival, 0, (size_t)(h + 1) * stride * 8);
         for (y = 0; y < h; y++) {
             const uint8_t *mrow = mask + (int64_t)y * w;
@@ -1524,56 +1514,48 @@ EXPORT int apts_optimise2(const uint8_t *mask, const uint8_t *img,
                 ir[x + 1] = acc + ir0[x + 1];
             }
         }
+        /* IIR row walk over the output under construction */
+        memset(col_sums, 0, (size_t)w * 8);
         for (y = 0; y < h; y++) {
+            int32_t ys = y - n > 0 ? y - n : 0;
+            int32_t ycnt = y < n ? y : n;
             int32_t r0 = y - n > 0 ? y - n : 0;
             int32_t r1 = (y + n < h ? y + n : h) - 1;
-            const int64_t *top = ival + (int64_t)r0 * stride;
-            const int64_t *bot = ival + (int64_t)(r1 + 1) * stride;
-            int32_t *orow = fir_val + ((int64_t)y * w) * ch + c;
-            for (x = 0; x < w; x++) {
-                int32_t c0 = x - n > 0 ? x - n : 0;
-                int32_t c1 = (x + n < w ? x + n : w) - 1;
-                orow[(int64_t)x * ch] =
-                    (int32_t)(bot[c1 + 1] - top[c1 + 1] - bot[c0] +
-                              top[c0]);
+            const int64_t *ftopc = icnt + (int64_t)r0 * stride;
+            const int64_t *fbotc = icnt + (int64_t)(r1 + 1) * stride;
+            const int64_t *ftopv = ival + (int64_t)r0 * stride;
+            const int64_t *fbotv = ival + (int64_t)(r1 + 1) * stride;
+            const uint8_t *mrow = mask + (int64_t)y * w;
+            uint8_t *orow = out + ((int64_t)y * w) * ch;
+            while (iys_prev < ys) {
+                const uint8_t *r =
+                    out + ((int64_t)iys_prev * w) * ch + c;
+                for (x = 0; x < w; x++)
+                    col_sums[x] -= r[(int64_t)x * ch];
+                iys_prev++;
             }
-        }
-    }
-    /* IIR row walk over the output under construction */
-    for (y = 0; y < h; y++) {
-        int32_t ys = y - n > 0 ? y - n : 0;
-        int32_t ycnt = y < n ? y : n;
-        const uint8_t *mrow = mask + (int64_t)y * w;
-        uint8_t *orow = out + ((int64_t)y * w) * ch;
-        while (iys_prev < ys) {
-            const uint8_t *r = out + ((int64_t)iys_prev * w) * ch;
-            for (x = 0; x < w * ch; x++) col_sums[x] -= r[x];
-            iys_prev++;
-        }
-        while (iye_prev < y) {
-            const uint8_t *r = out + ((int64_t)iye_prev * w) * ch;
-            for (x = 0; x < w * ch; x++) col_sums[x] += r[x];
-            iye_prev++;
-        }
-        /* prefix over columns: P[x] = sum of col_sums cols [0, x) */
-        for (c = 0; c < ch; c++) P[c] = 0;
-        for (x = 0; x < w; x++)
-            for (c = 0; c < ch; c++)
-                P[(int64_t)(x + 1) * ch + c] =
-                    P[(int64_t)x * ch + c] +
-                    col_sums[(int64_t)x * ch + c];
-        for (x = 0; x < w; x++) {
-            int32_t xs, icount;
-            int64_t cnt;
-            if (mrow[x]) continue;           /* mask pixels unchanged */
-            xs = x - n > 0 ? x - n : 0;
-            icount = ycnt * (x - xs);
-            cnt = fir_cnt[(int64_t)y * w + x] + icount;
-            for (c = 0; c < ch; c++) {
-                int64_t val =
-                    fir_val[((int64_t)y * w + x) * ch + c] +
-                    (P[(int64_t)x * ch + c] -
-                     P[(int64_t)xs * ch + c]);
+            while (iye_prev < y) {
+                const uint8_t *r =
+                    out + ((int64_t)iye_prev * w) * ch + c;
+                for (x = 0; x < w; x++)
+                    col_sums[x] += r[(int64_t)x * ch];
+                iye_prev++;
+            }
+            /* prefix over columns: P[x] = sum of col_sums cols [0, x) */
+            P[0] = 0;
+            for (x = 0; x < w; x++) P[x + 1] = P[x] + col_sums[x];
+            for (x = 0; x < w; x++) {
+                int32_t xs, icount, c0, c1;
+                int64_t cnt, val;
+                if (mrow[x]) continue;       /* mask pixels unchanged */
+                xs = x - n > 0 ? x - n : 0;
+                c0 = xs;
+                c1 = (x + n < w ? x + n : w) - 1;
+                icount = ycnt * (x - xs);
+                cnt = (fbotc[c1 + 1] - ftopc[c1 + 1] - fbotc[c0] +
+                       ftopc[c0]) + icount;
+                val = (fbotv[c1 + 1] - ftopv[c1 + 1] - fbotv[c0] +
+                       ftopv[c0]) + (P[x] - P[xs]);
                 orow[(int64_t)x * ch + c] =
                     (uint8_t)(cnt ? val / cnt : 0);
             }
@@ -1581,8 +1563,6 @@ EXPORT int apts_optimise2(const uint8_t *mask, const uint8_t *img,
     }
     free(icnt);
     free(ival);
-    free(fir_cnt);
-    free(fir_val);
     free(col_sums);
     free(P);
     return 0;
@@ -3300,5 +3280,62 @@ EXPORT int apts_dwt2_hh(const double *in, int64_t h, int64_t w,
         }
     }
     free(tmp);
+    return 0;
+}
+
+/* ============== box-mean downsample (pages.py::downsample_box) ======
+ *
+ * Integer area mapping: output pixel (ty, tx) averages source rows
+ * [ty*h/h_t, (ty+1)*h/h_t) x cols [tx*w/w_t, (tx+1)*w/w_t), int64
+ * accumulation, floor division by the box pixel count — exactly the
+ * reduceat + // expression in pages.py, without the h*w*8-byte int64
+ * materialization.  */
+EXPORT int apts_box_downsample(const uint8_t *img, int64_t h, int64_t w,
+                               int32_t ch, int64_t h_t, int64_t w_t,
+                               uint8_t *out) {
+    int64_t *acc, *xmap;
+    int64_t y, x, ty, tx;
+    int32_t c;
+    if (h <= 0 || w <= 0 || h_t <= 0 || w_t <= 0 || h_t > h || w_t > w ||
+        ch < 1 || ch > 4)
+        return 3;
+    acc = (int64_t *)calloc((size_t)(w_t * ch), 8);
+    xmap = (int64_t *)malloc((size_t)w * 8);
+    if (!acc || !xmap) {
+        free(acc);
+        free(xmap);
+        return 4;
+    }
+    for (x = 0; x < w; x++) {
+        /* inverse of xs[j] = j*w/w_t: col x belongs to the last j with
+         * j*w/w_t <= x, i.e. j = (x*w_t + w_t - 1) / w ... derive by
+         * scan instead to stay exactly on the integer-edge contract */
+        xmap[x] = -1;
+    }
+    for (tx = 0; tx < w_t; tx++) {
+        int64_t x0 = tx * w / w_t, x1 = (tx + 1) * w / w_t;
+        for (x = x0; x < x1; x++) xmap[x] = tx;
+    }
+    for (ty = 0; ty < h_t; ty++) {
+        int64_t y0 = ty * h / h_t, y1 = (ty + 1) * h / h_t;
+        int64_t rows = y1 - y0;
+        memset(acc, 0, (size_t)(w_t * ch) * 8);
+        for (y = y0; y < y1; y++) {
+            const uint8_t *row = img + (y * w) * ch;
+            for (x = 0; x < w; x++) {
+                int64_t *a = acc + xmap[x] * ch;
+                for (c = 0; c < ch; c++) a[c] += row[(int64_t)x * ch + c];
+            }
+        }
+        for (tx = 0; tx < w_t; tx++) {
+            int64_t x0 = tx * w / w_t, x1 = (tx + 1) * w / w_t;
+            int64_t cnt = rows * (x1 - x0);
+            uint8_t *o = out + (ty * w_t + tx) * ch;
+            for (c = 0; c < ch; c++)
+                o[c] = (uint8_t)(acc[tx * ch + c] / cnt);
+        }
+    }
+    free(acc);
+    free(xmap);
     return 0;
 }

@@ -47,6 +47,12 @@ def downsample_box(img: np.ndarray, factor: float):
     if w_t <= 0 or h_t <= 0:
         return img, True      # too small: unchanged + warning (mrc.py:429-431)
     ch = img.shape[2:]
+    if img.dtype == np.uint8:
+        from . import native as _ckern
+
+        res = _ckern.box_downsample_native(img, h_t, w_t)
+        if res is not None:
+            return res, False
     # Integer box edges (area mapping): pixel j of the output averages
     # source cols [j*w//w_t, (j+1)*w//w_t) — exact integer arithmetic.
     ys = (np.arange(h_t + 1) * h) // h_t
