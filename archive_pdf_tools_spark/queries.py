@@ -39,12 +39,11 @@ def _spread(df):
     underlying functions stay shuffle-free (plan-asserted) so callers
     with naturally partitioned input pay nothing.
 
-    Applied only to *map-dominated* queries (tokenize/hash/parse): for
-    the join-heavy dedup queries the measured effect is negative — from
-    a 1-partition source AQE plans the candidate joins with tiny
-    coalesced shuffles, and pre-spreading trades that for 3 stages x 32
-    tasks of per-task overhead (measured 3.2s -> 8.4s on ngram_jaccard
-    at sf0.1).
+    Applied to *map-dominated* stages (tokenize/hash/parse/regex).
+    Join/aggregate-heavy dedup paths spread their own map inputs where
+    it pays (ngram_jaccard and minhash_lsh_pairs repartition ahead of
+    their tokenize/signature stages since r10) and rely on shuffle
+    keying for everything downstream.
     """
     spark = df.sparkSession
     return df.repartition(spark.sparkContext.defaultParallelism)
