@@ -136,6 +136,10 @@ def run_pdf_sink(n_docs: int, cores: int = 8) -> dict:
         with open(log, "w") as lf, open(errlog, "w") as ef:
             proc = subprocess.Popen(
                 [spark_submit, "--master", f"local[{cores}]",
+                 # a realistic executor heap: the default 1g dies on
+                 # the per-doc blob shuffle past ~25k pages, which
+                 # would measure spark-submit's default, not the sink
+                 "--driver-memory", "4g",
                  "--conf",
                  "spark.hadoop.parquet.hadoop.vectored.io.enabled="
                  "false",
@@ -203,9 +207,17 @@ def main():
         print(f"extract {n} docs: {json.dumps(lin[str(n)])}")
     report["extract_linearity"] = lin
 
-    # 2. PDF sink: wall + peak tree RSS at 1x/4x/8x docs
+    # 2. PDF sink: wall + peak tree RSS at 1x/4x/8x docs (r10: plus a
+    #    steady-state row — --sink-docs overrides, e.g. 60,240,480,2000
+    #    puts the largest run at 4000 pages, past the fixed-overhead
+    #    regime where pages/s was still rising)
+    docs_list = (60, 240, 480)
+    if "--sink-docs" in sys.argv:
+        docs_list = tuple(
+            int(t) for t in
+            sys.argv[sys.argv.index("--sink-docs") + 1].split(","))
     sink = []
-    for n in (60, 240, 480):
+    for n in docs_list:
         row = run_pdf_sink(n)
         sink.append(row)
         print(f"pdf sink {n} docs: {json.dumps(row)}")
@@ -214,7 +226,9 @@ def main():
     report["pdf_sink_rss_growth"] = round(
         last["peak_tree_rss_mb"] / max(first["peak_tree_rss_mb"], 1), 3)
 
-    out = os.path.join(REPO, "BENCH", "scale10_r9.json")
+    out = os.path.join(REPO, "BENCH",
+                       os.environ.get("SPARK_GRAFT_SCALE10_OUT",
+                                      "scale10_r9.json"))
     with open(out, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps(report))
