@@ -44,6 +44,32 @@ def test_ngram_jaccard_finds_near_dup(docs_with_dups):
     assert (3, 4) not in pairs
 
 
+def test_ngram_jaccard_generic_id_paths(docs_with_dups, spark):
+    """The r10 packed-int64 pair path is a fast path only: string ids
+    and out-of-range bigints (negative) must take the generic
+    two-column path and produce the identically-mapped pair set."""
+    from pyspark.sql import functions as F
+
+    want = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs_with_dups, n=3,
+                                         tau=0.5).collect()}
+    as_str = docs_with_dups.withColumn(
+        "doc_id", F.format_string("d%02d", F.col("doc_id")))
+    got_str = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(as_str, n=3,
+                                            tau=0.5).collect()}
+    assert got_str == {(f"d{a:02d}", f"d{b:02d}"): j
+                       for (a, b), j in want.items()}
+    # negative ids fail the [0, 2^31) bounds check -> generic fallback;
+    # ordering by the shifted id keeps the same pair orientation
+    as_neg = docs_with_dups.withColumn("doc_id", F.col("doc_id") - 100)
+    got_neg = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+               for r in ngram_jaccard_pairs(as_neg, n=3,
+                                            tau=0.5).collect()}
+    assert got_neg == {(a - 100, b - 100): j
+                       for (a, b), j in want.items()}
+
+
 def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
     pairs = {(r["doc_a"], r["doc_b"]) for r in
              minhash_lsh_pairs(docs_with_dups, n=3, k=32, bands=8,
