@@ -99,8 +99,24 @@ def _cache_dir() -> str:
     return tempfile.mkdtemp(prefix=f"apts_ckern_u{os.getuid()}_")
 
 
+# -O3 + native ISA: enables auto-vectorization of the integer inner
+# loops (Sauvola integrals, optimise2 window sums, mask denoise).
+# Bit-parity is preserved because neither flag licenses FP
+# reassociation (-ffast-math stays off and -ffp-contract=off below
+# keeps FMA fusion disabled), so float64 expression trees still
+# evaluate IEEE per-op exactly like NumPy's.  -march=native is safe
+# in-sandbox (compile host == run host); SPARK_GRAFT_CKERN_ARCH=
+# overrides for heterogeneous clusters (set to e.g. x86-64-v3, or
+# empty to drop the flag entirely).
+def _arch_flags() -> list:
+    arch = os.environ.get("SPARK_GRAFT_CKERN_ARCH", "native")
+    return [f"-march={arch}"] if arch else []
+
+
 def _compile(src: str) -> str:
-    tag = hashlib.sha256(src.encode()).hexdigest()[:16]
+    flags = ["-O3"] + _arch_flags()
+    tag = hashlib.sha256((" ".join(flags) + "\0" + src)
+                         .encode()).hexdigest()[:16]
     cache = _cache_dir()
     so = os.path.join(cache, f"apts_ckern_{tag}.so")
     if os.path.exists(so):
@@ -117,10 +133,20 @@ def _compile(src: str) -> str:
         tmp_so = f"{so}.build{os.getpid()}"
         # -ffp-contract=off: no FMA fusion, so the 9/7 float64 lifting
         # matches numpy's unfused expression trees bit-for-bit
-        subprocess.run(
-            ["gcc", "-O2", "-shared", "-fPIC", "-fvisibility=hidden",
-             "-ffp-contract=off", "-o", tmp_so, cpath],
-            check=True, capture_output=True, timeout=300)
+        cmd = (["gcc"] + flags +
+               ["-shared", "-fPIC", "-fvisibility=hidden",
+                "-ffp-contract=off", "-o", tmp_so, cpath])
+        try:
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=300)
+        except subprocess.CalledProcessError:
+            if "-march=native" not in cmd:
+                raise
+            # Ancient toolchains without -march=native support: retry
+            # with the portable flag set.
+            cmd = [a for a in cmd if a != "-march=native"]
+            subprocess.run(cmd, check=True, capture_output=True,
+                           timeout=300)
         os.replace(tmp_so, so)   # atomic: concurrent builders race safely
     finally:
         try:
