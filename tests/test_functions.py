@@ -79,6 +79,25 @@ def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
     assert all(a in (0, 1, 2) and b in (0, 1, 2) for a, b in pairs)
 
 
+def test_minhash_lsh_verify_shapes_agree(docs_with_dups, monkeypatch):
+    """The r10 array_intersect verify must return exactly what the
+    exploded-shingle equi-join verify returns (same pairs, same
+    rounded jaccard), including near-misses under the tau filter."""
+    import os
+
+    def run(shape):
+        monkeypatch.setitem(os.environ, "SPARK_GRAFT_LSH_VERIFY", shape)
+        return sorted(
+            (r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            minhash_lsh_pairs(docs_with_dups, n=3, k=32, bands=8,
+                              tau=0.3).collect())
+
+    got_join = run("join")
+    got_intersect = run("intersect")
+    assert got_intersect == got_join
+    assert got_intersect                      # non-vacuous
+
+
 @pytest.fixture(scope="module")
 def embeddings_df(spark):
     rng = np.random.default_rng(21)
