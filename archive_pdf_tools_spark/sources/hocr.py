@@ -172,7 +172,8 @@ def _word_records(line_el, line_props: dict, inherited_dir: int) -> list:
     x_size = _num(line_props, "x_size")
     words = []
     for el in line_el.iter():
-        if "ocrx_word" not in _classes(el):
+        cls = el.get("class")
+        if not cls or "ocrx_word" not in cls.split():
             continue
         props = parse_properties(el.get("title"))
         box = _bbox(props)
@@ -217,33 +218,52 @@ def page_word_data(page) -> list:
     Paragraphs are the ``ocr_par`` elements; pages whose lines sit
     directly in a carea (no par wrapper) get one synthetic paragraph.
     Lines with no words (or no bbox) are dropped here — the renderer's
-    own paragraph empty-skip handles whitespace-only content."""
+    own paragraph empty-skip handles whitespace-only content.
+
+    One depth-first walk replaces the old two full-page passes plus a
+    per-par subtree pass (each word element was visited ~4x).  The walk
+    reproduces the old pass semantics exactly, including the edge
+    cases: a line nested under several ``ocr_par`` ancestors is
+    recorded once per ancestor with THAT par's writing-direction
+    fallback (what the old per-par ``par.iter()`` passes produced),
+    paragraph order is par document order, and lines with no ``ocr_par``
+    ancestor form one trailing paragraph."""
     page_dir = _writing_direction(page, 0)
-    paragraphs = []
-    claimed = set()
-    for par in page.iter():
-        if "ocr_par" not in _classes(par):
-            continue
-        par_dir = _writing_direction(par, page_dir)
-        lines = []
-        for el in par.iter():
-            if _classes(el) & _LINE_CLASSES:
-                claimed.add(id(el))
-                rec = _line_record(el, par_dir)
+    paragraphs: list = []          # par-start document order
+    par_stack: list = []           # open (par_dir, lines) contexts
+    orphans: list = []
+
+    def _walk(el):
+        cls = el.get("class")
+        toks = cls.split() if cls else ()
+        is_par = "ocr_par" in toks
+        if is_par:
+            # dir inherits from the PAGE, not the enclosing par — the
+            # old per-par passes each resolved against page_dir.
+            ctx = {"lines": [],
+                   "dir": _writing_direction(el, page_dir)}
+            par_stack.append(ctx)
+            paragraphs.append(ctx)
+        if any(t in _LINE_CLASSES for t in toks):
+            if par_stack:
+                for ctx in par_stack:
+                    rec = _line_record(el, ctx["dir"])
+                    if rec is not None:
+                        ctx["lines"].append(rec)
+            else:
+                rec = _line_record(el, page_dir)
                 if rec is not None:
-                    lines.append(rec)
-        if lines:
-            paragraphs.append({"lines": lines})
-    # Orphan lines (no ocr_par ancestor) form one trailing paragraph.
-    orphans = []
-    for el in page.iter():
-        if _classes(el) & _LINE_CLASSES and id(el) not in claimed:
-            rec = _line_record(el, page_dir)
-            if rec is not None:
-                orphans.append(rec)
+                    orphans.append(rec)
+        for child in el:
+            _walk(child)
+        if is_par:
+            par_stack.pop()
+
+    _walk(page)
+    out = [{"lines": ctx["lines"]} for ctx in paragraphs if ctx["lines"]]
     if orphans:
-        paragraphs.append({"lines": orphans})
-    return paragraphs
+        out.append({"lines": orphans})
+    return out
 
 
 def page_payload(page, doc_dpi=None) -> str:

@@ -257,3 +257,48 @@ def test_parse_properties_quoted_semicolon():
     assert props["image"] == ["x;bbox 1 2 3 4.jp2"]
     assert props["ppageno"] == ["2"]
     assert props.get("bbox") is None
+
+
+def test_page_word_data_single_pass_semantics():
+    """The r10 single-DFS page_word_data must keep the old multi-pass
+    semantics exactly: a line nested under several ocr_par ancestors is
+    recorded once per ancestor with THAT par's dir fallback, paragraph
+    order is par document order, and par-less lines form one trailing
+    orphan paragraph (page-dir fallback)."""
+    from archive_pdf_tools_spark.sources.hocr import (iter_pages,
+                                                      page_word_data)
+
+    markup = """<html><body>
+    <div class='ocr_page' title='bbox 0 0 1000 800'>
+     <div class='ocr_carea'>
+      <p class='ocr_par' dir='rtl' title=''>
+       <span class='ocr_line' title='bbox 10 10 400 40; baseline 0.01 -2; x_size 24'>
+         <span class='ocrx_word' title='bbox 10 10 100 40; x_wconf 93'>alpha</span>
+       </span>
+       <p class='ocr_par'>
+         <span class='ocr_header' title='bbox 10 50 300 80'>
+           <span class='ocrx_word' title='bbox 10 50 90 80; x_wconf 71'>gamma</span>
+         </span>
+       </p>
+      </p>
+     </div>
+     <span class='ocr_line' title='bbox 5 700 900 740; baseline 0 0'>
+       <span class='ocrx_word' dir='ltr' title='bbox 5 700 60 740'>orphan</span>
+     </span>
+    </div></body></html>"""
+    (page,) = iter_pages(markup)
+    paras = page_word_data(page)
+    assert len(paras) == 3
+    outer, inner, orphans = paras
+    # outer par: its own line plus the nested par's line, rtl fallback
+    assert [w["text"] for ln in outer["lines"] for w in ln["words"]] \
+        == ["alpha", "gamma"]
+    assert outer["lines"][1]["words"][0]["writing_direction"] == 2
+    # inner par re-records gamma with ITS dir fallback (unspecified)
+    assert [w["text"] for ln in inner["lines"] for w in ln["words"]] \
+        == ["gamma"]
+    assert inner["lines"][0]["words"][0]["writing_direction"] == 0
+    # orphan line trails, word-level dir attr wins
+    assert [w["text"] for ln in orphans["lines"] for w in ln["words"]] \
+        == ["orphan"]
+    assert orphans["lines"][0]["words"][0]["writing_direction"] == 1
