@@ -52,19 +52,25 @@ def _page_div(page: dict, paragraphs: list, page_no: int) -> list[str]:
         for l_idx, line in enumerate(para["lines"]):
             bx = " ".join(str(int(v)) for v in line["bbox"])
             slope, const = line["baseline"]
+            # line/word titles are numeric-only (bbox/baseline/conf/
+            # fsize tokens) — no XML specials possible, so plain
+            # double-quoting IS quoteattr's output for them
             lt = f"bbox {bx}; baseline {_fmt(slope)} {_fmt(const)}"
             out.append(f"<span class='ocr_line' "
                        f"id='line_{page_no}_{p_idx}_{l_idx}' "
-                       f"title={quoteattr(lt)}>")
+                       f'title="{lt}">')
             for word in line["words"]:
                 wb = " ".join(str(int(v)) for v in word["bbox"])
                 wt = (f"bbox {wb}; x_wconf {_fmt(word['confidence'])}; "
                       f"x_fsize {_fmt(word['fontsize'])}")
                 d = _DIR_ATTRS.get(word.get("writing_direction", 0))
                 dattr = f" dir='{d}'" if d else ""
+                t = word["text"]
+                if "&" in t or "<" in t or ">" in t:
+                    t = escape(t)
                 out.append(f"<span class='ocrx_word' id='w_{page_no}_{wid}'"
-                           f" title={quoteattr(wt)}{dattr}>"
-                           f"{escape(word['text'])}</span> ")
+                           f' title="{wt}"{dattr}>'
+                           f"{t}</span> ")
                 wid += 1
             out.append("</span>\n")
         out.append("</p>\n")
@@ -86,11 +92,11 @@ def hocr_from_pages(pages: list) -> str:
 def synth_hocr(text: str, words_per_page: int = 80,
                max_words: int = 400) -> str:
     """Prose -> multi-page hOCR with the fixed-metric fixture layout."""
-    from ..sources.spans_from_text import layout_text
+    from ..sources.spans_from_text import layout_payload
 
     words = text.split()[:max_words]
     payloads = []
     for i in range(0, max(len(words), 1), words_per_page):
         chunk = " ".join(words[i:i + words_per_page])
-        payloads.append(layout_text(chunk, max_words=words_per_page))
+        payloads.append(layout_payload(chunk, max_words=words_per_page))
     return hocr_from_pages(payloads)

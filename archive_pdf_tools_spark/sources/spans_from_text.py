@@ -34,6 +34,14 @@ PAGE_W = 1000
 
 def layout_text(text: str, max_words: int = 400) -> str:
     """Deterministic hOCR-like payload for a prose string."""
+    return json.dumps(layout_payload(text, max_words),
+                      ensure_ascii=False, sort_keys=True)
+
+
+def layout_payload(text: str, max_words: int = 400) -> dict:
+    """``layout_text`` before serialization — for consumers that feed
+    the dict straight to a renderer (``corpus.hocrgen.synth_hocr``)
+    without paying the dumps/loads round trip."""
     words = text.split()[:max_words]
     lines = []
     y = 10
@@ -51,10 +59,10 @@ def layout_text(text: str, max_words: int = 400) -> str:
                       "baseline": [0.0, 0.0], "words": wrecs})
         y += LINE_H + 6
     page_h = max(y + 10, 100)
-    return json.dumps({
+    return {
         "page": {"w": PAGE_W, "h": page_h, "dpi": 300, "scan_res": None},
         "paragraphs": [{"lines": lines}] if lines else [],
-    }, ensure_ascii=False, sort_keys=True)
+    }
 
 
 def _convert(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
