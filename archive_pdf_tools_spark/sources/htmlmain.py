@@ -45,48 +45,53 @@ _VOID_TAGS = frozenset({"area", "base", "br", "col", "embed", "hr", "img",
                         "wbr"})
 
 
+from html.parser import HTMLParser as _HTMLParser
+from xml.etree import ElementTree as _ET
+
+
+class _Builder(_HTMLParser):
+    """HTML-tolerant tree builder (module-level: defining it inside
+    ``_parse_html`` rebuilt the class once per document)."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = _ET.Element("html")
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _VOID_TAGS:
+            self.handle_startendtag(tag, attrs)
+            return
+        el = _ET.SubElement(self.stack[-1], tag,
+                            {k: (v or "") for k, v in attrs})
+        self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        _ET.SubElement(self.stack[-1], tag,
+                       {k: (v or "") for k, v in attrs})
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignored
+
+    def handle_data(self, data):
+        parent = self.stack[-1]
+        if len(parent):
+            last = parent[-1]
+            last.tail = (last.tail or "") + data
+        else:
+            parent.text = (parent.text or "") + data
+
+
 def _parse_html(markup: str):
     """HTML-tolerant tree builder on stdlib ``html.parser``: unclosed
     void tags (<br>, <img>, <meta>), named entities (&nbsp;) and stray
     end tags — ubiquitous in real crawl pages — parse fine, unlike the
     strict XML parser this replaces (which turned virtually every real
     page into an html_error span with zero extracted content)."""
-    from html.parser import HTMLParser
-    from xml.etree import ElementTree as ET
-
-    class _Builder(HTMLParser):
-        def __init__(self):
-            super().__init__(convert_charrefs=True)
-            self.root = ET.Element("html")
-            self.stack = [self.root]
-
-        def handle_starttag(self, tag, attrs):
-            if tag in _VOID_TAGS:
-                self.handle_startendtag(tag, attrs)
-                return
-            el = ET.SubElement(self.stack[-1], tag,
-                               {k: (v or "") for k, v in attrs})
-            self.stack.append(el)
-
-        def handle_startendtag(self, tag, attrs):
-            ET.SubElement(self.stack[-1], tag,
-                          {k: (v or "") for k, v in attrs})
-
-        def handle_endtag(self, tag):
-            for i in range(len(self.stack) - 1, 0, -1):
-                if self.stack[i].tag == tag:
-                    del self.stack[i:]
-                    return
-            # stray end tag: ignored
-
-        def handle_data(self, data):
-            parent = self.stack[-1]
-            if len(parent):
-                last = parent[-1]
-                last.tail = (last.tail or "") + data
-            else:
-                parent.text = (parent.text or "") + data
-
     b = _Builder()
     b.feed(markup)
     b.close()
