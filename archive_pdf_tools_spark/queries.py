@@ -1848,14 +1848,14 @@ def q_page_series(spark, sf):
     # oracle is unaffected.
     n_buckets = max(32, spark.sparkContext.defaultParallelism * 4)
     od = load_table(spark, sf, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    # r10: pos (row_number per customer) and the label synthesis moved
+    # INSIDE the grouped map — the bucket regroup already delivers every
+    # customer's rows to one task, where the lexsort that was needed
+    # anyway yields pos as the within-group rank for free.  That deletes
+    # the separate customer-keyed window Exchange (2 shuffles -> 1) and
+    # the exchange now carries two int64s + bucket instead of
+    # pos + label strings.
     labels = (od.select("o_custkey", "o_orderkey")
-              .withColumn("pos", F.row_number().over(w))
-              .withColumn("label", F.expr(
-                  "CASE WHEN pos % 11 = 0 THEN NULL "
-                  "WHEN pos < 4 THEN CASE pos WHEN 1 THEN 'i' WHEN 2 "
-                  "THEN 'ii' ELSE 'iii' END "
-                  "ELSE CAST(pos - 3 AS STRING) END"))
               .withColumn("bucket",
                           F.pmod(F.xxhash64("o_custkey"), F.lit(n_buckets))))
 
@@ -1865,13 +1865,22 @@ def q_page_series(spark, sf):
         # One whole-bucket sort + NumPy group boundaries: a per-customer
         # pandas groupby/sort_values pays frame-construction overhead per
         # tiny group (measured ~48% of the stage at sf1).
-        order = np.lexsort((pdf["pos"].values, pdf["o_custkey"].values))
+        order = np.lexsort((pdf["o_orderkey"].values,
+                            pdf["o_custkey"].values))
         custs = pdf["o_custkey"].values[order]
-        raw = pdf["label"].values[order]
-        labels = [None if lbl is None or
-                  (isinstance(lbl, float) and pd.isna(lbl))
-                  else str(lbl) for lbl in raw]
-        bounds = [0] + (np.flatnonzero(custs[1:] != custs[:-1]) + 1).tolist()
+        bounds_arr = np.flatnonzero(custs[1:] != custs[:-1]) + 1
+        # pos = 1-based rank within customer (== row_number over
+        # (PARTITION BY o_custkey ORDER BY o_orderkey): o_orderkey is
+        # unique, so rank and row_number coincide)
+        starts = np.zeros(len(custs), dtype=np.int64)
+        starts[bounds_arr] = bounds_arr
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(len(custs), dtype=np.int64) - starts + 1
+        roman = ("i", "ii", "iii")
+        labels = [None if p % 11 == 0
+                  else roman[p - 1] if p < 4
+                  else str(p - 3) for p in pos.tolist()]
+        bounds = [0] + bounds_arr.tolist()
         bounds.append(len(custs))
         out = []
         for s, e in zip(bounds[:-1], bounds[1:]):
